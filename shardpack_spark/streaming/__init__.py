@@ -1,0 +1,8 @@
+"""Structured Streaming surface: windowed aggregations, watermarking,
+stateful dedup, and stream-static joins over the events stream.
+
+The transformation builders in ``ops`` are batch/stream agnostic — the same
+function is applied to a static DataFrame for the oracle-checked declared
+queries (Q25-Q27) and to a ``readStream`` DataFrame in the behavioral
+pytest suite.  That symmetry is exactly Spark's unified-API contract.
+"""
