@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale design:
+- ``cosine_scores`` broadcasts the (single-row) query vector — no shuffle
+  at all; the scan streams through a codegen'd higher-order-function dot
+  product.
+- ``cosine_topk`` ends in orderBy+limit, which Spark executes as
+  TakeOrderedAndProject (per-partition heaps + driver merge of k rows —
+  no global sort).
+- ``ivf_topk`` is the 100 TB path: vectors are pre-bucketed by nearest
+  centroid; a query probes only ``nprobe`` buckets, so the scan touches
+  |data| * nprobe / n_centroids rows.  Centroid assignment is a broadcast
+  nested-loop over the (tiny) centroid set, never a cross join of data
+  against data.
+
+The dot product uses zip_with + a sequential left-fold (aggregate) so the
+accumulation order is deterministic — required for oracle hash-matching
+and, at scale, for reproducible reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> Column:
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_scores(
+    df: DataFrame,
+    query: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cosine) of every row in df against the single-row query df."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("__q")))
+    joined = df.crossJoin(q)
+    return joined.select(
+        F.col(id_col),
+        (_dot(F.col(vec_col), F.col("__q")) / (_norm(F.col(vec_col)) * _norm(F.col("__q")))).alias(
+            "cosine"
+        ),
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """Brute-force exact top-k by cosine (TakeOrderedAndProject)."""
+    scored = cosine_scores(df, query, vec_col, id_col)
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(exclude_ids))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id: str = "cid",
+    centroid_vec: str = "cvec",
+) -> DataFrame:
+    """Tag each vector with its nearest centroid (broadcast argmin).
+
+    The centroid table is tiny by construction, so this is a broadcast
+    nested-loop + per-row min — one pass over the data, no shuffle.
+    """
+    c = F.broadcast(centroids.select(centroid_id, F.col(centroid_vec)))
+    scored = df.crossJoin(c).withColumn(
+        "__sim", _dot(F.col(vec_col), F.col(centroid_vec)) / (_norm(F.col(vec_col)) * _norm(F.col(centroid_vec)))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc(centroid_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", centroid_vec)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: probe the nprobe centroids nearest the query, then
+    exact top-k within those buckets only.
+
+    At 100 TB the assignment is precomputed once (a bucketed table
+    partitioned by cid); the query-time scan reads only probed partitions.
+    """
+    assigned = assign_to_centroids(df, centroids, vec_col, id_col)
+    # Rank centroids for the query directly (tiny) and keep nprobe ids.
+    qc = (
+        query.select(F.col(vec_col).alias("__q"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", _dot(F.col("__q"), F.col("cvec")) / (_norm(F.col("__q")) * _norm(F.col("cvec"))))
+        .orderBy(F.desc("__sim"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    bucketed = assigned.join(F.broadcast(qc), "cid", "left_semi")
+    return cosine_topk(bucketed, query, k, vec_col, id_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    With ``block_col`` the self-join is equi-keyed on the block (the scale
+    path: shuffle on block, pairs only within blocks).  block_col=None
+    degenerates to a full cross pair-space — only for tiny inputs/tests.
+    """
+    a = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    if block_col:
+        joined = a.join(b, on=block_col).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
