@@ -48,6 +48,11 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def load_all() -> dict[str, DeclaredQuery]:
     """Import every query module so the registry is fully populated."""
-    from shardpack_spark.queries import llm, relational, streaming_batch  # noqa: F401
+    from shardpack_spark.queries import (  # noqa: F401
+        format_queries,
+        llm,
+        relational,
+        streaming_batch,
+    )
 
     return REGISTRY

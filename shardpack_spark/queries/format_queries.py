@@ -1,0 +1,120 @@
+"""Declared checks for the ShardPack format surface (Q2 + multimodal).
+
+q02 writes the documents table through format("shardpack") and reads it
+back; the oracle aggregates the parquet source directly, so the check
+proves write+read fidelity end-to-end.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shardpack_spark.operators import multimodal
+from shardpack_spark.queries import register
+from shardpack_spark.tables import load_table
+
+
+def _ensure_registered(spark: SparkSession) -> None:
+    from shardpack_spark.format.datasource import register
+
+    try:
+        register(spark)  # also enables by-value pickling of the format code
+    except Exception:
+        pass  # already registered
+
+
+def docs_as_shardpack_rows(docs: DataFrame) -> DataFrame:
+    """documents -> shardpack record rows (text payload + typed metadata)."""
+    return docs.select(
+        F.concat(F.lit("doc/"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("key"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("n_chars"), F.col("n_chars").cast("string"),
+        ).alias("metadata"),
+        F.array(
+            F.struct(
+                F.lit("text.txt").alias("file_name"),
+                F.lit("text/plain").alias("content_type"),
+                F.lit("none").alias("encoding"),
+                F.length("text").cast("long").alias("size"),
+                F.encode("text", "utf-8").alias("data"),
+            )
+        ).alias("entries"),
+    )
+
+
+@register(
+    "q02_shardpack_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+)
+def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> format('shardpack') -> read back -> aggregate (Q2).
+
+    The aggregate runs over the RE-READ data; matching the parquet-side
+    oracle proves the container round-trip is lossless.
+    """
+    _ensure_registered(spark)
+    out = tempfile.mkdtemp(prefix="shardpack_rt_")
+    docs_as_shardpack_rows(load_table(spark, sf_dir, "documents")).write.format(
+        "shardpack"
+    ).option("target_shard_bytes", 256 * 1024).mode("overwrite").save(out)
+    back = spark.read.format("shardpack").load(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.element_at("metadata", "n_chars").cast("long")).alias("sum_chars"),
+    )
+
+
+@register(
+    "q40_multimodal_text_decode",
+    oracle="""
+    SELECT lang, COUNT(*) AS cnt, CAST(SUM(length(text)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY lang
+    """,
+)
+def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-level decode path: shardpack text entries -> utf-8 -> agg by
+    the lang metadata tag (Q40)."""
+    _ensure_registered(spark)
+    out = tempfile.mkdtemp(prefix="shardpack_mm_")
+    docs_as_shardpack_rows(load_table(spark, sf_dir, "documents")).write.format(
+        "shardpack"
+    ).mode("overwrite").save(out)
+    back = spark.read.format("shardpack").load(out)
+    texts = multimodal.decode_text_entries(back)
+    return texts.groupBy(F.element_at("metadata", "lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.length("text")).alias("sum_len"),
+    )
+
+
+@register("q41_image_features", oracle=None,
+          doc="Arrow-batched image feature extraction (sniffing real, decode stubbed).")
+def q41_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize image-tagged binary entries from documents, run the
+    mapInPandas feature extractor (Q41; rows-only check)."""
+    _ensure_registered(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select(
+        F.concat(F.lit("img/"), F.col("doc_id").cast("string")).alias("key"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("metadata"),
+        F.array(
+            F.struct(
+                F.lit("img.jpg").alias("file_name"),
+                F.lit("image/jpeg").alias("content_type"),
+                F.lit("none").alias("encoding"),
+                (F.length("text") + F.lit(3)).cast("long").alias("size"),
+                F.concat(
+                    F.lit(bytes([0xFF, 0xD8, 0xFF])), F.encode("text", "utf-8")
+                ).alias("data"),
+            )
+        ).alias("entries"),
+    )
+    return multimodal.image_features(rows)

@@ -35,5 +35,7 @@ def get_spark(app_name: str = "shardpack_spark", shuffle_partitions: int | None 
         # events.parquet stores TIMESTAMP(NANOS); read as long and convert
         # in tables.load_table (Spark has no nanos timestamp type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # enable pushFilters() on Python data sources (shardpack key pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     return builder.getOrCreate()

@@ -1,0 +1,151 @@
+"""DataSource V2 round-trip + pushdown/partition tests for format("shardpack")."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from shardpack_spark.format import codec
+from shardpack_spark.format.datasource import MANIFEST_NAME, register
+from shardpack_spark.tables import load_table
+
+
+@pytest.fixture(scope="session")
+def spark_ds(spark):
+    register(spark)
+    return spark
+
+
+def _docs_as_records(spark, sf_dir):
+    """documents table -> shardpack row shape (text as a JSON entry)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("doc/"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("key"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("n_chars"), F.col("n_chars").cast("string"),
+        ).alias("metadata"),
+        F.array(
+            F.struct(
+                F.lit("text.txt").alias("file_name"),
+                F.lit("text/plain").alias("content_type"),
+                F.lit("none").alias("encoding"),
+                F.length("text").cast("long").alias("size"),
+                F.encode("text", "utf-8").alias("data"),
+            )
+        ).alias("entries"),
+    )
+
+
+def test_write_read_round_trip(spark_ds, sf_dir, tmp_path):
+    """Q2 shape: documents -> shardpack -> read back, counts + bytes equal."""
+    out = str(tmp_path / "ds")
+    src = _docs_as_records(spark_ds, sf_dir)
+    src.write.format("shardpack").option("target_shard_bytes", 64 * 1024).mode("append").save(out)
+
+    assert os.path.exists(os.path.join(out, MANIFEST_NAME))
+    back = spark_ds.read.format("shardpack").load(out)
+    assert back.count() == src.count()
+
+    src_sum = src.select(F.sum(F.element_at("entries", 1)["size"]).alias("s")).head()["s"]
+    back_sum = back.select(F.sum(F.element_at("entries", 1)["size"]).alias("s")).head()["s"]
+    assert src_sum == back_sum
+
+    # payload fidelity on a sample key
+    row = back.filter(F.col("key") == "doc/00000007").head()
+    assert bytes(row["entries"][0]["data"]).decode("utf-8") == (
+        load_table(spark_ds, sf_dir, "documents").filter(F.col("doc_id") == 7).head()["text"]
+    )
+    assert row["metadata"]["lang"] in {"en", "de", "fr", "es", "zh"}
+
+
+def test_multiple_shards_multiple_partitions(spark_ds, sf_dir, tmp_path):
+    out = str(tmp_path / "ds")
+    _docs_as_records(spark_ds, sf_dir).coalesce(1).write.format("shardpack").option(
+        "target_shard_bytes", 16 * 1024
+    ).mode("append").save(out)
+    shards = codec.list_shards(out)
+    assert len(shards) > 3
+    back = spark_ds.read.format("shardpack").load(out)
+    assert back.rdd.getNumPartitions() == len(shards)
+
+
+def test_overwrite_mode(spark_ds, sf_dir, tmp_path):
+    out = str(tmp_path / "ds")
+    src = _docs_as_records(spark_ds, sf_dir).limit(50)
+    src.write.format("shardpack").mode("append").save(out)
+    src.write.format("shardpack").mode("overwrite").save(out)
+    assert spark_ds.read.format("shardpack").load(out).count() == 50
+
+
+def test_compressed_round_trip(spark_ds, sf_dir, tmp_path):
+    out = str(tmp_path / "gz")
+    src = _docs_as_records(spark_ds, sf_dir).limit(100)
+    src.write.format("shardpack").option("compression", "gzip").mode("append").save(out)
+    back = spark_ds.read.format("shardpack").load(out)
+    assert back.count() == 100
+    assert back.select(F.element_at("entries", 1)["encoding"].alias("e")).distinct().head()["e"] == "gzip"
+
+
+def test_key_filter_prunes_partitions(spark_ds, sf_dir, tmp_path):
+    """EqualTo('key') pushdown prunes shards via manifest key ranges."""
+    out = str(tmp_path / "ds")
+    # sorted keys -> disjoint key ranges per shard -> pruning is effective
+    _docs_as_records(spark_ds, sf_dir).orderBy("key").coalesce(1).write.format(
+        "shardpack"
+    ).option("target_shard_bytes", 16 * 1024).mode("append").save(out)
+    n_shards = len(codec.list_shards(out))
+    from shardpack_spark.format.datasource import read_shardpack
+
+    filtered = read_shardpack(spark_ds, out).filter(F.col("key") == "doc/00000007")
+    assert filtered.count() == 1
+    assert filtered.rdd.getNumPartitions() < n_shards
+
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert all("min_key" in s and "max_key" in s for s in manifest["shards"])
+
+
+def test_streaming_source_incremental(spark_ds, tmp_path):
+    """New shard files appearing in the directory arrive as new batches."""
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+
+    def add_shard(i):
+        w = codec.ShardWriter(os.path.join(src_dir, codec.shard_name("s", i)))
+        for j in range(3):
+            w.write_record(
+                codec.Record(
+                    key=f"k{i}-{j}",
+                    entries=[codec.FileEntry("a.txt", "text/plain", f"v{i}{j}".encode())],
+                )
+            )
+        w.close()
+
+    add_shard(0)
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark_ds.readStream.format("shardpack")
+            .load(src_dir)
+            .select("key")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["key"] for r in spark_ds.read.parquet(out_dir).collect()}
+
+    got1 = drain()
+    assert got1 == {"k0-0", "k0-1", "k0-2"}
+    add_shard(1)
+    got2 = drain()
+    # incremental: second drain appends ONLY the new shard's records
+    assert got2 == {"k0-0", "k0-1", "k0-2", "k1-0", "k1-1", "k1-2"}
