@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q12_agg_tpch_q1": sec, ...}, "sf": ...,
+   "yardsticks": {...}}
+
+Yardsticks (BASELINE.md):
+  A parquet_scan_agg_s   - Q12 wall-clock (warm)
+  B shardpack_scan_s     - full scan+agg of the same documents data via
+                           format("shardpack"); target <= 2x parquet scan
+  C shardpack_write_mb_s - container write throughput at 256 KiB shards
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from shardpack_spark.queries import load_all  # noqa: E402
+from shardpack_spark.session import get_spark  # noqa: E402
+from shardpack_spark.tables import load_table  # noqa: E402
+
+HEADLINE = [
+    "q01_scan_count",
+    "q03_project_filter",
+    "q05_join_inner",
+    "q07_join_left",
+    "q11_asof_join",
+    "q12_agg_tpch_q1",
+    "q13_count_distinct",
+    "q16_window_rank",
+    "q18_topk",
+    "q25_tumbling_window",
+    "q27_session_window",
+    "q28_exact_dedup",
+    "q29b_minhash_lsh",
+    "q30_cosine_topk",
+    "q31_text_stats",
+    "q34_lang_id",
+]
+
+
+def time_query(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("shardpack_bench")
+    registry = load_all()
+
+    # JVM/codegen warmup (not measured)
+    registry["q12_agg_tpch_q1"].builder(spark, sf_dir).collect()
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        queries[name] = round(time_query(lambda q=q: q.builder(spark, sf_dir).collect()), 3)
+
+    # --- yardsticks ---------------------------------------------------------
+    yard: dict[str, float] = {}
+    yard["parquet_scan_agg_s"] = queries["q12_agg_tpch_q1"]
+
+    from shardpack_spark.format.datasource import read_shardpack, register
+    from shardpack_spark.queries.format_queries import docs_as_shardpack_rows
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="bench_shardpack_")
+    try:
+        docs = docs_as_shardpack_rows(load_table(spark, sf_dir, "documents"))
+        n_bytes = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.sum(F.length("text"))).head()[0]
+        )
+        t_w = time_query(
+            lambda: docs.write.format("shardpack")
+            .option("target_shard_bytes", 4 * 1024 * 1024)
+            .mode("overwrite")
+            .save(out)
+        )
+        yard["shardpack_write_s"] = round(t_w, 3)
+        yard["shardpack_write_mb_s"] = round(n_bytes / t_w / 1e6, 1)
+        t_r = time_query(
+            lambda: read_shardpack(spark, out)
+            .agg(
+                F.count(F.lit(1)),
+                F.sum(F.element_at("metadata", "n_chars").cast("long")),
+            )
+            .collect()
+        )
+        yard["shardpack_scan_s"] = round(t_r, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "yardsticks": yard,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,9 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Mersenne prime 2^61 - 1: modulus for the minhash permutation family.
-_MERSENNE = (1 << 61) - 1
-_MAX_HASH = (1 << 32) - 1
+# Odd multiplier decorrelating the per-hash-function seeds fed to xxhash64.
+_SEED_MIX = 0x9E3779B1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -53,13 +52,6 @@ def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def _permuted(base, i: int, seed: int):
-    """Deterministic universal-hash permutation of a 32-bit base hash."""
-    a = (seed * 1_000_003 + i * 7_919 + 1) % _MERSENNE
-    b = (seed * 998_244_353 + i * 104_729) % _MERSENNE
-    return (F.lit(a) * base + F.lit(b)) % F.lit(_MERSENNE)
-
-
 def minhash_signatures(
     shingled: DataFrame, n_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
@@ -67,21 +59,39 @@ def minhash_signatures(
 
     One groupBy(sid) with n_hashes min() aggregates — partial aggregation
     (map-side combine) keeps the shuffle at one row per (doc, n_hashes).
+
+    Each hash function is xxhash64 seeded differently via an extra mixed
+    literal column — genuinely independent functions.  (A linear
+    ``a_i*h + b_i mod M`` family with structured coefficients is NOT
+    independent across i: one shingle can win the min for every i, making
+    signature agreement all-or-nothing.)
     """
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_MAX_HASH))
-    mins = [F.min(_permuted(base, i, seed)).alias(f"h{i}") for i in range(n_hashes)]
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit((seed + i) * _SEED_MIX))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
     agged = shingled.groupBy("sid").agg(*mins)
     return agged.select("sid", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (sid_a < sid_b) via LSH banding.
 
     Docs agreeing on ALL rows of any band land in the same bucket; the
     shuffle key is (band, hash(band slice)), so the pair space is never
     materialized globally.
+
+    ``max_bucket_size`` (opt-in) drops mega-buckets before the self-join:
+    a bucket of m docs costs m^2 pairs.  Beware: a genuine duplicate
+    CLUSTER of more than max_bucket_size docs shares every band bucket,
+    so capping silently drops that cluster's pairs — use it only as a
+    skew guard on adversarial data, and prefer reporting the dropped
+    bucket keys.  Default None = exact candidate semantics.
     """
     banded = signatures.select(
         "sid",
@@ -95,6 +105,15 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("sid", "bb.band", "bb.bh")
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("__bs", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -109,6 +128,36 @@ def minhash_lsh_candidates(
     )
 
 
+def filter_candidates_by_signature(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    min_estimate: float = 0.6,
+) -> DataFrame:
+    """Prune LSH candidates by the signature-estimated Jaccard.
+
+    The fraction of agreeing minhash components is an unbiased Jaccard
+    estimator (stderr ~ sqrt(j(1-j)/n)); with 64 hashes, keeping
+    estimate >= 0.6 loses essentially nothing above a true j of 0.8 while
+    discarding the false-positive bulk from dense LSH buckets.  Cost is
+    O(|candidates| x n_hashes) in codegen with two broadcast joins —
+    orders cheaper than shingle-set intersection.
+    """
+    sa = signatures.select(F.col("sid").alias("sid_a"), F.col("sig").alias("__sa"))
+    sb = signatures.select(F.col("sid").alias("sid_b"), F.col("sig").alias("__sb"))
+    agree = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        candidates.join(sa, "sid_a")
+        .join(sb, "sid_b")
+        .withColumn("__est", agree / F.size("__sa"))
+        .filter(F.col("__est") >= min_estimate)
+        .select("sid_a", "sid_b")
+    )
+
+
 def jaccard_pairs_exact(
     shingled: DataFrame, threshold: float = 0.8, candidates: DataFrame | None = None
 ) -> DataFrame:
@@ -119,16 +168,31 @@ def jaccard_pairs_exact(
     (sid_a, sid_b, jac) with a deterministic double division.
     """
     sizes = shingled.groupBy("sid").agg(F.count(F.lit(1)).alias("n"))
-    a = shingled.select(F.col("sid").alias("sid_a"), "shingle")
-    b = shingled.select(F.col("sid").alias("sid_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("sid_a") < F.col("sid_b"))
-        .groupBy("sid_a", "sid_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["sid_a", "sid_b"], "left_semi")
+        # Candidate-scoped intersections: attach A's shingles to each
+        # candidate pair, then equi-join on (sid_b, shingle).  Work is
+        # O(|candidates| x shingles-per-doc) — the full shingle self-join
+        # (which blows up on frequent shingles) is never built.
+        a_sh = candidates.join(
+            shingled.select(F.col("sid").alias("sid_a"), "shingle"), "sid_a"
+        )
+        inter = (
+            a_sh.join(
+                shingled.select(F.col("sid").alias("sid_b"), "shingle"),
+                ["sid_b", "shingle"],
+            )
+            .groupBy("sid_a", "sid_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = shingled.select(F.col("sid").alias("sid_a"), "shingle")
+        b = shingled.select(F.col("sid").alias("sid_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("sid_a") < F.col("sid_b"))
+            .groupBy("sid_a", "sid_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     na = sizes.select(F.col("sid").alias("sid_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("sid").alias("sid_b"), F.col("n").alias("nb"))
     out = (

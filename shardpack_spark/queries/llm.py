@@ -73,9 +73,15 @@ def q29b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed fuzzy dedup: signatures -> banded candidates -> exact
     Jaccard verification restricted to candidates (Q29 scale mode)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(docs, k=5)
-    sigs = dedup.minhash_signatures(sh, n_hashes=64, seed=42)
+    # shingles and signatures are each consumed by 2+ downstream joins;
+    # Spark re-executes common subplans per reference, so persist them
+    # (at 100 TB the signature table is written to storage once instead)
+    sh = dedup.char_shingles(docs, k=5).persist()
+    sigs = dedup.minhash_signatures(sh, n_hashes=64, seed=42).persist()
     cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    # signature prefilter kills the false-positive bulk from dense buckets
+    # before the (comparatively expensive) exact shingle intersection
+    cand = dedup.filter_candidates_by_signature(cand, sigs, min_estimate=0.6)
     pairs = dedup.jaccard_pairs_exact(sh, threshold=0.8, candidates=cand)
     return pairs.select("sid_a", "sid_b", round4d(F.col("jac")).alias("jac"))
 
