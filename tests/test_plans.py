@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the plan — pushed filters, pruned scans, broadcast
+joins, partial aggregation, top-k without a global sort, codegen."""
+
+from __future__ import annotations
+
+import pytest
+
+from shardpack_spark.queries import load_all
+
+REG = load_all()
+
+
+def plan(spark, sf_dir, name, mode="formatted") -> str:
+    df = REG[name].builder(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q03_pushdown_and_pruning(spark, sf_dir):
+    s = plan(spark, sf_dir, "q03_project_filter")
+    assert "PushedFilters" in s and "EqualTo(l_returnflag,R)" in s
+    # the CAST(..AS DATE) predicate must still reach the scan as a
+    # timestamp bound, not execute as a post-scan filter only
+    assert "GreaterThanOrEqual(l_shipdate" in s
+    # column pruning: untouched wide columns never read
+    assert "l_comment" not in s and "l_tax" not in s.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q12_date_filter_pushed_and_partial_agg(spark, sf_dir):
+    s = plan(spark, sf_dir, "q12_agg_tpch_q1")
+    assert "LessThan(l_shipdate" in s, "date predicate must reach the parquet scan"
+    assert "partial_sum" in s and "partial_count" in s, "map-side combine required"
+    assert s.count("HashAggregate") >= 2
+
+
+def test_q06_broadcast_join(spark, sf_dir):
+    s = plan(spark, sf_dir, "q06_join_broadcast")
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_q05_no_unnecessary_shuffle_of_dim(spark, sf_dir):
+    # Catalyst should pick broadcast for the small dim side on its own
+    s = plan(spark, sf_dir, "q05_join_inner")
+    assert "BroadcastHashJoin" in s
+
+
+def test_q18_take_ordered(spark, sf_dir):
+    s = plan(spark, sf_dir, "q18_topk")
+    assert "TakeOrderedAndProject" in s
+    assert "Exchange rangepartitioning" not in s, "top-k must not global-sort"
+
+
+def test_q01_count_reads_no_columns(spark, sf_dir):
+    s = plan(spark, sf_dir, "q01_scan_count")
+    assert "ReadSchema: struct<>" in s, "COUNT(*) must not read data columns"
+
+
+def test_q08_semi_and_q09_anti_join_types(spark, sf_dir):
+    assert "LeftSemi" in plan(spark, sf_dir, "q08_join_semi")
+    assert "LeftAnti" in plan(spark, sf_dir, "q09_join_anti")
+
+
+def test_q30_broadcast_no_shuffle(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast query vector + TakeOrdered —
+    zero shuffle exchanges in the whole plan."""
+    s = plan(spark, sf_dir, "q30_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+    assert "TakeOrderedAndProject" in s
+    assert "Exchange hashpartitioning" not in s
+
+
+def test_codegen_active(spark, sf_dir):
+    s = plan(spark, sf_dir, "q03_project_filter", mode="simple")
+    assert "*" in s, "whole-stage codegen should cover the scan-filter-project"
+
+
+@pytest.mark.parametrize("name", ["q11_asof_join", "q27_session_window"])
+def test_single_shuffle_operators(spark, sf_dir, name):
+    """The as-of join and session windows are single-shuffle designs:
+    exactly one hashpartitioning exchange on the by-key."""
+    s = plan(spark, sf_dir, name)
+    assert s.count("Exchange hashpartitioning") <= 2  # key + final agg
