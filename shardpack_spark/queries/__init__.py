@@ -52,6 +52,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         format_queries,
         llm,
         relational,
+        relational_ext,
         streaming_batch,
     )
 

@@ -1,0 +1,190 @@
+"""Extended relational surface: analytic windows with RANGE frames, CUBE,
+full-outer/cross joins, scalar subqueries, conditional expressions,
+distinct, ordered-list aggregates (Q42-Q49)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from shardpack_spark.queries import register
+from shardpack_spark.queries.canon import dec, money2, round4d
+from shardpack_spark.tables import load_table
+
+
+@register(
+    "q42_window_analytics",
+    oracle="""
+    SELECT event_id, user_id,
+           LEAD(event_id) OVER w AS next_event,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           FLOOR(PERCENT_RANK() OVER w * 10000.0 + 0.5) / 10000.0 AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 10000.0 + 0.5) / 10000.0 AS cume,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                 (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS hour_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q42_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD/NTILE/PERCENT_RANK/CUME_DIST + a RANGE frame keyed on epoch
+    seconds (sliding 1-hour running sum) (Q42)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lead("event_id").over(w).alias("next_event"),
+        F.ntile(4).over(w).alias("quartile"),
+        round4d(F.percent_rank().over(w)).alias("pct_rank"),
+        round4d(F.cume_dist().over(w)).alias("cume"),
+        money2(F.sum(dec("value")).over(wr)).alias("hour_sum"),
+    )
+
+
+@register(
+    "q43_cube",
+    oracle="""
+    SELECT n.n_name, c.c_mktsegment, COUNT(*) AS cnt,
+           CAST(GROUPING(n.n_name, c.c_mktsegment) AS BIGINT) AS gid
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE(n.n_name, c.c_mktsegment)
+    """,
+)
+def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the dim join with GROUPING_ID (Q43)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().cast("long").alias("gid"))
+        .select("n_name", "c_mktsegment", "cnt", "gid")
+    )
+
+
+@register(
+    "q44_ordered_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(MIN(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS min_qty,
+           CAST(ROUND(MAX(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_qty,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(l_linestatus))), ',') AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q44_ordered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max + deterministic sorted collect_set-as-string (Q44)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        money2(F.min(dec("l_quantity"))).alias("min_qty"),
+        money2(F.max(dec("l_quantity"))).alias("max_qty"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+    )
+
+
+@register(
+    "q45_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders
+    )
+    """,
+)
+def q45_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the average price — scalar aggregate subquery as a
+    broadcast cross join (no driver collect) (Q45)."""
+    o = load_table(spark, sf_dir, "orders")
+    avg = o.agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("__avg")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey")
+    )
+
+
+@register(
+    "q46_full_outer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey
+    FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+    FULL OUTER JOIN
+         (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def q46_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides (Q46)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select("c_custkey", "o_orderkey")
+
+
+@register(
+    "q47_cross_join",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS cnt
+    FROM region r CROSS JOIN nation n
+    GROUP BY r.r_name
+    """,
+)
+def q47_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product surface (tiny dims) (Q47)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).groupBy("r_name").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "q48_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_alias,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+)
+def q48_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / NULLIF / COALESCE expression family (Q48)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_alias"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@register(
+    "q49_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q49_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (Q49)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
