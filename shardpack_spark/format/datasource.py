@@ -350,6 +350,57 @@ def register(spark) -> None:
     spark.dataSource.register(ShardPackDataSource)
 
 
+def compact_dataset(
+    spark,
+    path: str,
+    target_shard_bytes: int = codec.DEFAULT_TARGET_SHARD_BYTES,
+    compression: str | None = None,
+) -> dict:
+    """Maintenance job: rewrite a dataset's shards at the target size.
+
+    This replaces the reference's destructive delete (Bucket::delete
+    removed whole shards, destroying co-located keys — SURVEY.md D5):
+    deletions/updates are expressed as filters on read, and compaction
+    rewrites the surviving records into right-sized shards.  Runs as a
+    normal distributed write; the swap is two renames at the end.
+    """
+    import shutil
+
+    register(spark)
+    manifest = _load_manifest(path) or {}
+    comp = compression or manifest.get("compression", "none")
+    tmp_out = path.rstrip("/") + ".compacting"
+    if os.path.exists(tmp_out):
+        shutil.rmtree(tmp_out)
+    df = spark.read.format("shardpack").load(path)
+    # size the write parallelism to the target: one task per output shard
+    # (each task-local writer rolls independently, so without this the
+    # output inherits one shard per input partition)
+    total_bytes = sum(
+        os.path.getsize(p) for p in codec.list_shards(path)
+    )
+    n_parts = max(1, -(-total_bytes // target_shard_bytes))
+    (
+        df.repartition(n_parts)
+        .write.format("shardpack")
+        .option("target_shard_bytes", target_shard_bytes)
+        .option("compression", comp)
+        .mode("append")
+        .save(tmp_out)
+    )
+    backup = path.rstrip("/") + ".pre-compact"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(path, backup)
+    os.rename(tmp_out, path)
+    shutil.rmtree(backup)
+    new_manifest = _load_manifest(path) or {}
+    return {
+        "shards": len(new_manifest.get("shards", [])),
+        "records": new_manifest.get("total_records", 0),
+    }
+
+
 def read_shardpack(spark, path: str, **options):
     """Driver-side read helper: enables key-filter pruning automatically
     when spark.sql.python.filterPushdown.enabled is on."""

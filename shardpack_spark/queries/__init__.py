@@ -54,6 +54,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         relational,
         relational_ext,
         streaming_batch,
+        tpch_shapes,
     )
 
     return REGISTRY

@@ -95,6 +95,49 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOOKUP_CACHE: dict[str, str] = {}
+
+
+def _lookup_dataset(spark: SparkSession, sf_dir: str) -> str:
+    """Key-sorted shardpack copy of documents, built once per sf_dir so the
+    point-lookup query exercises manifest pruning on repeated runs."""
+    if sf_dir not in _LOOKUP_CACHE:
+        out = tempfile.mkdtemp(prefix="shardpack_lookup_")
+        (
+            docs_as_shardpack_rows(load_table(spark, sf_dir, "documents"))
+            .orderBy("key")
+            .coalesce(1)
+            .write.format("shardpack")
+            .option("target_shard_bytes", 32 * 1024)
+            .mode("overwrite")
+            .save(out)
+        )
+        _LOOKUP_CACHE[sf_dir] = out
+    return _LOOKUP_CACHE[sf_dir]
+
+
+@register(
+    "q53_shardpack_point_lookup",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id = 7
+    """,
+)
+def q53_shardpack_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by record key through the shardpack bucket-index path:
+    the EqualTo('key') filter prunes to the owning shard via the manifest
+    key ranges (the reference's Bucket::read access path) (Q53)."""
+    _ensure_registered(spark)
+    from shardpack_spark.format.datasource import read_shardpack
+
+    ds = read_shardpack(spark, _lookup_dataset(spark, sf_dir))
+    hit = ds.filter(F.col("key") == "doc/00000007")
+    return hit.select(
+        F.regexp_replace("key", "^doc/0*", "").cast("long").alias("doc_id"),
+        F.element_at("metadata", "n_chars").cast("long").alias("n_chars"),
+    )
+
+
 @register("q41_image_features", oracle=None,
           doc="Arrow-batched image feature extraction (sniffing real, decode stubbed).")
 def q41_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Compaction job + as-of join property test."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from shardpack_spark.format import codec
+from shardpack_spark.format.datasource import compact_dataset, register
+from shardpack_spark.operators.asof import asof_join
+
+
+def test_compaction_preserves_data(spark, sf_dir, tmp_path):
+    from tests.test_datasource import _docs_as_records
+
+    register(spark)
+    out = str(tmp_path / "ds")
+    src = _docs_as_records(spark, sf_dir)
+    # fragment: many tiny shards
+    src.repartition(8).write.format("shardpack").option(
+        "target_shard_bytes", 8 * 1024
+    ).mode("append").save(out)
+    before = len(codec.list_shards(out))
+    keys_before = {r["key"] for r in spark.read.format("shardpack").load(out).select("key").collect()}
+
+    stats = compact_dataset(spark, out, target_shard_bytes=1024 * 1024)
+    after = len(codec.list_shards(out))
+    keys_after = {r["key"] for r in spark.read.format("shardpack").load(out).select("key").collect()}
+
+    assert keys_after == keys_before
+    assert after < before
+    assert stats["records"] == len(keys_before)
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Random (by, ts) data: union-window as-of == per-row brute force."""
+    rng = random.Random(7)
+    left = [(i, rng.randint(0, 5), rng.randint(0, 1000)) for i in range(300)]
+    right = [(j, rng.randint(0, 5), rng.randint(0, 1000), rng.random()) for j in range(400)]
+    ldf = spark.createDataFrame(left, "lid long, grp long, lts long")
+    rdf = spark.createDataFrame(right, "rid long, rgrp long, rts long, val double")
+
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            ldf, rdf,
+            left_on="lts", right_on="rts",
+            left_by="grp", right_by="rgrp",
+            value_cols=["rid", "val"],
+            tiebreak="rid",
+        ).collect()
+    }
+
+    for lid, grp, lts in left:
+        cands = [(rts, rid) for rid, rgrp, rts, _ in right if rgrp == grp and rts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, f"lid={lid}: got {got[lid]} want {want}"
+
+
+def test_asof_join_no_rows_explosion(spark):
+    """Plan sanity: no join node at all — union + window only."""
+    ldf = spark.range(10).select(
+        F.col("id").alias("lid"), (F.col("id") % 3).alias("grp"), F.col("id").alias("lts")
+    )
+    rdf = spark.range(10).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).alias("rgrp"), F.col("id").alias("rts")
+    )
+    out = asof_join(ldf, rdf, "lts", "rts", "grp", "rgrp", value_cols=["rid"], tiebreak="rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Union" in plan and "Window" in plan
