@@ -51,6 +51,7 @@ def load_all() -> dict[str, DeclaredQuery]:
     from shardpack_spark.queries import (  # noqa: F401
         format_queries,
         llm,
+        llm_ext,
         relational,
         relational_ext,
         streaming_batch,

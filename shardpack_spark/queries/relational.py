@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from shardpack_spark.operators.asof import asof_join
 from shardpack_spark.queries import register
-from shardpack_spark.queries.canon import as_date, dec, money2, round4d, score4
+from shardpack_spark.queries.canon import as_date, dec, money2, round4d
 from shardpack_spark.tables import load_table
 
 
@@ -295,7 +295,9 @@ def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     )
-    SELECT o_custkey, o_orderkey, rn, rk, drk FROM r WHERE rn <= 3
+    SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk,
+           CAST(drk AS INT) AS drk
+    FROM r WHERE rn <= 3
     """,
 )
 def q16_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
