@@ -33,6 +33,11 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS), which Spark rejects unless this
+        # (runtime-settable) conf is on — set it defensively so builders
+        # work on ANY session, not just ours (the driver brings its own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the parquet footer; with
