@@ -153,11 +153,60 @@ class ShardPackReader(DataSourceReader):
                     out.append(ShardPartition(sp, idx.offsets[i : i + per]))
         return out
 
-    def read(self, partition: ShardPartition) -> Iterator[tuple]:
+    def read(self, partition: ShardPartition):
+        """Yield Arrow RecordBatches (not rows): bulk columnar transfer to
+        the JVM instead of per-row pickling — the difference between a
+        Python-speed scan and an Arrow-speed scan on binary-heavy data."""
+        import pyarrow as pa
+
+        entry_type = pa.list_(
+            pa.struct(
+                [
+                    pa.field("file_name", pa.string()),
+                    pa.field("content_type", pa.string()),
+                    pa.field("encoding", pa.string()),
+                    pa.field("size", pa.int64()),
+                    pa.field("data", pa.binary()),
+                ]
+            )
+        )
+        meta_type = pa.map_(pa.string(), pa.string())
+        batch_keys: list[str] = []
+        batch_meta: list[list[tuple[str, str]]] = []
+        batch_entries: list[list[dict]] = []
+
+        def flush():
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(batch_keys, pa.string()),
+                    pa.array(batch_meta, meta_type),
+                    pa.array(batch_entries, entry_type),
+                ],
+                names=["key", "metadata", "entries"],
+            )
+
         for rec in codec.iter_records(
             partition.path, verify_checksums=self.verify, offsets=partition.offsets
         ):
-            yield _record_to_tuple(rec)
+            batch_keys.append(rec.key)
+            batch_meta.append(sorted((rec.metadata or {}).items()))
+            batch_entries.append(
+                [
+                    {
+                        "file_name": e.file_name,
+                        "content_type": e.content_type,
+                        "encoding": e.encoding,
+                        "size": len(e.data),
+                        "data": e.data,
+                    }
+                    for e in rec.entries
+                ]
+            )
+            if len(batch_keys) >= 1024:
+                yield flush()
+                batch_keys, batch_meta, batch_entries = [], [], []
+        if batch_keys:
+            yield flush()
 
 
 class ShardPackPruningReader(ShardPackReader):
