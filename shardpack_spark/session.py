@@ -37,5 +37,8 @@ def get_spark(app_name: str = "shardpack_spark", shuffle_partitions: int | None 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # enable pushFilters() on Python data sources (shardpack key pruning)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # static conf: managed-table location for bucketed-join tests/jobs
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/shardpack_spark_warehouse"))
     )
     return builder.getOrCreate()
