@@ -48,6 +48,12 @@ HEADLINE = [
     "q30_cosine_topk",
     "q31_text_stats",
     "q34_lang_id",
+    "q42_window_analytics",
+    "q50_tpch_q3_shape",
+    "q51_tpch_q5_shape",
+    "q52_tpch_q10_shape",
+    "q54_hypertable_rollup",
+    "q57_pivot",
 ]
 
 
@@ -63,10 +69,12 @@ def main() -> None:
     spark = get_spark("shardpack_bench")
     registry = load_all()
 
-    # JVM/codegen warmup (not measured)
-    registry["q12_agg_tpch_q1"].builder(spark, sf_dir).collect()
-
+    # Steady-state measurement: run each query once untimed first so
+    # whole-stage-codegen JIT compilation (5+ s for the widest
+    # expressions) doesn't land in one arbitrary query's number.
     queries: dict[str, float] = {}
+    for name in HEADLINE:
+        registry[name].builder(spark, sf_dir).collect()
     for name in HEADLINE:
         q = registry[name]
         queries[name] = round(time_query(lambda q=q: q.builder(spark, sf_dir).collect()), 3)
@@ -94,6 +102,7 @@ def main() -> None:
         )
         yard["shardpack_write_s"] = round(t_w, 3)
         yard["shardpack_write_mb_s"] = round(n_bytes / t_w / 1e6, 1)
+        read_shardpack(spark, out).count()  # warm the python-source read path
         t_r = time_query(
             lambda: read_shardpack(spark, out)
             .agg(
