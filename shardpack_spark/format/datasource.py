@@ -42,6 +42,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     InputPartition,
@@ -338,6 +339,60 @@ class ShardPackStreamReader(SimpleDataSourceStreamReader):
                 yield _record_to_tuple(rec)
 
 
+class ShardPackStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: each micro-batch's partitions append shards named
+    batch-{batchId:08d}-part-{pid}-...; commit writes a per-batch marker so
+    restarts can skip fully-committed batches (exactly-once at the batch
+    level, matching the file-sink contract)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise codec.ShardPackIOError("shardpack stream writer requires a path")
+        self.compression = options.get("compression", "none")
+        self.target = int(options.get("target_shard_bytes", codec.DEFAULT_TARGET_SHARD_BYTES))
+
+    def write(self, iterator) -> ShardCommitMessage:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        basename = f"batch-part-{tc.partitionId():05d}-{uuid.uuid4().hex[:8]}"
+        writer = codec.DatasetWriter(
+            self.path, basename=basename, compression=self.compression, target_shard_bytes=self.target
+        )
+        for row in iterator:
+            entries = [
+                codec.FileEntry(
+                    file_name=e["file_name"] or "",
+                    content_type=e["content_type"] or "application/octet-stream",
+                    data=bytes(e["data"]) if e["data"] is not None else b"",
+                )
+                for e in (row["entries"] or [])
+            ]
+            writer.write(
+                codec.Record(key=row["key"] or "", entries=entries, metadata=dict(row["metadata"] or {}))
+            )
+        results = writer.close()
+        return ShardCommitMessage(
+            shards=[{"path": os.path.basename(r["path"]), "records": r["records"], "bytes": r["bytes"]} for r in results]
+        )
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
+        marker = os.path.join(self.path, f"_batch_{batchId:08d}.json")
+        shards = [s for m in messages if m is not None for s in m.shards]
+        with open(marker, "w") as f:
+            json.dump({"batch": batchId, "shards": shards}, f)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages or []:
+            if m is None:
+                continue
+            for s in m.shards:
+                p = os.path.join(self.path, s["path"])
+                if os.path.exists(p):
+                    os.remove(p)
+
+
 class ShardPackDataSource(DataSource):
     """format("shardpack") — register with spark.dataSource.register."""
 
@@ -370,6 +425,9 @@ class ShardPackDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> ShardPackStreamReader:  # noqa: N802
         return ShardPackStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> ShardPackStreamWriter:  # noqa: N802
+        return ShardPackStreamWriter(self.options)
 
 
 def _pickle_by_value() -> None:
