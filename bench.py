@@ -115,6 +115,47 @@ def main() -> None:
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
+    # bulk-binary throughput at realistic payload sizes: 3000 records
+    # x 32 KiB binary entries (~94 MiB), parallel write + full scan
+    bulk = tempfile.mkdtemp(prefix="bench_shardpack_bulk_")
+    try:
+        payload = 32 * 1024
+        n_recs = 3000
+        bulk_df = (
+            spark.range(n_recs)
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            .select(
+                F.concat(F.lit("rec/"), F.col("id").cast("string")).alias("key"),
+                F.create_map(F.lit("i"), F.col("id").cast("string")).alias("metadata"),
+                F.array(
+                    F.struct(
+                        F.lit("blob.bin").alias("file_name"),
+                        F.lit("application/octet-stream").alias("content_type"),
+                        F.lit("none").alias("encoding"),
+                        F.lit(payload).cast("long").alias("size"),
+                        F.encode(F.repeat(F.lit("x"), payload), "utf-8").alias("data"),
+                    )
+                ).alias("entries"),
+            )
+        )
+        total_mb = n_recs * payload / 1e6
+        t_w = time_query(
+            lambda: bulk_df.write.format("shardpack")
+            .option("target_shard_bytes", 16 * 1024 * 1024)
+            .mode("overwrite")
+            .save(bulk)
+        )
+        yard["bulk_write_mb_s"] = round(total_mb / t_w, 1)
+        read_shardpack(spark, bulk).count()  # warm
+        t_r = time_query(
+            lambda: read_shardpack(spark, bulk)
+            .select(F.sum(F.element_at("entries", 1)["size"]))
+            .collect()
+        )
+        yard["bulk_scan_mb_s"] = round(total_mb / t_r, 1)
+    finally:
+        shutil.rmtree(bulk, ignore_errors=True)
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
