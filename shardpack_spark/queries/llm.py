@@ -128,6 +128,15 @@ def q30b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("vec_id", round4d(F.col("cosine")).alias("cosine"))
 
 
+@register("q30c_ann_rp_lsh", oracle=None,
+          doc="Random-hyperplane LSH ANN; recall vs brute force checked in pytest.")
+def q30c_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    topk = similarity.rp_lsh_topk(emb.filter(F.col("vec_id") != 0), query, k=5)
+    return topk.select("vec_id", round4d(F.col("cosine")).alias("cosine"))
+
+
 @register(
     "q38_embedding_near_dup",
     oracle=f"""

@@ -27,6 +27,15 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(exact & approx) >= 3, f"recall too low: {exact} vs {approx}"
 
 
+def test_rp_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Hyperplane LSH keeps part of the exact top-5 even on this
+    near-orthogonal synthetic data (max cosine ~0.47, so the method's
+    selectivity is inherently weak here — see the operator docstring)."""
+    exact = {r["vec_id"] for r in REG["q30_cosine_topk"].builder(spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in REG["q30c_ann_rp_lsh"].builder(spark, sf_dir).collect()}
+    assert len(exact & approx) >= 2, f"recall too low: {exact} vs {approx}"
+
+
 def test_simhash_identical_docs_collide(spark, sf_dir):
     """Exact duplicate texts must produce identical simhashes."""
     docs = load_table(spark, sf_dir, "documents")
