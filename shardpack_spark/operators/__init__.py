@@ -5,4 +5,56 @@ Each is a DataFrame -> DataFrame function built from Catalyst built-ins
 driver-side collects, shard-parallel by construction.
 """
 
-from shardpack_spark.operators.asof import asof_join  # noqa: F401
+from shardpack_spark.operators.asof import asof_join
+from shardpack_spark.operators.dedup import (
+    char_shingles,
+    exact_dedup,
+    filter_candidates_by_signature,
+    jaccard_pairs_exact,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+    simhash_near_pairs,
+)
+from shardpack_spark.operators.sessionize import sessionize
+from shardpack_spark.operators.similarity import (
+    assign_to_centroids,
+    cosine_scores,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    rp_lsh_topk,
+)
+from shardpack_spark.operators.skew import bucketed_join, salted_join, write_bucketed
+from shardpack_spark.operators.text import (
+    fingerprints,
+    lang_scores,
+    quality_scores,
+    token_counts,
+)
+
+__all__ = [
+    "asof_join",
+    "assign_to_centroids",
+    "bucketed_join",
+    "char_shingles",
+    "cosine_scores",
+    "cosine_topk",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "filter_candidates_by_signature",
+    "fingerprints",
+    "ivf_topk",
+    "jaccard_pairs_exact",
+    "lang_scores",
+    "minhash_lsh_candidates",
+    "minhash_signatures",
+    "quality_scores",
+    "rp_lsh_topk",
+    "salted_join",
+    "sessionize",
+    "simhash",
+    "simhash_near_pairs",
+    "token_counts",
+    "write_bucketed",
+]
