@@ -88,27 +88,250 @@ def _gzip_c(b: bytes) -> bytes:
     return buf.getvalue()
 
 
-_CODECS: dict[str, tuple] = {"none": (lambda b: b, lambda b: b), "gzip": (_gzip_c, _gzip.decompress)}
+def _lz4_compress(src: bytes) -> bytes:
+    """LZ4 *block* format (greedy hash-chain-less matcher).
 
-try:  # optional codecs; the container only guarantees none|gzip
-    import lz4.frame as _lz4
+    Pure-Python implementation of the public LZ4 block spec so the codec
+    declared by the reference (src/bucket.rs:16-25) is never dead code in
+    environments without the `lz4` wheel.  Fixes the reference's bounded
+    3x decompression-buffer bug (SURVEY.md D10) by construction: our
+    container tracks the exact uncompressed size per entry.
+    """
+    src = bytes(src)
+    n = len(src)
+    out = bytearray()
 
-    _CODECS["lz4"] = (_lz4.compress, _lz4.decompress)
-except ImportError:
-    pass
+    def emit(lit: bytes, mlen: int, offset: int) -> None:
+        ll, ml = len(lit), mlen - 4 if mlen else 0
+        token = (min(ll, 15) << 4) | (min(ml, 15) if mlen else 0)
+        out.append(token)
+        if ll >= 15:
+            rest = ll - 15
+            while rest >= 255:
+                out.append(255)
+                rest -= 255
+            out.append(rest)
+        out.extend(lit)
+        if mlen:
+            out.append(offset & 0xFF)
+            out.append(offset >> 8)
+            if ml >= 15:
+                rest = ml - 15
+                while rest >= 255:
+                    out.append(255)
+                    rest -= 255
+                out.append(rest)
+
+    table: dict[bytes, int] = {}
+    i = anchor = 0
+    # spec margins: last match must start >= 12 bytes from end; the final
+    # 5 bytes are always literals
+    limit = n - 12
+    while i < limit:
+        seq = src[i : i + 4]
+        j = table.get(seq)
+        table[seq] = i
+        if j is not None and i - j <= 0xFFFF:
+            m, k = i + 4, j + 4
+            stop = n - 5
+            while m < stop and src[m] == src[k]:
+                m += 1
+                k += 1
+            emit(src[anchor:i], m - i, i - j)
+            anchor = i = m
+        else:
+            i += 1
+    emit(src[anchor:], 0, 0)
+    return bytes(out)
+
+
+def _lz4_decompress(src: bytes) -> bytes:
+    src = bytes(src)
+    n = len(src)
+    out = bytearray()
+    i = 0
+    while i < n:
+        token = src[i]
+        i += 1
+        ll = token >> 4
+        if ll == 15:
+            while True:
+                b = src[i]
+                i += 1
+                ll += b
+                if b != 255:
+                    break
+        out += src[i : i + ll]
+        i += ll
+        if i >= n:
+            break  # final literals-only sequence
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ShardPackCodecError("lz4: zero match offset")
+        ml = (token & 15) + 4
+        if token & 15 == 15:
+            while True:
+                b = src[i]
+                i += 1
+                ml += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ShardPackCodecError("lz4: match offset before block start")
+        if offset >= ml:
+            out += out[start : start + ml]
+        else:  # overlapping match: replicate in offset-sized chunks
+            while ml > 0:
+                chunk = out[start : start + min(offset, ml)]
+                out += chunk
+                ml -= len(chunk)
+    return bytes(out)
+
+
+def _snappy_compress(src: bytes) -> bytes:
+    """Snappy raw format: varint length preamble + literal / copy elements.
+
+    Emits literals and 2-byte-offset copies (type-10) only — every
+    decoder accepts that subset; our decoder handles all four element
+    types."""
+    src = bytes(src)
+    n = len(src)
+    out = bytearray()
+    v = n
+    while True:  # little-endian varint of the uncompressed length
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+
+    def emit_literal(lit: bytes) -> None:
+        ln = len(lit)
+        if ln == 0:
+            return
+        ln -= 1
+        if ln < 60:
+            out.append(ln << 2)
+        elif ln < 1 << 8:
+            out.append(60 << 2)
+            out.append(ln)
+        elif ln < 1 << 16:
+            out.append(61 << 2)
+            out.extend(ln.to_bytes(2, "little"))
+        elif ln < 1 << 24:
+            out.append(62 << 2)
+            out.extend(ln.to_bytes(3, "little"))
+        else:
+            out.append(63 << 2)
+            out.extend(ln.to_bytes(4, "little"))
+        out.extend(lit)
+
+    def emit_copy(offset: int, mlen: int) -> None:
+        while mlen > 0:  # type-10 copies carry 1..64 bytes each
+            step = min(mlen, 64)
+            out.append(((step - 1) << 2) | 2)
+            out.extend(offset.to_bytes(2, "little"))
+            mlen -= step
+
+    table: dict[bytes, int] = {}
+    i = anchor = 0
+    limit = n - 4
+    while i < limit:
+        seq = src[i : i + 4]
+        j = table.get(seq)
+        table[seq] = i
+        if j is not None and i - j <= 0xFFFF:
+            m, k = i + 4, j + 4
+            while m < n and src[m] == src[k]:
+                m += 1
+                k += 1
+            emit_literal(src[anchor:i])
+            emit_copy(i - j, m - i)
+            anchor = i = m
+        else:
+            i += 1
+    emit_literal(src[anchor:])
+    return bytes(out)
+
+
+def _snappy_decompress(src: bytes) -> bytes:
+    src = bytes(src)
+    n = len(src)
+    # varint preamble
+    length = 0
+    shift = 0
+    i = 0
+    while True:
+        b = src[i]
+        i += 1
+        length |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    while i < n:
+        tag = src[i]
+        i += 1
+        typ = tag & 3
+        if typ == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                ln = int.from_bytes(src[i : i + nb], "little")
+                i += nb
+            ln += 1
+            out += src[i : i + ln]
+            i += ln
+            continue
+        if typ == 1:  # copy, 1-byte offset
+            ml = ((tag >> 2) & 0x7) + 4
+            offset = ((tag >> 5) << 8) | src[i]
+            i += 1
+        elif typ == 2:  # copy, 2-byte offset
+            ml = (tag >> 2) + 1
+            offset = int.from_bytes(src[i : i + 2], "little")
+            i += 2
+        else:  # copy, 4-byte offset
+            ml = (tag >> 2) + 1
+            offset = int.from_bytes(src[i : i + 4], "little")
+            i += 4
+        if offset == 0:
+            raise ShardPackCodecError("snappy: zero copy offset")
+        start = len(out) - offset
+        if start < 0:
+            raise ShardPackCodecError("snappy: copy offset before stream start")
+        if offset >= ml:
+            out += out[start : start + ml]
+        else:
+            while ml > 0:
+                chunk = out[start : start + min(offset, ml)]
+                out += chunk
+                ml -= len(chunk)
+    if len(out) != length:
+        raise ShardPackCodecError(f"snappy: decoded {len(out)} bytes, preamble said {length}")
+    return bytes(out)
+
+
+_CODECS: dict[str, tuple] = {
+    "none": (lambda b: b, lambda b: b),
+    "gzip": (_gzip_c, _gzip.decompress),
+    # pure-Python, deterministic, env-independent (see functions above)
+    "lz4": (_lz4_compress, _lz4_decompress),
+    "snappy": (_snappy_compress, _snappy_decompress),
+}
+
 try:
+    # zstd has no practical pure-Python implementation; gate on the lib.
     import zstandard as _zstd
 
     _CODECS["zstd"] = (
         lambda b: _zstd.ZstdCompressor().compress(b),
         lambda b: _zstd.ZstdDecompressor().decompress(b),
     )
-except ImportError:
-    pass
-try:
-    import snappy as _snappy
-
-    _CODECS["snappy"] = (_snappy.compress, _snappy.decompress)
 except ImportError:
     pass
 
@@ -137,6 +360,14 @@ class FileEntry:
     content_type: str  # MIME, e.g. image/jpeg, application/json (draft.md:185-195)
     data: bytes
     encoding: str = "none"
+    # Uncompressed payload size.  Populated by the decoder so metadata-only
+    # reads (skip_payload) still report the true size without decoding the
+    # bytes; None means "len(data)".
+    declared_size: int | None = None
+
+    @property
+    def size(self) -> int:
+        return self.declared_size if self.declared_size is not None else len(self.data)
 
 
 @dataclass
@@ -175,8 +406,20 @@ def encode_record(record: Record, compression: str = "none") -> bytes:
     return struct.pack("<Q", 8 + len(payload)) + payload
 
 
-def decode_record(buf: bytes, pos: int = 0, verify_checksums: bool = True) -> tuple[Record, int]:
-    """Parse one record block at `pos`; returns (record, next_pos)."""
+def decode_record(
+    buf: bytes,
+    pos: int = 0,
+    verify_checksums: bool = True,
+    skip_payload: bool = False,
+    skip_entries: bool = False,
+) -> tuple[Record, int]:
+    """Parse one record block at `pos`; returns (record, next_pos).
+
+    ``skip_payload``: parse entry headers but never decompress/copy the
+    payload bytes — the metadata-only access path (Bucket::get_metadata,
+    src/bucket.rs:185-188, served without touching payloads).
+    ``skip_entries``: stop after key+metadata; entries come back empty.
+    """
     (record_size,) = struct.unpack_from("<Q", buf, pos)
     end = pos + record_size
     p = pos + 8
@@ -192,6 +435,8 @@ def decode_record(buf: bytes, pos: int = 0, verify_checksums: bool = True) -> tu
     key = lp().decode("utf-8")
     meta_b = lp()
     metadata = json.loads(meta_b) if meta_b else {}
+    if skip_entries:
+        return Record(key=key, entries=[], metadata=metadata), end
     (n_entries,) = struct.unpack_from("<I", buf, p)
     p += 4
     entries: list[FileEntry] = []
@@ -205,6 +450,18 @@ def decode_record(buf: bytes, pos: int = 0, verify_checksums: bool = True) -> tu
         p += 32
         (data_len,) = struct.unpack_from("<Q", buf, p)
         p += 8
+        if skip_payload:
+            p += data_len  # seek past the stored bytes: no copy, no decode
+            entries.append(
+                FileEntry(
+                    file_name=name,
+                    content_type=ctype,
+                    data=b"",
+                    encoding=enc,
+                    declared_size=file_size,
+                )
+            )
+            continue
         stored = buf[p : p + data_len]
         p += data_len
         data = decompress(bytes(stored), enc)
@@ -214,7 +471,11 @@ def decode_record(buf: bytes, pos: int = 0, verify_checksums: bool = True) -> tu
             )
         if verify_checksums and hashlib.sha256(data).digest() != digest:
             raise ShardPackChecksumError(f"checksum mismatch for entry '{name}' of key '{key}'")
-        entries.append(FileEntry(file_name=name, content_type=ctype, data=data, encoding=enc))
+        entries.append(
+            FileEntry(
+                file_name=name, content_type=ctype, data=data, encoding=enc, declared_size=file_size
+            )
+        )
     if p != end:
         raise ShardPackCodecError(f"record at {pos}: consumed {p - pos} of {record_size} bytes")
     return Record(key=key, entries=entries, metadata=metadata), end
@@ -233,7 +494,12 @@ class ShardWriter:
         self.path = path
         self.compression = compression
         self.shard_metadata = shard_metadata or {}
-        self._f = open(path, "wb")
+        # Crash safety: stream into a temp name that list_shards() can never
+        # see (no .shardpack suffix) and rename on close — a failed/killed
+        # task leaves only an invisible orphan, never a footer-less
+        # .shardpack that poisons every later read with a bad-magic error.
+        self._tmp_path = path + ".inprogress"
+        self._f = open(self._tmp_path, "wb")
         self._offsets: list[int] = []
         self._pos = 0
 
@@ -262,6 +528,7 @@ class ShardWriter:
         self._f.write(struct.pack("<Q", index_start))
         self._f.write(MAGIC)
         self._f.close()
+        os.replace(self._tmp_path, self.path)  # file becomes visible atomically
         return {
             "path": self.path,
             "records": len(self._offsets),
@@ -303,7 +570,13 @@ def read_index(path: str) -> ShardIndex:
     return ShardIndex(offsets=offsets, shard_metadata=shard_metadata, index_start=index_start)
 
 
-def read_record_at(path: str, offset: int, verify_checksums: bool = True) -> Record:
+def read_record_at(
+    path: str,
+    offset: int,
+    verify_checksums: bool = True,
+    skip_payload: bool = False,
+    skip_entries: bool = False,
+) -> Record:
     """O(1) random access: seek to the offset-table position (draft.md:167-175).
 
     Reads the block header first, then exactly the block — a partial read,
@@ -314,7 +587,7 @@ def read_record_at(path: str, offset: int, verify_checksums: bool = True) -> Rec
         head = f.read(8)
         (record_size,) = struct.unpack("<Q", head)
         rest = f.read(record_size - 8)
-    rec, _ = decode_record(head + rest, 0, verify_checksums)
+    rec, _ = decode_record(head + rest, 0, verify_checksums, skip_payload, skip_entries)
     return rec
 
 
@@ -322,21 +595,55 @@ def iter_records(
     path: str,
     verify_checksums: bool = True,
     offsets: list[int] | None = None,
+    skip_payload: bool = False,
+    skip_entries: bool = False,
 ) -> Iterator[Record]:
     """Sequential streaming (draft.md:213-218); with `offsets`, reads only
     the selected record blocks (partition range / pruned access path)."""
     if offsets is None:
         idx = read_index(path)
         offsets = idx.offsets
+        # Metadata-only scans of payload-heavy shards: seek from block head
+        # to block head and never pull the payload bytes off disk at all
+        # (the index-serves-metadata access path, src/bucket.rs:185-188).
+        avg = idx.index_start / max(1, len(offsets))
+        if skip_entries and avg > 64 * 1024:
+            with open(path, "rb") as f:
+                for off in offsets:
+                    f.seek(off)
+                    head = f.read(8)
+                    (record_size,) = struct.unpack("<Q", head)
+                    # key+metadata sit at the block head; 4 KiB covers the
+                    # overwhelming case, extend only when lengths demand it
+                    chunk = f.read(min(record_size - 8, 4096))
+
+                    def ensure(n: int) -> None:
+                        nonlocal chunk
+                        if len(chunk) < n:  # f is positioned right after chunk
+                            chunk += f.read(n - len(chunk))
+
+                    ensure(4)
+                    (key_len,) = struct.unpack_from("<I", chunk, 0)
+                    ensure(8 + key_len)
+                    (meta_len,) = struct.unpack_from("<I", chunk, 4 + key_len)
+                    ensure(8 + key_len + meta_len)
+                    key = chunk[4 : 4 + key_len].decode("utf-8")
+                    meta_b = chunk[8 + key_len : 8 + key_len + meta_len]
+                    yield Record(
+                        key=key,
+                        entries=[],
+                        metadata=json.loads(meta_b) if meta_b else {},
+                    )
+            return
         with open(path, "rb") as f:
             buf = f.read(idx.index_start)
         pos = 0
         for _ in range(len(offsets)):
-            rec, pos = decode_record(buf, pos, verify_checksums)
+            rec, pos = decode_record(buf, pos, verify_checksums, skip_payload, skip_entries)
             yield rec
     else:
         for off in offsets:
-            yield read_record_at(path, off, verify_checksums)
+            yield read_record_at(path, off, verify_checksums, skip_payload, skip_entries)
 
 
 # --- dataset (bucket of sequentially numbered shards) -----------------------

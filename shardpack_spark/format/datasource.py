@@ -21,20 +21,46 @@ Scale mapping (reference semantics -> Spark execution):
   are also re-applied by Spark, so pruning is purely an optimization
 - write side: one DataWriter per task, rolling shards at
   `target_shard_bytes` (src/shard/config.rs:1); the driver-side commit()
-  writes a dataset manifest with per-shard stats — task failures leave
-  only uncommitted files that overwrite cleanly on retry
+  writes a dataset manifest with per-shard stats
+
+Consistency model (single logical writer per dataset directory):
+- every shard streams into a `.inprogress` temp name and is renamed to
+  `*.shardpack` only when its footer is durable, so a killed task can
+  never leave a footer-less file that a reader would try to parse
+- shard names carry a monotonic commit-sequence prefix `c{seq:08d}-`
+  (batch jobs: 1 + max existing seq, chosen driver-side; streaming
+  batches: the micro-batch id), the spec's sequential-naming intent
+  (draft.md:23-30) lifted to commit granularity
+- readers trust the commit log when one exists: the union of the
+  manifest's shard list and the `_batch_*.json` marker files.  Files not
+  named there (e.g. a task that finished before its job failed) are
+  invisible.  Directories with no manifest/markers — shards written
+  directly via the codec — fall back to a plain listing
+- the manifest is swapped atomically (tmp file + rename); on overwrite
+  the previous files are deleted only AFTER the new manifest is durable,
+  so a crash anywhere leaves a readable dataset (extra invisible files
+  at worst, self-healed by the next overwrite commit)
 
 Options:
     compression         none|gzip|lz4|zstd|snappy     (write; default none)
     target_shard_bytes  int                           (write; default 256 MiB)
     verify_checksums    true|false                    (read; default true)
     split_target_bytes  int                           (read; default 128 MiB)
+    skip_payload        true|false  (read; entry headers without payload
+                                     bytes — the metadata-only access path,
+                                     src/bucket.rs:185-188)
+    metadata_only       true|false  (read; key+metadata only, entries NULL;
+                                     payload-heavy shards are read with
+                                     per-record seeks, payloads never leave
+                                     the disk)
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import uuid
 from dataclasses import dataclass
 from typing import TYPE_CHECKING
@@ -42,11 +68,11 @@ from typing import TYPE_CHECKING
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -65,6 +91,7 @@ if TYPE_CHECKING:
     from collections.abc import Iterator, Sequence
 
 MANIFEST_NAME = "_shardpack_manifest.json"
+STAGING_DIR = "_staging"
 
 SCHEMA = StructType(
     [
@@ -88,17 +115,6 @@ SCHEMA = StructType(
 )
 
 
-def _record_to_tuple(rec: codec.Record) -> tuple:
-    return (
-        rec.key,
-        rec.metadata or {},
-        [
-            (e.file_name, e.content_type, e.encoding, len(e.data), e.data)
-            for e in rec.entries
-        ],
-    )
-
-
 @dataclass
 class ShardPartition(InputPartition):
     path: str
@@ -113,6 +129,148 @@ def _load_manifest(path: str) -> dict | None:
     return None
 
 
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Two-phase manifest swap: readers see the old or the new manifest,
+    never a torn write (rename is atomic on POSIX; on object stores use a
+    conditional put — the single-file swap point is what matters)."""
+    mp = os.path.join(path, MANIFEST_NAME)
+    tmp = mp + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, mp)
+
+
+def _marker_shards(path: str) -> list[str]:
+    """Shard names committed by streaming micro-batches (`_batch_*.json`)."""
+    names: list[str] = []
+    for mp in glob.glob(os.path.join(path, "_batch_*.json")):
+        try:
+            with open(mp) as f:
+                names.extend(s["path"] for s in json.load(f).get("shards", []))
+        except (OSError, json.JSONDecodeError, KeyError, TypeError):
+            continue  # a torn marker commits nothing
+    return names
+
+
+def _visible_shards(path: str) -> list[str]:
+    """Sorted shard *names* a reader may consume.
+
+    When a commit log exists (manifest and/or stream markers), only files
+    it names are visible — files from failed or in-flight jobs are not.
+    Ad-hoc directories without any commit log fall back to listing."""
+    manifest = _load_manifest(path)
+    names = set()
+    if manifest is not None:
+        names.update(s["path"] for s in manifest.get("shards", []))
+    names.update(_marker_shards(path))
+    if not names and manifest is None:
+        return [os.path.basename(p) for p in codec.list_shards(path)]
+    return sorted(n for n in names if os.path.exists(os.path.join(path, n)))
+
+
+def _next_commit_seq(path: str) -> int:
+    """1 + the highest commit-sequence prefix present in the directory."""
+    best = 0
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            if f.endswith(".shardpack") and f.startswith("c") and f[1:9].isdigit():
+                best = max(best, int(f[1:9]))
+            elif f.startswith("_batch_") and f.endswith(".json") and f[7:15].isdigit():
+                best = max(best, int(f[7:15]))
+    return best + 1
+
+
+def _plan_partitions(
+    path: str, names: Sequence[str], split_target: int
+) -> list[ShardPartition]:
+    """One partition per shard; oversized shards split into record-ranges
+    via the EOF offset table so executor work stays even at any scale."""
+    out: list[ShardPartition] = []
+    for name in names:
+        sp = os.path.join(path, name)
+        size = os.path.getsize(sp)
+        if size <= split_target:
+            out.append(ShardPartition(sp, None))
+        else:
+            idx = codec.read_index(sp)
+            if not idx.offsets:
+                continue
+            n_splits = max(1, size // split_target)
+            per = max(1, len(idx.offsets) // n_splits)
+            for i in range(0, len(idx.offsets), per):
+                out.append(ShardPartition(sp, idx.offsets[i : i + per]))
+    return out
+
+
+def _arrow_batches(
+    partition: ShardPartition,
+    verify: bool,
+    skip_payload: bool = False,
+    metadata_only: bool = False,
+):
+    """Yield Arrow RecordBatches (not rows): bulk columnar transfer to the
+    JVM instead of per-row pickling — the difference between a Python-speed
+    scan and an Arrow-speed scan on binary-heavy data."""
+    import pyarrow as pa
+
+    entry_struct = pa.struct(
+        [
+            pa.field("file_name", pa.string()),
+            pa.field("content_type", pa.string()),
+            pa.field("encoding", pa.string()),
+            pa.field("size", pa.int64()),
+            pa.field("data", pa.binary()),
+        ]
+    )
+    entry_type = pa.list_(entry_struct)
+    meta_type = pa.map_(pa.string(), pa.string())
+    batch_keys: list[str] = []
+    batch_meta: list[list[tuple[str, str]]] = []
+    batch_entries: list[list[dict] | None] = []
+
+    def flush():
+        if metadata_only:
+            entries_arr = pa.nulls(len(batch_keys), entry_type)
+        else:
+            entries_arr = pa.array(batch_entries, entry_type)
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(batch_keys, pa.string()),
+                pa.array(batch_meta, meta_type),
+                entries_arr,
+            ],
+            names=["key", "metadata", "entries"],
+        )
+
+    for rec in codec.iter_records(
+        partition.path,
+        verify_checksums=verify,
+        offsets=partition.offsets,
+        skip_payload=skip_payload or metadata_only,
+        skip_entries=metadata_only,
+    ):
+        batch_keys.append(rec.key)
+        batch_meta.append(sorted((rec.metadata or {}).items()))
+        if not metadata_only:
+            batch_entries.append(
+                [
+                    {
+                        "file_name": e.file_name,
+                        "content_type": e.content_type,
+                        "encoding": e.encoding,
+                        "size": e.size,
+                        "data": None if skip_payload else e.data,
+                    }
+                    for e in rec.entries
+                ]
+            )
+        if len(batch_keys) >= 1024:
+            yield flush()
+            batch_keys, batch_meta, batch_entries = [], [], []
+    if batch_keys:
+        yield flush()
+
+
 class ShardPackReader(DataSourceReader):
     """Base reader WITHOUT pushFilters — Spark raises if a reader defines
     pushFilters while spark.sql.python.filterPushdown.enabled is false, so
@@ -124,90 +282,34 @@ class ShardPackReader(DataSourceReader):
             raise codec.ShardPackIOError("shardpack reader requires a path")
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
         self.split_target = int(options.get("split_target_bytes", 128 * 1024 * 1024))
+        self.skip_payload = str(options.get("skip_payload", "false")).lower() == "true"
+        self.metadata_only = str(options.get("metadata_only", "false")).lower() == "true"
         self._key_filters: list[str] = []
 
     def partitions(self) -> Sequence[ShardPartition]:
-        shards = codec.list_shards(self.path)
-        if not shards:
+        names = _visible_shards(self.path)
+        if not names:
             raise codec.ShardPackIOError(f"no .shardpack files under {self.path}")
         manifest = _load_manifest(self.path)
         stats = {s["path"]: s for s in (manifest or {}).get("shards", [])}
 
-        out: list[ShardPartition] = []
-        for sp in shards:
-            name = os.path.basename(sp)
-            st = stats.get(name)
-            if self._key_filters and st and "min_key" in st:
-                if all(not (st["min_key"] <= k <= st["max_key"]) for k in self._key_filters):
-                    continue  # pruned: no requested key can live here
-            size = os.path.getsize(sp)
-            if size <= self.split_target:
-                out.append(ShardPartition(sp, None))
-            else:
-                # record-range splits from the EOF offset table
-                idx = codec.read_index(sp)
-                if not idx.offsets:
-                    continue
-                n_splits = max(1, size // self.split_target)
-                per = max(1, len(idx.offsets) // n_splits)
-                for i in range(0, len(idx.offsets), per):
-                    out.append(ShardPartition(sp, idx.offsets[i : i + per]))
-        return out
+        if self._key_filters:
+            kept = []
+            for name in names:
+                st = stats.get(name)
+                if st and "min_key" in st:
+                    if all(
+                        not (st["min_key"] <= k <= st["max_key"]) for k in self._key_filters
+                    ):
+                        continue  # pruned: no requested key can live here
+                kept.append(name)
+            names = kept
+        return _plan_partitions(self.path, names, self.split_target)
 
     def read(self, partition: ShardPartition):
-        """Yield Arrow RecordBatches (not rows): bulk columnar transfer to
-        the JVM instead of per-row pickling — the difference between a
-        Python-speed scan and an Arrow-speed scan on binary-heavy data."""
-        import pyarrow as pa
-
-        entry_type = pa.list_(
-            pa.struct(
-                [
-                    pa.field("file_name", pa.string()),
-                    pa.field("content_type", pa.string()),
-                    pa.field("encoding", pa.string()),
-                    pa.field("size", pa.int64()),
-                    pa.field("data", pa.binary()),
-                ]
-            )
+        yield from _arrow_batches(
+            partition, self.verify, self.skip_payload, self.metadata_only
         )
-        meta_type = pa.map_(pa.string(), pa.string())
-        batch_keys: list[str] = []
-        batch_meta: list[list[tuple[str, str]]] = []
-        batch_entries: list[list[dict]] = []
-
-        def flush():
-            return pa.RecordBatch.from_arrays(
-                [
-                    pa.array(batch_keys, pa.string()),
-                    pa.array(batch_meta, meta_type),
-                    pa.array(batch_entries, entry_type),
-                ],
-                names=["key", "metadata", "entries"],
-            )
-
-        for rec in codec.iter_records(
-            partition.path, verify_checksums=self.verify, offsets=partition.offsets
-        ):
-            batch_keys.append(rec.key)
-            batch_meta.append(sorted((rec.metadata or {}).items()))
-            batch_entries.append(
-                [
-                    {
-                        "file_name": e.file_name,
-                        "content_type": e.content_type,
-                        "encoding": e.encoding,
-                        "size": len(e.data),
-                        "data": e.data,
-                    }
-                    for e in rec.entries
-                ]
-            )
-            if len(batch_keys) >= 1024:
-                yield flush()
-                batch_keys, batch_meta, batch_entries = [], [], []
-        if batch_keys:
-            yield flush()
 
 
 class ShardPackPruningReader(ShardPackReader):
@@ -229,6 +331,22 @@ class ShardCommitMessage(WriterCommitMessage):
     shards: list[dict]
 
 
+def _rows_to_records(iterator) -> Iterator[codec.Record]:
+    for row in iterator:
+        entries = [
+            codec.FileEntry(
+                file_name=e["file_name"] or "",
+                content_type=e["content_type"] or "application/octet-stream",
+                data=bytes(e["data"]) if e["data"] is not None else b"",
+                encoding="none",
+            )
+            for e in (row["entries"] or [])
+        ]
+        yield codec.Record(
+            key=row["key"] or "", entries=entries, metadata=dict(row["metadata"] or {})
+        )
+
+
 class ShardPackWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path")
@@ -241,6 +359,9 @@ class ShardPackWriter(DataSourceWriter):
                 f"compression '{self.compression}' not available (have {sorted(codec._CODECS)})"
             )
         self.target = int(options.get("target_shard_bytes", codec.DEFAULT_TARGET_SHARD_BYTES))
+        os.makedirs(self.path, exist_ok=True)
+        # driver-side: monotonic commit sequence for this job's shard names
+        self.commit_seq = _next_commit_seq(self.path)
 
     def write(self, iterator) -> ShardCommitMessage:
         """One task -> one sequence of shards named with a task-unique
@@ -248,24 +369,15 @@ class ShardPackWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         tc = TaskContext.get()
-        basename = f"part-{tc.partitionId():05d}-{uuid.uuid4().hex[:8]}"
+        basename = f"c{self.commit_seq:08d}-part-{tc.partitionId():05d}-{uuid.uuid4().hex[:8]}"
         writer = codec.DatasetWriter(
-            self.path, basename=basename, compression=self.compression, target_shard_bytes=self.target
+            self.path,
+            basename=basename,
+            compression=self.compression,
+            target_shard_bytes=self.target,
         )
         stats: dict[str, dict] = {}
-        for row in iterator:
-            entries = [
-                codec.FileEntry(
-                    file_name=e["file_name"] or "",
-                    content_type=e["content_type"] or "application/octet-stream",
-                    data=bytes(e["data"]) if e["data"] is not None else b"",
-                    encoding="none",
-                )
-                for e in (row["entries"] or [])
-            ]
-            rec = codec.Record(
-                key=row["key"] or "", entries=entries, metadata=dict(row["metadata"] or {})
-            )
+        for rec in _rows_to_records(iterator):
             writer.write(rec)
             cur = writer._writer.path  # current shard for key-range stats
             s = stats.setdefault(os.path.basename(cur), {"min_key": rec.key, "max_key": rec.key})
@@ -275,23 +387,51 @@ class ShardPackWriter(DataSourceWriter):
         shards = []
         for r in results:
             name = os.path.basename(r["path"])
-            shards.append({"path": name, "records": r["records"], "bytes": r["bytes"], **stats.get(name, {})})
+            shards.append(
+                {"path": name, "records": r["records"], "bytes": r["bytes"], **stats.get(name, {})}
+            )
         return ShardCommitMessage(shards=shards)
 
     def commit(self, messages) -> None:
-        all_shards = [s for m in messages if m is not None for s in m.shards]
+        new_shards = [s for m in messages if m is not None for s in m.shards]
+        for s in new_shards:
+            s["compression"] = self.compression
+        prior = _load_manifest(self.path)
+        if self.overwrite or prior is None:
+            old_names = set(_visible_shards(self.path)) - {s["path"] for s in new_shards}
+            merged = new_shards
+        else:
+            # append: keep prior shard entries WITH their stats so key-range
+            # pruning and total_records stay correct across appends
+            new_names = {s["path"] for s in new_shards}
+            merged = [s for s in prior.get("shards", []) if s["path"] not in new_names]
+            merged += new_shards
+            old_names = set()
         manifest = {
-            "version": 1,
+            "version": 2,
             "compression": self.compression,
             "target_shard_bytes": self.target,
-            "shards": sorted(all_shards, key=lambda s: s["path"]),
-            "total_records": sum(s["records"] for s in all_shards),
+            "shards": sorted(merged, key=lambda s: s["path"]),
+            "total_records": sum(s["records"] for s in merged),
         }
-        with open(os.path.join(self.path, MANIFEST_NAME), "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
+        _write_manifest(self.path, manifest)
+        if self.overwrite:
+            # old files die only after the new manifest is durable; a crash
+            # mid-deletion leaves invisible extras, cleaned next overwrite
+            for name in old_names:
+                p = os.path.join(self.path, name)
+                if os.path.exists(p):
+                    os.remove(p)
+            for mp in glob.glob(os.path.join(self.path, "_batch_*.json")):
+                os.remove(mp)
+            for tmp in glob.glob(os.path.join(self.path, "*.inprogress")):
+                os.remove(tmp)
+            st = os.path.join(self.path, STAGING_DIR)
+            if os.path.isdir(st):
+                shutil.rmtree(st)
 
     def abort(self, messages) -> None:
-        for m in messages:
+        for m in messages or []:
             if m is None:
                 continue
             for s in m.shards:
@@ -300,50 +440,55 @@ class ShardPackWriter(DataSourceWriter):
                     os.remove(p)
 
 
-class ShardPackStreamReader(SimpleDataSourceStreamReader):
-    """Treat a shard directory as an append-only stream: each new shard
-    file (sorted by name) is a batch of records.  The offset is the count
-    of consumed shard files — shard naming is monotonic by construction
-    (draft.md:24-30)."""
+class ShardPackStreamReader(DataSourceStreamReader):
+    """Shard directory as an append-only stream; executor-side reads.
+
+    The offset is a high-watermark over committed shard *names*, which the
+    writer side keeps monotonic via the `c{seq:08d}-` prefix: a name sorts
+    strictly above every name committed before it, so `name > watermark`
+    is exactly-once — no count-into-a-resorted-listing, which skipped and
+    duplicated records when uuid basenames sorted out of order.
+
+    partitions() plans per-shard (record-range-split) partitions that
+    executors read as Arrow batches — the driver never materializes
+    records, so multi-shard backfills scale like a batch scan."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise codec.ShardPackIOError("shardpack stream reader requires a path")
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
+        self.split_target = int(options.get("split_target_bytes", 128 * 1024 * 1024))
 
     def initialOffset(self) -> dict:  # noqa: N802
-        return {"n_files": 0}
+        return {"last": ""}
 
-    def read(self, start: dict):
-        shards = codec.list_shards(self.path)
-        n0 = start.get("n_files", 0)
-        new = shards[n0:]
-        end = {"n_files": len(shards)}
+    def latestOffset(self) -> dict:  # noqa: N802
+        names = _visible_shards(self.path)
+        return {"last": names[-1] if names else ""}
 
-        # SimpleDataSourceStreamReader pickles the returned rows for
-        # replay, so materialize (this API is the low-volume path; bulk
-        # backfills should use the batch reader).
-        rows = [
-            _record_to_tuple(rec)
-            for sp in new
-            for rec in codec.iter_records(sp, verify_checksums=self.verify)
-        ]
-        return iter(rows), end
+    def partitions(self, start: dict, end: dict) -> Sequence[ShardPartition]:
+        lo, hi = start.get("last", ""), end.get("last", "")
+        names = [n for n in _visible_shards(self.path) if lo < n <= hi]
+        return _plan_partitions(self.path, names, self.split_target)
 
-    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        shards = codec.list_shards(self.path)
-        segment = shards[start.get("n_files", 0) : end.get("n_files", 0)]
-        for sp in segment:
-            for rec in codec.iter_records(sp, verify_checksums=self.verify):
-                yield _record_to_tuple(rec)
+    def read(self, partition: ShardPartition):
+        yield from _arrow_batches(partition, self.verify)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to clean up
 
 
 class ShardPackStreamWriter(DataSourceStreamWriter):
-    """Streaming sink: each micro-batch's partitions append shards named
-    batch-{batchId:08d}-part-{pid}-...; commit writes a per-batch marker so
-    restarts can skip fully-committed batches (exactly-once at the batch
-    level, matching the file-sink contract)."""
+    """Streaming sink with batch-commit visibility.
+
+    Tasks write shards into `_staging/<task-uuid>/`; the driver-side
+    commit renames them to `c{batchId:08d}-<name>` in the dataset root and
+    writes a `_batch_{id}.json` marker naming them.  Readers trust only
+    marker/manifest-listed files, so a batch's shards appear atomically at
+    commit.  On a restart that replays a committed micro-batch, the marker
+    already exists and commit() discards the replayed staging output
+    instead of renaming it — exactly-once at the batch level."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -356,41 +501,60 @@ class ShardPackStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
 
         tc = TaskContext.get()
-        basename = f"batch-part-{tc.partitionId():05d}-{uuid.uuid4().hex[:8]}"
-        writer = codec.DatasetWriter(
-            self.path, basename=basename, compression=self.compression, target_shard_bytes=self.target
+        task_dir = os.path.join(
+            self.path, STAGING_DIR, f"task-{tc.partitionId():05d}-{uuid.uuid4().hex[:8]}"
         )
-        for row in iterator:
-            entries = [
-                codec.FileEntry(
-                    file_name=e["file_name"] or "",
-                    content_type=e["content_type"] or "application/octet-stream",
-                    data=bytes(e["data"]) if e["data"] is not None else b"",
-                )
-                for e in (row["entries"] or [])
-            ]
-            writer.write(
-                codec.Record(key=row["key"] or "", entries=entries, metadata=dict(row["metadata"] or {}))
-            )
+        writer = codec.DatasetWriter(
+            task_dir,
+            basename=f"part-{tc.partitionId():05d}-{uuid.uuid4().hex[:8]}",
+            compression=self.compression,
+            target_shard_bytes=self.target,
+        )
+        for rec in _rows_to_records(iterator):
+            writer.write(rec)
         results = writer.close()
         return ShardCommitMessage(
-            shards=[{"path": os.path.basename(r["path"]), "records": r["records"], "bytes": r["bytes"]} for r in results]
+            shards=[
+                {
+                    "path": os.path.basename(r["path"]),
+                    "staging": os.path.relpath(os.path.dirname(r["path"]), self.path),
+                    "records": r["records"],
+                    "bytes": r["bytes"],
+                }
+                for r in results
+            ]
         )
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
         marker = os.path.join(self.path, f"_batch_{batchId:08d}.json")
-        shards = [s for m in messages if m is not None for s in m.shards]
-        with open(marker, "w") as f:
-            json.dump({"batch": batchId, "shards": shards}, f)
+        staged = [s for m in messages if m is not None for s in m.shards]
+        if os.path.exists(marker):
+            # replayed micro-batch: the original commit already made these
+            # records visible — discard the replay's staging output
+            self._drop_staging(staged)
+            return
+        final = []
+        for s in staged:
+            name = f"c{batchId:08d}-{s['path']}"
+            os.replace(
+                os.path.join(self.path, s["staging"], s["path"]),
+                os.path.join(self.path, name),
+            )
+            final.append({"path": name, "records": s["records"], "bytes": s["bytes"]})
+        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"batch": batchId, "shards": final}, f)
+        os.replace(tmp, marker)  # the marker IS the commit point
+        self._drop_staging(staged)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
-        for m in messages or []:
-            if m is None:
-                continue
-            for s in m.shards:
-                p = os.path.join(self.path, s["path"])
-                if os.path.exists(p):
-                    os.remove(p)
+        self._drop_staging([s for m in messages or [] if m is not None for s in m.shards])
+
+    def _drop_staging(self, staged: list[dict]) -> None:
+        for d in {s["staging"] for s in staged}:
+            full = os.path.join(self.path, d)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
 
 
 class ShardPackDataSource(DataSource):
@@ -413,17 +577,9 @@ class ShardPackDataSource(DataSource):
         return cls(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> ShardPackWriter:
-        if overwrite:
-            path = self.options.get("path")
-            if path and os.path.isdir(path):
-                for p in codec.list_shards(path):
-                    os.remove(p)
-                mp = os.path.join(path, MANIFEST_NAME)
-                if os.path.exists(mp):
-                    os.remove(mp)
         return ShardPackWriter(self.options, overwrite)
 
-    def simpleStreamReader(self, schema: StructType) -> ShardPackStreamReader:  # noqa: N802
+    def streamReader(self, schema: StructType) -> ShardPackStreamReader:  # noqa: N802
         return ShardPackStreamReader(self.options)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> ShardPackStreamWriter:  # noqa: N802
@@ -468,23 +624,24 @@ def compact_dataset(
     This replaces the reference's destructive delete (Bucket::delete
     removed whole shards, destroying co-located keys — SURVEY.md D5):
     deletions/updates are expressed as filters on read, and compaction
-    rewrites the surviving records into right-sized shards.  Runs as a
-    normal distributed write; the swap is two renames at the end.
-    """
-    import shutil
+    rewrites the surviving records into right-sized shards.
 
+    Object-store-safe commit: the rewrite appends new `c{seq}-` shards to
+    the SAME directory, then the overwrite commit swaps the manifest
+    atomically and only afterwards deletes the old files.  A crash at any
+    point leaves a readable dataset — before the swap, readers still see
+    the old manifest (new files are invisible); after it, the new one.
+    No directory renames, no backup window.
+    """
     register(spark)
     manifest = _load_manifest(path) or {}
     comp = compression or manifest.get("compression", "none")
-    tmp_out = path.rstrip("/") + ".compacting"
-    if os.path.exists(tmp_out):
-        shutil.rmtree(tmp_out)
-    df = spark.read.format("shardpack").load(path)
+    df = read_shardpack(spark, path)
     # size the write parallelism to the target: one task per output shard
     # (each task-local writer rolls independently, so without this the
     # output inherits one shard per input partition)
     total_bytes = sum(
-        os.path.getsize(p) for p in codec.list_shards(path)
+        os.path.getsize(os.path.join(path, n)) for n in _visible_shards(path)
     )
     n_parts = max(1, -(-total_bytes // target_shard_bytes))
     (
@@ -492,15 +649,9 @@ def compact_dataset(
         .write.format("shardpack")
         .option("target_shard_bytes", target_shard_bytes)
         .option("compression", comp)
-        .mode("append")
-        .save(tmp_out)
+        .mode("overwrite")
+        .save(path)
     )
-    backup = path.rstrip("/") + ".pre-compact"
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.rename(path, backup)
-    os.rename(tmp_out, path)
-    shutil.rmtree(backup)
     new_manifest = _load_manifest(path) or {}
     return {
         "shards": len(new_manifest.get("shards", [])),

@@ -9,6 +9,7 @@ plus the integration round-trip it left commented out (src/lib.rs:33-58).
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 
 import pytest
@@ -205,3 +206,86 @@ def test_property_round_trip(tmp_path_factory, recs, enc):
         assert [(e.file_name, e.data) for e in back.entries] == [
             (e.file_name, e.data) for e in orig.entries
         ]
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=5000), enc=st.sampled_from(["lz4", "snappy"]))
+def test_pure_python_codec_round_trip(data, enc):
+    """The pure-Python LZ4-block / Snappy implementations: arbitrary bytes
+    survive compress->decompress bit-exactly."""
+    assert C.decompress(C.compress(data, enc), enc) == data
+
+
+@pytest.mark.parametrize("enc", ["lz4", "snappy"])
+def test_pure_python_codec_overlap_and_runs(enc):
+    """Overlapping matches (offset < length) and long runs — the hard
+    cases for copy-based codecs."""
+    cases = [
+        b"a" * 100000,               # offset-1 overlap, long run
+        b"ab" * 50000,               # offset-2 overlap
+        b"abcde" * 20000,
+        bytes(range(256)) * 300,     # long non-overlapping matches
+        b"x" * 70 + b"y" + b"x" * 70,
+    ]
+    for c in cases:
+        z = C.compress(c, enc)
+        assert C.decompress(z, enc) == c
+        assert len(z) < len(c) // 2  # really compresses repetitive input
+
+
+def test_skip_payload_decode(tmp_path):
+    """Metadata-only access path: entry headers without payload decode."""
+    path = str(tmp_path / "s.shardpack")
+    w = C.ShardWriter(path, compression="gzip")
+    payload = b"P" * 10000
+    w.write_record(
+        C.Record(
+            key="k1",
+            entries=[C.FileEntry("f.bin", "application/octet-stream", payload)],
+            metadata={"m": "v"},
+        )
+    )
+    w.close()
+
+    recs = list(C.iter_records(path, skip_payload=True))
+    assert recs[0].entries[0].data == b""
+    assert recs[0].entries[0].size == len(payload)  # true uncompressed size
+    assert recs[0].metadata == {"m": "v"}
+
+    recs = list(C.iter_records(path, skip_entries=True))
+    assert recs[0].entries == []
+    assert recs[0].key == "k1" and recs[0].metadata == {"m": "v"}
+
+
+def test_skip_entries_seek_path(tmp_path):
+    """Payload-heavy shards take the per-record seek path (avg > 64 KiB):
+    same keys/metadata, payload bytes never read."""
+    path = str(tmp_path / "big.shardpack")
+    w = C.ShardWriter(path)
+    for i in range(10):
+        w.write_record(
+            C.Record(
+                key=f"k{i:03d}",
+                entries=[C.FileEntry("blob", "application/octet-stream", bytes([i]) * 200_000)],
+                metadata={"i": str(i), "pad": "x" * 50},
+            )
+        )
+    w.close()
+    got = list(C.iter_records(path, skip_entries=True))
+    assert [r.key for r in got] == [f"k{i:03d}" for i in range(10)]
+    assert [r.metadata["i"] for r in got] == [str(i) for i in range(10)]
+
+
+def test_inprogress_rename_crash_safety(tmp_path):
+    """An open (crashed) writer leaves only an invisible .inprogress file;
+    close() makes the shard visible atomically."""
+    path = str(tmp_path / "s-000000.shardpack")
+    w = C.ShardWriter(path)
+    w.write_record(C.Record(key="k", entries=[], metadata={}))
+    assert not os.path.exists(path)          # not yet visible
+    assert os.path.exists(path + ".inprogress")
+    assert C.list_shards(str(tmp_path)) == []
+    w.close()
+    assert os.path.exists(path)
+    assert not os.path.exists(path + ".inprogress")
+    assert [r.key for r in C.iter_records(path)] == ["k"]

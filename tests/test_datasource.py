@@ -149,3 +149,151 @@ def test_streaming_source_incremental(spark_ds, tmp_path):
     got2 = drain()
     # incremental: second drain appends ONLY the new shard's records
     assert got2 == {"k0-0", "k0-1", "k0-2", "k1-0", "k1-1", "k1-2"}
+
+
+def test_streaming_exactly_once_across_batch_appends(spark_ds, sf_dir, tmp_path):
+    """The round-1 bug: uuid basenames sorted non-monotonically across
+    commits, so a count-based offset skipped new files and re-emitted old
+    ones.  Commit-sequence naming + name-watermark offsets make every
+    append arrive exactly once regardless of uuid sort order."""
+    src_dir = str(tmp_path / "eo_src")
+    ckpt = str(tmp_path / "eo_ckpt")
+    out_dir = str(tmp_path / "eo_out")
+    docs = _docs_as_records(spark_ds, sf_dir)
+
+    def append(lo, hi):
+        (
+            docs.filter((F.col("key") >= f"doc/{lo:08d}") & (F.col("key") < f"doc/{hi:08d}"))
+            .write.format("shardpack")
+            .mode("append")
+            .save(src_dir)
+        )
+
+    def drain():
+        q = (
+            spark_ds.readStream.format("shardpack")
+            .load(src_dir)
+            .select("key")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = [r["key"] for r in spark_ds.read.parquet(out_dir).collect()]
+        return rows
+
+    append(0, 10)
+    rows = drain()
+    assert sorted(rows) == [f"doc/{i:08d}" for i in range(10)]
+    append(10, 20)
+    append(20, 25)
+    rows = drain()
+    # exactly-once: no duplicates, no losses, across multiple appends
+    assert sorted(rows) == [f"doc/{i:08d}" for i in range(25)]
+    assert len(rows) == len(set(rows))
+
+
+def test_partial_and_uncommitted_files_are_invisible(spark_ds, sf_dir, tmp_path):
+    """A killed task's partial file and an uncommitted orphan shard must
+    not poison or pollute reads of a committed dataset."""
+    out = str(tmp_path / "ds")
+    src = _docs_as_records(spark_ds, sf_dir).limit(20)
+    src.write.format("shardpack").mode("append").save(out)
+
+    # footer-less partial file under a temp name (killed mid-write)
+    with open(os.path.join(out, "c99999999-part-00000-dead.shardpack.inprogress"), "wb") as f:
+        f.write(b"\x01\x02\x03")
+    # complete-but-uncommitted shard (task finished, job failed before commit)
+    w = codec.ShardWriter(os.path.join(out, "c00000099-orphan-000000.shardpack"))
+    w.write_record(codec.Record(key="ORPHAN", entries=[], metadata={}))
+    w.close()
+
+    back = spark_ds.read.format("shardpack").load(out)
+    keys = {r["key"] for r in back.select("key").collect()}
+    assert back.count() == 20
+    assert "ORPHAN" not in keys
+
+
+def test_append_merges_manifest_stats(spark_ds, sf_dir, tmp_path):
+    """ADVICE: append must keep prior shards' key-range stats and record
+    counts in the manifest instead of overwriting it wholesale."""
+    out = str(tmp_path / "ds")
+    docs = _docs_as_records(spark_ds, sf_dir)
+    docs.filter(F.col("key") < "doc/00000100").orderBy("key").coalesce(1).write.format(
+        "shardpack"
+    ).mode("append").save(out)
+    docs.filter((F.col("key") >= "doc/00000100") & (F.col("key") < "doc/00000200")).orderBy(
+        "key"
+    ).coalesce(1).write.format("shardpack").mode("append").save(out)
+
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    n_total = spark_ds.read.format("shardpack").load(out).count()
+    assert manifest["total_records"] == n_total
+    assert all("min_key" in s and "max_key" in s for s in manifest["shards"])
+    assert len(manifest["shards"]) >= 2
+
+
+def test_skip_payload_and_metadata_only_reads(spark_ds, sf_dir, tmp_path):
+    """Metadata-only access path (R4): entry headers / key+metadata without
+    decoding payload bytes."""
+    out = str(tmp_path / "ds")
+    src = _docs_as_records(spark_ds, sf_dir).limit(30)
+    src.write.format("shardpack").mode("append").save(out)
+
+    full = spark_ds.read.format("shardpack").load(out)
+    skipped = spark_ds.read.format("shardpack").option("skip_payload", "true").load(out)
+    row = skipped.select(F.explode("entries").alias("e")).select("e.*").head()
+    assert row["data"] is None
+    assert row["size"] > 0  # true uncompressed size, from the entry header
+    assert (
+        skipped.select(F.sum(F.element_at("entries", 1)["size"]).alias("s")).head()["s"]
+        == full.select(F.sum(F.element_at("entries", 1)["size"]).alias("s")).head()["s"]
+    )
+
+    meta = spark_ds.read.format("shardpack").option("metadata_only", "true").load(out)
+    assert meta.count() == 30
+    got = meta.select("key", "metadata").orderBy("key").collect()
+    want = full.select("key", "metadata").orderBy("key").collect()
+    assert [(r["key"], dict(r["metadata"])) for r in got] == [
+        (r["key"], dict(r["metadata"])) for r in want
+    ]
+    assert all(r["entries"] is None for r in meta.collect())
+
+
+def test_stream_sink_replay_discards_duplicate_batch(spark_ds, tmp_path):
+    """A replayed micro-batch (marker already present) must not duplicate
+    records: commit() discards the replayed staging output."""
+    from shardpack_spark.format.datasource import ShardCommitMessage, ShardPackStreamWriter
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    writer = ShardPackStreamWriter({"path": out})
+
+    def staged_message(tag):
+        task_dir = os.path.join(out, "_staging", f"task-{tag}")
+        os.makedirs(task_dir)
+        w = codec.ShardWriter(os.path.join(task_dir, f"part-{tag}-000000.shardpack"))
+        w.write_record(codec.Record(key=f"k-{tag}", entries=[], metadata={}))
+        res = w.close()
+        return ShardCommitMessage(
+            shards=[
+                {
+                    "path": os.path.basename(res["path"]),
+                    "staging": os.path.relpath(task_dir, out),
+                    "records": 1,
+                    "bytes": res["bytes"],
+                }
+            ]
+        )
+
+    writer.commit([staged_message("a")], batchId=7)
+    # replay of batch 7 with fresh uuids (as Spark would after a restart)
+    writer.commit([staged_message("b")], batchId=7)
+
+    keys = [r.key for p in codec.list_shards(out) for r in codec.iter_records(p)]
+    assert keys == ["k-a"]  # the replay's output was discarded
+    assert not os.listdir(os.path.join(out, "_staging")) if os.path.isdir(
+        os.path.join(out, "_staging")
+    ) else True
