@@ -38,13 +38,12 @@ HEADLINE = [
     "q07_join_left",
     "q11_asof_join",
     "q12_agg_tpch_q1",
-    "q13_count_distinct",
     "q16_window_rank",
     "q18_topk",
-    "q25_tumbling_window",
+    "q25_time_windows",
     "q27_session_window",
     "q28_exact_dedup",
-    "q29b_minhash_lsh",
+    "q29_fuzzy_dedup",
     "q30_cosine_topk",
     "q31_text_stats",
     "q34_lang_id",

@@ -46,6 +46,17 @@ def asof_join(
         value_cols = [c for c in right.columns if c not in (right_on, right_by)]
 
     lcols = left.columns
+    # All right value columns travel as ONE struct so a single
+    # last(ignorenulls=True) carries the whole matched row: if the matched
+    # (latest) right row has NULL in some value column, that NULL is
+    # preserved — per-column last() would leak an older row's non-null
+    # value and stitch together columns from different right rows.
+    r_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    null_struct = F.lit(None).cast(
+        "struct<"
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
+        + ">"
+    )
     # Common event-time / key names for the union.
     l_tagged = left.select(
         F.col(left_by).alias("__by"),
@@ -53,7 +64,7 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.lit(None).cast("long").alias("__tb"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        null_struct.alias("__r"),
     )
     tb_col = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
     r_tagged = right.select(
@@ -62,7 +73,7 @@ def asof_join(
         F.lit(1).alias("__side"),
         tb_col.alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        r_struct.alias("__r"),
     )
 
     # Right rows sort BEFORE left rows at equal ts (side desc) so an exactly
@@ -76,10 +87,10 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
     carried = unioned.select(
         "*",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in value_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
     )
     out = carried.filter(F.col("__side") == 0).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__m_{c}").alias(c) for c in value_cols],
+        *[F.col("__m")[c].alias(c) for c in value_cols],
     )
     return out

@@ -210,50 +210,77 @@ def jaccard_pairs_exact(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: (id, simhash).
+    """64-bit SimHash over whitespace tokens: (id, sim_hi, sim_lo).
 
-    Per-token xxhash64; each output bit is the sign of the sum of that
-    bit's +/-1 votes across tokens — 64 conditional-sum partial aggregates,
-    one shuffle on the doc id.
+    Per-token hash = first 64 bits of sha256(token), carried as two 32-bit
+    halves (hi = hex chars 1-8, lo = chars 9-16).  Each output bit is the
+    sign of the sum of that bit's +/-1 votes across tokens — 64
+    conditional-sum partial aggregates, one shuffle on the doc id.
+
+    sha256 (not xxhash64) makes the operator engine-portable: every SQL
+    engine exposes the same sha256, so the full computation is
+    oracle-checkable bit for bit.  Two unsigned 32-bit halves avoid
+    BIGINT sign-overflow differences between engines.
     """
     tokens = df.select(
         F.col(id_col).alias("sid"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    hx = F.sha2(F.col("tok"), 256)
+    h_hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    h_lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
     votes = [
         F.sum(
-            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftrightunsigned(h_hi if b >= 32 else h_lo, b % 32).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(64)
     ]
     agged = tokens.groupBy("sid").agg(*votes)
-    sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63))).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return agged.select("sid", sim.cast("long").alias("simhash"))
+
+    def pack(bits: range) -> F.Column:
+        acc = None
+        for i, b in enumerate(bits):
+            bit = F.when(F.col(f"b{b}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            acc = bit if acc is None else acc + bit
+        return acc.cast("long")
+
+    return agged.select(
+        "sid", pack(range(32, 64)).alias("sim_hi"), pack(range(0, 32)).alias("sim_lo")
+    )
 
 
 def simhash_near_pairs(sim: DataFrame, bands: int = 4) -> DataFrame:
     """Near-dup candidates: pairs agreeing on >=1 of `bands` 16-bit slices
-    (Hamming-distance blocking), verified to Hamming distance <= 3."""
+    (Hamming-distance blocking), verified to Hamming distance <= 3.
+
+    Blocking guarantee: 4 disjoint 16-bit bands mean any pair at Hamming
+    distance <= 3 differs in at most 3 bands, so it MUST agree on at least
+    one — the candidate set provably contains every qualifying pair."""
     width = 64 // bands
+    half_bands = bands // 2
+
+    def band_key(b: int) -> F.Column:
+        src = F.col("sim_lo") if b < half_bands else F.col("sim_hi")
+        return (
+            F.shiftrightunsigned(src, (b % half_bands) * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+        )
+
     slices = sim.select(
         "sid",
-        "simhash",
+        "sim_hi",
+        "sim_lo",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftrightunsigned("simhash", b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("key"),
-                )
+                F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
                 for b in range(bands)
             ])
         ).alias("s"),
-    ).select("sid", "simhash", "s.band", "s.key")
+    ).select("sid", "sim_hi", "sim_lo", "s.band", "s.key")
     l, r = slices.alias("l"), slices.alias("r")
     cand = (
         l.join(
@@ -265,11 +292,18 @@ def simhash_near_pairs(sim: DataFrame, bands: int = 4) -> DataFrame:
         .select(
             F.col("l.sid").alias("sid_a"),
             F.col("r.sid").alias("sid_b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
+            F.col("l.sim_hi").alias("ha_hi"),
+            F.col("l.sim_lo").alias("ha_lo"),
+            F.col("r.sim_hi").alias("hb_hi"),
+            F.col("r.sim_lo").alias("hb_lo"),
         )
         .distinct()
     )
-    return cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))).filter(
-        F.col("hamming") <= 3
-    ).select("sid_a", "sid_b", "hamming")
+    hamming = F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))) + F.bit_count(
+        F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("sid_a", "sid_b", "hamming")
+    )

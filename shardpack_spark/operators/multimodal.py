@@ -23,7 +23,47 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_DECODE_STUBBED = True  # real decoders unavailable in this container
+# Pixel/sample decoding (resize, frame extraction) still needs PIL/libav
+# and stays stubbed; header parsing below is REAL (pure Python).
+_DECODE_STUBBED = True
+
+
+def parse_image_dims(b: bytes) -> tuple[int | None, int | None]:
+    """True (width, height) from PNG IHDR / JPEG SOFn / GIF headers.
+
+    Pure-Python parsing of the public container formats — no image
+    library required, deterministic, and oracle-checkable.  Returns
+    (None, None) for unknown or truncated containers.
+    """
+    b = bytes(b)
+    # PNG: 8-byte signature, then the IHDR chunk (len + 'IHDR' + w + h, BE)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big")
+    # JPEG: walk segments from SOI until a SOFn frame header
+    if b[:3] == b"\xff\xd8\xff":
+        i = 2
+        n = len(b)
+        while i + 9 <= n:
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length markers
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return w, h
+            if seglen < 2:
+                break
+            i += 2 + seglen
+        return None, None
+    # GIF: logical screen descriptor right after the version tag (LE)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
+    return None, None
 
 
 def _self_pickle_by_value() -> None:
@@ -92,12 +132,13 @@ IMAGE_FEATURE_SCHEMA = StructType(
 
 
 def image_features(df: DataFrame) -> DataFrame:
-    """Arrow-batched image 'decode' over image/* entries.
+    """Arrow-batched image metadata extraction over image/* entries.
 
-    Magic sniffing and byte stats are real; width/height are a
-    deterministic stand-in (derived from content bytes) because no image
-    codec ships in this container (_DECODE_STUBBED).  The mapInPandas
-    batch shape is exactly what a PIL-based decoder would use.
+    Magic sniffing, byte stats, and width/height are all REAL: dimensions
+    come from parse_image_dims (PNG IHDR / JPEG SOFn / GIF headers, pure
+    Python).  Only pixel decoding (resize etc.) remains behind
+    _DECODE_STUBBED.  The mapInPandas batch shape is exactly what a
+    PIL-based pixel decoder would use.
     """
     _self_pickle_by_value()
     imgs = explode_entries(df).filter(F.col("content_type").startswith("image/")).select(
@@ -106,23 +147,23 @@ def image_features(df: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            datas = pdf["data"]
+            datas = [bytes(b) for b in pdf["data"]]
 
             def sniff(b: bytes) -> str:
                 for magic, name in _MAGIC:
-                    if bytes(b[: len(magic)]) == magic:
+                    if b[: len(magic)] == magic:
                         return name
                 return "unknown"
 
+            dims = [parse_image_dims(b) for b in datas]
             yield pd.DataFrame(
                 {
                     "key": pdf["key"],
                     "file_name": pdf["file_name"],
-                    "sniffed_format": [sniff(bytes(b)) for b in datas],
+                    "sniffed_format": [sniff(b) for b in datas],
                     "n_bytes": [len(b) for b in datas],
-                    # deterministic fake dimensions (NOT real decode)
-                    "width": [(len(b) % 640) + 1 for b in datas],
-                    "height": [((b[-1] if len(b) else 0) % 480) + 1 for b in datas],
+                    "width": [w for w, _ in dims],
+                    "height": [h for _, h in dims],
                 }
             )
 

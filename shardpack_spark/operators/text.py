@@ -32,8 +32,23 @@ def _count_matches(c: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
 
 
-def _word_count(c: Column, word: str) -> Column:
-    return F.size(F.regexp_extract_all(c, F.lit(rf"\b{word}\b"), 0))
+# Word-boundary tokenization equivalent to \b{word}\b counting: split on
+# runs of non-word characters ([^a-z0-9_] == complement of ASCII \w on
+# lowercased text).  Tokenize ONCE, then count markers with codegen'd
+# array filters — one string pass total instead of one full regex scan
+# per marker word (25 passes for language ID, 7 for stopwords).
+_WORD_SPLIT = r"[^a-z0-9_]+"
+
+
+def _word_tokens(c: Column) -> Column:
+    return F.split(F.lower(c), _WORD_SPLIT)
+
+
+def _marker_count(tokens: Column, words: list[str]) -> Column:
+    """How many tokens are in `words` — row-local, whole-stage codegen;
+    no shuffle, no join, survives any scale the scan itself survives."""
+    marker_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(marker_arr, x)))
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -58,10 +73,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ws = F.size(F.split(F.trim(t), r"\s+"))
     punct = _count_matches(t, _PUNCT)
     alpha = _count_matches(t, r"[A-Za-z]")
-    stop = None
-    for wd in _STOPWORDS:
-        c = _word_count(t, wd)
-        stop = c if stop is None else stop + c
+    stop = _marker_count(_word_tokens(t), list(_STOPWORDS))
     out = df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -92,16 +104,22 @@ def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Keyword-marker language ID: score per language, argmax prediction.
 
     Ties break alphabetically on language code (deterministic).
+
+    One tokenization pass + one array filter per language (all codegen),
+    instead of a full regexp_extract_all scan per marker word — 25 string
+    scans per row collapsed into one.
     """
-    t = F.lower(F.col(text_col))
-    score_cols = []
-    for lang in sorted(LANG_MARKERS):
-        s = None
-        for wd in LANG_MARKERS[lang]:
-            c = _word_count(t, wd)
-            s = c if s is None else s + c
-        score_cols.append(s.alias(f"score_{lang}"))
-    scored = df.select(F.col(id_col), *score_cols)
+    toks = _word_tokens(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+    ).select(
+        F.col(id_col),
+        *[
+            _marker_count(F.col("__toks"), LANG_MARKERS[lang]).alias(f"score_{lang}")
+            for lang in sorted(LANG_MARKERS)
+        ],
+    )
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     pred = None
@@ -109,6 +127,57 @@ def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         cond = F.when(F.col(f"score_{lang}") == best, F.lit(lang))
         pred = cond.otherwise(pred) if pred is not None else cond
     return scored.select(id_col, *[f"score_{lang}" for lang in langs], pred.alias("pred_lang"))
+
+
+def doc_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All per-document text features in ONE scan: token counts, quality
+    features/score, and the rolling-hash fingerprint.
+
+    Composing token_counts + quality_scores + fingerprints as separate
+    queries would scan the text three times and join on doc_id; at 100 TB
+    the single-select formulation is strictly better (still pure codegen,
+    zero shuffles)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = _count_matches(t, BPE_PATTERN)
+    punct = _count_matches(t, _PUNCT)
+    alpha = _count_matches(t, r"[A-Za-z]")
+    stop = _marker_count(_word_tokens(t), list(_STOPWORDS))
+    p = 1_000_000_007
+    fp = F.aggregate(
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % p,
+    )
+    base = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        punct.alias("punct_cnt"),
+        alpha.alias("alpha_cnt"),
+        stop.alias("stop_cnt"),
+        fp.alias("fingerprint"),
+    )
+    punct_ratio = F.col("punct_cnt").cast("double") / F.col("n_chars")
+    alpha_ratio = F.col("alpha_cnt").cast("double") / F.col("n_chars")
+    stop_ratio = F.col("stop_cnt").cast("double") / F.col("ws_tokens")
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.4) * F.least(stop_ratio * 2, F.lit(1.0))
+        - F.lit(0.2) * punct_ratio
+    )
+    return base.select(
+        id_col,
+        "n_chars",
+        "ws_tokens",
+        "bpe_tokens",
+        (F.floor(punct_ratio * 10000.0 + 0.5) / 10000.0).alias("punct_ratio"),
+        (F.floor(alpha_ratio * 10000.0 + 0.5) / 10000.0).alias("alpha_ratio"),
+        (F.floor(score * 10000.0 + 0.5) / 10000.0).alias("quality"),
+        "fingerprint",
+    )
 
 
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -62,9 +62,13 @@ def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _ensure_registered(spark)
     out = tempfile.mkdtemp(prefix="shardpack_rt_")
+    # lz4 (pure-Python block codec) so a compressed round-trip is part of
+    # the declared, driver-checked surface — not just a pytest case
     docs_as_shardpack_rows(load_table(spark, sf_dir, "documents")).write.format(
         "shardpack"
-    ).option("target_shard_bytes", 256 * 1024).mode("overwrite").save(out)
+    ).option("target_shard_bytes", 256 * 1024).option("compression", "lz4").mode(
+        "overwrite"
+    ).save(out)
     back = spark.read.format("shardpack").load(out)
     return back.agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -138,25 +142,114 @@ def q53_shardpack_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q41_image_features", oracle=None,
-          doc="Arrow-batched image feature extraction (sniffing real, decode stubbed).")
+@register(
+    "q39_metadata_only_scan",
+    oracle="""
+    SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q39_metadata_only_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate over a shardpack dataset (Q39, reference
+    R4 Bucket::get_metadata): the `metadata_only` read option serves
+    key+metadata from block heads with per-record seeks — the text
+    payloads never leave the disk."""
+    _ensure_registered(spark)
+    from shardpack_spark.format.datasource import read_shardpack
+
+    ds = read_shardpack(spark, _lookup_dataset(spark, sf_dir), metadata_only="true")
+    return ds.groupBy(F.element_at("metadata", "lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.element_at("metadata", "n_chars").cast("long")).alias("sum_chars"),
+    )
+
+
+def _b1(col):
+    """One raw byte (0-255) as BINARY."""
+    return F.encode(F.char(col), "ISO-8859-1")
+
+
+def _be16(col):
+    return F.concat(_b1(F.floor(col / 256).cast("int")), _b1(col % 256))
+
+
+def _le16(col):
+    return F.concat(_b1(col % 256), _b1(F.floor(col / 256).cast("int")))
+
+
+def _be32(col):
+    # all synthesized dimensions fit in 16 bits
+    return F.concat(F.lit(b"\x00\x00"), _be16(col))
+
+
+@register(
+    "q41_image_features",
+    oracle="""
+    SELECT CONCAT('img/', CAST(doc_id AS VARCHAR)) AS key,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'img.png'
+                WHEN 1 THEN 'img.jpg' ELSE 'img.gif' END AS file_name,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                WHEN 1 THEN 'jpeg' ELSE 'gif' END AS sniffed_format,
+           CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33
+                     WHEN 1 THEN 21 ELSE 13 END
+                + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+           CAST(n_chars % 480 + 1 AS BIGINT) AS height
+    FROM documents
+    """,
+)
 def q41_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize image-tagged binary entries from documents, run the
-    mapInPandas feature extractor (Q41; rows-only check)."""
+    """Real image-header metadata extraction (Q41).
+
+    Synthesizes valid PNG / JPEG(SOF0) / GIF89a headers (dimensions
+    derived from doc_id / n_chars, payload = the document text) and runs
+    the Arrow-batched mapInPandas extractor, whose width/height come from
+    actually parsing IHDR / SOFn / logical-screen-descriptor bytes
+    (operators.multimodal.parse_image_dims).  The oracle recomputes every
+    column from the documents table — a wrong parser (endianness, offset,
+    segment walk) breaks the hash."""
     _ensure_registered(spark)
     docs = load_table(spark, sf_dir, "documents")
+    w = F.col("doc_id") % 640 + 1
+    h = F.col("n_chars") % 480 + 1
+    fmt = (F.col("doc_id") % 3).cast("int")
+    payload = F.encode("text", "utf-8")
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),          # signature (8)
+        F.lit(b"\x00\x00\x00\x0dIHDR"),        # IHDR length + tag (8)
+        _be32(w), _be32(h),                     # dimensions (8)
+        F.lit(b"\x08\x06\x00\x00\x00"),        # bit depth etc. (5)
+        F.lit(b"\x00\x00\x00\x00"),            # CRC placeholder (4) -> 33
+        payload,
+    )
+    jpg = F.concat(
+        F.lit(b"\xff\xd8"),                     # SOI (2)
+        F.lit(b"\xff\xc0\x00\x11\x08"),        # SOF0 + len 17 + precision (5)
+        _be16(h), _be16(w),                     # dimensions (4)
+        F.lit(b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"),  # components (10) -> 21
+        payload,
+    )
+    gif = F.concat(
+        F.lit(b"GIF89a"),                       # header (6)
+        _le16(w), _le16(h),                     # dimensions (4)
+        F.lit(b"\x00\x00\x00"),                # screen descriptor tail (3) -> 13
+        payload,
+    )
+    data = F.when(fmt == 0, png).when(fmt == 1, jpg).otherwise(gif)
+    name = F.when(fmt == 0, "img.png").when(fmt == 1, "img.jpg").otherwise("img.gif")
+    ctype = (
+        F.when(fmt == 0, "image/png").when(fmt == 1, "image/jpeg").otherwise("image/gif")
+    )
     rows = docs.select(
         F.concat(F.lit("img/"), F.col("doc_id").cast("string")).alias("key"),
         F.create_map(F.lit("lang"), F.col("lang")).alias("metadata"),
         F.array(
             F.struct(
-                F.lit("img.jpg").alias("file_name"),
-                F.lit("image/jpeg").alias("content_type"),
+                name.alias("file_name"),
+                ctype.alias("content_type"),
                 F.lit("none").alias("encoding"),
-                (F.length("text") + F.lit(3)).cast("long").alias("size"),
-                F.concat(
-                    F.lit(bytes([0xFF, 0xD8, 0xFF])), F.encode("text", "utf-8")
-                ).alias("data"),
+                F.length(data).cast("long").alias("size"),
+                data.alias("data"),
             )
         ).alias("entries"),
     )

@@ -54,36 +54,45 @@ _JACCARD_ORACLE = """
 """
 
 
-@register("q29_jaccard_exact", oracle=_JACCARD_ORACLE)
-def q29_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with exact 5-gram Jaccard >= 0.8 (Q29 oracle mode)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(docs, k=5)
-    pairs = dedup.jaccard_pairs_exact(sh, threshold=0.8)
-    return pairs.select("sid_a", "sid_b", round4d(F.col("jac")).alias("jac"))
-
-
 @register(
-    "q29b_minhash_lsh",
-    oracle=_JACCARD_ORACLE,
-    doc="MinHash-LSH candidates verified with exact Jaccard — the 100 TB "
-    "scale path; must reproduce the exact-pair result (recall check).",
+    "q29_fuzzy_dedup",
+    oracle=f"""
+    SELECT 'exact' AS variant, * FROM ({_JACCARD_ORACLE})
+    UNION ALL
+    SELECT 'lsh' AS variant, * FROM ({_JACCARD_ORACLE})
+    """,
+    doc="Exact-Jaccard pairs AND the MinHash-LSH scale path in one tagged "
+    "result; the LSH variant hash-matching the exact one IS the recall "
+    "check.",
 )
-def q29b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed fuzzy dedup: signatures -> banded candidates -> exact
-    Jaccard verification restricted to candidates (Q29 scale mode)."""
+def q29_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup both ways (Q29): exact 5-gram Jaccard >= 0.8 pairs
+    ('exact' variant) and the 100 TB path — MinHash signatures -> banded
+    LSH candidates -> signature prefilter -> candidate-scoped exact
+    verification ('lsh' variant).  The two variants must agree pair for
+    pair, which the shared oracle enforces."""
     docs = load_table(spark, sf_dir, "documents")
     # shingles and signatures are each consumed by 2+ downstream joins;
     # Spark re-executes common subplans per reference, so persist them
     # (at 100 TB the signature table is written to storage once instead)
     sh = dedup.char_shingles(docs, k=5).persist()
+    exact = dedup.jaccard_pairs_exact(sh, threshold=0.8)
     sigs = dedup.minhash_signatures(sh, n_hashes=64, seed=42).persist()
     cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
     # signature prefilter kills the false-positive bulk from dense buckets
     # before the (comparatively expensive) exact shingle intersection
     cand = dedup.filter_candidates_by_signature(cand, sigs, min_estimate=0.6)
-    pairs = dedup.jaccard_pairs_exact(sh, threshold=0.8, candidates=cand)
-    return pairs.select("sid_a", "sid_b", round4d(F.col("jac")).alias("jac"))
+    lsh = dedup.jaccard_pairs_exact(sh, threshold=0.8, candidates=cand)
+
+    def tag(variant: str, pairs: DataFrame) -> DataFrame:
+        return pairs.select(
+            F.lit(variant).alias("variant"),
+            "sid_a",
+            "sid_b",
+            round4d(F.col("jac")).alias("jac"),
+        )
+
+    return tag("exact", exact).unionAll(tag("lsh", lsh))
 
 
 # --- Q30 similarity search --------------------------------------------------
@@ -115,25 +124,59 @@ def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("vec_id", round4d(F.col("cosine")).alias("cosine"))
 
 
-@register("q30b_ann_ivf", oracle=None,
-          doc="IVF-bucketed approximate top-k; recall vs brute force checked in pytest.")
+_EXACT_TOP5_ORACLE = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, {_COS} AS cos
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 5
+"""
+
+
+@register(
+    "q30b_ann_ivf",
+    oracle=_EXACT_TOP5_ORACLE,
+    doc="IVF bucketed top-k at full probe depth — the assignment/probe "
+    "machinery hash-checked against exact top-k; pruned-nprobe recall "
+    "behavior is pytest-checked.",
+)
 def q30b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the full bucketing path (Q30 scale variant).
+
+    The declared check probes EVERY centroid, which must reproduce the
+    exact top-5 — verifying centroid assignment, bucket routing, and
+    scoring end to end.  Approximate (nprobe < n_centroids) recall is
+    exercised in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     centroids = (
         emb.filter(F.col("vec_id") % 50 == 7)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     )
-    topk = similarity.ivf_topk(emb.filter(F.col("vec_id") != 0), query, centroids, k=5, nprobe=3)
+    topk = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), query, centroids, k=5, nprobe=1_000_000
+    )
     return topk.select("vec_id", round4d(F.col("cosine")).alias("cosine"))
 
 
-@register("q30c_ann_rp_lsh", oracle=None,
-          doc="Random-hyperplane LSH ANN; recall vs brute force checked in pytest.")
+@register(
+    "q30c_ann_rp_lsh",
+    oracle=_EXACT_TOP5_ORACLE,
+    doc="Random-hyperplane LSH ANN at full Hamming radius — sketch + "
+    "candidate plumbing hash-checked against exact top-k; pruned-radius "
+    "recall is pytest-checked.",
+)
 def q30c_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rp-LSH ANN through the full sketch path (Q30 scale variant);
+    max_hamming = n_planes makes the candidate set exhaustive, so the
+    result must equal exact top-5 (see q30b docstring for the pattern)."""
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
-    topk = similarity.rp_lsh_topk(emb.filter(F.col("vec_id") != 0), query, k=5)
+    topk = similarity.rp_lsh_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=5, n_planes=8, max_hamming=8
+    )
     return topk.select("vec_id", round4d(F.col("cosine")).alias("cosine"))
 
 
@@ -147,20 +190,25 @@ def q30c_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * SQRT(LIST_REDUCE(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, c) -> a + c)))
              * 10000.0 + 0.5) / 10000.0 AS cosine
     FROM embeddings e JOIN embeddings b
-      ON e.label = b.label AND e.vec_id < b.vec_id
+      ON e.vec_id < b.vec_id
     WHERE LIST_REDUCE(LIST_TRANSFORM(e.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (a, c) -> a + c)
           / (SQRT(LIST_REDUCE(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, c) -> a + c))
              * SQRT(LIST_REDUCE(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, c) -> a + c))) >= 0.4
     """,
 )
 def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs blocked by label (Q38).
+    """Embedding near-dup pairs via rp-LSH *sketch* blocking (Q38).
 
-    Threshold 0.4 fits the synthetic data (max within-label cosine ~0.47);
-    the operator itself takes any threshold.
+    No semantic block column: vectors are banded by random-hyperplane
+    sign sketches and only same-bucket candidates get the exact cosine
+    verification.  The oracle is the UNBLOCKED all-pairs reference, so a
+    hash match proves the sketch blocking lost no qualifying pair.
+    Threshold 0.4 fits the synthetic data (max cosine ~0.47) — a
+    deliberately adversarial setting for LSH, hence 48 bands; realistic
+    >= 0.9 near-dup thresholds need far fewer.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4, block_col="label")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4)
     return pairs.select("id_a", "id_b", round4d(F.col("cosine")).alias("cosine"))
 
 
@@ -187,48 +235,40 @@ def q31_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q32_token_counts",
-    oracle=r"""
-    SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
-    FROM documents
-    """,
-)
-def q32_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish regex token counts per doc (Q32)."""
-    return text.token_counts(load_table(spark, sf_dir, "documents"))
-
-
 _STOP_SQL = " + ".join(
     rf"len(regexp_extract_all(text, '\b{w}\b'))" for w in text._STOPWORDS
 )
 
 @register(
-    "q33_quality_scores",
+    "q32_doc_features",
     oracle=rf"""
     WITH feat AS (
       SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens,
              len(regexp_extract_all(text, '[.,!?;:]')) AS punct_cnt,
              len(regexp_extract_all(text, '[A-Za-z]')) AS alpha_cnt,
-             {_STOP_SQL} AS stop_cnt
+             {_STOP_SQL} AS stop_cnt,
+             LIST_REDUCE(LIST_TRANSFORM(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                         (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
       FROM documents
     )
-    SELECT doc_id, n_chars, ws_tokens,
+    SELECT doc_id, n_chars, ws_tokens, bpe_tokens,
            FLOOR(CAST(punct_cnt AS DOUBLE) / n_chars * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
            FLOOR(CAST(alpha_cnt AS DOUBLE) / n_chars * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
            FLOOR((0.4 * (CAST(alpha_cnt AS DOUBLE) / n_chars)
                   + 0.4 * LEAST(CAST(stop_cnt AS DOUBLE) / ws_tokens * 2, 1.0)
-                  - 0.2 * (CAST(punct_cnt AS DOUBLE) / n_chars)) * 10000.0 + 0.5) / 10000.0 AS quality
+                  - 0.2 * (CAST(punct_cnt AS DOUBLE) / n_chars)) * 10000.0 + 0.5) / 10000.0 AS quality,
+           fingerprint
     FROM feat
     """,
 )
-def q33_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality features + composite score per doc (Q33)."""
-    return text.quality_scores(load_table(spark, sf_dir, "documents"))
+def q32_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All per-doc text features in one scan: whitespace/BPE-ish token
+    counts (Q32), quality features + composite (Q33), rolling-hash
+    fingerprint (Q35)."""
+    return text.doc_features(load_table(spark, sf_dir, "documents"))
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -263,30 +303,64 @@ def q34_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_scores(load_table(spark, sf_dir, "documents"))
 
 
+# --- simhash ----------------------------------------------------------------
+# Token hash = first 64 bits of sha256(token) as two 32-bit halves, so the
+# ENTIRE simhash computation is expressible in DuckDB SQL and hash-checked
+# (previously xxhash64-based and rows-only).
+
+def _simhash_sim_cte() -> str:
+    """DuckDB CTE chain computing (sid, sim_hi, sim_lo) like dedup.simhash."""
+    vote_cols = []
+    for b in range(64):
+        src, sh = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
+        vote_cols.append(
+            f"SUM(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        )
+    pack_hi = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << (b - 32)} ELSE 0 END)" for b in range(32, 64))
+    pack_lo = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(0, 32))
+    return rf"""
+    toks AS (
+      SELECT sid, tok FROM (
+        SELECT doc_id AS sid, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+      ) WHERE length(tok) > 0
+    ), th AS (
+      SELECT sid,
+             CAST(('0x' || substr(sha256(tok), 1, 8)) AS BIGINT) AS h_hi,
+             CAST(('0x' || substr(sha256(tok), 9, 8)) AS BIGINT) AS h_lo
+      FROM toks
+    ), votes AS (
+      SELECT sid, {", ".join(vote_cols)} FROM th GROUP BY sid
+    ), sim AS (
+      SELECT sid, CAST({pack_hi} AS BIGINT) AS sim_hi, CAST({pack_lo} AS BIGINT) AS sim_lo
+      FROM votes
+    )"""
+
+
 @register(
-    "q35_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           LIST_REDUCE(LIST_TRANSFORM(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-                       (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
-    FROM documents
-    """,
+    "q36_simhash",
+    oracle=f"WITH {_simhash_sim_cte()} SELECT sid, sim_hi, sim_lo FROM sim",
 )
-def q35_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash document fingerprint (Q35)."""
-    return text.fingerprints(load_table(spark, sf_dir, "documents"))
-
-
-# --- simhash (rows-only: xxhash64 has no DuckDB equivalent) -----------------
-
-@register("q36_simhash", oracle=None,
-          doc="64-bit SimHash per doc; bit-vote property tested in pytest.")
 def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc as two 32-bit halves, hash-checked against a
+    full SQL reimplementation of the bit votes (Q36)."""
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
-@register("q37_simhash_near_dup", oracle=None,
-          doc="SimHash banding near-dup pairs (Hamming <= 3); property-tested in pytest.")
+@register(
+    "q37_simhash_near_dup",
+    oracle=f"""
+    WITH {_simhash_sim_cte()}
+    SELECT a.sid AS sid_a, b.sid AS sid_b,
+           CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.sid < b.sid
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+    """,
+)
 def q37_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding near-dup pairs (Hamming <= 3); the oracle checks
+    the banded candidate generation against ALL pairs — band blocking is
+    provably lossless at this radius (4 disjoint 16-bit bands) (Q37)."""
     sim = dedup.simhash(load_table(spark, sf_dir, "documents"))
-    return dedup.simhash_near_pairs(sim, bands=4)
+    pairs = dedup.simhash_near_pairs(sim, bands=4)
+    return pairs.select("sid_a", "sid_b", F.col("hamming").cast("int").alias("hamming"))

@@ -20,10 +20,38 @@ from shardpack_spark.tables import load_table
 
 # --- §2B.1 scans ------------------------------------------------------------
 
-@register("q01_scan_count", oracle="SELECT COUNT(*) AS cnt FROM lineitem")
+@register(
+    "q01_scan_count",
+    oracle="""
+    SELECT COUNT(*) AS cnt,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supp_cnt,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS part_cnt,
+           CAST(1 AS INT) AS approx_ok
+    FROM lineitem
+    """,
+)
 def q01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full parquet scan + count (Q1)."""
-    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+    """Full scan + count, exact distincts, and the HLL++ approx-distinct
+    bound check (Q1 + Q13 + Q14).
+
+    approx_count_distinct has no cross-engine oracle, so the 5% accuracy
+    bound is checked IN the query: approx_ok hash-matches the oracle's
+    constant 1 exactly when the estimate is within bounds.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    agged = li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("l_suppkey").alias("supp_cnt"),
+        F.countDistinct("l_partkey").alias("part_cnt"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+    )
+    ok = (
+        (F.col("__approx") >= F.col("part_cnt") * 0.95)
+        & (F.col("__approx") <= F.col("part_cnt") * 1.05)
+    )
+    return agged.select(
+        "cnt", "supp_cnt", "part_cnt", F.when(ok, 1).otherwise(0).cast("int").alias("approx_ok")
+    )
 
 
 # --- §2B.2 projection / filter ---------------------------------------------
@@ -36,13 +64,20 @@ def q01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * (1 - CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01' AND l_returnflag = 'R'
+      AND l_linenumber IN (1, 2, 3) AND l_quantity BETWEEN 5 AND 45
     """,
 )
 def q03_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projection + pushed-down predicates over lineitem (Q3)."""
+    """Projection + pushed-down predicates incl. IN-list and BETWEEN over
+    lineitem (Q3 + Q4)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter((as_date("l_shipdate") >= F.lit("1995-01-01").cast("date")) & (F.col("l_returnflag") == "R"))
+        li.filter(
+            (as_date("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_returnflag") == "R")
+            & F.col("l_linenumber").isin(1, 2, 3)
+            & F.col("l_quantity").between(5, 45)
+        )
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -51,25 +86,10 @@ def q03_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q04_filter_in_between",
-    oracle="""
-    SELECT c_custkey FROM customer
-    WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') AND c_acctbal BETWEEN 0 AND 5000
-    """,
-)
-def q04_filter_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-list + BETWEEN predicates (Q4)."""
-    c = load_table(spark, sf_dir, "customer")
-    return c.filter(
-        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") & F.col("c_acctbal").between(0, 5000)
-    ).select("c_custkey")
-
-
 # --- §2B.3 joins ------------------------------------------------------------
 
-_Q5_ORACLE = """
-    SELECT c.c_mktsegment, COUNT(*) AS cnt,
+_Q5_SIDE = """
+    SELECT '{tag}' AS variant, c.c_mktsegment, COUNT(*) AS cnt,
            CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -87,19 +107,26 @@ def _join_orders_customer(spark: SparkSession, sf_dir: str, hint: bool) -> DataF
             F.count(F.lit(1)).alias("cnt"),
             money2(F.sum(dec("o_totalprice"))).alias("sum_price"),
         )
+        .select(
+            F.lit("broadcast" if hint else "shuffle").alias("variant"),
+            "c_mktsegment",
+            "cnt",
+            "sum_price",
+        )
     )
 
 
-@register("q05_join_inner", oracle=_Q5_ORACLE)
+@register(
+    "q05_join_inner",
+    oracle=_Q5_SIDE.format(tag="shuffle") + " UNION ALL " + _Q5_SIDE.format(tag="broadcast"),
+)
 def q05_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inner equi-join, Catalyst picks the strategy (Q5)."""
-    return _join_orders_customer(spark, sf_dir, hint=False)
-
-
-@register("q06_join_broadcast", oracle=_Q5_ORACLE)
-def q06_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same as Q5 with an explicit broadcast hint on the dim side (Q6)."""
-    return _join_orders_customer(spark, sf_dir, hint=True)
+    """Inner equi-join twice — Catalyst-chosen strategy and an explicit
+    broadcast hint on the dim side — tagged and unioned; both variants
+    must produce identical aggregates (Q5 + Q6)."""
+    return _join_orders_customer(spark, sf_dir, hint=False).unionAll(
+        _join_orders_customer(spark, sf_dir, hint=True)
+    )
 
 
 @register(
@@ -241,29 +268,6 @@ def q12_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q13_count_distinct",
-    oracle="""
-    SELECT COUNT(DISTINCT l_suppkey) AS supp_cnt, COUNT(DISTINCT l_partkey) AS part_cnt
-    FROM lineitem
-    """,
-)
-def q13_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiple exact distinct aggregates in one pass (Q13)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.countDistinct("l_suppkey").alias("supp_cnt"),
-        F.countDistinct("l_partkey").alias("part_cnt"),
-    )
-
-
-@register("q14_approx_distinct", oracle=None,
-          doc="HLL++ approx distinct; bound-checked in pytest, rows-only for the driver.")
-def q14_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_part_cnt"))
-
-
-@register(
     "q15_rollup",
     oracle="""
     SELECT n.n_name, c.c_mktsegment, COUNT(*) AS cnt,
@@ -316,29 +320,8 @@ def q16_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q17_window_frame",
-    oracle="""
-    SELECT event_id, user_id,
-           LAG(value) OVER w AS lag_value,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS run_sum
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-def q17_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LAG + running sum with an explicit ROWS frame (Q17)."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return e.select(
-        "event_id",
-        "user_id",
-        F.lag("value").over(w).alias("lag_value"),
-        money2(F.sum(dec("value")).over(wf)).alias("run_sum"),
-    )
+# (Q17's LAG + ROWS-frame running sum lives in q42_window_analytics —
+# one window pass computes the whole analytic family over events.)
 
 
 # --- §2B.6 top-k ------------------------------------------------------------
@@ -377,25 +360,33 @@ def _setop_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return building, urgent
 
 
-@register("q19a_union_all", oracle=f"({_BUILDING}) UNION ALL ({_URGENT})")
-def q19a_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL keeps duplicates (Q19)."""
+@register(
+    "q19_set_ops",
+    oracle=f"""
+    SELECT 'union_all' AS op, c_custkey FROM (({_BUILDING}) UNION ALL ({_URGENT}))
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (({_BUILDING}) INTERSECT ({_URGENT}))
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (({_BUILDING}) EXCEPT ({_URGENT}))
+    UNION ALL
+    SELECT 'distinct' AS op, c_custkey
+    FROM (SELECT DISTINCT c_custkey FROM (({_BUILDING}) UNION ALL ({_URGENT})))
+    """,
+)
+def q19_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT / DISTINCT over the same two customer
+    key sets, tagged and unioned into one result (Q19 + Q49)."""
     building, urgent = _setop_sides(spark, sf_dir)
-    return building.unionAll(urgent)
 
+    def tag(op: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "c_custkey")
 
-@register("q19b_intersect", oracle=f"({_BUILDING}) INTERSECT ({_URGENT})")
-def q19b_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct) (Q19)."""
-    building, urgent = _setop_sides(spark, sf_dir)
-    return building.intersect(urgent)
-
-
-@register("q19c_except", oracle=f"({_BUILDING}) EXCEPT ({_URGENT})")
-def q19c_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) (Q19)."""
-    building, urgent = _setop_sides(spark, sf_dir)
-    return building.exceptAll(urgent).distinct()
+    return (
+        tag("union_all", building.unionAll(urgent))
+        .unionAll(tag("intersect", building.intersect(urgent)))
+        .unionAll(tag("except", building.exceptAll(urgent).distinct()))
+        .unionAll(tag("distinct", building.unionAll(urgent).distinct()))
+    )
 
 
 # --- §2B.8 scalar function families ----------------------------------------
@@ -438,12 +429,18 @@ def q20_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(DAY(o_orderdate) AS INT) AS d,
            CAST(o_orderdate AS DATE) + 30 AS plus30,
            CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS dd,
-           CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS mstart
+           CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS mstart,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_alias,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
     FROM orders
     """,
 )
 def q21_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time function family over orders (Q21)."""
+    """Date/time function family + CASE WHEN / NULLIF / COALESCE
+    conditionals over orders (Q21 + Q48)."""
     o = load_table(spark, sf_dir, "orders")
     d = as_date("o_orderdate")
     return o.select(
@@ -454,6 +451,14 @@ def q21_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(d, 30).alias("plus30"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("dd"),
         F.date_trunc("month", d).cast("date").alias("mstart"),
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_alias"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
     )
 
 

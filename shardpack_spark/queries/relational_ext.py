@@ -17,10 +17,14 @@ from shardpack_spark.tables import load_table
     "q42_window_analytics",
     oracle="""
     SELECT event_id, user_id,
+           LAG(value) OVER w AS lag_value,
            LEAD(event_id) OVER w AS next_event,
            CAST(NTILE(4) OVER w AS INT) AS quartile,
            FLOOR(PERCENT_RANK() OVER w * 10000.0 + 0.5) / 10000.0 AS pct_rank,
            FLOOR(CUME_DIST() OVER w * 10000.0 + 0.5) / 10000.0 AS cume,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS run_sum,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER
                  (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS hour_sum
@@ -29,10 +33,12 @@ from shardpack_spark.tables import load_table
     """,
 )
 def q42_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEAD/NTILE/PERCENT_RANK/CUME_DIST + a RANGE frame keyed on epoch
-    seconds (sliding 1-hour running sum) (Q42)."""
+    """The whole analytic-window family in one pass over events:
+    LAG + running ROWS-frame sum (Q17), LEAD/NTILE/PERCENT_RANK/CUME_DIST,
+    and a RANGE frame keyed on epoch seconds (Q42)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wr = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").cast("long"))
@@ -41,10 +47,12 @@ def q42_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
+        F.lag("value").over(w).alias("lag_value"),
         F.lead("event_id").over(w).alias("next_event"),
         F.ntile(4).over(w).alias("quartile"),
         round4d(F.percent_rank().over(w)).alias("pct_rank"),
         round4d(F.cume_dist().over(w)).alias("cume"),
+        money2(F.sum(dec("value")).over(wf)).alias("run_sum"),
         money2(F.sum(dec("value")).over(wr)).alias("hour_sum"),
     )
 
@@ -153,38 +161,5 @@ def q47_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(n).groupBy("r_name").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-@register(
-    "q48_conditional",
-    oracle="""
-    SELECT o_orderkey,
-           CASE WHEN o_totalprice > 300000 THEN 'high'
-                WHEN o_totalprice > 150000 THEN 'mid'
-                ELSE 'low' END AS bucket,
-           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_alias,
-           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
-    FROM orders
-    """,
-)
-def q48_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE WHEN / NULLIF / COALESCE expression family (Q48)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.when(F.col("o_totalprice") > 300000, "high")
-        .when(F.col("o_totalprice") > 150000, "mid")
-        .otherwise("low")
-        .alias("bucket"),
-        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
-            "status_alias"
-        ),
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
-    )
-
-
-@register(
-    "q49_distinct",
-    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
-def q49_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT projection (Q49)."""
-    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+# (Q48's conditional family merged into q21_date_funcs; Q49's DISTINCT
+# surface merged into q19_set_ops — see README coverage map.)

@@ -17,37 +17,38 @@ _SUM_VALUE = "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum
 
 
 @register(
-    "q25_tumbling_window",
+    "q25_time_windows",
     oracle=f"""
-    SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+    SELECT 'tumble' AS variant,
+           CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
            COUNT(*) AS cnt,
            {_SUM_VALUE}
-    FROM events GROUP BY 1
-    """,
-)
-def q25_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour tumbling window aggregate (Q25)."""
-    return ops.tumbling_hour_agg(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "q26_sliding_window",
-    oracle=f"""
-    WITH e2 AS (
-      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, value FROM events
-    ), w AS (
-      SELECT (es // 1800) * 1800 AS ws, value FROM e2
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'slide' AS variant, ws AS bucket_s, COUNT(*) AS cnt, {_SUM_VALUE}
+    FROM (
+      SELECT (es // 1800) * 1800 AS ws, value
+      FROM (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, value FROM events)
       UNION ALL
-      SELECT (es // 1800) * 1800 - 1800 AS ws, value FROM e2
-    )
-    SELECT ws AS bucket_s, COUNT(*) AS cnt, {_SUM_VALUE}
-    FROM w GROUP BY ws
+      SELECT (es // 1800) * 1800 - 1800 AS ws, value
+      FROM (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, value FROM events)
+    ) GROUP BY ws
     """,
 )
-def q26_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour window sliding every 30 minutes; each event lands in exactly
-    two windows, which the oracle enumerates explicitly (Q26)."""
-    return ops.sliding_hour_agg(load_table(spark, sf_dir, "events"))
+def q25_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window + 1-hour/30-min sliding window aggregates,
+    tagged and unioned (Q25 + Q26).  The sliding oracle enumerates the
+    exactly-two windows each event lands in."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    tumble = ops.tumbling_hour_agg(e).select(
+        F.lit("tumble").alias("variant"), "bucket_s", "cnt", "sum_value"
+    )
+    slide = ops.sliding_hour_agg(e).select(
+        F.lit("slide").alias("variant"), "bucket_s", "cnt", "sum_value"
+    )
+    return tumble.unionAll(slide)
 
 
 @register(

@@ -70,3 +70,20 @@ def test_asof_join_no_rows_explosion(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Union" in plan and "Window" in plan
+
+
+def test_asof_join_preserves_nulls_of_matched_row(spark):
+    """If the matched (latest) right row has NULL in one value column, the
+    output must keep that NULL — not leak an older row's non-null value
+    (columns must all come from the same matched right row)."""
+    ldf = spark.createDataFrame([(1, 0, 100)], "lid long, grp long, lts long")
+    rdf = spark.createDataFrame(
+        [(10, 0, 50, 1.5, "old"), (20, 0, 90, None, "new")],
+        "rid long, rgrp long, rts long, val double, tag string",
+    )
+    row = asof_join(
+        ldf, rdf, "lts", "rts", "grp", "rgrp",
+        value_cols=["rid", "val", "tag"], tiebreak="rid",
+    ).head()
+    assert row["rid"] == 20 and row["tag"] == "new"
+    assert row["val"] is None  # matched row's NULL preserved

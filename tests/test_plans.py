@@ -34,8 +34,9 @@ def test_q12_date_filter_pushed_and_partial_agg(spark, sf_dir):
     assert s.count("HashAggregate") >= 2
 
 
-def test_q06_broadcast_join(spark, sf_dir):
-    s = plan(spark, sf_dir, "q06_join_broadcast")
+def test_q05_broadcast_variant(spark, sf_dir):
+    # the hinted variant inside the merged q05 must broadcast
+    s = plan(spark, sf_dir, "q05_join_inner")
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
 
@@ -52,9 +53,12 @@ def test_q18_take_ordered(spark, sf_dir):
     assert "Exchange rangepartitioning" not in s, "top-k must not global-sort"
 
 
-def test_q01_count_reads_no_columns(spark, sf_dir):
+def test_q01_scan_reads_only_needed_columns(spark, sf_dir):
     s = plan(spark, sf_dir, "q01_scan_count")
-    assert "ReadSchema: struct<>" in s, "COUNT(*) must not read data columns"
+    # count + two distincts + approx: only the two key columns are read
+    read = s.split("ReadSchema")[1].split("\n")[0]
+    assert "l_suppkey" in read and "l_partkey" in read
+    assert "l_comment" not in read and "l_extendedprice" not in read
 
 
 def test_q08_semi_and_q09_anti_join_types(spark, sf_dir):
