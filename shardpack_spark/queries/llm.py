@@ -70,19 +70,17 @@ def q29_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('exact' variant) and the 100 TB path — MinHash signatures -> banded
     LSH candidates -> signature prefilter -> candidate-scoped exact
     verification ('lsh' variant).  The two variants must agree pair for
-    pair, which the shared oracle enforces."""
+    pair, which the shared oracle enforces.  The exact variant is the
+    correctness anchor only — it joins on shared shingles without LSH
+    blocking, so it is quadratic in cluster size and benched separately
+    (bench measures fuzzy_dedup_lsh, the path you'd run at scale)."""
     docs = load_table(spark, sf_dir, "documents")
     # shingles and signatures are each consumed by 2+ downstream joins;
     # Spark re-executes common subplans per reference, so persist them
     # (at 100 TB the signature table is written to storage once instead)
     sh = dedup.char_shingles(docs, k=5).persist()
     exact = dedup.jaccard_pairs_exact(sh, threshold=0.8)
-    sigs = dedup.minhash_signatures(sh, n_hashes=64, seed=42).persist()
-    cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
-    # signature prefilter kills the false-positive bulk from dense buckets
-    # before the (comparatively expensive) exact shingle intersection
-    cand = dedup.filter_candidates_by_signature(cand, sigs, min_estimate=0.6)
-    lsh = dedup.jaccard_pairs_exact(sh, threshold=0.8, candidates=cand)
+    lsh = _lsh_pairs(sh)
 
     def tag(variant: str, pairs: DataFrame) -> DataFrame:
         return pairs.select(
@@ -93,6 +91,25 @@ def q29_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return tag("exact", exact).unionAll(tag("lsh", lsh))
+
+
+def _lsh_pairs(sh: DataFrame) -> DataFrame:
+    sigs = dedup.minhash_signatures(sh, n_hashes=64, seed=42).persist()
+    cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    # signature prefilter kills the false-positive bulk from dense buckets
+    # before the (comparatively expensive) exact shingle intersection
+    cand = dedup.filter_candidates_by_signature(cand, sigs, min_estimate=0.6)
+    return dedup.jaccard_pairs_exact(sh, threshold=0.8, candidates=cand)
+
+
+def fuzzy_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-only fuzzy dedup — the scale path alone, used by bench.py.
+    Identical plan to q29_fuzzy_dedup's 'lsh' variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(docs, k=5).persist()
+    return _lsh_pairs(sh).select(
+        "sid_a", "sid_b", round4d(F.col("jac")).alias("jac")
+    )
 
 
 # --- Q30 similarity search --------------------------------------------------
