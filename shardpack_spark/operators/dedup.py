@@ -37,18 +37,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def char_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5) -> DataFrame:
     """Distinct character k-gram shingles per document: (id, shingle).
 
-    Built with sequence + explode + substring, all whole-stage-codegen
-    expressions; rows scale with total characters, not documents squared.
+    Per-document dedup happens INSIDE the row (array_distinct over the
+    transform-built shingle array) before the explode: one document's
+    shingles never leave their partition, so there is NO shuffle here —
+    a trailing .distinct() on the exploded rows would re-shuffle every
+    shingle of every document just to remove duplicates that are already
+    local to the row.  Rows scale with total characters, never docs^2.
     """
-    return (
-        df.filter(F.length(text_col) >= k)
-        .select(
-            F.col(id_col).alias("sid"),
-            F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("pos"),
-            F.col(text_col).alias("__t"),
+    shingle_arr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {k - 1}),"
+            f" i -> substring({text_col}, i, {k}))"
         )
-        .select("sid", F.expr(f"substring(__t, pos, {k})").alias("shingle"))
-        .distinct()
+    )
+    return df.filter(F.length(text_col) >= k).select(
+        F.col(id_col).alias("sid"), F.explode(shingle_arr).alias("shingle")
     )
 
 
@@ -159,13 +162,24 @@ def filter_candidates_by_signature(
 
 
 def jaccard_pairs_exact(
-    shingled: DataFrame, threshold: float = 0.8, candidates: DataFrame | None = None
+    shingled: DataFrame,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """All pairs (or candidate-restricted pairs) with Jaccard >= threshold.
 
     Intersections come from a self-equi-join on the shingle value — the
     shuffle key is the shingle, so only docs actually sharing content meet.
     (sid_a, sid_b, jac) with a deterministic double division.
+
+    ``broadcast_candidates`` (default True) hints the candidate-derived
+    join sides as broadcast: post-LSH-and-prefilter candidates are
+    O(near-dup pairs), not O(corpus), so the big shingle table streams
+    through two broadcast hash joins without ever shuffling.  Set False
+    when the dup-pair set itself is too large to broadcast (a forced
+    broadcast hint errors rather than falling back) — the joins then
+    shuffle on sid_a / (sid_b, shingle) as before.
     """
     sizes = shingled.groupBy("sid").agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
@@ -173,11 +187,13 @@ def jaccard_pairs_exact(
         # candidate pair, then equi-join on (sid_b, shingle).  Work is
         # O(|candidates| x shingles-per-doc) — the full shingle self-join
         # (which blows up on frequent shingles) is never built.
-        a_sh = candidates.join(
+        hint = F.broadcast if broadcast_candidates else (lambda d: d)
+        a_sh = hint(candidates).join(
             shingled.select(F.col("sid").alias("sid_a"), "shingle"), "sid_a"
         )
         inter = (
-            a_sh.join(
+            hint(a_sh)
+            .join(
                 shingled.select(F.col("sid").alias("sid_b"), "shingle"),
                 ["sid_b", "shingle"],
             )

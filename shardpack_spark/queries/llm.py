@@ -74,11 +74,7 @@ def q29_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness anchor only — it joins on shared shingles without LSH
     blocking, so it is quadratic in cluster size and benched separately
     (bench measures fuzzy_dedup_lsh, the path you'd run at scale)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # shingles and signatures are each consumed by 2+ downstream joins;
-    # Spark re-executes common subplans per reference, so persist them
-    # (at 100 TB the signature table is written to storage once instead)
-    sh = dedup.char_shingles(docs, k=5).persist()
+    sh = _shingles(spark, sf_dir, persist=True)
     exact = dedup.jaccard_pairs_exact(sh, threshold=0.8)
     lsh = _lsh_pairs(sh)
 
@@ -93,6 +89,28 @@ def q29_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag("exact", exact).unionAll(tag("lsh", lsh))
 
 
+def _shingles(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
+    """Shingle table shared by the dedup pipelines.
+
+    The repartition matters: the sf test tables arrive as one small
+    parquet file = ONE input split, which would serialize the
+    explode-and-hash work (the pipeline's dominant cost) onto a single
+    core.  Spreading the documents across the cluster first costs a tiny
+    shuffle of the raw docs and buys full parallelism for everything
+    downstream — on a real 100 TB input with many splits it's a no-op
+    cost either way.
+
+    ``persist`` is for plans with MANY shingle consumers (the exact
+    variant's self-join side counts as two); the LSH-only path leaves it
+    off — recomputing the pure-codegen explode twice is cheaper than
+    writing a million cached rows (measured: caching costs ~0.4 s at
+    sf0.1 and saves less)."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh = dedup.char_shingles(docs, k=5)
+    return sh.persist() if persist else sh
+
+
 def _lsh_pairs(sh: DataFrame) -> DataFrame:
     sigs = dedup.minhash_signatures(sh, n_hashes=64, seed=42).persist()
     cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
@@ -105,9 +123,7 @@ def _lsh_pairs(sh: DataFrame) -> DataFrame:
 def fuzzy_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-only fuzzy dedup — the scale path alone, used by bench.py.
     Identical plan to q29_fuzzy_dedup's 'lsh' variant."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.char_shingles(docs, k=5).persist()
-    return _lsh_pairs(sh).select(
+    return _lsh_pairs(_shingles(spark, sf_dir)).select(
         "sid_a", "sid_b", round4d(F.col("jac")).alias("jac")
     )
 

@@ -26,6 +26,21 @@ def get_spark(app_name: str = "shardpack_spark", shuffle_partitions: int | None 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce by target size, not by keeping defaultParallelism tasks:
+        # small shuffles collapse to few partitions (less task overhead);
+        # large shuffles still split by advisory size.  This is the
+        # Spark-docs-recommended setting (default true only for back-compat).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # With parallelismFirst off, this is the coalesce target.  The
+        # 64 MB default is sized for I/O-bound scans; CPU-heavy analytic
+        # stages (windows, multi-way joins) on modest shuffles would
+        # collapse to 1-2 tasks.  8 MB keeps those parallel while still
+        # coalescing away empty partitions; deployments with large
+        # shuffles should raise it via SPARK_GRAFT_ADVISORY_PARTITION.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -27,12 +27,31 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Per-session DataFrame cache: the driver's test tables are immutable,
+    # so re-resolving the file listing and parquet footer on every builder
+    # call is pure overhead (~0.1 s per table per query on local[32]).
+    # This is what a table catalog/metastore gives you on a real cluster —
+    # resolve once, reuse the analyzed relation.  The cache lives on the
+    # session object so it dies with the session.
+    cache = getattr(spark, "_shardpack_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._shardpack_table_cache = cache
+    key = (sf_dir, name)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is TIMESTAMP(NANOS), which Spark rejects unless this
         # (runtime-settable) conf is on — set it defensively so builders

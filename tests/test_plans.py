@@ -55,10 +55,16 @@ def test_q18_take_ordered(spark, sf_dir):
 
 def test_q01_scan_reads_only_needed_columns(spark, sf_dir):
     s = plan(spark, sf_dir, "q01_scan_count")
-    # count + two distincts + approx: only the two key columns are read
-    read = s.split("ReadSchema")[1].split("\n")[0]
-    assert "l_suppkey" in read and "l_partkey" in read
-    assert "l_comment" not in read and "l_extendedprice" not in read
+    # The multi-distinct splits into three column-pruned scans (no Expand);
+    # every scan must read at most one key column and never a wide column.
+    reads = [part.split("\n")[0] for part in s.split("ReadSchema")[1:]]
+    assert reads, "expected at least one scan"
+    joined = " ".join(reads)
+    assert "l_suppkey" in joined and "l_partkey" in joined
+    assert "l_comment" not in joined and "l_extendedprice" not in joined
+    for read in reads:
+        assert read.count(":") <= 2, f"scan reads too many columns: {read}"
+    assert "Expand" not in s, "multi-distinct must not plan an Expand"
 
 
 def test_q08_semi_and_q09_anti_join_types(spark, sf_dir):
