@@ -225,6 +225,55 @@ def jaccard_pairs_exact(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "sid_a",
+    dst: str = "sid_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS.
+
+    Returns (sid, cluster) for every vertex that appears in a pair, where
+    ``cluster`` is the minimum member id of the vertex's connected
+    component — the canonical survivor a dedup pipeline keeps.
+
+    Iterative min-label propagation, entirely in DataFrame ops: each
+    round every vertex adopts the smallest label among itself and its
+    neighbors, converging in O(component diameter) rounds (LSH dup
+    clusters are near-cliques, so 2-3 rounds in practice; a pathological
+    path graph needs O(n) — bound by ``max_iterations``).  Each round is
+    one shuffle-join on the vertex id plus a min-aggregate; lineage is
+    truncated every round with localCheckpoint so the plan stays O(1)
+    deep instead of growing per iteration.  The driver loop only ever
+    compares a per-round scalar (changed-count) — no data is collected.
+
+    The reference stops at pair output; cluster resolution is the
+    training-pipeline step that turns pairs into keep/drop decisions.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    labels = (
+        sym.select("u").distinct().select("u", F.col("u").alias("label"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = sym.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        new_labels = (
+            labels.unionAll(nbr).groupBy("u").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "__old"), "u")
+            .filter(F.col("label") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("u").alias("sid"), F.col("label").alias("cluster"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over whitespace tokens: (id, sim_hi, sim_lo).
 

@@ -372,28 +372,75 @@ def _simhash_sim_cte() -> str:
 
 @register(
     "q36_simhash",
-    oracle=f"WITH {_simhash_sim_cte()} SELECT sid, sim_hi, sim_lo FROM sim",
-)
-def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc as two 32-bit halves, hash-checked against a
-    full SQL reimplementation of the bit votes (Q36)."""
-    return dedup.simhash(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "q37_simhash_near_dup",
     oracle=f"""
     WITH {_simhash_sim_cte()}
-    SELECT a.sid AS sid_a, b.sid AS sid_b,
-           CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+    SELECT 'hash' AS variant, sid AS id, sim_hi AS x, sim_lo AS y FROM sim
+    UNION ALL
+    SELECT 'pair' AS variant, a.sid AS id, b.sid AS x,
+           CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS y
     FROM sim a JOIN sim b ON a.sid < b.sid
     WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
     """,
+    doc="SimHash values AND banded near-dup pairs in one tagged result.",
 )
-def q37_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banding near-dup pairs (Hamming <= 3); the oracle checks
-    the banded candidate generation against ALL pairs — band blocking is
-    provably lossless at this radius (4 disjoint 16-bit bands) (Q37)."""
+def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash suite (Q36+Q37): 'hash' rows carry each doc's 64-bit
+    SimHash as two 32-bit halves (id=sid, x=sim_hi, y=sim_lo),
+    hash-checked against a full SQL reimplementation of the bit votes;
+    'pair' rows are the banded near-dup candidates at Hamming <= 3
+    (id=sid_a, x=sid_b, y=hamming) — the oracle checks the banded
+    generation against ALL pairs, which is lossless at this radius
+    (4 disjoint 16-bit bands)."""
     sim = dedup.simhash(load_table(spark, sf_dir, "documents"))
     pairs = dedup.simhash_near_pairs(sim, bands=4)
-    return pairs.select("sid_a", "sid_b", F.col("hamming").cast("int").alias("hamming"))
+    hash_rows = sim.select(
+        F.lit("hash").alias("variant"),
+        F.col("sid").alias("id"),
+        F.col("sim_hi").alias("x"),
+        F.col("sim_lo").alias("y"),
+    )
+    pair_rows = pairs.select(
+        F.lit("pair").alias("variant"),
+        F.col("sid_a").alias("id"),
+        F.col("sid_b").alias("x"),
+        F.col("hamming").cast("bigint").alias("y"),
+    )
+    return hash_rows.unionAll(pair_rows)
+
+
+@register(
+    "q37_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT sid_a AS u, sid_b AS v FROM pairs
+      UNION ALL
+      SELECT sid_b AS u, sid_a AS v FROM pairs
+    ),
+    verts AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+      SELECT u, u FROM verts
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS sid, MIN(v) AS cluster,
+           CAST(CASE WHEN MIN(v) = u THEN 1 ELSE 0 END AS INT) AS is_canonical
+    FROM reach GROUP BY u
+    """,
+    doc="Near-dup pairs resolved to connected-component clusters; the "
+    "oracle recomputes components with a recursive reachability CTE.",
+)
+def q37_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (pairs -> clusters -> canonical
+    survivor): exact Jaccard >= 0.8 pairs feed iterative min-label
+    propagation (operators/dedup.connected_components); cluster id is
+    the component's minimum doc id and is_canonical marks the row a
+    dedup pipeline would keep."""
+    sh = _shingles(spark, sf_dir, persist=True)
+    pairs = dedup.jaccard_pairs_exact(sh, threshold=0.8)
+    clusters = dedup.connected_components(pairs)
+    return clusters.select(
+        "sid",
+        "cluster",
+        F.when(F.col("sid") == F.col("cluster"), 1).otherwise(0).cast("int").alias("is_canonical"),
+    )

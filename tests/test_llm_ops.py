@@ -79,3 +79,23 @@ def test_embedding_near_dup_symmetric_block(spark, sf_dir):
     dup = pairs.groupBy("id_a", "id_b").count().filter(F.col("count") > 1)
     assert dup.count() == 0
     assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_connected_components_resolves_clusters(spark):
+    """Min-label propagation: a 4-chain, a 2-pair, and a triangle resolve
+    to min-id clusters; a path forces multiple propagation rounds."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # path 1-2-3-4 (needs >1 round)
+         (10, 11),                    # isolated pair
+         (20, 21), (21, 22), (20, 22)],  # triangle
+        "sid_a long, sid_b long",
+    )
+    got = {
+        (r["sid"], r["cluster"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
