@@ -8,6 +8,7 @@ driver-side collects, shard-parallel by construction.
 from shardpack_spark.operators.asof import asof_join
 from shardpack_spark.operators.dedup import (
     char_shingles,
+    connected_components,
     exact_dedup,
     filter_candidates_by_signature,
     jaccard_pairs_exact,
@@ -15,6 +16,11 @@ from shardpack_spark.operators.dedup import (
     minhash_signatures,
     simhash,
     simhash_near_pairs,
+)
+from shardpack_spark.operators.sampling import (
+    hash_sample,
+    hash_sample_n,
+    stratified_sample,
 )
 from shardpack_spark.operators.sessionize import sessionize
 from shardpack_spark.operators.similarity import (
@@ -38,12 +44,15 @@ __all__ = [
     "assign_to_centroids",
     "bucketed_join",
     "char_shingles",
+    "connected_components",
     "cosine_scores",
     "cosine_topk",
     "embedding_near_dup_pairs",
     "exact_dedup",
     "filter_candidates_by_signature",
     "fingerprints",
+    "hash_sample",
+    "hash_sample_n",
     "ivf_topk",
     "jaccard_pairs_exact",
     "lang_scores",
@@ -54,6 +63,7 @@ __all__ = [
     "salted_join",
     "sessionize",
     "simhash",
+    "stratified_sample",
     "simhash_near_pairs",
     "token_counts",
     "write_bucketed",

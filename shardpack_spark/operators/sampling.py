@@ -1,0 +1,75 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+``df.sample()`` is partitioning-dependent: the same data re-sharded gives
+a different sample, which breaks reproducible dataset builds and makes
+cross-engine verification impossible.  These operators derive every
+keep/drop decision from md5 of a stable row key, so the sample is a pure
+function of the data — identical across runs, partitionings, and engines
+(md5 is available everywhere, unlike engine-specific hash functions).
+
+Scale notes: hash_sample is a pure codegen filter pushed to the scan (no
+shuffle); stratified_sample is ONE window shuffle on the strata key;
+hash_sample_n plans as TakeOrderedAndProject (per-partition heaps + a
+driver merge of n rows, never a global sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _row_hash(key_col: str, seed: int) -> F.Column:
+    """Lowercase-hex md5 of "<key>|<seed>" — uniform, engine-portable."""
+    return F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"|{seed}")))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the first 8 hex
+    chars of its key hash fall below ``fraction`` of the 32-bit space.
+
+    The comparison stays in STRING space (lowercase hex compares in the
+    same order as the number it spells), so the identical predicate runs
+    on any SQL engine without hex-to-int conversion.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = format(int(fraction * 2**32), "08x")
+    return df.filter(F.substring(_row_hash(key_col, seed), 1, 8) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic up-to-n-per-stratum sample: rank rows inside each
+    stratum by their key hash (key as tiebreak) and keep the first n.
+
+    Every stratum contributes min(n, |stratum|) rows — the standard way
+    to keep rare strata (languages, sources) represented in a subsample.
+    One window shuffle on the strata key; skewed strata are bounded by
+    the window's per-partition streaming (rank only, no buffering).
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(_row_hash(key_col, seed), F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def hash_sample_n(df: DataFrame, key_col: str, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic global n-row sample: the n smallest key hashes.
+
+    Equivalent to a seeded reservoir sample but reproducible and
+    engine-portable; plans as TakeOrderedAndProject (no global sort).
+    """
+    return df.orderBy(_row_hash(key_col, seed), F.col(key_col)).limit(n)

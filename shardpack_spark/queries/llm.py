@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shardpack_spark.operators import dedup, similarity, text
+from shardpack_spark.operators import dedup, sampling, similarity, text
 from shardpack_spark.queries import register
 from shardpack_spark.queries.canon import round4d
 from shardpack_spark.tables import load_table
@@ -169,48 +169,92 @@ _EXACT_TOP5_ORACLE = f"""
 
 
 @register(
-    "q30b_ann_ivf",
-    oracle=_EXACT_TOP5_ORACLE,
-    doc="IVF bucketed top-k at full probe depth — the assignment/probe "
-    "machinery hash-checked against exact top-k; pruned-nprobe recall "
-    "behavior is pytest-checked.",
+    "q30b_ann_suite",
+    oracle=f"""
+    SELECT 'ivf' AS variant, * FROM ({_EXACT_TOP5_ORACLE})
+    UNION ALL
+    SELECT 'rp_lsh' AS variant, * FROM ({_EXACT_TOP5_ORACLE})
+    """,
+    doc="IVF and rp-LSH ANN at full probe depth/radius in one tagged "
+    "result — assignment, bucket routing, sketching, and scoring "
+    "hash-checked against exact top-k; pruned recall is pytest-checked.",
 )
-def q30b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN through the full bucketing path (Q30 scale variant).
+def q30b_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN both ways (Q30 scale variants), tagged by variant.
 
-    The declared check probes EVERY centroid, which must reproduce the
-    exact top-5 — verifying centroid assignment, bucket routing, and
-    scoring end to end.  Approximate (nprobe < n_centroids) recall is
-    exercised in tests/test_llm_ops.py."""
+    'ivf' probes EVERY centroid and 'rp_lsh' allows the full Hamming
+    radius, so each must reproduce the exact top-5 — verifying centroid
+    assignment, bucket routing, sketching, and scoring end to end.
+    Approximate settings (nprobe < n_centroids, radius < n_planes) are
+    exercised for recall in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
+    base = emb.filter(F.col("vec_id") != 0)
     centroids = (
         emb.filter(F.col("vec_id") % 50 == 7)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     )
-    topk = similarity.ivf_topk(
-        emb.filter(F.col("vec_id") != 0), query, centroids, k=5, nprobe=1_000_000
-    )
-    return topk.select("vec_id", round4d(F.col("cosine")).alias("cosine"))
+    ivf = similarity.ivf_topk(base, query, centroids, k=5, nprobe=1_000_000)
+    lsh = similarity.rp_lsh_topk(base, query, k=5, n_planes=8, max_hamming=8)
+
+    def tag(variant: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(variant).alias("variant"),
+            "vec_id",
+            round4d(F.col("cosine")).alias("cosine"),
+        )
+
+    return tag("ivf", ivf).unionAll(tag("rp_lsh", lsh))
 
 
 @register(
-    "q30c_ann_rp_lsh",
-    oracle=_EXACT_TOP5_ORACLE,
-    doc="Random-hyperplane LSH ANN at full Hamming radius — sketch + "
-    "candidate plumbing hash-checked against exact top-k; pruned-radius "
-    "recall is pytest-checked.",
-)
-def q30c_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rp-LSH ANN through the full sketch path (Q30 scale variant);
-    max_hamming = n_planes makes the candidate set exhaustive, so the
-    result must equal exact top-5 (see q30b docstring for the pattern)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0)
-    topk = similarity.rp_lsh_topk(
-        emb.filter(F.col("vec_id") != 0), query, k=5, n_planes=8, max_hamming=8
+    "q30d_sampling",
+    oracle="""
+    SELECT 'bernoulli' AS variant, doc_id, lang, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < '0ccccccc'
+    UNION ALL
+    SELECT 'stratified' AS variant, doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    UNION ALL
+    SELECT 'topn' AS variant, doc_id, lang, source FROM (
+      SELECT doc_id, lang, source FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'), doc_id LIMIT 20
     )
-    return topk.select("vec_id", round4d(F.col("cosine")).alias("cosine"))
+    """,
+    doc="Deterministic hash-keyed sampling: Bernoulli filter, "
+    "per-(lang,source) stratified top-3, and a global top-20 reservoir "
+    "stand-in — all reproducible pure functions of the data.",
+)
+def q30d_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling suite over documents (training-pipeline
+    subsetting).  'bernoulli' keeps ~5% by md5 hash threshold (codegen
+    filter, no shuffle); 'stratified' keeps up to 3 docs per
+    (lang, source) stratum (one window shuffle); 'topn' is the 20
+    smallest hashes globally (TakeOrdered, no global sort).  All three
+    are partitioning-independent, so the oracle reproduces them exactly
+    — something rand()/df.sample() can never offer."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source"]
+
+    def tag(variant: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(variant).alias("variant"), *cols)
+
+    return (
+        tag("bernoulli", sampling.hash_sample(docs, "doc_id", 0.05, seed=42))
+        .unionAll(
+            tag(
+                "stratified",
+                sampling.stratified_sample(docs, ["lang", "source"], 3, "doc_id", seed=42),
+            )
+        )
+        .unionAll(tag("topn", sampling.hash_sample_n(docs, "doc_id", 20, seed=42)))
+    )
 
 
 @register(

@@ -99,3 +99,26 @@ def test_connected_components_resolves_clusters(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_hash_sampling_partitioning_independent(spark, sf_dir):
+    """The sample is a pure function of the data: identical keep set
+    regardless of partitioning, every stratum capped, fraction in range."""
+    from shardpack_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.1).collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.hash_sample(docs.repartition(7), "doc_id", 0.1).collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+
+    strat = sampling.stratified_sample(docs, ["lang", "source"], 2, "doc_id")
+    per = strat.groupBy("lang", "source").count().collect()
+    assert per and all(r["count"] <= 2 for r in per)
+
+    top = sampling.hash_sample_n(docs, "doc_id", 5).collect()
+    top2 = sampling.hash_sample_n(docs.repartition(7), "doc_id", 5).collect()
+    assert [r["doc_id"] for r in top] == [r["doc_id"] for r in top2]
+    assert len(top) == 5
