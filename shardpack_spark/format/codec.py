@@ -316,16 +316,168 @@ def _snappy_decompress(src: bytes) -> bytes:
     return bytes(out)
 
 
+# --- zstd (pure-Python, RFC 8878 frames with Raw/RLE blocks) ----------------
+#
+# A full zstd implementation needs FSE + Huffman entropy coding; this
+# fallback emits SPEC-COMPLIANT frames restricted to Raw and RLE blocks
+# (any real zstd decoder reads them, checksum included) and decodes
+# frames that contain only Raw/RLE blocks.  Frames with entropy-coded
+# (Compressed) blocks raise ShardPackCodecError — if `zstandard` is
+# installed it takes over below and handles everything.
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+_ZSTD_BLOCK_MAX = 128 * 1024  # Block_Maximum_Size (RFC 8878 §3.1.1.2.3)
+
+_XX_P1 = 0x9E3779B185EBCA87
+_XX_P2 = 0xC2B2AE3D27D4EB4F
+_XX_P3 = 0x165667B19E3779F9
+_XX_P4 = 0x85EBCA77C2B2AE63
+_XX_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (the zstd content checksum is its low 32 bits).
+
+    Cross-checked against Spark's XxHash64 expression in
+    tests/test_codec.py, so the two implementations vouch for each other.
+    """
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XX_P1 + _XX_P2) & _M64
+        v2 = (seed + _XX_P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XX_P1) & _M64
+        while i <= n - 32:
+            v1 = (_rotl64((v1 + int.from_bytes(data[i : i + 8], "little") * _XX_P2) & _M64, 31) * _XX_P1) & _M64
+            v2 = (_rotl64((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _XX_P2) & _M64, 31) * _XX_P1) & _M64
+            v3 = (_rotl64((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _XX_P2) & _M64, 31) * _XX_P1) & _M64
+            v4 = (_rotl64((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _XX_P2) & _M64, 31) * _XX_P1) & _M64
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = (((h ^ ((_rotl64((v * _XX_P2) & _M64, 31) * _XX_P1) & _M64)) * _XX_P1) + _XX_P4) & _M64
+    else:
+        h = (seed + _XX_P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl64((int.from_bytes(data[i : i + 8], "little") * _XX_P2) & _M64, 31) * _XX_P1) & _M64
+        h = ((_rotl64(h ^ k, 27) * _XX_P1) + _XX_P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl64(h ^ ((int.from_bytes(data[i : i + 4], "little") * _XX_P1) & _M64), 23) * _XX_P2) + _XX_P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _XX_P5) & _M64), 11) * _XX_P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XX_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XX_P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _zstd_compress(src: bytes) -> bytes:
+    out = bytearray(_ZSTD_MAGIC)
+    n = len(src)
+    # Frame_Header_Descriptor: FCS-size flag in bits 7-6, Single_Segment
+    # bit 5 (no Window_Descriptor; window = content size), checksum bit 2.
+    if n <= 0xFF:
+        fcs_flag, fcs = 0, n.to_bytes(1, "little")
+    elif n - 256 <= 0xFFFF:
+        fcs_flag, fcs = 1, (n - 256).to_bytes(2, "little")
+    elif n <= 0xFFFFFFFF:
+        fcs_flag, fcs = 2, n.to_bytes(4, "little")
+    else:
+        fcs_flag, fcs = 3, n.to_bytes(8, "little")
+    out.append((fcs_flag << 6) | (1 << 5) | (1 << 2))
+    out += fcs
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last=1, Raw, size 0
+    i = 0
+    while i < n:
+        chunk = src[i : i + _ZSTD_BLOCK_MAX]
+        i += len(chunk)
+        last = 1 if i >= n else 0
+        if len(chunk) >= 2 and chunk.count(chunk[0]) == len(chunk):
+            # RLE block: size field = regenerated size, content = 1 byte
+            out += (last | (1 << 1) | (len(chunk) << 3)).to_bytes(3, "little")
+            out.append(chunk[0])
+        else:
+            out += (last | (0 << 1) | (len(chunk) << 3)).to_bytes(3, "little")
+            out += chunk
+    out += (_xxh64(src) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
+def _zstd_decompress(src: bytes) -> bytes:
+    if src[:4] != _ZSTD_MAGIC:
+        raise ShardPackCodecError("zstd: bad magic")
+    i = 4
+    desc = src[i]
+    i += 1
+    fcs_flag = desc >> 6
+    single_segment = bool(desc & 0x20)
+    has_checksum = bool(desc & 0x04)
+    dict_flag = desc & 0x03
+    if not single_segment:
+        i += 1  # Window_Descriptor
+    i += (0, 1, 2, 4)[dict_flag]
+    fcs = None
+    fcs_size = {0: 1 if single_segment else 0, 1: 2, 2: 4, 3: 8}[fcs_flag]
+    if fcs_size:
+        fcs = int.from_bytes(src[i : i + fcs_size], "little")
+        if fcs_flag == 1:
+            fcs += 256
+        i += fcs_size
+    out = bytearray()
+    while True:
+        hdr = int.from_bytes(src[i : i + 3], "little")
+        i += 3
+        last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+        if btype == 0:  # Raw
+            out += src[i : i + bsize]
+            i += bsize
+        elif btype == 1:  # RLE
+            out += src[i : i + 1] * bsize
+            i += 1
+        elif btype == 2:
+            raise ShardPackCodecError(
+                "zstd: entropy-coded block — the pure-Python fallback reads "
+                "only Raw/RLE frames (install `zstandard` for full decode)"
+            )
+        else:
+            raise ShardPackCodecError("zstd: reserved block type")
+        if last:
+            break
+    if has_checksum:
+        want = int.from_bytes(src[i : i + 4], "little")
+        got = _xxh64(bytes(out)) & 0xFFFFFFFF
+        if want != got:
+            raise ShardPackCodecError(f"zstd: content checksum mismatch ({got:#x} != {want:#x})")
+    if fcs is not None and fcs != len(out):
+        raise ShardPackCodecError(f"zstd: content size {len(out)} != header {fcs}")
+    return bytes(out)
+
+
 _CODECS: dict[str, tuple] = {
     "none": (lambda b: b, lambda b: b),
     "gzip": (_gzip_c, _gzip.decompress),
     # pure-Python, deterministic, env-independent (see functions above)
     "lz4": (_lz4_compress, _lz4_decompress),
     "snappy": (_snappy_compress, _snappy_decompress),
+    "zstd": (_zstd_compress, _zstd_decompress),
 }
 
 try:
-    # zstd has no practical pure-Python implementation; gate on the lib.
+    # Real library (entropy coding, speed): takes over when installed;
+    # it reads the pure-Python Raw/RLE frames too — same container format.
     import zstandard as _zstd
 
     _CODECS["zstd"] = (

@@ -209,9 +209,9 @@ def test_property_round_trip(tmp_path_factory, recs, enc):
 
 
 @settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
-@given(data=st.binary(min_size=0, max_size=5000), enc=st.sampled_from(["lz4", "snappy"]))
+@given(data=st.binary(min_size=0, max_size=5000), enc=st.sampled_from(["lz4", "snappy", "zstd"]))
 def test_pure_python_codec_round_trip(data, enc):
-    """The pure-Python LZ4-block / Snappy implementations: arbitrary bytes
+    """The pure-Python LZ4-block / Snappy / zstd implementations: arbitrary bytes
     survive compress->decompress bit-exactly."""
     assert C.decompress(C.compress(data, enc), enc) == data
 
@@ -289,3 +289,47 @@ def test_inprogress_rename_crash_safety(tmp_path):
     assert os.path.exists(path)
     assert not os.path.exists(path + ".inprogress")
     assert [r.key for r in C.iter_records(path)] == ["k"]
+
+
+def test_zstd_frame_checksum_and_vectors():
+    """The pure-Python zstd path: RFC 8878 frames with a real XXH64
+    content checksum.  Known-answer vectors pin the hash; corrupting the
+    stored checksum must fail decode."""
+    assert C._xxh64(b"") == 0xEF46DB3751D8E999
+    assert C._xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert C._xxh64(b"abc") == 0x44BC2CF5AD770999
+    z = bytearray(C._zstd_compress(b"hello zstd"))
+    z[-1] ^= 0xFF
+    with pytest.raises(C.ShardPackCodecError, match="checksum"):
+        C._zstd_decompress(bytes(z))
+
+
+def test_zstd_rejects_entropy_blocks():
+    """A frame advertising a Compressed (FSE/Huffman) block is out of the
+    fallback's scope and must raise, not mis-decode."""
+    frame = (
+        C._ZSTD_MAGIC
+        + bytes([0x20])          # single-segment, FCS flag 0 -> 1 byte
+        + bytes([3])             # content size 3
+        + (1 | (2 << 1) | (3 << 3)).to_bytes(3, "little")  # last, Compressed
+        + b"\x00\x00\x00"
+    )
+    with pytest.raises(C.ShardPackCodecError, match="entropy"):
+        C._zstd_decompress(frame)
+
+
+def test_xxh64_matches_spark_jvm(spark):
+    """Cross-implementation check: the pure-Python XXH64 agrees with
+    Spark's JVM XxHash64 expression (seed 42) on raw bytes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    payloads = [b"", b"a", b"hello world", random.Random(3).randbytes(999)]
+    df = spark.createDataFrame([(bytearray(p),) for p in payloads], "b binary")
+    got = [r[0] for r in df.select(F.xxhash64("b")).collect()]
+    want = [
+        v - (1 << 64) if (v := C._xxh64(p, seed=42)) >= (1 << 63) else v
+        for p in payloads
+    ]
+    assert got == want
