@@ -1,12 +1,12 @@
 """Multimodal-column operators over the shardpack record schema.
 
 Images/audio/video are opaque BINARY entries tagged with a MIME
-content_type (draft.md:185-195).  The Spark-side plumbing — schemas,
-entry explosion, Arrow-batched decode UDFs — is real and tested; the
-actual pixel/sample decoding is STUBBED deterministically because no
-image/audio libraries exist in this environment (grep for
-`_DECODE_STUBBED`).  Swapping the stub for PIL/libav keeps every
-signature and partition shape identical.
+content_type (draft.md:185-195).  Container-level parsing is REAL pure
+Python: image dimensions (PNG IHDR / JPEG SOFn / GIF), AVI demuxing and
+frame sampling (RIFF chunk walk — MJPEG frames come out as standalone
+JPEGs).  Only pixel/sample decoding (resize, pixel stats) would need
+PIL/libav and stays behind `_DECODE_STUBBED`; swapping it in keeps
+every signature and partition shape identical.
 """
 
 from __future__ import annotations
@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -170,10 +171,97 @@ def image_features(df: DataFrame) -> DataFrame:
     return imgs.mapInPandas(decode, IMAGE_FEATURE_SCHEMA)
 
 
+def parse_avi(b: bytes) -> dict:
+    """Parse an AVI (RIFF) container: header info + per-frame byte ranges.
+
+    Pure structure walking of the public RIFF format — no media library.
+    Returns {"width", "height", "total_frames", "us_per_frame",
+    "frames": [(stream, bytes), ...]} where each frame entry is a video
+    chunk ('##dc'/'##db' FOURCC) payload — for MJPEG AVIs that payload
+    is a standalone JPEG, so sampled frames feed parse_image_dims /
+    image_features directly.  Raises ValueError on a non-AVI container.
+    """
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF) container")
+    info = {"width": None, "height": None, "total_frames": None, "us_per_frame": None}
+    frames: list[tuple[int, bytes]] = []
+
+    def walk(lo: int, hi: int) -> None:
+        i = lo
+        while i + 8 <= hi:
+            fourcc = b[i : i + 4]
+            size = int.from_bytes(b[i + 4 : i + 8], "little")
+            body_lo, body_hi = i + 8, min(i + 8 + size, hi)
+            if fourcc == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list-type tag
+            elif fourcc == b"avih" and size >= 40:
+                info["us_per_frame"] = int.from_bytes(b[body_lo : body_lo + 4], "little")
+                info["total_frames"] = int.from_bytes(b[body_lo + 16 : body_lo + 20], "little")
+                info["width"] = int.from_bytes(b[body_lo + 32 : body_lo + 36], "little")
+                info["height"] = int.from_bytes(b[body_lo + 36 : body_lo + 40], "little")
+            elif (
+                len(fourcc) == 4
+                and fourcc[:2].isdigit()
+                and fourcc[2:4] in (b"dc", b"db")
+            ):
+                frames.append((int(fourcc[:2]), b[body_lo:body_hi]))
+            i = body_hi + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(b))
+    info["frames"] = frames
+    return info
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("file_name", StringType()),
+        StructField("frame_index", LongType()),
+        StructField("total_frames", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("frame_data", BinaryType()),
+    ]
+)
+
+
 def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling requires a real media decoder — explicitly
-    unimplemented here; the call site and signature are the contract."""
-    raise NotImplementedError(
-        "video decoding unavailable in this environment (_DECODE_STUBBED); "
-        "plug a pyav/ffmpeg mapInPandas decoder with this same signature"
+    """Every n-th video frame from video/* entries, Arrow-batched.
+
+    REAL for AVI containers: frames come out of the RIFF 'movi' chunk
+    walk (parse_avi) — an MJPEG AVI yields standalone JPEGs that compose
+    with image_features for per-frame decoding.  Non-AVI containers
+    (mp4/mkv need a real demuxer) surface as zero rows rather than an
+    error, mirroring image_features' unknown-format behavior.
+
+    Scale shape: one input row fans out to ceil(frames/every_n) output
+    rows inside the executor batch — no shuffle; downstream per-frame
+    work repartitions if a single video's frames should spread.
+    """
+    _self_pickle_by_value()
+    vids = explode_entries(df).filter(F.col("content_type").startswith("video/")).select(
+        "key", "file_name", "data"
     )
+    step = max(1, int(every_n))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in VIDEO_FRAME_SCHEMA.fields}
+            for key, fname, data in zip(pdf["key"], pdf["file_name"], pdf["data"]):
+                try:
+                    avi = parse_avi(bytes(data))
+                except ValueError:
+                    continue
+                video_frames = [fb for stream, fb in avi["frames"] if stream == 0]
+                for idx in range(0, len(video_frames), step):
+                    rows["key"].append(key)
+                    rows["file_name"].append(fname)
+                    rows["frame_index"].append(idx)
+                    rows["total_frames"].append(len(video_frames))
+                    rows["width"].append(avi["width"])
+                    rows["height"].append(avi["height"])
+                    rows["frame_data"].append(video_frames[idx])
+            yield pd.DataFrame(rows)
+
+    return vids.mapInPandas(decode, VIDEO_FRAME_SCHEMA)

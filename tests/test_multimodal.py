@@ -1,0 +1,104 @@
+"""Multimodal operators: real container parsing (AVI demux, image headers)
+and the Arrow-batched Spark plumbing around them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shardpack_spark.operators import multimodal as mm
+
+
+def mk_jpeg(w: int, h: int) -> bytes:
+    """Minimal JPEG: SOI + a real SOF0 frame header + EOI — enough for
+    any SOF-walking dimension parser."""
+    seg = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    return b"\xff\xd8" + b"\xff\xc0" + (2 + len(seg)).to_bytes(2, "big") + seg + b"\xff\xd9"
+
+
+def mk_avi(frames: list[bytes], w: int, h: int) -> bytes:
+    """Minimal MJPEG AVI: RIFF('AVI ') / LIST(hdrl avih) / LIST(movi 00dc*)."""
+    avih = (
+        (33366).to_bytes(4, "little")  # dwMicroSecPerFrame (~30 fps)
+        + b"\x00" * 12
+        + len(frames).to_bytes(4, "little")  # dwTotalFrames
+        + b"\x00" * 12
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    avih_chunk = b"avih" + len(avih).to_bytes(4, "little") + avih
+    hdrl = b"LIST" + (4 + len(avih_chunk)).to_bytes(4, "little") + b"hdrl" + avih_chunk
+    movi_body = b"".join(
+        b"00dc" + len(f).to_bytes(4, "little") + f + (b"\x00" if len(f) % 2 else b"")
+        for f in frames
+    )
+    movi = b"LIST" + (4 + len(movi_body)).to_bytes(4, "little") + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_parse_avi_walks_chunks():
+    frames = [mk_jpeg(64 + i, 48) for i in range(7)]
+    avi = mk_avi(frames, 64, 48)
+    info = mm.parse_avi(avi)
+    assert (info["width"], info["height"], info["total_frames"]) == (64, 48, 7)
+    assert [fb for _, fb in info["frames"]] == frames
+    with pytest.raises(ValueError):
+        mm.parse_avi(b"\x00" * 64)
+
+
+def test_sample_video_frames_every_n(spark):
+    frames = [mk_jpeg(100, 80) for _ in range(10)]
+    avi = mk_avi(frames, 100, 80)
+    df = spark.createDataFrame(
+        [
+            (
+                "vid/1",
+                {"src": "t"},
+                [("clip.avi", "video/x-msvideo", "none", len(avi), bytearray(avi))],
+            ),
+            # non-AVI video entry: contributes zero rows, no error
+            (
+                "vid/2",
+                {},
+                [("clip.mp4", "video/mp4", "none", 4, bytearray(b"\x00\x00\x00\x18"))],
+            ),
+        ],
+        "key string, metadata map<string,string>, entries array<struct<"
+        "file_name:string,content_type:string,encoding:string,size:long,data:binary>>",
+    )
+    out = mm.sample_video_frames(df, every_n=3).collect()
+    assert [r["frame_index"] for r in out] == [0, 3, 6, 9]
+    assert all(r["total_frames"] == 10 and r["width"] == 100 and r["height"] == 80 for r in out)
+    # sampled MJPEG frames are standalone JPEGs: the image parser reads them
+    assert all(mm.parse_image_dims(bytes(r["frame_data"])) == (100, 80) for r in out)
+
+
+def test_sampled_frames_compose_with_image_features(spark):
+    """Video -> frames -> image_features: the two operators chain through
+    the shardpack entry schema."""
+    frames = [mk_jpeg(32, 24) for _ in range(4)]
+    avi = mk_avi(frames, 32, 24)
+    df = spark.createDataFrame(
+        [("v", {}, [("c.avi", "video/x-msvideo", "none", len(avi), bytearray(avi))])],
+        "key string, metadata map<string,string>, entries array<struct<"
+        "file_name:string,content_type:string,encoding:string,size:long,data:binary>>",
+    )
+    sampled = mm.sample_video_frames(df, every_n=2)
+    as_entries = sampled.select(
+        F.concat(F.col("key"), F.lit("#"), F.col("frame_index")).alias("key"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.array(
+            F.struct(
+                F.col("file_name"),
+                F.lit("image/jpeg").alias("content_type"),
+                F.lit("none").alias("encoding"),
+                F.length("frame_data").cast("long").alias("size"),
+                F.col("frame_data").alias("data"),
+            )
+        ).alias("entries"),
+    )
+    feats = mm.image_features(as_entries).collect()
+    assert len(feats) == 2
+    assert all(r["sniffed_format"] == "jpeg" and (r["width"], r["height"]) == (32, 24) for r in feats)
