@@ -1,5 +1,6 @@
 """Structured Streaming surface: windowed aggregations, watermarking,
-stateful dedup, and stream-static joins over the events stream.
+stateful dedup, stream-static enrichment, and watermarked stream-stream
+interval joins over the events stream.
 
 The transformation builders in ``ops`` are batch/stream agnostic — the same
 function is applied to a static DataFrame for the oracle-checked declared

@@ -61,6 +61,45 @@ def dedup_within_watermark(events: DataFrame, delay: str = "10 minutes") -> Data
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_wm: str = "10 minutes",
+    right_wm: str = "10 minutes",
+    interval: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join on `key` within an event-time interval.
+
+    Both sides carry watermarks, and the join condition bounds right.ts
+    to [left.ts, left.ts + interval] — together these let Spark expire
+    buffered state on BOTH sides (unbounded stream-stream joins would
+    otherwise accumulate state forever).  Outer variants additionally
+    need the watermark to know when an unmatched row can be emitted,
+    which is why `how` is restricted to the types Spark supports for
+    stream-stream ('inner', 'leftOuter', 'rightOuter', 'fullOuter').
+
+    Column layout: left columns prefixed `l_`, right prefixed `r_`, so
+    the two event schemas never collide.
+    """
+    allowed = {"inner", "leftOuter", "rightOuter", "fullOuter"}
+    if how not in allowed:
+        raise ValueError(f"stream-stream join type must be one of {sorted(allowed)}")
+    l = left.withWatermark("ts", left_wm).select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns]
+    )
+    r = right.withWatermark("ts", right_wm).select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    )
+    cond = (
+        (F.col(f"l_{key}") == F.col(f"r_{key}"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, how)
+
+
 def stream_static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static join: enrich events with the customer dimension.
 

@@ -170,3 +170,61 @@ def test_stream_static_join(spark, sf_dir, tmp_path):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["c_mktsegment"] is not None
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file-source streams joined on user_id within a 5-minute
+    event-time interval: matches inside the interval survive, matches
+    outside it don't, and the result equals the same join run in batch."""
+    left_dir, right_dir = tmp_path / "ss_left", tmp_path / "ss_right"
+    left_dir.mkdir(), right_dir.mkdir()
+    _write_batch(
+        str(left_dir),
+        "l0.json",
+        [
+            _ev(1, "2024-01-01T01:00:00Z", uid=1),
+            _ev(2, "2024-01-01T02:00:00Z", uid=2),
+            _ev(3, "2024-01-01T03:00:00Z", uid=3),
+        ],
+    )
+    _write_batch(
+        str(right_dir),
+        "r0.json",
+        [
+            _ev(101, "2024-01-01T01:03:00Z", uid=1),  # +3 min: in interval
+            _ev(102, "2024-01-01T02:30:00Z", uid=2),  # +30 min: outside
+            _ev(103, "2024-01-01T02:59:00Z", uid=3),  # -1 min: before left
+        ],
+    )
+
+    def streams():
+        lf = spark.readStream.schema(EVENT_SCHEMA).json(str(left_dir))
+        rf = spark.readStream.schema(EVENT_SCHEMA).json(str(right_dir))
+        return lf, rf
+
+    lf, rf = streams()
+    q = (
+        ops.stream_stream_interval_join(lf, rf, interval="5 minutes")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    assert got == {(1, 101)}
+
+    lb = spark.read.schema(EVENT_SCHEMA).json(str(left_dir))
+    rb = spark.read.schema(EVENT_SCHEMA).json(str(right_dir))
+    want = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in ops.stream_stream_interval_join(lb, rb, interval="5 minutes").collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError):
+        ops.stream_stream_interval_join(lb, rb, how="leftSemi")
