@@ -195,3 +195,87 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % p,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, term) TF-IDF: (doc_id, term, tf, df, tfidf).
+
+    Tokenize once (lower + whitespace split), count term frequency with
+    one groupBy(doc, term) shuffle, derive document frequency from the
+    already-(doc, term)-distinct TF table with a second small shuffle,
+    and join DF back on the term.  idf uses the smoothed form
+    ln((N+1)/(df+1)) + 1 so unseen/ubiquitous terms stay finite.  The
+    corpus size joins in as a broadcast 1-row aggregate — never a
+    driver-side collect.  At scale the DF table is vocabulary-sized
+    (<< corpus) and AQE turns the term join into a broadcast join.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    idf = F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1).cast("double")) + 1.0
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf").cast("double") * idf)
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = False,
+) -> DataFrame:
+    """Train/eval overlap check: per document, the fraction of its
+    distinct word n-grams that occur anywhere in ``benchmark``.
+
+    The standard decontamination test for training corpora: a document
+    whose n-grams substantially appear in a held-out benchmark leaks
+    that benchmark.  Returns (doc_id, n_ngrams, n_matched,
+    contamination) for every document with at least one n-gram.
+
+    Plan shape: n-grams are built inside the row (transform over the
+    token array + array_distinct — no shuffle), then one left join
+    against the distinct benchmark n-gram set keyed on the n-gram
+    string, then one groupBy(doc).  ``broadcast_benchmark`` hints the
+    benchmark set broadcast-able (typical: benchmarks are tiny next to
+    the corpus); default lets AQE decide.
+    """
+    def ngrams(d: DataFrame, idc) -> DataFrame:
+        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        arr = F.expr(
+            f"transform(sequence(1, size(split(lower(trim({text_col})), '\\\\s+')) - {n - 1}),"
+            f" i -> array_join(slice(split(lower(trim({text_col})), '\\\\s+'), i, {n}), ' '))"
+        )
+        return (
+            d.filter(F.size(words) >= n)
+            .select(idc, F.explode(F.array_distinct(arr)).alias("ng"))
+        )
+
+    doc_ng = ngrams(df, F.col(id_col))
+    bench_ng = ngrams(benchmark, F.lit(1).alias("__b")).select("ng").distinct()
+    bench_ng = bench_ng.withColumn("__hit", F.lit(1))
+    if broadcast_benchmark:
+        bench_ng = F.broadcast(bench_ng)
+    return (
+        doc_ng.join(bench_ng, "ng", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__hit").alias("n_matched"),
+        )
+        .withColumn(
+            "contamination",
+            F.floor(
+                F.col("n_matched").cast("double") / F.col("n_ngrams") * 10000.0 + 0.5
+            )
+            / 10000.0,
+        )
+    )

@@ -128,6 +128,75 @@ def fuzzy_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q33_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), toks2 AS (
+      SELECT doc_id, term FROM toks WHERE length(term) > 0
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           FLOOR(CAST(tf.tf AS DOUBLE)
+                 * (LN(CAST(n.nd + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) + 1.0)
+                 * 10000.0 + 0.5) / 10000.0 AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+    """,
+    doc="Per-(doc, term) TF-IDF with smoothed idf — tokenize once, two "
+    "shuffles, vocabulary join.",
+)
+def q33_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF vectorization of the documents table (Q33): term frequency
+    per (doc, term), document frequency per term, smoothed
+    idf = ln((N+1)/(df+1)) + 1, all cross-checked against a full SQL
+    reimplementation."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.tf_idf(docs)
+    return out.select("doc_id", "term", "tf", "df", round4d(F.col("tfidf")).alias("tfidf"))
+
+
+@register(
+    "q43_contamination",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ), ng AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS ng
+      FROM (SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i
+            FROM w WHERE len(words) >= 5)
+    ), bench AS (
+      SELECT DISTINCT ng FROM ng WHERE doc_id % 10 = 0
+    ), evald AS (SELECT * FROM ng WHERE doc_id % 10 <> 0)
+    SELECT e.doc_id,
+           COUNT(*) AS n_ngrams,
+           COUNT(b.ng) AS n_matched,
+           FLOOR(CAST(COUNT(b.ng) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0
+             AS contamination
+    FROM evald e LEFT JOIN bench b ON e.ng = b.ng
+    GROUP BY e.doc_id
+    """,
+    doc="Word-5-gram benchmark-overlap decontamination check, "
+    "hash-checked against an all-SQL reimplementation.",
+)
+def q43_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination (Q43): every tenth document plays the
+    held-out benchmark; for each remaining document, the fraction of its
+    distinct word 5-grams that appear anywhere in the benchmark.  The
+    n-grams are built inside the row (no shuffle), matched with one join
+    on the n-gram string, aggregated per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    evald = docs.filter(F.col("doc_id") % 10 != 0)
+    out = text.ngram_contamination(evald, bench, n=5)
+    return out.select("doc_id", "n_ngrams", "n_matched", "contamination")
+
+
 # --- Q30 similarity search --------------------------------------------------
 
 _COS = (

@@ -156,32 +156,33 @@ def q07_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q08_join_semi",
+    "q08_semi_anti",
     oracle="""
-    SELECT c_custkey FROM customer c
+    SELECT 'semi' AS variant, c_custkey AS key FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-    """,
-)
-def q08_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join: customers with >=1 urgent order (Q8)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
-
-
-@register(
-    "q09_join_anti",
-    oracle="""
-    SELECT p_partkey FROM part p
+    UNION ALL
+    SELECT 'anti' AS variant, p_partkey AS key FROM part p
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
     """,
+    doc="Left-semi and left-anti joins in one tagged result.",
 )
-def q09_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: parts never ordered (Q9)."""
+def q08_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (customers with >=1 urgent order) and left-anti
+    join (parts never ordered) as one variant-tagged result (Q8+Q9)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("variant"), F.col("c_custkey").alias("key"))
+    )
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey")
+    anti = (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select(F.lit("anti").alias("variant"), F.col("p_partkey").alias("key"))
+    )
+    return semi.unionAll(anti)
 
 
 @register(
@@ -275,23 +276,36 @@ def q12_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q15_rollup",
+    "q15_grouping_sets",
     oracle="""
-    SELECT n.n_name, c.c_mktsegment, COUNT(*) AS cnt,
+    SELECT 'rollup' AS variant, n.n_name, c.c_mktsegment, COUNT(*) AS cnt,
            CAST(GROUPING(n.n_name, c.c_mktsegment) AS BIGINT) AS gid
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+    UNION ALL
+    SELECT 'cube' AS variant, n.n_name, c.c_mktsegment, COUNT(*) AS cnt,
+           CAST(GROUPING(n.n_name, c.c_mktsegment) AS BIGINT) AS gid
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE(n.n_name, c.c_mktsegment)
     """,
+    doc="ROLLUP and CUBE with GROUPING_ID in one tagged result.",
 )
-def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP with GROUPING_ID over a dim join (Q15)."""
+def q15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE with GROUPING_ID over a broadcast dim join, tagged
+    by variant (Q15+Q43)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .rollup("n_name", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().cast("long").alias("gid"))
-        .select("n_name", "c_mktsegment", "cnt", "gid")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+
+    def agg(variant: str, grouped) -> DataFrame:
+        return grouped.agg(
+            F.count(F.lit(1)).alias("cnt"), F.grouping_id().cast("long").alias("gid")
+        ).select(
+            F.lit(variant).alias("variant"), "n_name", "c_mktsegment", "cnt", "gid"
+        )
+
+    return agg("rollup", joined.rollup("n_name", "c_mktsegment")).unionAll(
+        agg("cube", joined.cube("n_name", "c_mktsegment"))
     )
 
 

@@ -58,27 +58,6 @@ def q42_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q43_cube",
-    oracle="""
-    SELECT n.n_name, c.c_mktsegment, COUNT(*) AS cnt,
-           CAST(GROUPING(n.n_name, c.c_mktsegment) AS BIGINT) AS gid
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY CUBE(n.n_name, c.c_mktsegment)
-    """,
-)
-def q43_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over the dim join with GROUPING_ID (Q43)."""
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .cube("n_name", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().cast("long").alias("gid"))
-        .select("n_name", "c_mktsegment", "cnt", "gid")
-    )
-
-
-@register(
     "q44_ordered_aggs",
     oracle="""
     SELECT l_returnflag,

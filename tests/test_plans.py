@@ -67,9 +67,9 @@ def test_q01_scan_reads_only_needed_columns(spark, sf_dir):
     assert "Expand" not in s, "multi-distinct must not plan an Expand"
 
 
-def test_q08_semi_and_q09_anti_join_types(spark, sf_dir):
-    assert "LeftSemi" in plan(spark, sf_dir, "q08_join_semi")
-    assert "LeftAnti" in plan(spark, sf_dir, "q09_join_anti")
+def test_q08_semi_and_anti_join_types(spark, sf_dir):
+    s = plan(spark, sf_dir, "q08_semi_anti")
+    assert "LeftSemi" in s and "LeftAnti" in s
 
 
 def test_q30_broadcast_no_shuffle(spark, sf_dir):
