@@ -33,6 +33,66 @@ def test_compaction_preserves_data(spark, sf_dir, tmp_path):
     assert stats["records"] == len(keys_before)
 
 
+def test_compaction_crash_windows_leave_readable_dataset(spark, sf_dir, tmp_path):
+    """A compaction (or overwrite) that dies in ANY window leaves a dataset
+    that reads consistently: the manifest swap is the single commit point.
+
+    Window A — new shards written, manifest NOT yet swapped: readers must
+    see exactly the old rows (new files invisible — they are not in the
+    manifest).  Window B — manifest swapped, old files not yet deleted:
+    readers must see exactly the new rows (old files invisible).  A torn
+    manifest temp file must never be read."""
+    import os
+    import shutil as _shutil
+
+    from tests.test_datasource import _docs_as_records
+    from shardpack_spark.format.datasource import (
+        _load_manifest,
+        _visible_shards,
+        _write_manifest,
+        read_shardpack,
+    )
+
+    register(spark)
+    out = str(tmp_path / "ds")
+    src = _docs_as_records(spark, sf_dir)
+    src.repartition(4).write.format("shardpack").option(
+        "target_shard_bytes", 32 * 1024
+    ).mode("overwrite").save(out)
+    old_manifest = _load_manifest(out)
+    old_keys = {r["key"] for r in read_shardpack(spark, out).select("key").collect()}
+
+    # --- stage the compaction's output in a scratch dir, then replay the
+    # crash windows by hand ---------------------------------------------
+    scratch = str(tmp_path / "scratch")
+    read_shardpack(spark, out).repartition(1).write.format("shardpack").option(
+        "target_shard_bytes", 8 * 1024 * 1024
+    ).mode("overwrite").save(scratch)
+    new_manifest = _load_manifest(scratch)
+
+    # Window A: copy the new shards in, manifest still the old one
+    for s in new_manifest["shards"]:
+        _shutil.copy(os.path.join(scratch, s["path"]), os.path.join(out, "c99999999-" + s["path"]))
+    # also a torn manifest tmp from the "crash"
+    with open(os.path.join(out, "manifest.json.tmp-dead0000"), "w") as f:
+        f.write('{"shards": [{"pa')  # torn JSON
+    assert {r["key"] for r in read_shardpack(spark, out).select("key").collect()} == old_keys
+    assert set(_visible_shards(out)) == {s["path"] for s in old_manifest["shards"]}
+
+    # Window B: swap the manifest to the new shard list; old files remain
+    swapped = dict(new_manifest)
+    swapped["shards"] = [
+        {**s, "path": "c99999999-" + s["path"]} for s in new_manifest["shards"]
+    ]
+    _write_manifest(out, swapped)
+    assert {r["key"] for r in read_shardpack(spark, out).select("key").collect()} == old_keys
+    visible = set(_visible_shards(out))
+    assert visible == {s["path"] for s in swapped["shards"]}
+    # old shard files are still on disk (deletion never happened) but invisible
+    leftovers = {os.path.basename(p) for p in codec.list_shards(out)} - visible
+    assert leftovers, "old files should still exist in the crash window"
+
+
 def test_asof_join_matches_bruteforce(spark):
     """Random (by, ts) data: union-window as-of == per-row brute force."""
     rng = random.Random(7)
