@@ -44,7 +44,7 @@ HEADLINE = [
     "q27_session_window",
     "q28_exact_dedup",
     "q29_fuzzy_dedup_lsh",
-    "q30_cosine_topk",
+    "q30b_ann_suite",
     "q31_text_stats",
     "q34_lang_id",
     "q42_window_analytics",

@@ -73,3 +73,35 @@ def hash_sample_n(df: DataFrame, key_col: str, n: int, seed: int = 42) -> DataFr
     engine-portable; plans as TakeOrderedAndProject (no global sort).
     """
     return df.orderBy(_row_hash(key_col, seed), F.col(key_col)).limit(n)
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic data-mixing sample: keep each stratum at its own rate.
+
+    Training-data pipelines hit a target corpus mixture (e.g. 80% web,
+    15% code, 5% reference) by *down-sampling* each source to a
+    per-source rate; this applies a stratum-specific hash threshold so
+    the mix is a pure function of the data — reproducible and
+    cross-engine verifiable, unlike rand()-based sampling.  Strata
+    absent from ``rates`` keep ``default_rate``.
+
+    Pure codegen filter (a CASE over the stratum column compared against
+    the row hash) — no shuffle, pushed to the scan; the 100 TB cost is
+    exactly one streaming pass.
+    """
+    thresh = F.lit(format(int(default_rate * 2**32), "08x"))
+    for stratum, rate in sorted(rates.items()):
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 1], got {rate}")
+        thresh = (
+            F.when(F.col(stratum_col) == stratum, F.lit(format(int(rate * 2**32), "08x")))
+            .otherwise(thresh)
+        )
+    return df.filter(F.substring(_row_hash(key_col, seed), 1, 8) < thresh)

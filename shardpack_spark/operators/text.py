@@ -279,3 +279,71 @@ def ngram_contamination(
             / 10000.0,
         )
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Returns (id, n_words, dup_word_frac, top_bigram_frac,
+    dup_trigram_frac):
+    - ``dup_word_frac``: 1 - distinct(words)/words — raw token-level
+      repetition.
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over all bigrams — catches boilerplate loops.
+    - ``dup_trigram_frac``: fraction of trigram *instances* whose trigram
+      occurs more than once in the document.
+    Documents scoring high on these are the classic low-quality /
+    machine-generated training-data rejects (Gopher, Rae et al. 2021,
+    §A1.1 — public paper).
+
+    Plan shape: tokenize once; words and distinct-words are row-local
+    codegen; the two n-gram signals explode to (doc, gram) and take TWO
+    small aggregations keyed on (doc, gram) then (doc) — partial
+    aggregation makes the first map-side combining, and nothing shuffles
+    vectors or text, only 8-byte counts.  Linear in corpus size, no
+    all-pairs anything — survives 100 TB.
+    """
+    toks = _word_tokens(F.trim(F.col(text_col)))
+    toks = F.filter(toks, lambda t: F.length(t) > 0)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        g = F.expr(
+            f"transform(sequence(1, size(__toks) - {n - 1}),"
+            f" i -> array_join(slice(__toks, i, {n}), ' '))"
+        )
+        return (
+            base.filter(F.size("__toks") >= n)
+            .select(F.col(id_col), F.explode(g).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    bi = grams(2).groupBy(id_col).agg(
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_frac")
+    )
+    tri = grams(3).groupBy(id_col).agg(
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).cast("double")
+            / F.sum("cnt")
+        ).alias("dup_trigram_frac")
+    )
+    return (
+        base.select(
+            id_col,
+            "n_words",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+            ).alias("dup_word_frac"),
+        )
+        .join(bi, id_col, "left")
+        .join(tri, id_col, "left")
+    )

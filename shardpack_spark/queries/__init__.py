@@ -52,6 +52,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         format_queries,
         llm,
         llm_ext,
+        pipeline,
         pivot_explode,
         relational,
         relational_ext,

@@ -206,26 +206,6 @@ _COS = (
 )
 
 
-@register(
-    "q30_cosine_topk",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    scored AS (
-      SELECT e.vec_id, {_COS} AS cos
-      FROM embeddings e, q WHERE e.vec_id <> 0
-    )
-    SELECT vec_id, FLOOR(cos * 10000.0 + 0.5) / 10000.0 AS cosine
-    FROM scored ORDER BY cos DESC, vec_id LIMIT 5
-    """,
-)
-def q30_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-5 to vec_id=0 (Q30)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0)
-    topk = similarity.cosine_topk(emb, query, k=5, exclude_ids=[0])
-    return topk.select("vec_id", round4d(F.col("cosine")).alias("cosine"))
-
-
 _EXACT_TOP5_ORACLE = f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     scored AS (
@@ -240,24 +220,29 @@ _EXACT_TOP5_ORACLE = f"""
 @register(
     "q30b_ann_suite",
     oracle=f"""
+    SELECT 'exact' AS variant, * FROM ({_EXACT_TOP5_ORACLE})
+    UNION ALL
     SELECT 'ivf' AS variant, * FROM ({_EXACT_TOP5_ORACLE})
     UNION ALL
     SELECT 'rp_lsh' AS variant, * FROM ({_EXACT_TOP5_ORACLE})
     """,
-    doc="IVF and rp-LSH ANN at full probe depth/radius in one tagged "
-    "result — assignment, bucket routing, sketching, and scoring "
-    "hash-checked against exact top-k; pruned recall is pytest-checked.",
+    doc="Exact brute-force cosine top-k plus IVF and rp-LSH ANN at full "
+    "probe depth/radius in one tagged result — assignment, bucket "
+    "routing, sketching, and scoring hash-checked against exact top-k; "
+    "pruned recall is pytest-checked.",
 )
 def q30b_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN both ways (Q30 scale variants), tagged by variant.
+    """Similarity search three ways (Q30), tagged by variant.
 
-    'ivf' probes EVERY centroid and 'rp_lsh' allows the full Hamming
-    radius, so each must reproduce the exact top-5 — verifying centroid
-    assignment, bucket routing, sketching, and scoring end to end.
-    Approximate settings (nprobe < n_centroids, radius < n_planes) are
-    exercised for recall in tests/test_llm_ops.py."""
+    'exact' is the TakeOrdered brute-force baseline; 'ivf' probes EVERY
+    centroid and 'rp_lsh' allows the full Hamming radius, so each must
+    reproduce the exact top-5 — verifying centroid assignment, bucket
+    routing, sketching, and scoring end to end.  Approximate settings
+    (nprobe < n_centroids, radius < n_planes) are exercised for recall
+    in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
+    exact = similarity.cosine_topk(emb, query, k=5, exclude_ids=[0])
     base = emb.filter(F.col("vec_id") != 0)
     centroids = (
         emb.filter(F.col("vec_id") % 50 == 7)
@@ -273,7 +258,7 @@ def q30b_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4d(F.col("cosine")).alias("cosine"),
         )
 
-    return tag("ivf", ivf).unionAll(tag("rp_lsh", lsh))
+    return tag("exact", exact).unionAll(tag("ivf", ivf)).unionAll(tag("rp_lsh", lsh))
 
 
 @register(
@@ -295,10 +280,16 @@ def q30b_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, source FROM documents
       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'), doc_id LIMIT 20
     )
+    UNION ALL
+    SELECT 'mixture' AS variant, doc_id, lang, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) <
+          CASE lang WHEN 'en' THEN 'e6666666' WHEN 'zh' THEN '33333333'
+                    ELSE '80000000' END
     """,
     doc="Deterministic hash-keyed sampling: Bernoulli filter, "
-    "per-(lang,source) stratified top-3, and a global top-20 reservoir "
-    "stand-in — all reproducible pure functions of the data.",
+    "per-(lang,source) stratified top-3, a global top-20 reservoir "
+    "stand-in, and a per-language mixture down-sample hitting a target "
+    "corpus mix — all reproducible pure functions of the data.",
 )
 def q30d_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling suite over documents (training-pipeline
@@ -323,6 +314,19 @@ def q30d_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionAll(tag("topn", sampling.hash_sample_n(docs, "doc_id", 20, seed=42)))
+        .unionAll(
+            tag(
+                "mixture",
+                sampling.mixture_sample(
+                    docs,
+                    "lang",
+                    {"en": 0.9, "zh": 0.2},
+                    "doc_id",
+                    seed=42,
+                    default_rate=0.5,
+                ),
+            )
+        )
     )
 
 

@@ -78,66 +78,76 @@ def q44_ordered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q45_scalar_subquery",
+    "q45_outer_cross_subq",
     oracle="""
-    SELECT o_orderkey FROM orders
+    SELECT 'above_avg' AS variant, CAST(NULL AS BIGINT) AS k1, o_orderkey AS k2
+    FROM orders
     WHERE o_totalprice > (
       SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders
     )
-    """,
-)
-def q45_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders above the average price — scalar aggregate subquery as a
-    broadcast cross join (no driver collect) (Q45)."""
-    o = load_table(spark, sf_dir, "orders")
-    avg = o.agg(
-        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("__avg")
-    )
-    return (
-        o.crossJoin(F.broadcast(avg))
-        .filter(F.col("o_totalprice") > F.col("__avg"))
-        .select("o_orderkey")
-    )
-
-
-@register(
-    "q46_full_outer",
-    oracle="""
-    SELECT c.c_custkey, o.o_orderkey
+    UNION ALL
+    SELECT 'full_outer' AS variant, c.c_custkey AS k1, o.o_orderkey AS k2
     FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
     FULL OUTER JOIN
          (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o
       ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'cross' AS variant, r.r_regionkey AS k1, COUNT(*) AS k2
+    FROM region r CROSS JOIN nation n
+    GROUP BY r.r_regionkey
     """,
+    doc="Scalar-aggregate subquery, full-outer join, and Cartesian "
+    "product in one variant-tagged result (Q45+Q46+Q47).",
 )
-def q46_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join with unmatched rows on both sides (Q46)."""
+def q45_outer_cross_subq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three join surfaces, variant-tagged (Q45+Q46+Q47): 'above_avg' is
+    a scalar aggregate subquery executed as a broadcast cross join (no
+    driver collect); 'full_outer' keeps unmatched rows on both sides;
+    'cross' is the Cartesian-product surface over tiny dims."""
+    o = load_table(spark, sf_dir, "orders")
+    avg = o.agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("__avg")
+    )
+    above = (
+        o.crossJoin(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select(
+            F.lit("above_avg").alias("variant"),
+            F.lit(None).cast("long").alias("k1"),
+            F.col("o_orderkey").alias("k2"),
+        )
+    )
     c = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    o = (
+    ou = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey", "o_custkey")
     )
-    return c.join(o, c.c_custkey == o.o_custkey, "full").select("c_custkey", "o_orderkey")
-
-
-@register(
-    "q47_cross_join",
-    oracle="""
-    SELECT r.r_name, COUNT(*) AS cnt
-    FROM region r CROSS JOIN nation n
-    GROUP BY r.r_name
-    """,
-)
-def q47_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cartesian product surface (tiny dims) (Q47)."""
+    fo = (
+        c.join(ou, c.c_custkey == ou.o_custkey, "full")
+        .select(
+            F.lit("full_outer").alias("variant"),
+            F.col("c_custkey").alias("k1"),
+            F.col("o_orderkey").alias("k2"),
+        )
+    )
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
-    return r.crossJoin(n).groupBy("r_name").agg(F.count(F.lit(1)).alias("cnt"))
+    cross = (
+        r.crossJoin(n)
+        .groupBy("r_regionkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("cross").alias("variant"),
+            F.col("r_regionkey").cast("long").alias("k1"),
+            F.col("cnt").alias("k2"),
+        )
+    )
+    return above.unionAll(fo).unionAll(cross)
 
 
 # (Q48's conditional family merged into q21_date_funcs; Q49's DISTINCT

@@ -13,6 +13,13 @@ from shardpack_spark.tables import load_table
 REG = load_all()
 
 
+
+def _exact_top5(spark, sf_dir):
+    """Brute-force exact cosine top-5 to vec_id=0 (was registry q30)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.cosine_topk(emb, query, k=5, exclude_ids=[0])
+
 def test_approx_count_distinct_within_bound(spark, sf_dir):
     """q01 embeds the HLL++ 5% bound check as the approx_ok flag."""
     row = REG["q01_scan_count"].builder(spark, sf_dir).head()
@@ -22,7 +29,7 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     """IVF with pruned nprobe=3 must keep >=3/5 of the exact top-5 (the
     declared q30b runs full-probe; this covers the approximate regime)."""
-    exact = {r["vec_id"] for r in REG["q30_cosine_topk"].builder(spark, sf_dir).collect()}
+    exact = {r["vec_id"] for r in _exact_top5(spark, sf_dir).collect()}
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     centroids = emb.filter(F.col("vec_id") % 50 == 7).select(
@@ -38,7 +45,7 @@ def test_rp_lsh_recall_vs_brute_force(spark, sf_dir):
     top-5 even on this near-orthogonal synthetic data (max cosine ~0.47,
     so the method's selectivity is inherently weak here — see the
     operator docstring).  The declared q30c runs full-radius."""
-    exact = {r["vec_id"] for r in REG["q30_cosine_topk"].builder(spark, sf_dir).collect()}
+    exact = {r["vec_id"] for r in _exact_top5(spark, sf_dir).collect()}
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     topk = similarity.rp_lsh_topk(emb.filter(F.col("vec_id") != 0), query, k=5,

@@ -1,0 +1,110 @@
+"""Behavior tests for the pipeline operators added in round 2: PII
+redaction, repetition signals, mixture sampling, k-means + SemDeDup."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from shardpack_spark.operators import clustering, pii, sampling, text
+from shardpack_spark.tables import load_table
+
+
+def test_pii_redaction_is_complete(spark):
+    """After redact(), no family pattern matches anything."""
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob@x.io and jo.ann+1@sub.example.org end"),
+            (1, "ip 10.0.0.1 card 4111-1111-1111-1111 ssn 987-65-4321"),
+            (2, "phone 555-867-5309 plain text"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pii.pii_scan(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n_email"] == 2
+    assert by_id[1]["n_credit_card"] == 1 and by_id[1]["n_ssn"] == 1
+    assert by_id[1]["n_ipv4"] == 1
+    assert by_id[2]["n_phone"] == 1
+    assert by_id[3]["redacted"] == "nothing here"
+    red = spark.createDataFrame(
+        [(r["doc_id"], r["redacted"]) for r in out], "doc_id long, text string"
+    )
+    again = pii.pii_scan(red).collect()
+    for r in again:
+        for fam in pii.PII_PATTERNS:
+            assert r[f"n_{fam}"] == 0, (r["doc_id"], fam, r)
+
+
+def test_repetition_signals_known_values(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (1, "w x y z"), (2, "a b a b a b")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    # doc0: 4 words 1 distinct; bigrams: 'a a' x3 -> 3/3; trigrams 'a a a' x2 -> 2/2
+    assert math.isclose(rows[0]["dup_word_frac"], 0.75)
+    assert math.isclose(rows[0]["top_bigram_frac"], 1.0)
+    assert math.isclose(rows[0]["dup_trigram_frac"], 1.0)
+    # doc1: all distinct, no repeated grams
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert math.isclose(rows[1]["top_bigram_frac"], 1.0 / 3.0)
+    assert rows[1]["dup_trigram_frac"] == 0.0
+    # doc2: bigrams a b,b a,a b,b a,a b -> top 3/5; trigrams all dup (2+2)/4
+    assert math.isclose(rows[2]["top_bigram_frac"], 3.0 / 5.0)
+    assert math.isclose(rows[2]["dup_trigram_frac"], 1.0)
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.9, "zh": 0.1}
+    s1 = sampling.mixture_sample(docs, "lang", rates, "doc_id", seed=7, default_rate=0.5)
+    got = {r["lang"]: r["cnt"] for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    tot = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for lang, n in tot.items():
+        rate = rates.get(lang, 0.5)
+        frac = got.get(lang, 0) / n
+        assert abs(frac - rate) < 0.35, (lang, frac, rate)
+    # deterministic under repartitioning
+    s2 = sampling.mixture_sample(
+        docs.repartition(13), "lang", rates, "doc_id", seed=7, default_rate=0.5
+    )
+    assert sorted(r["doc_id"] for r in s1.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in s2.select("doc_id").collect()
+    )
+
+
+def test_kmeans_deterministic_and_converging(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a1 = {r["vec_id"]: r["cluster"] for r in clustering.kmeans_assign(emb, k=4, n_iter=2).collect()}
+    a2 = {
+        r["vec_id"]: r["cluster"]
+        for r in clustering.kmeans_assign(emb.repartition(17), k=4, n_iter=2).collect()
+    }
+    assert a1 == a2, "assignment must be partitioning-independent"
+    assert len(set(a1.values())) >= 2
+
+
+def test_semantic_dedup_drop_rule_matches_bruteforce(spark, sf_dir):
+    """Every dropped row must have a smaller-id same-cluster partner with
+    cosine >= t, and every kept row must not (verified in numpy)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = 0.35
+    out = clustering.semantic_dedup(emb, threshold=t, k=4, n_iter=2).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    clus = {r["vec_id"]: r["cluster"] for r in out}
+    for r in out:
+        vid = r["vec_id"]
+        partners = [
+            o for o in vecs
+            if o < vid and clus[o] == clus[vid]
+            and float(
+                vecs[o] @ vecs[vid] / (np.linalg.norm(vecs[o]) * np.linalg.norm(vecs[vid]))
+            ) >= t
+        ]
+        assert r["kept"] == (not partners), (vid, r["kept"], partners[:3])

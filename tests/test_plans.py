@@ -75,7 +75,14 @@ def test_q08_semi_and_anti_join_types(spark, sf_dir):
 def test_q30_broadcast_no_shuffle(spark, sf_dir):
     """Brute-force cosine top-k: broadcast query vector + TakeOrdered —
     zero shuffle exchanges in the whole plan."""
-    s = plan(spark, sf_dir, "q30_cosine_topk")
+    from shardpack_spark.operators import similarity
+    from shardpack_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=5, exclude_ids=[0])
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    s = df._jdf.queryExecution().explainString(jmode)
     assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
     assert "TakeOrderedAndProject" in s
     assert "Exchange hashpartitioning" not in s
