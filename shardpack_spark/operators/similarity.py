@@ -74,23 +74,43 @@ def assign_to_centroids(
     centroid_id: str = "cid",
     centroid_vec: str = "cvec",
 ) -> DataFrame:
-    """Tag each vector with its nearest centroid (broadcast argmin).
+    """Tag each vector with its highest-cosine centroid (ties -> smallest
+    centroid id).
 
-    The centroid table is tiny by construction, so this is a broadcast
-    nested-loop + per-row min — one pass over the data, no shuffle.
+    The centroid table is O(k*d) by contract — the one piece of state any
+    IVF index keeps — so it is collected once and shipped to executors
+    inside an Arrow-batched pandas_udf: the whole assignment is ONE numpy
+    matmul per batch, per-row and shuffle-free at any data size.  (The
+    previous shape — crossJoin(centroids) + row_number window — shuffled
+    |data| * k joined rows just to argmax over k, which is exactly the
+    plan you can't afford at 100 TB.)
     """
-    c = F.broadcast(centroids.select(centroid_id, F.col(centroid_vec)))
-    scored = df.crossJoin(c).withColumn(
-        "__sim", _dot(F.col(vec_col), F.col(centroid_vec)) / (_norm(F.col(vec_col)) * _norm(F.col(centroid_vec)))
-    )
-    from pyspark.sql.window import Window
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.pandas.functions import pandas_udf
 
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc(centroid_id))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__sim", centroid_vec)
+    globals().setdefault("pd", pd)
+
+    rows = sorted(
+        centroids.select(centroid_id, centroid_vec).collect(), key=lambda r: r[0]
     )
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @pandas_udf("long")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (mat / norms) @ cn.T
+        return pd.Series(cids[np.argmax(sims, axis=1)])
+
+    return df.withColumn(centroid_id, nearest(F.col(vec_col)))
 
 
 def ivf_topk(
