@@ -312,7 +312,7 @@ def repetition_signals(
         toks.alias("__toks"),
         F.size(toks).alias("n_words"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-    )
+    ).filter(F.col("n_words") > 0)  # 0-word docs have no defined signals
 
     def grams(n: int) -> DataFrame:
         g = F.expr(
@@ -346,4 +346,75 @@ def repetition_signals(
         )
         .join(bi, id_col, "left")
         .join(tri, id_col, "left")
+    )
+
+
+# Gopher-style quality rules (Rae et al. 2021 §A1.1, public paper),
+# adapted to the signals computable from whitespace/word tokens.  Each is
+# (name, violated-when) — a document is kept iff NO rule fires.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_LEN = (2.0, 12.0)
+GOPHER_MAX_DUP_WORD_FRAC = 0.6
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.5
+GOPHER_MAX_DUP_TRIGRAM_FRAC = 0.8
+
+
+def gopher_quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality verdict per document: (id, repetition signals,
+    mean_word_len, keep, reasons).
+
+    ``reasons`` is the comma-joined sorted list of violated rule names
+    (empty string when kept) — deterministic, so the whole verdict is
+    oracle-checkable.  Signals reuse ``repetition_signals``; the extra
+    mean-word-length and stopword checks are row-local codegen.  Cost on
+    top of the signals: zero additional shuffles.
+    """
+    toks = _word_tokens(F.trim(F.col(text_col)))
+    toks = F.filter(toks, lambda t: F.length(t) > 0)
+    char_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    extra = df.select(
+        F.col(id_col),
+        (char_sum.cast("double") / F.size(toks).cast("double")).alias("mean_word_len"),
+        F.arrays_overlap(toks, F.array(*[F.lit(w) for w in _STOPWORDS])).alias("__has_stop"),
+    )
+    sig = repetition_signals(df, text_col, id_col)
+    j = sig.join(extra, id_col)
+    rules = [
+        ("too_few_words", F.col("n_words") < GOPHER_MIN_WORDS),
+        ("too_many_words", F.col("n_words") > GOPHER_MAX_WORDS),
+        (
+            "word_len_out_of_range",
+            (F.col("mean_word_len") < GOPHER_MEAN_WORD_LEN[0])
+            | (F.col("mean_word_len") > GOPHER_MEAN_WORD_LEN[1]),
+        ),
+        ("dup_words", F.col("dup_word_frac") > GOPHER_MAX_DUP_WORD_FRAC),
+        (
+            "top_bigram",
+            F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) > GOPHER_MAX_TOP_BIGRAM_FRAC,
+        ),
+        (
+            "dup_trigrams",
+            F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0))
+            > GOPHER_MAX_DUP_TRIGRAM_FRAC,
+        ),
+        ("no_stopwords", ~F.col("__has_stop")),
+    ]
+    reasons = F.array_join(
+        F.array_compact(F.array(*[F.when(cond, F.lit(name)) for name, cond in sorted(rules)])),
+        ",",
+    )
+    return j.select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "mean_word_len",
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from shardpack_spark.operators import clustering, pii, text
+from shardpack_spark.operators import clustering, pii, text, urls
 from shardpack_spark.queries import register
 from shardpack_spark.queries.canon import round4d
 from shardpack_spark.tables import load_table
@@ -50,21 +50,64 @@ _COUNTS_SQL = ", ".join(
 )
 
 
+# Synthetic per-doc URL exercising every canonicalization rule: mixed-case
+# host, default port, tracking params in leading and trailing position,
+# fragment.  Identical expression on both sides.
+_URL_SQL = (
+    "'https://' || source || '.Example.COM'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END"
+    " || '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&x=1'"
+    "         ELSE '?x=1&utm_campaign=a' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"
+)
+
+_CANON_SQL = f"""
+      SELECT doc_id, aug, url,
+             lower(regexp_extract(url, '{urls.SCHEME_PAT}', 1)) AS scheme,
+             lower(regexp_extract(url, '{urls.HOSTPORT_PAT}', 1)) AS hostport,
+             regexp_replace(regexp_extract(url, '{urls.PATH_PAT}', 1), '^/$', '')
+               AS path,
+             list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                         p -> p <> '' AND NOT regexp_matches(p, '{urls.TRACKING_PARAM_PAT}'))
+               AS params
+      FROM aug
+"""
+
+
 @register(
     "q59_pii_redaction",
     oracle=f"""
-    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS aug FROM documents)
-    SELECT doc_id, {_COUNTS_SQL}, {_REDACT_SQL} AS redacted
-    FROM aug
+    WITH aug AS (
+      SELECT doc_id, {_AUG_SQL} AS aug, {_URL_SQL} AS url FROM documents
+    ), parts AS ({_CANON_SQL}
+    ), canon AS (
+      SELECT doc_id, aug,
+             scheme || '://' ||
+             CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END ||
+             path ||
+             CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+                  ELSE '' END AS canon_url,
+             regexp_replace(hostport, ':[0-9]+$', '') AS host
+      FROM parts
+    )
+    SELECT doc_id, {_COUNTS_SQL}, {_REDACT_SQL} AS redacted,
+           canon_url, host,
+           regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+    FROM canon
     """,
-    doc="PII detection + redaction (email, credit card, SSN, IPv4, "
-    "phone) over deterministically planted PII — per-family counts and "
-    "the redacted text both byte-checked.",
+    doc="Web-document hygiene: PII detection + redaction (email, credit "
+    "card, SSN, IPv4, phone) over deterministically planted PII, plus "
+    "URL canonicalization (case, default port, tracking params, "
+    "fragment) — counts, redacted text, and canonical URL byte-checked.",
 )
 def q59_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scan (Q59): plant one PII string per doc_id%7 family, then
-    count and redact with the shared Java/RE2-compatible patterns.  Pure
-    codegen regexes — one fused scan stage, no shuffle at any scale."""
+    """Web-document hygiene (Q59): plant one PII string per doc_id%7
+    family and a synthetic messy URL per doc, then count/redact PII and
+    canonicalize the URL with the shared Java/RE2-compatible patterns.
+    Pure codegen — one fused scan stage, no shuffle at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     aug = F.concat(
         F.col("text"),
@@ -73,7 +116,23 @@ def q59_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 7 + 1).cast("int"),
         ),
     )
-    return pii.pii_scan(docs.select("doc_id", aug.alias("text")))
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"), F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&x=1"))
+        .otherwise(F.lit("?x=1&utm_campaign=a")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    counts = pii.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"n_{fam}") for fam, c in counts.items()],
+        pii.redact(aug).alias("redacted"),
+        urls.canonical_url(url).alias("canon_url"),
+        urls.url_host(url).alias("host"),
+        urls.registered_domain(url).alias("domain"),
+    )
 
 
 # --- Q60 repetition signals -------------------------------------------------
@@ -111,28 +170,60 @@ def q59_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY doc_id, g
       ) GROUP BY doc_id
     )
-    SELECT w.doc_id, CAST(w.n_words AS INT) AS n_words,
-           FLOOR((1.0 - CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE))
-                 * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
-           bi.top_bigram_frac, tri.dup_trigram_frac
-    FROM words w
-    LEFT JOIN bi ON w.doc_id = bi.doc_id
-    LEFT JOIN tri ON w.doc_id = tri.doc_id
+    , sig AS (
+      SELECT w.doc_id, w.n_words,
+             1.0 - CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+               AS dup_word_frac,
+             bi.top_bigram_frac, tri.dup_trigram_frac,
+             CAST(list_reduce(list_transform(w.tk, t -> length(t)), (a, b) -> a + b)
+                  AS DOUBLE) / CAST(w.n_words AS DOUBLE) AS mean_word_len,
+             len(list_intersect(w.tk,
+                 ['the', 'a', 'of', 'and', 'to', 'in', 'is'])) > 0 AS has_stop
+      FROM words w
+      LEFT JOIN bi ON w.doc_id = bi.doc_id
+      LEFT JOIN tri ON w.doc_id = tri.doc_id
+    ), verdict AS (
+      SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+             mean_word_len,
+             COALESCE(array_to_string(list_sort(list_filter([
+               CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
+               CASE WHEN COALESCE(dup_trigram_frac, 0.0) > 0.8 THEN 'dup_trigrams' END,
+               CASE WHEN NOT has_stop THEN 'no_stopwords' END,
+               CASE WHEN COALESCE(top_bigram_frac, 0.0) > 0.5 THEN 'top_bigram' END,
+               CASE WHEN n_words < 10 THEN 'too_few_words' END,
+               CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+               CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                    THEN 'word_len_out_of_range' END
+             ], x -> x IS NOT NULL)), ','), '') AS reasons
+      FROM sig
+    )
+    SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           FLOOR(dup_word_frac * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+           FLOOR(top_bigram_frac * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac,
+           FLOOR(dup_trigram_frac * 10000.0 + 0.5) / 10000.0 AS dup_trigram_frac,
+           FLOOR(mean_word_len * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+           reasons, reasons = '' AS keep
+    FROM verdict
     """,
-    doc="Gopher-style repetition signals: duplicate-word fraction, "
-    "top-bigram fraction, duplicated-trigram fraction per document.",
+    doc="Gopher-style repetition signals (duplicate-word / top-bigram / "
+    "duplicated-trigram fractions) plus the full quality-rule verdict "
+    "(keep + violated-rule reasons) per document.",
 )
 def q60_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition signals (Q60) — the machine-generated-text rejects of a
-    quality pipeline, hash-checked against an all-SQL reimplementation."""
+    """Repetition signals + Gopher quality verdict (Q60) — the
+    machine-generated-text rejects of a quality pipeline, hash-checked
+    against an all-SQL reimplementation including the reason strings."""
     docs = load_table(spark, sf_dir, "documents")
-    out = text.repetition_signals(docs)
+    out = text.gopher_quality_filter(docs)
     return out.select(
         "doc_id",
         F.col("n_words").cast("int").alias("n_words"),
         round4d(F.col("dup_word_frac")).alias("dup_word_frac"),
         round4d(F.col("top_bigram_frac")).alias("top_bigram_frac"),
         round4d(F.col("dup_trigram_frac")).alias("dup_trigram_frac"),
+        round4d(F.col("mean_word_len")).alias("mean_word_len"),
+        "reasons",
+        "keep",
     )
 
 

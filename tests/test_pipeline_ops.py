@@ -108,3 +108,55 @@ def test_semantic_dedup_drop_rule_matches_bruteforce(spark, sf_dir):
             ) >= t
         ]
         assert r["kept"] == (not partners), (vid, r["kept"], partners[:3])
+
+
+def test_bloom_filter_no_false_negatives_bounded_fpp(spark):
+    from shardpack_spark.operators import membership
+
+    members = spark.range(0, 5000).select(
+        F.concat(F.lit("url/"), F.col("id").cast("string")).alias("u")
+    )
+    bloom = membership.build_bloom(members, "u", expected_items=5000, fpp=0.01)
+    # every member must hit
+    hits = membership.might_contain(members, "u", bloom).filter("might_contain")
+    assert hits.count() == 5000
+    # non-members: fpp within 5x of nominal
+    others = spark.range(100000, 120000).select(
+        F.concat(F.lit("url/"), F.col("id").cast("string")).alias("u")
+    )
+    fp = membership.might_contain(others, "u", bloom).filter("might_contain").count()
+    assert fp / 20000 < 0.05, fp
+
+
+def test_canonical_url_rules(spark):
+    from shardpack_spark.operators import urls
+
+    cases = [
+        ("https://WWW.Ex.COM:443/a/b?utm_source=x&q=1#frag", "https://www.ex.com/a/b?q=1"),
+        ("http://h.io:80/", "http://h.io"),
+        ("http://h.io:8080/p", "http://h.io:8080/p"),
+        ("https://a.b.c.org/path?x=1&utm_campaign=z&y=2", "https://a.b.c.org/path?x=1&y=2"),
+        ("https://e.com/?utm_source=a", "https://e.com"),
+        ("https://user@e.com/p", "https://e.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(urls.canonical_url(F.col("url"))).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)
+    doms = [r[0] for r in df.select(urls.registered_domain(F.col("url"))).collect()]
+    assert doms[0] == "ex.com" and doms[3] == "c.org"
+
+
+def test_gopher_quality_filter_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over a lazy dog and runs far away home now"),
+            (1, "spam spam spam spam spam spam spam spam spam spam spam the end x y"),
+            (2, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.gopher_quality_filter(docs).collect()}
+    assert rows[0]["keep"] and rows[0]["reasons"] == ""
+    assert not rows[1]["keep"] and "dup_words" in rows[1]["reasons"]
+    assert not rows[2]["keep"] and "too_few_words" in rows[2]["reasons"]
