@@ -470,16 +470,28 @@ class ShardPackStreamReader(DataSourceStreamReader):
             raise codec.ShardPackIOError("shardpack stream reader requires a path")
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
         self.split_target = int(options.get("split_target_bytes", 128 * 1024 * 1024))
+        # Admission control: cap how many shards a micro-batch admits so a
+        # deep backlog (or a bulk import landing mid-stream) drains as
+        # bounded batches instead of one giant catch-up batch.  0 = no cap.
+        self.max_shards = int(options.get("max_shards_per_batch", 0))
+        self._last = ""  # high-watermark of the newest offset handed out
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"last": ""}
 
     def latestOffset(self) -> dict:  # noqa: N802
         names = _visible_shards(self.path)
-        return {"last": names[-1] if names else ""}
+        if not self.max_shards:
+            return {"last": names[-1] if names else ""}
+        pending = [n for n in names if n > self._last]
+        if pending:
+            self._last = pending[: self.max_shards][-1]
+        return {"last": self._last}
 
     def partitions(self, start: dict, end: dict) -> Sequence[ShardPartition]:
         lo, hi = start.get("last", ""), end.get("last", "")
+        # restart alignment: never hand out an offset below the checkpoint
+        self._last = max(self._last, hi)
         names = [n for n in _visible_shards(self.path) if lo < n <= hi]
         return _plan_partitions(self.path, names, self.split_target)
 
