@@ -370,6 +370,14 @@ class ShardPackWriter(DataSourceArrowWriter):
                 f"compression '{self.compression}' not available (have {sorted(codec._CODECS)})"
             )
         self.target = int(options.get("target_shard_bytes", codec.DEFAULT_TARGET_SHARD_BYTES))
+        # Spec-parity naming (reference draft.md:23-30): commit() renames
+        # this job's shards to sequential `{spec_basename}-{seq:06d}.shardpack`.
+        # The rename happens driver-side at commit, where a global sequence
+        # exists without cross-task coordination; numbering continues from
+        # the prior manifest so appends stay monotonic.  Do not mix with
+        # default `c{seq}-` names in a directory consumed as a STREAM — the
+        # watermark assumes one naming mode's sort order.
+        self.spec_basename = options.get("spec_naming")
         os.makedirs(self.path, exist_ok=True)
         # driver-side: monotonic commit sequence for this job's shard names
         self.commit_seq = _next_commit_seq(self.path)
@@ -408,6 +416,13 @@ class ShardPackWriter(DataSourceArrowWriter):
         for s in new_shards:
             s["compression"] = self.compression
         prior = _load_manifest(self.path)
+        if self.spec_basename:
+            seq = 0 if (self.overwrite or prior is None) else len(prior.get("shards", []))
+            for s in sorted(new_shards, key=lambda s: s["path"]):
+                spec = codec.shard_name(self.spec_basename, seq)
+                os.replace(os.path.join(self.path, s["path"]), os.path.join(self.path, spec))
+                s["path"] = spec
+                seq += 1
         if self.overwrite or prior is None:
             old_names = set(_visible_shards(self.path)) - {s["path"] for s in new_shards}
             merged = new_shards

@@ -151,6 +151,29 @@ def test_streaming_source_incremental(spark_ds, tmp_path):
     assert got2 == {"k0-0", "k0-1", "k0-2", "k1-0", "k1-1", "k1-2"}
 
 
+def test_spec_naming_sequential_shards(spark_ds, sf_dir, tmp_path):
+    """spec_naming=name commits shards as name-000000.shardpack,
+    name-000001.shardpack, ... (reference draft.md:23-30), appends
+    continuing the sequence, with reads unchanged."""
+    out = str(tmp_path / "spec_ds")
+    docs = _docs_as_records(spark_ds, sf_dir)
+    docs.repartition(3).write.format("shardpack").option(
+        "spec_naming", "docs-train"
+    ).option("target_shard_bytes", 64 * 1024).mode("overwrite").save(out)
+    names = sorted(os.path.basename(p) for p in codec.list_shards(out))
+    assert names[0] == "docs-train-000000.shardpack"
+    assert all(
+        n == f"docs-train-{i:06d}.shardpack" for i, n in enumerate(names)
+    ), names
+    n0 = spark_ds.read.format("shardpack").load(out).count()
+    docs.limit(7).repartition(1).write.format("shardpack").option(
+        "spec_naming", "docs-train"
+    ).mode("append").save(out)
+    names2 = sorted(os.path.basename(p) for p in codec.list_shards(out))
+    assert names2[len(names)] == f"docs-train-{len(names):06d}.shardpack"
+    assert spark_ds.read.format("shardpack").load(out).count() == n0 + 7
+
+
 def test_streaming_rate_limit_bounds_batch_size(spark_ds, tmp_path):
     """max_shards_per_batch=1 drains a 4-shard backlog as >=4 bounded
     micro-batches, with every record delivered exactly once."""
