@@ -59,3 +59,91 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas (Spark 4 stateful processor API) ------------
+
+SESSION_TRACK_SCHEMA = (
+    "user_id long, n_events long, total_value double, flushed boolean"
+)
+
+
+def _session_tracker_cls():
+    """Deferred import/definition so batch-only environments never touch
+    the streaming processor API."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class SessionTracker(StatefulProcessor):
+        """Per-user running totals with an inactivity flush.
+
+        ValueState keeps (n_events, total_value); every batch re-arms a
+        processing-time timer INACTIVITY_MS out.  If the timer fires with
+        no new events, the totals are emitted once more with
+        flushed=true and the state cleared — the transformWithState
+        pattern for 'close out idle keys', which applyInPandasWithState
+        could only approximate with per-batch timeout bookkeeping.
+        """
+
+        INACTIVITY_MS = 2_000
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = (self.totals.get() or (0, 0.0)) if self.totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self.totals.update((n, total))
+            self.handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + self.INACTIVITY_MS
+            )
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total],
+                 "flushed": [False]}
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+            if self.totals.exists():
+                n, total = self.totals.get()
+                self.totals.clear()
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "total_value": [total],
+                     "flushed": [True]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return SessionTracker
+
+
+def user_totals_with_inactivity_flush(events: DataFrame) -> DataFrame:
+    """Per-user running totals via the Spark 4 transformWithStateInPandas
+    processor: ValueState + processing-time timers, RocksDB-backed state.
+    Requires spark.sql.streaming.stateStore.providerClass =
+    RocksDBStateStoreProvider (set by tests; the default HDFS-backed
+    store does not support the processor API) and the `protobuf` package
+    (the processor's state server speaks protobuf to the JVM — the test
+    skips where it is missing)."""
+    cls = _session_tracker_cls()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=cls(),
+        outputStructType=SESSION_TRACK_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -83,3 +83,68 @@ def test_shardpack_streaming_sink(spark, tmp_path):
     assert markers, "commit marker must exist"
     m = json.load(open(markers[0]))
     assert sum(s["records"] for s in m["shards"]) == 2
+
+
+def test_transform_with_state_inactivity_flush(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: ValueState accumulates across
+    batches, and an expired processing-time timer flushes + clears the
+    idle key's state."""
+    import time
+
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas drives its state server over "
+            "protobuf, which this environment lacks"
+        )
+
+    from shardpack_spark.streaming.stateful import (
+        user_totals_with_inactivity_flush,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "tws_src"
+        src.mkdir()
+        ckpt = str(tmp_path / "tws_ckpt")
+
+        def drain():
+            stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+            q = (
+                user_totals_with_inactivity_flush(stream)
+                .writeStream.format("memory")
+                .queryName("t_tws")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        _write_batch(str(src), "b1.json",
+                     [_ev(1, "2024-01-01 01:00:00", uid=1, value=1.0),
+                      _ev(2, "2024-01-01 01:01:00", uid=1, value=2.0)])
+        drain()
+        live = spark.sql("SELECT * FROM t_tws WHERE NOT flushed").collect()
+        assert {(r["user_id"], r["n_events"], r["total_value"]) for r in live} == {(1, 2, 3.0)}
+
+        # let user 1's inactivity timer expire, then trigger a batch with
+        # a different user's data — the expired timer must flush user 1
+        time.sleep(2.5)
+        _write_batch(str(src), "b2.json",
+                     [_ev(3, "2024-01-01 01:05:00", uid=2, value=7.0)])
+        drain()
+        flushed = spark.sql("SELECT * FROM t_tws WHERE flushed").collect()
+        assert {(r["user_id"], r["n_events"], r["total_value"]) for r in flushed} == {(1, 2, 3.0)}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
