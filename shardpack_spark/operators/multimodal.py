@@ -11,6 +11,7 @@ every signature and partition shape identical.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -18,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -265,3 +267,80 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return vids.mapInPandas(decode, VIDEO_FRAME_SCHEMA)
+
+
+def parse_wav_header(b: bytes) -> dict:
+    """Parse a WAV (RIFF/WAVE) header: sample rate, channels, bit depth,
+    sample count, duration — pure Python, deterministic, no audio libs.
+
+    Walks RIFF chunks for 'fmt ' and 'data' (ignores others: LIST, fact,
+    cue).  Raises ValueError on anything that is not a PCM-style WAV.
+    Only sample DECODING (resample, spectrogram) would need an audio
+    library; header analytics at corpus scale need exactly this.
+    """
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and clen >= 16:
+            fmt = struct.unpack_from("<HHIIHH", b, body)
+        elif cid == b"data":
+            data_len = min(clen, len(b) - body)
+        pos = body + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    _, channels, sample_rate, _, block_align, bits = fmt
+    if channels == 0 or block_align == 0 or sample_rate == 0:
+        raise ValueError("degenerate fmt chunk")
+    n_samples = data_len // block_align
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_s": n_samples / sample_rate,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("file_name", StringType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("bits_per_sample", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched WAV header analytics over audio/* entries — the
+    audio leg of the multimodal triad (image_features / audio_features /
+    sample_video_frames), same mapInPandas batch shape throughout.
+    Non-WAV or corrupt payloads are dropped (count them upstream via
+    sniffing if needed)."""
+    _self_pickle_by_value()
+    auds = explode_entries(df).filter(F.col("content_type").startswith("audio/")).select(
+        "key", "file_name", "data"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in AUDIO_FEATURE_SCHEMA.fields}
+            for key, fname, data in zip(pdf["key"], pdf["file_name"], pdf["data"]):
+                try:
+                    h = parse_wav_header(bytes(data))
+                except ValueError:
+                    continue
+                rows["key"].append(key)
+                rows["file_name"].append(fname)
+                for k, v in h.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return auds.mapInPandas(decode, AUDIO_FEATURE_SCHEMA)

@@ -102,3 +102,70 @@ def test_sampled_frames_compose_with_image_features(spark):
     feats = mm.image_features(as_entries).collect()
     assert len(feats) == 2
     assert all(r["sniffed_format"] == "jpeg" and (r["width"], r["height"]) == (32, 24) for r in feats)
+
+
+def mk_wav(n_samples: int, sample_rate: int = 16000, channels: int = 1, bits: int = 16) -> bytes:
+    """Minimal PCM WAV with an extra LIST chunk the parser must skip."""
+    block_align = channels * bits // 8
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"\x00" * (n_samples * block_align)
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"  # odd len -> pad
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    body = b"WAVE" + chunks
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_parse_wav_header():
+    h = mm.parse_wav_header(mk_wav(8000, 16000, 2, 16))
+    assert (h["channels"], h["sample_rate"], h["bits_per_sample"]) == (2, 16000, 16)
+    assert h["n_samples"] == 8000
+    assert h["duration_s"] == 0.5
+    with pytest.raises(ValueError):
+        mm.parse_wav_header(b"RIFFxxxxNOPE")
+
+
+def test_audio_features_over_entries(spark):
+    wavs = [(f"a/{i}", mk_wav(16000 * (i + 1))) for i in range(3)]
+    df = spark.createDataFrame(
+        [
+            (
+                k,
+                {},
+                [
+                    {
+                        "file_name": "x.wav",
+                        "content_type": "audio/wav",
+                        "encoding": "none",
+                        "size": len(b),
+                        "data": bytearray(b),
+                    },
+                    {
+                        "file_name": "noise.bin",
+                        "content_type": "application/octet-stream",
+                        "encoding": "none",
+                        "size": 4,
+                        "data": bytearray(b"junk"),
+                    },
+                ],
+            )
+            for k, b in wavs
+        ],
+        "key string, metadata map<string,string>, entries array<struct<"
+        "file_name:string,content_type:string,encoding:string,size:bigint,data:binary>>",
+    )
+    rows = {r["key"]: r for r in mm.audio_features(df).collect()}
+    assert set(rows) == {"a/0", "a/1", "a/2"}
+    for i in range(3):
+        r = rows[f"a/{i}"]
+        assert r["duration_s"] == float(i + 1)
+        assert r["sample_rate"] == 16000
