@@ -281,6 +281,84 @@ def ngram_contamination(
     )
 
 
+def _gram_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-scan token/bigram/trigram statistics per document.
+
+    Tokenizes once, builds unigrams+bigrams+trigrams as a single tagged
+    array inside the row, explodes once, then takes TWO aggregations on
+    compact keys — (doc, n, gram) counts, then conditional sums per doc.
+    Both partial-aggregate map-side, nothing shuffles text except the
+    gram strings themselves.  ONE pass over the corpus for every signal
+    repetition_signals and gopher_quality_filter need (the naive shape —
+    one subplan per signal — re-scans the table once per signal).
+    """
+    toks = _word_tokens(F.trim(F.col(text_col)))
+    toks = F.filter(toks, lambda t: F.length(t) > 0)
+
+    def grams(n: int):
+        if n == 1:
+            arr = F.col("__toks")
+        else:
+            # guard: sequence(1, 0) DESCENDS in Spark, so short docs need
+            # an explicit empty array, not a clamped upper bound
+            arr = F.when(
+                F.size("__toks") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {n - 1}),"
+                    f" i -> array_join(slice(__toks, i, {n}), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        return F.transform(arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+
+    tagged = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)  # 0-word docs have no defined signals
+        .select(
+            F.col(id_col),
+            F.explode(F.concat(grams(1), grams(2), grams(3))).alias("ng"),
+        )
+        .select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    )
+    counts = tagged.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    is1, is2, is3 = (F.col("n") == i for i in (1, 2, 3))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return counts.groupBy(id_col).agg(
+        F.sum(F.when(is1, F.col("cnt"))).alias("n_words"),
+        F.count(F.when(is1, F.lit(1))).alias("n_distinct"),
+        F.sum(F.when(is1, F.length("g") * F.col("cnt"))).alias("char_sum"),
+        F.max(
+            F.when(is1, F.array_contains(stop_arr, F.col("g")).cast("int"))
+        ).alias("has_stop_i"),
+        F.max(F.when(is2, F.col("cnt"))).alias("max_bigram"),
+        F.sum(F.when(is2, F.col("cnt"))).alias("total_bigrams"),
+        F.sum(
+            F.when(is3, F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+        ).alias("dup_trigram_inst"),
+        F.sum(F.when(is3, F.col("cnt"))).alias("total_trigrams"),
+    )
+
+
+def _signals_from_stats(stats: DataFrame, id_col: str) -> DataFrame:
+    return stats.select(
+        id_col,
+        "n_words",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+        ).alias("dup_word_frac"),
+        (F.col("max_bigram").cast("double") / F.col("total_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+        (F.col("dup_trigram_inst").cast("double") / F.col("total_trigrams")).alias(
+            "dup_trigram_frac"
+        ),
+        (F.col("char_sum").cast("double") / F.col("n_words").cast("double")).alias(
+            "mean_word_len"
+        ),
+        (F.col("has_stop_i") == 1).alias("__has_stop"),
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -296,56 +374,15 @@ def repetition_signals(
       occurs more than once in the document.
     Documents scoring high on these are the classic low-quality /
     machine-generated training-data rejects (Gopher, Rae et al. 2021,
-    §A1.1 — public paper).
+    §A1.1 — public paper).  Docs with fewer than n tokens get NULL for
+    the n-gram fractions; 0-word docs are excluded.
 
-    Plan shape: tokenize once; words and distinct-words are row-local
-    codegen; the two n-gram signals explode to (doc, gram) and take TWO
-    small aggregations keyed on (doc, gram) then (doc) — partial
-    aggregation makes the first map-side combining, and nothing shuffles
-    vectors or text, only 8-byte counts.  Linear in corpus size, no
+    Plan shape (see _gram_stats): ONE scan, one explode, two map-side
+    combining aggregations on compact keys.  Linear in corpus size, no
     all-pairs anything — survives 100 TB.
     """
-    toks = _word_tokens(F.trim(F.col(text_col)))
-    toks = F.filter(toks, lambda t: F.length(t) > 0)
-    base = df.select(
-        F.col(id_col),
-        toks.alias("__toks"),
-        F.size(toks).alias("n_words"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-    ).filter(F.col("n_words") > 0)  # 0-word docs have no defined signals
-
-    def grams(n: int) -> DataFrame:
-        g = F.expr(
-            f"transform(sequence(1, size(__toks) - {n - 1}),"
-            f" i -> array_join(slice(__toks, i, {n}), ' '))"
-        )
-        return (
-            base.filter(F.size("__toks") >= n)
-            .select(F.col(id_col), F.explode(g).alias("g"))
-            .groupBy(id_col, "g")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
-    bi = grams(2).groupBy(id_col).agg(
-        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_frac")
-    )
-    tri = grams(3).groupBy(id_col).agg(
-        (
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).cast("double")
-            / F.sum("cnt")
-        ).alias("dup_trigram_frac")
-    )
-    return (
-        base.select(
-            id_col,
-            "n_words",
-            (
-                F.lit(1.0)
-                - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
-            ).alias("dup_word_frac"),
-        )
-        .join(bi, id_col, "left")
-        .join(tri, id_col, "left")
+    return _signals_from_stats(_gram_stats(df, text_col, id_col), id_col).select(
+        id_col, "n_words", "dup_word_frac", "top_bigram_frac", "dup_trigram_frac"
     )
 
 
@@ -368,22 +405,11 @@ def gopher_quality_filter(
 
     ``reasons`` is the comma-joined sorted list of violated rule names
     (empty string when kept) — deterministic, so the whole verdict is
-    oracle-checkable.  Signals reuse ``repetition_signals``; the extra
-    mean-word-length and stopword checks are row-local codegen.  Cost on
-    top of the signals: zero additional shuffles.
+    oracle-checkable.  Every signal (repetition fractions, mean word
+    length, stopword presence) comes from the shared one-scan
+    ``_gram_stats`` pass — the verdict costs the corpus exactly one read.
     """
-    toks = _word_tokens(F.trim(F.col(text_col)))
-    toks = F.filter(toks, lambda t: F.length(t) > 0)
-    char_sum = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
-    )
-    extra = df.select(
-        F.col(id_col),
-        (char_sum.cast("double") / F.size(toks).cast("double")).alias("mean_word_len"),
-        F.arrays_overlap(toks, F.array(*[F.lit(w) for w in _STOPWORDS])).alias("__has_stop"),
-    )
-    sig = repetition_signals(df, text_col, id_col)
-    j = sig.join(extra, id_col)
+    j = _signals_from_stats(_gram_stats(df, text_col, id_col), id_col)
     rules = [
         ("too_few_words", F.col("n_words") < GOPHER_MIN_WORDS),
         ("too_many_words", F.col("n_words") > GOPHER_MAX_WORDS),
