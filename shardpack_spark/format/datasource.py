@@ -656,6 +656,7 @@ def compact_dataset(
     path: str,
     target_shard_bytes: int = codec.DEFAULT_TARGET_SHARD_BYTES,
     compression: str | None = None,
+    sort_by_key: bool = False,
 ) -> dict:
     """Maintenance job: rewrite a dataset's shards at the target size.
 
@@ -670,6 +671,13 @@ def compact_dataset(
     point leaves a readable dataset — before the swap, readers still see
     the old manifest (new files are invisible); after it, the new one.
     No directory renames, no backup window.
+
+    ``sort_by_key`` range-partitions the rewrite on the record key, so
+    output shards hold DISJOINT key ranges: the manifest's per-shard
+    min/max then prunes a point lookup to exactly one shard, where
+    hash-placed shards all overlap and pruning keeps everything.  Costs
+    one extra range-exchange during the (already full-rewrite) job — the
+    standard sort-compaction trade.
     """
     register(spark)
     manifest = _load_manifest(path) or {}
@@ -682,9 +690,12 @@ def compact_dataset(
         os.path.getsize(os.path.join(path, n)) for n in _visible_shards(path)
     )
     n_parts = max(1, -(-total_bytes // target_shard_bytes))
+    if sort_by_key:
+        df = df.repartitionByRange(n_parts, "key").sortWithinPartitions("key")
+    else:
+        df = df.repartition(n_parts)
     (
-        df.repartition(n_parts)
-        .write.format("shardpack")
+        df.write.format("shardpack")
         .option("target_shard_bytes", target_shard_bytes)
         .option("compression", comp)
         .mode("overwrite")

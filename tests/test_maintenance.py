@@ -33,6 +33,36 @@ def test_compaction_preserves_data(spark, sf_dir, tmp_path):
     assert stats["records"] == len(keys_before)
 
 
+def test_sorted_compaction_gives_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    """sort_by_key compaction yields shards with non-overlapping manifest
+    key ranges, so a key-equality lookup prunes to a single shard."""
+    from shardpack_spark.format.datasource import (
+        ShardPackPruningReader,
+        _load_manifest,
+    )
+    from tests.test_datasource import _docs_as_records
+
+    register(spark)
+    out = str(tmp_path / "sorted_ds")
+    _docs_as_records(spark, sf_dir).repartition(6).write.format("shardpack").option(
+        "target_shard_bytes", 16 * 1024
+    ).mode("overwrite").save(out)
+
+    compact_dataset(spark, out, target_shard_bytes=48 * 1024, sort_by_key=True)
+    shards = _load_manifest(out)["shards"]
+    assert len(shards) > 1
+    ranges = sorted((s["min_key"], s["max_key"]) for s in shards)
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping ranges {hi} vs {lo}"
+
+    # point lookup now plans exactly one input partition
+    reader = ShardPackPruningReader({"path": out, "prune_by_key": "true"})
+    from pyspark.sql.datasource import EqualTo
+
+    reader.pushFilters([EqualTo(("key",), ranges[1][0])])
+    assert len(reader.partitions()) == 1
+
+
 def test_compaction_crash_windows_leave_readable_dataset(spark, sf_dir, tmp_path):
     """A compaction (or overwrite) that dies in ANY window leaves a dataset
     that reads consistently: the manifest swap is the single commit point.
