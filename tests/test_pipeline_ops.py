@@ -160,3 +160,25 @@ def test_gopher_quality_filter_rules(spark):
     assert rows[0]["keep"] and rows[0]["reasons"] == ""
     assert not rows[1]["keep"] and "dup_words" in rows[1]["reasons"]
     assert not rows[2]["keep"] and "too_few_words" in rows[2]["reasons"]
+
+
+def test_canonical_url_idempotent(spark):
+    """canonical_url is a fixpoint: canon(canon(u)) == canon(u), over a
+    structured corpus of messy URLs (one Spark job, not per-example)."""
+    from itertools import product
+
+    from shardpack_spark.operators import urls
+
+    hosts = ["Ex.COM", "a.b.ORG:443", "h.io:80", "h.io:8080", "u@x.NET"]
+    paths = ["", "/", "/p/q", "/p/"]
+    queries = ["", "?utm_source=f", "?x=1", "?utm_a=1&x=2", "?x=1&ref=z&y=3"]
+    frags = ["", "#top"]
+    cases = [
+        f"{s}://{h}{p}{q}{f}"
+        for s, h, p, q, f in product(["https", "HTTP"], hosts, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    once = df.select(urls.canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("c1", urls.canonical_url(F.col("c1")).alias("c2"))
+    bad = [(r["c1"], r["c2"]) for r in twice.collect() if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
