@@ -99,3 +99,28 @@ def test_single_shuffle_operators(spark, sf_dir, name):
     exactly one hashpartitioning exchange on the by-key."""
     s = plan(spark, sf_dir, name)
     assert s.count("Exchange hashpartitioning") <= 2  # key + final agg
+
+
+def test_q59_hygiene_zero_shuffle_pruned_scan(spark, sf_dir):
+    """PII + URL hygiene is a pure scan: no exchange, unused columns
+    pruned (n_chars never read)."""
+    s = plan(spark, sf_dir, "q59_pii_redaction")
+    assert "Exchange" not in s
+    assert "n_chars" not in s.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q60_quality_single_scan(spark, sf_dir):
+    """Every repetition/quality signal comes from ONE corpus read."""
+    s = plan(spark, sf_dir, "q60_repetition")
+    # formatted mode names each scan once in the tree and once in the
+    # detail section — ReadSchema appears exactly once per physical scan
+    assert s.count("ReadSchema") == 1, s.count("ReadSchema")
+    assert s.count("Exchange hashpartitioning") <= 2
+
+
+def test_q61_semdedup_pair_join_on_cluster_key(spark, sf_dir):
+    """SemDeDup's pair search must be an equi-join keyed on the cluster
+    id — never a Cartesian/nested-loop over the vectors."""
+    s = plan(spark, sf_dir, "q61_kmeans_semdedup")
+    assert "CartesianProduct" not in s
+    assert "cluster" in s
