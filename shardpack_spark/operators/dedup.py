@@ -173,13 +173,15 @@ def jaccard_pairs_exact(
     shuffle key is the shingle, so only docs actually sharing content meet.
     (sid_a, sid_b, jac) with a deterministic double division.
 
-    ``broadcast_candidates`` (default True) hints the candidate-derived
-    join sides as broadcast: post-LSH-and-prefilter candidates are
-    O(near-dup pairs), not O(corpus), so the big shingle table streams
-    through two broadcast hash joins without ever shuffling.  Set False
-    when the dup-pair set itself is too large to broadcast (a forced
-    broadcast hint errors rather than falling back) — the joins then
-    shuffle on sid_a / (sid_b, shingle) as before.
+    ``broadcast_candidates`` (default True) hints the BARE candidate pair
+    list — O(near-dup pairs), two longs per row — as broadcast for its
+    join against the shingle table.  The shingle-attached intermediate
+    (O(|candidates| x shingles-per-doc)) is NEVER broadcast: a 10x scale
+    probe showed a forced hint there building multi-GiB broadcast tables
+    on duplicate-heavy corpora, exactly the plan that dies at 100 TB.
+    That second join shuffles on (sid_b, shingle).  Set
+    broadcast_candidates=False when even the pair list outgrows the
+    driver (a forced broadcast hint errors rather than falling back).
     """
     sizes = shingled.groupBy("sid").agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
@@ -192,8 +194,7 @@ def jaccard_pairs_exact(
             shingled.select(F.col("sid").alias("sid_a"), "shingle"), "sid_a"
         )
         inter = (
-            hint(a_sh)
-            .join(
+            a_sh.join(
                 shingled.select(F.col("sid").alias("sid_b"), "shingle"),
                 ["sid_b", "shingle"],
             )
