@@ -11,15 +11,19 @@ from shardpack_spark.operators.dedup import (
     connected_components,
     exact_dedup,
     filter_candidates_by_signature,
+    incremental_near_dup,
     jaccard_pairs_exact,
     minhash_lsh_candidates,
+    minhash_lsh_candidates_against,
     minhash_signatures,
     simhash,
     simhash_near_pairs,
 )
+from shardpack_spark.operators.packing import pack_sequences, packing_stats
 from shardpack_spark.operators.sampling import (
     hash_sample,
     hash_sample_n,
+    shuffle_rows,
     stratified_sample,
 )
 from shardpack_spark.operators.sessionize import sessionize
@@ -53,15 +57,20 @@ __all__ = [
     "fingerprints",
     "hash_sample",
     "hash_sample_n",
+    "incremental_near_dup",
     "ivf_topk",
     "jaccard_pairs_exact",
     "lang_scores",
     "minhash_lsh_candidates",
+    "minhash_lsh_candidates_against",
     "minhash_signatures",
+    "pack_sequences",
+    "packing_stats",
     "quality_scores",
     "rp_lsh_topk",
     "salted_join",
     "sessionize",
+    "shuffle_rows",
     "simhash",
     "stratified_sample",
     "simhash_near_pairs",

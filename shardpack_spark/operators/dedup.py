@@ -131,6 +131,99 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates_against(
+    new_signatures: DataFrame,
+    corpus_signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH candidates BETWEEN two corpora (never within one).
+
+    The incremental-ingest pattern at 100 TB: the standing corpus's
+    minhash signatures are computed once and stored (parquet/shardpack);
+    each incoming batch is signed with the SAME (n_hashes, seed) and its
+    banded rows are equi-joined against the corpus's banded rows on
+    (band, band_hash).  The join space is new-vs-corpus only — ingesting
+    a batch costs O(|batch| * bands) rows plus one bucketed shuffle, not
+    a self-join over the re-unioned corpus.  Returns distinct
+    (sid_new, sid_corpus).
+    """
+
+    def banded(sigs: DataFrame, out: str) -> DataFrame:
+        return sigs.select(
+            F.col("sid").alias(out),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(out, "bb.band", "bb.bh")
+
+    return (
+        banded(new_signatures, "sid_new")
+        .join(banded(corpus_signatures, "sid_corpus"), ["band", "bh"])
+        .select("sid_new", "sid_corpus")
+        .distinct()
+    )
+
+
+def incremental_near_dup(
+    new_df: DataFrame,
+    corpus_signatures: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    seed: int = 42,
+    k: int = 5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag incoming-batch documents that near-duplicate a standing corpus.
+
+    The decision is the signature-estimated Jaccard (fraction of agreeing
+    minhash components) — at scale the corpus's shingle sets are NOT
+    retained, only its O(docs x n_hashes) signature table, so exact
+    shingle verification is reserved for within-batch dedup.  With 64
+    hashes the estimate's stderr at j=0.8 is ~0.05; pick ``threshold``
+    below the true target (e.g. 0.7 for "dup at 0.8") and re-verify the
+    survivors downstream if exactness matters.
+
+    ``n_hashes``/``seed``/``k`` MUST match the run that produced
+    ``corpus_signatures`` — signatures from different hash families never
+    agree.  Returns (sid_new, dup_of, est): the smallest-id corpus match
+    and the best estimate among matches at or above ``threshold``.
+    """
+    sh = char_shingles(new_df, text_col=text_col, id_col=id_col, k=k)
+    new_sigs = minhash_signatures(sh, n_hashes=n_hashes, seed=seed)
+    cand = minhash_lsh_candidates_against(
+        new_sigs, corpus_signatures, bands=bands, rows_per_band=rows_per_band
+    )
+    a = new_sigs.select(F.col("sid").alias("sid_new"), F.col("sig").alias("__sa"))
+    b = corpus_signatures.select(
+        F.col("sid").alias("sid_corpus"), F.col("sig").alias("__sb")
+    )
+    agree = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(a, "sid_new")
+        .join(b, "sid_corpus")
+        .withColumn("est", agree / F.size("__sa"))
+        .filter(F.col("est") >= threshold)
+        .groupBy("sid_new")
+        .agg(F.min("sid_corpus").alias("dup_of"), F.max("est").alias("est"))
+    )
+
+
 def filter_candidates_by_signature(
     candidates: DataFrame,
     signatures: DataFrame,

@@ -75,6 +75,22 @@ def hash_sample_n(df: DataFrame, key_col: str, n: int, seed: int = 42) -> DataFr
     return df.orderBy(_row_hash(key_col, seed), F.col(key_col)).limit(n)
 
 
+def shuffle_rows(df: DataFrame, key_col: str, seed: int = 42) -> DataFrame:
+    """Deterministic global pseudorandom shuffle of a dataset.
+
+    Training runs need the corpus in a random ORDER (not a random subset),
+    and that order must be reproducible across re-runs and engines.
+    Sorting by the seeded key hash (key as tiebreak) gives exactly that:
+    a pure function of the data, independent of input partitioning.
+
+    At scale this plans as one range-partitioned sort — the canonical
+    Spark global shuffle: sampled range boundaries, then a single
+    exchange + per-partition sort, writable straight to sequentially
+    numbered output shards.  Different seeds give independent epochs.
+    """
+    return df.orderBy(_row_hash(key_col, seed), F.col(key_col))
+
+
 def mixture_sample(
     df: DataFrame,
     stratum_col: str,

@@ -1,0 +1,139 @@
+"""Tests for sequence packing, incremental cross-corpus dedup, and the
+deterministic global shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shardpack_spark.operators import dedup
+from shardpack_spark.operators.packing import pack_sequences, packing_stats
+from shardpack_spark.operators.sampling import shuffle_rows
+from shardpack_spark.tables import load_table
+
+BUDGET = 512
+
+
+def _tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+
+
+def test_pack_every_doc_exactly_once(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    packed = pack_sequences(toks, budget=BUDGET)
+    n_docs = toks.count()
+    assert packed.count() == n_docs
+    assert packed.select("doc_id").distinct().count() == n_docs
+
+
+def test_pack_respects_budget_except_oversize_singletons(spark, sf_dir):
+    packed = pack_sequences(_tokens(spark, sf_dir), budget=BUDGET)
+    stats = packing_stats(packed, budget=BUDGET)
+    over = stats.filter(F.col("tokens") > BUDGET)
+    # every over-budget sequence is a single oversize document
+    bad = over.filter((F.col("n_docs") != 1) | (~F.col("oversize"))).count()
+    assert bad == 0
+    # oversize flags only appear on docs that genuinely exceed the budget
+    assert packed.filter(F.col("oversize") & (F.col("n_tokens") <= BUDGET)).count() == 0
+
+
+def test_pack_fill_ratio_beats_one_doc_per_sequence(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    packed = pack_sequences(toks, budget=BUDGET)
+    n_seqs = packed.select("seq_id").distinct().count()
+    n_docs = toks.count()
+    # FFD must actually pack: far fewer sequences than documents, and
+    # mean fill of the non-oversize bins comfortably above one-doc waste
+    assert n_seqs < n_docs
+    mean_fill = (
+        packing_stats(packed, budget=BUDGET)
+        .filter(~F.col("oversize"))
+        .agg(F.avg("fill"))
+        .first()[0]
+    )
+    assert mean_fill is not None and mean_fill > 0.5
+
+
+def test_pack_deterministic_across_partitionings(spark, sf_dir):
+    toks = _tokens(spark, sf_dir)
+    a = pack_sequences(toks, budget=BUDGET).collect()
+    b = pack_sequences(toks.repartition(7), budget=BUDGET).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_incremental_flags_exact_copies(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    sh = dedup.char_shingles(corpus)
+    corpus_sigs = dedup.minhash_signatures(sh, n_hashes=64, seed=42).persist()
+
+    # the new batch re-submits 20 corpus docs verbatim under shifted ids
+    resubmitted = corpus.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    flagged = dedup.incremental_near_dup(
+        resubmitted, corpus_sigs, threshold=0.8, n_hashes=64, seed=42
+    )
+    got = {r["sid_new"]: (r["dup_of"], r["est"]) for r in flagged.collect()}
+    expected_ids = {r["doc_id"] for r in resubmitted.select("doc_id").collect()}
+    assert set(got) == expected_ids
+    for sid_new, (dup_of, est) in got.items():
+        assert est == 1.0  # identical text -> identical signature
+        # the smallest matching corpus id: the original itself, or an even
+        # earlier corpus doc with the same text (the testdata plants
+        # exact duplicates), never anything after the original
+        assert dup_of % 2 == 0 and dup_of <= sid_new - 1_000_000
+    corpus_sigs.unpersist()
+
+
+def test_incremental_ignores_unrelated_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus_sigs = dedup.minhash_signatures(
+        dedup.char_shingles(corpus), n_hashes=64, seed=42
+    )
+    # synthetic docs that share no shingles with the corpus
+    new = spark.createDataFrame(
+        [(10_000_000 + i, f"zzqx{i}vw " * 30) for i in range(5)], "doc_id long, text string"
+    )
+    assert (
+        dedup.incremental_near_dup(new, corpus_sigs, threshold=0.5).count() == 0
+    )
+
+
+def test_incremental_candidates_match_self_join_cross_pairs(spark, sf_dir):
+    """Cross-corpus banding must find exactly the self-join candidates
+    that straddle the corpus/new boundary."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    sigs = dedup.minhash_signatures(
+        dedup.char_shingles(docs), n_hashes=64, seed=42
+    ).persist()
+    corpus_sigs = sigs.join(corpus.select(F.col("doc_id").alias("sid")), "sid")
+    batch_sigs = sigs.join(batch.select(F.col("doc_id").alias("sid")), "sid")
+
+    cross = dedup.minhash_lsh_candidates_against(batch_sigs, corpus_sigs)
+    got = {(r["sid_new"], r["sid_corpus"]) for r in cross.collect()}
+
+    full = dedup.minhash_lsh_candidates(sigs)
+    want = set()
+    for r in full.collect():
+        a, b = r["sid_a"], r["sid_b"]
+        if a % 2 != b % 2:  # one side in each corpus
+            new_sid, corp_sid = (a, b) if a % 2 == 1 else (b, a)
+            want.add((new_sid, corp_sid))
+    sigs.unpersist()
+    assert got == want
+
+
+def test_shuffle_rows_is_deterministic_permutation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = [r["doc_id"] for r in shuffle_rows(docs, "doc_id", seed=1).collect()]
+    b = [r["doc_id"] for r in shuffle_rows(docs.repartition(5), "doc_id", seed=1).collect()]
+    c = [r["doc_id"] for r in shuffle_rows(docs, "doc_id", seed=2).collect()]
+    assert a == b  # partitioning-independent
+    assert sorted(a) == sorted(c) and a != c  # same rows, different epoch order
+    assert a != sorted(a)  # actually shuffled
