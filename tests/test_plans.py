@@ -124,3 +124,53 @@ def test_q61_semdedup_pair_join_on_cluster_key(spark, sf_dir):
     s = plan(spark, sf_dir, "q61_kmeans_semdedup")
     assert "CartesianProduct" not in s
     assert "cluster" in s
+
+
+def test_shuffle_rows_plans_range_sort(spark, sf_dir):
+    """The deterministic epoch shuffle must be ONE range-partitioned
+    global sort — never a coalesce-to-one or nested exchange."""
+    from shardpack_spark.operators.sampling import shuffle_rows
+    from shardpack_spark.tables import load_table
+
+    df = shuffle_rows(load_table(spark, sf_dir, "documents"), "doc_id", seed=7)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    s = df._jdf.queryExecution().explainString(jmode)
+    assert "rangepartitioning" in s
+    assert s.count("+- Exchange") == 1
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Packing is one hash shuffle on the salted group key feeding one
+    Arrow-batched grouped-map — no second exchange, no collect."""
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.operators.packing import pack_sequences
+    from shardpack_spark.tables import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    df = pack_sequences(toks, budget=1024)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    s = df._jdf.queryExecution().explainString(jmode)
+    assert "FlatMapGroupsInPandas" in s
+    assert s.count("+- Exchange") == 1 and "hashpartitioning" in s
+    assert "rangepartitioning" not in s
+
+
+def test_incremental_candidates_equi_join_only(spark, sf_dir):
+    """Cross-corpus LSH banding joins on (band, bh) — the plan must be a
+    hash/merge equi-join, never a nested-loop or Cartesian pair scan."""
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.operators import dedup
+    from shardpack_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = dedup.minhash_signatures(dedup.char_shingles(docs))
+    cand = dedup.minhash_lsh_candidates_against(
+        sigs.filter(F.col("sid") % 2 == 1), sigs.filter(F.col("sid") % 2 == 0)
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    s = cand._jdf.queryExecution().explainString(jmode)
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
