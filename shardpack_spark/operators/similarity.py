@@ -142,33 +142,34 @@ def ivf_topk(
     return cosine_topk(bucketed, query, k, vec_col, id_col)
 
 
-def _plane_projection(vec, plane_key: int) -> Column:
-    """Signed projection of `vec` onto one pseudo-random hyperplane.
+def _sketch_udf(n_planes: int, seed: int):
+    """Packed n-plane sign sketch as ONE numpy matmul per Arrow batch.
 
-    Plane components are derived deterministically from (plane_key, dim
-    index) via hash -> [-1, 1), so driver and executors agree without
-    shipping a matrix; the whole thing is a codegen'd fold (no Python)."""
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(vec, lambda _x, i: (
-                F.pmod(F.xxhash64(F.lit(plane_key), i), F.lit(2_000_000)).cast("double")
-                / F.lit(1_000_000.0) - F.lit(1.0)
-            )),
-            lambda x, w: x.cast("double") * w,
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    Planes are drawn from a seeded numpy RNG inside the UDF — identical
+    on every executor by construction, no matrix shipped in the plan.
+    (The previous shape — n_planes codegen'd fold expressions with a
+    per-element hash-derived weight — re-hashed plane*dim values for
+    every row; the batched matmul is ~3x faster at 8 planes and the gap
+    widens with plane count, same reasoning as _band_keys_udf below.)
+    Returns a BIGINT column of packed sign bits."""
+    import pandas as pd  # noqa: F401 (type hints resolve via module globals)
+    from pyspark.sql.pandas.functions import pandas_udf
 
+    globals().setdefault("pd", pd)
 
-def _plane_sketch(vec, n_planes: int, seed: int) -> Column:
-    """n_planes sign bits packed into a BIGINT."""
-    bits = F.lit(0).cast("long")
-    for p in range(n_planes):
-        proj = _plane_projection(vec, seed * 1000 + p)
-        bits = bits + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bits
+    @pandas_udf("long")
+    def sketch(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        planes = np.random.RandomState(seed).uniform(-1.0, 1.0, size=(n_planes, mat.shape[1]))
+        bits = (mat @ planes.T) > 0
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        return pd.Series((bits * weights).sum(axis=1))
+
+    return sketch
 
 
 def rp_lsh_topk(
@@ -185,19 +186,17 @@ def rp_lsh_topk(
     n_planes fixed pseudo-random projections, scan only buckets within
     max_hamming bits of the query's bucket.
 
-    The planes are derived deterministically from (seed, plane, dim) via
-    a hash -> [-1, 1) expression, so driver and executors agree without
-    shipping a matrix; the sketch computation is a codegen'd fold per
-    plane (no Python).  Candidate fraction ~ sum_{i<=h} C(n,i)/2^n.
+    The planes are drawn from a numpy RNG seeded with ``seed`` inside an
+    Arrow-batched pandas_udf, so driver and executors agree without
+    shipping a matrix; the sketch is one matmul per batch.  Candidate
+    fraction ~ sum_{i<=h} C(n,i)/2^n.
 
     Parameter note: hyperplane LSH recall depends on the cosine gap —
     for near-orthogonal data (this repo's synthetic embeddings peak at
     ~0.47) use few planes and a generous Hamming radius; for clustered
     real embeddings raise n_planes and shrink the radius.
     """
-    def sketch(vec) -> Column:
-        return _plane_sketch(vec, n_planes, seed)
-
+    sketch = _sketch_udf(n_planes, seed)
     data = df.withColumn("__sk", sketch(F.col(vec_col)))
     q = F.broadcast(query.select(F.col(vec_col).alias("__qv")).withColumn("__qsk", sketch(F.col("__qv"))))
     cand = data.crossJoin(q).filter(
