@@ -43,6 +43,34 @@ def _self_pickle_by_value() -> None:
         pass
 
 
+def ffd_assign(tokens: list[int], budget: int) -> list[int]:
+    """First-fit-decreasing bin assignment for one packer group.
+
+    ``tokens`` must already be in the packing order (descending tokens,
+    id-tiebroken — the caller sorts); returns the bin index per input
+    position.  Oversize items (> budget) always open a bin of their own
+    and nothing else ever joins it.  Pure function — property-tested
+    directly, and the applyInPandas closure is a thin wrapper around it.
+    """
+    remaining: list[int] = []  # open-bin spare capacity, bin index = position
+    out = []
+    for toks in tokens:
+        toks = int(toks)
+        placed = None
+        if toks <= budget:
+            for i, room in enumerate(remaining):
+                if room >= toks:
+                    placed = i
+                    remaining[i] = room - toks
+                    break
+        if placed is None:
+            placed = len(remaining)
+            # an oversize item fills its bin completely: nothing joins it
+            remaining.append(max(budget - toks, 0))
+        out.append(placed)
+    return out
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,
@@ -82,29 +110,17 @@ def pack_sequences(
             ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
         )
         group = int(pdf["__grp"].iloc[0]) if len(pdf) else 0
-        remaining: list[int] = []  # open-bin spare capacity, bin index = position
-        seq_ids, oversize = [], []
-        for toks in pdf["n_tokens"]:
-            toks = int(toks)
-            placed = None
-            if toks <= budget:
-                for i, room in enumerate(remaining):
-                    if room >= toks:
-                        placed = i
-                        remaining[i] = room - toks
-                        break
-            if placed is None:
-                placed = len(remaining)
-                # an oversize doc fills its bin completely: nothing joins it
-                remaining.append(max(budget - toks, 0))
-            seq_ids.append(group * _GROUP_STRIDE + placed)
-            oversize.append(toks > budget)
+        bins = ffd_assign([int(t) for t in pdf["n_tokens"]], budget)
         return pd.DataFrame(
             {
-                "seq_id": pd.array(seq_ids, dtype="int64"),
+                "seq_id": pd.array(
+                    [group * _GROUP_STRIDE + b for b in bins], dtype="int64"
+                ),
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "n_tokens": pdf["n_tokens"].to_numpy(),
-                "oversize": pd.array(oversize, dtype="bool"),
+                "oversize": pd.array(
+                    [int(t) > budget for t in pdf["n_tokens"]], dtype="bool"
+                ),
             }
         )
 

@@ -137,3 +137,38 @@ def test_shuffle_rows_is_deterministic_permutation(spark, sf_dir):
     assert a == b  # partitioning-independent
     assert sorted(a) == sorted(c) and a != c  # same rows, different epoch order
     assert a != sorted(a)  # actually shuffled
+
+
+# --- FFD core property tests (Spark-free) -----------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from shardpack_spark.operators.packing import ffd_assign  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=3000), max_size=300),
+    budget=st.integers(min_value=1, max_value=2048),
+)
+def test_ffd_invariants(tokens, budget):
+    ordered = sorted(tokens, reverse=True)
+    bins = ffd_assign(ordered, budget)
+    assert len(bins) == len(ordered)
+    sums: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for b, t in zip(bins, ordered):
+        sums[b] = sums.get(b, 0) + t
+        counts[b] = counts.get(b, 0) + 1
+    # bins are opened densely: indices are exactly 0..n_bins-1
+    assert sorted(sums) == list(range(len(sums)))
+    for b, s in sums.items():
+        # over budget only as a solitary oversize item
+        assert s <= budget or counts[b] == 1
+    # FFD lower bound: every pair of non-oversize bins can't both be
+    # under half-full (else the later one would have merged into the
+    # earlier) — so at most one open bin is < half the budget at the end
+    light = [b for b, s in sums.items() if s * 2 < budget and counts[b] >= 1 and max(
+        t for bb, t in zip(bins, ordered) if bb == b) <= budget]
+    assert len(light) <= 1
