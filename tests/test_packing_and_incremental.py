@@ -172,3 +172,51 @@ def test_ffd_invariants(tokens, budget):
     light = [b for b, s in sums.items() if s * 2 < budget and counts[b] >= 1 and max(
         t for bb, t in zip(bins, ordered) if bb == b) <= budget]
     assert len(light) <= 1
+
+
+def test_bloom_probe_filters_inside_streaming(spark, sf_dir, tmp_path):
+    """Ingest hygiene at stream time: a corpus Bloom filter (broadcast
+    bitmap, no join) drops already-seen texts inside a Structured
+    Streaming micro-batch, matching the batch-mode probe exactly."""
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from shardpack_spark.operators.membership import build_bloom, might_contain
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    bloom = build_bloom(corpus, "text", expected_items=1000, fpp=0.001)
+
+    incoming = docs.filter(F.col("doc_id") < 30).collect()  # mixed seen/unseen
+    src = tmp_path / "stream-in"
+    src.mkdir()
+    with open(os.path.join(src, "batch0.jsonl"), "w") as f:
+        for r in incoming:
+            f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    stream = spark.readStream.schema(schema).json(str(src))
+    fresh = might_contain(stream, "text", bloom).filter(~F.col("might_contain"))
+    q = (
+        fresh.writeStream.format("memory")
+        .queryName("bloom_fresh")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM bloom_fresh").collect()}
+
+    batch_df = spark.createDataFrame(incoming, schema)
+    want = {
+        r["doc_id"]
+        for r in might_contain(batch_df, "text", bloom)
+        .filter(~F.col("might_contain"))
+        .collect()
+    }
+    assert got == want  # stream == batch semantics
+    # zero false negatives: nothing in the corpus ever passes
+    seen_texts = {r["text"] for r in corpus.filter(F.col("doc_id") < 30).collect()}
+    passed_texts = {r["text"] for r in incoming if r["doc_id"] in got}
+    assert not (passed_texts & seen_texts)
