@@ -19,7 +19,11 @@ from shardpack_spark.operators.dedup import (
     simhash,
     simhash_near_pairs,
 )
-from shardpack_spark.operators.packing import pack_sequences, packing_stats
+from shardpack_spark.operators.packing import (
+    materialize_sequences,
+    pack_sequences,
+    packing_stats,
+)
 from shardpack_spark.operators.sampling import (
     hash_sample,
     hash_sample_n,
@@ -37,6 +41,7 @@ from shardpack_spark.operators.similarity import (
 )
 from shardpack_spark.operators.skew import bucketed_join, salted_join, write_bucketed
 from shardpack_spark.operators.text import (
+    chunk_documents,
     fingerprints,
     lang_scores,
     quality_scores,
@@ -48,6 +53,7 @@ __all__ = [
     "assign_to_centroids",
     "bucketed_join",
     "char_shingles",
+    "chunk_documents",
     "connected_components",
     "cosine_scores",
     "cosine_topk",
@@ -61,6 +67,7 @@ __all__ = [
     "ivf_topk",
     "jaccard_pairs_exact",
     "lang_scores",
+    "materialize_sequences",
     "minhash_lsh_candidates",
     "minhash_lsh_candidates_against",
     "minhash_signatures",

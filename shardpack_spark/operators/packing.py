@@ -141,3 +141,39 @@ def packing_stats(packed: DataFrame, budget: int) -> DataFrame:
         (F.sum("n_tokens") / F.lit(float(budget))).alias("fill"),
         F.max(F.col("oversize").cast("int")).cast("boolean").alias("oversize"),
     )
+
+
+def materialize_sequences(
+    packed: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Concatenate each packed sequence's documents into one training row.
+
+    Joins the (seq_id, doc_id) assignment back to the text and emits
+    (seq_id, n_docs, n_tokens, text) with documents ordered by
+    (n_tokens desc, doc_id) — the same deterministic order FFD packed
+    them in, so output bytes are reproducible.  collect_list is NOT
+    order-stable under parallel aggregation, so the structs are
+    array_sort-ed before joining; one shuffle on seq_id.
+    """
+    joined = packed.join(docs.select(F.col(id_col), F.col(text_col)), on=id_col)
+    entry = F.struct(
+        (-F.col("n_tokens")).alias("neg"), F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    )
+    return (
+        joined.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_sort(F.collect_list(entry)).alias("__entries"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            "n_tokens",
+            F.array_join(F.transform("__entries", lambda e: e["t"]), sep).alias("text"),
+        )
+    )

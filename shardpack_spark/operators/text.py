@@ -444,3 +444,47 @@ def gopher_quality_filter(
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 2048,
+    overlap: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap.
+
+    The step that feeds embedding / retrieval pipelines: each output row
+    is (id, chunk_idx, chunk_start, chunk) where ``chunk_start`` is the
+    1-based character offset and consecutive chunks share ``overlap``
+    characters so no span near a boundary is lost.  Chunk ids are stable
+    (position-derived), so re-running on the same corpus reproduces the
+    same chunk keys.
+
+    Entirely codegen: chunk starts come from a sequence() stride inside
+    the row and explode linearly — one scan, no shuffle, no Python.
+    Scales with total characters exactly like shingling.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_chars ({chunk_chars})")
+    stride = chunk_chars - overlap
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(text_col) - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_start",
+            F.substring(F.col(text_col), F.col("chunk_start"), chunk_chars).alias("chunk"),
+        )
+    )

@@ -220,3 +220,56 @@ def test_bloom_probe_filters_inside_streaming(spark, sf_dir, tmp_path):
     seen_texts = {r["text"] for r in corpus.filter(F.col("doc_id") < 30).collect()}
     passed_texts = {r["text"] for r in incoming if r["doc_id"] in got}
     assert not (passed_texts & seen_texts)
+
+
+def test_chunk_documents_reconstructs_originals(spark, sf_dir):
+    from shardpack_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunk_chars, overlap = 400, 64
+    stride = chunk_chars - overlap
+    chunks = chunk_documents(docs, chunk_chars=chunk_chars, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect() if r["text"]}
+    assert set(by_doc) == set(texts)
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        # dense ids, stride-spaced starts, bounded chunk length
+        for i, r in enumerate(rows):
+            assert r["chunk_idx"] == i and r["chunk_start"] == 1 + i * stride
+            assert len(r["chunk"]) <= chunk_chars
+        # overlap-aware concatenation reproduces the document exactly
+        rebuilt = rows[0]["chunk"] + "".join(r["chunk"][overlap:] for r in rows[1:])
+        assert rebuilt == texts[did]
+
+
+def test_materialize_sequences_deterministic_concat(spark, sf_dir):
+    from shardpack_spark.operators.packing import materialize_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens(spark, sf_dir)
+    packed = pack_sequences(toks, budget=BUDGET).persist()
+    seqs = materialize_sequences(packed, docs, sep="\n\n")
+    stats = {r["seq_id"]: (r["n_docs"], r["tokens"]) for r in
+             packing_stats(packed, BUDGET).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    members: dict[int, list[int]] = {}
+    for r in packed.collect():
+        members.setdefault(r["seq_id"], []).append(r["doc_id"])
+    rows = seqs.collect()
+    assert {r["seq_id"] for r in rows} == set(stats)
+    for r in rows:
+        assert (r["n_docs"], r["n_tokens"]) == stats[r["seq_id"]]
+        want_len = sum(len(texts[d]) for d in members[r["seq_id"]]) + 2 * (
+            r["n_docs"] - 1
+        )
+        assert len(r["text"]) == want_len
+        for d in members[r["seq_id"]]:
+            assert texts[d] in r["text"]
+    # byte-for-byte reproducible
+    again = {r["seq_id"]: r["text"] for r in
+             materialize_sequences(packed.repartition(9), docs).collect()}
+    assert {r["seq_id"]: r["text"] for r in rows} == again
+    packed.unpersist()
