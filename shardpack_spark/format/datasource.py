@@ -708,9 +708,17 @@ def compact_dataset(
     }
 
 
-def read_shardpack(spark, path: str, **options):
+def read_shardpack(spark, path: str, columns: list | None = None, **options):
     """Driver-side read helper: enables key-filter pruning automatically
-    when spark.sql.python.filterPushdown.enabled is on."""
+    when spark.sql.python.filterPushdown.enabled is on.
+
+    ``columns`` is the projection-aware entry point: the Python
+    DataSource API has no column-pruning hook (only pushFilters as of
+    Spark 4.1), so a bare ``.select("key","metadata")`` still decodes
+    every payload executor-side.  Passing the projection here instead
+    sets ``skip_payload`` whenever no entry-data column is requested —
+    the reader then seeks past payload bytes entirely (R4: index-style
+    metadata reads never touch the data at any scale)."""
     register(spark)
     reader = spark.read.format("shardpack")
     if (
@@ -718,6 +726,15 @@ def read_shardpack(spark, path: str, **options):
         and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false") == "true"
     ):
         options["prune_by_key"] = "true"
+    if (
+        columns is not None
+        and "skip_payload" not in options
+        and "metadata_only" not in options
+        and "entries" not in columns
+    ):
+        # no entry column in the projection -> index-only read
+        options["metadata_only"] = "true"
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.load(path)
+    df = reader.load(path)
+    return df.select(*columns) if columns else df

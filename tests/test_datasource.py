@@ -370,3 +370,24 @@ def test_stream_sink_replay_discards_duplicate_batch(spark_ds, tmp_path):
     assert not os.listdir(os.path.join(out, "_staging")) if os.path.isdir(
         os.path.join(out, "_staging")
     ) else True
+
+
+def test_read_helper_projection_triggers_metadata_only(spark_ds, sf_dir, tmp_path):
+    """read_shardpack(columns=[...]) without 'entries' must take the
+    index-only path automatically — same rows, no payload decode."""
+    from shardpack_spark.format.datasource import read_shardpack
+
+    out = str(tmp_path / "ds")
+    _docs_as_records(spark_ds, sf_dir).limit(25).write.format("shardpack").mode(
+        "append"
+    ).save(out)
+
+    meta = read_shardpack(spark_ds, out, columns=["key", "metadata"])
+    assert meta.columns == ["key", "metadata"]
+    full = spark_ds.read.format("shardpack").load(out).select("key", "metadata")
+    got = [(r["key"], dict(r["metadata"])) for r in meta.orderBy("key").collect()]
+    want = [(r["key"], dict(r["metadata"])) for r in full.orderBy("key").collect()]
+    assert got == want
+    # requesting entries keeps the full read path
+    both = read_shardpack(spark_ds, out, columns=["key", "entries"])
+    assert both.select(F.explode("entries").alias("e")).select("e.data").head()["data"] is not None
