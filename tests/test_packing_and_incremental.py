@@ -222,11 +222,17 @@ def test_bloom_probe_filters_inside_streaming(spark, sf_dir, tmp_path):
     assert not (passed_texts & seen_texts)
 
 
-def test_chunk_documents_reconstructs_originals(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "chunk_chars,overlap",
+    [(400, 64), (128, 0), (4096, 512), (50, 49)],
+)
+def test_chunk_documents_reconstructs_originals(spark, sf_dir, chunk_chars, overlap):
     from shardpack_spark.operators.text import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    chunk_chars, overlap = 400, 64
     stride = chunk_chars - overlap
     chunks = chunk_documents(docs, chunk_chars=chunk_chars, overlap=overlap)
     by_doc: dict[int, list] = {}
