@@ -41,17 +41,20 @@ from shardpack_spark.operators.similarity import (
 )
 from shardpack_spark.operators.skew import bucketed_join, salted_join, write_bucketed
 from shardpack_spark.operators.text import (
+    char_lm_scores,
     chunk_documents,
     fingerprints,
     lang_scores,
     quality_scores,
     token_counts,
+    train_char_lm,
 )
 
 __all__ = [
     "asof_join",
     "assign_to_centroids",
     "bucketed_join",
+    "char_lm_scores",
     "char_shingles",
     "chunk_documents",
     "connected_components",
@@ -82,5 +85,6 @@ __all__ = [
     "stratified_sample",
     "simhash_near_pairs",
     "token_counts",
+    "train_char_lm",
     "write_bucketed",
 ]

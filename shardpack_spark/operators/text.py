@@ -488,3 +488,87 @@ def chunk_documents(
             F.substring(F.col(text_col), F.col("chunk_start"), chunk_chars).alias("chunk"),
         )
     )
+
+
+def train_char_lm(
+    df: DataFrame, n: int = 3, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Character n-gram language model from a reference corpus.
+
+    Returns (gram_counts, prefix_counts): (gram, cnt) over all character
+    n-grams and (prefix, pcnt) over their (n-1)-char prefixes.  Two
+    aggregations over one explode — the model for a 100 TB corpus is
+    still bounded by alphabet^n distinct rows (a char-trigram table tops
+    out around a few million entries), small enough to broadcast at
+    scoring time.
+    """
+    grams = df.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {n - 1}),"
+                f" i -> substring({text_col}, i, {n}))"
+            )
+        ).alias("gram")
+    ).filter(F.length("gram") == n)
+    gram_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    prefix_counts = (
+        gram_counts.groupBy(F.substring("gram", 1, n - 1).alias("prefix"))
+        .agg(F.sum("cnt").alias("pcnt"))
+    )
+    return gram_counts, prefix_counts
+
+
+def char_lm_scores(
+    df: DataFrame,
+    gram_counts: DataFrame,
+    prefix_counts: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: int = 256,
+) -> DataFrame:
+    """Per-document mean log-probability and perplexity under a character
+    n-gram LM — the CCNet-style quality signal: text that looks like the
+    reference corpus scores low perplexity, boilerplate/garbage scores
+    high.
+
+    P(c|ctx) is Laplace-smoothed: (cnt + 1) / (pcnt + vocab); unseen
+    grams and prefixes fall back to the same formula with zero counts, so
+    every document gets a finite score.  Plan: one explode linear in
+    characters, two dimension joins against the model (broadcast-sized by
+    construction), one aggregation.  The log-prob sum runs in DECIMAL so
+    the result is independent of partial-aggregation order.
+
+    Returns (id, n_grams, avg_logp, ppl) for documents with at least one
+    n-gram.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {n - 1}),"
+                f" i -> substring({text_col}, i, {n}))"
+            )
+        ).alias("gram"),
+    ).filter(F.length("gram") == n)
+    scored = (
+        grams.join(gram_counts, "gram", "left")
+        .withColumn("prefix", F.substring("gram", 1, n - 1))
+        .join(prefix_counts, "prefix", "left")
+        .withColumn(
+            "__logp",
+            F.log(F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+            - F.log(F.coalesce(F.col("pcnt"), F.lit(0)) + F.lit(float(vocab))),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (
+                F.sum(F.col("__logp").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_logp"),
+        )
+        .withColumn("ppl", F.exp(-F.col("avg_logp")))
+    )

@@ -279,3 +279,45 @@ def test_materialize_sequences_deterministic_concat(spark, sf_dir):
              materialize_sequences(packed.repartition(9), docs).collect()}
     assert {r["seq_id"]: r["text"] for r in rows} == again
     packed.unpersist()
+
+
+def test_char_lm_scores_hand_example(spark):
+    """Counts and Laplace smoothing verified against a hand computation."""
+    import math
+
+    from shardpack_spark.operators.text import char_lm_scores, train_char_lm
+
+    ref = spark.createDataFrame([(1, "ababab")], "doc_id long, text string")
+    grams, prefixes = train_char_lm(ref, n=2)
+    gc = {r["gram"]: r["cnt"] for r in grams.collect()}
+    assert gc == {"ab": 3, "ba": 2}
+    pc = {r["prefix"]: r["pcnt"] for r in prefixes.collect()}
+    assert pc == {"a": 3, "b": 2}
+
+    out = char_lm_scores(
+        spark.createDataFrame([(7, "aba"), (8, "zz")], "doc_id long, text string"),
+        grams, prefixes, n=2,
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    # "aba": grams ab, ba -> ln(4/259) + ln(3/258), averaged
+    want_aba = (math.log(4 / 259) + math.log(3 / 258)) / 2
+    assert abs(got[7]["avg_logp"] - want_aba) < 1e-9
+    # "zz": unseen gram and prefix -> ln(1/256)
+    assert abs(got[8]["avg_logp"] - math.log(1 / 256)) < 1e-9
+    assert got[8]["ppl"] > got[7]["ppl"]  # garbage scores worse
+
+
+def test_char_lm_corpus_text_beats_garbled(spark, sf_dir):
+    from shardpack_spark.operators.text import char_lm_scores, train_char_lm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams, prefixes = train_char_lm(docs, n=3)
+    sample = docs.filter(F.col("doc_id") < 20)
+    garbled = sample.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), F.reverse("text").alias("text")
+    )
+    scores = char_lm_scores(sample.unionAll(garbled), grams, prefixes, n=3)
+    rows = {r["doc_id"]: r["ppl"] for r in scores.collect()}
+    real = [p for d, p in rows.items() if d < 1000]
+    fake = [p for d, p in rows.items() if d >= 1000]
+    assert sum(real) / len(real) < sum(fake) / len(fake)
