@@ -23,14 +23,30 @@ from pyspark.sql import functions as F
 _SEED_MIX = 0x9E3779B1
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup on sha256(text): one surviving row (min id) per hash.
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_by: str | None = None,
+) -> DataFrame:
+    """Exact dedup on sha256(text): one surviving row per content hash.
 
-    Returns (hash, survivor_id, dup_cnt).  Single shuffle on the hash.
+    Default survivor is the minimum id.  ``keep_by`` names a column to
+    maximize instead (highest quality score, most recent crawl, ...),
+    with min-id as the deterministic tiebreak — a lexicographic struct
+    max, so it stays ONE partial-aggregated shuffle on the hash, same as
+    the min-id path.  Returns (text_hash, survivor_id, dup_cnt).
     """
+    if keep_by is None:
+        survivor = F.min(id_col)
+    else:
+        # struct max: best keep_by first, then smallest id via negation
+        survivor = -F.max(
+            F.struct(F.col(keep_by).alias("q"), (-F.col(id_col)).alias("nid"))
+        )["nid"]
     return (
         df.groupBy(F.sha2(F.col(text_col), 256).alias("text_hash"))
-        .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .agg(survivor.alias("survivor_id"), F.count(F.lit(1)).alias("dup_cnt"))
     )
 
 

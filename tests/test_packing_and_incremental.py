@@ -321,3 +321,17 @@ def test_char_lm_corpus_text_beats_garbled(spark, sf_dir):
     real = [p for d, p in rows.items() if d < 1000]
     fake = [p for d, p in rows.items() if d >= 1000]
     assert sum(real) / len(real) < sum(fake) / len(fake)
+
+
+def test_exact_dedup_keep_by_policy(spark):
+    rows = [
+        (1, "same", 0.2), (2, "same", 0.9), (3, "same", 0.9),  # best q, tie -> id 2
+        (4, "other", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    out = {r["survivor_id"]: r["dup_cnt"] for r in
+           dedup.exact_dedup(df, keep_by="quality").collect()}
+    assert out == {2: 3, 4: 1}
+    # default stays min-id
+    out_min = {r["survivor_id"] for r in dedup.exact_dedup(df).collect()}
+    assert out_min == {1, 4}
