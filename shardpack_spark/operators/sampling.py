@@ -27,6 +27,20 @@ def _row_hash(key_col: str, seed: int) -> F.Column:
     return F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"|{seed}")))
 
 
+def _rate_threshold(rate: float) -> str:
+    """8-hex-digit keep threshold for a rate in [0, 1].
+
+    rate 1.0 needs care: format(2**32, "08x") is NINE chars
+    ("100000000"), and hex STRINGS compare lexicographically, so
+    "ffffffff" < "100000000" is False — an exact-1.0 rate would keep
+    only hashes starting with '0' (~1/16 of rows).  "g" sorts above
+    every hex digit, so it is the portable keep-everything sentinel.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return "g" if rate >= 1.0 else format(int(rate * 2**32), "08x")
+
+
 def hash_sample(
     df: DataFrame, key_col: str, fraction: float, seed: int = 42
 ) -> DataFrame:
@@ -37,10 +51,9 @@ def hash_sample(
     same order as the number it spells), so the identical predicate runs
     on any SQL engine without hex-to-int conversion.
     """
-    if not 0.0 <= fraction <= 1.0:
-        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    threshold = format(int(fraction * 2**32), "08x")
-    return df.filter(F.substring(_row_hash(key_col, seed), 1, 8) < F.lit(threshold))
+    return df.filter(
+        F.substring(_row_hash(key_col, seed), 1, 8) < F.lit(_rate_threshold(fraction))
+    )
 
 
 def stratified_sample(
@@ -112,12 +125,10 @@ def mixture_sample(
     the row hash) — no shuffle, pushed to the scan; the 100 TB cost is
     exactly one streaming pass.
     """
-    thresh = F.lit(format(int(default_rate * 2**32), "08x"))
+    thresh = F.lit(_rate_threshold(default_rate))
     for stratum, rate in sorted(rates.items()):
-        if not 0.0 <= rate <= 1.0:
-            raise ValueError(f"rate for {stratum!r} must be in [0, 1], got {rate}")
         thresh = (
-            F.when(F.col(stratum_col) == stratum, F.lit(format(int(rate * 2**32), "08x")))
+            F.when(F.col(stratum_col) == stratum, F.lit(_rate_threshold(rate)))
             .otherwise(thresh)
         )
     return df.filter(F.substring(_row_hash(key_col, seed), 1, 8) < thresh)

@@ -335,3 +335,16 @@ def test_exact_dedup_keep_by_policy(spark):
     # default stays min-id
     out_min = {r["survivor_id"] for r in dedup.exact_dedup(df).collect()}
     assert out_min == {1, 4}
+
+
+def test_hash_sample_rate_one_keeps_everything(spark, sf_dir):
+    """Regression: rate 1.0 used to format as a 9-hex-char threshold that
+    string-compares BELOW most hashes, silently keeping ~1/16 of rows."""
+    from shardpack_spark.operators.sampling import hash_sample, mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    assert hash_sample(docs, "doc_id", 1.0).count() == n
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
+    mixed = mixture_sample(docs, "lang", {"en": 1.0}, key_col="doc_id", default_rate=1.0)
+    assert mixed.count() == n
