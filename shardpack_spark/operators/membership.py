@@ -69,6 +69,10 @@ def build_bloom(
 
     m = -n ln(p) / (ln 2)^2 bits, k = (m/n) ln 2 — the textbook optimum.
     """
+    if expected_items < 1:
+        raise ValueError(f"expected_items must be >= 1, got {expected_items}")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
     m_bits = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
     m_bits = (m_bits + 7) // 8 * 8
     k = max(1, round(m_bits / expected_items * math.log(2)))

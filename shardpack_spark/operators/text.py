@@ -466,8 +466,10 @@ def chunk_documents(
     the row and explode linearly — one scan, no shuffle, no Python.
     Scales with total characters exactly like shingling.
     """
-    if overlap >= chunk_chars:
-        raise ValueError(f"overlap ({overlap}) must be < chunk_chars ({chunk_chars})")
+    if chunk_chars < 1:
+        raise ValueError(f"chunk_chars must be >= 1, got {chunk_chars}")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(f"overlap ({overlap}) must be in [0, chunk_chars)")
     stride = chunk_chars - overlap
     starts = F.sequence(
         F.lit(1),

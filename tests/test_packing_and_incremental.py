@@ -348,3 +348,23 @@ def test_hash_sample_rate_one_keeps_everything(spark, sf_dir):
     assert hash_sample(docs, "doc_id", 0.0).count() == 0
     mixed = mixture_sample(docs, "lang", {"en": 1.0}, key_col="doc_id", default_rate=1.0)
     assert mixed.count() == n
+
+
+def test_operator_input_validation(spark):
+    import pytest as _pt
+
+    from shardpack_spark.operators.membership import build_bloom
+    from shardpack_spark.operators.sampling import hash_sample
+    from shardpack_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError):
+        build_bloom(df, "text", expected_items=0)
+    with _pt.raises(ValueError):
+        build_bloom(df, "text", expected_items=10, fpp=0.0)
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_chars=0)
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_chars=10, overlap=-1)
+    with _pt.raises(ValueError):
+        hash_sample(df, "doc_id", 1.5)
