@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from shardpack_spark.operators.asof import asof_join
+from shardpack_spark.operators.ranges import interval_join
 from shardpack_spark.queries import register
 from shardpack_spark.queries.canon import as_date, dec, money2, round4d
 from shardpack_spark.tables import load_table
@@ -188,22 +189,56 @@ def q08_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q10_join_theta",
     oracle="""
-    SELECT p.p_brand, COUNT(*) AS cnt,
-           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+    SELECT 'theta' AS variant, p.p_brand AS key, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_val
     FROM lineitem l JOIN part p
       ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
     GROUP BY p.p_brand
+    UNION ALL
+    SELECT 'interval' AS variant, CAST(s.s_suppkey AS VARCHAR) AS key, COUNT(*) AS cnt,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_val
+    FROM customer c JOIN supplier s
+      ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal < s.s_acctbal + 500
+    GROUP BY s.s_suppkey
     """,
 )
 def q10_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-join with a theta residual predicate (Q10)."""
+    """Inequality joins, both scale shapes (Q10).
+
+    - 'theta': equi-join with a theta residual predicate — the selective
+      equi key does the heavy lifting; the inequality is a cheap filter.
+    - 'interval': PURE inequality join (point-in-interval, no equi key),
+      rewritten as a binned equi-join by ``operators.ranges.interval_join``
+      so the plan is a hash join on the bin key, never a
+      BroadcastNestedLoopJoin/cartesian (the DuckDB oracle answers the same
+      predicate with its IEJoin).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    return (
+    theta = (
         li.join(p, (li.l_partkey == p.p_partkey) & (li.l_quantity > p.p_size), "inner")
         .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("cnt"), money2(F.sum(dec("l_quantity"))).alias("sum_qty"))
+        .agg(F.count(F.lit(1)).alias("cnt"), money2(F.sum(dec("l_quantity"))).alias("sum_val"))
+        .select(F.lit("theta").alias("variant"), F.col("p_brand").alias("key"), "cnt", "sum_val")
     )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("band_lo"),
+        (F.col("s_acctbal") + F.lit(500.0)).alias("band_hi"),
+    )
+    interval = (
+        interval_join(cust, supp, "c_acctbal", "band_lo", "band_hi", bin_width=500.0)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"), money2(F.sum(dec("c_acctbal"))).alias("sum_val"))
+        .select(
+            F.lit("interval").alias("variant"),
+            F.col("s_suppkey").cast("string").alias("key"),
+            "cnt",
+            "sum_val",
+        )
+    )
+    return theta.unionAll(interval)
 
 
 @register(
