@@ -1,0 +1,129 @@
+"""Table profiler + mergeable HLL sketches.
+
+Profiler exact mode is checked column-by-column against DuckDB on the
+driver's parquet (same style as the oracle gate); the HLL tests pin the
+mergeability property — union-of-sketches == sketch-of-union — which is
+what makes the scan-once/rollup-anywhere pattern sound at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from shardpack_spark.operators.approx import (
+    approx_distinct_rollup,
+    distinct_sketches,
+    rollup_sketches,
+)
+from shardpack_spark.operators.profile import profile_table
+from shardpack_spark.tables import load_table
+
+
+# ---------------------------------------------------------------- profiler
+
+
+def test_profile_exact_matches_duckdb(spark, sf_dir):
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    got = {
+        r["column"]: r
+        for r in profile_table(
+            load_table(spark, sf_dir, "orders"), cols, exact_distinct=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "orders.parquet")
+    for c in cols:
+        exp = con.execute(
+            f"""SELECT COUNT(*), COUNT({c}), COUNT(DISTINCT {c}),
+                       CAST(MIN({c}) AS VARCHAR), CAST(MAX({c}) AS VARCHAR)
+                FROM '{pq}'"""
+        ).fetchone()
+        r = got[c]
+        assert (r["n_rows"], r["n_nonnull"], r["n_distinct"]) == exp[:3]
+        assert r["n_null"] == exp[0] - exp[1]
+        assert (r["min_str"], r["max_str"]) == exp[3:]
+    # numeric sum/mean: exact decimal accumulation, single IEEE division
+    s, n = con.execute(
+        f"SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), COUNT(o_totalprice) FROM '{pq}'"
+    ).fetchone()
+    assert got["o_totalprice"]["sum_val"] == s
+    assert got["o_totalprice"]["mean_val"] == s / n
+    assert got["o_orderstatus"]["sum_val"] is None and got["o_orderstatus"]["mean_val"] is None
+
+
+def test_profile_counts_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "k long, v string"
+    )
+    r = {x["column"]: x for x in profile_table(df, exact_distinct=True).collect()}
+    assert r["v"]["n_null"] == 2 and r["v"]["n_nonnull"] == 2 and r["v"]["n_distinct"] == 2
+    assert r["k"]["n_null"] == 0 and r["k"]["n_rows"] == 4
+
+
+def test_profile_single_scan(spark, sf_dir):
+    # ONE aggregation over ONE scan: no join/union of per-column jobs
+    df = load_table(spark, sf_dir, "orders")
+    s = profile_table(df, ["o_orderkey", "o_totalprice"])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert s.count("Scan parquet") == 1, s
+    assert "Join" not in s and "Union" not in s
+
+
+def test_profile_validation(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="not in frame"):
+        profile_table(df, ["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        profile_table(df, [])
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_union_equals_direct_sketch(spark, sf_dir):
+    # sketch per orderstatus, roll up to global == sketch built globally;
+    # identical binary state => identical estimate (not just "close")
+    df = load_table(spark, sf_dir, "orders")
+    fine = distinct_sketches(df, "o_custkey", ["o_orderstatus"], lgk=12)
+    rolled = rollup_sketches(fine, []).collect()[0]["approx_distinct"]
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    assert rolled == direct
+
+
+def test_hll_rollup_reasonable_and_monotone(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    exact = df.select("o_custkey").distinct().count()
+    got = approx_distinct_rollup(df, "o_custkey", ["o_orderstatus"], []).collect()[0][
+        "approx_distinct"
+    ]
+    assert abs(got - exact) / exact < 0.05
+    # per-group estimates each bounded by their group's exact count error
+    per = {
+        r["o_orderstatus"]: r["approx_distinct"]
+        for r in approx_distinct_rollup(
+            df, "o_custkey", ["o_orderstatus"], ["o_orderstatus"]
+        ).collect()
+    }
+    ex = {
+        r["o_orderstatus"]: r["n"]
+        for r in df.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, v in per.items():
+        assert abs(v - ex[k]) / max(ex[k], 1) < 0.08
+
+
+def test_hll_validation(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="lgk"):
+        distinct_sketches(df, "o_custkey", ["o_orderstatus"], lgk=2)
+    with pytest.raises(ValueError, match="subset"):
+        approx_distinct_rollup(df, "o_custkey", ["o_orderstatus"], ["o_orderpriority"])
