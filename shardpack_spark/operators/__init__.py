@@ -5,6 +5,11 @@ Each is a DataFrame -> DataFrame function built from Catalyst built-ins
 driver-side collects, shard-parallel by construction.
 """
 
+from shardpack_spark.operators.approx import (
+    approx_distinct_rollup,
+    distinct_sketches,
+    rollup_sketches,
+)
 from shardpack_spark.operators.asof import asof_join
 from shardpack_spark.operators.dedup import (
     char_shingles,
@@ -30,6 +35,8 @@ from shardpack_spark.operators.sampling import (
     shuffle_rows,
     stratified_sample,
 )
+from shardpack_spark.operators.profile import profile_table
+from shardpack_spark.operators.ranges import interval_join
 from shardpack_spark.operators.sessionize import sessionize
 from shardpack_spark.operators.similarity import (
     assign_to_centroids,
@@ -51,6 +58,7 @@ from shardpack_spark.operators.text import (
 )
 
 __all__ = [
+    "approx_distinct_rollup",
     "asof_join",
     "assign_to_centroids",
     "bucketed_join",
@@ -63,10 +71,12 @@ __all__ = [
     "embedding_near_dup_pairs",
     "exact_dedup",
     "filter_candidates_by_signature",
+    "distinct_sketches",
     "fingerprints",
     "hash_sample",
     "hash_sample_n",
     "incremental_near_dup",
+    "interval_join",
     "ivf_topk",
     "jaccard_pairs_exact",
     "lang_scores",
@@ -76,7 +86,9 @@ __all__ = [
     "minhash_signatures",
     "pack_sequences",
     "packing_stats",
+    "profile_table",
     "quality_scores",
+    "rollup_sketches",
     "rp_lsh_topk",
     "salted_join",
     "sessionize",
