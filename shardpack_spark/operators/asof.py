@@ -1,4 +1,4 @@
-"""As-of (event-time) join.
+"""As-of (event-time) join: backward, forward, and nearest.
 
 Spark SQL has no native ASOF JOIN, so we implement the classic scalable
 union-merge formulation rather than the naive range-join + dedup:
@@ -12,19 +12,41 @@ union-merge formulation rather than the naive range-join + dedup:
 Cost: ONE shuffle on the by-key and a sort within partitions — no row
 explosion, no O(left x right-per-key) intermediate, which is what makes it
 survive 100 TB (a range join + ROW_NUMBER dedup materializes every
-(left, earlier-right) pair first).
+(left, earlier-right) pair first).  ``direction="forward"`` is the same
+window run in reverse order; ``"nearest"`` runs both passes over the same
+shuffled partitioning (Catalyst adds a re-sort, not a second exchange)
+and picks the closer match per row.
 
-Semantics: for each left row, the right row with the greatest ``right_ts``
-such that ``right_ts <= left_ts`` within the same ``by`` key (ties on
-right_ts broken by the largest ``tiebreak``).  Unmatched left rows keep
-NULL right values (left as-of join).
+Semantics (pandas ``merge_asof`` parity):
+- backward: right row with the greatest ``right_on <= left_on``,
+- forward:  right row with the smallest ``right_on >= left_on``,
+- nearest:  whichever of the two is closer in |left_on - right_on|,
+  backward winning exact ties.
+Within a direction, ties on ``right_on`` are broken by the largest
+``tiebreak``.  Unmatched left rows keep NULL right values (left join).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _carry(direction_desc: bool) -> Window:
+    order = [
+        F.col("__ts").desc() if direction_desc else F.col("__ts").asc(),
+        # right rows sort BEFORE left rows at equal ts (side desc) so an
+        # exactly coincident right row is visible to the left row
+        F.col("__side").desc(),
+        # among right ties the winner is whichever sorts LAST (closest to
+        # the probe row in window order): tb ascending puts the largest
+        # tiebreak there in both directions
+        F.col("__tb").asc(),
+    ]
+    return (
+        Window.partitionBy("__by").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    )
 
 
 def asof_join(
@@ -36,24 +58,30 @@ def asof_join(
     right_by: str,
     value_cols: list[str] | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row with right_on <= left_on per key.
+    """Left as-of join; see module docstring for direction semantics.
 
     ``value_cols``: right columns to carry over (default: all non-key).
     ``tiebreak``: right column breaking right_on ties (largest wins).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (right_on, right_by)]
 
     lcols = left.columns
-    # All right value columns travel as ONE struct so a single
-    # last(ignorenulls=True) carries the whole matched row: if the matched
-    # (latest) right row has NULL in some value column, that NULL is
-    # preserved — per-column last() would leak an older row's non-null
-    # value and stitch together columns from different right rows.
-    r_struct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    # All right value columns travel as ONE struct (with the matched ts as
+    # its first field) so a single last(ignorenulls=True) carries the whole
+    # matched row: if the matched right row has NULL in some value column,
+    # that NULL is preserved — per-column last() would leak an older row's
+    # non-null value and stitch together columns from different right rows.
+    r_struct = F.struct(
+        F.col(right_on).cast("double").alias("__mts"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
     null_struct = F.lit(None).cast(
-        "struct<"
+        "struct<__mts:double,"
         + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
         + ">"
     )
@@ -75,22 +103,32 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         r_struct.alias("__r"),
     )
-
-    # Right rows sort BEFORE left rows at equal ts (side desc) so an exactly
-    # coincident right row is visible to the left row; among right ties the
-    # largest tiebreak sorts last and wins the last() carry-forward.
-    w = (
-        Window.partitionBy("__by")
-        .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tb").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     unioned = l_tagged.unionByName(r_tagged)
-    carried = unioned.select(
+
+    def pick(m: Column) -> list[Column]:
+        return [
+            *[F.col(c) for c in lcols],
+            *[m[c].alias(c) for c in value_cols],
+        ]
+
+    if direction == "backward":
+        carried = unioned.select("*", F.last("__r", ignorenulls=True).over(_carry(False)).alias("__m"))
+        return carried.filter(F.col("__side") == 0).select(*pick(F.col("__m")))
+    if direction == "forward":
+        carried = unioned.select("*", F.last("__r", ignorenulls=True).over(_carry(True)).alias("__m"))
+        return carried.filter(F.col("__side") == 0).select(*pick(F.col("__m")))
+
+    # nearest: both passes share the hash partitioning on __by — the second
+    # window adds only a sort, never a second shuffle (plan-asserted).
+    both = unioned.select(
         "*",
-        F.last("__r", ignorenulls=True).over(w).alias("__m"),
+        F.last("__r", ignorenulls=True).over(_carry(False)).alias("__mb"),
+        F.last("__r", ignorenulls=True).over(_carry(True)).alias("__mf"),
+    ).filter(F.col("__side") == 0)
+    ts_d = F.col("__ts").cast("double")
+    back_wins = F.col("__mf").isNull() | (
+        F.col("__mb").isNotNull()
+        & ((ts_d - F.col("__mb")["__mts"]) <= (F.col("__mf")["__mts"] - ts_d))
     )
-    out = carried.filter(F.col("__side") == 0).select(
-        *[F.col(c) for c in lcols],
-        *[F.col("__m")[c].alias(c) for c in value_cols],
-    )
-    return out
+    chosen = F.when(back_wins, F.col("__mb")).otherwise(F.col("__mf"))
+    return both.select(*pick(chosen))

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from shardpack_spark.format import codec
@@ -177,3 +178,62 @@ def test_asof_join_preserves_nulls_of_matched_row(spark):
     ).head()
     assert row["rid"] == 20 and row["tag"] == "new"
     assert row["val"] is None  # matched row's NULL preserved
+
+
+def test_asof_join_forward_and_nearest_match_bruteforce(spark):
+    rng = random.Random(13)
+    left = [(i, rng.randint(0, 4), rng.randint(0, 500)) for i in range(250)]
+    right = [(j, rng.randint(0, 4), rng.randint(0, 500)) for j in range(300)]
+    ldf = spark.createDataFrame(left, "lid long, grp long, lts long")
+    rdf = spark.createDataFrame(right, "rid long, rgrp long, rts long")
+
+    def run(direction):
+        return {
+            r["lid"]: r["rid"]
+            for r in asof_join(
+                ldf, rdf, "lts", "rts", "grp", "rgrp",
+                value_cols=["rid"], tiebreak="rid", direction=direction,
+            ).collect()
+        }
+
+    fwd, near = run("forward"), run("nearest")
+    for lid, grp, lts in left:
+        after = [(rts, rid) for rid, rgrp, rts in right if rgrp == grp and rts >= lts]
+        before = [(rts, rid) for rid, rgrp, rts in right if rgrp == grp and rts <= lts]
+        # forward: smallest rts >= lts; rts ties -> largest rid wins
+        want_f = max((r for r in after if r[0] == min(after)[0]))[1] if after else None
+        assert fwd[lid] == want_f, f"forward lid={lid}"
+        # nearest: closer of backward/forward, backward wins ties
+        wb = max(before) if before else None
+        wf = max((r for r in after if r[0] == min(after)[0])) if after else None
+        if wb is None:
+            want_n = wf[1] if wf else None
+        elif wf is None or (lts - wb[0]) <= (wf[0] - lts):
+            want_n = wb[1]
+        else:
+            want_n = wf[1]
+        assert near[lid] == want_n, f"nearest lid={lid}: got {near[lid]} want {want_n}"
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """Both direction passes must reuse ONE hash exchange on the by-key —
+    the second window adds a sort, never another shuffle."""
+    ldf = spark.range(100).select(
+        F.col("id").alias("lid"), (F.col("id") % 3).alias("grp"), F.col("id").alias("lts")
+    )
+    rdf = spark.range(100).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).alias("rgrp"), F.col("id").alias("rts")
+    )
+    out = asof_join(
+        ldf, rdf, "lts", "rts", "grp", "rgrp",
+        value_cols=["rid"], tiebreak="rid", direction="nearest",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+
+
+def test_asof_direction_validation(spark):
+    ldf = spark.createDataFrame([(1, 0, 1)], "lid long, grp long, lts long")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(ldf, ldf, "lts", "lts", "grp", "grp", direction="sideways")
