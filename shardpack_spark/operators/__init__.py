@@ -32,8 +32,10 @@ from shardpack_spark.operators.packing import (
 from shardpack_spark.operators.sampling import (
     hash_sample,
     hash_sample_n,
+    hash_split,
     shuffle_rows,
     stratified_sample,
+    weighted_sample_n,
 )
 from shardpack_spark.operators.profile import profile_table
 from shardpack_spark.operators.ranges import interval_join
@@ -75,6 +77,7 @@ __all__ = [
     "fingerprints",
     "hash_sample",
     "hash_sample_n",
+    "hash_split",
     "incremental_near_dup",
     "interval_join",
     "ivf_topk",
@@ -97,6 +100,7 @@ __all__ = [
     "stratified_sample",
     "simhash_near_pairs",
     "token_counts",
+    "weighted_sample_n",
     "train_char_lm",
     "write_bucketed",
 ]

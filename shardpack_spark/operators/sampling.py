@@ -104,6 +104,72 @@ def shuffle_rows(df: DataFrame, key_col: str, seed: int = 42) -> DataFrame:
     return df.orderBy(_row_hash(key_col, seed), F.col(key_col))
 
 
+def weighted_sample_n(
+    df: DataFrame, key_col: str, weight_col: str, n: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (n rows).
+
+    Efraimidis–Spirakis A-Res: each row gets priority ln(u) / w for a
+    hash-derived uniform u (u^(1/w) in log space — same order, no pow
+    underflow at large weights); the n largest priorities are the sample.
+    Inclusion probability is proportional to weight, the decision is a
+    pure function of (key, seed), and the plan is TakeOrderedAndProject —
+    per-partition heaps of n rows, no global sort, no shuffle of the data.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight row
+    must never be sampled; A-Res is undefined for w <= 0).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    # 13 hex chars = 52 bits -> exact in a double; +0.5 keeps u > 0 so
+    # ln(u) is finite and every positive-weight row has a finite priority.
+    u = (
+        F.conv(F.substring(_row_hash(key_col, seed), 1, 13), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 52))
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), F.col(key_col))
+        .limit(n)
+        .drop("__pri")
+    )
+
+
+def hash_split(
+    df: DataFrame, key_col: str, fractions: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Deterministic disjoint split (train/val/test) as a label column.
+
+    ``fractions`` maps split name -> fraction; they must sum to 1.  Each
+    row's split is decided by where its key hash lands among cumulative
+    thresholds, so membership is a pure function of the data: re-running,
+    re-partitioning, or appending MORE data never moves an existing row
+    between splits (the property that keeps eval sets uncontaminated as
+    the corpus grows).  Pure codegen — no shuffle.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    bad = {k: v for k, v in fractions.items() if v < 0}
+    if bad:
+        raise ValueError(f"negative fractions: {bad}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.substring(_row_hash(key_col, seed), 1, 8)
+    cum = 0.0
+    expr = None
+    names = sorted(fractions)  # deterministic threshold order
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < F.lit(_rate_threshold(min(cum, 1.0)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
 def mixture_sample(
     df: DataFrame,
     stratum_col: str,

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from shardpack_spark.operators import clustering, pii, sampling, text
@@ -182,3 +183,60 @@ def test_canonical_url_idempotent(spark):
     twice = once.select("c1", urls.canonical_url(F.col("c1")).alias("c2"))
     bad = [(r["c1"], r["c2"]) for r in twice.collect() if r["c1"] != r["c2"]]
     assert not bad, bad[:5]
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    # 200 'heavy' rows at weight 9 vs 200 'light' at weight 1: across
+    # seeds, heavy inclusion should dominate roughly in weight proportion
+    rows = [(i, "heavy" if i < 200 else "light", 9.0 if i < 200 else 1.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, grp string, w double")
+    heavy_frac = []
+    for seed in range(5):
+        s = sampling.weighted_sample_n(df, "k", "w", 80, seed=seed)
+        assert s.count() == 80
+        heavy_frac.append(s.filter(F.col("grp") == "heavy").count() / 80)
+    avg = sum(heavy_frac) / len(heavy_frac)
+    assert 0.65 < avg <= 1.0, heavy_frac  # 9:1 weights -> heavy dominates
+    # deterministic under repartitioning
+    a = sorted(r["k"] for r in sampling.weighted_sample_n(df, "k", "w", 80, seed=1).collect())
+    b = sorted(
+        r["k"]
+        for r in sampling.weighted_sample_n(df.repartition(17), "k", "w", 80, seed=1).collect()
+    )
+    assert a == b
+
+
+def test_weighted_sample_excludes_nonpositive_and_plans_topk(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -2.0), (4, None), (5, 5.0)], "k long, w double"
+    )
+    got = {r["k"] for r in sampling.weighted_sample_n(df, "k", "w", 10, seed=0).collect()}
+    assert got == {1, 5}
+    plan = sampling.weighted_sample_n(df, "k", "w", 2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hash_split_partitions_data_and_is_append_stable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    split = sampling.hash_split(docs, "doc_id", fr, seed=3)
+    n = docs.count()
+    got = {r["split"]: r["cnt"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(got.values()) == n  # disjoint + exhaustive
+    for name, f in fr.items():
+        assert abs(got.get(name, 0) / n - f) < 0.08, (name, got)
+    # append stability: splitting HALF the corpus assigns the same labels
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = {r["doc_id"]: r["split"] for r in sampling.hash_split(half, "doc_id", fr, seed=3).collect()}
+    full = {r["doc_id"]: r["split"] for r in split.collect()}
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_hash_split_validation(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(df, "k", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="negative"):
+        sampling.hash_split(df, "k", {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.hash_split(df, "k", {})
