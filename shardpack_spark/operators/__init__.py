@@ -37,7 +37,7 @@ from shardpack_spark.operators.sampling import (
     stratified_sample,
     weighted_sample_n,
 )
-from shardpack_spark.operators.profile import profile_table
+from shardpack_spark.operators.profile import frequent_values, histogram, profile_table
 from shardpack_spark.operators.ranges import interval_join
 from shardpack_spark.operators.sessionize import sessionize
 from shardpack_spark.operators.similarity import (
@@ -75,9 +75,11 @@ __all__ = [
     "filter_candidates_by_signature",
     "distinct_sketches",
     "fingerprints",
+    "frequent_values",
     "hash_sample",
     "hash_sample_n",
     "hash_split",
+    "histogram",
     "incremental_near_dup",
     "interval_join",
     "ivf_topk",

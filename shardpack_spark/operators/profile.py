@@ -30,6 +30,64 @@ from pyspark.sql.types import NumericType
 _DEC = "decimal(28,6)"
 
 
+def histogram(df: DataFrame, col: str, lo: float, hi: float, n_bins: int) -> DataFrame:
+    """Equi-width histogram: (bin, lo, hi, cnt), empty bins included.
+
+    One scan + one tiny aggregation on the bin id; the bin expression is
+    ``floor((x - lo) / width)`` clamped into [0, n_bins-1] — a fixed IEEE
+    op sequence, so any engine computing the same expression lands every
+    value in the same bin (pytest checks DuckDB agreement bin-by-bin).
+    Values outside [lo, hi] clamp into the edge bins, NULLs are dropped.
+    Empty bins come from a range() frame joined in — n_bins rows, never a
+    second scan of the data.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / n_bins
+    bin_id = F.least(
+        F.greatest(F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = df.sparkSession
+    frame = spark.range(n_bins).select(F.col("id").alias("bin"))
+    return (
+        frame.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+        .orderBy("bin")
+    )
+
+
+def frequent_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent values of a column: (value, cnt).
+
+    groupBy + count + TakeOrdered — partial aggregation map-side, then
+    per-partition heaps of k; ties broken by value so the answer is
+    deterministic and oracle-able.  The workhorse for spotting boilerplate
+    strings, sentinel values, and crawler artifacts during corpus triage.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("value"))
+        .limit(k)
+    )
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,

@@ -127,3 +127,61 @@ def test_hll_validation(spark, sf_dir):
         distinct_sketches(df, "o_custkey", ["o_orderstatus"], lgk=2)
     with pytest.raises(ValueError, match="subset"):
         approx_distinct_rollup(df, "o_custkey", ["o_orderstatus"], ["o_orderpriority"])
+
+
+# ------------------------------------------------------- histogram / top-k
+
+
+def test_histogram_matches_duckdb_bin_by_bin(spark, sf_dir):
+    from shardpack_spark.operators.profile import histogram
+
+    lo, hi, n = -1000.0, 10000.0, 13  # uneven width exercises IEEE floor
+    got = {
+        r["bin"]: r["cnt"]
+        for r in histogram(
+            load_table(spark, sf_dir, "orders"), "o_totalprice", lo, hi, n
+        ).collect()
+    }
+    w = (hi - lo) / n
+    con = duckdb.connect()
+    exp = dict(
+        con.execute(
+            f"""SELECT LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE) - {lo}) / {w}), 0), {n - 1}) AS bin,
+                       COUNT(*) AS cnt
+                FROM '{os.path.join(sf_dir, "orders.parquet")}'
+                WHERE o_totalprice IS NOT NULL GROUP BY 1"""
+        ).fetchall()
+    )
+    assert sum(got.values()) == sum(exp.values())
+    for b in range(n):
+        assert got[b] == exp.get(b, 0), f"bin {b}"
+
+
+def test_histogram_clamps_and_fills_empty_bins(spark):
+    from shardpack_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(-50.0,), (0.0,), (5.0,), (999.0,), (None,)], "x double")
+    rows = histogram(df, "x", 0.0, 10.0, 5).collect()
+    assert [r["bin"] for r in rows] == [0, 1, 2, 3, 4]
+    by = {r["bin"]: r["cnt"] for r in rows}
+    assert by[0] == 2  # -50 clamps into bin 0, plus 0.0
+    assert by[4] == 1  # 999 clamps into the top bin
+    assert by[2] == 1 and by[1] == 0 and by[3] == 0
+    assert sum(by.values()) == 4  # NULL dropped
+
+
+def test_frequent_values_matches_duckdb(spark, sf_dir):
+    from shardpack_spark.operators.profile import frequent_values
+
+    got = [
+        (r["value"], r["cnt"])
+        for r in frequent_values(load_table(spark, sf_dir, "orders"), "o_orderpriority", 3).collect()
+    ]
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT o_orderpriority, COUNT(*) AS cnt
+            FROM '{os.path.join(sf_dir, "orders.parquet")}'
+            WHERE o_orderpriority IS NOT NULL
+            GROUP BY 1 ORDER BY cnt DESC, o_orderpriority LIMIT 3"""
+    ).fetchall()
+    assert got == exp
