@@ -24,6 +24,7 @@ from shardpack_spark.operators.dedup import (
     simhash,
     simhash_near_pairs,
 )
+from shardpack_spark.operators.layout import morton_interleave, zorder_layout
 from shardpack_spark.operators.packing import (
     materialize_sequences,
     pack_sequences,
@@ -89,6 +90,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_candidates_against",
     "minhash_signatures",
+    "morton_interleave",
     "pack_sequences",
     "packing_stats",
     "profile_table",
@@ -103,6 +105,7 @@ __all__ = [
     "simhash_near_pairs",
     "token_counts",
     "weighted_sample_n",
+    "zorder_layout",
     "train_char_lm",
     "write_bucketed",
 ]
