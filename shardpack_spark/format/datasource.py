@@ -490,6 +490,16 @@ class ShardPackStreamReader(DataSourceStreamReader):
         # bounded batches instead of one giant catch-up batch.  0 = no cap.
         self.max_shards = int(options.get("max_shards_per_batch", 0))
         self._last = ""  # high-watermark of the newest offset handed out
+        # Restart safety for admission control: the engine is free to call
+        # latestOffset() on a fresh reader BEFORE anything reveals the
+        # checkpointed position (initialOffset is not called on restart),
+        # so a capped offset can momentarily sort BELOW the committed
+        # watermark.  That alone must never re-deliver data: partitions()
+        # learns the true position from the engine's own start offset and
+        # keeps it as a consumed FLOOR — shards at or below the floor are
+        # never emitted again, so a regressed batch is empty rather than a
+        # duplicate, and the cap re-engages from the floor afterwards.
+        self._floor = ""
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"last": ""}
@@ -505,16 +515,22 @@ class ShardPackStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[ShardPartition]:
         lo, hi = start.get("last", ""), end.get("last", "")
-        # restart alignment: never hand out an offset below the checkpoint
-        self._last = max(self._last, hi)
-        names = [n for n in _visible_shards(self.path) if lo < n <= hi]
+        # the engine's start offset IS the consumed position: remember the
+        # highest one ever seen and never hand out offsets below it again
+        self._floor = max(self._floor, lo)
+        self._last = max(self._last, self._floor, hi)
+        names = [n for n in _visible_shards(self.path) if lo < n <= hi and n > self._floor]
         return _plan_partitions(self.path, names, self.split_target)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the query checkpoint; track committed progress so
+        # the post-restart cap resumes from the right place
+        self._floor = max(self._floor, end.get("last", ""))
+        self._last = max(self._last, self._floor)
 
     def read(self, partition: ShardPartition):
         yield from _arrow_batches(partition, self.verify)
 
-    def commit(self, end: dict) -> None:
-        pass  # offsets live in the query checkpoint; nothing to clean up
 
 
 class ShardPackStreamWriter(DataSourceStreamArrowWriter):

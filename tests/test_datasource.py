@@ -391,3 +391,53 @@ def test_read_helper_projection_triggers_metadata_only(spark_ds, sf_dir, tmp_pat
     # requesting entries keeps the full read path
     both = read_shardpack(spark_ds, out, columns=["key", "entries"])
     assert both.select(F.explode("entries").alias("e")).select("e.data").head()["data"] is not None
+
+
+def test_stream_reader_restart_never_redelivers_consumed_shards(tmp_path):
+    """Checkpoint-restart edge of admission control: the engine may call
+    latestOffset() on a fresh reader with NO initialOffset() first, so the
+    capped offset can sort below the committed watermark.  The consumed
+    floor (learned from the engine's start offsets) must turn the
+    regressed batch into an EMPTY batch — never a re-delivery — and the
+    stream must still drain the remaining shards exactly once."""
+    from shardpack_spark.format.datasource import ShardPackStreamReader
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(4):
+        w = codec.ShardWriter(os.path.join(src, codec.shard_name("s", i)))
+        w.write_record(
+            codec.Record(key=f"k{i}", entries=[codec.FileEntry("a", "text/plain", b"v")])
+        )
+        w.close()
+    names = sorted(os.path.basename(p) for p in codec.list_shards(src))
+
+    def drain(reader, committed):
+        """One engine cycle: plan (committed, latest], return shard names."""
+        latest = reader.latestOffset()
+        if latest == committed:
+            return committed, []
+        parts = reader.partitions(committed, latest)
+        reader.commit(latest)
+        return latest, sorted(os.path.basename(p.path) for p in parts)
+
+    # run 1 (fresh start): cap=1 admits one shard per batch
+    r1 = ShardPackStreamReader({"path": src, "max_shards_per_batch": 1})
+    committed = r1.initialOffset()
+    committed, b1 = drain(r1, committed)
+    committed, b2 = drain(r1, committed)
+    assert b1 == [names[0]] and b2 == [names[1]]
+    checkpoint = committed  # engine has committed through names[1]
+
+    # run 2 (restart): fresh reader, latestOffset called FIRST — its capped
+    # answer may regress below the checkpoint
+    r2 = ShardPackStreamReader({"path": src, "max_shards_per_batch": 1})
+    delivered = []
+    committed = checkpoint
+    for _ in range(8):  # engine keeps cycling
+        committed, batch = drain(r2, committed)
+        assert all(n > checkpoint["last"] for n in batch), f"re-delivered {batch}"
+        delivered += batch
+        if sorted(delivered) == names[2:]:
+            break
+    assert sorted(delivered) == names[2:], delivered
