@@ -285,6 +285,13 @@ def q30b_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) <
           CASE lang WHEN 'en' THEN 'e6666666' WHEN 'zh' THEN '33333333'
                     ELSE '80000000' END
+    UNION ALL
+    SELECT 'split_' || CASE
+             WHEN substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < '19999999' THEN 'test'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8) < 'e6666666' THEN 'train'
+             ELSE 'val'
+           END AS variant, doc_id, lang, source
+    FROM documents
     """,
     doc="Deterministic hash-keyed sampling: Bernoulli filter, "
     "per-(lang,source) stratified top-3, a global top-20 reservoir "
@@ -326,6 +333,12 @@ def q30d_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     default_rate=0.5,
                 ),
             )
+        )
+        .unionAll(
+            # every row labeled: the oracle reproduces the exact cumulative
+            # hash thresholds, proving split membership is engine-portable
+            sampling.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+            .select(F.concat(F.lit("split_"), F.col("split")).alias("variant"), *cols)
         )
     )
 
