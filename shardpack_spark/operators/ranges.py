@@ -50,6 +50,7 @@ def interval_join(
     bin_width: float,
     by: list[tuple[str, str]] | None = None,
     closed: str = "left",
+    max_bins_per_interval: int | None = None,
 ) -> DataFrame:
     """Inner-join each point row to every interval row containing it.
 
@@ -58,11 +59,20 @@ def interval_join(
     ``"left"`` for [start, end) or ``"both"`` for [start, end].  ``by`` adds
     equi-key pairs ``(point_col, interval_col)`` that must also match.
     Output carries all columns from both inputs (names must not collide).
+
+    ``max_bins_per_interval``: optional runtime guard — a bin_width far
+    below the interval span multiplies the exploded side by span/width,
+    which at 100 TB is a silent job-killer.  With the cap set, any
+    interval that would explode past it fails the job loudly (codegen
+    ``raise_error``) instead; pick a wider bin_width or pre-split the
+    outlier intervals.
     """
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
     if closed not in ("left", "both"):
         raise ValueError(f"closed must be 'left' or 'both', got {closed!r}")
+    if max_bins_per_interval is not None and max_bins_per_interval < 1:
+        raise ValueError(f"max_bins_per_interval must be >= 1, got {max_bins_per_interval}")
     by = by or []
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
@@ -74,9 +84,24 @@ def interval_join(
     # match nothing — drop them before sequence(), which rejects a
     # descending range with a positive step.
     keep = F.col(end_on) >= F.col(start_on) if closed == "both" else F.col(end_on) > F.col(start_on)
+    lo_bin, hi_bin = F.floor(F.col(start_on) / w), F.floor(F.col(end_on) / w)
+    if max_bins_per_interval is not None:
+        n_bins = hi_bin - lo_bin + 1
+        hi_bin = F.when(
+            n_bins <= F.lit(max_bins_per_interval), hi_bin
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "interval_join: an interval spans %s bins "
+                    f"(max_bins_per_interval={max_bins_per_interval}); "
+                    "widen bin_width or pre-split outlier intervals",
+                    n_bins.cast("string"),
+                )
+            ).cast("long")
+        )
     iv = intervals.filter(keep).withColumn(
         _BIN,
-        F.explode(F.sequence(F.floor(F.col(start_on) / w), F.floor(F.col(end_on) / w))),
+        F.explode(F.sequence(lo_bin, hi_bin)),
     )
 
     cond = p[_BIN] == iv[_BIN]

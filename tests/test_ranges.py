@@ -97,3 +97,16 @@ def test_validation_errors(spark):
         interval_join(p, i, "x", "lo", "hi", 1.0, closed="right")
     with pytest.raises(ValueError, match="collide"):
         interval_join(p, i.withColumnRenamed("iid", "pid"), "x", "lo", "hi", 1.0)
+
+
+def test_max_bins_guard(spark):
+    p = spark.createDataFrame([(1, 5.0)], "pid long, x double")
+    i = spark.createDataFrame([(1, 0.0, 1000.0)], "iid long, lo double, hi double")
+    # within cap: fine
+    ok = interval_join(p, i, "x", "lo", "hi", 100.0, max_bins_per_interval=20)
+    assert ok.count() == 1
+    # over cap: loud runtime failure instead of a silent explode
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        interval_join(p, i, "x", "lo", "hi", 1.0, max_bins_per_interval=20).count()
+    with pytest.raises(ValueError, match="max_bins_per_interval"):
+        interval_join(p, i, "x", "lo", "hi", 1.0, max_bins_per_interval=0)
