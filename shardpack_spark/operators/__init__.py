@@ -38,7 +38,12 @@ from shardpack_spark.operators.sampling import (
     stratified_sample,
     weighted_sample_n,
 )
-from shardpack_spark.operators.profile import frequent_values, histogram, profile_table
+from shardpack_spark.operators.profile import (
+    frequent_values,
+    histogram,
+    numeric_quantiles,
+    profile_table,
+)
 from shardpack_spark.operators.ranges import interval_join
 from shardpack_spark.operators.sessionize import sessionize
 from shardpack_spark.operators.similarity import (
@@ -91,6 +96,7 @@ __all__ = [
     "minhash_lsh_candidates_against",
     "minhash_signatures",
     "morton_interleave",
+    "numeric_quantiles",
     "pack_sequences",
     "packing_stats",
     "profile_table",

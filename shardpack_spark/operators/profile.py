@@ -69,6 +69,47 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float, n_bins: int) -> Dat
     )
 
 
+def numeric_quantiles(
+    df: DataFrame,
+    cols: list[str],
+    probs: list[float] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-column quantiles in one aggregation: (column, prob, value).
+
+    ``exact=False`` (the 100 TB default) uses ``approx_percentile`` —
+    fixed-size mergeable partial state per partition.  ``exact=True``
+    uses ``percentile`` (linear interpolation, the same definition as
+    DuckDB's ``quantile_cont`` — pytest matches them value-for-value);
+    exact percentiles buffer each column's values per partition, so
+    reserve it for verification scale.  NULLs are ignored per column.
+    """
+    probs = probs if probs is not None else [0.25, 0.5, 0.75]
+    if not cols:
+        raise ValueError("no columns")
+    if not probs or not all(0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be in [0, 1], got {probs}")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    fn = F.percentile if exact else F.percentile_approx
+    one = df.agg(
+        *[fn(F.col(c).cast("double"), parr).alias(f"{c}__q") for c in cols]
+    )
+    parts = ", ".join(f"'{c}', {c}__q" for c in cols)
+    return (
+        one.select(F.expr(f"stack({len(cols)}, {parts}) AS (column, qs)"))
+        .select(
+            "column",
+            F.posexplode(
+                F.arrays_zip(parr.alias("prob"), F.col("qs").alias("value"))
+            ).alias("__i", "__pv"),
+        )
+        .select("column", F.col("__pv.prob").alias("prob"), F.col("__pv.value").alias("value"))
+    )
+
+
 def frequent_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
     """Top-k most frequent values of a column: (value, cnt).
 

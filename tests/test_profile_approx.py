@@ -185,3 +185,36 @@ def test_frequent_values_matches_duckdb(spark, sf_dir):
             GROUP BY 1 ORDER BY cnt DESC, o_orderpriority LIMIT 3"""
     ).fetchall()
     assert got == exp
+
+
+def test_numeric_quantiles_exact_matches_duckdb(spark, sf_dir):
+    from shardpack_spark.operators.profile import numeric_quantiles
+
+    probs = [0.1, 0.5, 0.9]
+    got = {
+        (r["column"], r["prob"]): r["value"]
+        for r in numeric_quantiles(
+            load_table(spark, sf_dir, "orders"), ["o_totalprice", "o_custkey"], probs, exact=True
+        ).collect()
+    }
+    con = duckdb.connect()
+    pq = os.path.join(sf_dir, "orders.parquet")
+    for c in ["o_totalprice", "o_custkey"]:
+        for p in probs:
+            (exp,) = con.execute(
+                f"SELECT quantile_cont(CAST({c} AS DOUBLE), {p}) FROM '{pq}'"
+            ).fetchone()
+            assert got[(c, p)] == exp, (c, p, got[(c, p)], exp)
+
+
+def test_numeric_quantiles_approx_bounded(spark, sf_dir):
+    from shardpack_spark.operators.profile import numeric_quantiles
+
+    df = load_table(spark, sf_dir, "orders")
+    rows = numeric_quantiles(df, ["o_totalprice"], [0.25, 0.5, 0.75]).collect()
+    vals = {r["prob"]: r["value"] for r in rows}
+    assert vals[0.25] <= vals[0.5] <= vals[0.75]
+    mn, mx = df.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    assert mn <= vals[0.25] and vals[0.75] <= mx
+    with pytest.raises(ValueError, match="probs"):
+        numeric_quantiles(df, ["o_totalprice"], [1.5])
