@@ -30,7 +30,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 from pyspark.sql.window import Window
+
+
+def _as_number(col: Column, dtype) -> Column:
+    """Event-time column as a double for distance math / the match struct.
+
+    TIMESTAMP_NTZ and DATE have no direct cast to double; route them
+    through TIMESTAMP -> unix_micros.  The session-timezone interpretation
+    cancels out because only differences/ordering of the same column type
+    are ever compared.
+    """
+    if isinstance(dtype, (TimestampType, TimestampNTZType, DateType)):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    return col.cast("double")
 
 
 def _carry(direction_desc: bool) -> Window:
@@ -77,7 +91,7 @@ def asof_join(
     # that NULL is preserved — per-column last() would leak an older row's
     # non-null value and stitch together columns from different right rows.
     r_struct = F.struct(
-        F.col(right_on).cast("double").alias("__mts"),
+        _as_number(F.col(right_on), right.schema[right_on].dataType).alias("__mts"),
         *[F.col(c).alias(c) for c in value_cols],
     )
     null_struct = F.lit(None).cast(
@@ -125,7 +139,7 @@ def asof_join(
         F.last("__r", ignorenulls=True).over(_carry(False)).alias("__mb"),
         F.last("__r", ignorenulls=True).over(_carry(True)).alias("__mf"),
     ).filter(F.col("__side") == 0)
-    ts_d = F.col("__ts").cast("double")
+    ts_d = _as_number(F.col("__ts"), left.schema[left_on].dataType)
     back_wins = F.col("__mf").isNull() | (
         F.col("__mb").isNotNull()
         & ((ts_d - F.col("__mb")["__mts"]) <= (F.col("__mf")["__mts"] - ts_d))

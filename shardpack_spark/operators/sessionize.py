@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from shardpack_spark.timeutil import ts_micros
+
 
 def sessionize(
     df: DataFrame,
@@ -27,7 +29,7 @@ def sessionize(
     (window end is exclusive).
     """
     w = Window.partitionBy(by).orderBy(ts, order_tiebreak)
-    us = F.unix_micros(F.col(ts))
+    us = ts_micros(F.col(ts))
     prev = F.lag(us).over(w)
     new_s = F.when(prev.isNull() | (us - prev >= gap_seconds * 1_000_000), 1).otherwise(0)
     run = Window.partitionBy(by).orderBy(ts, order_tiebreak).rowsBetween(

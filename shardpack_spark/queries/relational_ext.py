@@ -11,6 +11,7 @@ from pyspark.sql.window import Window
 from shardpack_spark.queries import register
 from shardpack_spark.queries.canon import dec, money2, round4d
 from shardpack_spark.tables import load_table
+from shardpack_spark.timeutil import ts_seconds
 
 
 @register(
@@ -41,7 +42,7 @@ def q42_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wr = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(ts_seconds(F.col("ts")))
         .rangeBetween(-3600, 0)
     )
     return e.select(

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from shardpack_spark.queries.canon import dec, money2
+from shardpack_spark.timeutil import ts_micros, ts_seconds
 
 GAP_SECONDS = 30 * 60
 
@@ -20,7 +21,7 @@ def tumbling_hour_agg(events: DataFrame) -> DataFrame:
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"), money2(F.sum(dec("value"))).alias("sum_value"))
-        .select(F.col("w.start").cast("long").alias("bucket_s"), "cnt", "sum_value")
+        .select(ts_seconds(F.col("w.start")).alias("bucket_s"), "cnt", "sum_value")
     )
 
 
@@ -29,7 +30,7 @@ def sliding_hour_agg(events: DataFrame) -> DataFrame:
     return (
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"), money2(F.sum(dec("value"))).alias("sum_value"))
-        .select(F.col("w.start").cast("long").alias("bucket_s"), "cnt", "sum_value")
+        .select(ts_seconds(F.col("w.start")).alias("bucket_s"), "cnt", "sum_value")
     )
 
 
@@ -45,7 +46,7 @@ def session_agg(events: DataFrame) -> DataFrame:
     per_session = events.groupBy("user_id", sw.alias("w")).agg(F.count(F.lit(1)).alias("n_events"))
     return (
         per_session.withColumn(
-            "len_us", F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))
+            "len_us", ts_micros(F.col("w.end")) - ts_micros(F.col("w.start"))
         )
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"), F.max("len_us").alias("max_len_us"))
