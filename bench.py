@@ -110,23 +110,27 @@ def main() -> None:
             load_table(spark, sf_dir, "documents")
             .select(F.sum(F.length("text"))).head()[0]
         )
-        t_w = time_query(
-            lambda: docs.write.format("shardpack")
-            .option("target_shard_bytes", 4 * 1024 * 1024)
-            .mode("overwrite")
-            .save(out)
-        )
+        # Same steady-state protocol as the queries: one untimed warm-up
+        # pass (Python-worker fork + Arrow path init dominate a cold
+        # write), then best of two timed passes.
+        def w_docs():
+            docs.write.format("shardpack").option(
+                "target_shard_bytes", 4 * 1024 * 1024
+            ).mode("overwrite").save(out)
+
+        w_docs()
+        t_w = min(time_query(w_docs) for _ in range(2))
         yard["shardpack_write_s"] = round(t_w, 3)
         yard["shardpack_write_mb_s"] = round(n_bytes / t_w / 1e6, 1)
-        read_shardpack(spark, out).count()  # warm the python-source read path
-        t_r = time_query(
-            lambda: read_shardpack(spark, out)
-            .agg(
+
+        def r_docs():
+            read_shardpack(spark, out).agg(
                 F.count(F.lit(1)),
                 F.sum(F.element_at("metadata", "n_chars").cast("long")),
-            )
-            .collect()
-        )
+            ).collect()
+
+        r_docs()  # warm with the SAME payload-decoding plan, not count()
+        t_r = min(time_query(r_docs) for _ in range(2))
         yard["shardpack_scan_s"] = round(t_r, 3)
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -155,19 +159,22 @@ def main() -> None:
             )
         )
         total_mb = n_recs * payload / 1e6
-        t_w = time_query(
-            lambda: bulk_df.write.format("shardpack")
-            .option("target_shard_bytes", 16 * 1024 * 1024)
-            .mode("overwrite")
-            .save(bulk)
-        )
+        def w_bulk():
+            bulk_df.write.format("shardpack").option(
+                "target_shard_bytes", 16 * 1024 * 1024
+            ).mode("overwrite").save(bulk)
+
+        w_bulk()
+        t_w = min(time_query(w_bulk) for _ in range(2))
         yard["bulk_write_mb_s"] = round(total_mb / t_w, 1)
-        read_shardpack(spark, bulk).count()  # warm
-        t_r = time_query(
-            lambda: read_shardpack(spark, bulk)
-            .select(F.sum(F.element_at("entries", 1)["size"]))
-            .collect()
-        )
+
+        def r_bulk():
+            read_shardpack(spark, bulk).select(
+                F.sum(F.element_at("entries", 1)["size"])
+            ).collect()
+
+        r_bulk()  # warm with the payload-decoding plan
+        t_r = min(time_query(r_bulk) for _ in range(2))
         yard["bulk_scan_mb_s"] = round(total_mb / t_r, 1)
     finally:
         shutil.rmtree(bulk, ignore_errors=True)

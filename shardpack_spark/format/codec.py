@@ -42,6 +42,7 @@ All integers are little-endian.  Layout (exact bytes, this implementation):
 
 from __future__ import annotations
 
+import functools
 import gzip as _gzip
 import hashlib
 import io
@@ -466,23 +467,76 @@ def _zstd_decompress(src: bytes) -> bytes:
     return bytes(out)
 
 
+# Decompressors take (stored_bytes, expected_size|None): the container
+# records the uncompressed size per entry, which native codecs (pyarrow)
+# need for raw block formats.
 _CODECS: dict[str, tuple] = {
-    "none": (lambda b: b, lambda b: b),
-    "gzip": (_gzip_c, _gzip.decompress),
+    "none": (lambda b: b, lambda b, n=None: b),
+    "gzip": (_gzip_c, lambda b, n=None: _gzip.decompress(b)),
     # pure-Python, deterministic, env-independent (see functions above)
-    "lz4": (_lz4_compress, _lz4_decompress),
-    "snappy": (_snappy_compress, _snappy_decompress),
-    "zstd": (_zstd_compress, _zstd_decompress),
+    "lz4": (_lz4_compress, lambda b, n=None: _lz4_decompress(b)),
+    "snappy": (_snappy_compress, lambda b, n=None: _snappy_decompress(b)),
+    "zstd": (_zstd_compress, lambda b, n=None: _zstd_decompress(b)),
 }
 
 try:
-    # Real library (entropy coding, speed): takes over when installed;
-    # it reads the pure-Python Raw/RLE frames too — same container format.
+    # Native codecs (pyarrow ships lz4/zstd/snappy): take over the hot
+    # path when importable — ~100x the pure-Python throughput.  Formats
+    # interoperate: pyarrow 'lz4_raw' IS the LZ4 block format the pure
+    # encoder emits, 'snappy' is the standard raw-snappy framing, and
+    # pyarrow's zstd reads the pure encoder's Raw/RLE frames.  The one
+    # asymmetry (data zstd-compressed by pyarrow uses entropy-coded
+    # blocks the pure fallback cannot read) only bites when a dataset is
+    # written with pyarrow present and read where it is absent.
+    import pyarrow  # noqa: F401  (probe only — codecs are built lazily)
+
+    # pa.Codec objects are NOT picklable, and this module travels to
+    # Python workers via cloudpickle — no module-level codec instances or
+    # caches allowed.  Construction is ~0.2 us (80x cheaper than one
+    # 32 KiB decompress), so just build per call.
+    def _arrow_codec(arrow_name: str):
+        import pyarrow as pa
+
+        return pa.Codec(arrow_name)
+
+    def _lz4_c_native(b: bytes) -> bytes:
+        return _arrow_codec("lz4_raw").compress(b, asbytes=True)
+
+    def _lz4_d_native(b: bytes, n: int | None = None) -> bytes:
+        if n is None:  # raw block format needs the size; pure decoder doesn't
+            return _lz4_decompress(b)
+        return _arrow_codec("lz4_raw").decompress(b, n, asbytes=True)
+
+    def _snappy_c_native(b: bytes) -> bytes:
+        return _arrow_codec("snappy").compress(b, asbytes=True)
+
+    def _snappy_d_native(b: bytes, n: int | None = None) -> bytes:
+        if n is None:
+            return _snappy_decompress(b)
+        return _arrow_codec("snappy").decompress(b, n, asbytes=True)
+
+    def _zstd_c_native(b: bytes) -> bytes:
+        return _arrow_codec("zstd").compress(b, asbytes=True)
+
+    def _zstd_d_native(b: bytes, n: int | None = None) -> bytes:
+        if n is None:
+            return _zstd_decompress(b)
+        return _arrow_codec("zstd").decompress(b, n, asbytes=True)
+
+    _CODECS["lz4"] = (_lz4_c_native, _lz4_d_native)
+    _CODECS["snappy"] = (_snappy_c_native, _snappy_d_native)
+    _CODECS["zstd"] = (_zstd_c_native, _zstd_d_native)
+except ImportError:
+    pass
+
+try:
+    # zstandard lib (if ever installed) wins over pyarrow: full-featured
+    # streaming API and dictionary support.
     import zstandard as _zstd
 
     _CODECS["zstd"] = (
         lambda b: _zstd.ZstdCompressor().compress(b),
-        lambda b: _zstd.ZstdDecompressor().decompress(b),
+        lambda b, n=None: _zstd.ZstdDecompressor().decompress(b),
     )
 except ImportError:
     pass
@@ -496,12 +550,12 @@ def compress(data: bytes, encoding: str) -> bytes:
     return _CODECS[encoding][0](data)
 
 
-def decompress(data: bytes, encoding: str) -> bytes:
+def decompress(data: bytes, encoding: str, expected_size: int | None = None) -> bytes:
     if encoding not in _CODECS:
         raise ShardPackCodecError(
             f"compression '{encoding}' not available (have: {sorted(_CODECS)})"
         )
-    return _CODECS[encoding][1](data)
+    return _CODECS[encoding][1](data, expected_size)
 
 
 # --- data model -------------------------------------------------------------
@@ -616,7 +670,7 @@ def decode_record(
             continue
         stored = buf[p : p + data_len]
         p += data_len
-        data = decompress(bytes(stored), enc)
+        data = decompress(bytes(stored), enc, expected_size=file_size)
         if len(data) != file_size:
             raise ShardPackCodecError(
                 f"entry '{name}': decompressed size {len(data)} != declared {file_size}"

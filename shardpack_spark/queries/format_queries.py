@@ -62,8 +62,9 @@ def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _ensure_registered(spark)
     out = tempfile.mkdtemp(prefix="shardpack_rt_")
-    # lz4 (pure-Python block codec) so a compressed round-trip is part of
-    # the declared, driver-checked surface — not just a pytest case
+    # lz4 (pyarrow-native when importable, pure-Python block codec
+    # otherwise) so a compressed round-trip is part of the declared,
+    # driver-checked surface — not just a pytest case
     docs_as_shardpack_rows(load_table(spark, sf_dir, "documents")).write.format(
         "shardpack"
     ).option("target_shard_bytes", 256 * 1024).option("compression", "lz4").mode(

@@ -208,12 +208,49 @@ def test_property_round_trip(tmp_path_factory, recs, enc):
         ]
 
 
+_PURE = {
+    "lz4": (C._lz4_compress, C._lz4_decompress),
+    "snappy": (C._snappy_compress, C._snappy_decompress),
+    "zstd": (C._zstd_compress, C._zstd_decompress),
+}
+
+
 @settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(data=st.binary(min_size=0, max_size=5000), enc=st.sampled_from(["lz4", "snappy", "zstd"]))
 def test_pure_python_codec_round_trip(data, enc):
     """The pure-Python LZ4-block / Snappy / zstd implementations: arbitrary bytes
     survive compress->decompress bit-exactly."""
-    assert C.decompress(C.compress(data, enc), enc) == data
+    comp, dec = _PURE[enc]
+    assert dec(comp(data)) == data
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=5000), enc=st.sampled_from(["lz4", "snappy", "zstd"]))
+def test_dispatch_codec_round_trip(data, enc):
+    """The registered backend (pyarrow-native when importable) round-trips
+    through the container's decode contract: decompress always receives
+    the declared uncompressed size."""
+    assert C.decompress(C.compress(data, enc), enc, expected_size=len(data)) == data
+
+
+@pytest.mark.parametrize("enc", ["lz4", "snappy"])
+def test_pure_and_native_backends_interoperate(enc):
+    """The pure encoders emit the SAME on-disk format the native backend
+    reads (LZ4 block / raw snappy), and vice versa — a dataset written in
+    a lib-less environment stays readable here and the other way around."""
+    pa = pytest.importorskip("pyarrow")
+    arrow = pa.Codec({"lz4": "lz4_raw", "snappy": "snappy"}[enc])
+    comp, dec = _PURE[enc]
+    data = bytes(range(256)) * 200 + b"the quick brown fox " * 500
+    assert arrow.decompress(comp(data), len(data), asbytes=True) == data
+    assert dec(arrow.compress(data, asbytes=True)) == data
+
+
+def test_pure_zstd_frames_readable_by_native():
+    """Pure-zstd Raw/RLE frames are real RFC 8878 frames any decoder reads."""
+    pa = pytest.importorskip("pyarrow")
+    data = b"z" * 40000 + bytes(range(256)) * 10
+    assert pa.Codec("zstd").decompress(C._zstd_compress(data), len(data), asbytes=True) == data
 
 
 @pytest.mark.parametrize("enc", ["lz4", "snappy"])
