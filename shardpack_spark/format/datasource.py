@@ -15,10 +15,13 @@ Scale mapping (reference semantics -> Spark execution):
 - one InputPartition per shard; shards over `split_target_bytes` are split
   into record-ranges using the EOF offset table (draft.md:124-127), so a
   1000-executor cluster gets even work regardless of shard sizing
-- key-equality filters prune partitions via the per-shard [min,max] key
-  range in the commit manifest BEFORE any shard is opened (the bucket
-  index access path, src/bucket.rs:147-169, as partition pruning); filters
-  are also re-applied by Spark, so pruning is purely an optimization
+- key-equality filters prune partitions BEFORE any shard is opened (the
+  bucket index access path, src/bucket.rs:147-169, as partition pruning)
+  using two manifest stats per shard: the [min,max] key range (decisive
+  when shards hold disjoint sorted ranges) and a ~10-bits/key Bloom filter
+  over the exact key set (decisive for hash-placed keys, where every range
+  overlaps); filters are also re-applied by Spark, so pruning is purely an
+  optimization
 - write side: one DataWriter per task, rolling shards at
   `target_shard_bytes` (src/shard/config.rs:1); the driver-side commit()
   writes a dataset manifest with per-shard stats
@@ -57,7 +60,9 @@ Options:
 
 from __future__ import annotations
 
+import base64
 import glob
+import hashlib
 import json
 import os
 import shutil
@@ -138,6 +143,65 @@ def _write_manifest(path: str, manifest: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, mp)
+
+
+# --- per-shard key Bloom filters -------------------------------------------
+#
+# Manifest [min_key, max_key] ranges prune point lookups only when shards
+# hold disjoint key ranges (key-sorted compaction).  Hash-placed keys make
+# every range span the whole keyspace and range pruning keeps everything —
+# the common case for content-hash record keys at 100 TB.  A small per-shard
+# Bloom filter over the exact key set restores O(1)-shard point lookups for
+# ANY placement: ~10 bits/key ≈ <1% false-positive rate, so a lookup opens
+# the owning shard plus at most a handful of false positives out of 400k.
+# Filters ride in the commit manifest (base64; ~1.7 KiB per 1k keys).  For
+# datasets past ~100k shards the manifest itself should shard (the same
+# sidecar split the manifest needs anyway at that point); pruning degrades
+# to range-only if a shard entry has no bloom, so old manifests keep working.
+
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_HASHES = 7
+_BLOOM_MAX_BITS = 1 << 20  # cap: 128 KiB of filter per shard
+
+
+def _bloom_key_hashes(key: str) -> tuple[int, int]:
+    """Two independent 64-bit hashes; probes i = h1 + i*h2 (double
+    hashing), the standard Bloom construction."""
+    d = hashlib.sha256(key.encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:16], "little") | 1
+
+
+def _bloom_build(hash_pairs: list[tuple[int, int]]) -> dict | None:
+    if not hash_pairs:
+        return None
+    m = min(max(64, len(hash_pairs) * _BLOOM_BITS_PER_KEY), _BLOOM_MAX_BITS)
+    bits = bytearray((m + 7) // 8)
+    for h1, h2 in hash_pairs:
+        for i in range(_BLOOM_HASHES):
+            b = (h1 + i * h2) % m
+            bits[b >> 3] |= 1 << (b & 7)
+    return {
+        "m": m,
+        "k": _BLOOM_HASHES,
+        "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def _bloom_maybe_contains(bloom: dict, bits: bytes, key: str) -> bool:
+    """False => key is definitely absent; True => might be present.
+    Malformed filters answer True (pruning must stay a pure optimization)."""
+    try:
+        m, k = int(bloom["m"]), int(bloom["k"])
+    except (KeyError, TypeError, ValueError):
+        return True
+    if m <= 0 or (m + 7) // 8 > len(bits):
+        return True
+    h1, h2 = _bloom_key_hashes(key)
+    for i in range(k):
+        b = (h1 + i * h2) % m
+        if not (bits[b >> 3] >> (b & 7)) & 1:
+            return False
+    return True
 
 
 def _marker_shards(path: str) -> list[str]:
@@ -297,10 +361,20 @@ class ShardPackReader(DataSourceReader):
             kept = []
             for name in names:
                 st = stats.get(name)
-                if st and "min_key" in st:
-                    if all(
-                        not (st["min_key"] <= k <= st["max_key"]) for k in self._key_filters
-                    ):
+                if st:
+                    bloom = st.get("bloom")
+                    bloom_bits = (
+                        base64.b64decode(bloom["bits"]) if bloom and "bits" in bloom else b""
+                    )
+
+                    def may_hold(k: str) -> bool:
+                        if "min_key" in st and not (st["min_key"] <= k <= st["max_key"]):
+                            return False
+                        if bloom is not None and not _bloom_maybe_contains(bloom, bloom_bits, k):
+                            return False
+                        return True
+
+                    if not any(may_hold(k) for k in self._key_filters):
                         continue  # pruned: no requested key can live here
                 kept.append(name)
             names = kept
@@ -396,12 +470,18 @@ class ShardPackWriter(DataSourceArrowWriter):
             target_shard_bytes=self.target,
         )
         stats: dict[str, dict] = {}
+        hashes: dict[str, list[tuple[int, int]]] = {}
         for rec in _batches_to_records(iterator):
             writer.write(rec)
-            cur = writer._writer.path  # current shard for key-range stats
-            s = stats.setdefault(os.path.basename(cur), {"min_key": rec.key, "max_key": rec.key})
+            cur = os.path.basename(writer._writer.path)  # current shard for key stats
+            s = stats.setdefault(cur, {"min_key": rec.key, "max_key": rec.key})
             s["min_key"] = min(s["min_key"], rec.key)
             s["max_key"] = max(s["max_key"], rec.key)
+            hashes.setdefault(cur, []).append(_bloom_key_hashes(rec.key))
+        for name, pairs in hashes.items():
+            bloom = _bloom_build(pairs)
+            if bloom is not None:
+                stats[name]["bloom"] = bloom
         results = writer.close()
         shards = []
         for r in results:

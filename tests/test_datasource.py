@@ -109,6 +109,51 @@ def test_key_filter_prunes_partitions(spark_ds, sf_dir, tmp_path):
     assert all("min_key" in s and "max_key" in s for s in manifest["shards"])
 
 
+def test_bloom_prunes_hash_placed_keys(spark_ds, sf_dir, tmp_path):
+    """Hash-placed keys overlap every shard's [min,max] range, so range
+    pruning keeps everything — the per-shard Bloom filter must still cut a
+    point lookup down to ~1 shard (the 100 TB content-hash layout)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from shardpack_spark.format.datasource import (
+        ShardPackPruningReader,
+        read_shardpack,
+    )
+
+    out = str(tmp_path / "hashed")
+    docs = _docs_as_records(spark_ds, sf_dir).withColumn(
+        "key", F.sha2(F.col("key"), 256)
+    )
+    docs.repartition(4).write.format("shardpack").option(
+        "target_shard_bytes", 16 * 1024
+    ).mode("append").save(out)
+
+    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    shards = manifest["shards"]
+    assert len(shards) > 8
+    assert all("bloom" in s for s in shards)
+    # hash placement: every shard's range spans ~the whole keyspace, so
+    # range-only pruning would keep every shard for any probe key
+    probe = "80"  # mid-keyspace hex prefix
+    overlapping = sum(1 for s in shards if s["min_key"] <= probe <= s["max_key"])
+    assert overlapping >= 0.9 * len(shards)
+
+    some_key = read_shardpack(spark_ds, out).select("key").head()["key"]
+    reader = ShardPackPruningReader({"path": out, "prune_by_key": "true"})
+    reader.pushFilters([EqualTo(("key",), some_key)])
+    kept = reader.partitions()
+    # 10 bits/key -> <1% false positives: expect 1 shard, allow a couple
+    assert 1 <= len(kept) <= max(2, len(shards) // 8)
+
+    # absent key: definitely-absent answers from every bloom -> zero shards
+    reader2 = ShardPackPruningReader({"path": out, "prune_by_key": "true"})
+    reader2.pushFilters([EqualTo(("key",), "no-such-key")])
+    assert len(reader2.partitions()) == 0
+
+    # pruning is an optimization only: full read still finds the record
+    assert read_shardpack(spark_ds, out).filter(F.col("key") == some_key).count() == 1
+
+
 def test_streaming_source_incremental(spark_ds, tmp_path):
     """New shard files appearing in the directory arrive as new batches."""
     src_dir = str(tmp_path / "stream_src")
