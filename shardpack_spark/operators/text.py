@@ -446,6 +446,83 @@ def gopher_quality_filter(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    max_doc_freq: int = 1,
+    min_line_chars: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide line-level dedup (CCNet-style boilerplate removal).
+
+    Web corpora repeat whole LINES across documents — cookie banners,
+    nav menus, footers — that doc-level dedup never touches.  This drops
+    every line whose normalized form (lowercased, whitespace-trimmed)
+    appears in more than ``max_doc_freq`` distinct documents, then
+    reassembles each document from its surviving lines in order.
+
+    Lines shorter than ``min_line_chars`` after trimming are always kept:
+    they are structure (blank separators, list bullets), not boilerplate,
+    and exempting them also keeps the dedup join skew-free — the
+    pathological shuffle keys at corpus scale are exactly the ultra-short
+    lines ("", "-", "*") that millions of documents share.
+
+    Plan shape (all codegen, scales by total line count, never docs^2):
+    split + posexplode -> distinct (doc, line) -> partial-aggregated
+    count per line -> the DROP LIST (lines with doc_freq > max_doc_freq,
+    a small fraction of distinct lines) -> left_anti join -> groupBy(doc)
+    ordered reassembly.  The anti-join's build side is the drop list, so
+    the full distinct-line table is never joined against.
+
+    Returns (id, text, n_lines, n_kept) with ``text`` rebuilt from kept
+    lines ('\\n'-joined); n_lines/n_kept make the removal rate auditable.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__norm", F.lower(F.trim("__line")))
+    dedupable = F.length("__norm") >= min_line_chars
+
+    drop_list = (
+        lines.filter(dedupable)
+        .select(id_col, "__norm")
+        .distinct()
+        .groupBy("__norm")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__norm")
+    )
+    kept = lines.filter(dedupable).join(drop_list, "__norm", "left_anti")
+    survivors = kept.select(id_col, "__pos", "__line").unionByName(
+        lines.filter(~dedupable).select(id_col, "__pos", "__line")
+    )
+    rebuilt = (
+        survivors.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__line"))
+            ).alias("__ordered")
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                "\n", F.transform("__ordered", lambda s: s["__line"])
+            ).alias(text_col),
+            F.size("__ordered").alias("n_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col),
+        (F.size(F.split(F.col(text_col), "\n"))).alias("n_lines"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_chars: int = 2048,

@@ -240,3 +240,64 @@ def test_hash_split_validation(spark):
         sampling.hash_split(df, "k", {"a": 1.5, "b": -0.5})
     with pytest.raises(ValueError, match="non-empty"):
         sampling.hash_split(df, "k", {})
+
+
+def test_line_dedup_matches_python_reference(spark, sf_dir):
+    """line_dedup == a pure-Python reimplementation over the same docs,
+    doc for doc (order-preserving reassembly, doc-frequency threshold,
+    short-line exemption)."""
+    docs = load_table(spark, sf_dir, "documents").limit(120).select("doc_id", "text")
+    # inject cross-document boilerplate so the drop list is non-trivial
+    boiler = "Subscribe to our newsletter today!"
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit(boiler + "\n"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("\n\n" + boiler)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    max_df, min_chars = 1, 5
+    from collections import Counter
+
+    df_count = Counter()
+    for t in rows.values():
+        seen = set()
+        for ln in t.split("\n"):
+            n = ln.strip().lower()
+            if len(n) >= min_chars:
+                seen.add(n)
+        df_count.update(seen)
+    drop = {n for n, c in df_count.items() if c > max_df}
+
+    expected = {}
+    for did, t in rows.items():
+        lines = t.split("\n")
+        kept = [
+            ln
+            for ln in lines
+            if len(ln.strip().lower()) < min_chars or ln.strip().lower() not in drop
+        ]
+        expected[did] = ("\n".join(kept), len(lines), len(kept))
+
+    out = text.line_dedup(docs, max_doc_freq=max_df, min_line_chars=min_chars)
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"]) for r in out.collect()
+    }
+    assert got == expected
+    # the injected boilerplate is gone from every doc
+    assert all(boiler not in t for t, _, _ in got.values())
+
+
+def test_line_dedup_all_lines_dropped(spark):
+    """A doc made entirely of corpus-common lines survives as empty text."""
+    docs = spark.createDataFrame(
+        [(1, "common line one\ncommon line two"), (2, "common line one\ncommon line two")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.line_dedup(docs).collect()}
+    assert out[1]["text"] == "" and out[1]["n_kept"] == 0 and out[1]["n_lines"] == 2
