@@ -1,0 +1,181 @@
+"""Merge-on-read updates and deletes via side-car patch datasets.
+
+The reference format is immutable/append-only by design; its spec points
+mutation at "side-car shards or an external KV store"
+(docs/draft.md:209-211), and its code's destructive `Bucket::delete`
+(whole-shard removal, divergence D5) is exactly what NOT to do.  This
+module implements the side-car convention on top of the DataSource:
+
+    write_patch(upserts_df, base)          # upsert records by key
+    write_patch(tombstones(spark, keys), base)  # delete records by key
+    df = read_with_patches(spark, base)    # merged view, last patch wins
+    compact_patches(spark, base)           # fold patches into the base
+
+Layout:
+
+    {base}/...                      # normal shardpack dataset
+    {base}/_patches/p00000001/      # each patch is itself a shardpack
+    {base}/_patches/p00000002/      #   dataset (atomic manifest commit)
+
+Semantics: patches apply in directory order; for a given key the LATEST
+patch row wins, a tombstone row (metadata['__tombstone']='true') deletes
+the key, and keys untouched by any patch come from the base.  One row
+per key per patch is the writer's contract (write_patch enforces it).
+
+Scale shape: the merged read is
+    base LEFT-ANTI patch-keys  UNION  latest-patch-survivors.
+Patch keys are O(rows patched since last compaction) — small by
+construction — so Catalyst broadcasts the anti-join build side and the
+100 TB base is never shuffled; only patch rows (window over key) are.
+Compaction is the existing crash-safe overwrite commit: readers see the
+old manifest until the new one is durable.  Re-applying a patch to an
+already-compacted base is a no-op (upserts re-assert identical rows,
+tombstone anti-joins match nothing), so a crash between the compaction
+commit and the patch-directory cleanup is safe — the merged view is
+idempotent under leftover patches.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from shardpack_spark.format import codec
+from shardpack_spark.format.datasource import (
+    SCHEMA,
+    read_shardpack,
+    register,
+)
+
+PATCH_DIR = "_patches"
+TOMBSTONE_KEY = "__tombstone"
+
+
+def _patch_root(base: str) -> str:
+    return os.path.join(base, PATCH_DIR)
+
+
+def list_patches(base: str) -> list[str]:
+    """Patch directory names in application order."""
+    root = _patch_root(base)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith("p") and d[1:].isdigit() and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def tombstones(spark, keys) -> "F.DataFrame":
+    """Build tombstone patch rows for the given keys (list or 1-column df)."""
+    if not hasattr(keys, "select"):
+        keys = spark.createDataFrame([(k,) for k in keys], "key string")
+    kcol = keys.columns[0]
+    return keys.select(
+        F.col(kcol).alias("key"),
+        F.create_map(F.lit(TOMBSTONE_KEY), F.lit("true")).alias("metadata"),
+        F.array().cast(SCHEMA["entries"].dataType).alias("entries"),
+    )
+
+
+def write_patch(df, base: str, compression: str = "none") -> str:
+    """Commit one patch dataset; returns its directory name.
+
+    ``df`` is shardpack row schema.  Duplicate keys within one patch are
+    collapsed to an arbitrary-but-deterministic single row BEFORE the
+    commit (max by entry-count then metadata size) so merged reads are
+    reproducible; rely on separate patches when ordering matters.
+    """
+    spark = df.sparkSession
+    register(spark)
+    seq = 1 + max([int(d[1:]) for d in list_patches(base)] or [0])
+    # one row per key: deterministic survivor via a sortable digest of the
+    # row body (maps/arrays aren't directly orderable in an agg)
+    digest = F.sha2(F.to_json(F.struct("metadata", "entries")), 256)
+    w = Window.partitionBy("key").orderBy(F.desc(digest))
+    one = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    name = f"p{seq:08d}"
+    out = os.path.join(_patch_root(base), name)
+    (
+        one.write.format("shardpack")
+        .option("compression", compression)
+        .mode("overwrite")
+        .save(out)
+    )
+    return name
+
+
+def read_with_patches(spark, base: str, **reader_options):
+    """Merged view: base overlaid with every committed patch.
+
+    Returns shardpack row schema.  The base side is only anti-joined
+    against the (small) patched-key set — no shuffle of the base at any
+    scale; the window that picks the winning patch row runs over patch
+    rows alone.
+    """
+    base_df = read_shardpack(spark, base, **reader_options)
+    patches = list_patches(base)
+    if not patches:
+        return base_df
+
+    parts = [
+        read_shardpack(spark, os.path.join(_patch_root(base), d)).withColumn(
+            "__seq", F.lit(i)
+        )
+        for i, d in enumerate(patches)
+    ]
+    all_patches = parts[0]
+    for p in parts[1:]:
+        all_patches = all_patches.unionByName(p)
+
+    w = Window.partitionBy("key").orderBy(F.desc("__seq"))
+    latest = (
+        all_patches.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__seq")
+    )
+    survivors = latest.filter(
+        F.coalesce(F.element_at("metadata", TOMBSTONE_KEY), F.lit("")) != "true"
+    )
+    patched_keys = latest.select("key")
+    return base_df.join(
+        F.broadcast(patched_keys), "key", "left_anti"
+    ).unionByName(survivors)
+
+
+def compact_patches(spark, base: str, compression: str | None = None) -> dict:
+    """Fold all patches into the base dataset (crash-safe overwrite
+    commit), then remove the patch directories.  Returns merge stats."""
+    patches = list_patches(base)
+    if not patches:
+        return {"patches_folded": 0}
+    merged = read_with_patches(spark, base)
+    from shardpack_spark.format.datasource import _load_manifest
+
+    comp = compression or (_load_manifest(base) or {}).get("compression", "none")
+    n_parts = max(1, spark.sparkContext.defaultParallelism // 2)
+    (
+        merged.repartitionByRange(n_parts, "key")
+        .sortWithinPartitions("key")
+        .write.format("shardpack")
+        .option("compression", comp)
+        .mode("overwrite")
+        .save(base)
+    )
+    # cleanup AFTER the new manifest is durable; a crash here leaves
+    # patches whose re-application is a no-op (idempotent merge)
+    for d in patches:
+        shutil.rmtree(os.path.join(_patch_root(base), d), ignore_errors=True)
+    root = _patch_root(base)
+    if os.path.isdir(root) and not os.listdir(root):
+        os.rmdir(root)
+    n = (_load_manifest(base) or {}).get("total_records", 0)
+    return {"patches_folded": len(patches), "records": n}

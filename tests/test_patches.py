@@ -1,0 +1,124 @@
+"""Merge-on-read side-car patches (draft.md:209-211): upsert, tombstone,
+last-patch-wins, idempotent compaction."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from shardpack_spark.format.patches import (
+    compact_patches,
+    list_patches,
+    read_with_patches,
+    tombstones,
+    write_patch,
+)
+
+
+def _records(spark, ids, payload_prefix="v1"):
+    from shardpack_spark.format.datasource import register
+
+    register(spark)
+    return spark.createDataFrame([(i,) for i in ids], "id int").select(
+        F.concat(F.lit("k/"), F.lpad(F.col("id").cast("string"), 4, "0")).alias(
+            "key"
+        ),
+        F.create_map(F.lit("ver"), F.lit(payload_prefix)).alias("metadata"),
+        F.array(
+            F.struct(
+                F.lit("body.txt").alias("file_name"),
+                F.lit("text/plain").alias("content_type"),
+                F.lit("none").alias("encoding"),
+                F.lit(2).cast("long").alias("size"),
+                F.encode(
+                    F.concat(F.lit(payload_prefix), F.col("id").cast("string")),
+                    "utf-8",
+                ).alias("data"),
+            )
+        ).alias("entries"),
+    )
+
+
+def _state(df):
+    return {
+        r["key"]: (dict(r["metadata"]), bytes(r["entries"][0]["data"]))
+        for r in df.collect()
+    }
+
+
+def test_upsert_tombstone_last_patch_wins(spark, tmp_path):
+    base = str(tmp_path / "ds")
+    _records(spark, range(20), "v1").write.format("shardpack").mode(
+        "overwrite"
+    ).save(base)
+
+    # patch 1: update keys 0-4 to v2; patch 2: delete 3, update 4 to v3
+    write_patch(_records(spark, range(5), "v2"), base)
+    write_patch(
+        tombstones(spark, ["k/0003"]).unionByName(_records(spark, [4], "v3")),
+        base,
+    )
+    assert list_patches(base) == ["p00000001", "p00000002"]
+
+    got = _state(read_with_patches(spark, base))
+    assert len(got) == 19  # one tombstoned
+    assert "k/0003" not in got
+    assert got["k/0004"][0]["ver"] == "v3"  # latest patch wins
+    for i in (0, 1, 2):
+        assert got[f"k/{i:04d}"][0]["ver"] == "v2"
+    assert got["k/0010"][0]["ver"] == "v1"  # untouched keys from base
+
+    expected = got
+    stats = compact_patches(spark, base)
+    assert stats == {"patches_folded": 2, "records": 19}
+    assert list_patches(base) == []
+    assert _state(read_with_patches(spark, base)) == expected
+
+
+def test_patch_reapplication_is_idempotent(spark, tmp_path):
+    """A crash between compaction commit and patch cleanup leaves patches
+    behind; re-reading (and re-compacting) must not change the data."""
+    base = str(tmp_path / "ds2")
+    _records(spark, range(10), "v1").write.format("shardpack").mode(
+        "overwrite"
+    ).save(base)
+    write_patch(_records(spark, [1, 2], "v2"), base)
+    write_patch(tombstones(spark, ["k/0005"]), base)
+
+    merged_before = _state(read_with_patches(spark, base))
+
+    # simulate the crash: fold into base but keep the patch dirs
+    import shutil
+
+    pr = str(tmp_path / "saved_patches")
+    shutil.copytree(os.path.join(base, "_patches"), pr)
+    compact_patches(spark, base)
+    shutil.copytree(pr, os.path.join(base, "_patches"))
+
+    # leftover patches re-apply as a no-op
+    assert _state(read_with_patches(spark, base)) == merged_before
+    stats = compact_patches(spark, base)
+    assert stats["records"] == 9
+    assert _state(read_with_patches(spark, base)) == merged_before
+
+
+def test_duplicate_keys_within_patch_collapse_deterministically(spark, tmp_path):
+    base = str(tmp_path / "ds3")
+    _records(spark, range(3), "v1").write.format("shardpack").mode(
+        "overwrite"
+    ).save(base)
+    dup = _records(spark, [1], "a").unionByName(_records(spark, [1], "b"))
+    write_patch(dup, base)
+    one = read_with_patches(spark, base).filter(F.col("key") == "k/0001")
+    rows = one.collect()
+    assert len(rows) == 1
+    first = bytes(rows[0]["entries"][0]["data"])
+    # same input again -> same survivor (deterministic collapse)
+    base2 = str(tmp_path / "ds3b")
+    _records(spark, range(3), "v1").write.format("shardpack").mode(
+        "overwrite"
+    ).save(base2)
+    write_patch(dup, base2)
+    rows2 = read_with_patches(spark, base2).filter(
+        F.col("key") == "k/0001"
+    ).collect()
+    assert bytes(rows2[0]["entries"][0]["data"]) == first
