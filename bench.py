@@ -176,6 +176,17 @@ def main() -> None:
         r_bulk()  # warm with the payload-decoding plan
         t_r = min(time_query(r_bulk) for _ in range(2))
         yard["bulk_scan_mb_s"] = round(total_mb / t_r, 1)
+
+        # point lookup through manifest pruning (range + per-shard bloom):
+        # round-robin placement overlaps every shard's key range, so the
+        # bloom is what keeps this from scanning all ~32 shards
+        def point():
+            read_shardpack(spark, bulk).filter(
+                F.col("key") == f"rec/{n_recs // 2}"
+            ).select("key").collect()
+
+        point()
+        yard["point_lookup_s"] = round(min(time_query(point) for _ in range(2)), 3)
     finally:
         shutil.rmtree(bulk, ignore_errors=True)
 

@@ -126,6 +126,17 @@ class ShardPartition(InputPartition):
     offsets: list[int] | None  # None -> whole shard
 
 
+def _norm_path(p: str | None) -> str | None:
+    """Accept plain paths and file: URIs (SQL DDL and catalog layers hand
+    the table location over as 'file:/x' or 'file:///x')."""
+    if p and p.startswith("file:"):
+        rest = p[5:]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return p
+
+
 def _load_manifest(path: str) -> dict | None:
     mp = os.path.join(path, MANIFEST_NAME)
     if os.path.exists(mp):
@@ -341,7 +352,7 @@ class ShardPackReader(DataSourceReader):
     the pruning variant below is chosen only when the conf is on."""
 
     def __init__(self, options: dict):
-        self.path = options.get("path")
+        self.path = _norm_path(options.get("path"))
         if not self.path:
             raise codec.ShardPackIOError("shardpack reader requires a path")
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
@@ -434,7 +445,7 @@ def _batches_to_records(iterator) -> Iterator[codec.Record]:
 
 class ShardPackWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool):
-        self.path = options.get("path")
+        self.path = _norm_path(options.get("path"))
         if not self.path:
             raise codec.ShardPackIOError("shardpack writer requires a path")
         self.overwrite = overwrite
@@ -560,7 +571,7 @@ class ShardPackStreamReader(DataSourceStreamReader):
     records, so multi-shard backfills scale like a batch scan."""
 
     def __init__(self, options: dict):
-        self.path = options.get("path")
+        self.path = _norm_path(options.get("path"))
         if not self.path:
             raise codec.ShardPackIOError("shardpack stream reader requires a path")
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
@@ -625,7 +636,7 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
     instead of renaming it — exactly-once at the batch level."""
 
     def __init__(self, options: dict):
-        self.path = options.get("path")
+        self.path = _norm_path(options.get("path"))
         if not self.path:
             raise codec.ShardPackIOError("shardpack stream writer requires a path")
         self.compression = options.get("compression", "none")

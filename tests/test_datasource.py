@@ -154,6 +154,27 @@ def test_bloom_prunes_hash_placed_keys(spark_ds, sf_dir, tmp_path):
     assert read_shardpack(spark_ds, out).filter(F.col("key") == some_key).count() == 1
 
 
+def test_sql_access_and_file_uri_paths(spark_ds, sf_dir, tmp_path):
+    """SQL over shardpack data via a temp view, and file: URI paths (what
+    SQL DDL / catalog layers hand over as the table location)."""
+    from shardpack_spark.format.datasource import read_shardpack
+
+    out = str(tmp_path / "sqlds")
+    _docs_as_records(spark_ds, sf_dir).limit(50).write.format("shardpack").mode(
+        "overwrite"
+    ).save(out)
+
+    read_shardpack(spark_ds, out).createOrReplaceTempView("sp_docs")
+    row = spark_ds.sql(
+        "SELECT COUNT(*) AS n, MIN(key) AS mn FROM sp_docs"
+    ).head()
+    assert row["n"] == 50 and row["mn"].startswith("doc/")
+
+    # file: URI forms resolve to the same dataset
+    for uri in (f"file:{out}", f"file://{out}"):
+        assert spark_ds.read.format("shardpack").load(uri).count() == 50
+
+
 def test_streaming_source_incremental(spark_ds, tmp_path):
     """New shard files appearing in the directory arrive as new batches."""
     src_dir = str(tmp_path / "stream_src")
@@ -486,3 +507,43 @@ def test_stream_reader_restart_never_redelivers_consumed_shards(tmp_path):
         if sorted(delivered) == names[2:]:
             break
     assert sorted(delivered) == names[2:], delivered
+
+
+def test_bloom_no_false_negatives_property():
+    """Every inserted key answers maybe-present (zero false negatives),
+    and false-positive rate on absent keys stays near the design point."""
+    import base64 as b64
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from shardpack_spark.format.datasource import (
+        _bloom_build,
+        _bloom_key_hashes,
+        _bloom_maybe_contains,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=300))
+    def check(keys):
+        bloom = _bloom_build([_bloom_key_hashes(k) for k in keys])
+        bits = b64.b64decode(bloom["bits"])
+        assert all(_bloom_maybe_contains(bloom, bits, k) for k in keys)
+
+    check()
+
+    # FP rate: 10 bits/key, k=7 -> ~0.8% theoretical; allow generous slack
+    keys = [f"present/{i}" for i in range(5000)]
+    bloom = _bloom_build([_bloom_key_hashes(k) for k in keys])
+    bits = b64.b64decode(bloom["bits"])
+    probes = [f"absent/{i}" for i in range(20000)]
+    fp = sum(1 for p in probes if _bloom_maybe_contains(bloom, bits, p))
+    assert fp / len(probes) < 0.03
+
+
+def test_bloom_malformed_never_prunes():
+    from shardpack_spark.format.datasource import _bloom_maybe_contains
+
+    assert _bloom_maybe_contains({}, b"", "k") is True
+    assert _bloom_maybe_contains({"m": "x", "k": 7}, b"", "k") is True
+    assert _bloom_maybe_contains({"m": 1024, "k": 7}, b"\x00", "k") is True  # short bits
