@@ -156,6 +156,55 @@ def _write_manifest(path: str, manifest: dict) -> None:
     os.replace(tmp, mp)
 
 
+class _CommitLock:
+    """Serializes the commit's read-merge-write of the manifest.
+
+    Two appends committing concurrently would otherwise both read the
+    prior manifest and the second write would silently drop the first's
+    shard entries.  An O_CREAT|O_EXCL lock file makes the merge atomic on
+    any filesystem with exclusive-create semantics (local, NFSv4); on
+    object stores the manifest swap should instead be a conditional put
+    (If-Match), which this class documents but cannot provide.  Locks
+    older than ``stale_after`` seconds are broken — a crashed driver must
+    not brick the dataset."""
+
+    def __init__(self, path: str, timeout: float = 60.0, stale_after: float = 300.0):
+        self.lock_path = os.path.join(path, "_commit.lock")
+        self.timeout = timeout
+        self.stale_after = stale_after
+
+    def __enter__(self):
+        import time
+
+        deadline = time.monotonic() + self.timeout
+        while True:
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()}".encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.lock_path)
+                    if age > self.stale_after:
+                        os.remove(self.lock_path)  # break a dead holder's lock
+                        continue
+                except OSError:
+                    continue  # holder released between stat and remove
+                if time.monotonic() > deadline:
+                    raise codec.ShardPackIOError(
+                        f"timed out waiting for commit lock {self.lock_path}"
+                    ) from None
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.lock_path)
+        except OSError:
+            pass
+        return False
+
+
 # --- per-shard key Bloom filters -------------------------------------------
 #
 # Manifest [min_key, max_key] ranges prune point lookups only when shards
@@ -503,6 +552,10 @@ class ShardPackWriter(DataSourceArrowWriter):
         return ShardCommitMessage(shards=shards)
 
     def commit(self, messages) -> None:
+        with _CommitLock(self.path):
+            self._commit_locked(messages)
+
+    def _commit_locked(self, messages) -> None:
         new_shards = [s for m in messages if m is not None for s in m.shards]
         for s in new_shards:
             s["compression"] = self.compression

@@ -452,6 +452,7 @@ def line_dedup(
     min_line_chars: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-wide line-level dedup (CCNet-style boilerplate removal).
 
@@ -474,12 +475,16 @@ def line_dedup(
     ordered reassembly.  The anti-join's build side is the drop list, so
     the full distinct-line table is never joined against.
 
+    ``sep`` sets the dedup unit: '\\n' (default) for lines, '\\n\\n' for
+    paragraphs.  It is treated literally, not as a regex.
+
     Returns (id, text, n_lines, n_kept) with ``text`` rebuilt from kept
-    lines ('\\n'-joined); n_lines/n_kept make the removal rate auditable.
+    units (``sep``-joined); n_lines/n_kept make the removal rate auditable.
     """
+    pat = "\\Q" + sep + "\\E"  # literal separator, regex-quoted
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), pat)).alias("__pos", "__line"),
     ).withColumn("__norm", F.lower(F.trim("__line")))
     dedupable = F.length("__norm") >= min_line_chars
 
@@ -506,14 +511,14 @@ def line_dedup(
         .select(
             id_col,
             F.concat_ws(
-                "\n", F.transform("__ordered", lambda s: s["__line"])
+                sep, F.transform("__ordered", lambda s: s["__line"])
             ).alias(text_col),
             F.size("__ordered").alias("n_kept"),
         )
     )
     totals = df.select(
         F.col(id_col),
-        (F.size(F.split(F.col(text_col), "\n"))).alias("n_lines"),
+        (F.size(F.split(F.col(text_col), pat))).alias("n_lines"),
     )
     return totals.join(rebuilt, id_col, "left").select(
         id_col,

@@ -547,3 +547,51 @@ def test_bloom_malformed_never_prunes():
     assert _bloom_maybe_contains({}, b"", "k") is True
     assert _bloom_maybe_contains({"m": "x", "k": 7}, b"", "k") is True
     assert _bloom_maybe_contains({"m": 1024, "k": 7}, b"\x00", "k") is True  # short bits
+
+
+def test_commit_lock_exclusive_and_stale_breaking(tmp_path):
+    import threading
+    import time
+
+    from shardpack_spark.format import codec as _codec
+    from shardpack_spark.format.datasource import _CommitLock
+
+    d = str(tmp_path)
+
+    # exclusive: a held lock makes a second acquirer time out
+    with _CommitLock(d):
+        t0 = time.monotonic()
+        try:
+            with _CommitLock(d, timeout=0.3):
+                raise AssertionError("second acquire must not succeed")
+        except _codec.ShardPackIOError:
+            assert time.monotonic() - t0 >= 0.3
+
+    # released: immediate re-acquire works
+    with _CommitLock(d, timeout=0.3):
+        pass
+
+    # stale: a lock older than stale_after is broken, not waited on
+    with open(os.path.join(d, "_commit.lock"), "w") as f:
+        f.write("dead")
+    old = time.time() - 1000
+    os.utime(os.path.join(d, "_commit.lock"), (old, old))
+    with _CommitLock(d, timeout=1.0, stale_after=300.0):
+        pass
+
+    # contention: N threads serialize through the lock without loss
+    counter = {"n": 0}
+
+    def bump():
+        for _ in range(20):
+            with _CommitLock(d, timeout=10.0):
+                v = counter["n"]
+                time.sleep(0.001)
+                counter["n"] = v + 1
+
+    threads = [threading.Thread(target=bump) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert counter["n"] == 80

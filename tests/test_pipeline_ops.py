@@ -301,3 +301,23 @@ def test_line_dedup_all_lines_dropped(spark):
     )
     out = {r["doc_id"]: r for r in text.line_dedup(docs).collect()}
     assert out[1]["text"] == "" and out[1]["n_kept"] == 0 and out[1]["n_lines"] == 2
+
+
+def test_paragraph_dedup_unit(spark):
+    """sep='\\n\\n' dedups paragraph blocks, leaving intra-paragraph
+    newlines alone."""
+    boiler = "About us: we are a great company.\nContact: a@b.c"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one\nstill unique\n\n{boiler}"),
+            (2, f"{boiler}\n\nother content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.line_dedup(docs, sep="\n\n", min_line_chars=5).collect()
+    }
+    assert out[1]["text"] == "unique one\nstill unique"
+    assert out[2]["text"] == "other content here"
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
