@@ -44,6 +44,7 @@ from shardpack_spark.operators.profile import (
     numeric_quantiles,
     profile_table,
 )
+from shardpack_spark.operators.analytics import funnel, gap_fill
 from shardpack_spark.operators.ranges import interval_join
 from shardpack_spark.operators.sessionize import sessionize
 from shardpack_spark.operators.similarity import (
@@ -60,6 +61,7 @@ from shardpack_spark.operators.text import (
     chunk_documents,
     fingerprints,
     lang_scores,
+    line_dedup,
     quality_scores,
     token_counts,
     train_char_lm,
@@ -81,6 +83,8 @@ __all__ = [
     "filter_candidates_by_signature",
     "distinct_sketches",
     "fingerprints",
+    "gap_fill",
+    "funnel",
     "frequent_values",
     "hash_sample",
     "hash_sample_n",
@@ -91,6 +95,7 @@ __all__ = [
     "ivf_topk",
     "jaccard_pairs_exact",
     "lang_scores",
+    "line_dedup",
     "materialize_sequences",
     "minhash_lsh_candidates",
     "minhash_lsh_candidates_against",
