@@ -174,3 +174,33 @@ def test_incremental_candidates_equi_join_only(spark, sf_dir):
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     s = cand._jdf.queryExecution().explainString(jmode)
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def _explain(spark, df, mode="formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """The funnel is one groupBy on the entity key: exactly one
+    hash-partitioning exchange, no joins, no window cascade."""
+    from shardpack_spark.operators.analytics import funnel
+    from shardpack_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = _explain(spark, funnel(ev, ["view", "click", "purchase"]), mode="simple")
+    assert s.count("Exchange hashpartitioning") == 1
+    assert "Join" not in s and "Window" not in s
+
+
+def test_gap_fill_no_driver_spine(spark, sf_dir):
+    """The gap-fill spine is generated distributed (sequence + explode),
+    never a driver-side loop; LOCF needs the bucket agg exchange plus the
+    window sort, nothing more."""
+    from shardpack_spark.operators.analytics import gap_fill
+    from shardpack_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s = _explain(spark, gap_fill(ev, 3600, by="user_id", method="locf"), mode="simple")
+    assert "Generate explode" in s
+    assert s.count("Exchange hashpartitioning") <= 3
