@@ -44,7 +44,7 @@ from shardpack_spark.operators.profile import (
     numeric_quantiles,
     profile_table,
 )
-from shardpack_spark.operators.analytics import funnel, gap_fill
+from shardpack_spark.operators.analytics import funnel, gap_fill, retention
 from shardpack_spark.operators.ranges import interval_join
 from shardpack_spark.operators.sessionize import sessionize
 from shardpack_spark.operators.similarity import (
@@ -106,6 +106,7 @@ __all__ = [
     "packing_stats",
     "profile_table",
     "quality_scores",
+    "retention",
     "rollup_sketches",
     "rp_lsh_topk",
     "salted_join",

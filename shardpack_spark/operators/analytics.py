@@ -89,6 +89,38 @@ def funnel(
     )
 
 
+def retention(
+    df: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    period_seconds: int = 7 * 86400,
+    max_periods: int = 12,
+) -> DataFrame:
+    """Cohort retention matrix over an event stream.
+
+    Each entity's cohort is the period (``period_seconds``-wide epoch
+    bucket) of its FIRST event; the matrix counts entities from cohort C
+    active again in period C+k.  Returns (cohort, period_offset,
+    active_entities) with offset 0 = the cohort size.
+
+    Two shuffles total, both on bounded keys: (1) per-entity min-period
+    agg (map-side combined), (2) the distinct (entity, period) activity
+    set joined to its cohort and re-aggregated on (cohort, offset) — the
+    output is O(cohorts x max_periods) however large the input.
+    """
+    period = F.floor(ts_micros(F.col(ts)) / F.lit(int(period_seconds) * 1_000_000))
+    ent = df.select(F.col(by).alias("__e"), period.alias("__p"))
+    first = ent.groupBy("__e").agg(F.min("__p").alias("__cohort"))
+    activity = ent.distinct()
+    return (
+        activity.join(first, "__e")
+        .withColumn("period_offset", (F.col("__p") - F.col("__cohort")).cast("int"))
+        .filter(F.col("period_offset") <= max_periods)
+        .groupBy(F.col("__cohort").alias("cohort"), "period_offset")
+        .agg(F.count(F.lit(1)).alias("active_entities"))
+    )
+
+
 def gap_fill(
     df: DataFrame,
     every_seconds: int,

@@ -139,3 +139,41 @@ def test_gap_fill_matches_duckdb_on_events(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 50
+
+
+def test_retention_matches_duckdb(spark, sf_dir):
+    """Weekly cohort retention cross-checked against a DuckDB
+    reimplementation over the events table."""
+    import duckdb
+
+    from shardpack_spark.operators.analytics import retention
+    from shardpack_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r["cohort"], r["period_offset"]): r["active_entities"]
+        for r in retention(ev, period_seconds=7 * 86400, max_periods=8).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    q = """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS p
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(p) AS cohort FROM act GROUP BY 1
+    )
+    SELECT f.cohort, CAST(a.p - f.cohort AS INT) AS off, COUNT(*) AS n
+    FROM act a JOIN first f USING (user_id)
+    WHERE a.p - f.cohort <= 8
+    GROUP BY 1, 2
+    """
+    want = {(int(c), int(o)): int(n) for c, o, n in con.execute(q).fetchall()}
+    assert got == want
+    # offset 0 rows are the cohort sizes; every cohort must have one
+    cohorts = {c for c, _ in got}
+    assert all((c, 0) in got for c in cohorts)
