@@ -39,10 +39,15 @@ Consistency model (single logical writer per dataset directory):
   named there (e.g. a task that finished before its job failed) are
   invisible.  Directories with no manifest/markers — shards written
   directly via the codec — fall back to a plain listing
-- the manifest is swapped atomically (tmp file + rename); on overwrite
-  the previous files are deleted only AFTER the new manifest is durable,
-  so a crash anywhere leaves a readable dataset (extra invisible files
-  at worst, self-healed by the next overwrite commit)
+- the manifest is log-structured (v3): each commit writes ONE immutable
+  part file under `_manifest/` and atomically swaps a small root that
+  lists the parts — appends cost O(new shards), not O(dataset), so
+  commit time stays flat at 400k-shard scale; v2 inline manifests are
+  still read and migrate to parts on their first append
+- the root is swapped atomically (tmp file + rename); on overwrite the
+  previous files are deleted only AFTER the new root is durable, so a
+  crash anywhere leaves a readable dataset (extra invisible files at
+  worst, self-healed by the next overwrite commit)
 
 Options:
     compression         none|gzip|lz4|zstd|snappy     (write; default none)
@@ -96,6 +101,7 @@ if TYPE_CHECKING:
     from collections.abc import Iterator, Sequence
 
 MANIFEST_NAME = "_shardpack_manifest.json"
+MANIFEST_PARTS_DIR = "_manifest"
 STAGING_DIR = "_staging"
 
 SCHEMA = StructType(
@@ -138,11 +144,39 @@ def _norm_path(p: str | None) -> str | None:
 
 
 def _load_manifest(path: str) -> dict | None:
+    """Load the commit manifest, resolving log-structured roots.
+
+    v2 roots inline the full shard list.  v3 roots (log-structured) list
+    immutable part files under `_manifest/`, each holding the shards of
+    ONE commit — appends then cost O(new shards), not O(dataset), which
+    is what keeps commit time flat at 100 TB / 400k shards.  Either way
+    callers receive the flat {"shards": [...]} view."""
     mp = os.path.join(path, MANIFEST_NAME)
-    if os.path.exists(mp):
-        with open(mp) as f:
-            return json.load(f)
-    return None
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        root = json.load(f)
+    if root.get("version", 2) >= 3 and "parts" in root:
+        shards: list[dict] = []
+        for rel in root["parts"]:
+            with open(os.path.join(path, rel)) as f:
+                shards.extend(json.load(f)["shards"])
+        return {**root, "shards": shards}
+    return root
+
+
+def _write_manifest_part(path: str, shards: list[dict]) -> str:
+    """Write one immutable manifest part; returns its root-relative path."""
+    d = os.path.join(path, MANIFEST_PARTS_DIR)
+    os.makedirs(d, exist_ok=True)
+    rel = os.path.join(
+        MANIFEST_PARTS_DIR, f"part-{uuid.uuid4().hex[:12]}.json"
+    )
+    tmp = os.path.join(path, rel) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"shards": sorted(shards, key=lambda s: s["path"])}, f)
+    os.replace(tmp, os.path.join(path, rel))
+    return rel
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
@@ -567,22 +601,31 @@ class ShardPackWriter(DataSourceArrowWriter):
                 os.replace(os.path.join(self.path, s["path"]), os.path.join(self.path, spec))
                 s["path"] = spec
                 seq += 1
+        # Log-structured commit (v3): this commit's shards go into ONE new
+        # immutable part file; the root manifest lists part files and is
+        # the only thing rewritten.  Appends therefore cost O(new shards)
+        # no matter how many shards the dataset already holds — at 400k
+        # shards a v2-style full-manifest rewrite would be ~GBs per commit.
+        new_part = _write_manifest_part(self.path, new_shards)
         if self.overwrite or prior is None:
             old_names = set(_visible_shards(self.path)) - {s["path"] for s in new_shards}
-            merged = new_shards
+            parts = [new_part]
+            total = sum(s["records"] for s in new_shards)
         else:
-            # append: keep prior shard entries WITH their stats so key-range
-            # pruning and total_records stay correct across appends
-            new_names = {s["path"] for s in new_shards}
-            merged = [s for s in prior.get("shards", []) if s["path"] not in new_names]
-            merged += new_shards
             old_names = set()
+            parts = list(prior.get("parts", []))
+            if not parts and prior.get("shards"):
+                # migrate a v2 inline manifest: its shard list becomes the
+                # first part, once, and is never rewritten again
+                parts = [_write_manifest_part(self.path, prior["shards"])]
+            parts.append(new_part)
+            total = prior.get("total_records", 0) + sum(s["records"] for s in new_shards)
         manifest = {
-            "version": 2,
+            "version": 3,
             "compression": self.compression,
             "target_shard_bytes": self.target,
-            "shards": sorted(merged, key=lambda s: s["path"]),
-            "total_records": sum(s["records"] for s in merged),
+            "parts": parts,
+            "total_records": total,
         }
         _write_manifest(self.path, manifest)
         if self.overwrite:
@@ -592,6 +635,13 @@ class ShardPackWriter(DataSourceArrowWriter):
                 p = os.path.join(self.path, name)
                 if os.path.exists(p):
                     os.remove(p)
+            # drop prior parts AND any orphan parts from crashed commits
+            keep = {os.path.basename(p) for p in parts}
+            pd = os.path.join(self.path, MANIFEST_PARTS_DIR)
+            if os.path.isdir(pd):
+                for f in os.listdir(pd):
+                    if f not in keep:
+                        os.remove(os.path.join(pd, f))
             for mp in glob.glob(os.path.join(self.path, "_batch_*.json")):
                 os.remove(mp)
             for tmp in glob.glob(os.path.join(self.path, "*.inprogress")):

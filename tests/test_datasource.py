@@ -105,7 +105,9 @@ def test_key_filter_prunes_partitions(spark_ds, sf_dir, tmp_path):
     assert filtered.count() == 1
     assert filtered.rdd.getNumPartitions() < n_shards
 
-    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    from shardpack_spark.format.datasource import _load_manifest
+
+    manifest = _load_manifest(out)  # merged across manifest parts
     assert all("min_key" in s and "max_key" in s for s in manifest["shards"])
 
 
@@ -128,7 +130,9 @@ def test_bloom_prunes_hash_placed_keys(spark_ds, sf_dir, tmp_path):
         "target_shard_bytes", 16 * 1024
     ).mode("append").save(out)
 
-    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    from shardpack_spark.format.datasource import _load_manifest
+
+    manifest = _load_manifest(out)  # merged across manifest parts
     shards = manifest["shards"]
     assert len(shards) > 8
     assert all("bloom" in s for s in shards)
@@ -367,7 +371,9 @@ def test_append_merges_manifest_stats(spark_ds, sf_dir, tmp_path):
         "key"
     ).coalesce(1).write.format("shardpack").mode("append").save(out)
 
-    manifest = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    from shardpack_spark.format.datasource import _load_manifest
+
+    manifest = _load_manifest(out)  # merged view across manifest parts
     n_total = spark_ds.read.format("shardpack").load(out).count()
     assert manifest["total_records"] == n_total
     assert all("min_key" in s and "max_key" in s for s in manifest["shards"])
@@ -595,3 +601,77 @@ def test_commit_lock_exclusive_and_stale_breaking(tmp_path):
     for t in threads:
         t.join()
     assert counter["n"] == 80
+
+
+def test_log_structured_manifest_appends(spark_ds, sf_dir, tmp_path):
+    """v3 commits: each append adds ONE immutable part holding only its
+    own shards (O(new shards) commit, never a full-manifest rewrite);
+    overwrite collapses to a single part and removes orphans."""
+    from shardpack_spark.format.datasource import (
+        MANIFEST_PARTS_DIR,
+        _load_manifest,
+    )
+
+    out = str(tmp_path / "lsm")
+    src = _docs_as_records(spark_ds, sf_dir)
+    src.limit(40).write.format("shardpack").mode("append").save(out)
+    src.limit(25).write.format("shardpack").mode("append").save(out)
+    src.limit(10).write.format("shardpack").mode("append").save(out)
+
+    root = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert root["version"] == 3
+    assert len(root["parts"]) == 3
+    assert root["total_records"] == 75
+    # each part holds exactly its commit's shards
+    sizes = []
+    for rel in root["parts"]:
+        part = json.load(open(os.path.join(out, rel)))
+        sizes.append(sum(s["records"] for s in part["shards"]))
+    assert sizes == [40, 25, 10]
+    # merged view serves reads + stats
+    m = _load_manifest(out)
+    assert sum(s["records"] for s in m["shards"]) == 75
+    assert spark_ds.read.format("shardpack").load(out).count() == 75
+
+    # overwrite: one part, orphans and old parts gone
+    src.limit(7).write.format("shardpack").mode("overwrite").save(out)
+    root2 = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert len(root2["parts"]) == 1 and root2["total_records"] == 7
+    pd = os.path.join(out, MANIFEST_PARTS_DIR)
+    assert len(os.listdir(pd)) == 1
+    assert spark_ds.read.format("shardpack").load(out).count() == 7
+
+
+def test_v2_manifest_migration_on_append(spark_ds, sf_dir, tmp_path):
+    """A dataset with a v2 inline manifest keeps working and migrates to
+    parts on its first append."""
+    from shardpack_spark.format.datasource import _load_manifest
+
+    out = str(tmp_path / "v2")
+    src = _docs_as_records(spark_ds, sf_dir)
+    src.limit(30).write.format("shardpack").mode("append").save(out)
+
+    # rewrite the root as v2-inline (what round-1 datasets look like)
+    m = _load_manifest(out)
+    v2 = {
+        "version": 2,
+        "compression": m["compression"],
+        "target_shard_bytes": m["target_shard_bytes"],
+        "shards": m["shards"],
+        "total_records": m["total_records"],
+    }
+    with open(os.path.join(out, MANIFEST_NAME), "w") as f:
+        json.dump(v2, f)
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(out, "_manifest"), ignore_errors=True)
+    assert spark_ds.read.format("shardpack").load(out).count() == 30  # v2 read
+
+    src.limit(12).write.format("shardpack").mode("append").save(out)
+    root = json.load(open(os.path.join(out, MANIFEST_NAME)))
+    assert root["version"] == 3 and len(root["parts"]) == 2  # migrated + new
+    assert root["total_records"] == 42
+    assert spark_ds.read.format("shardpack").load(out).count() == 42
+    # prior stats (incl. key ranges) survived the migration
+    m2 = _load_manifest(out)
+    assert all("min_key" in s for s in m2["shards"])

@@ -110,8 +110,11 @@ def test_compaction_crash_windows_leave_readable_dataset(spark, sf_dir, tmp_path
     assert {r["key"] for r in read_shardpack(spark, out).select("key").collect()} == old_keys
     assert set(_visible_shards(out)) == {s["path"] for s in old_manifest["shards"]}
 
-    # Window B: swap the manifest to the new shard list; old files remain
-    swapped = dict(new_manifest)
+    # Window B: swap the manifest to the new shard list; old files remain.
+    # The hand-built root uses the v2 inline form (still supported) — the
+    # scratch dataset's v3 "parts" point at scratch-relative files.
+    swapped = {k: v for k, v in new_manifest.items() if k != "parts"}
+    swapped["version"] = 2
     swapped["shards"] = [
         {**s, "path": "c99999999-" + s["path"]} for s in new_manifest["shards"]
     ]
