@@ -918,6 +918,58 @@ def compact_dataset(
     }
 
 
+def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
+    """Maintenance: fold committed stream-batch markers into the manifest log.
+
+    A long-running stream leaves one `_batch_{id}.json` per micro-batch;
+    readers list and parse every one of them when planning, so an
+    always-on ingest accumulates unbounded planning cost.  This moves all
+    but the newest ``keep_last`` markers' shard entries into ONE manifest
+    part (O(folded markers), under the commit lock) and deletes those
+    markers.  The tail is kept because marker existence is the stream
+    writer's replay detection — a restart replays at most the newest
+    uncommitted batch, so a generous tail is belt and braces.
+
+    Folded entries carry records/bytes but no key stats; key pruning
+    (optimization-only) keeps such shards.  Run ``compact_dataset`` when
+    a stats-bearing, right-sized rewrite is wanted.
+    """
+    with _CommitLock(path):
+        markers = sorted(glob.glob(os.path.join(path, "_batch_*.json")))
+        to_fold = markers[:-keep_last] if keep_last > 0 else markers
+        if not to_fold:
+            return {"folded": 0}
+        shards: list[dict] = []
+        for mp in to_fold:
+            with open(mp) as f:
+                shards.extend(json.load(f).get("shards", []))
+        prior = _load_manifest(path)
+        if prior is None:
+            parts, total = [], 0
+            comp, target = "none", codec.DEFAULT_TARGET_SHARD_BYTES
+        else:
+            parts = list(prior.get("parts", []))
+            if not parts and prior.get("shards"):
+                parts = [_write_manifest_part(path, prior["shards"])]
+            total = prior.get("total_records", 0)
+            comp = prior.get("compression", "none")
+            target = prior.get("target_shard_bytes", codec.DEFAULT_TARGET_SHARD_BYTES)
+        parts.append(_write_manifest_part(path, shards))
+        _write_manifest(
+            path,
+            {
+                "version": 3,
+                "compression": comp,
+                "target_shard_bytes": target,
+                "parts": parts,
+                "total_records": total + sum(s["records"] for s in shards),
+            },
+        )
+        for mp in to_fold:  # only after the new root is durable
+            os.remove(mp)
+        return {"folded": len(to_fold), "shards": len(shards)}
+
+
 def read_shardpack(spark, path: str, columns: list | None = None, **options):
     """Driver-side read helper: enables key-filter pruning automatically
     when spark.sql.python.filterPushdown.enabled is on.

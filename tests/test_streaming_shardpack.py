@@ -62,3 +62,44 @@ def test_shardpack_stream_windowed_agg(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["b"]: (r["s"], r["n"]) for r in spark.sql("SELECT * FROM sp_win").collect()}
     assert rows == {1704070800: (3.0, 2), 1704074400: (5.0, 1)}
+
+
+def test_fold_stream_markers(spark, tmp_path):
+    """Marker folding keeps every record visible, trims the marker count,
+    and leaves the replay-detection tail in place."""
+    import glob as _glob
+    import json as _json
+
+    from shardpack_spark.format import codec as _codec
+    from shardpack_spark.format.datasource import (
+        _load_manifest,
+        fold_stream_markers,
+        read_shardpack,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    # simulate 8 committed micro-batches (marker + shard each)
+    for b in range(8):
+        name = f"c{b:08d}-s.shardpack"
+        w = _codec.ShardWriter(os.path.join(out, name))
+        w.write_record(_codec.Record(key=f"k{b}", entries=[
+            _codec.FileEntry("a.txt", "text/plain", f"v{b}".encode())
+        ]))
+        w.close()
+        with open(os.path.join(out, f"_batch_{b:08d}.json"), "w") as f:
+            _json.dump({"batch": b, "shards": [
+                {"path": name, "records": 1, "bytes": 100}
+            ]}, f)
+
+    assert read_shardpack(spark, out).count() == 8
+    stats = fold_stream_markers(out, keep_last=3)
+    assert stats == {"folded": 5, "shards": 5}
+    # 3 newest markers remain for replay detection
+    assert len(_glob.glob(os.path.join(out, "_batch_*.json"))) == 3
+    m = _load_manifest(out)
+    assert m["total_records"] == 5  # folded shards in the manifest log
+    # every record still visible: manifest entries + remaining markers
+    assert read_shardpack(spark, out).count() == 8
+    # idempotent when nothing left to fold
+    assert fold_stream_markers(out, keep_last=3) == {"folded": 0}
