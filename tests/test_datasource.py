@@ -675,3 +675,37 @@ def test_v2_manifest_migration_on_append(spark_ds, sf_dir, tmp_path):
     # prior stats (incl. key ranges) survived the migration
     m2 = _load_manifest(out)
     assert all("min_key" in s for s in m2["shards"])
+
+
+def test_concurrent_appends_lose_nothing(spark_ds, sf_dir, tmp_path):
+    """Two append jobs racing into one dataset: the commit lock serializes
+    the manifest log update, so both commits' shards stay visible."""
+    import threading
+
+    from shardpack_spark.format.datasource import _load_manifest
+
+    out = str(tmp_path / "race")
+    src = _docs_as_records(spark_ds, sf_dir)
+    errs = []
+
+    def append(n):
+        try:
+            # Python data-source lookup resolves through the JVM's
+            # thread-local active session, which fresh Python threads
+            # don't inherit — re-assert it before writing
+            spark_ds._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark_ds._jsparkSession
+            )
+            src.limit(n).write.format("shardpack").mode("append").save(out)
+        except Exception as ex:  # surface failures to the main thread
+            errs.append(ex)
+
+    threads = [threading.Thread(target=append, args=(n,)) for n in (60, 40)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    m = _load_manifest(out)
+    assert m["total_records"] == 100
+    assert spark_ds.read.format("shardpack").load(out).count() == 100
