@@ -173,6 +173,68 @@ def image_features(df: DataFrame) -> DataFrame:
     return imgs.mapInPandas(decode, IMAGE_FEATURE_SCHEMA)
 
 
+def _resize_pixels(data: bytes, width: int, height: int) -> bytes:
+    """Pixel-level resize.  REAL path: PIL, when importable.  STUB path
+    (_DECODE_STUBBED, no image libs in this environment): a deterministic
+    fake payload tagged with the target dims and a digest of the source
+    bytes — stable across runs/partitions so tests can assert on it, and
+    clearly non-image so it can never be mistaken for a real thumbnail."""
+    try:  # pragma: no cover - PIL absent in this environment
+        import io
+
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(data))
+        out = io.BytesIO()
+        im.resize((width, height)).save(out, format=im.format or "PNG")
+        return out.getvalue()
+    except ImportError:
+        import hashlib
+
+        digest = hashlib.sha256(data).hexdigest()[:16].encode()
+        return b"STUB-RESIZE:%dx%d:" % (width, height) + digest
+
+
+RESIZED_SCHEMA = (
+    "key string, file_name string, content_type string, "
+    "src_width int, src_height int, width int, height int, data binary"
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Thumbnail/resize pass over image/* entries (shardpack row input).
+
+    The Spark-side plumbing is real and scale-shaped: explode to one row
+    per image entry, Arrow-batched mapInPandas, binary in / binary out,
+    source dims from the pure-Python header parsers — the exact pipeline
+    a PIL-backed deployment runs by swapping `_resize_pixels`'s import
+    path in.  Output rows: (key, file_name, content_type, src_width,
+    src_height, width, height, data)."""
+    _self_pickle_by_value()
+    imgs = explode_entries(df).filter(
+        F.col("content_type").startswith("image/")
+    ).select("key", "file_name", "content_type", "data")
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            datas = [bytes(b) for b in pdf["data"]]
+            dims = [parse_image_dims(b) for b in datas]
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "file_name": pdf["file_name"],
+                    "content_type": pdf["content_type"],
+                    "src_width": [w for w, _ in dims],
+                    "src_height": [h for _, h in dims],
+                    "width": [width] * len(datas),
+                    "height": [height] * len(datas),
+                    "data": [_resize_pixels(b, width, height) for b in datas],
+                }
+            )
+
+    return imgs.mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
 def parse_avi(b: bytes) -> dict:
     """Parse an AVI (RIFF) container: header info + per-frame byte ranges.
 

@@ -169,3 +169,39 @@ def test_audio_features_over_entries(spark):
         r = rows[f"a/{i}"]
         assert r["duration_s"] == float(i + 1)
         assert r["sample_rate"] == 16000
+
+
+def test_resize_images_plumbing_and_determinism(spark):
+    """resize_images: real explode + Arrow-batch plumbing, header-true
+    source dims, deterministic stub payload tagged with target dims."""
+    rows = [
+        ("img/1", "a.jpg", mk_jpeg(100, 80)),
+        ("img/2", "b.jpg", mk_jpeg(640, 480)),
+    ]
+    df = spark.createDataFrame(
+        [(k,) for k, _, _ in rows], "key string"
+    ).join(
+        spark.createDataFrame(rows, "key string, fn string, payload binary"), "key"
+    ).select(
+        "key",
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.array(
+            F.struct(
+                F.col("fn").alias("file_name"),
+                F.lit("image/jpeg").alias("content_type"),
+                F.lit("none").alias("encoding"),
+                F.length("payload").cast("long").alias("size"),
+                F.col("payload").alias("data"),
+            )
+        ).alias("entries"),
+    )
+    out = {r["key"]: r for r in mm.resize_images(df, 64, 64).collect()}
+    assert len(out) == 2
+    assert (out["img/1"]["src_width"], out["img/1"]["src_height"]) == (100, 80)
+    assert (out["img/2"]["src_width"], out["img/2"]["src_height"]) == (640, 480)
+    assert all(r["width"] == 64 and r["height"] == 64 for r in out.values())
+    if mm._DECODE_STUBBED:
+        assert all(bytes(r["data"]).startswith(b"STUB-RESIZE:64x64:") for r in out.values())
+    # deterministic across runs
+    again = {r["key"]: bytes(r["data"]) for r in mm.resize_images(df, 64, 64).collect()}
+    assert {k: bytes(v["data"]) for k, v in out.items()} == again
