@@ -61,6 +61,11 @@ Options:
                                      payload-heavy shards are read with
                                      per-record seeks, payloads never leave
                                      the disk)
+    version             int         (read; pin an archived snapshot — every
+                                     batch commit saves its root, so version
+                                     N replays exactly that commit's view;
+                                     history spans appends since the last
+                                     overwrite/compaction)
 """
 
 from __future__ import annotations
@@ -143,26 +148,65 @@ def _norm_path(p: str | None) -> str | None:
     return p
 
 
-def _load_manifest(path: str) -> dict | None:
+def _load_manifest(path: str, version: int | None = None) -> dict | None:
     """Load the commit manifest, resolving log-structured roots.
 
     v2 roots inline the full shard list.  v3 roots (log-structured) list
     immutable part files under `_manifest/`, each holding the shards of
     ONE commit — appends then cost O(new shards), not O(dataset), which
     is what keeps commit time flat at 100 TB / 400k shards.  Either way
-    callers receive the flat {"shards": [...]} view."""
-    mp = os.path.join(path, MANIFEST_NAME)
-    if not os.path.exists(mp):
-        return None
+    callers receive the flat {"shards": [...]} view.
+
+    ``version`` pins a snapshot: every batch commit archives its root as
+    `_manifest/root-{id:08d}.json`, and because shard files and manifest
+    parts are immutable, loading an old root reproduces exactly that
+    commit's view (time travel).  History spans appends since the last
+    overwrite/compaction — overwrite deletes the old data files, so it
+    resets the version chain too."""
+    if version is not None:
+        mp = os.path.join(path, MANIFEST_PARTS_DIR, f"root-{version:08d}.json")
+        if not os.path.exists(mp):
+            raise codec.ShardPackIOError(
+                f"version {version} not available under {path} "
+                "(never committed, or removed by a later overwrite)"
+            )
+    else:
+        mp = os.path.join(path, MANIFEST_NAME)
+        if not os.path.exists(mp):
+            return None
     with open(mp) as f:
         root = json.load(f)
     if root.get("version", 2) >= 3 and "parts" in root:
         shards: list[dict] = []
         for rel in root["parts"]:
-            with open(os.path.join(path, rel)) as f:
+            part_path = os.path.join(path, rel)
+            if not os.path.exists(part_path):
+                raise codec.ShardPackIOError(
+                    f"manifest part {rel} missing under {path} "
+                    "(snapshot removed by a later overwrite?)"
+                )
+            with open(part_path) as f:
                 shards.extend(json.load(f)["shards"])
         return {**root, "shards": shards}
     return root
+
+
+def list_versions(path: str) -> list[dict]:
+    """Committed snapshots, oldest first: [{version, total_records}]."""
+    d = os.path.join(path, MANIFEST_PARTS_DIR)
+    out = []
+    if os.path.isdir(d):
+        for f in sorted(os.listdir(d)):
+            if f.startswith("root-") and f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    r = json.load(fh)
+                out.append(
+                    {
+                        "version": int(f[5:13]),
+                        "total_records": r.get("total_records", 0),
+                    }
+                )
+    return out
 
 
 def _write_manifest_part(path: str, shards: list[dict]) -> str:
@@ -442,13 +486,27 @@ class ShardPackReader(DataSourceReader):
         self.split_target = int(options.get("split_target_bytes", 128 * 1024 * 1024))
         self.skip_payload = str(options.get("skip_payload", "false")).lower() == "true"
         self.metadata_only = str(options.get("metadata_only", "false")).lower() == "true"
+        v = options.get("version")
+        self.version = int(v) if v is not None and str(v) != "" else None
         self._key_filters: list[str] = []
 
     def partitions(self) -> Sequence[ShardPartition]:
-        names = _visible_shards(self.path)
+        if self.version is not None:
+            # pinned snapshot: exactly the archived root's shard set
+            # (batch commits only — stream-marker shards have no snapshot)
+            manifest = _load_manifest(self.path, self.version)
+            names = sorted(s["path"] for s in manifest.get("shards", []))
+            missing = [n for n in names if not os.path.exists(os.path.join(self.path, n))]
+            if missing:
+                raise codec.ShardPackIOError(
+                    f"version {self.version}: shard(s) {missing[:3]} removed "
+                    "by a later overwrite/compaction"
+                )
+        else:
+            names = _visible_shards(self.path)
+            manifest = _load_manifest(self.path)
         if not names:
             raise codec.ShardPackIOError(f"no .shardpack files under {self.path}")
-        manifest = _load_manifest(self.path)
         stats = {s["path"]: s for s in (manifest or {}).get("shards", [])}
 
         if self._key_filters:
@@ -620,13 +678,23 @@ class ShardPackWriter(DataSourceArrowWriter):
                 parts = [_write_manifest_part(self.path, prior["shards"])]
             parts.append(new_part)
             total = prior.get("total_records", 0) + sum(s["records"] for s in new_shards)
+        vid = 1 + max([v["version"] for v in list_versions(self.path)] or [0])
         manifest = {
             "version": 3,
+            "version_id": vid,
             "compression": self.compression,
             "target_shard_bytes": self.target,
             "parts": parts,
             "total_records": total,
         }
+        # archive the root BEFORE the live swap: shard files and parts are
+        # immutable, so this root replays this commit's exact view forever
+        # (until an overwrite deletes the data files and resets history)
+        arch = os.path.join(self.path, MANIFEST_PARTS_DIR, f"root-{vid:08d}.json")
+        os.makedirs(os.path.dirname(arch), exist_ok=True)
+        with open(arch + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(arch + ".tmp", arch)
         _write_manifest(self.path, manifest)
         if self.overwrite:
             # old files die only after the new manifest is durable; a crash
@@ -635,8 +703,9 @@ class ShardPackWriter(DataSourceArrowWriter):
                 p = os.path.join(self.path, name)
                 if os.path.exists(p):
                     os.remove(p)
-            # drop prior parts AND any orphan parts from crashed commits
-            keep = {os.path.basename(p) for p in parts}
+            # drop prior parts, orphan parts from crashed commits, and the
+            # now-unreadable version history (its shard files are gone)
+            keep = {os.path.basename(p) for p in parts} | {f"root-{vid:08d}.json"}
             pd = os.path.join(self.path, MANIFEST_PARTS_DIR)
             if os.path.isdir(pd):
                 for f in os.listdir(pd):

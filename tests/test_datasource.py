@@ -638,7 +638,11 @@ def test_log_structured_manifest_appends(spark_ds, sf_dir, tmp_path):
     root2 = json.load(open(os.path.join(out, MANIFEST_NAME)))
     assert len(root2["parts"]) == 1 and root2["total_records"] == 7
     pd = os.path.join(out, MANIFEST_PARTS_DIR)
-    assert len(os.listdir(pd)) == 1
+    files = sorted(os.listdir(pd))
+    # exactly the current part + the current version's archived root
+    assert len(files) == 2 and any(f.startswith("part-") for f in files) and any(
+        f.startswith("root-") for f in files
+    )
     assert spark_ds.read.format("shardpack").load(out).count() == 7
 
 
@@ -709,3 +713,37 @@ def test_concurrent_appends_lose_nothing(spark_ds, sf_dir, tmp_path):
     m = _load_manifest(out)
     assert m["total_records"] == 100
     assert spark_ds.read.format("shardpack").load(out).count() == 100
+
+
+def test_time_travel_versions(spark_ds, sf_dir, tmp_path):
+    """Each batch commit archives its root: version N reads reproduce
+    exactly that commit's rows; overwrite resets the history."""
+    from shardpack_spark.format.datasource import list_versions, read_shardpack
+
+    out = str(tmp_path / "tt")
+    src = _docs_as_records(spark_ds, sf_dir)
+    src.limit(30).write.format("shardpack").mode("append").save(out)
+    src.limit(50).write.format("shardpack").mode("append").save(out)
+    src.limit(20).write.format("shardpack").mode("append").save(out)
+
+    vs = list_versions(out)
+    assert [v["version"] for v in vs] == [1, 2, 3]
+    assert [v["total_records"] for v in vs] == [30, 80, 100]
+
+    assert read_shardpack(spark_ds, out, version=1).count() == 30
+    assert read_shardpack(spark_ds, out, version=2).count() == 80
+    assert read_shardpack(spark_ds, out).count() == 100  # live view
+    # snapshot keys are exactly the first commit's
+    v1_keys = {r["key"] for r in read_shardpack(spark_ds, out, version=1).select("key").collect()}
+    assert len(v1_keys) == 30
+
+    # unknown version: clear error
+    with pytest.raises(Exception, match="version 9"):
+        read_shardpack(spark_ds, out, version=9).count()
+
+    # overwrite resets history (old shard files are deleted)
+    src.limit(10).write.format("shardpack").mode("overwrite").save(out)
+    vs2 = list_versions(out)
+    assert len(vs2) == 1 and vs2[0]["total_records"] == 10
+    with pytest.raises(Exception, match="version 1"):
+        read_shardpack(spark_ds, out, version=1).count()
