@@ -488,6 +488,10 @@ class ShardPackReader(DataSourceReader):
         self.metadata_only = str(options.get("metadata_only", "false")).lower() == "true"
         v = options.get("version")
         self.version = int(v) if v is not None and str(v) != "" else None
+        # explicit shard scoping (set by read_version_delta): a JSON list
+        # of shard names to read instead of the whole visible set
+        only = options.get("only_shards")
+        self.only_shards = set(json.loads(only)) if only else None
         self._key_filters: list[str] = []
 
     def partitions(self) -> Sequence[ShardPartition]:
@@ -505,6 +509,13 @@ class ShardPackReader(DataSourceReader):
         else:
             names = _visible_shards(self.path)
             manifest = _load_manifest(self.path)
+        if self.only_shards is not None:
+            names = [n for n in names if n in self.only_shards]
+            if not names:
+                # empty delta: Spark requires >=1 partition (it invokes
+                # read(None) on an empty plan), so hand back a sentinel
+                # that read() turns into zero rows
+                return [ShardPartition("", [])]
         if not names:
             raise codec.ShardPackIOError(f"no .shardpack files under {self.path}")
         stats = {s["path"]: s for s in (manifest or {}).get("shards", [])}
@@ -533,6 +544,8 @@ class ShardPackReader(DataSourceReader):
         return _plan_partitions(self.path, names, self.split_target)
 
     def read(self, partition: ShardPartition):
+        if partition is None or not partition.path:
+            return  # empty-delta sentinel
         yield from _arrow_batches(
             partition, self.verify, self.skip_payload, self.metadata_only
         )
@@ -985,6 +998,37 @@ def compact_dataset(
         "shards": len(new_manifest.get("shards", [])),
         "records": new_manifest.get("total_records", 0),
     }
+
+
+def read_version_delta(
+    spark, path: str, since_version: int, to_version: int | None = None, **options
+):
+    """Rows appended between two snapshots — incremental processing
+    without a streaming checkpoint.
+
+    The log-structured manifest makes the delta exact and free to plan:
+    snapshot roots list immutable part files, so the shards new in
+    (since_version, to_version] are simply the set difference of two
+    shard lists — only THOSE files are opened.  ``since_version=0``
+    means everything up to ``to_version``.  An incremental rollup/ingest
+    job records the version it processed and calls this with it on the
+    next run; appends since then are read, nothing is re-read.
+
+    Append-only semantics: deltas are defined across appends.  An
+    overwrite/compaction resets the version chain (prior snapshots'
+    files are gone), so consumers should fold their state before
+    compacting.
+    """
+    base: set[str] = set()
+    if since_version > 0:
+        base = {
+            s["path"] for s in _load_manifest(path, since_version).get("shards", [])
+        }
+    cur = _load_manifest(path, to_version) if to_version is not None else _load_manifest(path)
+    if cur is None:
+        raise codec.ShardPackIOError(f"no manifest under {path}")
+    new = [s["path"] for s in cur.get("shards", []) if s["path"] not in base]
+    return read_shardpack(spark, path, only_shards=json.dumps(new), **options)
 
 
 def fold_stream_markers(path: str, keep_last: int = 100) -> dict:

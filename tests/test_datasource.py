@@ -747,3 +747,25 @@ def test_time_travel_versions(spark_ds, sf_dir, tmp_path):
     assert len(vs2) == 1 and vs2[0]["total_records"] == 10
     with pytest.raises(Exception, match="version 1"):
         read_shardpack(spark_ds, out, version=1).count()
+
+
+def test_read_version_delta(spark_ds, sf_dir, tmp_path):
+    """Delta reads open only the shards appended between two snapshots."""
+    from shardpack_spark.format.datasource import read_version_delta
+
+    out = str(tmp_path / "delta")
+    src = _docs_as_records(spark_ds, sf_dir)
+    src.limit(30).write.format("shardpack").mode("append").save(out)   # v1
+    src.limit(80).write.format("shardpack").mode("append").save(out)   # v2 (+80)
+    src.limit(10).write.format("shardpack").mode("append").save(out)   # v3 (+10)
+
+    assert read_version_delta(spark_ds, out, since_version=1).count() == 90
+    assert read_version_delta(spark_ds, out, since_version=2).count() == 10
+    assert read_version_delta(spark_ds, out, since_version=1, to_version=2).count() == 80
+    assert read_version_delta(spark_ds, out, since_version=0, to_version=1).count() == 30
+    # empty delta: same version twice
+    assert read_version_delta(spark_ds, out, since_version=3).count() == 0
+    # incremental consumer pattern: v1-rows + delta(1) == live view
+    live = spark_ds.read.format("shardpack").load(out).count()
+    v1 = read_version_delta(spark_ds, out, 0, 1).count()
+    assert v1 + read_version_delta(spark_ds, out, 1).count() == live
