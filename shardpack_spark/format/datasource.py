@@ -1031,6 +1031,87 @@ def read_version_delta(
     return read_shardpack(spark, path, only_shards=json.dumps(new), **options)
 
 
+def verify_dataset(spark, path: str) -> dict:
+    """fsck for a shardpack dataset: distributed integrity audit.
+
+    Re-reads EVERY committed shard with checksum verification on (the
+    spec's R11 verify path) and reconciles the commit log against the
+    directory: per-shard record counts must match the manifest, every
+    named shard must exist, and files not named by any commit are
+    reported as orphans (harmless — readers ignore them — but worth
+    reclaiming).  The re-read fans out one task per shard through
+    mapInPandas, so auditing 100 TB is a normal shard-parallel job, not
+    a driver loop.
+
+    Returns {"ok": bool, "shards_ok": n, "mismatched": [...],
+    "corrupt": [...], "missing": [...], "orphans": [...]}.
+    """
+    manifest = _load_manifest(path) or {"shards": []}
+    expected = {s["path"]: s.get("records") for s in manifest.get("shards", [])}
+    for mp in glob.glob(os.path.join(path, "_batch_*.json")):
+        with open(mp) as f:
+            for s in json.load(f).get("shards", []):
+                expected[s["path"]] = s.get("records")
+
+    missing = [n for n in expected if not os.path.exists(os.path.join(path, n))]
+    on_disk = {os.path.basename(p) for p in codec.list_shards(path)}
+    orphans = sorted(on_disk - set(expected))
+
+    present = [(n, expected[n]) for n in expected if n not in missing]
+    if not present:
+        return {
+            "ok": not missing,
+            "shards_ok": 0,
+            "mismatched": [],
+            "corrupt": [],
+            "missing": sorted(missing),
+            "orphans": orphans,
+        }
+
+    _pickle_by_value()
+    base = path
+
+    def check(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            names, counts, errors = [], [], []
+            for name, exp in zip(pdf["name"], pdf["expected"]):
+                full = os.path.join(base, name)
+                try:
+                    got = sum(
+                        1 for _ in codec.iter_records(full, verify_checksums=True)
+                    )
+                    errors.append(
+                        "" if (exp is None or int(exp) == got) else f"count {got} != manifest {int(exp)}"
+                    )
+                except Exception as ex:  # corrupt shard: keep auditing others
+                    got = -1
+                    errors.append(f"corrupt: {type(ex).__name__}: {ex}")
+                names.append(name)
+                counts.append(got)
+            yield _pd.DataFrame({"name": names, "records": counts, "error": errors})
+
+    pdf_in = spark.createDataFrame(
+        [(n, e) for n, e in present], "name string, expected long"
+    ).repartition(min(len(present), spark.sparkContext.defaultParallelism))
+    rows = pdf_in.mapInPandas(check, "name string, records long, error string").collect()
+
+    corrupt = sorted(r["name"] for r in rows if r["error"].startswith("corrupt"))
+    mismatched = sorted(
+        r["name"] for r in rows if r["error"] and not r["error"].startswith("corrupt")
+    )
+    ok_count = sum(1 for r in rows if not r["error"])
+    return {
+        "ok": not (missing or corrupt or mismatched),
+        "shards_ok": ok_count,
+        "mismatched": mismatched,
+        "corrupt": corrupt,
+        "missing": sorted(missing),
+        "orphans": orphans,
+    }
+
+
 def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
     """Maintenance: fold committed stream-batch markers into the manifest log.
 

@@ -240,3 +240,52 @@ def test_asof_direction_validation(spark):
     ldf = spark.createDataFrame([(1, 0, 1)], "lid long, grp long, lts long")
     with pytest.raises(ValueError, match="direction"):
         asof_join(ldf, ldf, "lts", "lts", "grp", "grp", direction="sideways")
+
+
+def test_verify_dataset_clean_and_broken(spark, sf_dir, tmp_path):
+    """fsck: clean dataset passes; corruption, count mismatch, missing
+    files, and orphans are each pinpointed."""
+    import json as _json
+    import os as _os
+
+    from tests.test_datasource import _docs_as_records
+    from shardpack_spark.format.datasource import (
+        MANIFEST_NAME,
+        _load_manifest,
+        verify_dataset,
+    )
+
+    register(spark)
+    out = str(tmp_path / "fsck")
+    _docs_as_records(spark, sf_dir).limit(60).coalesce(1).write.format(
+        "shardpack"
+    ).option("target_shard_bytes", 16 * 1024).mode("append").save(out)
+
+    rep = verify_dataset(spark, out)
+    assert rep["ok"] and rep["shards_ok"] >= 2
+    assert not (rep["corrupt"] or rep["mismatched"] or rep["missing"] or rep["orphans"])
+
+    m = _load_manifest(out)
+    names = sorted(s["path"] for s in m["shards"])
+
+    # corrupt one payload byte mid-file
+    victim = _os.path.join(out, names[0])
+    size = _os.path.getsize(victim)
+    with open(victim, "r+b") as f:
+        f.seek(size // 2)
+        b = f.read(1)
+        f.seek(size // 2)
+        f.write(bytes([b[0] ^ 0xFF]))
+
+    # orphan: a stray shard not in any commit
+    with open(_os.path.join(out, "stray-000.shardpack"), "wb") as f:
+        f.write(b"junk")
+
+    # missing: delete another committed shard
+    _os.remove(_os.path.join(out, names[1]))
+
+    rep2 = verify_dataset(spark, out)
+    assert not rep2["ok"]
+    assert rep2["corrupt"] == [names[0]]
+    assert rep2["missing"] == [names[1]]
+    assert rep2["orphans"] == ["stray-000.shardpack"]
