@@ -1,0 +1,79 @@
+"""Capstone: the format's whole lifecycle composes — write, append,
+snapshot, delta, patch, merge-on-read, fsck, compact, point lookup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shardpack_spark.format.datasource import (
+    compact_dataset,
+    list_versions,
+    read_shardpack,
+    read_version_delta,
+    register,
+    verify_dataset,
+)
+from shardpack_spark.format.patches import (
+    compact_patches,
+    read_with_patches,
+    tombstones,
+    write_patch,
+)
+from tests.test_datasource import _docs_as_records
+
+
+def test_full_lifecycle(spark, sf_dir, tmp_path):
+    register(spark)
+    base = str(tmp_path / "lake")
+    src = _docs_as_records(spark, sf_dir)
+
+    # 1. initial load + two appends (disjoint key ranges) -> three snapshots
+    src.filter(F.col("key") < "doc/00000100").write.format("shardpack").mode(
+        "append"
+    ).save(base)
+    src.filter(
+        (F.col("key") >= "doc/00000100") & (F.col("key") < "doc/00000250")
+    ).write.format("shardpack").mode("append").save(base)
+    src.filter(
+        (F.col("key") >= "doc/00000250") & (F.col("key") < "doc/00000280")
+    ).write.format("shardpack").mode("append").save(base)
+    assert [v["total_records"] for v in list_versions(base)] == [100, 250, 280]
+
+    # 2. incremental consumer: per-version deltas partition the live view
+    d1 = read_version_delta(spark, base, 0, 1).count()
+    d2 = read_version_delta(spark, base, 1, 2).count()
+    d3 = read_version_delta(spark, base, 2, 3).count()
+    assert (d1, d2, d3) == (100, 150, 30)
+    assert d1 + d2 + d3 == read_shardpack(spark, base).count()
+
+    # 3. merge-on-read mutation: delete two keys, update one
+    write_patch(
+        tombstones(spark, ["doc/00000001", "doc/00000002"]).unionByName(
+            src.filter(F.col("key") == "doc/00000000").withColumn(
+                "metadata", F.map_concat("metadata", F.create_map(F.lit("v"), F.lit("2")))
+            )
+        ),
+        base,
+    )
+    merged = read_with_patches(spark, base)
+    assert merged.count() == 278
+    assert (
+        merged.filter(F.col("key") == "doc/00000000").head()["metadata"]["v"] == "2"
+    )
+
+    # 4. fsck: log and files agree before and after folding
+    assert verify_dataset(spark, base)["ok"]
+    compact_patches(spark, base)
+    assert read_shardpack(spark, base).count() == 278
+    assert verify_dataset(spark, base)["ok"]
+
+    # 5. key-sorted compaction -> point lookup prunes to one partition
+    compact_dataset(spark, base, target_shard_bytes=64 * 1024, sort_by_key=True)
+    assert verify_dataset(spark, base)["ok"]
+    one = read_shardpack(spark, base).filter(F.col("key") == "doc/00000050")
+    assert one.count() == 1
+    assert one.rdd.getNumPartitions() == 1
+
+    # 6. history resets at the compaction (an overwrite commit)
+    vs = list_versions(base)
+    assert len(vs) == 1 and vs[0]["total_records"] == 278
