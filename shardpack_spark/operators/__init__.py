@@ -56,18 +56,42 @@ from shardpack_spark.operators.similarity import (
     rp_lsh_topk,
 )
 from shardpack_spark.operators.skew import bucketed_join, salted_join, write_bucketed
+from shardpack_spark.operators.multimodal import (
+    audio_features,
+    decode_json_entries,
+    decode_text_entries,
+    explode_entries,
+    image_features,
+    resize_images,
+    sample_video_frames,
+)
 from shardpack_spark.operators.text import (
     char_lm_scores,
     chunk_documents,
     fingerprints,
+    gopher_quality_filter,
     lang_scores,
     line_dedup,
+    ngram_contamination,
     quality_scores,
+    repetition_signals,
+    tf_idf,
     token_counts,
     train_char_lm,
 )
 
 __all__ = [
+    "tf_idf",
+    "repetition_signals",
+    "ngram_contamination",
+    "gopher_quality_filter",
+    "sample_video_frames",
+    "resize_images",
+    "image_features",
+    "explode_entries",
+    "decode_text_entries",
+    "decode_json_entries",
+    "audio_features",
     "approx_distinct_rollup",
     "asof_join",
     "assign_to_centroids",
