@@ -45,6 +45,12 @@ from shardpack_spark.operators.profile import (
     profile_table,
 )
 from shardpack_spark.operators.analytics import funnel, gap_fill, retention
+from shardpack_spark.operators.quantization import (
+    pq_decode_expr,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
 from shardpack_spark.operators.ranges import interval_join
 from shardpack_spark.operators.sessionize import sessionize
 from shardpack_spark.operators.similarity import (
@@ -81,6 +87,10 @@ from shardpack_spark.operators.text import (
 )
 
 __all__ = [
+    "pq_train",
+    "pq_topk",
+    "pq_encode",
+    "pq_decode_expr",
     "tf_idf",
     "repetition_signals",
     "ngram_contamination",

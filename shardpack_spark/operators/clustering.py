@@ -60,9 +60,11 @@ def kmeans_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column; returns
-    (id_col, cluster, v double-array).
+    (id_col, cluster, v double-array), plus the final [(cid, centroid)]
+    list when ``return_centroids`` is set (for codebook consumers).
 
     ``n_iter`` counts assignment steps: assign(c0), update, assign(c1),
     update, ..., returning the final assignment.  Each update collects
@@ -104,7 +106,8 @@ def kmeans_assign(
             (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cid.items())
         ]
         assigned = _assign(vecs, centroids)
-    return assigned.select(id_col, "cluster", "v")
+    out = assigned.select(id_col, "cluster", "v")
+    return (out, centroids) if return_centroids else out
 
 
 def semantic_dedup(

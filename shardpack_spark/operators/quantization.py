@@ -1,0 +1,135 @@
+"""Product quantization (PQ) for embedding compression + ANN search.
+
+The canonical way to fit a 100 TB float32 embedding corpus in serving
+memory (Jegou et al. 2011, public paper): split each d-dim vector into M
+subvectors, k-means each subspace to K centroids, and store a vector as
+M small codes — d*4 bytes become M bytes (d=64, M=8: 32x).  Search uses
+asymmetric distance computation (ADC): the query stays exact, each
+subspace contributes a K-entry lookup table, and a database vector's
+distance is the sum of M table entries.
+
+Determinism contract: subspace k-means reuses the clustering module's
+deterministic Lloyd's (hash-seeded init, exact decimal means), so
+codebooks are a pure function of (data, seed) under any partitioning.
+Encoding and ADC are argmin/folds over doubles in fixed order.
+
+Scale shape: training touches only a hash-picked sample (codebooks are
+M*K*(d/M) floats — tiny); encoding is one codegen pass with the
+codebooks inlined as literals (no shuffle, no Python); ADC search is a
+scan + TakeOrderedAndProject with the M lookup tables inlined — the
+same no-shuffle plan as exact cosine top-k, but reading M bytes per
+vector instead of d*4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from shardpack_spark.operators.clustering import kmeans_assign
+
+
+def _subvec(vec: Column, m_idx: int, sub_d: int) -> Column:
+    return F.slice(vec, m_idx * sub_d + 1, sub_d)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 3,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train M codebooks of K centroids each; returns codebooks[m][k][d/M].
+
+    Each subspace trains independently with the deterministic k-means.
+    Centroid ids may be sparse (empty clusters drop) — codebooks keep
+    only surviving centroids, and codes index into that list.
+    """
+    dim = len(df.select(vec_col).head()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    books: list[list[list[float]]] = []
+    for mi in range(m):
+        sub = df.select(
+            F.col(id_col),
+            _subvec(F.col(vec_col), mi, sub_d).alias(vec_col),
+        )
+        assigned, centroids = kmeans_assign(
+            sub, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,
+            seed=seed + mi, return_centroids=True,
+        )
+        books.append([c for _, c in sorted(centroids)])
+    return books
+
+
+def _encode_one(vec: Column, book: list[list[float]], mi: int, sub_d: int) -> Column:
+    """Codegen argmin over the inlined sub-codebook (0-based code)."""
+    sv = F.transform(_subvec(vec, mi, sub_d), lambda x: x.cast("double"))
+    dists = []
+    for cent in book:
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(
+            F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        dists.append(d)
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``pq_code`` (array<int>, length M): one codegen pass, the
+    codebooks inlined as literals — no shuffle, no Python in the plan."""
+    sub_d = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _encode_one(F.col(vec_col), book, mi, sub_d)
+            for mi, book in enumerate(codebooks)
+        ]
+    )
+    return df.withColumn("pq_code", codes)
+
+
+def pq_decode_expr(codebooks: list[list[list[float]]]) -> Column:
+    """Reconstruction (centroid concat) of ``pq_code`` — for distortion
+    audits and the ADC-equivalence test."""
+    parts = []
+    for mi, book in enumerate(codebooks):
+        lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        parts.append(F.element_at(lit, F.col("pq_code")[mi] + 1))
+    return F.flatten(F.array(*parts))
+
+
+def pq_topk(
+    df_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k by squared L2: per-subspace lookup tables from the exact
+    query, summed via the stored codes.  Scan + TakeOrderedAndProject —
+    no shuffle, and only the M-byte codes are read per vector."""
+    sub_d = len(codebooks[0][0])
+    dist = F.lit(0.0)
+    for mi, book in enumerate(codebooks):
+        qs = query[mi * sub_d : (mi + 1) * sub_d]
+        table = [
+            float(sum((qx - cx) ** 2 for qx, cx in zip(qs, cent))) for cent in book
+        ]
+        tlit = F.array(*[F.lit(t) for t in table])
+        dist = dist + F.element_at(tlit, F.col("pq_code")[mi] + 1)
+    return (
+        df_codes.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )
