@@ -250,6 +250,7 @@ class _CommitLock:
         self.lock_path = os.path.join(path, "_commit.lock")
         self.timeout = timeout
         self.stale_after = stale_after
+        self._token = f"{os.getpid()}-{uuid.uuid4().hex}"
 
     def __enter__(self):
         import time
@@ -258,17 +259,28 @@ class _CommitLock:
         while True:
             try:
                 fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()}".encode())
+                os.write(fd, self._token.encode())
                 os.close(fd)
                 return self
             except FileExistsError:
                 try:
                     age = time.time() - os.path.getmtime(self.lock_path)
                     if age > self.stale_after:
-                        os.remove(self.lock_path)  # break a dead holder's lock
+                        # Break a dead holder's lock by RENAMING it to a
+                        # unique name: of N waiters that all saw it stale,
+                        # exactly one os.replace succeeds on the original
+                        # path (the rest raise and re-loop) — a bare
+                        # remove here would let a second waiter delete the
+                        # first waiter's freshly created lock.
+                        broken = self.lock_path + f".broken-{uuid.uuid4().hex[:8]}"
+                        try:
+                            os.replace(self.lock_path, broken)
+                            os.remove(broken)
+                        except OSError:
+                            pass
                         continue
                 except OSError:
-                    continue  # holder released between stat and remove
+                    continue  # holder released between stat and rename
                 if time.monotonic() > deadline:
                     raise codec.ShardPackIOError(
                         f"timed out waiting for commit lock {self.lock_path}"
@@ -276,8 +288,13 @@ class _CommitLock:
                 time.sleep(0.05)
 
     def __exit__(self, *exc):
+        # Only release a lock we still own: if ours was broken as stale
+        # (pathological commit longer than stale_after), the file now
+        # belongs to another holder and must not be removed.
         try:
-            os.remove(self.lock_path)
+            with open(self.lock_path) as f:
+                if f.read() == self._token:
+                    os.remove(self.lock_path)
         except OSError:
             pass
         return False
@@ -354,13 +371,19 @@ def _marker_shards(path: str) -> list[str]:
     return names
 
 
-def _visible_shards(path: str) -> list[str]:
+_UNSET = object()
+
+
+def _visible_shards(path: str, manifest=_UNSET) -> list[str]:
     """Sorted shard *names* a reader may consume.
 
     When a commit log exists (manifest and/or stream markers), only files
     it names are visible — files from failed or in-flight jobs are not.
-    Ad-hoc directories without any commit log fall back to listing."""
-    manifest = _load_manifest(path)
+    Ad-hoc directories without any commit log fall back to listing.
+    Pass an already-loaded ``manifest`` (possibly None) to avoid
+    re-opening every manifest part on long commit chains."""
+    if manifest is _UNSET:
+        manifest = _load_manifest(path)
     names = set()
     if manifest is not None:
         names.update(s["path"] for s in manifest.get("shards", []))
@@ -507,16 +530,18 @@ class ShardPackReader(DataSourceReader):
                     "by a later overwrite/compaction"
                 )
         else:
-            names = _visible_shards(self.path)
             manifest = _load_manifest(self.path)
+            names = _visible_shards(self.path, manifest)
         if self.only_shards is not None:
             names = [n for n in names if n in self.only_shards]
-            if not names:
-                # empty delta: Spark requires >=1 partition (it invokes
-                # read(None) on an empty plan), so hand back a sentinel
-                # that read() turns into zero rows
-                return [ShardPartition("", [])]
         if not names:
+            if manifest is not None or self.only_shards is not None:
+                # a committed-but-empty dataset (all rows tombstoned and
+                # compacted, a columnar column with no records, an empty
+                # delta) is a valid EMPTY relation, not an error; Spark
+                # requires >=1 partition (it invokes read(None) on an
+                # empty plan), so hand back a sentinel read() drops
+                return [ShardPartition("", [])]
             raise codec.ShardPackIOError(f"no .shardpack files under {self.path}")
         stats = {s["path"]: s for s in (manifest or {}).get("shards", [])}
 
@@ -1078,12 +1103,15 @@ def verify_dataset(spark, path: str) -> dict:
             names, counts, errors = [], [], []
             for name, exp in zip(pdf["name"], pdf["expected"]):
                 full = os.path.join(base, name)
+                # a null 'records' arrives here as NaN (pandas column),
+                # never None — treat any non-finite as "no expectation"
+                has_exp = exp is not None and not _pd.isna(exp)
                 try:
                     got = sum(
                         1 for _ in codec.iter_records(full, verify_checksums=True)
                     )
                     errors.append(
-                        "" if (exp is None or int(exp) == got) else f"count {got} != manifest {int(exp)}"
+                        "" if (not has_exp or int(exp) == got) else f"count {got} != manifest {int(exp)}"
                     )
                 except Exception as ex:  # corrupt shard: keep auditing others
                     got = -1

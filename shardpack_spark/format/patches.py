@@ -90,9 +90,10 @@ def write_patch(df, base: str, compression: str = "none") -> str:
     commit (max by entry-count then metadata size) so merged reads are
     reproducible; rely on separate patches when ordering matters.
     """
+    from shardpack_spark.format.datasource import _CommitLock
+
     spark = df.sparkSession
     register(spark)
-    seq = 1 + max([int(d[1:]) for d in list_patches(base)] or [0])
     # one row per key: deterministic survivor via a sortable digest of the
     # row body (maps/arrays aren't directly orderable in an agg)
     digest = F.sha2(F.to_json(F.struct("metadata", "entries")), 256)
@@ -102,14 +103,20 @@ def write_patch(df, base: str, compression: str = "none") -> str:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    name = f"p{seq:08d}"
-    out = os.path.join(_patch_root(base), name)
-    (
-        one.write.format("shardpack")
-        .option("compression", compression)
-        .mode("overwrite")
-        .save(out)
-    )
+    os.makedirs(base, exist_ok=True)
+    # the base dataset's commit lock also serializes patch-sequence
+    # assignment: two concurrent writers must not both pick pN and have
+    # the second's overwrite silently destroy the first patch
+    with _CommitLock(base, timeout=600.0):
+        seq = 1 + max([int(d[1:]) for d in list_patches(base)] or [0])
+        name = f"p{seq:08d}"
+        out = os.path.join(_patch_root(base), name)
+        (
+            one.write.format("shardpack")
+            .option("compression", compression)
+            .mode("overwrite")
+            .save(out)
+        )
     return name
 
 
@@ -121,15 +128,24 @@ def read_with_patches(spark, base: str, **reader_options):
     scale; the window that picks the winning patch row runs over patch
     rows alone.
     """
+    if "columns" in reader_options:
+        # a projection applied to the base alone would make base/patch
+        # schemas diverge through the union — project AFTER the merge
+        raise ValueError(
+            "read_with_patches does not take a 'columns' projection; "
+            "select on the merged result instead"
+        )
     base_df = read_shardpack(spark, base, **reader_options)
     patches = list_patches(base)
     if not patches:
         return base_df
 
+    # patch datasets get the SAME reader options (verify_checksums,
+    # skip_payload, ...) so both sides of the merge read consistently
     parts = [
-        read_shardpack(spark, os.path.join(_patch_root(base), d)).withColumn(
-            "__seq", F.lit(i)
-        )
+        read_shardpack(
+            spark, os.path.join(_patch_root(base), d), **reader_options
+        ).withColumn("__seq", F.lit(i))
         for i, d in enumerate(patches)
     ]
     all_patches = parts[0]

@@ -107,6 +107,10 @@ def kmeans_assign(
         ]
         assigned = _assign(vecs, centroids)
     out = assigned.select(id_col, "cluster", "v")
+    # the cache only serves the centroid iterations above; the returned
+    # plan recomputes — callers like pq_train would otherwise accumulate
+    # one pinned projection per trained subspace
+    vecs.unpersist(blocking=False)
     return (out, centroids) if return_centroids else out
 
 

@@ -179,20 +179,24 @@ def _resize_pixels(data: bytes, width: int, height: int) -> bytes:
     fake payload tagged with the target dims and a digest of the source
     bytes — stable across runs/partitions so tests can assert on it, and
     clearly non-image so it can never be mistaken for a real thumbnail."""
+    import hashlib
+
+    digest = hashlib.sha256(data).hexdigest()[:16].encode()
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return b"STUB-RESIZE:%dx%d:" % (width, height) + digest
     try:  # pragma: no cover - PIL absent in this environment
         import io
-
-        from PIL import Image
 
         im = Image.open(io.BytesIO(data))
         out = io.BytesIO()
         im.resize((width, height)).save(out, format=im.format or "PNG")
         return out.getvalue()
-    except ImportError:
-        import hashlib
-
-        digest = hashlib.sha256(data).hexdigest()[:16].encode()
-        return b"STUB-RESIZE:%dx%d:" % (width, height) + digest
+    except Exception:
+        # one corrupt/undecodable image must not abort a corpus-wide job:
+        # per-record error marker, same tagged-bytes contract as the stub
+        return b"DECODE-ERROR:%dx%d:" % (width, height) + digest
 
 
 RESIZED_SCHEMA = (

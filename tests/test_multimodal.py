@@ -205,3 +205,10 @@ def test_resize_images_plumbing_and_determinism(spark):
     # deterministic across runs
     again = {r["key"]: bytes(r["data"]) for r in mm.resize_images(df, 64, 64).collect()}
     assert {k: bytes(v["data"]) for k, v in out.items()} == again
+
+
+def test_resize_error_marker_not_job_abort():
+    """Per-record decode failures yield tagged error bytes, never raise
+    (only relevant when PIL is installed, but the contract holds)."""
+    out = mm._resize_pixels(b"\xff\xd8 not a real jpeg", 32, 32)
+    assert out.startswith((b"STUB-RESIZE:32x32:", b"DECODE-ERROR:32x32:"))

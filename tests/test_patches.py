@@ -122,3 +122,31 @@ def test_duplicate_keys_within_patch_collapse_deterministically(spark, tmp_path)
         F.col("key") == "k/0001"
     ).collect()
     assert bytes(rows2[0]["entries"][0]["data"]) == first
+
+
+def test_empty_dataset_after_full_tombstone_compaction(spark, tmp_path):
+    """Tombstoning every key and compacting leaves a valid EMPTY dataset,
+    not one whose reads raise."""
+    from shardpack_spark.format.datasource import read_shardpack
+
+    base = str(tmp_path / "empty")
+    _records(spark, range(4), "v1").write.format("shardpack").mode(
+        "overwrite"
+    ).save(base)
+    write_patch(tombstones(spark, [f"k/{i:04d}" for i in range(4)]), base)
+    assert read_with_patches(spark, base).count() == 0
+    compact_patches(spark, base)
+    assert read_shardpack(spark, base).count() == 0
+    assert read_with_patches(spark, base).count() == 0
+
+
+def test_read_with_patches_rejects_columns_projection(spark, tmp_path):
+    import pytest
+
+    base = str(tmp_path / "proj")
+    _records(spark, range(3), "v1").write.format("shardpack").mode(
+        "overwrite"
+    ).save(base)
+    write_patch(_records(spark, [0], "v2"), base)
+    with pytest.raises(ValueError, match="columns"):
+        read_with_patches(spark, base, columns=["key", "metadata"])
