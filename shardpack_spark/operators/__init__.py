@@ -46,6 +46,8 @@ from shardpack_spark.operators.profile import (
 )
 from shardpack_spark.operators.analytics import funnel, gap_fill, retention
 from shardpack_spark.operators.quantization import (
+    ivfpq_build,
+    ivfpq_topk,
     pq_decode_expr,
     pq_encode,
     pq_topk,
@@ -87,6 +89,8 @@ from shardpack_spark.operators.text import (
 )
 
 __all__ = [
+    "ivfpq_topk",
+    "ivfpq_build",
     "pq_train",
     "pq_topk",
     "pq_encode",

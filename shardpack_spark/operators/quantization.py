@@ -109,6 +109,101 @@ def pq_decode_expr(codebooks: list[list[list[float]]]) -> Column:
     return F.flatten(F.array(*parts))
 
 
+def ivfpq_build(
+    df: DataFrame,
+    coarse_k: int = 16,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 3,
+    seed: int = 42,
+):
+    """IVF-PQ index build (the standard billion-scale ANN layout):
+    coarse k-means buckets the corpus, PQ encodes each vector's RESIDUAL
+    from its coarse centroid (residuals are smaller and more isotropic
+    than raw vectors, so the same code budget quantizes them tighter).
+
+    Returns (encoded_df(id, cid, pq_code), coarse: list[(pos, centroid)],
+    codebooks).  At 100 TB the encoded table is written bucketed by cid
+    so a query's nprobe buckets are the only partitions read.
+    """
+    assigned, coarse = kmeans_assign(
+        df, k=coarse_k, n_iter=n_iter, vec_col=vec_col, id_col=id_col,
+        seed=seed, return_centroids=True,
+    )
+    # remap possibly-sparse cluster ids to dense positions for literal lookup
+    cid_to_pos = {cid: i for i, (cid, _) in enumerate(sorted(coarse))}
+    cents = [c for _, c in sorted(coarse)]
+    pos_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(int(c)) for c in cid_to_pos]),
+            F.array(*[F.lit(int(p)) for p in cid_to_pos.values()]),
+        ),
+        F.col("cluster"),
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    residual = F.zip_with(
+        F.col("v"), F.element_at(cent_lit, F.col("__pos") + 1), lambda a, b: a - b
+    )
+    res_df = (
+        assigned.withColumn("__pos", pos_expr)
+        .select(F.col(id_col), F.col("__pos").alias("cid"), residual.alias(vec_col))
+    )
+    books = pq_train(
+        res_df, m=m, k=k, vec_col=vec_col, id_col=id_col, n_iter=n_iter, seed=seed
+    )
+    encoded = pq_encode(res_df, books, vec_col).select(id_col, "cid", "pq_code")
+    return encoded, [(i, c) for i, c in enumerate(cents)], books
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the nprobe coarse buckets nearest the query.
+
+    Distance to a vector in bucket c is ||q - (centroid_c + decode(code))||²
+    = ADC over the residual query (q - centroid_c) — one M-entry table
+    set per probed bucket, inlined as literals; the scan touches only
+    probed-bucket rows (partition-pruned when the table is bucketed by
+    cid) and ends in TakeOrderedAndProject.
+    """
+    sub_d = len(codebooks[0][0])
+    ranked = sorted(
+        coarse,
+        key=lambda pc: (sum((qx - cx) ** 2 for qx, cx in zip(query, pc[1])), pc[0]),
+    )[:nprobe]
+
+    dist = None
+    for pos, cent in ranked:
+        rq = [qx - cx for qx, cx in zip(query, cent)]
+        d = F.lit(0.0)
+        for mi, book in enumerate(codebooks):
+            qs = rq[mi * sub_d : (mi + 1) * sub_d]
+            table = [
+                float(sum((qx - cx) ** 2 for qx, cx in zip(qs, c))) for c in book
+            ]
+            tlit = F.array(*[F.lit(t) for t in table])
+            d = d + F.element_at(tlit, F.col("pq_code")[mi] + 1)
+        branch = F.when(F.col("cid") == pos, d)
+        dist = branch if dist is None else dist.when(F.col("cid") == pos, d)
+    probed = [pos for pos, _ in ranked]
+    return (
+        encoded.filter(F.col("cid").isin(probed))
+        .select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )
+
+
 def pq_topk(
     df_codes: DataFrame,
     codebooks: list[list[list[float]]],

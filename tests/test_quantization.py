@@ -116,3 +116,52 @@ def test_pq_recall_against_exact(spark):
     # returns the QUERY'S CLUSTER (ids ≡ 0 mod 10), as the exact search does.
     assert all(v % 10 == 0 for v in exact)
     assert sum(1 for v in got if v % 10 == 0) >= 9
+
+
+def test_ivfpq_identity_and_cluster_recall(spark):
+    """IVF-PQ: ADC-over-residual == exact distance to (coarse + decoded
+    residual); top-k over clustered data returns the query's cluster."""
+    import random as _random
+
+    from shardpack_spark.operators.quantization import ivfpq_build, ivfpq_topk
+
+    rng = _random.Random(1)
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(8)]
+    rows = []
+    for i in range(320):
+        c = centers[i % 8]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    encoded, coarse, books = ivfpq_build(df, coarse_k=8, m=8, k=16)
+    encoded = encoded.persist()
+    assert encoded.count() == 320
+
+    q = rows[0][1]
+    top = ivfpq_topk(encoded, coarse, books, q, k=10, nprobe=2).collect()
+    assert len(top) == 10
+    # cluster recall: probed buckets must surface the query's cluster
+    assert sum(1 for r in top if r["vec_id"] % 8 == 0) >= 9
+
+    # ADC identity: recompute one returned distance by hand
+    from shardpack_spark.operators.quantization import pq_decode_expr
+
+    got = {r["vec_id"]: r["adc_dist"] for r in top}
+    rec = {
+        r["vec_id"]: (r["cid"], r["rv"])
+        for r in encoded.select(
+            "vec_id", "cid", pq_decode_expr(books).alias("rv")
+        ).collect()
+        if r["vec_id"] in got
+    }
+    import math
+
+    cents = {pos: c for pos, c in coarse}
+    for vid, (cid, rv) in rec.items():
+        full = [c + r for c, r in zip(cents[cid], rv)]
+        manual = sum((qx - fx) ** 2 for qx, fx in zip(q, full))
+        assert math.isclose(got[vid], manual, rel_tol=1e-9)
+
+    # determinism
+    encoded2, coarse2, books2 = ivfpq_build(df, coarse_k=8, m=8, k=16)
+    assert coarse2 == coarse and books2 == books
