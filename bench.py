@@ -93,6 +93,11 @@ def main() -> None:
             time_query(lambda q=q: q.builder(spark, sf_dir).collect())
             for _ in range(2)
         )
+        if t > 1.0:
+            # heavy queries get a third pass: they dominate the headline
+            # total, so one neighbor-load spike on both passes would skew
+            # the whole number
+            t = min(t, time_query(lambda q=q: q.builder(spark, sf_dir).collect()))
         queries[name] = round(t, 3)
 
     # --- yardsticks ---------------------------------------------------------
