@@ -41,14 +41,17 @@ def pq_train(
     id_col: str = "vec_id",
     n_iter: int = 3,
     seed: int = 42,
+    dim: int | None = None,
 ) -> list[list[list[float]]]:
     """Train M codebooks of K centroids each; returns codebooks[m][k][d/M].
 
     Each subspace trains independently with the deterministic k-means.
     Centroid ids may be sparse (empty clusters drop) — codebooks keep
-    only surviving centroids, and codes index into that list.
+    only surviving centroids, and codes index into that list.  Pass
+    ``dim`` when known to skip the one-row probe job.
     """
-    dim = len(df.select(vec_col).head()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).head()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_d = dim // m
@@ -152,10 +155,28 @@ def ivfpq_build(
         assigned.withColumn("__pos", pos_expr)
         .select(F.col(id_col), F.col("__pos").alias("cid"), residual.alias(vec_col))
     )
-    books = pq_train(
-        res_df, m=m, k=k, vec_col=vec_col, id_col=id_col, n_iter=n_iter, seed=seed
-    )
-    encoded = pq_encode(res_df, books, vec_col).select(id_col, "cid", "pq_code")
+    # cache the residual frame: codebook training makes m passes over it
+    # and the encode pass a final one — without this the coarse argmin +
+    # residual zip recomputes every time.  The seed offset matters: the
+    # coarse k-means and PQ subspace seeds must differ, or (with
+    # n_iter=1) subspace 0's seed rows are exactly the coarse seed rows,
+    # whose residuals are all zero — a degenerate all-zero codebook.
+    from pyspark import StorageLevel
+
+    res_df = res_df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        books = pq_train(
+            res_df, m=m, k=k, vec_col=vec_col, id_col=id_col,
+            n_iter=n_iter, seed=seed + 7919 * (coarse_k + 1),
+            dim=len(cents[0]),
+        )
+        encoded = pq_encode(res_df, books, vec_col).select(id_col, "cid", "pq_code")
+        # materialize the (small: M bytes/vector) index before dropping
+        # the residual cache; callers unpersist `encoded` when done
+        encoded = encoded.persist(StorageLevel.MEMORY_AND_DISK)
+        encoded.count()
+    finally:
+        res_df.unpersist(blocking=False)
     return encoded, [(i, c) for i, c in enumerate(cents)], books
 
 
@@ -176,7 +197,11 @@ def ivfpq_topk(
     probed-bucket rows (partition-pruned when the table is bucketed by
     cid) and ends in TakeOrderedAndProject.
     """
-    sub_d = len(codebooks[0][0])
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if not coarse:
+        raise ValueError("empty coarse centroid list")
+    _check_query_dim(query, len(coarse[0][1]))
     ranked = sorted(
         coarse,
         key=lambda pc: (sum((qx - cx) ** 2 for qx, cx in zip(query, pc[1])), pc[0]),
@@ -185,16 +210,12 @@ def ivfpq_topk(
     dist = None
     for pos, cent in ranked:
         rq = [qx - cx for qx, cx in zip(query, cent)]
-        d = F.lit(0.0)
-        for mi, book in enumerate(codebooks):
-            qs = rq[mi * sub_d : (mi + 1) * sub_d]
-            table = [
-                float(sum((qx - cx) ** 2 for qx, cx in zip(qs, c))) for c in book
-            ]
-            tlit = F.array(*[F.lit(t) for t in table])
-            d = d + F.element_at(tlit, F.col("pq_code")[mi] + 1)
-        branch = F.when(F.col("cid") == pos, d)
-        dist = branch if dist is None else dist.when(F.col("cid") == pos, d)
+        d = _adc_dist_expr(codebooks, rq)
+        dist = (
+            F.when(F.col("cid") == pos, d)
+            if dist is None
+            else dist.when(F.col("cid") == pos, d)
+        )
     probed = [pos for pos, _ in ranked]
     return (
         encoded.filter(F.col("cid").isin(probed))
@@ -214,17 +235,32 @@ def pq_topk(
     """ADC top-k by squared L2: per-subspace lookup tables from the exact
     query, summed via the stored codes.  Scan + TakeOrderedAndProject —
     no shuffle, and only the M-byte codes are read per vector."""
-    sub_d = len(codebooks[0][0])
-    dist = F.lit(0.0)
-    for mi, book in enumerate(codebooks):
-        qs = query[mi * sub_d : (mi + 1) * sub_d]
-        table = [
-            float(sum((qx - cx) ** 2 for qx, cx in zip(qs, cent))) for cent in book
-        ]
-        tlit = F.array(*[F.lit(t) for t in table])
-        dist = dist + F.element_at(tlit, F.col("pq_code")[mi] + 1)
+    _check_query_dim(query, len(codebooks) * len(codebooks[0][0]))
+    dist = _adc_dist_expr(codebooks, query)
     return (
         df_codes.select(F.col(id_col), dist.alias("adc_dist"))
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def _check_query_dim(query: list[float], expected: int) -> None:
+    """zip() would silently truncate a wrong-dimensional query into a
+    quietly-wrong ranking — refuse instead."""
+    if len(query) != expected:
+        raise ValueError(f"query has dim {len(query)}, index expects {expected}")
+
+
+def _adc_dist_expr(codebooks: list[list[list[float]]], q: list[float]) -> Column:
+    """Squared-L2 ADC distance: per-subspace K-entry lookup tables from
+    ``q``, inlined as literals and summed via the stored codes."""
+    sub_d = len(codebooks[0][0])
+    dist = F.lit(0.0)
+    for mi, book in enumerate(codebooks):
+        qs = q[mi * sub_d : (mi + 1) * sub_d]
+        table = [
+            float(sum((qx - cx) ** 2 for qx, cx in zip(qs, cent))) for cent in book
+        ]
+        tlit = F.array(*[F.lit(t) for t in table])
+        dist = dist + F.element_at(tlit, F.col("pq_code")[mi] + 1)
+    return dist

@@ -165,3 +165,37 @@ def test_ivfpq_identity_and_cluster_recall(spark):
     # determinism
     encoded2, coarse2, books2 = ivfpq_build(df, coarse_k=8, m=8, k=16)
     assert coarse2 == coarse and books2 == books
+
+
+def test_ivfpq_n_iter_1_not_degenerate(spark):
+    """Regression: coarse k-means and PQ training must use DIFFERENT
+    seeds, else n_iter=1 makes subspace-0 residual seeds all-zero and the
+    codebook degenerates to k copies of the zero vector."""
+    import random as _random
+
+    from shardpack_spark.operators.quantization import ivfpq_build
+
+    rng = _random.Random(2)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    encoded, coarse, books = ivfpq_build(df, coarse_k=8, m=4, k=8, n_iter=1)
+    for book in books:
+        distinct = {tuple(round(x, 9) for x in c) for c in book}
+        assert len(distinct) > 1, "degenerate codebook (all centroids equal)"
+    encoded.unpersist()
+
+
+def test_query_dim_validation(spark):
+    import pytest
+
+    from shardpack_spark.operators.quantization import ivfpq_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 16) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    books = pq_train(df, m=4, k=4, n_iter=2)
+    codes = pq_encode(df, books)
+    with pytest.raises(ValueError, match="dim"):
+        pq_topk(codes, books, [0.0] * 8, k=3)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivfpq_topk(codes, [(0, [0.0] * 16)], books, [0.0] * 16, nprobe=0)
