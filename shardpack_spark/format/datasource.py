@@ -318,6 +318,13 @@ _BLOOM_BITS_PER_KEY = 10
 _BLOOM_HASHES = 7
 _BLOOM_MAX_BITS = 1 << 20  # cap: 128 KiB of filter per shard
 
+# per-shard metadata data skipping: a metadata key whose distinct values
+# within a shard stay at or below this cap gets its value SET recorded in
+# the manifest; `where_meta` reads skip shards whose set excludes the
+# probe value.  Past the cap the key is high-cardinality in that shard
+# and unprunable (absent from the map) — skipping stays sound.
+_META_VALUES_CAP = 16
+
 
 def _bloom_key_hashes(key: str) -> tuple[int, int]:
     """Two independent 64-bit hashes; probes i = h1 + i*h2 (double
@@ -515,6 +522,8 @@ class ShardPackReader(DataSourceReader):
         # of shard names to read instead of the whole visible set
         only = options.get("only_shards")
         self.only_shards = set(json.loads(only)) if only else None
+        wm = options.get("where_meta")
+        self.where_meta: dict[str, str] | None = json.loads(wm) if wm else None
         self._key_filters: list[str] = []
 
     def partitions(self) -> Sequence[ShardPartition]:
@@ -534,6 +543,23 @@ class ShardPackReader(DataSourceReader):
             names = _visible_shards(self.path, manifest)
         if self.only_shards is not None:
             names = [n for n in names if n in self.only_shards]
+        if self.where_meta:
+            # metadata data skipping: drop shards whose recorded value set
+            # for a probed key EXCLUDES the probe value.  Keys absent from
+            # a shard's map are high-cardinality or untracked there —
+            # unprunable, kept.  Pure optimization: the caller's filter
+            # still applies row-level.
+            stats0 = {s["path"]: s for s in (manifest or {}).get("shards", [])}
+
+            def meta_may_match(name: str) -> bool:
+                mv = stats0.get(name, {}).get("meta_values")
+                if not mv:
+                    return True
+                return all(
+                    k not in mv or v in mv[k] for k, v in self.where_meta.items()
+                )
+
+            names = [n for n in names if meta_may_match(n)]
         if not names:
             if manifest is not None or self.only_shards is not None:
                 # a committed-but-empty dataset (all rows tombstoned and
@@ -661,6 +687,7 @@ class ShardPackWriter(DataSourceArrowWriter):
         )
         stats: dict[str, dict] = {}
         hashes: dict[str, list[tuple[int, int]]] = {}
+        meta_vals: dict[str, dict[str, set]] = {}
         for rec in _batches_to_records(iterator):
             writer.write(rec)
             cur = os.path.basename(writer._writer.path)  # current shard for key stats
@@ -668,10 +695,26 @@ class ShardPackWriter(DataSourceArrowWriter):
             s["min_key"] = min(s["min_key"], rec.key)
             s["max_key"] = max(s["max_key"], rec.key)
             hashes.setdefault(cur, []).append(_bloom_key_hashes(rec.key))
+            # per-shard metadata value sets for data skipping: track each
+            # key's distinct values up to a small cap; past the cap the
+            # key is high-cardinality and recorded as unprunable
+            mv = meta_vals.setdefault(cur, {})
+            for mk, v in (rec.metadata or {}).items():
+                vs = mv.setdefault(mk, set())
+                if vs is not None and len(vs) <= _META_VALUES_CAP:
+                    vs.add(v)
         for name, pairs in hashes.items():
             bloom = _bloom_build(pairs)
             if bloom is not None:
                 stats[name]["bloom"] = bloom
+        for name, mv in meta_vals.items():
+            kept = {
+                mk: sorted(vs)
+                for mk, vs in mv.items()
+                if len(vs) <= _META_VALUES_CAP
+            }
+            if kept:
+                stats[name]["meta_values"] = kept
         results = writer.close()
         shards = []
         for r in results:
@@ -1192,7 +1235,13 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
         return {"folded": len(to_fold), "shards": len(shards)}
 
 
-def read_shardpack(spark, path: str, columns: list | None = None, **options):
+def read_shardpack(
+    spark,
+    path: str,
+    columns: list | None = None,
+    where_meta: dict | None = None,
+    **options,
+):
     """Driver-side read helper: enables key-filter pruning automatically
     when spark.sql.python.filterPushdown.enabled is on.
 
@@ -1202,9 +1251,17 @@ def read_shardpack(spark, path: str, columns: list | None = None, **options):
     every payload executor-side.  Passing the projection here instead
     sets ``skip_payload`` whenever no entry-data column is requested —
     the reader then seeks past payload bytes entirely (R4: index-style
-    metadata reads never touch the data at any scale)."""
+    metadata reads never touch the data at any scale).
+
+    ``where_meta`` ({meta_key: value}) is metadata data skipping: shards
+    whose manifest value set excludes a probe value are never opened
+    (low-cardinality keys only — ≤16 distinct values per shard), and the
+    equivalent row filter is applied on top so semantics don't depend on
+    pruning."""
     register(spark)
     reader = spark.read.format("shardpack")
+    if where_meta:
+        options["where_meta"] = json.dumps(where_meta)
     if (
         "prune_by_key" not in options
         and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false") == "true"
@@ -1221,4 +1278,9 @@ def read_shardpack(spark, path: str, columns: list | None = None, **options):
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.load(path)
+    if where_meta:
+        from pyspark.sql import functions as F
+
+        for k, v in where_meta.items():
+            df = df.filter(F.element_at("metadata", F.lit(k)) == v)
     return df.select(*columns) if columns else df

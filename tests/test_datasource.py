@@ -769,3 +769,45 @@ def test_read_version_delta(spark_ds, sf_dir, tmp_path):
     live = spark_ds.read.format("shardpack").load(out).count()
     v1 = read_version_delta(spark_ds, out, 0, 1).count()
     assert v1 + read_version_delta(spark_ds, out, 1).count() == live
+
+
+def test_metadata_data_skipping(spark_ds, sf_dir, tmp_path):
+    """where_meta prunes shards via the per-shard metadata value sets and
+    still returns exactly the matching rows."""
+    from shardpack_spark.format.datasource import (
+        ShardPackReader,
+        _load_manifest,
+        read_shardpack,
+    )
+
+    out = str(tmp_path / "skip")
+    # partition by lang so shards get disjoint low-cardinality value sets
+    docs = _docs_as_records(spark_ds, sf_dir)
+    docs.repartition(F.element_at("metadata", F.lit("lang"))).write.format(
+        "shardpack"
+    ).option("target_shard_bytes", 32 * 1024).mode("overwrite").save(out)
+
+    m = _load_manifest(out)
+    assert all("meta_values" in s and "lang" in s["meta_values"] for s in m["shards"])
+    langs_per_shard = [set(s["meta_values"]["lang"]) for s in m["shards"]]
+    assert any(len(v) == 1 for v in langs_per_shard)
+
+    # pruning: reader plans strictly fewer partitions for one lang
+    import json as _json
+
+    all_parts = ShardPackReader({"path": out}).partitions()
+    pruned = ShardPackReader(
+        {"path": out, "where_meta": _json.dumps({"lang": "de"})}
+    ).partitions()
+    assert 0 < len(pruned) < len(all_parts)
+
+    # semantics: exactly the de rows, independent of pruning
+    want = docs.filter(F.element_at("metadata", F.lit("lang")) == "de").count()
+    got = read_shardpack(spark_ds, out, where_meta={"lang": "de"}).count()
+    assert got == want > 0
+
+    # probing an untracked key never prunes (conservative)
+    unpruned = ShardPackReader(
+        {"path": out, "where_meta": _json.dumps({"nope": "x"})}
+    ).partitions()
+    assert len(unpruned) == len(all_parts)
