@@ -648,6 +648,43 @@ def _batches_to_records(iterator) -> Iterator[codec.Record]:
             )
 
 
+def _write_with_stats(writer: "codec.DatasetWriter", iterator):
+    """Drain an Arrow-batch iterator into a DatasetWriter, collecting the
+    per-shard pruning stats every commit path records: [min,max] key
+    range, the key Bloom filter, and low-cardinality metadata value sets
+    (batch and streaming writers share this, so streamed shards prune the
+    same as batch-written ones)."""
+    stats: dict[str, dict] = {}
+    hashes: dict[str, list[tuple[int, int]]] = {}
+    meta_vals: dict[str, dict[str, set]] = {}
+    for rec in _batches_to_records(iterator):
+        writer.write(rec)
+        cur = os.path.basename(writer._writer.path)  # current shard for key stats
+        s = stats.setdefault(cur, {"min_key": rec.key, "max_key": rec.key})
+        s["min_key"] = min(s["min_key"], rec.key)
+        s["max_key"] = max(s["max_key"], rec.key)
+        hashes.setdefault(cur, []).append(_bloom_key_hashes(rec.key))
+        # per-shard metadata value sets for data skipping: track each
+        # key's distinct values up to a small cap; past the cap the key
+        # is high-cardinality in this shard and recorded as unprunable
+        mv = meta_vals.setdefault(cur, {})
+        for mk, v in (rec.metadata or {}).items():
+            vs = mv.setdefault(mk, set())
+            if len(vs) <= _META_VALUES_CAP:
+                vs.add(v)
+    for name, pairs in hashes.items():
+        bloom = _bloom_build(pairs)
+        if bloom is not None:
+            stats[name]["bloom"] = bloom
+    for name, mv in meta_vals.items():
+        kept = {
+            mk: sorted(vs) for mk, vs in mv.items() if len(vs) <= _META_VALUES_CAP
+        }
+        if kept:
+            stats[name]["meta_values"] = kept
+    return writer.close(), stats
+
+
 class ShardPackWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool):
         self.path = _norm_path(options.get("path"))
@@ -685,37 +722,7 @@ class ShardPackWriter(DataSourceArrowWriter):
             compression=self.compression,
             target_shard_bytes=self.target,
         )
-        stats: dict[str, dict] = {}
-        hashes: dict[str, list[tuple[int, int]]] = {}
-        meta_vals: dict[str, dict[str, set]] = {}
-        for rec in _batches_to_records(iterator):
-            writer.write(rec)
-            cur = os.path.basename(writer._writer.path)  # current shard for key stats
-            s = stats.setdefault(cur, {"min_key": rec.key, "max_key": rec.key})
-            s["min_key"] = min(s["min_key"], rec.key)
-            s["max_key"] = max(s["max_key"], rec.key)
-            hashes.setdefault(cur, []).append(_bloom_key_hashes(rec.key))
-            # per-shard metadata value sets for data skipping: track each
-            # key's distinct values up to a small cap; past the cap the
-            # key is high-cardinality and recorded as unprunable
-            mv = meta_vals.setdefault(cur, {})
-            for mk, v in (rec.metadata or {}).items():
-                vs = mv.setdefault(mk, set())
-                if vs is not None and len(vs) <= _META_VALUES_CAP:
-                    vs.add(v)
-        for name, pairs in hashes.items():
-            bloom = _bloom_build(pairs)
-            if bloom is not None:
-                stats[name]["bloom"] = bloom
-        for name, mv in meta_vals.items():
-            kept = {
-                mk: sorted(vs)
-                for mk, vs in mv.items()
-                if len(vs) <= _META_VALUES_CAP
-            }
-            if kept:
-                stats[name]["meta_values"] = kept
-        results = writer.close()
+        results, stats = _write_with_stats(writer, iterator)
         shards = []
         for r in results:
             name = os.path.basename(r["path"])
@@ -908,9 +915,7 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
             compression=self.compression,
             target_shard_bytes=self.target,
         )
-        for rec in _batches_to_records(iterator):
-            writer.write(rec)
-        results = writer.close()
+        results, stats = _write_with_stats(writer, iterator)
         return ShardCommitMessage(
             shards=[
                 {
@@ -918,6 +923,7 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
                     "staging": os.path.relpath(os.path.dirname(r["path"]), self.path),
                     "records": r["records"],
                     "bytes": r["bytes"],
+                    **stats.get(os.path.basename(r["path"]), {}),
                 }
                 for r in results
             ]
@@ -938,7 +944,10 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
                 os.path.join(self.path, s["staging"], s["path"]),
                 os.path.join(self.path, name),
             )
-            final.append({"path": name, "records": s["records"], "bytes": s["bytes"]})
+            # carry the pruning stats (key range / bloom / meta values)
+            # through the rename so folded stream shards prune like
+            # batch-written ones
+            final.append({**{k: v for k, v in s.items() if k != "staging"}, "path": name})
         tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump({"batch": batchId, "shards": final}, f)

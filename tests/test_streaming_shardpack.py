@@ -103,3 +103,43 @@ def test_fold_stream_markers(spark, tmp_path):
     assert read_shardpack(spark, out).count() == 8
     # idempotent when nothing left to fold
     assert fold_stream_markers(out, keep_last=3) == {"folded": 0}
+
+
+def test_stream_committed_shards_carry_pruning_stats(spark, tmp_path):
+    """Shards written through the streaming sink carry the same manifest
+    stats as batch writes, and survive marker folding."""
+    import glob as _glob
+    import json as _json
+
+    from shardpack_spark.format.datasource import (
+        _load_manifest,
+        fold_stream_markers,
+        register,
+    )
+
+    register(spark)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _event_shard(src, 0, [(f"k{i}", "2025-01-01T00:00:00", 1.0) for i in range(5)])
+
+    (
+        spark.readStream.format("shardpack")
+        .load(src)
+        .writeStream.format("shardpack")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(60)
+    )
+
+    markers = _glob.glob(os.path.join(sink, "_batch_*.json"))
+    assert markers
+    marked = [s for m in markers for s in _json.load(open(m))["shards"]]
+    assert all("min_key" in s and "bloom" in s for s in marked)
+
+    fold_stream_markers(sink, keep_last=0)
+    m = _load_manifest(sink)
+    assert all("min_key" in s and "bloom" in s for s in m["shards"])
