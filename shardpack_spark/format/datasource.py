@@ -66,6 +66,12 @@ Options:
                                      N replays exactly that commit's view;
                                      history spans appends since the last
                                      overwrite/compaction)
+    where_meta          json object (read; {meta_key: value} data skipping
+                                     via per-shard low-cardinality value
+                                     sets; pruning only — pair with a row
+                                     filter, as read_shardpack does)
+    only_shards         json list   (read; explicit shard scoping — set by
+                                     read_version_delta)
 """
 
 from __future__ import annotations
