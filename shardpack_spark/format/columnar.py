@@ -204,3 +204,155 @@ _ENTRIES_TYPE = (
     "array<struct<file_name:string,content_type:string,encoding:string,"
     "size:bigint,data:binary>>"
 )
+
+
+def read_columnar_zipped(
+    spark,
+    path: str,
+    columns: list[str] | None = None,
+    how: str = "inner",
+):
+    """ZERO-SHUFFLE aligned read of a columnar dataset.
+
+    ``read_columnar`` aligns columns with a key join — correct anywhere,
+    but it shuffles every requested column.  This variant exploits what
+    the writer guarantees instead: every column dataset is key-sorted
+    with disjoint per-shard [min,max] ranges in its manifest.  The driver
+    slices the keyspace at the FIRST column's shard boundaries; each task
+    then streams the overlapping shard(s) of every requested column
+    through the codec and k-way MERGES the sorted record streams by key
+    — the record data never crosses an exchange (only the O(ranges)
+    plan rows repartition), locality matches a bucketed join, and
+    per-task memory is O(record), not O(shard).
+
+    Same output contract as read_columnar (key, metadata, entries with
+    ``columns``-ordered entries; ``how`` = inner|full).  Falls back to
+    raising if a column dataset lacks key-range stats (written outside
+    write_columnar).
+    """
+    import pandas as _pd
+
+    from shardpack_spark.format.datasource import _load_manifest, _pickle_by_value
+
+    # the merge closure references THIS module (_col_dir); ship it by
+    # value like the format modules, or executors that cannot import
+    # shardpack_spark (vanilla driver sessions) fail to unpickle
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    try:
+        _cp.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+    available = list_columns(path)
+    if columns is None:
+        columns = available
+    missing = [c for c in columns if c not in available]
+    if missing:
+        raise codec.ShardPackIOError(
+            f"columns {missing} not in columnar dataset (have {available})"
+        )
+    if how not in ("inner", "full"):
+        raise ValueError(f"how must be inner|full, got {how!r}")
+
+    per_col: dict[str, list[dict]] = {}
+    for name in columns:
+        m = _load_manifest(os.path.join(path, _col_dir(name))) or {}
+        shards = sorted(m.get("shards", []), key=lambda s: s.get("min_key", ""))
+        if any("min_key" not in s for s in shards):
+            raise codec.ShardPackIOError(
+                f"column {name!r} has shards without key ranges — "
+                "zipped reads need write_columnar's sorted layout"
+            )
+        per_col[name] = shards
+
+    # keyspace slices from the driving column's shard boundaries
+    driving = per_col[columns[0]]
+    bounds: list[tuple[str | None, str | None]] = []
+    if not driving:
+        bounds = [(None, None)]  # others may still hold records (full mode)
+    else:
+        for i in range(len(driving)):
+            lo = None if i == 0 else driving[i]["min_key"]
+            hi = None if i == len(driving) - 1 else driving[i + 1]["min_key"]
+            bounds.append((lo, hi))
+
+    plan_rows = []
+    for lo, hi in bounds:
+        cols_shards = {}
+        for name in columns:
+            keep = [
+                s["path"]
+                for s in per_col[name]
+                if (hi is None or s["min_key"] < hi)
+                and (lo is None or s["max_key"] >= lo)
+            ]
+            cols_shards[name] = keep
+        plan_rows.append((lo, hi, json.dumps(cols_shards)))
+
+    _pickle_by_value()
+    base = path
+    col_order = list(columns)
+    want_all = how == "full"
+
+    def merge(batches):
+        for pdf in batches:
+            out_rows = []
+            for lo, hi, shards_json in zip(pdf["lo"], pdf["hi"], pdf["shards"]):
+                lo = None if lo is None or (isinstance(lo, float)) else lo
+                hi = None if hi is None or (isinstance(hi, float)) else hi
+                cols_shards = json.loads(shards_json)
+
+                def in_range(k):
+                    return (lo is None or k >= lo) and (hi is None or k < hi)
+
+                def stream(name):
+                    for sp in cols_shards[name]:
+                        full_p = os.path.join(base, _col_dir(name), sp)
+                        for rec in codec.iter_records(full_p):
+                            if in_range(rec.key):
+                                yield rec
+
+                iters = {n: stream(n) for n in col_order}
+                heads = {}
+                for n, it in iters.items():
+                    heads[n] = next(it, None)
+                while True:
+                    alive = [(n, r) for n, r in heads.items() if r is not None]
+                    if not alive:
+                        break
+                    k = min(r.key for _, r in alive)
+                    present = [n for n, r in alive if r.key == k]
+                    if want_all or len(present) == len(col_order):
+                        meta = dict(heads[present[0]].metadata or {})
+                        entries = []
+                        for n in col_order:
+                            if n in present:
+                                for e in heads[n].entries:
+                                    entries.append(
+                                        {
+                                            "file_name": e.file_name,
+                                            "content_type": e.content_type,
+                                            "encoding": e.encoding,
+                                            "size": e.size,
+                                            "data": e.data,
+                                        }
+                                    )
+                        out_rows.append((k, meta, entries))
+                    for n in present:
+                        heads[n] = next(iters[n], None)
+            yield _pd.DataFrame(
+                out_rows, columns=["key", "metadata", "entries"]
+            ) if out_rows else _pd.DataFrame(
+                {"key": [], "metadata": [], "entries": []}
+            )
+
+    plan_df = spark.createDataFrame(
+        plan_rows, "lo string, hi string, shards string"
+    ).repartition(max(1, len(plan_rows)))
+    out_schema = (
+        "key string, metadata map<string,string>, " + f"entries {_ENTRIES_TYPE}"
+    )
+    return plan_df.mapInPandas(merge, out_schema)

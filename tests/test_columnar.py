@@ -114,3 +114,44 @@ def test_columnar_missing_column_errors(spark, tmp_path):
 
     with pytest.raises(codec.ShardPackIOError):
         read_columnar(spark, out, columns=["nope.bin"])
+
+
+def test_zipped_read_matches_join_read(spark, tmp_path):
+    """The zero-shuffle merge read returns exactly what the join-based
+    read returns, for both alignment modes, and plans no exchange."""
+    from shardpack_spark.format.columnar import read_columnar_zipped
+
+    out = str(tmp_path / "zip")
+    write_columnar(_two_column_records(spark, 150), out, target_shard_bytes=8 * 1024)
+
+    def snap(df):
+        return {
+            r["key"]: (
+                dict(r["metadata"]),
+                sorted((e["file_name"], bytes(e["data"])) for e in r["entries"]),
+            )
+            for r in df.collect()
+        }
+
+    for how in ("inner", "full"):
+        joined = snap(read_columnar(spark, out, ["text.txt", "thumb.bin"], how=how))
+        zipped = snap(
+            read_columnar_zipped(spark, out, ["text.txt", "thumb.bin"], how=how)
+        )
+        assert zipped == joined, how
+
+    plan = (
+        read_columnar_zipped(spark, out, ["text.txt", "thumb.bin"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+
+
+def test_zipped_read_single_column(spark, tmp_path):
+    from shardpack_spark.format.columnar import read_columnar_zipped
+
+    out = str(tmp_path / "zip1")
+    write_columnar(_two_column_records(spark, 60), out, target_shard_bytes=8 * 1024)
+    assert read_columnar_zipped(spark, out, ["thumb.bin"]).count() == 40
