@@ -140,11 +140,23 @@ def write_columnar(
             )
             counts[name] = (_load_manifest(sub) or {}).get("total_records", 0)
         # commit point for the column map (written last: readers that find
-        # the map can trust every listed dataset is fully committed)
-        tmp = os.path.join(path, COLUMNS_FILE + ".tmp")
+        # the map can trust every listed dataset is fully committed).
+        # MERGED with any existing map: writing a subset of columns
+        # updates those datasets without unlisting the others — the spec's
+        # "updating small columns" case (draft.md:207-211)
+        existing: set[str] = set()
+        cp = os.path.join(path, COLUMNS_FILE)
+        if os.path.exists(cp):
+            with open(cp) as f:
+                existing = set(json.load(f).get("columns", []))
+        tmp = cp + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": 1, "columns": sorted(columns)}, f, indent=1)
-        os.replace(tmp, os.path.join(path, COLUMNS_FILE))
+            json.dump(
+                {"version": 1, "columns": sorted(existing | set(columns))},
+                f,
+                indent=1,
+            )
+        os.replace(tmp, cp)
         return counts
     finally:
         df.unpersist()
@@ -343,10 +355,10 @@ def read_columnar_zipped(
                         out_rows.append((k, meta, entries))
                     for n in present:
                         heads[n] = next(iters[n], None)
+            # object dtype even when empty — float64 default columns fail
+            # the Arrow cast to map/array types
             yield _pd.DataFrame(
-                out_rows, columns=["key", "metadata", "entries"]
-            ) if out_rows else _pd.DataFrame(
-                {"key": [], "metadata": [], "entries": []}
+                out_rows, columns=["key", "metadata", "entries"], dtype=object
             )
 
     plan_df = spark.createDataFrame(

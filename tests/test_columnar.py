@@ -155,3 +155,25 @@ def test_zipped_read_single_column(spark, tmp_path):
     out = str(tmp_path / "zip1")
     write_columnar(_two_column_records(spark, 60), out, target_shard_bytes=8 * 1024)
     assert read_columnar_zipped(spark, out, ["thumb.bin"]).count() == 40
+
+
+def test_zipped_read_empty_driving_column_full_mode(spark, tmp_path):
+    """Driving column empty: full-mode zipped read still surfaces the
+    other column's records (single unbounded range)."""
+    from shardpack_spark.format.columnar import read_columnar_zipped
+
+    out = str(tmp_path / "zipempty")
+    # records where doc_id % 3 != 0 have thumbs; build a dataset with ONLY
+    # thumbs by filtering text out via columns=
+    src = _two_column_records(spark, 30)
+    write_columnar(src, out, columns=["text.txt", "thumb.bin"], target_shard_bytes=8 * 1024)
+    import shutil
+
+    # simulate an empty text column: overwrite it with zero records
+    empty = src.limit(0)
+    write_columnar(empty, out, columns=["text.txt"], target_shard_bytes=8 * 1024)
+
+    full = read_columnar_zipped(spark, out, ["text.txt", "thumb.bin"], how="full")
+    assert full.count() == 20  # thumbs exist for 2/3 of 30 records
+    inner = read_columnar_zipped(spark, out, ["text.txt", "thumb.bin"], how="inner")
+    assert inner.count() == 0
