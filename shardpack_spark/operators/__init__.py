@@ -83,6 +83,7 @@ from shardpack_spark.operators.text import (
     ngram_contamination,
     quality_scores,
     repetition_signals,
+    split_sentences,
     tf_idf,
     token_counts,
     train_char_lm,
@@ -151,6 +152,7 @@ __all__ = [
     "sessionize",
     "shuffle_rows",
     "simhash",
+    "split_sentences",
     "stratified_sample",
     "simhash_near_pairs",
     "token_counts",

@@ -528,6 +528,32 @@ def line_dedup(
     )
 
 
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Rule-based sentence segmentation: split after [.!?] runs followed
+    by whitespace (lookbehind regex, pure codegen explode).  One row per
+    sentence: (id, sent_idx, sentence) with 0-based indexes and
+    whitespace-trimmed text; fragments shorter than ``min_chars`` after
+    trimming are dropped (index still counts the original position, so
+    offsets remain joinable with the unfiltered split).
+
+    Deterministic and cheap by design — the boundary rules a real
+    pipeline wants are locale-specific models; this is the standard
+    regex baseline that feeds chunkers and per-sentence dedup/quality
+    filters at corpus scale (rows scale with sentence count, no Python).
+    """
+    parts = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(parts).alias("sent_idx", "sentence"),
+    ).withColumn("sentence", F.trim("sentence"))
+    return out.filter(F.length("sentence") >= min_chars)
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_chars: int = 2048,

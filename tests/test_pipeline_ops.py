@@ -321,3 +321,33 @@ def test_paragraph_dedup_unit(spark):
     assert out[1]["text"] == "unique one\nstill unique"
     assert out[2]["text"] == "other content here"
     assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+
+
+def test_split_sentences_matches_python(spark, sf_dir):
+    """Regex sentence splitter == a Python re reference, doc for doc."""
+    import re
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(80)
+        .select(
+            "doc_id",
+            # synthetic docs carry no sentence punctuation — graft some on
+            F.concat(
+                F.lit("First sentence. Second one! Third? "), F.col("text")
+            ).alias("text"),
+        )
+    )
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    expected = []
+    for did, t in rows.items():
+        for i, s in enumerate(re.split(r"(?<=[.!?])\s+", t)):
+            s = s.strip()
+            if len(s) >= 1:
+                expected.append((did, i, s))
+    got = [
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in text.split_sentences(docs).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+    assert len(got) > len(rows)  # multi-sentence docs actually split
