@@ -351,3 +351,58 @@ def test_split_sentences_matches_python(spark, sf_dir):
     ]
     assert sorted(got) == sorted(expected)
     assert len(got) > len(rows)  # multi-sentence docs actually split
+
+
+def test_line_dedup_property_fuzz(spark):
+    """Hypothesis fuzz: line_dedup over arbitrary small corpora always
+    matches the pure-Python reference (one Spark job over a batch of
+    generated corpora keeps runtime sane)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    line = st.text(alphabet="ab X.\n", min_size=0, max_size=12).map(
+        lambda s: s.replace("\n", " ")
+    )
+    doc = st.lists(line, min_size=0, max_size=6).map("\n".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    collected = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(corpus)
+    def gather(docs):
+        collected.append(docs)
+
+    gather()
+
+    for ci, docs in enumerate(collected[:12]):
+        max_df, min_chars = 1, 3
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+            for r in text.line_dedup(
+                df, max_doc_freq=max_df, min_line_chars=min_chars
+            ).collect()
+        }
+        dfreq = Counter()
+        for t in docs:
+            seen = {
+                ln.strip().lower()
+                for ln in t.split("\n")
+                if len(ln.strip().lower()) >= min_chars
+            }
+            dfreq.update(seen)
+        drop = {n for n, c in dfreq.items() if c > max_df}
+        for i, t in enumerate(docs):
+            lines = t.split("\n")
+            kept = [
+                ln
+                for ln in lines
+                if len(ln.strip().lower()) < min_chars
+                or ln.strip().lower() not in drop
+            ]
+            assert got[i] == ("\n".join(kept), len(lines), len(kept)), (ci, i)
