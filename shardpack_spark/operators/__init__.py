@@ -23,6 +23,7 @@ from shardpack_spark.operators.dedup import (
     minhash_signatures,
     simhash,
     simhash_near_pairs,
+    substring_dedup,
 )
 from shardpack_spark.operators.layout import morton_interleave, zorder_layout
 from shardpack_spark.operators.packing import (
@@ -155,6 +156,7 @@ __all__ = [
     "split_sentences",
     "stratified_sample",
     "simhash_near_pairs",
+    "substring_dedup",
     "token_counts",
     "weighted_sample_n",
     "zorder_layout",

@@ -482,3 +482,106 @@ def simhash_near_pairs(sim: DataFrame, bands: int = 4) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("sid_a", "sid_b", "hamming")
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    window: int = 20,
+    max_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal (suffix-array-dedup analog).
+
+    Doc-level dedup (exact/MinHash) drops whole near-identical documents;
+    line_dedup drops repeated lines.  This operator removes repeated
+    *substrings* that cross line boundaries — licence boilerplate, quoted
+    passages, templated paragraphs — the case the suffix-array dedup of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2021) targets.  The exact suffix-array construction is inherently
+    single-node; the distributed approximation here works at token-window
+    granularity:
+
+    every ``window``-token sliding window is hashed; a window whose hash
+    occurs in more than ``max_doc_freq`` distinct documents is a
+    duplicated span.  The occurrence in the smallest owning ``id_col``
+    is canonical and survives; every covered token of that span in any
+    other document is removed.  Runs of overlapping duplicate windows
+    merge naturally (their covered-token sets union), so a duplicated
+    passage of any length >= ``window`` is removed wholesale, with a
+    resolution of one window at the passage edges.
+
+    Plan shape (all codegen, no driver collect):
+    tokenize -> per-doc window hashes via transform(sequence)+xxhash64
+    (linear in tokens x window) -> explode -> groupBy(hash) with
+    min(doc)/distinct-doc partial aggs -> the DUP LIST (repeated windows
+    only, a small fraction at web scale) -> join back on hash -> covered
+    token indices (explode sequence, distinct) -> left_anti against
+    posexploded tokens -> ordered per-doc reassembly.  Shuffle keys are
+    window hashes and doc ids — never the pair space; corpus-wide cost is
+    linear in total token count.
+
+    Output ``text`` is whitespace-normalized (single-space joined
+    surviving tokens).  Documents shorter than ``window`` tokens pass
+    through untouched (also whitespace-normalized).  Returns
+    (id, text, n_tokens, n_kept) so removal rates are auditable.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+
+    # (doc, window start pos, window hash) — slice() is 1-indexed.
+    windows = base.filter(F.col("__n") >= window).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n") - window),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, window))),
+            )
+        ).alias("__pos", "__whash"),
+    )
+
+    dup_list = (
+        windows.groupBy("__whash")
+        .agg(
+            F.min(id_col).alias("__canon"),
+            F.count_distinct(F.col(id_col)).alias("__df"),
+        )
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__whash", "__canon")
+    )
+    covered = (
+        windows.join(dup_list, "__whash")
+        .filter(F.col(id_col) != F.col("__canon"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + window - 1)
+            ).alias("__tidx"),
+        )
+        .distinct()
+    )
+
+    tokens = base.select(id_col, F.posexplode("__toks").alias("__tidx", "__tok"))
+    kept = tokens.join(covered, [id_col, "__tidx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("__tidx", "__tok"))).alias("__ord")
+    )
+    # re-join the doc spine: empty docs and fully-covered docs must survive
+    # with empty text, not silently vanish from the corpus
+    return (
+        base.select(id_col, "__n")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.concat_ws(" ", F.transform("__ord", lambda s: s.getField("__tok"))),
+                F.lit(""),
+            ).alias(text_col),
+            F.col("__n").alias("n_tokens"),
+            F.coalesce(F.size("__ord"), F.lit(0)).alias("n_kept"),
+        )
+    )
