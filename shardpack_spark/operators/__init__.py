@@ -11,6 +11,11 @@ from shardpack_spark.operators.approx import (
     rollup_sketches,
 )
 from shardpack_spark.operators.asof import asof_join
+from shardpack_spark.operators.classifier import (
+    hashed_classifier_scores,
+    hashed_features,
+    train_hashed_classifier,
+)
 from shardpack_spark.operators.dedup import (
     char_shingles,
     connected_components,
@@ -101,6 +106,8 @@ __all__ = [
     "repetition_signals",
     "ngram_contamination",
     "gopher_quality_filter",
+    "hashed_classifier_scores",
+    "hashed_features",
     "sample_video_frames",
     "resize_images",
     "image_features",
@@ -161,5 +168,6 @@ __all__ = [
     "weighted_sample_n",
     "zorder_layout",
     "train_char_lm",
+    "train_hashed_classifier",
     "write_bucketed",
 ]
