@@ -71,6 +71,8 @@ from shardpack_spark.operators.similarity import (
 )
 from shardpack_spark.operators.skew import bucketed_join, salted_join, write_bucketed
 from shardpack_spark.operators.multimodal import (
+    decode_msgpack_entries,
+    decode_npy_entries,
     audio_features,
     decode_json_entries,
     decode_text_entries,
@@ -114,6 +116,8 @@ __all__ = [
     "explode_entries",
     "decode_text_entries",
     "decode_json_entries",
+    "decode_msgpack_entries",
+    "decode_npy_entries",
     "audio_features",
     "approx_distinct_rollup",
     "asof_join",

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     LongType,
@@ -72,15 +73,19 @@ def parse_image_dims(b: bytes) -> tuple[int | None, int | None]:
 def _self_pickle_by_value() -> None:
     """mapInPandas closures from this module must travel by value so
     executors need no importable copy of shardpack_spark (see
-    format.datasource._pickle_by_value)."""
+    format.datasource._pickle_by_value).  format.msgpack is registered
+    too: decode_msgpack_entries closes over its unpackb."""
     import sys
 
     from pyspark import cloudpickle
 
-    try:
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
+    from shardpack_spark.format import msgpack as msgpack_mod
+
+    for mod in (msgpack_mod, sys.modules[__name__]):
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass
 
 # magic-number sniffing is real logic, not stubbed
 _MAGIC = [
@@ -410,3 +415,124 @@ def audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return auds.mapInPandas(decode, AUDIO_FEATURE_SCHEMA)
+
+
+NPY_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("file_name", StringType()),
+        StructField("member", StringType()),
+        StructField("dtype", StringType()),
+        StructField("shape", ArrayType(LongType())),
+        StructField("values", ArrayType(DoubleType())),
+    ]
+)
+
+
+def decode_npy_entries(df: DataFrame) -> DataFrame:
+    """application/x-npy / x-npz entries -> typed tensor rows.
+
+    The spec recommends shipping tensors as ``application/x-npy`` /
+    ``x-npz`` entries (draft.md:185-195); this is the REAL decode — the
+    public .npy container format via ``numpy.load`` (``allow_pickle``
+    stays False: object arrays are code execution, not data).  One output
+    row per array: npz archives yield one row per member with ``member``
+    set; plain npy rows have ``member`` NULL.  Numeric arrays arrive as
+    float64 ``values`` in C order with the original ``dtype``/``shape``
+    preserved; non-numeric arrays keep their metadata with NULL values.
+    Arrow-batched mapInPandas — the same shape as every other decoder
+    here, linear in payload bytes.
+    """
+    _self_pickle_by_value()
+    tensors = explode_entries(df).filter(
+        F.col("content_type").isin("application/x-npy", "application/x-npz")
+    ).select("key", "file_name", "content_type", "data")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for key, fname, ctype, data in zip(
+                pdf["key"], pdf["file_name"], pdf["content_type"], pdf["data"]
+            ):
+                buf = io.BytesIO(bytes(data))
+                if ctype == "application/x-npz":
+                    with np.load(buf, allow_pickle=False) as npz:
+                        arrays = [(m, npz[m]) for m in sorted(npz.files)]
+                else:
+                    arrays = [(None, np.load(buf, allow_pickle=False))]
+                for member, arr in arrays:
+                    numeric = arr.dtype.kind in "biuf"
+                    rows.append(
+                        {
+                            "key": key,
+                            "file_name": fname,
+                            "member": member,
+                            "dtype": str(arr.dtype),
+                            "shape": list(arr.shape),
+                            "values": (
+                                arr.astype("float64").ravel(order="C").tolist()
+                                if numeric
+                                else None
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["key", "file_name", "member", "dtype", "shape", "values"]
+            )
+
+    return tensors.mapInPandas(decode, NPY_SCHEMA)
+
+
+MSGPACK_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("file_name", StringType()),
+        StructField("json", StringType()),
+    ]
+)
+
+
+def decode_msgpack_entries(df: DataFrame) -> DataFrame:
+    """application/msgpack entries -> canonical JSON string column.
+
+    The spec's second recommended metadata encoding (draft.md:92-94,
+    :185-195), decoded by the pure-Python codec in ``format.msgpack``
+    (no msgpack library in this environment).  The object is re-emitted
+    as deterministic JSON (sorted keys; bin values base64) so downstream
+    extraction is the exact same ``from_json`` path the JSON entries use.
+    """
+    _self_pickle_by_value()
+    packed = explode_entries(df).filter(
+        F.col("content_type") == "application/msgpack"
+    ).select("key", "file_name", "data")
+
+    from shardpack_spark.format.msgpack import unpackb
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64
+        import json
+
+        def default(o):
+            if isinstance(o, (bytes, bytearray)):
+                return base64.b64encode(bytes(o)).decode("ascii")
+            raise TypeError(type(o).__name__)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "key": pdf["key"],
+                    "file_name": pdf["file_name"],
+                    "json": [
+                        json.dumps(
+                            unpackb(bytes(b)), sort_keys=True, default=default
+                        )
+                        for b in pdf["data"]
+                    ],
+                }
+            )
+
+    return packed.mapInPandas(decode, MSGPACK_SCHEMA)
