@@ -30,6 +30,7 @@ from shardpack_spark.operators.dedup import (
     simhash_near_pairs,
     substring_dedup,
 )
+from shardpack_spark.operators.graph import out_degrees, pagerank
 from shardpack_spark.operators.layout import morton_interleave, zorder_layout
 from shardpack_spark.operators.packing import (
     materialize_sequences,
@@ -153,7 +154,9 @@ __all__ = [
     "minhash_signatures",
     "morton_interleave",
     "numeric_quantiles",
+    "out_degrees",
     "pack_sequences",
+    "pagerank",
     "packing_stats",
     "profile_table",
     "quality_scores",
