@@ -70,6 +70,12 @@ from shardpack_spark.operators.similarity import (
     ivf_topk,
     rp_lsh_topk,
 )
+from shardpack_spark.operators.tokenizer import (
+    bpe_decode_tokens,
+    bpe_encode,
+    bpe_train,
+    encode_word,
+)
 from shardpack_spark.operators.skew import bucketed_join, salted_join, write_bucketed
 from shardpack_spark.operators.multimodal import (
     decode_msgpack_entries,
@@ -120,6 +126,9 @@ __all__ = [
     "decode_msgpack_entries",
     "decode_npy_entries",
     "audio_features",
+    "bpe_decode_tokens",
+    "bpe_encode",
+    "bpe_train",
     "approx_distinct_rollup",
     "asof_join",
     "assign_to_centroids",
@@ -131,6 +140,7 @@ __all__ = [
     "cosine_scores",
     "cosine_topk",
     "embedding_near_dup_pairs",
+    "encode_word",
     "exact_dedup",
     "filter_candidates_by_signature",
     "distinct_sketches",
