@@ -100,3 +100,32 @@ def test_decode_fuzz_lossless():
         assert bpe_decode_tokens(toks) == " ".join(ws)
 
     roundtrip()
+
+
+def test_bpe_composes_with_sequence_packing(spark):
+    """Real token counts from bpe_encode drive pack_sequences: exactly-once
+    doc assignment and every multi-doc sequence within the BPE budget."""
+    from shardpack_spark.operators.packing import pack_sequences
+
+    corpus = [
+        "some documents are short",
+        "others carry quite a few more words than the short ones do",
+        "mid length text rows here",
+        "a b c d e f g h i j k l m n o p",
+        "repeated words repeated words repeated words",
+        "one",
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=25)
+    counted = bpe_encode(df, merges).drop("tokens")
+    packed = pack_sequences(counted, budget=40, token_col="n_tokens")
+    rows = packed.collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(corpus)))
+    by_seq: dict = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for members in by_seq.values():
+        if len(members) > 1:
+            assert sum(m["n_tokens"] for m in members) <= 40
