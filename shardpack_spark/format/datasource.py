@@ -93,7 +93,9 @@ from pyspark.sql.datasource import (
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
+    In,
     InputPartition,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -531,6 +533,7 @@ class ShardPackReader(DataSourceReader):
         wm = options.get("where_meta")
         self.where_meta: dict[str, str] | None = json.loads(wm) if wm else None
         self._key_filters: list[str] = []
+        self._prefix_filters: list[str] = []
 
     def partitions(self) -> Sequence[ShardPartition]:
         if self.version is not None:
@@ -577,7 +580,7 @@ class ShardPackReader(DataSourceReader):
             raise codec.ShardPackIOError(f"no .shardpack files under {self.path}")
         stats = {s["path"]: s for s in (manifest or {}).get("shards", [])}
 
-        if self._key_filters:
+        if self._key_filters or self._prefix_filters:
             kept = []
             for name in names:
                 st = stats.get(name)
@@ -594,7 +597,22 @@ class ShardPackReader(DataSourceReader):
                             return False
                         return True
 
-                    if not any(may_hold(k) for k in self._key_filters):
+                    def may_hold_prefix(p: str) -> bool:
+                        # keys with prefix p live in [p, p + U+10FFFF...);
+                        # overlap with [min_key, max_key] iff max_key >= p
+                        # and min_key has no greater prefix.  Blooms hash
+                        # whole keys — no help for prefixes.
+                        if "min_key" not in st:
+                            return True
+                        return st["max_key"] >= p and st["min_key"][: len(p)] <= p
+
+                    # multiple values/prefixes are probed as a union —
+                    # conservative (never prunes a shard any one of them
+                    # could touch), matching parquet partition pruning
+                    if not (
+                        any(may_hold(k) for k in self._key_filters)
+                        or any(may_hold_prefix(p) for p in self._prefix_filters)
+                    ):
                         continue  # pruned: no requested key can live here
                 kept.append(name)
             names = kept
@@ -619,6 +637,13 @@ class ShardPackPruningReader(ShardPackReader):
         for f in filters:
             if isinstance(f, EqualTo) and tuple(f.attribute) == ("key",):
                 self._key_filters.append(f.value)
+            elif isinstance(f, In) and tuple(f.attribute) == ("key",):
+                # key IN (...) — each value prunes like its own EqualTo;
+                # the union of candidates keeps every shard any value
+                # could live in (multi-key lookups, inverted-index reads)
+                self._key_filters.extend(v for v in f.value if v is not None)
+            elif isinstance(f, StringStartsWith) and tuple(f.attribute) == ("key",):
+                self._prefix_filters.append(f.value)
         return filters
 
 

@@ -7,6 +7,9 @@ driver-side collects, shard-parallel by construction.
 
 from shardpack_spark.operators.approx import (
     approx_distinct_rollup,
+    cms_build,
+    cms_estimate,
+    cms_merge,
     distinct_sketches,
     rollup_sketches,
 )
@@ -61,6 +64,11 @@ from shardpack_spark.operators.quantization import (
     pq_train,
 )
 from shardpack_spark.operators.ranges import interval_join
+from shardpack_spark.operators.search import (
+    build_inverted_index,
+    search_terms,
+    term_stats,
+)
 from shardpack_spark.operators.sessionize import sessionize
 from shardpack_spark.operators.similarity import (
     assign_to_centroids,
@@ -105,6 +113,11 @@ from shardpack_spark.operators.text import (
 )
 
 __all__ = [
+    "build_inverted_index",
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
+    "term_stats",
     "ivfpq_topk",
     "ivfpq_build",
     "pq_train",
@@ -174,6 +187,7 @@ __all__ = [
     "rollup_sketches",
     "rp_lsh_topk",
     "salted_join",
+    "search_terms",
     "sessionize",
     "shuffle_rows",
     "simhash",

@@ -61,3 +61,97 @@ def approx_distinct_rollup(
     if extra:
         raise ValueError(f"coarse grouping must be a subset of fine grouping, extra: {sorted(extra)}")
     return rollup_sketches(distinct_sketches(df, key, fine_cols, lgk), coarse_cols).drop(SKETCH)
+
+
+# --- count-min sketch (mergeable frequency estimates) -----------------------
+#
+# HLL answers "how many distinct"; the count-min sketch answers "how often
+# does THIS value occur" with the same scan-once / merge-anywhere shape.
+# At 100 TB the exact groupBy answer needs a shuffle keyed by the value
+# (unbounded cardinality); the CMS shuffles at most depth x width counter
+# rows per partition (map-side partial sum), and sketches from different
+# days / corpora / engines merge by adding counters — the merged sketch is
+# bit-identical to sketching the concatenation (tests pin this down).
+# Estimates are biased UP only: est >= true count always, and
+# est <= true + eps*N with probability 1-delta for width=e/eps,
+# depth=ln(1/delta) (Cormode & Muthukrishnan 2005).
+
+
+def _cms_bucket(col: str, row: int, width: int, seed: int):
+    # per-row independent hash: fold the row index into the hashed tuple
+    # (xxhash64 has no seed arg; hashing (value, seed, row) decorrelates
+    # rows the same way minhash_signatures decorrelates permutations)
+    return F.pmod(F.xxhash64(F.col(col), F.lit(seed), F.lit(row)), F.lit(width)).cast("int")
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 2048, depth: int = 5, seed: int = 0
+) -> DataFrame:
+    """Count-min sketch of ``col``: sparse (row, bucket, cnt) counters.
+
+    One scan, fully codegen: each record contributes ``depth`` (row,
+    bucket) increments via posexplode, then a partial-agg sum collapses
+    them map-side, so the shuffle carries at most depth*width counter rows
+    per partition regardless of input size.  NULLs are skipped (a NULL has
+    no frequency).  The sparse form IS the mergeable artifact — persist it
+    per day/corpus and combine with ``cms_merge``.
+    """
+    if width < 8:
+        raise ValueError(f"width must be >= 8, got {width}")
+    if not 1 <= depth <= 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    buckets = F.array(*[_cms_bucket(col, i, width, seed) for i in range(depth)])
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketches built with IDENTICAL (width, depth, seed).
+
+    Counters add, so merge = union + sum; the result is exactly the
+    sketch of the concatenated inputs.
+    """
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Frequency estimate for each distinct value of ``items[col]``.
+
+    Returns (value, est).  The sketch is bounded at depth*width counter
+    rows by construction, so IT broadcasts into the probe join (probes
+    keep outer-join semantics: a bucket with no counter row contributes
+    0), and the estimate is the min over the ``depth`` rows — the
+    standard CMS point query.
+    """
+    probes = (
+        items.select(F.col(col).alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .select(
+            "value",
+            F.posexplode(
+                F.array(*[_cms_bucket("value", i, width, seed) for i in range(depth)])
+            ).alias("row", "bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

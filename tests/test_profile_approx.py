@@ -218,3 +218,81 @@ def test_numeric_quantiles_approx_bounded(spark, sf_dir):
     assert mn <= vals[0.25] and vals[0.75] <= mx
     with pytest.raises(ValueError, match="probs"):
         numeric_quantiles(df, ["o_totalprice"], [1.5])
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def _exact_counts(spark, sf_dir, col):
+    return {
+        r["value"]: r["n"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_cms_overestimates_never_under(spark, sf_dir):
+    from shardpack_spark.operators.approx import cms_build, cms_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = cms_build(orders, "o_orderpriority", width=64, depth=3, seed=7)
+    est = {
+        r["value"]: r["est"]
+        for r in cms_estimate(
+            sk, orders.select("o_orderpriority"), "o_orderpriority", width=64, depth=3, seed=7
+        ).collect()
+    }
+    exact = _exact_counts(spark, sf_dir, "o_orderpriority")
+    assert set(est) == set(exact)
+    n_total = sum(exact.values())
+    for v, e in est.items():
+        assert e >= exact[v]          # CMS never underestimates
+        assert e <= exact[v] + n_total  # trivial sanity ceiling
+
+
+def test_cms_exact_when_wide(spark, sf_dir):
+    # 5 distinct priorities vs width 4096: collision probability ~0 across
+    # 5 rows of hashes -> the min-over-rows recovers exact counts
+    from shardpack_spark.operators.approx import cms_build, cms_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = cms_build(orders, "o_orderpriority", width=4096, depth=5, seed=1)
+    est = {
+        r["value"]: r["est"]
+        for r in cms_estimate(
+            sk, orders.select("o_orderpriority"), "o_orderpriority", width=4096, depth=5, seed=1
+        ).collect()
+    }
+    assert est == _exact_counts(spark, sf_dir, "o_orderpriority")
+
+
+def test_cms_merge_equals_sketch_of_union(spark, sf_dir):
+    from shardpack_spark.operators.approx import cms_build, cms_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 2 == 1)
+    kw = dict(width=128, depth=4, seed=3)
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_merge(
+            cms_build(lo, "o_custkey", **kw), cms_build(hi, "o_custkey", **kw)
+        ).collect()
+    }
+    whole = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(orders, "o_custkey", **kw).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_absent_item_zero_when_wide(spark, sf_dir):
+    from shardpack_spark.operators.approx import cms_build, cms_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = cms_build(orders, "o_orderpriority", width=4096, depth=5, seed=1)
+    probe = spark.createDataFrame([("NO-SUCH-PRIORITY",)], "value string")
+    [row] = cms_estimate(sk, probe, "value", width=4096, depth=5, seed=1).collect()
+    assert row["est"] == 0

@@ -1,0 +1,201 @@
+"""Inverted-index build + term search, checked against DuckDB.
+
+The DuckDB side re-derives postings with the SAME tokenizer regex
+(`[^a-z0-9_]+` split on lowercased text), so term stats, single-term
+lookups, and AND/OR multi-term queries are value-checked end to end.
+Pruning tests assert the `key IN (...)` and prefix pushdown actually cut
+the shard list — the property that makes term lookup O(terms), not
+O(index), at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from shardpack_spark.operators.search import (
+    build_inverted_index,
+    search_terms,
+    term_stats,
+)
+from shardpack_spark.tables import load_table
+
+TOKEN_SQL = """
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS term
+        FROM read_parquet('{pq}')
+    )
+    WHERE term <> ''
+    GROUP BY doc_id, term
+"""
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    c.execute(
+        "CREATE TABLE tf AS " + TOKEN_SQL.format(pq=os.path.join(sf_dir, "documents.parquet"))
+    )
+    return c
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("invidx") / "idx")
+    build_inverted_index(load_table(spark, sf_dir, "documents"), out)
+    return out
+
+
+def test_term_stats_match_duckdb(spark, con, index_path):
+    got = {r["term"]: r["df"] for r in term_stats(spark, index_path).collect()}
+    exp = dict(con.execute("SELECT term, COUNT(*) FROM tf GROUP BY term").fetchall())
+    assert got == exp
+
+
+def _pick_terms(con, lo=5, hi=400, n=2):
+    rows = con.execute(
+        f"""SELECT term FROM (SELECT term, COUNT(*) c FROM tf GROUP BY term)
+            WHERE c BETWEEN {lo} AND {hi} ORDER BY term LIMIT {n}"""
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def test_single_term_matches_duckdb(spark, con, index_path):
+    [term] = _pick_terms(con, n=1)
+    got = {
+        (r["doc_id"], r["n_terms"], r["score"])
+        for r in search_terms(spark, index_path, [term]).collect()
+    }
+    exp = {
+        (d, 1, t)
+        for d, t in con.execute(
+            "SELECT doc_id, tf FROM tf WHERE term = ?", [term]
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_and_or_match_duckdb(spark, con, index_path):
+    t1, t2 = _pick_terms(con, n=2)
+    got_all = {
+        (r["doc_id"], r["score"])
+        for r in search_terms(spark, index_path, [t1, t2], mode="all").collect()
+    }
+    exp_all = set(
+        con.execute(
+            """SELECT doc_id, SUM(tf) FROM tf WHERE term IN (?, ?)
+               GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2""",
+            [t1, t2],
+        ).fetchall()
+    )
+    assert got_all == exp_all
+
+    got_any = {
+        (r["doc_id"], r["score"])
+        for r in search_terms(spark, index_path, [t1, t2], mode="any").collect()
+    }
+    exp_any = set(
+        con.execute(
+            "SELECT doc_id, SUM(tf) FROM tf WHERE term IN (?, ?) GROUP BY doc_id",
+            [t1, t2],
+        ).fetchall()
+    )
+    assert got_any == exp_any
+
+
+def test_segmented_postings_same_answer(spark, sf_dir, con, tmp_path):
+    out = str(tmp_path / "segidx")
+    build_inverted_index(
+        load_table(spark, sf_dir, "documents"), out, segment_docs=7
+    )
+    [term] = _pick_terms(con, lo=20, n=1)
+    from shardpack_spark.format.datasource import read_shardpack
+
+    nseg = (
+        read_shardpack(spark, out)
+        .filter(F.col("key") == term)
+        .select(F.size("entries").alias("n"))
+        .head()["n"]
+    )
+    assert nseg > 1  # the pick really is split across segments
+    got = {
+        (r["doc_id"], r["score"]) for r in search_terms(spark, out, [term]).collect()
+    }
+    exp = set(con.execute("SELECT doc_id, tf FROM tf WHERE term = ?", [term]).fetchall())
+    assert got == exp
+
+
+def test_max_df_drops_stopword_terms(spark, sf_dir, con, tmp_path):
+    out = str(tmp_path / "capidx")
+    build_inverted_index(load_table(spark, sf_dir, "documents"), out, max_df=50)
+    got = {r["term"]: r["df"] for r in term_stats(spark, out).collect()}
+    exp = dict(
+        con.execute(
+            "SELECT term, COUNT(*) c FROM tf GROUP BY term HAVING c <= 50"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_in_filter_prunes_index_shards(spark, con, index_path):
+    """key IN (...) pushdown: a 2-term probe opens O(1) shards."""
+    from shardpack_spark.format import codec
+    from shardpack_spark.format.datasource import read_shardpack
+
+    n_shards = len(codec.list_shards(index_path))
+    if n_shards < 2:
+        pytest.skip("index fits one shard at this SF")
+    t1, t2 = _pick_terms(con, n=2)
+    probed = read_shardpack(spark, index_path).filter(F.col("key").isin([t1, t2]))
+    assert probed.rdd.getNumPartitions() < n_shards
+
+
+def test_reader_in_and_prefix_pruning(spark, sf_dir, tmp_path):
+    """Direct reader-level check of the In / StringStartsWith pruning."""
+    from pyspark.sql.datasource import In, StringStartsWith
+
+    from shardpack_spark.format import codec
+    from shardpack_spark.format.datasource import ShardPackPruningReader, register
+
+    register(spark)
+    rows = [(f"{c}{i:03d}",) for c in "abcd" for i in range(60)]
+    df = spark.createDataFrame(rows, "key string").select(
+        "key",
+        F.create_map(F.lit("k"), F.lit("v")).alias("metadata"),
+        F.array(
+            F.struct(
+                F.lit("b.bin").alias("file_name"),
+                F.lit("application/octet-stream").alias("content_type"),
+                F.lit("none").alias("encoding"),
+                F.lit(256).cast("long").alias("size"),
+                F.encode(F.repeat(F.lit("x"), 256), "utf-8").alias("data"),
+            )
+        ).alias("entries"),
+    )
+    out = str(tmp_path / "pfx")
+    df.orderBy("key").coalesce(1).write.format("shardpack").option(
+        "target_shard_bytes", 4 * 1024
+    ).mode("append").save(out)
+    n_shards = len(codec.list_shards(out))
+    assert n_shards >= 8
+
+    r_in = ShardPackPruningReader({"path": out})
+    r_in.pushFilters([In(("key",), ("a005", "d055"))])
+    kept_in = len(r_in.partitions())
+    assert 1 <= kept_in < n_shards
+
+    r_pfx = ShardPackPruningReader({"path": out})
+    r_pfx.pushFilters([StringStartsWith(("key",), "c")])
+    kept_pfx = len(r_pfx.partitions())
+    assert 1 <= kept_pfx < n_shards
+
+    # pruning is conservative: full reads agree with the filters
+    from shardpack_spark.format.datasource import read_shardpack
+
+    assert read_shardpack(spark, out).filter(F.col("key").isin(["a005", "d055"])).count() == 2
+    assert read_shardpack(spark, out).filter(F.col("key").startswith("c")).count() == 60
