@@ -66,6 +66,7 @@ from shardpack_spark.operators.quantization import (
 from shardpack_spark.operators.ranges import interval_join
 from shardpack_spark.operators.search import (
     build_inverted_index,
+    search_bm25,
     search_terms,
     term_stats,
 )
@@ -187,6 +188,7 @@ __all__ = [
     "rollup_sketches",
     "rp_lsh_topk",
     "salted_join",
+    "search_bm25",
     "search_terms",
     "sessionize",
     "shuffle_rows",

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from shardpack_spark.operators.text import _word_tokens
 
-POSTING_SCHEMA = "array<struct<doc_id:bigint,tf:bigint>>"
+POSTING_SCHEMA = "array<struct<doc_id:bigint,tf:bigint,dl:bigint>>"
 
 
 def _term_tf(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -65,10 +65,24 @@ def build_inverted_index(
 
     register(spark)
 
-    tf = _term_tf(docs, id_col, text_col)
-    postings = tf.groupBy("term").agg(
+    # per-doc token length rides along in every posting (denormalized at
+    # build time) so BM25 scoring needs NO doc-side join at query time;
+    # the corpus constants (N, avgdl) are stamped into every record's
+    # metadata.  tf is persisted so the corpus tokenize/explode runs once
+    # across the stats action and the index write.
+    from pyspark.sql.window import Window
+
+    tf = _term_tf(docs, id_col, text_col).persist()
+    n_docs, avgdl = (
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .agg(F.count(F.lit(1)), F.avg("dl"))
+        .collect()[0]
+    )
+    tfd = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    postings = tfd.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
-        F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("plist"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
     )
     if min_df > 1:
         postings = postings.filter(F.col("df") >= min_df)
@@ -97,6 +111,8 @@ def build_inverted_index(
         F.create_map(
             F.lit("df"), F.col("df").cast("string"),
             F.lit("segments"), nseg.cast("string"),
+            F.lit("n_docs"), F.lit(str(int(n_docs))),
+            F.lit("avgdl"), F.lit(repr(float(avgdl or 0.0))),
         ).alias("metadata"),
         entries.alias("entries"),
     )
@@ -109,6 +125,7 @@ def build_inverted_index(
         .mode("overwrite")
         .save(path)
     )
+    tf.unpersist()
 
 
 def term_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -140,14 +157,7 @@ def search_terms(
         raise ValueError("need at least one non-empty term")
     from shardpack_spark.format.datasource import read_shardpack
 
-    ds = read_shardpack(spark, path)
-    posts = (
-        ds.filter(F.col("key").isin(probe))
-        .select(F.col("key").alias("term"), F.explode("entries").alias("e"))
-        .select("term", F.from_json(F.col("e.data").cast("string"), POSTING_SCHEMA).alias("p"))
-        .select("term", F.explode("p").alias("x"))
-        .select("term", F.col("x.doc_id").alias("doc_id"), F.col("x.tf").alias("tf"))
-    )
+    posts = _probe_postings(spark, path, probe)
     hits = posts.groupBy("doc_id").agg(
         F.count_distinct("term").alias("n_terms"),
         F.sum("tf").alias("score"),
@@ -155,3 +165,73 @@ def search_terms(
     if mode == "all":
         hits = hits.filter(F.col("n_terms") == len(probe))
     return hits.orderBy(F.col("score").desc(), F.col("doc_id"))
+
+
+def _probe_postings(spark: SparkSession, path: str, probe: list[str]) -> DataFrame:
+    """Pruned read of the probed terms' postings:
+    (term, df, n_docs, avgdl, doc_id, tf, dl) — everything BM25 needs,
+    no doc-side join (dl rides in the posting, corpus constants in the
+    record metadata)."""
+    from shardpack_spark.format.datasource import read_shardpack
+
+    ds = read_shardpack(spark, path)
+    return (
+        ds.filter(F.col("key").isin(probe))
+        .select(
+            F.col("key").alias("term"),
+            F.element_at("metadata", "df").cast("long").alias("df"),
+            F.element_at("metadata", "n_docs").cast("long").alias("n_docs"),
+            F.element_at("metadata", "avgdl").cast("double").alias("avgdl"),
+            F.explode("entries").alias("e"),
+        )
+        .select(
+            "term", "df", "n_docs", "avgdl",
+            F.from_json(F.col("e.data").cast("string"), POSTING_SCHEMA).alias("p"),
+        )
+        .select("term", "df", "n_docs", "avgdl", F.explode("p").alias("x"))
+        .select(
+            "term", "df", "n_docs", "avgdl",
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("x.tf").alias("tf"),
+            F.col("x.dl").alias("dl"),
+        )
+    )
+
+
+def search_bm25(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int | None = None,
+) -> DataFrame:
+    """BM25-ranked retrieval: (doc_id, n_terms, score), best first.
+
+    Robertson/Sparck-Jones BM25 with the standard smoothed IDF
+    ln(1 + (N - df + 0.5)/(df + 0.5)).  Disjunctive (any matching term
+    scores; absent terms contribute 0, as in the standard formulation).
+    The plan is the pruned posting read -> codegen per-posting score ->
+    one groupBy(doc_id); with ``top_n`` the sort collapses to
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    probe = sorted({t.lower() for t in terms if t})
+    if not probe:
+        raise ValueError("need at least one non-empty term")
+    posts = _probe_postings(spark, path, probe)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = posts.withColumn("__s", idf * tf_part)
+    hits = (
+        scored.groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("n_terms"), F.sum("__s").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+    return hits.limit(top_n) if top_n else hits

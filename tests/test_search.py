@@ -199,3 +199,56 @@ def test_reader_in_and_prefix_pruning(spark, sf_dir, tmp_path):
 
     assert read_shardpack(spark, out).filter(F.col("key").isin(["a005", "d055"])).count() == 2
     assert read_shardpack(spark, out).filter(F.col("key").startswith("c")).count() == 60
+
+
+def test_bm25_matches_python_reference(spark, con, index_path):
+    import math
+
+    t1, t2 = _pick_terms(con, n=2)
+    k1, b = 1.2, 0.75
+    tf = {
+        (d, t): n
+        for d, t, n in con.execute(
+            "SELECT doc_id, term, tf FROM tf WHERE term IN (?, ?)", [t1, t2]
+        ).fetchall()
+    }
+    dl = dict(con.execute("SELECT doc_id, SUM(tf) FROM tf GROUP BY doc_id").fetchall())
+    df = dict(
+        con.execute(
+            "SELECT term, COUNT(*) FROM tf WHERE term IN (?, ?) GROUP BY term", [t1, t2]
+        ).fetchall()
+    )
+    n_docs = con.execute("SELECT COUNT(DISTINCT doc_id) FROM tf").fetchone()[0]
+    avgdl = sum(dl.values()) / n_docs
+
+    def bm25(d):
+        s = 0.0
+        for t in (t1, t2):
+            f = tf.get((d, t))
+            if f is None:
+                continue
+            idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * dl[d] / avgdl))
+        return s
+
+    docs_hit = sorted({d for (d, _t) in tf})
+    exp = {d: bm25(d) for d in docs_hit}
+
+    from shardpack_spark.operators.search import search_bm25
+
+    got = search_bm25(spark, index_path, [t1, t2], k1=k1, b=b).collect()
+    assert sorted(r["doc_id"] for r in got) == docs_hit
+    for r in got:
+        assert r["score"] == pytest.approx(exp[r["doc_id"]], rel=1e-9)
+    # ranked best-first
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_topn_is_prefix_of_full(spark, con, index_path):
+    from shardpack_spark.operators.search import search_bm25
+
+    t1, t2 = _pick_terms(con, n=2)
+    full = [r["doc_id"] for r in search_bm25(spark, index_path, [t1, t2]).collect()]
+    top = [r["doc_id"] for r in search_bm25(spark, index_path, [t1, t2], top_n=5).collect()]
+    assert top == full[:5]
