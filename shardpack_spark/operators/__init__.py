@@ -63,6 +63,11 @@ from shardpack_spark.operators.quantization import (
     pq_topk,
     pq_train,
 )
+from shardpack_spark.operators.normalize import (
+    clean_text,
+    clean_text_expr,
+    compression_signals,
+)
 from shardpack_spark.operators.ranges import interval_join
 from shardpack_spark.operators.search import (
     build_inverted_index,
@@ -115,6 +120,9 @@ from shardpack_spark.operators.text import (
 
 __all__ = [
     "build_inverted_index",
+    "clean_text",
+    "clean_text_expr",
+    "compression_signals",
     "cms_build",
     "cms_estimate",
     "cms_merge",
