@@ -72,6 +72,11 @@ Options:
                                      filter, as read_shardpack does)
     only_shards         json list   (read; explicit shard scoping — set by
                                      read_version_delta)
+    with_shard_column   true|false  (read; append a `_shard` string column
+                                     naming the shard file each record came
+                                     from — parquet's _metadata.file_path
+                                     analog for provenance/debug; drop it
+                                     before writing back)
 """
 
 from __future__ import annotations
@@ -447,6 +452,7 @@ def _arrow_batches(
     verify: bool,
     skip_payload: bool = False,
     metadata_only: bool = False,
+    shard_column: bool = False,
 ):
     """Yield Arrow RecordBatches (not rows): bulk columnar transfer to the
     JVM instead of per-row pickling — the difference between a Python-speed
@@ -468,19 +474,26 @@ def _arrow_batches(
     batch_meta: list[list[tuple[str, str]]] = []
     batch_entries: list[list[dict] | None] = []
 
+    shard_name = os.path.basename(partition.path)
+
     def flush():
         if metadata_only:
             entries_arr = pa.nulls(len(batch_keys), entry_type)
         else:
             entries_arr = pa.array(batch_entries, entry_type)
-        return pa.RecordBatch.from_arrays(
-            [
-                pa.array(batch_keys, pa.string()),
-                pa.array(batch_meta, meta_type),
-                entries_arr,
-            ],
-            names=["key", "metadata", "entries"],
-        )
+        arrays = [
+            pa.array(batch_keys, pa.string()),
+            pa.array(batch_meta, meta_type),
+            entries_arr,
+        ]
+        names = ["key", "metadata", "entries"]
+        if shard_column:
+            # row provenance: which shard file a record came from (the
+            # Arrow analog of parquet's _metadata.file_path) — a constant
+            # per partition, so the column costs one repeated string
+            arrays.append(pa.array([shard_name] * len(batch_keys), pa.string()))
+            names.append("_shard")
+        return pa.RecordBatch.from_arrays(arrays, names=names)
 
     for rec in codec.iter_records(
         partition.path,
@@ -524,6 +537,7 @@ class ShardPackReader(DataSourceReader):
         self.split_target = int(options.get("split_target_bytes", 128 * 1024 * 1024))
         self.skip_payload = str(options.get("skip_payload", "false")).lower() == "true"
         self.metadata_only = str(options.get("metadata_only", "false")).lower() == "true"
+        self.shard_column = str(options.get("with_shard_column", "false")).lower() == "true"
         v = options.get("version")
         self.version = int(v) if v is not None and str(v) != "" else None
         # explicit shard scoping (set by read_version_delta): a JSON list
@@ -622,7 +636,11 @@ class ShardPackReader(DataSourceReader):
         if partition is None or not partition.path:
             return  # empty-delta sentinel
         yield from _arrow_batches(
-            partition, self.verify, self.skip_payload, self.metadata_only
+            partition,
+            self.verify,
+            self.skip_payload,
+            self.metadata_only,
+            self.shard_column,
         )
 
 
@@ -1003,6 +1021,8 @@ class ShardPackDataSource(DataSource):
         return "shardpack"
 
     def schema(self) -> StructType:
+        if str(self.options.get("with_shard_column", "false")).lower() == "true":
+            return StructType(SCHEMA.fields + [StructField("_shard", StringType())])
         return SCHEMA
 
     def reader(self, schema: StructType) -> ShardPackReader:

@@ -41,6 +41,7 @@ from shardpack_spark.operators.packing import (
     packing_stats,
 )
 from shardpack_spark.operators.sampling import (
+    cap_per_group,
     hash_sample,
     hash_sample_n,
     hash_split,
@@ -120,6 +121,7 @@ from shardpack_spark.operators.text import (
 
 __all__ = [
     "build_inverted_index",
+    "cap_per_group",
     "clean_text",
     "clean_text_expr",
     "compression_signals",

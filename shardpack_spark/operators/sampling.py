@@ -198,3 +198,40 @@ def mixture_sample(
             .otherwise(thresh)
         )
     return df.filter(F.substring(_row_hash(key_col, seed), 1, 8) < thresh)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    seed: int = 42,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the per-domain quota cap.
+
+    Crawl corpora are dominated by a few giant hosts; capping docs per
+    domain (or per source, per license, ...) is the standard mixture
+    guard.  Survivors are deterministic: the n best rows by
+    ``priority_col`` (descending, e.g. a quality score) or, without one,
+    the n smallest seeded key hashes — a uniform-but-reproducible pick
+    that is a pure function of the data.  Key hash breaks all ties, so
+    re-runs and re-partitionings keep identical rows.
+
+    One shuffle on the group column (rank window).  A pathologically hot
+    group concentrates its rows in one task, but only until rank n is
+    assigned — the window never materializes the group beyond a sort;
+    for skew beyond that, pre-filter with ``mixture_sample`` rates.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    order = [F.col("__h").asc()]
+    if priority_col is not None:
+        order = [F.col(priority_col).desc(), F.col("__h").asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__h", _row_hash(key_col, seed))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__h", "__rn")
+    )

@@ -811,3 +811,32 @@ def test_metadata_data_skipping(spark_ds, sf_dir, tmp_path):
         {"path": out, "where_meta": _json.dumps({"nope": "x"})}
     ).partitions()
     assert len(unpruned) == len(all_parts)
+
+
+def test_with_shard_column_provenance(spark_ds, sf_dir, tmp_path):
+    """with_shard_column=true appends a `_shard` column naming the source
+    shard file; values are real shard names and group records exactly as
+    the manifest says."""
+    from shardpack_spark.format.datasource import _load_manifest, read_shardpack
+
+    out = str(tmp_path / "prov")
+    _docs_as_records(spark_ds, sf_dir).limit(200).write.format("shardpack").option(
+        "target_shard_bytes", 16 * 1024
+    ).mode("append").save(out)
+    manifest = _load_manifest(out)
+    sizes = {s["path"]: s["records"] for s in manifest["shards"]}
+    assert len(sizes) > 1
+
+    df = read_shardpack(spark_ds, out, with_shard_column="true")
+    assert df.columns == ["key", "metadata", "entries", "_shard"]
+    got = {
+        r["_shard"]: r["n"]
+        for r in df.groupBy("_shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == sizes
+
+    # plain reads are unchanged
+    assert read_shardpack(spark_ds, out).columns == ["key", "metadata", "entries"]
+    # composes with metadata_only
+    mo = read_shardpack(spark_ds, out, metadata_only="true", with_shard_column="true")
+    assert mo.filter(F.col("_shard").isNull()).count() == 0

@@ -406,3 +406,47 @@ def test_line_dedup_property_fuzz(spark):
                 or ln.strip().lower() not in drop
             ]
             assert got[i] == ("\n".join(kept), len(lines), len(kept)), (ci, i)
+
+
+def test_cap_per_group_quota_and_determinism(spark, sf_dir):
+    from shardpack_spark.operators.sampling import cap_per_group
+    from shardpack_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "source", 30, "doc_id")
+    sizes = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    orig = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, n0 in orig.items():
+        assert sizes[src] == min(n0, 30)
+
+    # deterministic under repartitioning: identical survivor sets
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {
+        r["doc_id"]
+        for r in cap_per_group(docs.repartition(13), "source", 30, "doc_id").collect()
+    }
+    assert a == b
+
+    # priority mode keeps the top-n by the score column within each group
+    pri = cap_per_group(docs, "source", 5, "doc_id", priority_col="n_chars")
+    rows = pri.select("source", "n_chars").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_chars"])
+    exp_rows = docs.select("source", "n_chars").collect()
+    exp_by_src = {}
+    for r in exp_rows:
+        exp_by_src.setdefault(r["source"], []).append(r["n_chars"])
+    for src, vals in by_src.items():
+        assert len(vals) <= 5
+        top5 = sorted(exp_by_src[src], reverse=True)[:5]
+        assert sorted(vals, reverse=True) == top5
+
+    with pytest.raises(ValueError, match="n must be"):
+        cap_per_group(docs, "source", 0, "doc_id")
