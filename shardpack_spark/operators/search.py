@@ -1,10 +1,12 @@
-"""Distributed inverted-index build + term search over shardpack datasets.
+"""Distributed inverted-index build, incremental update, and term search
+over shardpack datasets.
 
 The reference format's bucket index is a key -> shard map
 (/root/reference/src/bucket.rs:147-169 access path); this module turns
 that primitive into full-text TERM lookup: build a term -> postings
-dataset once (a batch job), then answer keyword queries by reading only
-the shards whose key ranges / blooms can hold the probed terms.
+dataset once (a batch job), append new corpus batches incrementally via
+merge-on-read patches, and answer keyword queries by reading only the
+shards whose key ranges / blooms can hold the probed terms.
 
 Index layout (plain shardpack rows, so every maintenance job — compact,
 snapshot, verify, patches — applies unchanged):
@@ -12,8 +14,12 @@ snapshot, verify, patches — applies unchanged):
     key      = term (lowercased word token, same tokenizer as text ops)
     metadata = {"df": <doc frequency>, "segments": <n entries>}
     entries  = postings-00000.json ... one JSON segment per
-               ``segment_docs`` docs: [{"doc_id": .., "tf": ..}, ...]
-               sorted by doc_id
+               ``segment_docs`` docs: [{"doc_id":..,"tf":..,"dl":..}]
+               sorted by doc_id (dl = that doc's token count,
+               denormalized so BM25 needs no doc-side join)
+    + ONE stats record under STATS_KEY ("\\x00corpus-stats", sorts below
+      every [a-z0-9_]+ token): n_docs, total_tokens, and the build
+      parameters — the BM25 corpus constants and the update contract.
 
 Scale shape:
 - Build is two shuffles (term+doc tf, then term postings), both keyed
@@ -26,16 +32,22 @@ Scale shape:
   df cut happens BEFORE collect_list so the heavy lists are never built.
 - Search is: pruned scan of O(#terms) shards -> JVM-side JSON decode ->
   explode postings -> one small groupBy(doc_id).  No Python anywhere.
+- Incremental update tokenizes ONLY the new batch and rewrites ONLY the
+  affected terms' records (as a patch; ``compact_patches`` folds them
+  into the base whenever convenient) — the old corpus text is never
+  re-read.  Reading merged postings prunes the same way: filters push
+  through the patch overlay's union/anti-join to both datasource scans.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shardpack_spark.operators.text import _word_tokens
 
 POSTING_SCHEMA = "array<struct<doc_id:bigint,tf:bigint,dl:bigint>>"
+STATS_KEY = "\x00corpus-stats"
 
 
 def _term_tf(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -46,49 +58,22 @@ def _term_tf(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
 
 
-def build_inverted_index(
-    docs: DataFrame,
-    path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    min_df: int = 1,
-    max_df: int | None = None,
-    segment_docs: int = 65536,
-    compression: str = "none",
-    index_partitions: int | None = None,
-) -> None:
-    """Build and commit the inverted index dataset at ``path``."""
-    if segment_docs < 1:
-        raise ValueError(f"segment_docs must be >= 1, got {segment_docs}")
-    spark = docs.sparkSession
-    from shardpack_spark.format.datasource import register
-
-    register(spark)
-
-    # per-doc token length rides along in every posting (denormalized at
-    # build time) so BM25 scoring needs NO doc-side join at query time;
-    # the corpus constants (N, avgdl) are stamped into every record's
-    # metadata.  tf is persisted so the corpus tokenize/explode runs once
-    # across the stats action and the index write.
+def _with_dl(tf: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
-    tf = _term_tf(docs, id_col, text_col).persist()
-    n_docs, avgdl = (
-        tf.groupBy("doc_id")
-        .agg(F.sum("tf").alias("dl"))
-        .agg(F.count(F.lit(1)), F.avg("dl"))
-        .collect()[0]
-    )
-    tfd = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
-    postings = tfd.groupBy("term").agg(
+    return tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+
+
+def _plist_agg(tfd: DataFrame) -> DataFrame:
+    """(term, df, plist) from (term, doc_id, tf, dl) rows."""
+    return tfd.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.array_sort(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
     )
-    if min_df > 1:
-        postings = postings.filter(F.col("df") >= min_df)
-    if max_df is not None:
-        postings = postings.filter(F.col("df") <= max_df)
 
+
+def _postings_to_rows(postings: DataFrame, segment_docs: int) -> DataFrame:
+    """Shardpack rows from a (term, df, plist) frame — segmented JSON."""
     nseg = F.ceil(F.col("df") / F.lit(segment_docs)).cast("int")
     seg_json = F.transform(
         F.sequence(F.lit(0), nseg - 1),
@@ -106,15 +91,73 @@ def build_inverted_index(
             F.encode(j, "utf-8").alias("data"),
         ),
     )
-    rows = postings.select(
+    return postings.select(
         F.col("term").alias("key"),
         F.create_map(
             F.lit("df"), F.col("df").cast("string"),
             F.lit("segments"), nseg.cast("string"),
-            F.lit("n_docs"), F.lit(str(int(n_docs))),
-            F.lit("avgdl"), F.lit(repr(float(avgdl or 0.0))),
         ).alias("metadata"),
         entries.alias("entries"),
+    )
+
+
+def _stats_row(
+    spark: SparkSession,
+    n_docs: int,
+    total_tokens: int,
+    segment_docs: int,
+    min_df: int,
+    max_df: int | None,
+) -> DataFrame:
+    from shardpack_spark.format.datasource import SCHEMA
+
+    meta = {
+        "n_docs": str(int(n_docs)),
+        "total_tokens": str(int(total_tokens)),
+        "segment_docs": str(int(segment_docs)),
+        "min_df": str(int(min_df)),
+        "max_df": "" if max_df is None else str(int(max_df)),
+    }
+    return spark.createDataFrame([(STATS_KEY, meta, [])], SCHEMA)
+
+
+def _df_cut(postings: DataFrame, min_df: int, max_df: int | None) -> DataFrame:
+    if min_df > 1:
+        postings = postings.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        postings = postings.filter(F.col("df") <= max_df)
+    return postings
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+    segment_docs: int = 65536,
+    compression: str = "none",
+    index_partitions: int | None = None,
+) -> None:
+    """Build and commit the inverted index dataset at ``path``.
+
+    tf is persisted so the corpus tokenize/explode runs once across the
+    corpus-stats action and the index write."""
+    if segment_docs < 1:
+        raise ValueError(f"segment_docs must be >= 1, got {segment_docs}")
+    spark = docs.sparkSession
+    from shardpack_spark.format.datasource import register
+
+    register(spark)
+
+    tf = _term_tf(docs, id_col, text_col).persist()
+    n_docs, total_tokens = (
+        tf.agg(F.count_distinct("doc_id"), F.coalesce(F.sum("tf"), F.lit(0))).collect()[0]
+    )
+    postings = _df_cut(_plist_agg(_with_dl(tf)), min_df, max_df)
+    rows = _postings_to_rows(postings, segment_docs).unionByName(
+        _stats_row(spark, n_docs, total_tokens, segment_docs, min_df, max_df)
     )
     n_parts = index_partitions or max(1, spark.sparkContext.defaultParallelism // 2)
     (
@@ -128,13 +171,125 @@ def build_inverted_index(
     tf.unpersist()
 
 
+def _read_index(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Index rows with any pending patches overlaid (merge-on-read)."""
+    from shardpack_spark.format.patches import list_patches, read_with_patches
+
+    if list_patches(path):
+        return read_with_patches(spark, path, **options)
+    from shardpack_spark.format.datasource import read_shardpack
+
+    return read_shardpack(spark, path, **options)
+
+
+def corpus_stats(spark: SparkSession, path: str) -> dict:
+    """The stats record as a dict (pruned single-key lookup)."""
+    row = (
+        _read_index(spark, path)
+        .filter(F.col("key") == STATS_KEY)
+        .select("metadata")
+        .head()
+    )
+    if row is None:
+        raise ValueError(f"no corpus-stats record in index at {path}")
+    m = dict(row["metadata"])
+    return {
+        "n_docs": int(m["n_docs"]),
+        "total_tokens": int(m["total_tokens"]),
+        "segment_docs": int(m["segment_docs"]),
+        "min_df": int(m.get("min_df") or 1),
+        "max_df": int(m["max_df"]) if m.get("max_df") else None,
+    }
+
+
+def update_inverted_index(
+    docs_new: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_probe_terms: int = 100_000,
+) -> str:
+    """Merge a NEW batch of documents into an existing index as a patch.
+
+    Tokenizes only the new batch, reads only the affected terms' existing
+    postings (key-IN pruned when the affected vocabulary fits
+    ``max_probe_terms``; a full-index join otherwise), merges the posting
+    arrays, and commits ONE patch containing the rewritten term records
+    plus the updated stats record.  The old corpus text is never re-read
+    — the 100 TB invariant for rolling ingestion.  Fold patches into the
+    base with ``format.patches.compact_patches`` at leisure.
+
+    New doc_ids must be disjoint from already-indexed ones (the segment
+    model's contract); duplicate ids would duplicate postings.
+    Returns the patch directory name.
+    """
+    spark = docs_new.sparkSession
+    from shardpack_spark.format.patches import write_patch
+
+    stats = corpus_stats(spark, path)
+    segment_docs = stats["segment_docs"]
+
+    tf = _term_tf(docs_new, id_col, text_col).persist()
+    n_new, tok_new = (
+        tf.agg(F.count_distinct("doc_id"), F.coalesce(F.sum("tf"), F.lit(0))).collect()[0]
+    )
+    if n_new == 0:
+        tf.unpersist()
+        return ""
+    new_postings = _plist_agg(_with_dl(tf))
+
+    # existing postings for ONLY the affected terms
+    terms = [r["term"] for r in new_postings.select("term").limit(max_probe_terms + 1).collect()]
+    idx = _read_index(spark, path).filter(F.col("key") != STATS_KEY)
+    if len(terms) <= max_probe_terms:
+        existing = idx.filter(F.col("key").isin(terms))  # pruned shard read
+    else:
+        existing = idx.join(
+            new_postings.select(F.col("term").alias("key")).distinct(), "key", "semi"
+        )
+    old = (
+        existing.select(F.col("key").alias("term"), F.explode("entries").alias("e"))
+        .select("term", F.from_json(F.col("e.data").cast("string"), POSTING_SCHEMA).alias("seg"))
+        .groupBy("term")
+        .agg(F.flatten(F.collect_list("seg")).alias("plist_old"))
+    )
+    merged = (
+        new_postings.join(old, "term", "left")
+        .select(
+            "term",
+            F.array_sort(
+                F.concat(F.coalesce(F.col("plist_old"), F.array().cast(POSTING_SCHEMA)), F.col("plist"))
+            ).alias("plist"),
+        )
+        .withColumn("df", F.size("plist").cast("long"))
+    )
+    # the df cut re-applies on MERGED frequencies: a term crossing max_df
+    # through growth is dropped going forward (its old record is replaced
+    # by nothing only if we tombstone — instead keep it out of the patch
+    # and leave the stale record; the conservative choice is to keep
+    # serving it, matching a segment-merge that hasn't GC'd yet)
+    merged = _df_cut(merged, stats["min_df"], stats["max_df"])
+
+    rows = _postings_to_rows(merged, segment_docs).unionByName(
+        _stats_row(
+            spark,
+            stats["n_docs"] + n_new,
+            stats["total_tokens"] + tok_new,
+            segment_docs,
+            stats["min_df"],
+            stats["max_df"],
+        )
+    )
+    name = write_patch(rows, path)
+    tf.unpersist()
+    return name
+
+
 def term_stats(spark: SparkSession, path: str) -> DataFrame:
     """(term, df) for every indexed term — metadata-only scan, payloads
     (the posting lists) never leave the disk."""
-    from shardpack_spark.format.datasource import read_shardpack
-
-    ds = read_shardpack(spark, path, metadata_only="true")
-    return ds.select(
+    ds = _read_index(spark, path, metadata_only="true")
+    return ds.filter(F.col("key") != STATS_KEY).select(
         F.col("key").alias("term"),
         F.element_at("metadata", "df").cast("long").alias("df"),
     )
@@ -155,8 +310,6 @@ def search_terms(
     probe = sorted({t.lower() for t in terms if t})
     if not probe:
         raise ValueError("need at least one non-empty term")
-    from shardpack_spark.format.datasource import read_shardpack
-
     posts = _probe_postings(spark, path, probe)
     hits = posts.groupBy("doc_id").agg(
         F.count_distinct("term").alias("n_terms"),
@@ -169,28 +322,23 @@ def search_terms(
 
 def _probe_postings(spark: SparkSession, path: str, probe: list[str]) -> DataFrame:
     """Pruned read of the probed terms' postings:
-    (term, df, n_docs, avgdl, doc_id, tf, dl) — everything BM25 needs,
-    no doc-side join (dl rides in the posting, corpus constants in the
-    record metadata)."""
-    from shardpack_spark.format.datasource import read_shardpack
-
-    ds = read_shardpack(spark, path)
+    (term, df, doc_id, tf, dl) — dl rides in the posting, so no doc-side
+    join at any scale."""
+    ds = _read_index(spark, path)
     return (
         ds.filter(F.col("key").isin(probe))
         .select(
             F.col("key").alias("term"),
             F.element_at("metadata", "df").cast("long").alias("df"),
-            F.element_at("metadata", "n_docs").cast("long").alias("n_docs"),
-            F.element_at("metadata", "avgdl").cast("double").alias("avgdl"),
             F.explode("entries").alias("e"),
         )
         .select(
-            "term", "df", "n_docs", "avgdl",
+            "term", "df",
             F.from_json(F.col("e.data").cast("string"), POSTING_SCHEMA).alias("p"),
         )
-        .select("term", "df", "n_docs", "avgdl", F.explode("p").alias("x"))
+        .select("term", "df", F.explode("p").alias("x"))
         .select(
-            "term", "df", "n_docs", "avgdl",
+            "term", "df",
             F.col("x.doc_id").alias("doc_id"),
             F.col("x.tf").alias("tf"),
             F.col("x.dl").alias("dl"),
@@ -211,6 +359,7 @@ def search_bm25(
     Robertson/Sparck-Jones BM25 with the standard smoothed IDF
     ln(1 + (N - df + 0.5)/(df + 0.5)).  Disjunctive (any matching term
     scores; absent terms contribute 0, as in the standard formulation).
+    N and avgdl come from the index's stats record (one pruned lookup).
     The plan is the pruned posting read -> codegen per-posting score ->
     one groupBy(doc_id); with ``top_n`` the sort collapses to
     TakeOrderedAndProject (per-partition heaps, no global sort).
@@ -218,15 +367,18 @@ def search_bm25(
     probe = sorted({t.lower() for t in terms if t})
     if not probe:
         raise ValueError("need at least one non-empty term")
+    stats = corpus_stats(spark, path)
+    n_docs = stats["n_docs"]
+    avgdl = stats["total_tokens"] / n_docs if n_docs else 1.0
     posts = _probe_postings(spark, path, probe)
     idf = F.log(
         F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf")
         + F.lit(k1)
-        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
     )
     scored = posts.withColumn("__s", idf * tf_part)
     hits = (

@@ -252,3 +252,67 @@ def test_bm25_topn_is_prefix_of_full(spark, con, index_path):
     full = [r["doc_id"] for r in search_bm25(spark, index_path, [t1, t2]).collect()]
     top = [r["doc_id"] for r in search_bm25(spark, index_path, [t1, t2], top_n=5).collect()]
     assert top == full[:5]
+
+
+# ------------------------------------------------------------- incremental
+
+
+def test_incremental_update_equals_full_rebuild(spark, sf_dir, tmp_path):
+    from shardpack_spark.format.patches import compact_patches, list_patches
+    from shardpack_spark.operators.search import (
+        corpus_stats,
+        search_bm25,
+        update_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    full_path = str(tmp_path / "full")
+    build_inverted_index(docs, full_path)
+    inc_path = str(tmp_path / "inc")
+    build_inverted_index(old, inc_path)
+    name = update_inverted_index(new, inc_path)
+    assert name and list_patches(inc_path) == [name]
+
+    # stats merge exactly
+    assert corpus_stats(spark, inc_path) == corpus_stats(spark, full_path)
+
+    # df per term identical
+    inc_stats = {r["term"]: r["df"] for r in term_stats(spark, inc_path).collect()}
+    full_stats = {r["term"]: r["df"] for r in term_stats(spark, full_path).collect()}
+    assert inc_stats == full_stats
+
+    # search results identical; bm25 scores equal to float tolerance
+    probe = sorted(full_stats, key=full_stats.get)[:2]
+    a = {(r["doc_id"], r["score"]) for r in search_terms(spark, inc_path, probe, "any").collect()}
+    b = {(r["doc_id"], r["score"]) for r in search_terms(spark, full_path, probe, "any").collect()}
+    assert a == b
+    bm_inc = {r["doc_id"]: r["score"] for r in search_bm25(spark, inc_path, probe).collect()}
+    bm_full = {r["doc_id"]: r["score"] for r in search_bm25(spark, full_path, probe).collect()}
+    assert set(bm_inc) == set(bm_full)
+    for d, s in bm_full.items():
+        assert bm_inc[d] == pytest.approx(s, rel=1e-12)
+
+    # folding the patch into the base preserves everything
+    compact_patches(spark, inc_path)
+    assert list_patches(inc_path) == []
+    after = {r["term"]: r["df"] for r in term_stats(spark, inc_path).collect()}
+    assert after == full_stats
+    bm_after = {r["doc_id"]: r["score"] for r in search_bm25(spark, inc_path, probe).collect()}
+    for d, s in bm_full.items():
+        assert bm_after[d] == pytest.approx(s, rel=1e-12)
+
+
+def test_update_empty_batch_is_noop(spark, sf_dir, tmp_path):
+    from shardpack_spark.format.patches import list_patches
+    from shardpack_spark.operators.search import corpus_stats, update_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "idx")
+    build_inverted_index(docs.limit(100), out)
+    before = corpus_stats(spark, out)
+    assert update_inverted_index(docs.limit(0), out) == ""
+    assert list_patches(out) == []
+    assert corpus_stats(spark, out) == before
