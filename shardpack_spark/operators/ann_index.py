@@ -41,21 +41,9 @@ def _bucket_key(cid) -> F.Column:
     return F.concat(F.lit("b/"), F.lpad(cid.cast("string"), 8, "0"))
 
 
-def save_ann_index(
-    encoded: DataFrame,
-    coarse: list[tuple[int, list[float]]],
-    codebooks: list[list[list[float]]],
-    path: str,
-    id_col: str = "vec_id",
-    n_subsegments: int = 32,
-    compression: str = "none",
-    index_partitions: int | None = None,
-) -> None:
-    """Persist an ``ivfpq_build`` result as a shardpack dataset."""
-    spark = encoded.sparkSession
-    from shardpack_spark.format.datasource import SCHEMA, register
-
-    register(spark)
+def _codes_rows(encoded: DataFrame, id_col: str, n_subsegments: int) -> DataFrame:
+    """Shardpack rows from (id, cid, pq_code): one record per
+    (bucket, hash-subsegment)."""
     seg = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_subsegments)).cast("int")
     grouped = (
         encoded.withColumn("__seg", seg)
@@ -69,7 +57,7 @@ def save_ann_index(
             ).alias("codes_json"),
         )
     )
-    rows = grouped.select(
+    return grouped.select(
         _bucket_key(F.col("cid")).alias("key"),
         F.create_map(
             F.lit("cid"), F.col("cid").cast("string"),
@@ -86,6 +74,24 @@ def save_ann_index(
             )
         ).alias("entries"),
     )
+
+
+def save_ann_index(
+    encoded: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    n_subsegments: int = 32,
+    compression: str = "none",
+    index_partitions: int | None = None,
+) -> None:
+    """Persist an ``ivfpq_build`` result as a shardpack dataset."""
+    spark = encoded.sparkSession
+    from shardpack_spark.format.datasource import SCHEMA, register
+
+    register(spark)
+    rows = _codes_rows(encoded, id_col, n_subsegments)
     model = {
         "id_col": id_col,
         "coarse": [[pos, [float(x) for x in cent]] for pos, cent in coarse],
@@ -188,3 +194,69 @@ def ann_index_topk(
         nprobe=nprobe,
         id_col=model["id_col"],
     )
+
+
+def encode_with_model(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, pq_code) for NEW vectors under a FROZEN model: codegen
+    argmin to the coarse centroids, residual, PQ encode — the exact
+    expressions ``ivfpq_build`` uses, minus any training."""
+    from shardpack_spark.operators.clustering import _as_double, _assign
+    from shardpack_spark.operators.quantization import pq_encode
+
+    id_col = model["id_col"]
+    coarse = model["coarse"]
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    assigned = _assign(vecs, coarse)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for _, c in sorted(coarse)]
+    )
+    residual = F.zip_with(
+        F.col("v"), F.element_at(cent_lit, F.col("cluster").cast("int") + 1), lambda a, b: a - b
+    )
+    res = assigned.select(
+        F.col(id_col), F.col("cluster").alias("cid"), residual.alias("v")
+    )
+    return pq_encode(res, model["codebooks"], "v").select(id_col, "cid", "pq_code")
+
+
+def update_ann_index(
+    df_new: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_subsegments: int = 32,
+    compression: str = "none",
+) -> int:
+    """Add NEW vectors to a persisted index without touching old codes.
+
+    Encodes the batch under the index's frozen model and APPENDS the new
+    bucket records — the format allows many records per bucket key, and
+    reads union them, so no existing shard is rewritten (contrast the
+    postings index, whose per-term records must merge via patches).
+    Centroids/codebooks stay frozen, the standard IVF ingestion model;
+    retrain+rebuild when drift warrants.  New ids must be disjoint from
+    indexed ones.  Returns the number of vectors added.
+    """
+    spark = df_new.sparkSession
+    model = load_ann_model(spark, path)
+    encoded = encode_with_model(df_new, model, vec_col).persist()
+    n = encoded.count()
+    if n == 0:
+        encoded.unpersist()
+        return 0
+    rows = _codes_rows(encoded, model["id_col"], n_subsegments)
+    (
+        rows.repartitionByRange(
+            max(1, spark.sparkContext.defaultParallelism // 2), "key"
+        )
+        .sortWithinPartitions("key")
+        .write.format("shardpack")
+        .option("compression", compression)
+        .mode("append")
+        .save(path)
+    )
+    encoded.unpersist()
+    return int(n)

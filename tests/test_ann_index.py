@@ -80,3 +80,46 @@ def test_probe_reads_subset_of_shards(spark, built):
     probed = read_ann_codes(spark, path, [coarse[0][0]])
     assert probed.rdd.getNumPartitions() < n_shards
     assert probed.count() > 0
+
+
+def test_incremental_vector_append(spark, sf_dir, tmp_path):
+    from shardpack_spark.operators.ann_index import (
+        encode_with_model,
+        update_ann_index,
+    )
+
+    df = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    old = df.filter(F.col("vec_id") % 2 == 0)
+    new = df.filter(F.col("vec_id") % 2 == 1)
+    encoded, coarse, books = ivfpq_build(old, coarse_k=8, m=4, k=8)
+    path = str(tmp_path / "idx")
+    save_ann_index(encoded, coarse, books, path)
+
+    n_added = update_ann_index(new, path)
+    assert n_added == new.count()
+
+    # the on-disk codes are base + frozen-model encodes of the new batch
+    model = load_ann_model(spark, path)
+    exp_new = {
+        r["vec_id"]: (r["cid"], tuple(r["pq_code"]))
+        for r in encode_with_model(new, model).collect()
+    }
+    exp_old = {
+        r["vec_id"]: (r["cid"], tuple(r["pq_code"])) for r in encoded.collect()
+    }
+    got = {
+        r["vec_id"]: (r["cid"], tuple(r["pq_code"]))
+        for r in read_ann_codes(spark, path).collect()
+    }
+    assert got == {**exp_old, **exp_new}
+
+    # a new vector's self-query finds it (its residual is near-exactly
+    # representable, so it lands in the top results of its own bucket)
+    probe = new.orderBy("vec_id").head()
+    q = [float(x) for x in probe["embedding"]]
+    hits = ann_index_topk(spark, path, q, k=5, nprobe=3).collect()
+    assert probe["vec_id"] in [r["vec_id"] for r in hits]
+
+    # empty update is a no-op
+    assert update_ann_index(new.limit(0), path) == 0
+    encoded.unpersist()
