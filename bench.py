@@ -12,6 +12,11 @@ Yardsticks (BASELINE.md):
   B shardpack_scan_s     - full scan+agg of the same documents data via
                            format("shardpack"); target <= 2x parquet scan
   C shardpack_write_mb_s - container write throughput at 256 KiB shards
+  D bulk_write/scan_mb_s - binary-payload throughput (32 KiB records)
+  E point_lookup_s       - bloom-pruned single-key lookup (warm)
+  F index_build_s /      - inverted-index build over sf documents and a
+    search_probe_s         warm 2-term BM25 top-10 probe (stays flat as
+                           the index grows: key-IN shard pruning)
 """
 
 from __future__ import annotations
@@ -194,6 +199,28 @@ def main() -> None:
         yard["point_lookup_s"] = round(min(time_query(point) for _ in range(2)), 3)
     finally:
         shutil.rmtree(bulk, ignore_errors=True)
+
+    # inverted-index probe: build once over the sf documents, then time a
+    # warm 2-term BM25 top-10 — the latency that stays flat as the index
+    # grows (key-IN shard pruning)
+    idx = tempfile.mkdtemp(prefix="bench_invidx_")
+    try:
+        from shardpack_spark.operators.search import (
+            build_inverted_index,
+            search_bm25,
+        )
+
+        t0 = time.perf_counter()
+        build_inverted_index(load_table(spark, sf_dir, "documents"), idx)
+        yard["index_build_s"] = round(time.perf_counter() - t0, 3)
+
+        def probe():
+            search_bm25(spark, idx, ["batch", "small"], top_n=10).collect()
+
+        probe()
+        yard["search_probe_s"] = round(min(time_query(probe) for _ in range(2)), 3)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
     total = round(sum(queries.values()), 3)
     print(
