@@ -362,16 +362,20 @@ def _bloom_build(hash_pairs: list[tuple[int, int]]) -> dict | None:
     }
 
 
-def _bloom_maybe_contains(bloom: dict, bits: bytes, key: str) -> bool:
+def _bloom_maybe_contains(
+    bloom: dict, bits: bytes, key: str, hashes: tuple[int, int] | None = None
+) -> bool:
     """False => key is definitely absent; True => might be present.
-    Malformed filters answer True (pruning must stay a pure optimization)."""
+    Malformed filters answer True (pruning must stay a pure optimization).
+    ``hashes`` lets planners hoist the (shard-independent) key hashes out
+    of a shards x keys loop."""
     try:
         m, k = int(bloom["m"]), int(bloom["k"])
     except (KeyError, TypeError, ValueError):
         return True
     if m <= 0 or (m + 7) // 8 > len(bits):
         return True
-    h1, h2 = _bloom_key_hashes(key)
+    h1, h2 = hashes if hashes is not None else _bloom_key_hashes(key)
     for i in range(k):
         b = (h1 + i * h2) % m
         if not (bits[b >> 3] >> (b & 7)) & 1:
@@ -595,6 +599,9 @@ class ShardPackReader(DataSourceReader):
         stats = {s["path"]: s for s in (manifest or {}).get("shards", [])}
 
         if self._key_filters or self._prefix_filters:
+            # hoist the (shard-independent) bloom hashes: planning cost is
+            # O(shards x keys) bit probes, not O(shards x keys) sha256es
+            key_hashes = {k: _bloom_key_hashes(k) for k in self._key_filters}
             kept = []
             for name in names:
                 st = stats.get(name)
@@ -607,7 +614,9 @@ class ShardPackReader(DataSourceReader):
                     def may_hold(k: str) -> bool:
                         if "min_key" in st and not (st["min_key"] <= k <= st["max_key"]):
                             return False
-                        if bloom is not None and not _bloom_maybe_contains(bloom, bloom_bits, k):
+                        if bloom is not None and not _bloom_maybe_contains(
+                            bloom, bloom_bits, k, key_hashes[k]
+                        ):
                             return False
                         return True
 
@@ -889,6 +898,7 @@ class ShardPackStreamReader(DataSourceStreamReader):
         # deep backlog (or a bulk import landing mid-stream) drains as
         # bounded batches instead of one giant catch-up batch.  0 = no cap.
         self.max_shards = int(options.get("max_shards_per_batch", 0))
+        self.shard_column = str(options.get("with_shard_column", "false")).lower() == "true"
         self._last = ""  # high-watermark of the newest offset handed out
         # Restart safety for admission control: the engine is free to call
         # latestOffset() on a fresh reader BEFORE anything reveals the
@@ -929,7 +939,8 @@ class ShardPackStreamReader(DataSourceStreamReader):
         self._last = max(self._last, self._floor)
 
     def read(self, partition: ShardPartition):
-        yield from _arrow_batches(partition, self.verify)
+        # schema() advertises _shard for streams too — batches must match
+        yield from _arrow_batches(partition, self.verify, shard_column=self.shard_column)
 
 
 

@@ -175,13 +175,10 @@ def ann_index_topk(
     with the same ADC expression as the in-session ``ivfpq_topk`` — the
     two are result-identical (tests pin it).
     """
-    from shardpack_spark.operators.quantization import ivfpq_topk
+    from shardpack_spark.operators.quantization import ivfpq_topk, rank_buckets
 
     model = load_ann_model(spark, path)
-    ranked = sorted(
-        model["coarse"],
-        key=lambda pc: (sum((qx - cx) ** 2 for qx, cx in zip(query, pc[1])), pc[0]),
-    )[:nprobe]
+    ranked = rank_buckets(model["coarse"], query, nprobe)
     codes = read_ann_codes(
         spark, path, [pos for pos, _ in ranked], id_col=model["id_col"]
     )

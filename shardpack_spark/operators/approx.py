@@ -106,11 +106,30 @@ def cms_build(
         .select(F.posexplode(buckets).alias("row", "bucket"))
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # the parameters travel WITH the sketch so estimate/merge can
+        # never silently probe with mismatched hashes (a mismatch would
+        # break the never-underestimate guarantee without any error)
+        .select(
+            "row", "bucket", "cnt",
+            F.lit(width).alias("width"), F.lit(depth).alias("depth"),
+            F.lit(seed).alias("seed"),
+        )
     )
 
 
+def _cms_params(sketch: DataFrame, what: str) -> tuple[int, int, int]:
+    rows = sketch.select("width", "depth", "seed").distinct().collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"{what}: sketches carry mismatched (width, depth, seed): "
+            f"{sorted(tuple(r) for r in rows)}"
+        )
+    return int(rows[0]["width"]), int(rows[0]["depth"]), int(rows[0]["seed"])
+
+
 def cms_merge(*sketches: DataFrame) -> DataFrame:
-    """Merge CMS sketches built with IDENTICAL (width, depth, seed).
+    """Merge CMS sketches built with IDENTICAL (width, depth, seed) —
+    enforced from the embedded parameters, not trusted from the caller.
 
     Counters add, so merge = union + sum; the result is exactly the
     sketch of the concatenated inputs.
@@ -120,25 +139,24 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    _cms_params(out, "cms_merge")
+    return out.groupBy("row", "bucket", "width", "depth", "seed").agg(
+        F.sum("cnt").alias("cnt")
+    ).select("row", "bucket", "cnt", "width", "depth", "seed")
 
 
-def cms_estimate(
-    sketch: DataFrame,
-    items: DataFrame,
-    col: str,
-    width: int = 2048,
-    depth: int = 5,
-    seed: int = 0,
-) -> DataFrame:
+def cms_estimate(sketch: DataFrame, items: DataFrame, col: str) -> DataFrame:
     """Frequency estimate for each distinct value of ``items[col]``.
 
-    Returns (value, est).  The sketch is bounded at depth*width counter
-    rows by construction, so IT broadcasts into the probe join (probes
-    keep outer-join semantics: a bucket with no counter row contributes
-    0), and the estimate is the min over the ``depth`` rows — the
-    standard CMS point query.
+    Returns (value, est).  The hash parameters come from the sketch
+    itself (embedded at build time), so probes always use the hashes the
+    counters were built with.  The sketch is bounded at depth*width
+    counter rows by construction, so IT broadcasts into the probe join
+    (probes keep outer-join semantics: a bucket with no counter row
+    contributes 0), and the estimate is the min over the ``depth`` rows —
+    the standard CMS point query.
     """
+    width, depth, seed = _cms_params(sketch, "cms_estimate")
     probes = (
         items.select(F.col(col).alias("value"))
         .filter(F.col("value").isNotNull())
@@ -151,7 +169,9 @@ def cms_estimate(
         )
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        probes.join(
+            F.broadcast(sketch.select("row", "bucket", "cnt")), ["row", "bucket"], "left"
+        )
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

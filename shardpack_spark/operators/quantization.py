@@ -180,6 +180,19 @@ def ivfpq_build(
     return encoded, [(i, c) for i, c in enumerate(cents)], books
 
 
+def rank_buckets(
+    coarse: list[tuple[int, list[float]]], query: list[float], nprobe: int
+) -> list[tuple[int, list[float]]]:
+    """The nprobe coarse buckets nearest the query (squared L2, smallest
+    position breaks ties).  The ONE ranking both the in-session
+    ``ivfpq_topk`` and the persisted-index reader use — a divergent copy
+    would make the reader open buckets the scorer never probes."""
+    return sorted(
+        coarse,
+        key=lambda pc: (sum((qx - cx) ** 2 for qx, cx in zip(query, pc[1])), pc[0]),
+    )[:nprobe]
+
+
 def ivfpq_topk(
     encoded: DataFrame,
     coarse: list[tuple[int, list[float]]],
@@ -202,10 +215,7 @@ def ivfpq_topk(
     if not coarse:
         raise ValueError("empty coarse centroid list")
     _check_query_dim(query, len(coarse[0][1]))
-    ranked = sorted(
-        coarse,
-        key=lambda pc: (sum((qx - cx) ** 2 for qx, cx in zip(query, pc[1])), pc[0]),
-    )[:nprobe]
+    ranked = rank_buckets(coarse, query, nprobe)
 
     dist = None
     for pos, cent in ranked:

@@ -108,6 +108,7 @@ def _stats_row(
     segment_docs: int,
     min_df: int,
     max_df: int | None,
+    last_batch_id: int | None = None,
 ) -> DataFrame:
     from shardpack_spark.format.datasource import SCHEMA
 
@@ -117,6 +118,7 @@ def _stats_row(
         "segment_docs": str(int(segment_docs)),
         "min_df": str(int(min_df)),
         "max_df": "" if max_df is None else str(int(max_df)),
+        "last_batch_id": "" if last_batch_id is None else str(int(last_batch_id)),
     }
     return spark.createDataFrame([(STATS_KEY, meta, [])], SCHEMA)
 
@@ -183,9 +185,10 @@ def _read_index(spark: SparkSession, path: str, **options) -> DataFrame:
 
 
 def corpus_stats(spark: SparkSession, path: str) -> dict:
-    """The stats record as a dict (pruned single-key lookup)."""
+    """The stats record as a dict (pruned, metadata-only single-key
+    lookup — posting payloads are never decoded for this)."""
     row = (
-        _read_index(spark, path)
+        _read_index(spark, path, metadata_only="true")
         .filter(F.col("key") == STATS_KEY)
         .select("metadata")
         .head()
@@ -199,6 +202,7 @@ def corpus_stats(spark: SparkSession, path: str) -> dict:
         "segment_docs": int(m["segment_docs"]),
         "min_df": int(m.get("min_df") or 1),
         "max_df": int(m["max_df"]) if m.get("max_df") else None,
+        "last_batch_id": int(m["last_batch_id"]) if m.get("last_batch_id") else None,
     }
 
 
@@ -208,6 +212,7 @@ def update_inverted_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_probe_terms: int = 100_000,
+    batch_id: int | None = None,
 ) -> str:
     """Merge a NEW batch of documents into an existing index as a patch.
 
@@ -219,15 +224,37 @@ def update_inverted_index(
     — the 100 TB invariant for rolling ingestion.  Fold patches into the
     base with ``format.patches.compact_patches`` at leisure.
 
+    The merge is read-merge-write, so there must be ONE writer at a time
+    (a streaming query's foreachBatch satisfies this).  For at-least-once
+    batch delivery, pass the engine's monotonic ``batch_id``: a replayed
+    batch (id <= the stats record's last applied id) is a NO-OP instead
+    of double-counting postings — state-level exactly-once, same model as
+    the CDC patch sink.
+
     New doc_ids must be disjoint from already-indexed ones (the segment
-    model's contract); duplicate ids would duplicate postings.
-    Returns the patch directory name.
+    model's contract); duplicate ids would duplicate postings.  Indexes
+    built with a df cut (min_df > 1 or max_df) refuse incremental
+    updates: a cut term's dropped postings could never merge back
+    correctly once frequencies cross the threshold — rebuild instead.
+    Returns the patch directory name ("" for a no-op).
     """
     spark = docs_new.sparkSession
     from shardpack_spark.format.patches import write_patch
 
     stats = corpus_stats(spark, path)
     segment_docs = stats["segment_docs"]
+    if stats["min_df"] > 1 or stats["max_df"] is not None:
+        raise ValueError(
+            "incremental update of a df-cut index (min_df"
+            f"={stats['min_df']}, max_df={stats['max_df']}) would lose "
+            "postings for terms crossing the threshold; rebuild instead"
+        )
+    if (
+        batch_id is not None
+        and stats["last_batch_id"] is not None
+        and batch_id <= stats["last_batch_id"]
+    ):
+        return ""  # replayed micro-batch: already applied
 
     tf = _term_tf(docs_new, id_col, text_col).persist()
     n_new, tok_new = (
@@ -263,13 +290,6 @@ def update_inverted_index(
         )
         .withColumn("df", F.size("plist").cast("long"))
     )
-    # the df cut re-applies on MERGED frequencies: a term crossing max_df
-    # through growth is dropped going forward (its old record is replaced
-    # by nothing only if we tombstone — instead keep it out of the patch
-    # and leave the stale record; the conservative choice is to keep
-    # serving it, matching a segment-merge that hasn't GC'd yet)
-    merged = _df_cut(merged, stats["min_df"], stats["max_df"])
-
     rows = _postings_to_rows(merged, segment_docs).unionByName(
         _stats_row(
             spark,
@@ -278,6 +298,7 @@ def update_inverted_index(
             segment_docs,
             stats["min_df"],
             stats["max_df"],
+            batch_id if batch_id is not None else stats["last_batch_id"],
         )
     )
     name = write_patch(rows, path)
@@ -386,4 +407,6 @@ def search_bm25(
         .agg(F.count_distinct("term").alias("n_terms"), F.sum("__s").alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id"))
     )
-    return hits.limit(top_n) if top_n else hits
+    if top_n is not None and top_n < 0:
+        raise ValueError(f"top_n must be >= 0, got {top_n}")
+    return hits.limit(top_n) if top_n is not None else hits

@@ -840,3 +840,34 @@ def test_with_shard_column_provenance(spark_ds, sf_dir, tmp_path):
     # composes with metadata_only
     mo = read_shardpack(spark_ds, out, metadata_only="true", with_shard_column="true")
     assert mo.filter(F.col("_shard").isNull()).count() == 0
+
+
+def test_with_shard_column_streaming_read(spark_ds, sf_dir, tmp_path):
+    """Streaming reads honor with_shard_column: batches carry the 4th
+    column the advertised schema promises (was a schema-mismatch crash)."""
+    from shardpack_spark.format import codec
+
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "sout")
+    os.makedirs(src)
+    w = codec.ShardWriter(os.path.join(src, codec.shard_name("s", 0)))
+    for i in range(5):
+        w.write_record(codec.Record(key=f"k{i}", metadata={"i": str(i)}, entries=[]))
+    w.close()
+
+    q = (
+        spark_ds.readStream.format("shardpack")
+        .option("with_shard_column", "true")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark_ds.read.parquet(out)
+    assert "_shard" in back.columns
+    rows = back.select("key", "_shard").collect()
+    assert len(rows) == 5
+    assert all(r["_shard"].endswith(".shardpack") for r in rows)

@@ -241,7 +241,7 @@ def test_cms_overestimates_never_under(spark, sf_dir):
     est = {
         r["value"]: r["est"]
         for r in cms_estimate(
-            sk, orders.select("o_orderpriority"), "o_orderpriority", width=64, depth=3, seed=7
+            sk, orders.select("o_orderpriority"), "o_orderpriority"
         ).collect()
     }
     exact = _exact_counts(spark, sf_dir, "o_orderpriority")
@@ -262,7 +262,7 @@ def test_cms_exact_when_wide(spark, sf_dir):
     est = {
         r["value"]: r["est"]
         for r in cms_estimate(
-            sk, orders.select("o_orderpriority"), "o_orderpriority", width=4096, depth=5, seed=1
+            sk, orders.select("o_orderpriority"), "o_orderpriority"
         ).collect()
     }
     assert est == _exact_counts(spark, sf_dir, "o_orderpriority")
@@ -294,5 +294,15 @@ def test_cms_absent_item_zero_when_wide(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     sk = cms_build(orders, "o_orderpriority", width=4096, depth=5, seed=1)
     probe = spark.createDataFrame([("NO-SUCH-PRIORITY",)], "value string")
-    [row] = cms_estimate(sk, probe, "value", width=4096, depth=5, seed=1).collect()
+    [row] = cms_estimate(sk, probe, "value").collect()
     assert row["est"] == 0
+
+
+def test_cms_mismatched_params_rejected(spark, sf_dir):
+    from shardpack_spark.operators.approx import cms_build, cms_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = cms_build(orders, "o_orderpriority", width=64, depth=3, seed=1)
+    b = cms_build(orders, "o_orderpriority", width=128, depth=3, seed=1)
+    with pytest.raises(ValueError, match="mismatched"):
+        cms_merge(a, b).collect()

@@ -316,3 +316,30 @@ def test_update_empty_batch_is_noop(spark, sf_dir, tmp_path):
     assert update_inverted_index(docs.limit(0), out) == ""
     assert list_patches(out) == []
     assert corpus_stats(spark, out) == before
+
+
+def test_update_replay_with_batch_id_is_noop(spark, sf_dir, tmp_path):
+    from shardpack_spark.format.patches import list_patches
+    from shardpack_spark.operators.search import corpus_stats, update_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "idx")
+    build_inverted_index(docs.filter(F.col("doc_id") < 100), out)
+    new = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    assert update_inverted_index(new, out, batch_id=1) != ""
+    after = corpus_stats(spark, out)
+    # at-least-once replay of the same micro-batch: no double-count
+    assert update_inverted_index(new, out, batch_id=1) == ""
+    assert update_inverted_index(new, out, batch_id=0) == ""
+    assert corpus_stats(spark, out) == after
+    assert len(list_patches(out)) == 1
+
+
+def test_update_refuses_df_cut_index(spark, sf_dir, tmp_path):
+    from shardpack_spark.operators.search import update_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "cut")
+    build_inverted_index(docs.limit(100), out, max_df=50)
+    with pytest.raises(ValueError, match="df-cut"):
+        update_inverted_index(docs.limit(10), out)

@@ -44,7 +44,7 @@ def test_streamed_docs_update_search_index(spark, sf_dir, tmp_path):
         if _load_manifest(idx) is None:
             build_inverted_index(batch_df, idx)
         else:
-            update_inverted_index(batch_df, idx)
+            update_inverted_index(batch_df, idx, batch_id=batch_id)
 
     def run_stream():
         q = (
