@@ -70,6 +70,10 @@ def _build_fold_maps() -> tuple[str, str, list[tuple[str, str]]]:
         (" ", " "), (" ", " "), (" ", " "), (" ", " "),
         (" ", " "), (" ", " "), (" ", " "), (" ", " "),
         (" ", " "), (" ", " "), ("　", " "),
+        # whitespace Python's \s matches but Java's (ASCII-only) \s does
+        # not: NEL, OGHAM space, LINE/PARAGRAPH SEPARATOR -- fold to plain
+        # space BEFORE the engine-neutral collapse below
+        ("\x85", " "), ("\u1680", " "), ("\u2028", " "), ("\u2029", " "),
     ]:
         src.append(frm)
         dst.append(to)
@@ -86,7 +90,7 @@ def clean_text_expr(c: Column) -> Column:
         c = F.replace(c, F.lit(frm), F.lit(to))
     c = F.translate(c, _FOLD_FROM, _FOLD_TO)
     c = F.regexp_replace(c, _CONTROL_PAT, "")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[ \t\n\r\f\x0b]+", " ")
     return F.trim(c)
 
 
@@ -105,7 +109,7 @@ def python_clean_text(s: str) -> str:
         s = s.replace(frm, to)
     s = s.translate(str.maketrans(_FOLD_FROM, _FOLD_TO))
     s = re.sub(_CONTROL_PAT, "", s)
-    s = re.sub(r"\s+", " ", s)
+    s = re.sub(r"[ \t\n\r\f\x0b]+", " ", s)
     return s.strip()
 
 

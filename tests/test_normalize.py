@@ -100,3 +100,38 @@ def test_repetitive_text_compresses_far_better_than_noise(spark):
     got = {r["doc_id"]: r["compression_ratio"] for r in compression_signals(df).collect()}
     assert got[1] > 0.7
     assert got[2] < 0.1
+
+
+def test_clean_text_hypothesis_fuzz(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # build one batch of random unicode docs, run ONE Spark job for the
+    # whole sample (per-example Spark jobs would be 100x slower)
+    samples = []
+
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0,
+                max_codepoint=0x2100,
+                blacklist_categories=("Cs",),  # no lone surrogates
+            ),
+            max_size=80,
+        )
+    )
+    def collect(s):
+        samples.append(s)
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["clean"] for r in clean_text(df).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == python_clean_text(s), repr(s)
