@@ -108,12 +108,29 @@ def _pack(obj, out: bytearray) -> None:
         raise MsgPackError(f"unpackable type: {type(obj).__name__}")
 
 
+MAX_DEPTH = 256
+
+
 def unpackb(data: bytes):
-    """Deserialize one msgpack object; trailing bytes are an error."""
+    """Deserialize one msgpack object; trailing bytes are an error.
+
+    Every malformed-input failure surfaces as MsgPackError — invalid
+    UTF-8 in a str, an unhashable (array/map) map key, and
+    deeper-than-MAX_DEPTH nesting included — so callers can catch the
+    module's declared error type instead of leaking UnicodeDecodeError /
+    TypeError / RecursionError out of a decode.
+    """
     obj, pos = _unpack(memoryview(data), 0)
     if pos != len(data):
         raise MsgPackError(f"{len(data) - pos} trailing bytes")
     return obj
+
+
+def _utf8(raw: memoryview) -> str:
+    try:
+        return str(raw, "utf-8")
+    except UnicodeDecodeError as ex:
+        raise MsgPackError(f"invalid utf-8 in str: {ex}") from None
 
 
 def _take(buf: memoryview, pos: int, n: int) -> tuple[memoryview, int]:
@@ -122,7 +139,9 @@ def _take(buf: memoryview, pos: int, n: int) -> tuple[memoryview, int]:
     return buf[pos : pos + n], pos + n
 
 
-def _unpack(buf: memoryview, pos: int):
+def _unpack(buf: memoryview, pos: int, depth: int = 0):
+    if depth > MAX_DEPTH:
+        raise MsgPackError(f"nesting deeper than {MAX_DEPTH}")
     head, pos = _take(buf, pos, 1)
     c = head[0]
     if c <= 0x7F:
@@ -131,11 +150,11 @@ def _unpack(buf: memoryview, pos: int):
         return c - 0x100, pos
     if 0xA0 <= c <= 0xBF:
         raw, pos = _take(buf, pos, c & 0x1F)
-        return str(raw, "utf-8"), pos
+        return _utf8(raw), pos
     if 0x90 <= c <= 0x9F:
-        return _unpack_array(buf, pos, c & 0x0F)
+        return _unpack_array(buf, pos, c & 0x0F, depth)
     if 0x80 <= c <= 0x8F:
-        return _unpack_map(buf, pos, c & 0x0F)
+        return _unpack_map(buf, pos, c & 0x0F, depth)
     if c == 0xC0:
         return None, pos
     if c == 0xC2:
@@ -161,7 +180,7 @@ def _unpack(buf: memoryview, pos: int):
         raw, pos = _take(buf, pos, n)
         ln = int.from_bytes(raw, "big")
         raw, pos = _take(buf, pos, ln)
-        return str(raw, "utf-8"), pos
+        return _utf8(raw), pos
     if c in (0xC4, 0xC5, 0xC6):  # bin 8/16/32
         n = 1 << (c - 0xC4)
         raw, pos = _take(buf, pos, n)
@@ -171,26 +190,28 @@ def _unpack(buf: memoryview, pos: int):
     if c in (0xDC, 0xDD):  # array 16/32
         n = 2 << (c - 0xDC)
         raw, pos = _take(buf, pos, n)
-        return _unpack_array(buf, pos, int.from_bytes(raw, "big"))
+        return _unpack_array(buf, pos, int.from_bytes(raw, "big"), depth)
     if c in (0xDE, 0xDF):  # map 16/32
         n = 2 << (c - 0xDE)
         raw, pos = _take(buf, pos, n)
-        return _unpack_map(buf, pos, int.from_bytes(raw, "big"))
+        return _unpack_map(buf, pos, int.from_bytes(raw, "big"), depth)
     raise MsgPackError(f"unsupported msgpack type byte 0x{c:02x} (ext?)")
 
 
-def _unpack_array(buf: memoryview, pos: int, n: int):
+def _unpack_array(buf: memoryview, pos: int, n: int, depth: int = 0):
     out = []
     for _ in range(n):
-        v, pos = _unpack(buf, pos)
+        v, pos = _unpack(buf, pos, depth + 1)
         out.append(v)
     return out, pos
 
 
-def _unpack_map(buf: memoryview, pos: int, n: int):
+def _unpack_map(buf: memoryview, pos: int, n: int, depth: int = 0):
     out = {}
     for _ in range(n):
-        k, pos = _unpack(buf, pos)
-        v, pos = _unpack(buf, pos)
+        k, pos = _unpack(buf, pos, depth + 1)
+        v, pos = _unpack(buf, pos, depth + 1)
+        if isinstance(k, (list, dict)):
+            raise MsgPackError(f"unhashable map key type: {type(k).__name__}")
         out[k] = v
     return out, pos

@@ -53,19 +53,24 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    e = edges.select(src, dst).distinct()
-    verts = out_degrees(e, src, dst).persist()
+    # internal names: a caller's src/dst column named rank/out_deg/vertex
+    # must not collide with the iteration columns
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).distinct()
+    verts = out_degrees(e, "__src", "__dst").persist()
     n = verts.count()
     if n == 0:
-        return verts.select("vertex", F.lit(0.0).alias("rank"))
+        out = verts.select("vertex", F.lit(0.0).alias("rank"))
+        out = out.localCheckpoint(eager=True)
+        verts.unpersist()
+        return out
 
     ranks = verts.select("vertex", "out_deg", F.lit(1.0 / n).alias("rank")).persist()
     ranks.count()
     for _ in range(iters):
         contribs = (
             ranks.filter(F.col("out_deg") > 0)
-            .join(e, ranks["vertex"] == e[src])
-            .groupBy(F.col(dst).alias("vertex"))
+            .join(e, ranks["vertex"] == e["__src"])
+            .groupBy(F.col("__dst").alias("vertex"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("__in"))
         )
         dangling = (
@@ -88,6 +93,10 @@ def pagerank(
         new_ranks.count()
         ranks.unpersist()
         ranks = new_ranks
-    out = ranks.select("vertex", "rank")
+    # materialize the result and release every iteration cache: the
+    # returned frame's blocks free when it is garbage-collected, instead
+    # of one persisted vertex set pinning storage per pagerank() call
+    out = ranks.select("vertex", "rank").localCheckpoint(eager=True)
+    ranks.unpersist()
     verts.unpersist()
     return out

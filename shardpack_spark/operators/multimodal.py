@@ -521,6 +521,28 @@ def decode_msgpack_entries(df: DataFrame) -> DataFrame:
                 return base64.b64encode(bytes(o)).decode("ascii")
             raise TypeError(type(o).__name__)
 
+        def norm_keys(o):
+            # msgpack maps allow bytes/int/bool/nil keys; json.dumps
+            # accepts only str (and can't sort mixed types).  Stringify
+            # deterministically: bytes -> base64 (same as bin values),
+            # everything else -> its JSON literal.  Distinct msgpack keys
+            # can collide post-conversion (1 vs "1"); last one wins,
+            # deterministic because msgpack maps preserve wire order.
+            if isinstance(o, dict):
+                return {
+                    (
+                        k
+                        if isinstance(k, str)
+                        else default(k)
+                        if isinstance(k, (bytes, bytearray))
+                        else json.dumps(k)
+                    ): norm_keys(v)
+                    for k, v in o.items()
+                }
+            if isinstance(o, list):
+                return [norm_keys(v) for v in o]
+            return o
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
@@ -528,7 +550,7 @@ def decode_msgpack_entries(df: DataFrame) -> DataFrame:
                     "file_name": pdf["file_name"],
                     "json": [
                         json.dumps(
-                            unpackb(bytes(b)), sort_keys=True, default=default
+                            norm_keys(unpackb(bytes(b))), sort_keys=True, default=default
                         )
                         for b in pdf["data"]
                     ],

@@ -56,6 +56,20 @@ def _self_pickle_by_value() -> None:
         pass
 
 
+# one whitespace definition for BOTH train and encode: an explicit ASCII
+# class evaluated identically by Java regex (train, executor-side split)
+# and Python re (encode).  str.split() / \s would disagree between the
+# engines on NBSP / U+2028-style unicode whitespace, making the trainer
+# learn merges over words the encoder never produces.
+WS_SPLIT = r"[ \t\n\r\f\x0b]+"
+
+
+def _split_words(text: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(WS_SPLIT, text or "") if w]
+
+
 def _word_symbols(word: str) -> tuple[str, ...]:
     return tuple(word) + (END,)
 
@@ -97,7 +111,7 @@ def bpe_train(
     return's behavior, not silent: rare words beyond the cap contribute
     no pair counts, which is the standard trainer approximation.
     """
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    toks = F.filter(F.split(F.col(text_col), WS_SPLIT), lambda t: t != F.lit(""))
     freq_rows = (
         df.select(F.explode(toks).alias("__w"))
         .groupBy("__w")
@@ -143,7 +157,9 @@ def bpe_encode(
     """(id, tokens, n_tokens) — BPE-encode every document.
 
     Arrow-batched mapInPandas; the merge table rides in the closure and
-    a per-batch word memo collapses Zipf-repeated words to one encode.
+    a per-partition word memo (capped at 250k entries so a high-diversity
+    partition — URLs, hashes, random strings — cannot grow it without
+    bound) collapses Zipf-repeated words to one encode.
     Output token order is the document's word order with per-word BPE
     symbols flattened (word boundaries remain recoverable from ``</w>``).
     """
@@ -164,11 +180,12 @@ def bpe_encode(
 
         def enc(text) -> list[str]:
             out: list[str] = []
-            for w in (text or "").split():
+            for w in _split_words(text):
                 t = memo.get(w)
                 if t is None:
                     t = encode_word(w, ranks)
-                    memo[w] = t
+                    if len(memo) < 250_000:
+                        memo[w] = t
                 out.extend(t)
             return out
 

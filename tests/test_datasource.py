@@ -210,7 +210,7 @@ def test_streaming_source_incremental(spark_ds, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in time"
         return {r["key"] for r in spark_ds.read.parquet(out_dir).collect()}
 
     got1 = drain()
@@ -323,7 +323,7 @@ def test_streaming_exactly_once_across_batch_appends(spark_ds, sf_dir, tmp_path)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in time"
         rows = [r["key"] for r in spark_ds.read.parquet(out_dir).collect()]
         return rows
 
@@ -865,7 +865,7 @@ def test_with_shard_column_streaming_read(spark_ds, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     back = spark_ds.read.parquet(out)
     assert "_shard" in back.columns
     rows = back.select("key", "_shard").collect()

@@ -205,7 +205,7 @@ def test_bloom_probe_filters_inside_streaming(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM bloom_fresh").collect()}
 
     batch_df = spark.createDataFrame(incoming, schema)

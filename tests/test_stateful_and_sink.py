@@ -35,7 +35,7 @@ def test_apply_in_pandas_with_state(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     rows = spark.sql("SELECT * FROM t_state").collect()
     # last emission per user wins (update mode re-emits on change)
     final = {}
@@ -75,7 +75,7 @@ def test_shardpack_streaming_sink(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
 
     keys = {r.key for p in codec.list_shards(out) for r in codec.iter_records(p)}
     assert keys == {"ev/1", "ev/2"}
@@ -126,7 +126,7 @@ def test_transform_with_state_inactivity_flush(spark, tmp_path):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            assert q.awaitTermination(120), "stream did not finish in time"
 
         _write_batch(str(src), "b1.json",
                      [_ev(1, "2024-01-01 01:00:00", uid=1, value=1.0),

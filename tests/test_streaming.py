@@ -72,7 +72,7 @@ def _run_stream(spark, src_dir: str, transform, mode: str, name: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -92,7 +92,7 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     got = {tuple(r) for r in spark.sql("SELECT * FROM t_tumbling").collect()}
     want = {tuple(r) for r in ops.tumbling_hour_agg(events).collect()}
     assert got == want
@@ -123,7 +123,7 @@ def test_watermark_drops_late_event(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in time"
 
     _write_batch(str(src), "b1.json", [_ev(1, "2024-01-01 01:05:00"), _ev(2, "2024-01-01 02:30:00")])
     run_once()
@@ -211,7 +211,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     got = {
         (r["l_event_id"], r["r_event_id"])
         for r in spark.sql("SELECT * FROM ss_join").collect()

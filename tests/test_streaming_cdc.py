@@ -94,7 +94,7 @@ def test_streamed_upserts_and_deletes_become_patches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in time"
 
     # wave 1: update k00-k02, delete k03
     _cdc_shard(src, 0, {"k00": "v1-0", "k01": "v1-1", "k02": "v1-2", "k03": ""}, dead={"k03"})

@@ -55,7 +55,7 @@ def test_streamed_docs_update_search_index(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not finish in time"
 
     wave1.coalesce(1).write.mode("append").parquet(src)
     run_stream()

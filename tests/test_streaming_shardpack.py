@@ -59,7 +59,7 @@ def test_shardpack_stream_windowed_agg(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     rows = {r["b"]: (r["s"], r["n"]) for r in spark.sql("SELECT * FROM sp_win").collect()}
     assert rows == {1704070800: (3.0, 2), 1704074400: (5.0, 1)}
 
@@ -124,7 +124,7 @@ def test_stream_committed_shards_carry_pruning_stats(spark, tmp_path):
     os.makedirs(src)
     _event_shard(src, 0, [(f"k{i}", "2025-01-01T00:00:00", 1.0) for i in range(5)])
 
-    (
+    assert (
         spark.readStream.format("shardpack")
         .load(src)
         .writeStream.format("shardpack")
@@ -133,7 +133,7 @@ def test_stream_committed_shards_carry_pruning_stats(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
         .awaitTermination(60)
-    )
+    ), "stream did not finish in time"
 
     markers = _glob.glob(os.path.join(sink, "_batch_*.json"))
     assert markers

@@ -217,3 +217,28 @@ def test_decode_msgpack_entries(spark):
         .collect()
     )
     assert extracted[0]["lang"] == "en"
+
+
+def test_decode_msgpack_bytes_and_mixed_keys(spark):
+    """Spec-valid maps with bytes / int / mixed keys decode instead of
+    crashing json.dumps (keys stringify deterministically)."""
+    meta = {b"raw": 1, 2: "two", True: "t", None: "n", "s": 3}
+    df = spark.createDataFrame(
+        [("m/k", {}, [_entry("meta.msgpack", "application/msgpack", packb(meta))])],
+        REC_SCHEMA,
+    )
+    [row] = mm.decode_msgpack_entries(df).collect()
+    obj = json.loads(row["json"])
+    assert obj == {"cmF3": 1, "2": "two", "true": "t", "null": "n", "s": 3}
+
+
+def test_msgpack_malformed_raises_msgpack_error():
+    from shardpack_spark.format.msgpack import MsgPackError, unpackb
+
+    for bad in [
+        b"\xa2\xff\xfe",          # fixstr with invalid utf-8
+        b"\x81\x91\x01\x02",      # map with an array key
+        b"\x91" * 1000 + b"\x01",  # 1000-deep nesting
+    ]:
+        with pytest.raises(MsgPackError):
+            unpackb(bad)

@@ -129,3 +129,35 @@ def test_bpe_composes_with_sequence_packing(spark):
     for members in by_seq.values():
         if len(members) > 1:
             assert sum(m["n_tokens"] for m in members) <= 40
+
+
+def test_train_and_encode_agree_on_unicode_whitespace(spark):
+    """NBSP/U+2028-joined text segments identically in the trainer
+    (Java regex) and the encoder (Python re) — a divergence here makes
+    the trainer learn merges over words the encoder never produces."""
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.operators.tokenizer import (
+        _split_words,
+        bpe_encode,
+        bpe_train,
+    )
+
+    text = "foo bar baz qux foo bar"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = bpe_train(df, n_merges=20)
+    # trainer vocabulary == encoder segmentation
+    trained_words = set()
+    rows = (
+        df.select(F.explode(F.split(F.col("text"), "[ \\t\\n\\r\\f\\x0b]+")).alias("w"))
+        .filter(F.col("w") != "")
+        .collect()
+    )
+    trained_words = {r["w"] for r in rows}
+    assert trained_words == set(_split_words(text))
+
+    [enc] = bpe_encode(df, merges).collect()
+    from shardpack_spark.operators.tokenizer import bpe_decode_tokens
+
+    # lossless modulo the (consistent) whitespace definition
+    assert bpe_decode_tokens(enc["tokens"]) == " ".join(_split_words(text))
