@@ -162,6 +162,21 @@ def write_columnar(
         df.unpersist()
 
 
+def _resolve_read_args(path: str, columns, how: str):
+    """Shared read-contract validation for both aligned read paths."""
+    available = list_columns(path)
+    if columns is None:
+        columns = available
+    missing = [c for c in columns if c not in available]
+    if missing:
+        raise codec.ShardPackIOError(
+            f"columns {missing} not in columnar dataset (have {available})"
+        )
+    if how not in ("inner", "full"):
+        raise ValueError(f"how must be inner|full, got {how!r}")
+    return columns
+
+
 def read_columnar(
     spark,
     path: str,
@@ -180,16 +195,7 @@ def read_columnar(
     Only the requested columns' datasets are opened — dataset-granular
     column pruning, the layout's reason to exist.
     """
-    available = list_columns(path)
-    if columns is None:
-        columns = available
-    missing = [c for c in columns if c not in available]
-    if missing:
-        raise codec.ShardPackIOError(
-            f"columns {missing} not in columnar dataset (have {available})"
-        )
-    if how not in ("inner", "full"):
-        raise ValueError(f"how must be inner|full, got {how!r}")
+    columns = _resolve_read_args(path, columns, how)
 
     out = None
     for i, name in enumerate(columns):
@@ -258,20 +264,23 @@ def read_columnar_zipped(
     except Exception:
         pass
 
-    available = list_columns(path)
-    if columns is None:
-        columns = available
-    missing = [c for c in columns if c not in available]
-    if missing:
-        raise codec.ShardPackIOError(
-            f"columns {missing} not in columnar dataset (have {available})"
-        )
-    if how not in ("inner", "full"):
-        raise ValueError(f"how must be inner|full, got {how!r}")
+    columns = _resolve_read_args(path, columns, how)
 
     per_col: dict[str, list[dict]] = {}
     for name in columns:
-        m = _load_manifest(os.path.join(path, _col_dir(name))) or {}
+        cdir = os.path.join(path, _col_dir(name))
+        m = _load_manifest(cdir)
+        if m is None:
+            # ad-hoc shards (written through the codec, no manifest) are
+            # readable by read_columnar's listing fallback, but a zipped
+            # read has no key ranges to slice by — raise, as documented,
+            # instead of silently treating the column as empty
+            if codec.list_shards(cdir):
+                raise codec.ShardPackIOError(
+                    f"column {name!r} has shards but no manifest — "
+                    "zipped reads need write_columnar's sorted layout"
+                )
+            m = {}
         shards = sorted(m.get("shards", []), key=lambda s: s.get("min_key", ""))
         if any("min_key" not in s for s in shards):
             raise codec.ShardPackIOError(

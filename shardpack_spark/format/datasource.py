@@ -303,13 +303,34 @@ class _CommitLock:
     def __exit__(self, *exc):
         # Only release a lock we still own: if ours was broken as stale
         # (pathological commit longer than stale_after), the file now
-        # belongs to another holder and must not be removed.
+        # belongs to another holder and must not be removed.  Claim via
+        # atomic rename FIRST, verify the token after — a read-then-remove
+        # would race a concurrent stale-break and delete the new holder's
+        # fresh lock.  If the claimed file turns out not to be ours, put
+        # it back via link (which refuses if yet another lock appeared).
+        # The residual race needs a holder past stale_after to arise at
+        # all; object stores should use conditional puts instead.
+        rel = self.lock_path + f".rel-{uuid.uuid4().hex[:8]}"
         try:
-            with open(self.lock_path) as f:
-                if f.read() == self._token:
-                    os.remove(self.lock_path)
+            os.replace(self.lock_path, rel)
         except OSError:
-            pass
+            return False  # already broken and cleaned up
+        try:
+            with open(rel) as f:
+                mine = f.read() == self._token
+        except OSError:
+            mine = True
+        if mine:
+            try:
+                os.remove(rel)
+            except OSError:
+                pass
+        else:
+            try:
+                os.link(rel, self.lock_path)
+                os.remove(rel)
+            except OSError:
+                pass
         return False
 
 
@@ -824,7 +845,16 @@ class ShardPackWriter(DataSourceArrowWriter):
                 parts = [_write_manifest_part(self.path, prior["shards"])]
             parts.append(new_part)
             total = prior.get("total_records", 0) + sum(s["records"] for s in new_shards)
-        vid = 1 + max([v["version"] for v in list_versions(self.path)] or [0])
+        # next snapshot id from the prior root (O(1)); fall back to a
+        # NAME scan of archived roots (no JSON parsing) for pre-version_id
+        # manifests — list_versions() here would open and parse every
+        # archived root, making commit cost grow with history
+        prior_vid = (prior or {}).get("version_id")
+        if prior_vid is None:
+            roots = glob.glob(os.path.join(self.path, MANIFEST_PARTS_DIR, "root-*.json"))
+            ids = [int(os.path.basename(r)[5:13]) for r in roots if os.path.basename(r)[5:13].isdigit()]
+            prior_vid = max(ids) if ids else 0
+        vid = 1 + prior_vid
         manifest = {
             "version": 3,
             "version_id": vid,
@@ -1269,10 +1299,19 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
     Folded entries carry records/bytes but no key stats; key pruning
     (optimization-only) keeps such shards.  Run ``compact_dataset`` when
     a stats-bearing, right-sized rewrite is wanted.
+
+    ``keep_last`` must be >= 1: folding EVERY marker would delete the
+    newest batch's replay-detection record, and a restart replaying that
+    batch would commit its records a second time.
     """
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (marker existence is the stream "
+            f"writer's replay detection), got {keep_last}"
+        )
     with _CommitLock(path):
         markers = sorted(glob.glob(os.path.join(path, "_batch_*.json")))
-        to_fold = markers[:-keep_last] if keep_last > 0 else markers
+        to_fold = markers[:-keep_last]
         if not to_fold:
             return {"folded": 0}
         shards: list[dict] = []

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
+import uuid
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -103,20 +105,33 @@ def write_patch(df, base: str, compression: str = "none") -> str:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    os.makedirs(base, exist_ok=True)
-    # the base dataset's commit lock also serializes patch-sequence
-    # assignment: two concurrent writers must not both pick pN and have
-    # the second's overwrite silently destroy the first patch
-    with _CommitLock(base, timeout=600.0):
-        seq = 1 + max([int(d[1:]) for d in list_patches(base)] or [0])
-        name = f"p{seq:08d}"
-        out = os.path.join(_patch_root(base), name)
-        (
-            one.write.format("shardpack")
-            .option("compression", compression)
-            .mode("overwrite")
-            .save(out)
-        )
+    os.makedirs(_patch_root(base), exist_ok=True)
+    # write the patch dataset OUTSIDE the lock into a hidden temp dir
+    # (list_patches only admits p{seq} names), then take the base commit
+    # lock just for sequence assignment + an atomic rename.  Holding the
+    # lock across the whole Spark write job would outlive stale_after and
+    # let a second writer break the lock mid-job and pick the same pN.
+    tmp = os.path.join(_patch_root(base), f".tmp-{uuid.uuid4().hex[:12]}")
+    (
+        one.write.format("shardpack")
+        .option("compression", compression)
+        .mode("overwrite")
+        .save(tmp)
+    )
+    try:
+        with _CommitLock(base, timeout=600.0):
+            seq = 1 + max([int(d[1:]) for d in list_patches(base)] or [0])
+            name = f"p{seq:08d}"
+            os.rename(tmp, os.path.join(_patch_root(base), name))
+            # opportunistic GC of temp dirs orphaned by crashed writers
+            cutoff = time.time() - 3600
+            for d in os.listdir(_patch_root(base)):
+                full = os.path.join(_patch_root(base), d)
+                if d.startswith(".tmp-") and os.path.getmtime(full) < cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return name
 
 
@@ -135,6 +150,17 @@ def read_with_patches(spark, base: str, **reader_options):
             "read_with_patches does not take a 'columns' projection; "
             "select on the merged result instead"
         )
+    for opt in ("where_meta", "version", "only_shards"):
+        if opt in reader_options:
+            # where_meta's row filter would drop tombstones from the
+            # overlay (their metadata is only __tombstone) and RESURRECT
+            # deleted base rows; version/only_shards are meaningless for
+            # patch dirs (every patch is its own version-1 dataset).
+            # Filter/pin on the merged result instead.
+            raise ValueError(
+                f"read_with_patches does not take {opt!r}; apply it to "
+                "the merged result (or compact patches first)"
+            )
     base_df = read_shardpack(spark, base, **reader_options)
     patches = list_patches(base)
     if not patches:

@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str) -> F.Column:
-    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    from shardpack_spark.operators.text import ws_tokens
+
+    return ws_tokens(F.col(text_col))
 
 
 def hashed_features(
@@ -149,7 +151,7 @@ def train_hashed_classifier(
                     - F.col("__y")
                 ).alias("__r"),
             )
-        )
+        ).persist()  # the bucket-gradient AND bias collects share one eval
         agg = (
             feats.join(resid, id_col)
             .groupBy("bucket")
@@ -157,6 +159,7 @@ def train_hashed_classifier(
         )
         grad_rows = {r["bucket"]: r["__g"] for r in agg.collect()}
         g_bias = resid.agg(F.sum("__r")).collect()[0][0] or 0.0
+        resid.unpersist()
         scale = lr / n_docs
         w = [
             wi - scale * (grad_rows.get(i, 0.0) + l2 * wi) for i, wi in enumerate(w)

@@ -528,7 +528,9 @@ def substring_dedup(
     """
     if window < 2:
         raise ValueError(f"window must be >= 2 tokens, got {window}")
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    from shardpack_spark.operators.text import ws_tokens
+
+    toks = ws_tokens(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
         "__n", F.size("__toks")
     )

@@ -40,6 +40,14 @@ def _count_matches(c: Column, pattern: str) -> Column:
 _WORD_SPLIT = r"[^a-z0-9_]+"
 
 
+def ws_tokens(c: Column) -> Column:
+    """Whitespace word tokens (Java \\s+ split on trimmed text, empties
+    dropped) — the ONE tokenizer shared by classifier features and
+    substring dedup, so token boundaries cannot silently diverge
+    between training/apply and dedup."""
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+
+
 def _word_tokens(c: Column) -> Column:
     return F.split(F.lower(c), _WORD_SPLIT)
 

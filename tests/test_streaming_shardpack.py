@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from shardpack_spark.format import codec
@@ -140,6 +142,25 @@ def test_stream_committed_shards_carry_pruning_stats(spark, tmp_path):
     marked = [s for m in markers for s in _json.load(open(m))["shards"]]
     assert all("min_key" in s and "bloom" in s for s in marked)
 
-    fold_stream_markers(sink, keep_last=0)
+    # keep_last=0 would delete the newest batch's replay-detection marker
+    # (a replayed batch would then double-commit) — rejected outright
+    with pytest.raises(ValueError, match="keep_last"):
+        fold_stream_markers(sink, keep_last=0)
+
+    # write a second batch so folding with keep_last=1 folds batch 0's
+    # marker while batch 1's stays as the replay guard
+    _event_shard(src, 1, [(f"j{i}", "2025-01-02T00:00:00", 2.0) for i in range(3)])
+    assert (
+        spark.readStream.format("shardpack")
+        .load(src)
+        .writeStream.format("shardpack")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(60)
+    ), "stream did not finish in time"
+    fold_stream_markers(sink, keep_last=1)
     m = _load_manifest(sink)
     assert all("min_key" in s and "bloom" in s for s in m["shards"])
+    assert len(_glob.glob(os.path.join(sink, "_batch_*.json"))) == 1
