@@ -439,6 +439,11 @@ def _zstd_decompress(src: bytes) -> bytes:
         i += fcs_size
     out = bytearray()
     while True:
+        if i + 3 > len(src):
+            # a zero-filled "header" would read as a non-last Raw block of
+            # size 0 and spin forever — truncation must raise, like every
+            # other codec path
+            raise ShardPackCodecError("zstd: truncated frame (missing block header)")
         hdr = int.from_bytes(src[i : i + 3], "little")
         i += 3
         last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3

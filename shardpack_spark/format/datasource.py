@@ -86,6 +86,7 @@ import glob
 import hashlib
 import json
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass
@@ -734,15 +735,30 @@ def _write_with_stats(writer: "codec.DatasetWriter", iterator):
     (batch and streaming writers share this, so streamed shards prune the
     same as batch-written ones)."""
     stats: dict[str, dict] = {}
-    hashes: dict[str, list[tuple[int, int]]] = {}
     meta_vals: dict[str, dict[str, set]] = {}
+    # bloom hash pairs are finalized per shard the moment the writer
+    # rolls to the next one (a DatasetWriter never reopens a shard), so
+    # task memory is bounded by ONE shard's key count — not every record
+    # the task ever wrote
+    hashes: list[tuple[int, int]] = []
+    hash_shard: str | None = None
+
+    def _finalize_bloom(name: str) -> None:
+        bloom = _bloom_build(hashes)
+        if bloom is not None:
+            stats[name]["bloom"] = bloom
+        hashes.clear()
+
     for rec in _batches_to_records(iterator):
         writer.write(rec)
         cur = os.path.basename(writer._writer.path)  # current shard for key stats
+        if hash_shard is not None and cur != hash_shard:
+            _finalize_bloom(hash_shard)
+        hash_shard = cur
         s = stats.setdefault(cur, {"min_key": rec.key, "max_key": rec.key})
         s["min_key"] = min(s["min_key"], rec.key)
         s["max_key"] = max(s["max_key"], rec.key)
-        hashes.setdefault(cur, []).append(_bloom_key_hashes(rec.key))
+        hashes.append(_bloom_key_hashes(rec.key))
         # per-shard metadata value sets for data skipping: track each
         # key's distinct values up to a small cap; past the cap the key
         # is high-cardinality in this shard and recorded as unprunable
@@ -751,10 +767,8 @@ def _write_with_stats(writer: "codec.DatasetWriter", iterator):
             vs = mv.setdefault(mk, set())
             if len(vs) <= _META_VALUES_CAP:
                 vs.add(v)
-    for name, pairs in hashes.items():
-        bloom = _bloom_build(pairs)
-        if bloom is not None:
-            stats[name]["bloom"] = bloom
+    if hash_shard is not None:
+        _finalize_bloom(hash_shard)
     for name, mv in meta_vals.items():
         kept = {
             mk: sorted(vs) for mk, vs in mv.items() if len(vs) <= _META_VALUES_CAP
@@ -819,11 +833,26 @@ class ShardPackWriter(DataSourceArrowWriter):
         for s in new_shards:
             s["compression"] = self.compression
         prior = _load_manifest(self.path)
+        spec_trash: list[str] = []
         if self.spec_basename:
             seq = 0 if (self.overwrite or prior is None) else len(prior.get("shards", []))
             for s in sorted(new_shards, key=lambda s: s["path"]):
                 spec = codec.shard_name(self.spec_basename, seq)
-                os.replace(os.path.join(self.path, s["path"]), os.path.join(self.path, spec))
+                target = os.path.join(self.path, spec)
+                if os.path.exists(target):
+                    # spec names restart at 0 on overwrite, colliding with
+                    # the committed files.  NEVER clobber committed data
+                    # before the new manifest is durable: move the old
+                    # file aside (the .trash suffix hides it from the
+                    # *.shardpack listing), so a crash in this window
+                    # makes old-manifest reads fail LOUDLY on a missing
+                    # file instead of silently serving new bytes under
+                    # stale stats.  Trash is deleted after the manifest
+                    # swap below.
+                    trashed = target + f".trash-{uuid.uuid4().hex[:8]}"
+                    os.replace(target, trashed)
+                    spec_trash.append(trashed)
+                os.replace(os.path.join(self.path, s["path"]), target)
                 s["path"] = spec
                 seq += 1
         # Log-structured commit (v3): this commit's shards go into ONE new
@@ -832,10 +861,44 @@ class ShardPackWriter(DataSourceArrowWriter):
         # no matter how many shards the dataset already holds — at 400k
         # shards a v2-style full-manifest rewrite would be ~GBs per commit.
         new_part = _write_manifest_part(self.path, new_shards)
-        if self.overwrite or prior is None:
+        if self.overwrite:
             old_names = set(_visible_shards(self.path)) - {s["path"] for s in new_shards}
             parts = [new_part]
             total = sum(s["records"] for s in new_shards)
+        elif prior is None:
+            # first manifest over this directory: codec-written shards
+            # (the supported ad-hoc path, previously served by the plain
+            # listing) must fold INTO the commit log, or the new
+            # manifest-trusting reader would silently hide them forever.
+            # Commit-named files (c{seq}-part-*) are EXCLUDED: they are
+            # another in-flight writer's not-yet-committed output, which
+            # that writer's own commit will publish — adopting them here
+            # would double-count them (and break commit isolation).
+            new_names = {s["path"] for s in new_shards}
+            committish = re.compile(r"c\d{8}-part-")
+            adhoc = [
+                n
+                for n in _visible_shards(self.path, None)
+                if n not in new_names and not committish.match(n)
+            ]
+            old_names = set()
+            parts = []
+            total = sum(s["records"] for s in new_shards)
+            if adhoc:
+                entries = []
+                for n in sorted(adhoc):
+                    full = os.path.join(self.path, n)
+                    idx = codec.read_index(full)
+                    entries.append(
+                        {
+                            "path": n,
+                            "records": len(idx.offsets),
+                            "bytes": os.path.getsize(full),
+                        }
+                    )
+                parts.append(_write_manifest_part(self.path, entries))
+                total += sum(e["records"] for e in entries)
+            parts.append(new_part)
         else:
             old_names = set()
             parts = list(prior.get("parts", []))
@@ -872,6 +935,13 @@ class ShardPackWriter(DataSourceArrowWriter):
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(arch + ".tmp", arch)
         _write_manifest(self.path, manifest)
+        for t in spec_trash:
+            # displaced spec-named files die only after the new manifest
+            # is durable (same rule as overwrite's old-file deletion)
+            try:
+                os.remove(t)
+            except OSError:
+                pass
         if self.overwrite:
             # old files die only after the new manifest is durable; a crash
             # mid-deletion leaves invisible extras, cleaned next overwrite
@@ -1381,10 +1451,21 @@ def read_shardpack(
         columns is not None
         and "skip_payload" not in options
         and "metadata_only" not in options
-        and "entries" not in columns
+        and all(isinstance(c, str) for c in columns)
     ):
-        # no entry column in the projection -> index-only read
-        options["metadata_only"] = "true"
+        # nested projections ('entries.size', 'entries[0].file_name')
+        # still need entry HEADERS — only a projection touching no
+        # entries path at all may null them out, and only one touching
+        # no .data path may skip payload bytes
+        needs_entries = any(c == "entries" or c.startswith("entries.") or c.startswith("entries[") for c in columns)
+        needs_data = any(
+            c == "entries" or (".data" in c and c.split(".")[0].split("[")[0] == "entries")
+            for c in columns
+        )
+        if not needs_entries:
+            options["metadata_only"] = "true"  # index-only read
+        elif not needs_data:
+            options["skip_payload"] = "true"  # headers without payloads
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.load(path)

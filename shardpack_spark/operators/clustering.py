@@ -155,11 +155,17 @@ def semantic_dedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return (
+    out = (
         assigned.join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
         .select(
             id_col,
             "cluster",
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
         )
+        # materialize, then drop the assignment cache: the returned
+        # frame's blocks free when it is GC'd, instead of one persisted
+        # vector table pinning executor storage per semantic_dedup call
+        .localCheckpoint(eager=True)
     )
+    assigned.unpersist()
+    return out

@@ -40,10 +40,16 @@ def exact_dedup(
     if keep_by is None:
         survivor = F.min(id_col)
     else:
-        # struct max: best keep_by first, then smallest id via negation
-        survivor = -F.max(
-            F.struct(F.col(keep_by).alias("q"), (-F.col(id_col)).alias("nid"))
-        )["nid"]
+        # struct MIN over (negated keep_by, id): best keep_by first, then
+        # smallest id — negating the (numeric) SCORE instead of the id
+        # keeps the id column type-agnostic (string/hash ids work, as in
+        # the default path; unary minus on a string id would ANSI-fail)
+        survivor = F.min(
+            F.struct(
+                (-F.col(keep_by).cast("double")).alias("nq"),
+                F.col(id_col).alias("id"),
+            )
+        )["id"]
     return (
         df.groupBy(F.sha2(F.col(text_col), 256).alias("text_hash"))
         .agg(survivor.alias("survivor_id"), F.count(F.lit(1)).alias("dup_cnt"))
@@ -434,7 +440,16 @@ def simhash_near_pairs(sim: DataFrame, bands: int = 4) -> DataFrame:
 
     Blocking guarantee: 4 disjoint 16-bit bands mean any pair at Hamming
     distance <= 3 differs in at most 3 bands, so it MUST agree on at least
-    one — the candidate set provably contains every qualifying pair."""
+    one — the candidate set provably contains every qualifying pair.
+
+    ``bands`` must split evenly into the two 32-bit signature halves
+    (bands in {2, 4, 8, 16, 32}): an uneven split would band some bit
+    ranges twice and others never, silently voiding the guarantee."""
+    if bands not in (2, 4, 8, 16, 32):
+        raise ValueError(
+            f"bands must be one of 2/4/8/16/32 (even tiling of the two "
+            f"32-bit halves), got {bands}"
+        )
     width = 64 // bands
     half_bands = bands // 2
 

@@ -871,3 +871,91 @@ def test_with_shard_column_streaming_read(spark_ds, sf_dir, tmp_path):
     rows = back.select("key", "_shard").collect()
     assert len(rows) == 5
     assert all(r["_shard"].endswith(".shardpack") for r in rows)
+
+
+def test_columns_nested_entry_projection_keeps_headers(spark_ds, sf_dir, tmp_path):
+    """A nested entries projection ('entries.size'-style) must read entry
+    headers (skip_payload path), not null entries out (metadata_only)."""
+    from shardpack_spark.format.datasource import read_shardpack
+
+    out = str(tmp_path / "ds")
+    _docs_as_records(spark_ds, sf_dir).limit(50).write.format("shardpack").mode(
+        "append"
+    ).save(out)
+
+    full = {
+        r["key"]: r["s"]
+        for r in read_shardpack(spark_ds, out)
+        .select("key", F.element_at("entries", 1)["size"].alias("s"))
+        .collect()
+    }
+    # projection includes a nested entries path -> headers preserved
+    nested = read_shardpack(
+        spark_ds, out, columns=["key", "entries"]
+    ).select("key", F.element_at("entries", 1)["size"].alias("s"))
+    # 'entries' itself requested -> no option set, data present
+    got = {r["key"]: r["s"] for r in nested.collect()}
+    assert got == full
+
+    # nested path -> headers kept (pre-fix this hit metadata_only and
+    # every size came back NULL); select renames the path to 'size'
+    hdr = read_shardpack(spark_ds, out, columns=["key", "entries.size"])
+    assert {r["key"]: r["size"][0] for r in hdr.collect()} == full
+
+
+def test_append_into_adhoc_dir_folds_existing_shards(spark_ds, tmp_path):
+    """First datasource append over codec-written shards folds them into
+    the manifest instead of silently hiding them."""
+    from shardpack_spark.format.datasource import _load_manifest, read_shardpack
+
+    out = str(tmp_path / "adhoc")
+    os.makedirs(out)
+    w = codec.ShardWriter(os.path.join(out, codec.shard_name("legacy", 0)))
+    for i in range(7):
+        w.write_record(codec.Record(key=f"old{i}", entries=[]))
+    w.close()
+    assert read_shardpack(spark_ds, out).count() == 7  # listing fallback
+
+    rows = spark_ds.createDataFrame(
+        [(f"new{i}", {}, []) for i in range(5)],
+        "key string, metadata map<string,string>, "
+        "entries array<struct<file_name:string,content_type:string,"
+        "encoding:string,size:bigint,data:binary>>",
+    )
+    rows.write.format("shardpack").mode("append").save(out)
+
+    m = _load_manifest(out)
+    assert m["total_records"] == 12
+    keys = {r["key"] for r in read_shardpack(spark_ds, out).select("key").collect()}
+    assert keys == {f"old{i}" for i in range(7)} | {f"new{i}" for i in range(5)}
+
+
+def test_spec_naming_overwrite_preserves_committed_data(spark_ds, tmp_path):
+    """Overwriting a spec-named dataset never clobbers committed files
+    before the new manifest is durable; post-commit reads see only the
+    new data with correct stats."""
+    from shardpack_spark.format.datasource import _load_manifest, read_shardpack
+
+    out = str(tmp_path / "spec")
+
+    def write(keys, mode):
+        spark_ds.createDataFrame(
+            [(k, {}, []) for k in keys],
+            "key string, metadata map<string,string>, "
+            "entries array<struct<file_name:string,content_type:string,"
+            "encoding:string,size:bigint,data:binary>>",
+        ).coalesce(1).write.format("shardpack").option(
+            "spec_naming", "docs-train"
+        ).mode(mode).save(out)
+
+    write([f"a{i}" for i in range(10)], "overwrite")
+    first = set(os.listdir(out))
+    assert any(f.startswith("docs-train-") for f in first)
+
+    write([f"b{i}" for i in range(4)], "overwrite")
+    keys = {r["key"] for r in read_shardpack(spark_ds, out).select("key").collect()}
+    assert keys == {f"b{i}" for i in range(4)}
+    m = _load_manifest(out)
+    assert m["total_records"] == 4
+    # displaced trash is cleaned after the manifest swap
+    assert not [f for f in os.listdir(out) if ".trash-" in f]
