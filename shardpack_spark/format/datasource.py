@@ -1415,6 +1415,162 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
         return {"folded": len(to_fold), "shards": len(shards)}
 
 
+def vacuum(
+    path: str,
+    keep_versions: int = 1,
+    grace_seconds: float = 3600.0,
+    dry_run: bool = False,
+) -> dict:
+    """Reclaim storage no retained snapshot can reach (lakehouse VACUUM).
+
+    Time travel + immutable shards mean a dataset only ever GROWS debris:
+    crashed write tasks leave committed-by-nobody ``c{seq}-part-*`` shards
+    (the driver's abort() cannot run if the driver died), a crash during
+    overwrite's post-swap deletion leaves invisible old files, spec-naming
+    commits can strand ``*.trash-*`` displaced files, and every commit
+    archives a ``root-{v}.json`` forever.  fsck (verify_dataset) REPORTS
+    orphans; this reclaims them.  At 100 TB this is the difference between
+    storage that tracks live data and storage that tracks write history.
+
+    Retention model (mirrors open-table-format VACUUM semantics):
+
+    - the newest ``keep_versions`` snapshot roots are retained; time
+      travel to older versions stops working (their root files are
+      deleted — shard files they reference stay if any retained snapshot
+      also references them, which in append-only chains is all of them);
+    - a shard/part file is deleted only if NO retained root, the live
+      manifest, and no stream-batch marker references it;
+    - nothing younger than ``grace_seconds`` is deleted: an in-flight
+      job's task shards exist on disk before its commit publishes them,
+      and the grace window (default 1 h) is what keeps vacuum safe to run
+      concurrently with writers — same contract as Delta's retention
+      check.  Commit-atomic metadata (expired roots) skips the age check.
+
+    Runs under the commit lock so the referenced-set computation cannot
+    race a concurrent commit's manifest merge.  Directories without a
+    manifest (ad-hoc codec output) are left untouched — without a commit
+    log nothing is provably dead.  Driver-side file ops: vacuum is
+    metadata-bounded (O(files in directory)), not data-bounded, so a
+    Spark job buys nothing here.
+
+    Returns ``{"retained_versions", "expired_versions", "deleted_shards",
+    "deleted_parts", "deleted_debris", "bytes_reclaimed", "dry_run"}``;
+    with ``dry_run=True`` the same report is computed and nothing is
+    removed.
+    """
+    import time as _time
+
+    if keep_versions < 1:
+        raise ValueError(
+            f"keep_versions must be >= 1 (the live snapshot is always "
+            f"retained), got {keep_versions}"
+        )
+    out: dict = {
+        "retained_versions": [],
+        "expired_versions": [],
+        "deleted_shards": [],
+        "deleted_parts": [],
+        "deleted_debris": [],
+        "bytes_reclaimed": 0,
+        "dry_run": dry_run,
+    }
+    with _CommitLock(path):
+        manifest = _load_manifest(path)
+        if manifest is None:
+            return out
+        now = _time.time()
+
+        def _rm(p: str, bucket: str, min_age: float = grace_seconds) -> None:
+            try:
+                st = os.stat(p)
+            except OSError:
+                return
+            if min_age > 0 and now - st.st_mtime < min_age:
+                return
+            out[bucket].append(os.path.relpath(p, path))
+            out["bytes_reclaimed"] += st.st_size
+            if not dry_run:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+        parts_dir = os.path.join(path, MANIFEST_PARTS_DIR)
+        roots = (
+            sorted(
+                f
+                for f in os.listdir(parts_dir)
+                if f.startswith("root-") and f.endswith(".json") and f[5:13].isdigit()
+            )
+            if os.path.isdir(parts_dir)
+            else []
+        )
+        retained_roots = roots[-keep_versions:]
+        out["retained_versions"] = [int(f[5:13]) for f in retained_roots]
+
+        # Referenced set: live manifest (covers pre-versioning datasets whose
+        # root was never archived) + every retained snapshot + stream markers
+        # (committed micro-batches not yet folded into the manifest log).
+        referenced_shards = {s["path"] for s in manifest.get("shards", [])}
+        referenced_parts = {os.path.basename(p) for p in manifest.get("parts", [])}
+        for rf in retained_roots:
+            referenced_parts.add(rf)
+            snap = _load_manifest(path, int(rf[5:13]))
+            referenced_shards.update(s["path"] for s in snap.get("shards", []))
+            referenced_parts.update(os.path.basename(p) for p in snap.get("parts", []))
+        referenced_shards.update(_marker_shards(path))
+
+        # 1) expired snapshot roots — commit-atomic, no age gate needed
+        for rf in roots[:-keep_versions]:
+            out["expired_versions"].append(int(rf[5:13]))
+            _rm(os.path.join(parts_dir, rf), "deleted_debris", min_age=0)
+        # 2) manifest parts no retained root lists (orphans of crashed
+        #    commits; age-gated — a commit in progress elsewhere holds the
+        #    lock, but belt and braces costs nothing)
+        if os.path.isdir(parts_dir):
+            for f in os.listdir(parts_dir):
+                if f in referenced_parts or f.startswith("root-"):
+                    continue
+                _rm(os.path.join(parts_dir, f), "deleted_parts")
+        # 3) unreferenced shard files older than the grace window
+        for full in codec.list_shards(path):
+            if os.path.basename(full) not in referenced_shards:
+                _rm(full, "deleted_shards")
+        # 4) crash debris: displaced spec-named files, torn in-progress
+        #    writes, stale lock remnants, stale staging output
+        for pat in ("*.trash-*", "*.inprogress", "_commit.lock.*", "*.tmp-*"):
+            for full in glob.glob(os.path.join(path, pat)):
+                _rm(full, "deleted_debris")
+        staging = os.path.join(path, STAGING_DIR)
+        if os.path.isdir(staging):
+            # task staging DIRECTORIES (stream writes land in
+            # _staging/task-*/ and are renamed out at batch commit);
+            # a dir is stale only when nothing inside it is recent
+            for f in os.listdir(staging):
+                full = os.path.join(staging, f)
+                try:
+                    if os.path.isdir(full):
+                        mtimes = [os.path.getmtime(full)] + [
+                            os.path.getmtime(os.path.join(full, g))
+                            for g in os.listdir(full)
+                        ]
+                        if now - max(mtimes) < grace_seconds:
+                            continue
+                        size = sum(
+                            os.path.getsize(os.path.join(full, g))
+                            for g in os.listdir(full)
+                        )
+                        out["deleted_debris"].append(os.path.relpath(full, path))
+                        out["bytes_reclaimed"] += size
+                        if not dry_run:
+                            shutil.rmtree(full, ignore_errors=True)
+                    else:
+                        _rm(full, "deleted_debris")
+                except OSError:
+                    continue
+    return out
+
+
 def read_shardpack(
     spark,
     path: str,
