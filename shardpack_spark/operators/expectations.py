@@ -135,11 +135,9 @@ def check(df: DataFrame, rules: list[Rule]) -> dict:
     materialization is the one-row aggregate — never data rows.
     """
     aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
-    agg_names: list[str] = []
     for i, r in enumerate(rules):
         if r.kind in _ROW_LOCAL:
             aggs.append(F.sum(_violation_expr(r)).alias(f"__v{i}"))
-            agg_names.append(f"__v{i}")
         elif r.kind == "unique":
             cols = r.params["columns"]
             # rows belonging to a duplicated key: count - countDistinct
@@ -153,9 +151,8 @@ def check(df: DataFrame, rules: list[Rule]) -> dict:
             aggs.append(
                 (F.count(key) - F.count_distinct(key)).alias(f"__v{i}")
             )
-            agg_names.append(f"__v{i}")
         elif r.kind == "foreign_key":
-            agg_names.append("")  # joined below, keep indexes aligned
+            pass  # joined below; no aggregate slot needed
         else:
             raise ValueError(f"unknown rule kind: {r.kind}")
 
@@ -214,7 +211,7 @@ def quarantine(df: DataFrame, rules: list[Rule]) -> tuple[DataFrame, DataFrame]:
                 for r in local
             ]
         )
-    )
+    ).cast("array<string>")  # stable schema even with zero rules
     tagged = df.withColumn("_violated", tags)
     clean = tagged.where(F.size("_violated") == 0).drop("_violated")
     dirty = tagged.where(F.size("_violated") > 0)

@@ -148,3 +148,16 @@ def test_quarantine_rejects_non_row_local(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="row-local"):
         quarantine(docs, [unique("doc_id")])
+
+
+def test_edge_cases(spark):
+    # empty input: nothing violates, no division-by-zero
+    empty = spark.range(0).selectExpr("id AS x")
+    rep = check(empty, [not_null("x")])
+    assert rep["passed"] is True and rep["total_rows"] == 0
+    # zero rules: trivially passing report, all rows clean, stable schema
+    three = spark.range(3)
+    assert check(three, [])["passed"] is True
+    clean, dirty = quarantine(three, [])
+    assert clean.count() == 3 and dirty.count() == 0
+    assert dict(dirty.dtypes)["_violated"] == "array<string>"

@@ -162,6 +162,18 @@ def test_vacuum_reclaims_crash_debris(spark, tmp_path):
     assert spark.read.format("shardpack").load(out).count() == 5
 
 
+def test_vacuum_keep_more_versions_than_exist(spark, tmp_path):
+    register(spark)
+    out = str(tmp_path / "ds")
+    _append(spark, out, 0, 5)
+    rep = vacuum(out, keep_versions=10, grace_seconds=0)
+    assert rep["expired_versions"] == []
+    assert rep["retained_versions"] == [1]
+    assert spark.read.format("shardpack").load(out).count() == 5
+    with pytest.raises(ValueError, match="keep_versions"):
+        vacuum(out, keep_versions=0)
+
+
 def test_vacuum_untouched_without_manifest(tmp_path):
     out = str(tmp_path / "adhoc")
     w = codec.DatasetWriter(out, basename="adhoc")
