@@ -175,3 +175,163 @@ def cms_estimate(sketch: DataFrame, items: DataFrame, col: str) -> DataFrame:
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# --- KLL quantile sketches (mergeable distributions) ------------------------
+#
+# The third leg of the sketch family: HLL answers "how many distinct", CMS
+# answers "how often does this value occur", KLL answers "what does the
+# DISTRIBUTION look like" — quantiles/ranks with a proven normalized-rank
+# error bound (~1.65% at the default k=200), in O(k log n) bytes per
+# group.  Spark 4 ships the Apache DataSketches KLL family as JVM
+# aggregates, so build/merge/query are all codegen: scan the base data
+# once, keep one sketch per fine-grained group, answer ANY coarser
+# rollup's percentiles by merging sketches — exactly the shape a 100 TB
+# "p99 latency per region per day, rolled up to per-region" query needs,
+# with only (group, sketch) rows ever shuffled.  While a group holds
+# fewer than k values the sketch stores them all and quantiles are EXACT
+# (tests pin that down against DuckDB).
+
+_KLL = {
+    "bigint": (
+        F.kll_sketch_agg_bigint,
+        F.kll_merge_agg_bigint,
+        F.kll_sketch_get_quantile_bigint,
+    ),
+    "double": (
+        F.kll_sketch_agg_double,
+        F.kll_merge_agg_double,
+        F.kll_sketch_get_quantile_double,
+    ),
+    "float": (
+        F.kll_sketch_agg_float,
+        F.kll_merge_agg_float,
+        F.kll_sketch_get_quantile_float,
+    ),
+}
+
+QSKETCH = "__kll_sketch"
+
+
+def _kll_fns(dtype: str):
+    if dtype not in _KLL:
+        raise ValueError(f"dtype must be one of {sorted(_KLL)}, got {dtype!r}")
+    return _KLL[dtype]
+
+
+def quantile_sketches(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 200,
+    dtype: str = "double",
+) -> DataFrame:
+    """One binary KLL sketch of ``value_col`` per group — the scan-once
+    artifact for distribution rollups.  ``dtype`` picks the sketch family
+    (values are cast to it); integer columns should use 'bigint' so
+    quantiles stay exact integers below the k threshold."""
+    if not 8 <= k <= 65535:
+        raise ValueError(f"k must be in [8, 65535], got {k}")
+    agg, _, _ = _kll_fns(dtype)
+    sk = agg(F.col(value_col).cast(dtype), F.lit(k)).alias(QSKETCH)
+    out = df.groupBy(*group_cols).agg(sk) if group_cols else df.agg(sk)
+    return out.withColumn("__kll_dtype", F.lit(dtype))
+
+
+def rollup_quantiles(
+    sketches: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float] = (0.5, 0.9, 0.99),
+    dtype: str | None = None,
+) -> DataFrame:
+    """Merge fine-grained KLL sketches up to ``group_cols`` and emit one
+    ``p{percent}`` column per requested quantile.
+
+    Input is ``quantile_sketches`` output (or a previous rollup — merges
+    compose).  The sketch dtype is read from the frame's own
+    ``__kll_dtype`` tag unless overridden, so build and query can never
+    silently disagree on the sketch family."""
+    if dtype is None:
+        col_types = dict(sketches.dtypes)
+        if "__kll_dtype" not in col_types:
+            raise ValueError(
+                "sketch frame has no __kll_dtype tag; pass dtype= explicitly"
+            )
+        tags = [r[0] for r in sketches.select("__kll_dtype").distinct().collect()]
+        if len(tags) != 1:
+            raise ValueError(f"mixed sketch dtypes cannot merge: {sorted(tags)}")
+        dtype = tags[0]
+    _, merge, get_q = _kll_fns(dtype)
+    for q in quantiles:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    merged = (
+        sketches.groupBy(*group_cols).agg(merge(F.col(QSKETCH)).alias(QSKETCH))
+        if group_cols
+        else sketches.agg(merge(F.col(QSKETCH)).alias(QSKETCH))
+    )
+    cols = [
+        get_q(F.col(QSKETCH), F.lit(float(q))).alias(f"p{round(q * 100, 4):g}")
+        for q in quantiles
+    ]
+    return merged.select(*group_cols, *cols)
+
+
+# --- theta sketches (mergeable distinct-set ALGEBRA) ------------------------
+#
+# HLL unions but cannot intersect.  Theta sketches support union,
+# intersection, and A-NOT-B over distinct sets — "how many doc_ids appear
+# in BOTH crawls", "how many users churned between snapshots" — without
+# ever joining the base tables: scan each side once into bounded binary
+# sketches, then the set algebra runs on kilobytes.  Below the sketch's
+# retention threshold (~2^lgk values) results are exact.
+
+
+TSKETCH = "__theta_sketch"
+
+
+def theta_sketches(
+    df: DataFrame, key: str, group_cols: list[str], lgk: int = 12
+) -> DataFrame:
+    """One binary theta sketch of distinct ``key`` values per group."""
+    if not 4 <= lgk <= 26:
+        raise ValueError(f"lgk must be in [4, 26], got {lgk}")
+    sk = F.theta_sketch_agg(F.col(key), F.lit(lgk)).alias(TSKETCH)
+    return df.groupBy(*group_cols).agg(sk) if group_cols else df.agg(sk)
+
+
+def theta_rollup(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union theta sketches up to ``group_cols`` and estimate distincts."""
+    unioned = (
+        sketches.groupBy(*group_cols).agg(F.theta_union_agg(F.col(TSKETCH)).alias(TSKETCH))
+        if group_cols
+        else sketches.agg(F.theta_union_agg(F.col(TSKETCH)).alias(TSKETCH))
+    )
+    return unioned.withColumn("approx_distinct", F.theta_sketch_estimate(F.col(TSKETCH)))
+
+
+def theta_set_estimate(a: DataFrame, b: DataFrame, on: list[str]) -> DataFrame:
+    """Distinct-set overlap between two sketch frames, per ``on`` group.
+
+    Inputs are ``theta_sketches`` outputs sharing the grouping.  Returns
+    one row per group with ``union_est`` / ``intersect_est`` /
+    ``a_not_b_est`` / ``jaccard_est`` — the full audit of how two
+    corpora/snapshots relate, computed entirely on sketch bytes (inner
+    join on the group key, kilobytes a side, broadcastable)."""
+    left = a.select(*on, F.col(TSKETCH).alias("__ta"))
+    right = b.select(*on, F.col(TSKETCH).alias("__tb"))
+    j = left.join(right, on, "inner")
+    uni = F.theta_sketch_estimate(F.theta_union(F.col("__ta"), F.col("__tb")))
+    inter = F.theta_sketch_estimate(F.theta_intersection(F.col("__ta"), F.col("__tb")))
+    anotb = F.theta_sketch_estimate(F.theta_difference(F.col("__ta"), F.col("__tb")))
+    return j.select(
+        *on,
+        uni.alias("union_est"),
+        inter.alias("intersect_est"),
+        anotb.alias("a_not_b_est"),
+    ).withColumn(
+        "jaccard_est",
+        F.when(F.col("union_est") > 0, F.col("intersect_est") / F.col("union_est")).otherwise(
+            F.lit(0.0)
+        ),
+    )
