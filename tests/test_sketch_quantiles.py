@@ -116,6 +116,44 @@ def test_theta_rollup_union_exact(spark, sf_dir):
     assert total == docs.select("doc_id").distinct().count()
 
 
+def test_kll_streaming_windowed_quantiles(spark, sf_dir, tmp_path):
+    """The sketch family composes with Structured Streaming: per-hour KLL
+    sketches built by a streaming aggregation answer the same quantiles
+    as the batch computation (exact below k, so equality is literal)."""
+    from tests.test_streaming import EVENT_SCHEMA
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "events_json"
+    src.mkdir()
+    events.coalesce(1).write.mode("overwrite").json(str(src))
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    q = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.kll_sketch_agg_double("value").alias("__kll_sketch"))
+        .writeStream.format("memory")
+        .queryName("t_kll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+    got = {
+        (r["w"]["start"], r["p50"]): None
+        for r in spark.sql(
+            "SELECT w, kll_sketch_get_quantile_double(__kll_sketch, 0.5) AS p50"
+            " FROM t_kll_stream"
+        ).collect()
+    }
+    by_hour: dict = {}
+    for r in events.select(F.date_trunc("hour", "ts").alias("h"), "value").collect():
+        by_hour.setdefault(r["h"], []).append(r["value"])
+    want = {
+        (h, _inclusive_quantile(vals, 0.5)): None for h, vals in by_hour.items()
+    }
+    assert got == want
+
+
 def test_theta_overlap_on_real_text(spark, sf_dir):
     """Distinct-text overlap between two languages, vs the exact join."""
     docs = load_table(spark, sf_dir, "documents")
