@@ -150,6 +150,29 @@ def test_quarantine_rejects_non_row_local(spark, sf_dir):
         quarantine(docs, [unique("doc_id")])
 
 
+def test_single_scan_plan(spark, sf_dir):
+    """The combined rule aggregation reads the source exactly once, even
+    with row-local rules and multiple uniqueness (count-distinct) rules
+    mixed — Spark plans multi-distinct via one Expand over one scan."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.operators.expectations import _violation_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [not_null("text"), in_range("n_chars", lo=1), unique("doc_id"), unique("text")]
+    aggs = [F.count(F.lit(1)).alias("t")]
+    for i, r in enumerate(rules):
+        if r.kind == "unique":
+            c = r.params["columns"][0]
+            aggs.append((F.count(c) - F.count_distinct(c)).alias(f"v{i}"))
+        else:
+            aggs.append(F.sum(_violation_expr(r)).alias(f"v{i}"))
+    plan = docs.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+
 def test_edge_cases(spark):
     # empty input: nothing violates, no division-by-zero
     empty = spark.range(0).selectExpr("id AS x")
