@@ -1415,6 +1415,59 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
         return {"folded": len(to_fold), "shards": len(shards)}
 
 
+def rollback(path: str, to_version: int) -> dict:
+    """Make snapshot ``to_version`` the live manifest again (undo commits).
+
+    The append-only commit log makes this metadata-only: the archived
+    root `root-{to_version}` lists exactly the manifest parts (and hence
+    shards) of that snapshot, all immutable, so re-pointing the live
+    manifest at it restores the dataset byte-for-byte — no data copy at
+    any scale.  Roots NEWER than the target are deleted (their commits
+    are being undone; the next commit re-uses their version ids, so a
+    stale root must not shadow it), which also makes the rolled-back
+    commits' shards unreferenced — ``vacuum`` then reclaims them.
+
+    The bad-ingest workflow this exists for (write-audit-publish):
+    append a batch, audit the delta (``read_version_delta`` +
+    expectations ``check``), and on failure ``rollback`` to the
+    pre-ingest version — the failed batch vanishes atomically.
+
+    Runs under the commit lock.  Returns {"restored_version",
+    "dropped_versions", "total_records"}.
+    """
+    with _CommitLock(path):
+        snap = _load_manifest(path, to_version)  # raises if never committed
+        parts_dir = os.path.join(path, MANIFEST_PARTS_DIR)
+        newer = sorted(
+            f
+            for f in os.listdir(parts_dir)
+            if f.startswith("root-")
+            and f.endswith(".json")
+            and f[5:13].isdigit()
+            and int(f[5:13]) > to_version
+        )
+        # live swap FIRST (atomic, the commit point), then drop newer
+        # roots — a crash in between leaves extra root files whose
+        # version ids the next commit would collide with, so it must be
+        # cleaned before any new commit... which is exactly the order
+        # below: remove() happens inside the same lock hold, and a crash
+        # here is healed by re-running rollback (idempotent).
+        live = {k: v for k, v in snap.items() if k != "shards"} or {}
+        live.setdefault("version", 3)
+        live["version_id"] = to_version
+        _write_manifest(path, live)
+        for f in newer:
+            try:
+                os.remove(os.path.join(parts_dir, f))
+            except OSError:
+                pass
+        return {
+            "restored_version": to_version,
+            "dropped_versions": [int(f[5:13]) for f in newer],
+            "total_records": snap.get("total_records", 0),
+        }
+
+
 def vacuum(
     path: str,
     keep_versions: int = 1,
