@@ -1400,19 +1400,38 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
             comp = prior.get("compression", "none")
             target = prior.get("target_shard_bytes", codec.DEFAULT_TARGET_SHARD_BYTES)
         parts.append(_write_manifest_part(path, shards))
-        _write_manifest(
-            path,
-            {
-                "version": 3,
-                "compression": comp,
-                "target_shard_bytes": target,
-                "parts": parts,
-                "total_records": total + sum(s["records"] for s in shards),
-            },
-        )
+        # A fold is a COMMIT like any other: archive its root so every
+        # live-manifest state is a named snapshot.  Without this,
+        # rollback() to any archived version would silently drop the
+        # folded stream entries (their markers are deleted below, and no
+        # root references their part).
+        prior_vid = (prior or {}).get("version_id")
+        if prior_vid is None:
+            roots = glob.glob(os.path.join(path, MANIFEST_PARTS_DIR, "root-*.json"))
+            ids = [
+                int(os.path.basename(r)[5:13])
+                for r in roots
+                if os.path.basename(r)[5:13].isdigit()
+            ]
+            prior_vid = max(ids) if ids else 0
+        vid = 1 + prior_vid
+        manifest = {
+            "version": 3,
+            "version_id": vid,
+            "compression": comp,
+            "target_shard_bytes": target,
+            "parts": parts,
+            "total_records": total + sum(s["records"] for s in shards),
+        }
+        arch = os.path.join(path, MANIFEST_PARTS_DIR, f"root-{vid:08d}.json")
+        os.makedirs(os.path.dirname(arch), exist_ok=True)
+        with open(arch + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(arch + ".tmp", arch)
+        _write_manifest(path, manifest)
         for mp in to_fold:  # only after the new root is durable
             os.remove(mp)
-        return {"folded": len(to_fold), "shards": len(shards)}
+        return {"folded": len(to_fold), "shards": len(shards), "version": vid}
 
 
 def rollback(path: str, to_version: int) -> dict:

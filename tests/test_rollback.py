@@ -77,6 +77,38 @@ def test_write_audit_publish_workflow(spark, tmp_path):
     assert _keys(spark, out) == good
 
 
+def test_fold_is_a_snapshot_rollback_keeps_folded_stream_data(spark, tmp_path):
+    """fold_stream_markers archives a root like any commit, so a later
+    rollback never drops folded streamed records."""
+    import json
+
+    from shardpack_spark.format.datasource import fold_stream_markers
+
+    register(spark)
+    out = str(tmp_path / "ds")
+    _append(spark, out, 0, 5)  # v1
+    # two committed micro-batches (marker-only visibility)
+    for batch in (7, 8):
+        w = codec.DatasetWriter(out, basename=f"c{batch:08d}-part-00000-abcd{batch:04d}")
+        w.write(codec.Record(key=f"stream{batch}", entries=[
+            codec.FileEntry("t", "text/plain", b"s")
+        ]))
+        name = os.path.basename(w.close()[0]["path"])
+        with open(os.path.join(out, f"_batch_{batch:08d}.json"), "w") as f:
+            json.dump({"batch": batch, "shards": [{"path": name, "records": 1}]}, f)
+
+    rep = fold_stream_markers(out, keep_last=1)  # folds batch 7 -> v2
+    assert rep["folded"] == 1 and rep["version"] == 2
+    assert [v["version"] for v in list_versions(out)] == [1, 2]
+
+    _append(spark, out, 100, 103)  # v3
+    rollback(out, 2)
+    keys = _keys(spark, out)
+    assert "stream7" in keys  # folded entry survives the rollback
+    assert "stream8" in keys  # unfolded marker batch still visible too
+    assert not any(k.startswith("k0001") for k in keys)  # v3 undone
+
+
 def test_rollback_unknown_version_raises(spark, tmp_path):
     register(spark)
     out = str(tmp_path / "ds")

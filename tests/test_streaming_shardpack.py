@@ -96,7 +96,7 @@ def test_fold_stream_markers(spark, tmp_path):
 
     assert read_shardpack(spark, out).count() == 8
     stats = fold_stream_markers(out, keep_last=3)
-    assert stats == {"folded": 5, "shards": 5}
+    assert stats == {"folded": 5, "shards": 5, "version": 1}
     # 3 newest markers remain for replay detection
     assert len(_glob.glob(os.path.join(out, "_batch_*.json"))) == 3
     m = _load_manifest(out)
