@@ -1453,6 +1453,13 @@ def rollback(path: str, to_version: int) -> dict:
 
     Runs under the commit lock.  Returns {"restored_version",
     "dropped_versions", "total_records"}.
+
+    Streaming caveat (inherent to undo, same as other table formats):
+    a stream consuming this dataset keyed its progress to shard names it
+    may already have read from the undone commits; once vacuum reclaims
+    those shards their commit sequences are re-used by later commits,
+    which can sort at-or-below the stream's name watermark.  Restart
+    such streams with a fresh checkpoint after a rollback.
     """
     with _CommitLock(path):
         snap = _load_manifest(path, to_version)  # raises if never committed
