@@ -52,6 +52,8 @@ import struct
 from collections.abc import Iterable, Iterator
 from dataclasses import dataclass, field
 
+from shardpack_spark.format import storage
+
 MAGIC = b"SHARDPK1"
 DEFAULT_TARGET_SHARD_BYTES = 256 * 1024 * 1024  # reference src/shard/config.rs:1
 # NOTE: no precompiled struct.Struct objects at module level — the
@@ -384,7 +386,28 @@ def _xxh64(data: bytes, seed: int = 0) -> int:
     return h
 
 
+_zstd_fallback_warned = False
+
+
 def _zstd_compress(src: bytes) -> bytes:
+    # Honesty over silence: this pure-Python encoder emits spec-compliant
+    # frames restricted to Raw/RLE blocks — interoperable, but ~0%
+    # compression on general data.  It only engages when neither pyarrow
+    # nor zstandard is importable; say so ONCE per process rather than
+    # letting "compression=zstd" silently store uncompressed bytes.
+    global _zstd_fallback_warned
+    if not _zstd_fallback_warned:
+        _zstd_fallback_warned = True
+        import warnings
+
+        warnings.warn(
+            "compression='zstd' is using the pure-Python fallback encoder "
+            "(no pyarrow/zstandard in this environment): frames are valid "
+            "zstd but Raw/RLE-only, so data is stored ~uncompressed. "
+            "Install pyarrow or zstandard for real compression.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     out = bytearray(_ZSTD_MAGIC)
     n = len(src)
     # Frame_Header_Descriptor: FCS-size flag in bits 7-6, Single_Segment
@@ -697,20 +720,36 @@ def decode_record(
 class ShardWriter:
     """Single-pass shard writer: stream record blocks, append EOF index on
     close (draft.md:399-401).  Tracks size in memory — no read-back probe
-    (avoids the reference's O(shard) size probe, SURVEY.md §3.1 step 3)."""
+    (avoids the reference's O(shard) size probe, SURVEY.md §3.1 step 3).
 
-    def __init__(self, path: str, compression: str = "none", shard_metadata: dict | None = None):
+    Crash safety via the storage WriteHandle contract: the shard becomes
+    visible at its final name only when close() returns with the footer
+    written (local FS: hidden tmp + atomic rename; object stores:
+    whole-object put / multipart complete).  A failed/killed task can
+    never leave a footer-less .shardpack that poisons later reads.
+
+    ``max_record_bytes`` / ``max_entry_bytes`` are the reference
+    roadmap's record-size limits (/root/reference/src/lib.rs:16-26)
+    turned into writer validation: an oversized record/entry raises
+    ShardPackCodecError *before* any bytes land, instead of silently
+    producing a monster shard that breaks executor memory sizing."""
+
+    def __init__(
+        self,
+        path: str,
+        compression: str = "none",
+        shard_metadata: dict | None = None,
+        max_record_bytes: int | None = None,
+        max_entry_bytes: int | None = None,
+    ):
         if compression not in _CODECS:
             raise ShardPackCodecError(f"compression '{compression}' not available")
         self.path = path
         self.compression = compression
         self.shard_metadata = shard_metadata or {}
-        # Crash safety: stream into a temp name that list_shards() can never
-        # see (no .shardpack suffix) and rename on close — a failed/killed
-        # task leaves only an invisible orphan, never a footer-less
-        # .shardpack that poisons every later read with a bad-magic error.
-        self._tmp_path = path + ".inprogress"
-        self._f = open(self._tmp_path, "wb")
+        self.max_record_bytes = max_record_bytes
+        self.max_entry_bytes = max_entry_bytes
+        self._f = storage.for_path(path).create(path)
         self._offsets: list[int] = []
         self._pos = 0
 
@@ -723,11 +762,28 @@ class ShardWriter:
         return len(self._offsets)
 
     def write_record(self, record: Record) -> int:
+        if self.max_entry_bytes is not None:
+            for e in record.entries:
+                if len(e.data) > self.max_entry_bytes:
+                    raise ShardPackCodecError(
+                        f"entry '{e.file_name}' of key '{record.key}': "
+                        f"{len(e.data)} bytes exceeds max_entry_bytes="
+                        f"{self.max_entry_bytes}"
+                    )
         block = encode_record(record, self.compression)
+        if self.max_record_bytes is not None and len(block) > self.max_record_bytes:
+            raise ShardPackCodecError(
+                f"record '{record.key}': encoded block {len(block)} bytes "
+                f"exceeds max_record_bytes={self.max_record_bytes}"
+            )
         self._offsets.append(self._pos)
         self._f.write(block)
         self._pos += len(block)
         return len(block)
+
+    def abort(self) -> None:
+        """Discard the in-flight shard (task failure cleanup)."""
+        self._f.abort()
 
     def close(self) -> dict:
         index_start = self._pos
@@ -738,12 +794,13 @@ class ShardWriter:
         self._f.write(_lp_bytes(meta_b))
         self._f.write(struct.pack("<Q", index_start))
         self._f.write(MAGIC)
-        self._f.close()
-        os.replace(self._tmp_path, self.path)  # file becomes visible atomically
+        self._f.close()  # publish: the shard appears atomically, footer and all
+        # size is tracked in memory — no post-close stat round-trip
+        index_bytes = 8 + 8 * len(self._offsets) + 4 + len(meta_b) + 8 + len(MAGIC)
         return {
             "path": self.path,
             "records": len(self._offsets),
-            "bytes": os.path.getsize(self.path),
+            "bytes": index_start + index_bytes,
         }
 
 
@@ -757,11 +814,15 @@ class ShardIndex:
 
 
 def read_index(path: str) -> ShardIndex:
-    """Load only the EOF index: one tail read, no record payloads."""
-    size = os.path.getsize(path)
-    if size < 16 + len(MAGIC):
-        raise ShardPackIndexError(f"{path}: too small to be a shardpack file")
-    with open(path, "rb") as f:
+    """Load only the EOF index: one tail read, no record payloads.
+
+    Size comes from seek-to-end on the already-open handle, not a
+    separate stat — one round trip fewer per shard on object stores."""
+    with storage.for_path(path).open_read(path) as f:
+        f.seek(0, 2)
+        size = f.tell()
+        if size < 16 + len(MAGIC):
+            raise ShardPackIndexError(f"{path}: too small to be a shardpack file")
         f.seek(size - 8 - len(MAGIC))
         tail = f.read(8 + len(MAGIC))
         if tail[8:] != MAGIC:
@@ -793,7 +854,7 @@ def read_record_at(
     Reads the block header first, then exactly the block — a partial read,
     fixing the reference's whole-shard fetch (SURVEY.md D4).
     """
-    with open(path, "rb") as f:
+    with storage.for_path(path).open_read(path) as f:
         f.seek(offset)
         head = f.read(8)
         (record_size,) = struct.unpack("<Q", head)
@@ -819,7 +880,7 @@ def iter_records(
         # (the index-serves-metadata access path, src/bucket.rs:185-188).
         avg = idx.index_start / max(1, len(offsets))
         if skip_entries and avg > 64 * 1024:
-            with open(path, "rb") as f:
+            with storage.for_path(path).open_read(path) as f:
                 for off in offsets:
                     f.seek(off)
                     head = f.read(8)
@@ -846,8 +907,7 @@ def iter_records(
                         metadata=json.loads(meta_b) if meta_b else {},
                     )
             return
-        with open(path, "rb") as f:
-            buf = f.read(idx.index_start)
+        buf = storage.for_path(path).read_bytes(path, 0, idx.index_start)
         pos = 0
         for _ in range(len(offsets)):
             rec, pos = decode_record(buf, pos, verify_checksums, skip_payload, skip_entries)
@@ -879,12 +939,16 @@ class DatasetWriter:
         compression: str = "none",
         target_shard_bytes: int = DEFAULT_TARGET_SHARD_BYTES,
         start_shard_id: int = 0,
+        max_record_bytes: int | None = None,
+        max_entry_bytes: int | None = None,
     ):
-        os.makedirs(directory, exist_ok=True)
+        storage.for_path(directory).makedirs(directory)
         self.directory = directory
         self.basename = basename
         self.compression = compression
         self.target = target_shard_bytes
+        self.max_record_bytes = max_record_bytes
+        self.max_entry_bytes = max_entry_bytes
         self._shard_id = start_shard_id
         self._writer: ShardWriter | None = None
         self.results: list[dict] = []
@@ -892,7 +956,12 @@ class DatasetWriter:
     def _open_next(self) -> ShardWriter:
         path = os.path.join(self.directory, shard_name(self.basename, self._shard_id))
         self._shard_id += 1
-        return ShardWriter(path, self.compression)
+        return ShardWriter(
+            path,
+            self.compression,
+            max_record_bytes=self.max_record_bytes,
+            max_entry_bytes=self.max_entry_bytes,
+        )
 
     def write(self, record: Record) -> None:
         if self._writer is None:
@@ -924,5 +993,7 @@ def write_dataset(
 
 def list_shards(directory: str) -> list[str]:
     return sorted(
-        os.path.join(directory, f) for f in os.listdir(directory) if f.endswith(".shardpack")
+        os.path.join(directory, f)
+        for f in storage.for_path(directory).listdir(directory)
+        if f.endswith(".shardpack")
     )

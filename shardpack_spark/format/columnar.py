@@ -49,7 +49,7 @@ import urllib.parse
 
 from pyspark.sql import functions as F
 
-from shardpack_spark.format import codec
+from shardpack_spark.format import codec, storage
 from shardpack_spark.format.datasource import (
     _load_manifest,
     _write_manifest,  # noqa: F401  (re-exported for maintenance jobs)
@@ -67,10 +67,10 @@ def _col_dir(name: str) -> str:
 def list_columns(path: str) -> list[str]:
     """Columns present in a columnar dataset (from the commit map)."""
     cp = os.path.join(path, COLUMNS_FILE)
-    if not os.path.exists(cp):
+    be = storage.for_path(path)
+    if not be.exists(cp):
         raise codec.ShardPackIOError(f"no {COLUMNS_FILE} under {path}")
-    with open(cp) as f:
-        return sorted(json.load(f)["columns"])
+    return sorted(json.loads(be.read_bytes(cp))["columns"])
 
 
 def write_columnar(
@@ -105,8 +105,9 @@ def write_columnar(
 
     # one source scan feeds all per-column writes
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    be = storage.for_path(path)
     try:
-        os.makedirs(path, exist_ok=True)
+        be.makedirs(path)
         counts: dict[str, int] = {}
         for name in sorted(columns):
             one = (
@@ -146,17 +147,15 @@ def write_columnar(
         # "updating small columns" case (draft.md:207-211)
         existing: set[str] = set()
         cp = os.path.join(path, COLUMNS_FILE)
-        if os.path.exists(cp):
-            with open(cp) as f:
-                existing = set(json.load(f).get("columns", []))
-        tmp = cp + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
+        if be.exists(cp):
+            existing = set(json.loads(be.read_bytes(cp)).get("columns", []))
+        be.write_atomic(
+            cp,
+            json.dumps(
                 {"version": 1, "columns": sorted(existing | set(columns))},
-                f,
                 indent=1,
-            )
-        os.replace(tmp, cp)
+            ).encode(),
+        )
         return counts
     finally:
         df.unpersist()

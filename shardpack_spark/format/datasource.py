@@ -82,12 +82,10 @@ Options:
 from __future__ import annotations
 
 import base64
-import glob
 import hashlib
 import json
 import os
 import re
-import shutil
 import uuid
 from dataclasses import dataclass
 from typing import TYPE_CHECKING
@@ -114,7 +112,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from shardpack_spark.format import codec
+from shardpack_spark.format import codec, storage
 
 if TYPE_CHECKING:
     from collections.abc import Iterator, Sequence
@@ -153,12 +151,11 @@ class ShardPartition(InputPartition):
 
 def _norm_path(p: str | None) -> str | None:
     """Accept plain paths and file: URIs (SQL DDL and catalog layers hand
-    the table location over as 'file:/x' or 'file:///x')."""
+    the table location over as 'file:/x' or 'file:///x').  Other schemes
+    (sim://, memory://, s3://, ...) pass through and select their storage
+    backend (storage.for_path)."""
     if p and p.startswith("file:"):
-        rest = p[5:]
-        while rest.startswith("//"):
-            rest = rest[1:]
-        return rest
+        return storage.strip_file_uri(p)
     return p
 
 
@@ -177,90 +174,149 @@ def _load_manifest(path: str, version: int | None = None) -> dict | None:
     commit's view (time travel).  History spans appends since the last
     overwrite/compaction — overwrite deletes the old data files, so it
     resets the version chain too."""
+    be = storage.for_path(path)
     if version is not None:
         mp = os.path.join(path, MANIFEST_PARTS_DIR, f"root-{version:08d}.json")
-        if not os.path.exists(mp):
+        if not be.exists(mp):
             raise codec.ShardPackIOError(
                 f"version {version} not available under {path} "
                 "(never committed, or removed by a later overwrite)"
             )
     else:
         mp = os.path.join(path, MANIFEST_NAME)
-        if not os.path.exists(mp):
+        if not be.exists(mp):
             return None
-    with open(mp) as f:
-        root = json.load(f)
+    root = json.loads(be.read_bytes(mp))
     if root.get("version", 2) >= 3 and "parts" in root:
         shards: list[dict] = []
         for rel in root["parts"]:
             part_path = os.path.join(path, rel)
-            if not os.path.exists(part_path):
+            try:
+                shards.extend(json.loads(be.read_bytes(part_path))["shards"])
+            except FileNotFoundError:
                 raise codec.ShardPackIOError(
                     f"manifest part {rel} missing under {path} "
                     "(snapshot removed by a later overwrite?)"
-                )
-            with open(part_path) as f:
-                shards.extend(json.load(f)["shards"])
+                ) from None
         return {**root, "shards": shards}
     return root
 
 
+def _root_ids(path: str) -> list[int]:
+    """Version ids of all archived snapshot roots (one listing, no JSON
+    parsing)."""
+    be = storage.for_path(path)
+    return sorted(
+        int(f[5:13])
+        for f in be.glob_names(os.path.join(path, MANIFEST_PARTS_DIR), "root-*.json")
+        if f[5:13].isdigit()
+    )
+
+
+def _observe_latest(path: str) -> tuple[dict | None, int]:
+    """ONE consistent observation of the newest committed state:
+    (manifest | None, version-id floor for the next commit).
+
+    On object stores two racing commits can publish their roots via
+    conditional put (the real serialization point) and then write the
+    live pointer out of order; the pointer may briefly lag or regress.
+    'Latest' therefore resolves as max(pointer.version_id, max archived
+    root id): one extra listing, zero extra JSON reads in the common
+    case.
+
+    The vid floor MUST come from the same listing that resolved the
+    manifest: re-listing at claim time would let a commit observe a
+    newer root id than the state it merged and claim an unclaimed
+    higher vid, silently dropping the unseen commits — with one
+    observation, claiming floor+1 collides (CAS) with any commit that
+    landed in between, forcing the re-merge."""
+    m = _load_manifest(path)
+    ids = _root_ids(path)
+    top = ids[-1] if ids else 0
+    if top > (m or {}).get("version_id", 0):
+        m = _load_manifest(path, top)
+    return m, max(top, (m or {}).get("version_id", 0))
+
+
+def _load_latest_manifest(path: str) -> dict | None:
+    """Newest committed state — see _observe_latest."""
+    return _observe_latest(path)[0]
+
+
 def list_versions(path: str) -> list[dict]:
     """Committed snapshots, oldest first: [{version, total_records}]."""
+    be = storage.for_path(path)
     d = os.path.join(path, MANIFEST_PARTS_DIR)
     out = []
-    if os.path.isdir(d):
-        for f in sorted(os.listdir(d)):
-            if f.startswith("root-") and f.endswith(".json"):
-                with open(os.path.join(d, f)) as fh:
-                    r = json.load(fh)
-                out.append(
-                    {
-                        "version": int(f[5:13]),
-                        "total_records": r.get("total_records", 0),
-                    }
-                )
+    for f in be.glob_names(d, "root-*.json"):
+        r = json.loads(be.read_bytes(os.path.join(d, f)))
+        out.append(
+            {
+                "version": int(f[5:13]),
+                "total_records": r.get("total_records", 0),
+            }
+        )
     return out
 
 
 def _write_manifest_part(path: str, shards: list[dict]) -> str:
     """Write one immutable manifest part; returns its root-relative path."""
-    d = os.path.join(path, MANIFEST_PARTS_DIR)
-    os.makedirs(d, exist_ok=True)
+    be = storage.for_path(path)
+    be.makedirs(os.path.join(path, MANIFEST_PARTS_DIR))
     rel = os.path.join(
         MANIFEST_PARTS_DIR, f"part-{uuid.uuid4().hex[:12]}.json"
     )
-    tmp = os.path.join(path, rel) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"shards": sorted(shards, key=lambda s: s["path"])}, f)
-    os.replace(tmp, os.path.join(path, rel))
+    be.write_atomic(
+        os.path.join(path, rel),
+        json.dumps({"shards": sorted(shards, key=lambda s: s["path"])}).encode(),
+    )
     return rel
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
-    """Two-phase manifest swap: readers see the old or the new manifest,
-    never a torn write (rename is atomic on POSIX; on object stores use a
-    conditional put — the single-file swap point is what matters)."""
+    """Live-pointer swap: readers see the old or the new manifest, never
+    a torn write (tmp+rename on POSIX, atomic whole-object put on
+    stores — write_atomic provides whichever the backend has).
+
+    The pointer is a read-optimization cache of the newest archived
+    root; under concurrent commits it may briefly point one version
+    back (see _load_latest_manifest), so it is written only if not
+    already newer."""
+    be = storage.for_path(path)
     mp = os.path.join(path, MANIFEST_NAME)
-    tmp = mp + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, mp)
+    try:
+        cur = json.loads(be.read_bytes(mp))
+        if cur.get("version_id", 0) > manifest.get("version_id", 0):
+            return  # a later commit already advanced the pointer
+    except (FileNotFoundError, ValueError):
+        pass
+    be.write_atomic(mp, json.dumps(manifest, indent=1, sort_keys=True).encode())
 
 
 class _CommitLock:
-    """Serializes the commit's read-merge-write of the manifest.
+    """Serializes the commit's read-merge-write window — for LIVENESS.
 
-    Two appends committing concurrently would otherwise both read the
-    prior manifest and the second write would silently drop the first's
-    shard entries.  An O_CREAT|O_EXCL lock file makes the merge atomic on
-    any filesystem with exclusive-create semantics (local, NFSv4); on
-    object stores the manifest swap should instead be a conditional put
-    (If-Match), which this class documents but cannot provide.  Locks
-    older than ``stale_after`` seconds are broken — a crashed driver must
-    not brick the dataset."""
+    SAFETY no longer depends on this lock: every commit publishes its
+    snapshot root via the backend's conditional create
+    (``put_if_absent(root-{vid}.json)``), so of two racing commits
+    exactly one claims a version id and the loser re-reads and re-merges
+    (see ShardPackWriter.commit).  The lock only keeps concurrent
+    writers from wasting work on doomed attempts.
+
+    Acquisition is the backend's ``put_if_absent`` — O_CREAT|O_EXCL
+    locally, CAS on memory://, conditional put (If-None-Match) on
+    stores that have one.  On backends whose put_if_absent is
+    best-effort (pyarrow.fs object stores today), the lock degrades to
+    advisory; the root-CAS still decides, but IT is also best-effort
+    there, so multi-writer deployments on such stores need a real
+    conditional-put backend (storage.register_backend) or an external
+    lock service — documented in docs/API.md.
+
+    Locks older than ``stale_after`` seconds are broken — a crashed
+    driver must not brick the dataset."""
 
     def __init__(self, path: str, timeout: float = 60.0, stale_after: float = 300.0):
+        self.be = storage.for_path(path)
         self.lock_path = os.path.join(path, "_commit.lock")
         self.timeout = timeout
         self.stale_after = stale_after
@@ -272,65 +328,76 @@ class _CommitLock:
         deadline = time.monotonic() + self.timeout
         while True:
             try:
-                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, self._token.encode())
-                os.close(fd)
-                return self
-            except FileExistsError:
-                try:
-                    age = time.time() - os.path.getmtime(self.lock_path)
-                    if age > self.stale_after:
+                if self.be.put_if_absent(self.lock_path, self._token.encode()):
+                    return self
+            except storage.UnsupportedOperation:
+                return self  # no conditional create: lock is a no-op,
+                # the commit CAS (or single-writer mode) carries safety
+            try:
+                age = time.time() - self.be.mtime(self.lock_path)
+                if age > self.stale_after:
+                    if self.be.atomic_rename:
                         # Break a dead holder's lock by RENAMING it to a
-                        # unique name: of N waiters that all saw it stale,
-                        # exactly one os.replace succeeds on the original
-                        # path (the rest raise and re-loop) — a bare
-                        # remove here would let a second waiter delete the
-                        # first waiter's freshly created lock.
+                        # unique name: of N waiters that all saw it
+                        # stale, exactly one replace succeeds (the rest
+                        # raise and re-loop) — a bare remove would let a
+                        # second waiter delete the first waiter's fresh
+                        # lock.
                         broken = self.lock_path + f".broken-{uuid.uuid4().hex[:8]}"
                         try:
-                            os.replace(self.lock_path, broken)
-                            os.remove(broken)
+                            self.be.replace(self.lock_path, broken)
+                            self.be.remove(broken)
                         except OSError:
                             pass
-                        continue
-                except OSError:
-                    continue  # holder released between stat and rename
-                if time.monotonic() > deadline:
-                    raise codec.ShardPackIOError(
-                        f"timed out waiting for commit lock {self.lock_path}"
-                    ) from None
-                time.sleep(0.05)
+                    else:
+                        # rename-less store: plain delete.  The residual
+                        # race (two breakers, one deletes the other's
+                        # fresh lock) needs a holder stuck past
+                        # stale_after AND loses only liveness — commit
+                        # safety rides on the root CAS.
+                        self.be.remove(self.lock_path)
+                    continue
+            except (OSError, FileNotFoundError):
+                continue  # holder released between probe and stat
+            if time.monotonic() > deadline:
+                raise codec.ShardPackIOError(
+                    f"timed out waiting for commit lock {self.lock_path}"
+                ) from None
+            time.sleep(0.05)
 
     def __exit__(self, *exc):
         # Only release a lock we still own: if ours was broken as stale
         # (pathological commit longer than stale_after), the file now
-        # belongs to another holder and must not be removed.  Claim via
-        # atomic rename FIRST, verify the token after — a read-then-remove
-        # would race a concurrent stale-break and delete the new holder's
-        # fresh lock.  If the claimed file turns out not to be ours, put
-        # it back via link (which refuses if yet another lock appeared).
-        # The residual race needs a holder past stale_after to arise at
-        # all; object stores should use conditional puts instead.
-        rel = self.lock_path + f".rel-{uuid.uuid4().hex[:8]}"
-        try:
-            os.replace(self.lock_path, rel)
-        except OSError:
-            return False  # already broken and cleaned up
-        try:
-            with open(rel) as f:
-                mine = f.read() == self._token
-        except OSError:
-            mine = True
-        if mine:
+        # belongs to another holder and must not be removed.
+        if self.be.atomic_rename:
+            # Claim via atomic rename FIRST, verify the token after — a
+            # read-then-remove would race a concurrent stale-break and
+            # delete the new holder's fresh lock.  If the claimed file
+            # turns out not to be ours, put it back via put_if_absent
+            # (which refuses if yet another lock appeared).
+            rel = self.lock_path + f".rel-{uuid.uuid4().hex[:8]}"
             try:
-                os.remove(rel)
+                self.be.replace(self.lock_path, rel)
             except OSError:
-                pass
+                return False  # already broken and cleaned up
+            try:
+                content = self.be.read_bytes(rel)
+                mine = content == self._token.encode()
+            except OSError:
+                content, mine = b"", True
+            if not mine:
+                try:
+                    self.be.put_if_absent(self.lock_path, content)
+                except (OSError, storage.UnsupportedOperation):
+                    pass
+            self.be.remove(rel)
         else:
+            # rename-less: read-verify-delete (small race window, same
+            # stale-holder precondition as above)
             try:
-                os.link(rel, self.lock_path)
-                os.remove(rel)
-            except OSError:
+                if self.be.read_bytes(self.lock_path) == self._token.encode():
+                    self.be.remove(self.lock_path)
+            except (OSError, FileNotFoundError):
                 pass
         return False
 
@@ -407,11 +474,12 @@ def _bloom_maybe_contains(
 
 def _marker_shards(path: str) -> list[str]:
     """Shard names committed by streaming micro-batches (`_batch_*.json`)."""
+    be = storage.for_path(path)
     names: list[str] = []
-    for mp in glob.glob(os.path.join(path, "_batch_*.json")):
+    for f in be.glob_names(path, "_batch_*.json"):
         try:
-            with open(mp) as f:
-                names.extend(s["path"] for s in json.load(f).get("shards", []))
+            data = json.loads(be.read_bytes(os.path.join(path, f)))
+            names.extend(s["path"] for s in data.get("shards", []))
         except (OSError, json.JSONDecodeError, KeyError, TypeError):
             continue  # a torn marker commits nothing
     return names
@@ -435,31 +503,57 @@ def _visible_shards(path: str, manifest=_UNSET) -> list[str]:
         names.update(s["path"] for s in manifest.get("shards", []))
     names.update(_marker_shards(path))
     if not names and manifest is None:
-        return [os.path.basename(p) for p in codec.list_shards(path)]
-    return sorted(n for n in names if os.path.exists(os.path.join(path, n)))
+        # ad-hoc directory (codec-written, no commit log): plain listing,
+        # EXCLUDING commit-named files — `c{seq}-part-*` shards only ever
+        # come from a DataSource job or stream batch whose marker/manifest
+        # is the visibility gate; after a crash between shard move and
+        # log write they are uncommitted orphans, not data (the same rule
+        # the first-commit ad-hoc adoption applies)
+        committish = re.compile(r"c\d{8}-part-")
+        return [
+            n
+            for p in codec.list_shards(path)
+            if not committish.match(n := os.path.basename(p))
+        ]
+    # existence filter (tolerates vacuumed/rolled-back stragglers in old
+    # logs) via ONE directory listing, not O(shards) stat round-trips —
+    # at 400k shards on an object store per-name stats would dominate
+    # planning
+    present = set(storage.for_path(path).listdir(path))
+    return sorted(n for n in names if n in present)
 
 
 def _next_commit_seq(path: str) -> int:
     """1 + the highest commit-sequence prefix present in the directory."""
     best = 0
-    if os.path.isdir(path):
-        for f in os.listdir(path):
-            if f.endswith(".shardpack") and f.startswith("c") and f[1:9].isdigit():
-                best = max(best, int(f[1:9]))
-            elif f.startswith("_batch_") and f.endswith(".json") and f[7:15].isdigit():
-                best = max(best, int(f[7:15]))
+    for f in storage.for_path(path).listdir(path):
+        if f.endswith(".shardpack") and f.startswith("c") and f[1:9].isdigit():
+            best = max(best, int(f[1:9]))
+        elif f.startswith("_batch_") and f.endswith(".json") and f[7:15].isdigit():
+            best = max(best, int(f[7:15]))
     return best + 1
 
 
 def _plan_partitions(
-    path: str, names: Sequence[str], split_target: int
+    path: str,
+    names: Sequence[str],
+    split_target: int,
+    sizes: dict[str, int] | None = None,
 ) -> list[ShardPartition]:
     """One partition per shard; oversized shards split into record-ranges
-    via the EOF offset table so executor work stays even at any scale."""
+    via the EOF offset table so executor work stays even at any scale.
+
+    ``sizes`` carries manifest/marker-recorded byte sizes: a committed
+    dataset plans with ZERO per-shard stat calls (the manifest records
+    every shard's size at commit).  Only ad-hoc directories without a
+    commit log fall back to stats."""
+    be = storage.for_path(path)
     out: list[ShardPartition] = []
     for name in names:
         sp = os.path.join(path, name)
-        size = os.path.getsize(sp)
+        size = (sizes or {}).get(name)
+        if size is None:
+            size = be.getsize(sp)
         if size <= split_target:
             out.append(ShardPartition(sp, None))
         else:
@@ -471,6 +565,24 @@ def _plan_partitions(
             for i in range(0, len(idx.offsets), per):
                 out.append(ShardPartition(sp, idx.offsets[i : i + per]))
     return out
+
+
+def _manifest_sizes(path: str, manifest: dict | None) -> dict[str, int]:
+    """name -> byte size for every shard the commit log records (manifest
+    entries and stream-batch markers both carry 'bytes')."""
+    sizes: dict[str, int] = {}
+    for s in (manifest or {}).get("shards", []):
+        if isinstance(s.get("bytes"), int):
+            sizes[s["path"]] = s["bytes"]
+    be = storage.for_path(path)
+    for f in be.glob_names(path, "_batch_*.json"):
+        try:
+            for s in json.loads(be.read_bytes(os.path.join(path, f))).get("shards", []):
+                if isinstance(s.get("bytes"), int):
+                    sizes[s["path"]] = s["bytes"]
+        except (OSError, json.JSONDecodeError, TypeError):
+            continue
+    return sizes
 
 
 def _arrow_batches(
@@ -581,14 +693,15 @@ class ShardPackReader(DataSourceReader):
             # (batch commits only — stream-marker shards have no snapshot)
             manifest = _load_manifest(self.path, self.version)
             names = sorted(s["path"] for s in manifest.get("shards", []))
-            missing = [n for n in names if not os.path.exists(os.path.join(self.path, n))]
+            present = set(storage.for_path(self.path).listdir(self.path))
+            missing = [n for n in names if n not in present]
             if missing:
                 raise codec.ShardPackIOError(
                     f"version {self.version}: shard(s) {missing[:3]} removed "
                     "by a later overwrite/compaction"
                 )
         else:
-            manifest = _load_manifest(self.path)
+            manifest = _load_latest_manifest(self.path)
             names = _visible_shards(self.path, manifest)
         if self.only_shards is not None:
             names = [n for n in names if n in self.only_shards]
@@ -661,7 +774,9 @@ class ShardPackReader(DataSourceReader):
                         continue  # pruned: no requested key can live here
                 kept.append(name)
             names = kept
-        return _plan_partitions(self.path, names, self.split_target)
+        return _plan_partitions(
+            self.path, names, self.split_target, _manifest_sizes(self.path, manifest)
+        )
 
     def read(self, partition: ShardPartition):
         if partition is None or not partition.path:
@@ -798,7 +913,11 @@ class ShardPackWriter(DataSourceArrowWriter):
         # default `c{seq}-` names in a directory consumed as a STREAM — the
         # watermark assumes one naming mode's sort order.
         self.spec_basename = options.get("spec_naming")
-        os.makedirs(self.path, exist_ok=True)
+        mrb = options.get("max_record_bytes")
+        meb = options.get("max_entry_bytes")
+        self.max_record_bytes = int(mrb) if mrb is not None else None
+        self.max_entry_bytes = int(meb) if meb is not None else None
+        storage.for_path(self.path).makedirs(self.path)
         # driver-side: monotonic commit sequence for this job's shard names
         self.commit_seq = _next_commit_seq(self.path)
 
@@ -814,6 +933,8 @@ class ShardPackWriter(DataSourceArrowWriter):
             basename=basename,
             compression=self.compression,
             target_shard_bytes=self.target,
+            max_record_bytes=self.max_record_bytes,
+            max_entry_bytes=self.max_entry_bytes,
         )
         results, stats = _write_with_stats(writer, iterator)
         shards = []
@@ -825,21 +946,51 @@ class ShardPackWriter(DataSourceArrowWriter):
         return ShardCommitMessage(shards=shards)
 
     def commit(self, messages) -> None:
-        with _CommitLock(self.path):
-            self._commit_locked(messages)
+        """Publish this job's shards as one atomic commit.
 
-    def _commit_locked(self, messages) -> None:
+        Safety model (object-store-correct):
+        - the commit CLAIMS its snapshot id by conditionally creating
+          `_manifest/root-{vid}.json` (put_if_absent — O_EXCL locally,
+          If-None-Match on stores that have it).  Two racing commits
+          cannot both own a vid; the loser re-reads the winner's state,
+          re-merges its OWN part on top, and retries with vid+1 — no
+          append is ever lost, lock or no lock.
+        - the `_commit.lock` file is liveness-only (avoids wasted
+          retries); see _CommitLock.
+        - the live MANIFEST pointer is a cache written last;
+          _load_latest_manifest resolves pointer-vs-roots races.
+
+        On a backend with neither rename nor conditional create the root
+        is published with a plain atomic put and multi-writer safety is
+        the deployment's job (single writer / external lock)."""
         new_shards = [s for m in messages if m is not None for s in m.shards]
         for s in new_shards:
             s["compression"] = self.compression
-        prior = _load_manifest(self.path)
+        be = storage.for_path(self.path)
+        with _CommitLock(self.path):
+            state = {"new_part": None, "spec_done": False}
+            for _ in range(64):
+                manifest = self._commit_attempt(be, new_shards, state)
+                if manifest is not None:
+                    return
+            raise codec.ShardPackIOError(
+                f"commit contention on {self.path}: could not claim a "
+                "snapshot id in 64 attempts"
+            )
+
+    def _commit_attempt(self, be, new_shards: list[dict], state: dict) -> dict | None:
+        """One CAS attempt; returns the committed manifest or None to retry."""
+        prior, prior_vid = _observe_latest(self.path)
         spec_trash: list[str] = []
-        if self.spec_basename:
+        if self.spec_basename and not state["spec_done"]:
+            # spec renames run once (first attempt): they move real files,
+            # and a CAS retry must not redo moves whose sources are gone
+            state["spec_done"] = True
             seq = 0 if (self.overwrite or prior is None) else len(prior.get("shards", []))
             for s in sorted(new_shards, key=lambda s: s["path"]):
                 spec = codec.shard_name(self.spec_basename, seq)
                 target = os.path.join(self.path, spec)
-                if os.path.exists(target):
+                if be.exists(target):
                     # spec names restart at 0 on overwrite, colliding with
                     # the committed files.  NEVER clobber committed data
                     # before the new manifest is durable: move the old
@@ -850,9 +1001,9 @@ class ShardPackWriter(DataSourceArrowWriter):
                     # stale stats.  Trash is deleted after the manifest
                     # swap below.
                     trashed = target + f".trash-{uuid.uuid4().hex[:8]}"
-                    os.replace(target, trashed)
+                    be.move(target, trashed)
                     spec_trash.append(trashed)
-                os.replace(os.path.join(self.path, s["path"]), target)
+                be.move(os.path.join(self.path, s["path"]), target)
                 s["path"] = spec
                 seq += 1
         # Log-structured commit (v3): this commit's shards go into ONE new
@@ -860,7 +1011,10 @@ class ShardPackWriter(DataSourceArrowWriter):
         # the only thing rewritten.  Appends therefore cost O(new shards)
         # no matter how many shards the dataset already holds — at 400k
         # shards a v2-style full-manifest rewrite would be ~GBs per commit.
-        new_part = _write_manifest_part(self.path, new_shards)
+        # The part is content-stable across CAS retries: write it once.
+        if state["new_part"] is None:
+            state["new_part"] = _write_manifest_part(self.path, new_shards)
+        new_part = state["new_part"]
         if self.overwrite:
             old_names = set(_visible_shards(self.path)) - {s["path"] for s in new_shards}
             parts = [new_part]
@@ -893,7 +1047,7 @@ class ShardPackWriter(DataSourceArrowWriter):
                         {
                             "path": n,
                             "records": len(idx.offsets),
-                            "bytes": os.path.getsize(full),
+                            "bytes": be.getsize(full),
                         }
                     )
                 parts.append(_write_manifest_part(self.path, entries))
@@ -908,15 +1062,9 @@ class ShardPackWriter(DataSourceArrowWriter):
                 parts = [_write_manifest_part(self.path, prior["shards"])]
             parts.append(new_part)
             total = prior.get("total_records", 0) + sum(s["records"] for s in new_shards)
-        # next snapshot id from the prior root (O(1)); fall back to a
-        # NAME scan of archived roots (no JSON parsing) for pre-version_id
-        # manifests — list_versions() here would open and parse every
-        # archived root, making commit cost grow with history
-        prior_vid = (prior or {}).get("version_id")
-        if prior_vid is None:
-            roots = glob.glob(os.path.join(self.path, MANIFEST_PARTS_DIR, "root-*.json"))
-            ids = [int(os.path.basename(r)[5:13]) for r in roots if os.path.basename(r)[5:13].isdigit()]
-            prior_vid = max(ids) if ids else 0
+        # next snapshot id: strictly 1 + the id floor from the SAME
+        # observation that produced `prior` (never a fresh listing — see
+        # _observe_latest for why that would lose commits)
         vid = 1 + prior_vid
         manifest = {
             "version": 3,
@@ -926,53 +1074,57 @@ class ShardPackWriter(DataSourceArrowWriter):
             "parts": parts,
             "total_records": total,
         }
-        # archive the root BEFORE the live swap: shard files and parts are
+        # Archive the root BEFORE the live swap: shard files and parts are
         # immutable, so this root replays this commit's exact view forever
-        # (until an overwrite deletes the data files and resets history)
+        # (until an overwrite deletes the data files and resets history).
+        # put_if_absent is the commit's SERIALIZATION POINT: claiming
+        # root-{vid} atomically makes this commit version vid; losing the
+        # claim means a concurrent commit owns vid — return None and the
+        # caller re-reads (now seeing the winner's root) and retries.
         arch = os.path.join(self.path, MANIFEST_PARTS_DIR, f"root-{vid:08d}.json")
-        os.makedirs(os.path.dirname(arch), exist_ok=True)
-        with open(arch + ".tmp", "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.replace(arch + ".tmp", arch)
+        be.makedirs(os.path.dirname(arch))
+        payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
+        try:
+            if not be.put_if_absent(arch, payload):
+                return None  # lost the CAS: re-merge on the winner's state
+        except storage.UnsupportedOperation:
+            # backend has no conditional create (and its lock is at best
+            # advisory): plain atomic put — single-writer deployments only,
+            # as documented
+            be.write_atomic(arch, payload)
         _write_manifest(self.path, manifest)
         for t in spec_trash:
             # displaced spec-named files die only after the new manifest
             # is durable (same rule as overwrite's old-file deletion)
-            try:
-                os.remove(t)
-            except OSError:
-                pass
+            be.remove(t)
         if self.overwrite:
             # old files die only after the new manifest is durable; a crash
             # mid-deletion leaves invisible extras, cleaned next overwrite
             for name in old_names:
-                p = os.path.join(self.path, name)
-                if os.path.exists(p):
-                    os.remove(p)
+                be.remove(os.path.join(self.path, name))
             # drop prior parts, orphan parts from crashed commits, and the
             # now-unreadable version history (its shard files are gone)
             keep = {os.path.basename(p) for p in parts} | {f"root-{vid:08d}.json"}
             pd = os.path.join(self.path, MANIFEST_PARTS_DIR)
-            if os.path.isdir(pd):
-                for f in os.listdir(pd):
-                    if f not in keep:
-                        os.remove(os.path.join(pd, f))
-            for mp in glob.glob(os.path.join(self.path, "_batch_*.json")):
-                os.remove(mp)
-            for tmp in glob.glob(os.path.join(self.path, "*.inprogress")):
-                os.remove(tmp)
+            for f in be.listdir(pd):
+                if f not in keep:
+                    be.remove(os.path.join(pd, f))
+            for f in be.glob_names(self.path, "_batch_*.json"):
+                be.remove(os.path.join(self.path, f))
+            for f in be.glob_names(self.path, "*.tmp-*"):
+                be.remove(os.path.join(self.path, f))
             st = os.path.join(self.path, STAGING_DIR)
-            if os.path.isdir(st):
-                shutil.rmtree(st)
+            if be.isdir(st):
+                be.remove_tree(st)
+        return manifest
 
     def abort(self, messages) -> None:
+        be = storage.for_path(self.path)
         for m in messages or []:
             if m is None:
                 continue
             for s in m.shards:
-                p = os.path.join(self.path, s["path"])
-                if os.path.exists(p):
-                    os.remove(p)
+                be.remove(os.path.join(self.path, s["path"]))
 
 
 class ShardPackStreamReader(DataSourceStreamReader):
@@ -1029,8 +1181,15 @@ class ShardPackStreamReader(DataSourceStreamReader):
         # highest one ever seen and never hand out offsets below it again
         self._floor = max(self._floor, lo)
         self._last = max(self._last, self._floor, hi)
-        names = [n for n in _visible_shards(self.path) if lo < n <= hi and n > self._floor]
-        return _plan_partitions(self.path, names, self.split_target)
+        manifest = _load_manifest(self.path)
+        names = [
+            n
+            for n in _visible_shards(self.path, manifest)
+            if lo < n <= hi and n > self._floor
+        ]
+        return _plan_partitions(
+            self.path, names, self.split_target, _manifest_sizes(self.path, manifest)
+        )
 
     def commit(self, end: dict) -> None:
         # offsets live in the query checkpoint; track committed progress so
@@ -1080,7 +1239,7 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
             shards=[
                 {
                     "path": os.path.basename(r["path"]),
-                    "staging": os.path.relpath(os.path.dirname(r["path"]), self.path),
+                    "staging": storage.relpath(os.path.dirname(r["path"]), self.path),
                     "records": r["records"],
                     "bytes": r["bytes"],
                     **stats.get(os.path.basename(r["path"]), {}),
@@ -1090,9 +1249,10 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
         )
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
+        be = storage.for_path(self.path)
         marker = os.path.join(self.path, f"_batch_{batchId:08d}.json")
         staged = [s for m in messages if m is not None for s in m.shards]
-        if os.path.exists(marker):
+        if be.exists(marker):
             # replayed micro-batch: the original commit already made these
             # records visible — discard the replay's staging output
             self._drop_staging(staged)
@@ -1100,7 +1260,10 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
         final = []
         for s in staged:
             name = f"c{batchId:08d}-{s['path']}"
-            os.replace(
+            # move = rename locally, copy+delete on rename-less stores —
+            # either way the file is invisible to readers until the
+            # marker below names it, so per-file atomicity is not needed
+            be.move(
                 os.path.join(self.path, s["staging"], s["path"]),
                 os.path.join(self.path, name),
             )
@@ -1108,20 +1271,17 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
             # through the rename so folded stream shards prune like
             # batch-written ones
             final.append({**{k: v for k, v in s.items() if k != "staging"}, "path": name})
-        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"batch": batchId, "shards": final}, f)
-        os.replace(tmp, marker)  # the marker IS the commit point
+        # the marker IS the commit point (atomic tmp+rename / object put)
+        be.write_atomic(marker, json.dumps({"batch": batchId, "shards": final}).encode())
         self._drop_staging(staged)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         self._drop_staging([s for m in messages or [] if m is not None for s in m.shards])
 
     def _drop_staging(self, staged: list[dict]) -> None:
+        be = storage.for_path(self.path)
         for d in {s["staging"] for s in staged}:
-            full = os.path.join(self.path, d)
-            if os.path.isdir(full):
-                shutil.rmtree(full, ignore_errors=True)
+            be.remove_tree(os.path.join(self.path, d))
 
 
 class ShardPackDataSource(DataSource):
@@ -1169,8 +1329,9 @@ def _pickle_by_value() -> None:
     from pyspark import cloudpickle
 
     from shardpack_spark.format import codec as codec_mod
+    from shardpack_spark.format import storage as storage_mod
 
-    for mod in (codec_mod, sys.modules[__name__]):
+    for mod in (storage_mod, codec_mod, sys.modules[__name__]):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:
@@ -1216,9 +1377,13 @@ def compact_dataset(
     df = read_shardpack(spark, path)
     # size the write parallelism to the target: one task per output shard
     # (each task-local writer rolls independently, so without this the
-    # output inherits one shard per input partition)
+    # output inherits one shard per input partition); manifest-recorded
+    # sizes first, stat only for log-less ad-hoc dirs
+    be = storage.for_path(path)
+    sizes = _manifest_sizes(path, manifest)
     total_bytes = sum(
-        os.path.getsize(os.path.join(path, n)) for n in _visible_shards(path)
+        sizes.get(n, None) or be.getsize(os.path.join(path, n))
+        for n in _visible_shards(path, manifest or None)
     )
     n_parts = max(1, -(-total_bytes // target_shard_bytes))
     if sort_by_key:
@@ -1285,15 +1450,15 @@ def verify_dataset(spark, path: str) -> dict:
     Returns {"ok": bool, "shards_ok": n, "mismatched": [...],
     "corrupt": [...], "missing": [...], "orphans": [...]}.
     """
+    be = storage.for_path(path)
     manifest = _load_manifest(path) or {"shards": []}
     expected = {s["path"]: s.get("records") for s in manifest.get("shards", [])}
-    for mp in glob.glob(os.path.join(path, "_batch_*.json")):
-        with open(mp) as f:
-            for s in json.load(f).get("shards", []):
-                expected[s["path"]] = s.get("records")
+    for f in be.glob_names(path, "_batch_*.json"):
+        for s in json.loads(be.read_bytes(os.path.join(path, f))).get("shards", []):
+            expected[s["path"]] = s.get("records")
 
-    missing = [n for n in expected if not os.path.exists(os.path.join(path, n))]
     on_disk = {os.path.basename(p) for p in codec.list_shards(path)}
+    missing = [n for n in expected if n not in on_disk]
     orphans = sorted(on_disk - set(expected))
 
     present = [(n, expected[n]) for n in expected if n not in missing]
@@ -1379,16 +1544,18 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
             f"keep_last must be >= 1 (marker existence is the stream "
             f"writer's replay detection), got {keep_last}"
         )
+    be = storage.for_path(path)
     with _CommitLock(path):
-        markers = sorted(glob.glob(os.path.join(path, "_batch_*.json")))
+        markers = [
+            os.path.join(path, f) for f in be.glob_names(path, "_batch_*.json")
+        ]
         to_fold = markers[:-keep_last]
         if not to_fold:
             return {"folded": 0}
         shards: list[dict] = []
         for mp in to_fold:
-            with open(mp) as f:
-                shards.extend(json.load(f).get("shards", []))
-        prior = _load_manifest(path)
+            shards.extend(json.loads(be.read_bytes(mp)).get("shards", []))
+        prior, prior_vid0 = _observe_latest(path)
         if prior is None:
             parts, total = [], 0
             comp, target = "none", codec.DEFAULT_TARGET_SHARD_BYTES
@@ -1405,16 +1572,7 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
         # rollback() to any archived version would silently drop the
         # folded stream entries (their markers are deleted below, and no
         # root references their part).
-        prior_vid = (prior or {}).get("version_id")
-        if prior_vid is None:
-            roots = glob.glob(os.path.join(path, MANIFEST_PARTS_DIR, "root-*.json"))
-            ids = [
-                int(os.path.basename(r)[5:13])
-                for r in roots
-                if os.path.basename(r)[5:13].isdigit()
-            ]
-            prior_vid = max(ids) if ids else 0
-        vid = 1 + prior_vid
+        vid = 1 + prior_vid0  # same-observation floor, as in batch commit
         manifest = {
             "version": 3,
             "version_id": vid,
@@ -1423,14 +1581,23 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
             "parts": parts,
             "total_records": total + sum(s["records"] for s in shards),
         }
+        # same CAS publication as the batch commit: claiming root-{vid}
+        # is the serialization point; a lost claim under a broken lock
+        # would mean a concurrent commit — rerun fold in that case
         arch = os.path.join(path, MANIFEST_PARTS_DIR, f"root-{vid:08d}.json")
-        os.makedirs(os.path.dirname(arch), exist_ok=True)
-        with open(arch + ".tmp", "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.replace(arch + ".tmp", arch)
+        be.makedirs(os.path.dirname(arch))
+        payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
+        try:
+            if not be.put_if_absent(arch, payload):
+                raise codec.ShardPackIOError(
+                    f"fold_stream_markers lost the commit race on {path} "
+                    f"(version {vid} claimed concurrently); re-run"
+                )
+        except storage.UnsupportedOperation:
+            be.write_atomic(arch, payload)
         _write_manifest(path, manifest)
         for mp in to_fold:  # only after the new root is durable
-            os.remove(mp)
+            be.remove(mp)
         return {"folded": len(to_fold), "shards": len(shards), "version": vid}
 
 
@@ -1461,32 +1628,35 @@ def rollback(path: str, to_version: int) -> dict:
     which can sort at-or-below the stream's name watermark.  Restart
     such streams with a fresh checkpoint after a rollback.
     """
+    be = storage.for_path(path)
     with _CommitLock(path):
         snap = _load_manifest(path, to_version)  # raises if never committed
         parts_dir = os.path.join(path, MANIFEST_PARTS_DIR)
         newer = sorted(
             f
-            for f in os.listdir(parts_dir)
-            if f.startswith("root-")
-            and f.endswith(".json")
-            and f[5:13].isdigit()
-            and int(f[5:13]) > to_version
+            for f in be.glob_names(parts_dir, "root-*.json")
+            if f[5:13].isdigit() and int(f[5:13]) > to_version
         )
-        # live swap FIRST (atomic, the commit point), then drop newer
-        # roots — a crash in between leaves extra root files whose
-        # version ids the next commit would collide with, so it must be
-        # cleaned before any new commit... which is exactly the order
-        # below: remove() happens inside the same lock hold, and a crash
-        # here is healed by re-running rollback (idempotent).
+        # Drop newer roots FIRST, then swap the live pointer — the
+        # reverse order broke once _load_latest_manifest started
+        # preferring the max archived root: a pointer at to_version with
+        # newer roots still present would read as "pointer lagging a
+        # concurrent commit" and resolve to the very state being undone.
+        # Crash safety: a crash mid-deletion leaves a PREFIX of the
+        # newer roots; the pointer still names the newest surviving
+        # root's state or older, and re-running rollback (idempotent)
+        # heals the rest.
+        for f in newer:
+            be.remove(os.path.join(parts_dir, f))
         live = {k: v for k, v in snap.items() if k != "shards"} or {}
         live.setdefault("version", 3)
         live["version_id"] = to_version
-        _write_manifest(path, live)
-        for f in newer:
-            try:
-                os.remove(os.path.join(parts_dir, f))
-            except OSError:
-                pass
+        # direct pointer write: _write_manifest's only-if-newer guard
+        # must not compare against the pre-rollback pointer
+        be.write_atomic(
+            os.path.join(path, MANIFEST_NAME),
+            json.dumps(live, indent=1, sort_keys=True).encode(),
+        )
         return {
             "restored_version": to_version,
             "dropped_versions": [int(f[5:13]) for f in newer],
@@ -1553,36 +1723,33 @@ def vacuum(
         "bytes_reclaimed": 0,
         "dry_run": dry_run,
     }
+    be = storage.for_path(path)
     with _CommitLock(path):
         manifest = _load_manifest(path)
-        if manifest is None:
+        has_markers = bool(be.glob_names(path, "_batch_*.json"))
+        if manifest is None and not has_markers:
+            # no commit log of any kind (ad-hoc codec output): nothing is
+            # provably dead, leave the directory untouched
             return out
+        manifest = manifest or {"shards": [], "parts": []}
         now = _time.time()
 
         def _rm(p: str, bucket: str, min_age: float = grace_seconds) -> None:
             try:
-                st = os.stat(p)
-            except OSError:
+                mtime = be.mtime(p)
+                size = be.getsize(p)
+            except (OSError, FileNotFoundError):
                 return
-            if min_age > 0 and now - st.st_mtime < min_age:
+            if min_age > 0 and now - mtime < min_age:
                 return
-            out[bucket].append(os.path.relpath(p, path))
-            out["bytes_reclaimed"] += st.st_size
+            out[bucket].append(storage.relpath(p, path))
+            out["bytes_reclaimed"] += size
             if not dry_run:
-                try:
-                    os.remove(p)
-                except OSError:
-                    pass
+                be.remove(p)
 
         parts_dir = os.path.join(path, MANIFEST_PARTS_DIR)
-        roots = (
-            sorted(
-                f
-                for f in os.listdir(parts_dir)
-                if f.startswith("root-") and f.endswith(".json") and f[5:13].isdigit()
-            )
-            if os.path.isdir(parts_dir)
-            else []
+        roots = sorted(
+            f for f in be.glob_names(parts_dir, "root-*.json") if f[5:13].isdigit()
         )
         retained_roots = roots[-keep_versions:]
         out["retained_versions"] = [int(f[5:13]) for f in retained_roots]
@@ -1606,46 +1773,44 @@ def vacuum(
         # 2) manifest parts no retained root lists (orphans of crashed
         #    commits; age-gated — a commit in progress elsewhere holds the
         #    lock, but belt and braces costs nothing)
-        if os.path.isdir(parts_dir):
-            for f in os.listdir(parts_dir):
-                if f in referenced_parts or f.startswith("root-"):
-                    continue
-                _rm(os.path.join(parts_dir, f), "deleted_parts")
+        for f in be.listdir(parts_dir):
+            if f in referenced_parts or f.startswith("root-"):
+                continue
+            _rm(os.path.join(parts_dir, f), "deleted_parts")
         # 3) unreferenced shard files older than the grace window
         for full in codec.list_shards(path):
             if os.path.basename(full) not in referenced_shards:
                 _rm(full, "deleted_shards")
         # 4) crash debris: displaced spec-named files, torn in-progress
         #    writes, stale lock remnants, stale staging output
-        for pat in ("*.trash-*", "*.inprogress", "_commit.lock.*", "*.tmp-*"):
-            for full in glob.glob(os.path.join(path, pat)):
-                _rm(full, "deleted_debris")
+        for pat in ("*.trash-*", "*.inprogress", "_commit.lock.*", "*.tmp-*", "*.pia-*"):
+            for f in be.glob_names(path, pat):
+                _rm(os.path.join(path, f), "deleted_debris")
         staging = os.path.join(path, STAGING_DIR)
-        if os.path.isdir(staging):
+        if be.isdir(staging):
             # task staging DIRECTORIES (stream writes land in
-            # _staging/task-*/ and are renamed out at batch commit);
+            # _staging/task-*/ and are moved out at batch commit);
             # a dir is stale only when nothing inside it is recent
-            for f in os.listdir(staging):
+            for f in be.listdir(staging):
                 full = os.path.join(staging, f)
                 try:
-                    if os.path.isdir(full):
-                        mtimes = [os.path.getmtime(full)] + [
-                            os.path.getmtime(os.path.join(full, g))
-                            for g in os.listdir(full)
+                    if be.isdir(full):
+                        children = be.listdir(full)
+                        mtimes = [be.mtime(full)] + [
+                            be.mtime(os.path.join(full, g)) for g in children
                         ]
                         if now - max(mtimes) < grace_seconds:
                             continue
                         size = sum(
-                            os.path.getsize(os.path.join(full, g))
-                            for g in os.listdir(full)
+                            be.getsize(os.path.join(full, g)) for g in children
                         )
-                        out["deleted_debris"].append(os.path.relpath(full, path))
+                        out["deleted_debris"].append(storage.relpath(full, path))
                         out["bytes_reclaimed"] += size
                         if not dry_run:
-                            shutil.rmtree(full, ignore_errors=True)
+                            be.remove_tree(full)
                     else:
                         _rm(full, "deleted_debris")
-                except OSError:
+                except (OSError, FileNotFoundError):
                     continue
     return out
 

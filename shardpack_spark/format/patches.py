@@ -37,15 +37,15 @@ idempotent under leftover patches.
 
 from __future__ import annotations
 
+import json
 import os
-import shutil
 import time
 import uuid
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from shardpack_spark.format import codec
+from shardpack_spark.format import codec, storage
 from shardpack_spark.format.datasource import (
     SCHEMA,
     read_shardpack,
@@ -61,15 +61,32 @@ def _patch_root(base: str) -> str:
 
 
 def list_patches(base: str) -> list[str]:
-    """Patch directory names in application order."""
+    """Logical patch names in application order.
+
+    Two publication styles coexist: directory-named patches
+    (``p{seq}/``, the atomic-rename path) and pointer-committed patches
+    (``p{seq}.ptr`` naming a hidden data dir — the rename-less path, see
+    write_patch).  Both list as the logical ``p{seq}`` name; resolve a
+    name to its data directory with ``patch_path``."""
     root = _patch_root(base)
-    if not os.path.isdir(root):
-        return []
-    return sorted(
-        d
-        for d in os.listdir(root)
-        if d.startswith("p") and d[1:].isdigit() and os.path.isdir(os.path.join(root, d))
-    )
+    be = storage.for_path(base)
+    names = set()
+    for d in be.listdir(root):
+        if d.startswith("p") and d[1:].isdigit() and be.isdir(os.path.join(root, d)):
+            names.add(d)
+        elif d.startswith("p") and d.endswith(".ptr") and d[1:-4].isdigit():
+            names.add(d[:-4])
+    return sorted(names)
+
+
+def patch_path(base: str, name: str) -> str:
+    """Data directory of the logical patch ``name``."""
+    root = _patch_root(base)
+    be = storage.for_path(base)
+    ptr = os.path.join(root, name + ".ptr")
+    if be.exists(ptr):
+        return os.path.join(root, json.loads(be.read_bytes(ptr))["dir"])
+    return os.path.join(root, name)
 
 
 def tombstones(spark, keys) -> "F.DataFrame":
@@ -105,13 +122,24 @@ def write_patch(df, base: str, compression: str = "none") -> str:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    os.makedirs(_patch_root(base), exist_ok=True)
+    be = storage.for_path(base)
+    be.makedirs(_patch_root(base))
     # write the patch dataset OUTSIDE the lock into a hidden temp dir
-    # (list_patches only admits p{seq} names), then take the base commit
-    # lock just for sequence assignment + an atomic rename.  Holding the
-    # lock across the whole Spark write job would outlive stale_after and
-    # let a second writer break the lock mid-job and pick the same pN.
-    tmp = os.path.join(_patch_root(base), f".tmp-{uuid.uuid4().hex[:12]}")
+    # (list_patches only admits p{seq} names / p{seq}.ptr pointers), then
+    # take the base commit lock just for sequence assignment + atomic
+    # publication.  Holding the lock across the whole Spark write job
+    # would outlive stale_after and let a second writer break the lock
+    # mid-job and pick the same pN.
+    #
+    # Publication is backend-capability-driven:
+    # - atomic rename: rename the temp dir to p{seq} (one atomic op);
+    # - rename-less stores: the data stays in its hidden dir forever and
+    #   a p{seq}.ptr pointer object names it, committed via conditional
+    #   create (put_if_absent) — losing the CAS retries with seq+1, so
+    #   two concurrent patch writers serialize without directory renames.
+    renameable = be.atomic_rename
+    hidden = f".tmp-{uuid.uuid4().hex[:12]}" if renameable else f".d-{uuid.uuid4().hex[:12]}"
+    tmp = os.path.join(_patch_root(base), hidden)
     (
         one.write.format("shardpack")
         .option("compression", compression)
@@ -121,16 +149,47 @@ def write_patch(df, base: str, compression: str = "none") -> str:
     try:
         with _CommitLock(base, timeout=600.0):
             seq = 1 + max([int(d[1:]) for d in list_patches(base)] or [0])
-            name = f"p{seq:08d}"
-            os.rename(tmp, os.path.join(_patch_root(base), name))
-            # opportunistic GC of temp dirs orphaned by crashed writers
+            if renameable:
+                name = f"p{seq:08d}"
+                be.replace(tmp, os.path.join(_patch_root(base), name))
+            else:
+                for _ in range(64):
+                    name = f"p{seq:08d}"
+                    ptr = os.path.join(_patch_root(base), name + ".ptr")
+                    if be.put_if_absent(ptr, json.dumps({"dir": hidden}).encode()):
+                        break
+                    seq += 1
+                else:
+                    raise codec.ShardPackIOError(
+                        f"patch commit contention under {base}"
+                    )
+            # opportunistic GC of temp/data dirs orphaned by crashed
+            # writers: .tmp-* is always stale (rename path), .d-* only
+            # when no pointer references it
             cutoff = time.time() - 3600
-            for d in os.listdir(_patch_root(base)):
+            referenced = set()
+            for d in be.listdir(_patch_root(base)):
+                if d.endswith(".ptr"):
+                    try:
+                        referenced.add(
+                            json.loads(
+                                be.read_bytes(os.path.join(_patch_root(base), d))
+                            )["dir"]
+                        )
+                    except (OSError, ValueError, KeyError):
+                        continue
+            for d in be.listdir(_patch_root(base)):
                 full = os.path.join(_patch_root(base), d)
-                if d.startswith(".tmp-") and os.path.getmtime(full) < cutoff:
-                    shutil.rmtree(full, ignore_errors=True)
+                stale = d.startswith(".tmp-") or (
+                    d.startswith(".d-") and d not in referenced
+                )
+                try:
+                    if stale and be.mtime(full) < cutoff:
+                        be.remove_tree(full)
+                except (OSError, FileNotFoundError):
+                    continue
     except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
+        be.remove_tree(tmp)
         raise
     return name
 
@@ -170,7 +229,7 @@ def read_with_patches(spark, base: str, **reader_options):
     # skip_payload, ...) so both sides of the merge read consistently
     parts = [
         read_shardpack(
-            spark, os.path.join(_patch_root(base), d), **reader_options
+            spark, patch_path(base, d), **reader_options
         ).withColumn("__seq", F.lit(i))
         for i, d in enumerate(patches)
     ]
@@ -214,10 +273,12 @@ def compact_patches(spark, base: str, compression: str | None = None) -> dict:
     )
     # cleanup AFTER the new manifest is durable; a crash here leaves
     # patches whose re-application is a no-op (idempotent merge)
+    be = storage.for_path(base)
     for d in patches:
-        shutil.rmtree(os.path.join(_patch_root(base), d), ignore_errors=True)
+        be.remove_tree(patch_path(base, d))
+        be.remove(os.path.join(_patch_root(base), d + ".ptr"))
     root = _patch_root(base)
-    if os.path.isdir(root) and not os.listdir(root):
-        os.rmdir(root)
+    if not be.listdir(root):
+        be.rmdir_if_empty(root)
     n = (_load_manifest(base) or {}).get("total_records", 0)
     return {"patches_folded": len(patches), "records": n}

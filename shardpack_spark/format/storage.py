@@ -1,0 +1,735 @@
+"""Pluggable storage backends for the ShardPack format layer.
+
+Mirrors the reference's ``StorageProvider`` trait (/root/reference/
+src/storage.rs:10-19: create_bucket / write / read / delete / list as an
+async byte-store abstraction) as the minimal primitive set the codec and
+DataSource actually use, so the format runs unchanged over a local
+filesystem, an in-memory store, or an object store.
+
+Backends and path schemes:
+
+- ``LocalBackend`` — plain paths and ``file:`` URIs.  POSIX semantics:
+  atomic rename (``os.replace``) and atomic exclusive create.
+- ``MemoryBackend`` — ``memory://`` paths held in a process-local dict.
+  For fast codec-level unit tests ONLY: Spark executors run in separate
+  Python processes and cannot see the driver's dict, so end-to-end Spark
+  jobs must use ``sim://`` instead.
+- ``SimObjectBackend`` — ``sim:///abs/dir`` maps onto the local directory
+  ``/abs/dir`` but exposes ONLY object-store semantics: no rename
+  (``replace`` raises), whole-object puts that become visible atomically
+  at close, conditional create (``put_if_absent``, the S3
+  ``If-None-Match: *`` conditional put), flat listing.  Because it is
+  disk-backed it works across Spark executor processes, which makes it
+  the honest end-to-end test double for S3/GCS: any format code path
+  that survives ``sim://`` never relied on rename or partial-file
+  visibility.
+- ``ArrowFsBackend`` — ``s3:// gs:// hdfs:// abfs://`` via
+  ``pyarrow.fs.FileSystem.from_uri`` (the public Arrow filesystem layer;
+  credentials/region come from the standard environment).  Import-gated:
+  constructing it raises with guidance if the scheme's filesystem is not
+  available in the runtime.  ``hdfs`` advertises atomic rename; the
+  object stores do not, and their ``put_if_absent`` is best-effort
+  (exists-then-put) unless the store's conditional-put is wired in via
+  ``register_backend`` — the commit protocol (datasource._commit_cas)
+  degrades safely: it serializes on whichever backend primitive IS
+  atomic and documents single-writer mode otherwise.
+
+Capability flags drive the callers:
+
+- ``atomic_rename`` — writers use tmp+rename crash-safety and the stream
+  sink renames staged shards when True; otherwise they spool and put
+  whole objects, and visibility is governed by the commit log alone
+  (which is already the reader contract, so semantics do not change).
+- ``atomic_put_if_absent`` — the commit protocol CAS-es snapshot roots
+  (``root-{vid}.json``) via conditional create when True, making
+  concurrent commits lose-proof without any lock; the lock file then
+  only serves liveness (fewer wasted retries).
+
+Registering a custom backend (e.g. a real conditional-put S3 client)::
+
+    from shardpack_spark.format import storage
+    storage.register_backend("s3", lambda: MyS3Backend())
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import io
+import os
+import shutil
+import tempfile
+import threading
+import time
+import uuid
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from collections.abc import Callable
+
+
+class UnsupportedOperation(OSError):
+    """The backend cannot perform this primitive (capability-gated)."""
+
+
+def _scheme(path: str) -> str:
+    """URI scheme of ``path``, '' for plain local paths.
+
+    Windows drive letters ('C:/x') and relative paths never parse as
+    schemes because a scheme here must be >= 2 chars and followed by
+    '//'."""
+    i = path.find("://")
+    if i > 1 and path[:i].isalnum():
+        return path[:i].lower()
+    if path.startswith("file:"):
+        return "file"
+    return ""
+
+
+def strip_file_uri(path: str) -> str:
+    """file:///x and file:/x -> /x (Spark catalogs hand locations over
+    in either spelling)."""
+    if path.startswith("file:"):
+        rest = path[5:]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return path
+
+
+def relpath(child: str, base: str) -> str:
+    """Root-relative path that works on scheme-carrying paths (os.path
+    .relpath chokes on 'sim://...'), used for manifest-recorded staging
+    dirs and vacuum reports."""
+    base = base.rstrip("/")
+    if child.startswith(base + "/"):
+        return child[len(base) + 1 :]
+    return os.path.relpath(child, base)
+
+
+class WriteHandle:
+    """Streaming writer for one object; the object becomes visible at its
+    final path only when ``close`` returns (local: tmp+rename; object
+    store: whole-object put / multipart complete)."""
+
+    def write(self, b: bytes) -> int:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        raise NotImplementedError
+
+    def abort(self) -> None:
+        """Discard without publishing; idempotent, never raises."""
+
+
+class StorageBackend:
+    """Byte-store primitives (the StorageProvider surface, Spark-shaped).
+
+    Paths given to a backend are the full user-facing paths (scheme
+    included when there is one); each backend translates internally."""
+
+    atomic_rename = False
+    atomic_put_if_absent = False
+
+    # --- reads ---
+    def open_read(self, path: str):
+        """Seekable binary file-like (random access: EOF-index tail reads,
+        per-record seeks)."""
+        raise NotImplementedError
+
+    def read_bytes(self, path: str, offset: int = 0, length: int | None = None) -> bytes:
+        with self.open_read(path) as f:
+            if offset:
+                f.seek(offset)
+            return f.read() if length is None else f.read(length)
+
+    # --- writes ---
+    def create(self, path: str) -> WriteHandle:
+        raise NotImplementedError
+
+    def write_atomic(self, path: str, data: bytes) -> None:
+        """Full-object replace; readers see the old or the new bytes,
+        never a torn mix (tmp+rename locally, atomic put on stores)."""
+        h = self.create(path)
+        try:
+            h.write(data)
+        except Exception:
+            h.abort()
+            raise
+        h.close()
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Atomically create ``path`` with ``data`` iff it does not
+        exist; True on success.  The commit protocol's CAS primitive
+        (S3 If-None-Match / POSIX link-or-EXCL)."""
+        raise UnsupportedOperation(f"{type(self).__name__} has no conditional create")
+
+    # --- namespace ---
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        """Immediate child names (files and dirs); [] for a missing dir."""
+        raise NotImplementedError
+
+    def glob_names(self, dirpath: str, pattern: str) -> list[str]:
+        """Sorted child NAMES of ``dirpath`` matching ``pattern`` — the
+        only globbing the format layer needs (never recursive)."""
+        return sorted(n for n in self.listdir(dirpath) if fnmatch.fnmatch(n, pattern))
+
+    def getsize(self, path: str) -> int:
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        raise NotImplementedError
+
+    def remove(self, path: str, missing_ok: bool = True) -> None:
+        raise NotImplementedError
+
+    def remove_tree(self, path: str) -> None:
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def rmdir_if_empty(self, path: str) -> None:
+        """Best-effort removal of an empty directory; no-op on flat
+        namespaces where directories are purely virtual."""
+
+    # --- rename family ---
+    def replace(self, src: str, dst: str) -> None:
+        """Atomic rename; only when ``atomic_rename``."""
+        raise UnsupportedOperation(f"{type(self).__name__} has no atomic rename")
+
+    def move(self, src: str, dst: str) -> None:
+        """Move an object: rename when atomic, else copy+delete (each
+        step atomic per-object; callers that need all-or-nothing
+        visibility must gate on the commit log, which they do)."""
+        if self.atomic_rename:
+            self.replace(src, dst)
+            return
+        with self.open_read(src) as f:
+            h = self.create(dst)
+            try:
+                shutil.copyfileobj(f, h, 4 * 1024 * 1024)
+            except Exception:
+                h.abort()
+                raise
+            h.close()
+        self.remove(src)
+
+
+# --- local filesystem ---------------------------------------------------------
+
+
+class _LocalWriteHandle(WriteHandle):
+    def __init__(self, path: str, tmp_suffix: str):
+        self._final = path
+        self._tmp = path + tmp_suffix
+        self._f = open(self._tmp, "wb")
+
+    def write(self, b: bytes) -> int:
+        return self._f.write(b)
+
+    def close(self) -> None:
+        self._f.close()
+        os.replace(self._tmp, self._final)
+
+    def abort(self) -> None:
+        try:
+            self._f.close()
+            os.remove(self._tmp)
+        except OSError:
+            pass
+
+
+class LocalBackend(StorageBackend):
+    """POSIX filesystem: the reference's LocalStorageProvider
+    (src/storage.rs:21-88) with real atomicity guarantees."""
+
+    atomic_rename = True
+    atomic_put_if_absent = True
+
+    def _p(self, path: str) -> str:
+        return strip_file_uri(path)
+
+    def open_read(self, path: str):
+        return open(self._p(path), "rb")
+
+    def create(self, path: str) -> WriteHandle:
+        return _LocalWriteHandle(self._p(path), f".tmp-{uuid.uuid4().hex[:8]}")
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        p = self._p(path)
+        tmp = p + f".pia-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            # link(2) fails with EEXIST if p exists and publishes the FULL
+            # content atomically — an O_EXCL create+write could expose a
+            # torn read between the create and the write
+            os.link(tmp, p)
+            return True
+        except FileExistsError:
+            return False
+        except OSError:
+            # filesystems without hard links: fall back to O_EXCL
+            try:
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            return True
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._p(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._p(path))
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return os.listdir(self._p(path))
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+
+    def getsize(self, path: str) -> int:
+        return os.path.getsize(self._p(path))
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(self._p(path))
+
+    def remove(self, path: str, missing_ok: bool = True) -> None:
+        try:
+            os.remove(self._p(path))
+        except FileNotFoundError:
+            if not missing_ok:
+                raise
+
+    def remove_tree(self, path: str) -> None:
+        shutil.rmtree(self._p(path), ignore_errors=True)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(self._p(path), exist_ok=True)
+
+    def rmdir_if_empty(self, path: str) -> None:
+        try:
+            os.rmdir(self._p(path))
+        except OSError:
+            pass
+
+    def replace(self, src: str, dst: str) -> None:
+        os.replace(self._p(src), self._p(dst))
+
+
+# --- in-memory (process-local; codec unit tests) ------------------------------
+
+
+class _MemoryWriteHandle(WriteHandle):
+    def __init__(self, store: MemoryBackend, path: str):
+        self._store = store
+        self._path = path
+        self._buf: io.BytesIO | None = io.BytesIO()
+
+    def write(self, b: bytes) -> int:
+        return self._buf.write(b)
+
+    def close(self) -> None:
+        self._store._put(self._path, self._buf.getvalue())
+        self._buf = None
+
+    def abort(self) -> None:
+        self._buf = None
+
+
+class MemoryBackend(StorageBackend):
+    """memory:// object store in a process-local dict.
+
+    Single-process by construction (Spark executors cannot see it) —
+    use ``sim://`` for end-to-end Spark tests.  Semantics mirror an
+    object store: flat namespace, whole-object put, CAS conditional
+    create, no rename."""
+
+    atomic_rename = False
+    atomic_put_if_absent = True
+
+    def __init__(self):
+        self._objects: dict[str, tuple[bytes, float]] = {}
+        self._lock = threading.Lock()
+
+    # The whole module travels into Spark plans via cloudpickle-by-value,
+    # and locks are not picklable: ship the object dict, rebuild the lock.
+    # Each worker process then holds its OWN copy — which is the
+    # documented MemoryBackend contract (process-local, codec tests only).
+    def __getstate__(self):
+        return {"_objects": self._objects}
+
+    def __setstate__(self, state):
+        self._objects = state["_objects"]
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _key(path: str) -> str:
+        return path.rstrip("/")
+
+    def _put(self, path: str, data: bytes) -> None:
+        with self._lock:
+            self._objects[self._key(path)] = (data, time.time())
+
+    def open_read(self, path: str):
+        with self._lock:
+            try:
+                data = self._objects[self._key(path)][0]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+        return io.BytesIO(data)
+
+    def create(self, path: str) -> WriteHandle:
+        return _MemoryWriteHandle(self, path)
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        with self._lock:
+            k = self._key(path)
+            if k in self._objects:
+                return False
+            self._objects[k] = (data, time.time())
+            return True
+
+    def exists(self, path: str) -> bool:
+        k = self._key(path)
+        with self._lock:
+            return k in self._objects or any(
+                o.startswith(k + "/") for o in self._objects
+            )
+
+    def isdir(self, path: str) -> bool:
+        k = self._key(path)
+        with self._lock:
+            return any(o.startswith(k + "/") for o in self._objects)
+
+    def listdir(self, path: str) -> list[str]:
+        k = self._key(path) + "/"
+        names = set()
+        with self._lock:
+            for o in self._objects:
+                if o.startswith(k):
+                    names.add(o[len(k) :].split("/", 1)[0])
+        return sorted(names)
+
+    def getsize(self, path: str) -> int:
+        with self._lock:
+            try:
+                return len(self._objects[self._key(path)][0])
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def mtime(self, path: str) -> float:
+        with self._lock:
+            try:
+                return self._objects[self._key(path)][1]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def remove(self, path: str, missing_ok: bool = True) -> None:
+        with self._lock:
+            if self._objects.pop(self._key(path), None) is None and not missing_ok:
+                raise FileNotFoundError(path)
+
+    def remove_tree(self, path: str) -> None:
+        k = self._key(path) + "/"
+        with self._lock:
+            for o in [o for o in self._objects if o.startswith(k)]:
+                del self._objects[o]
+
+    def makedirs(self, path: str) -> None:
+        pass  # flat namespace: directories are virtual
+
+
+# --- disk-backed object-store simulator (multi-process e2e tests) -------------
+
+_SIM_INTERNAL_PREFIX = ".simput-"
+
+
+class _SimWriteHandle(WriteHandle):
+    """Spool to system temp, publish as one atomic 'put' at close.
+
+    The spool file lives OUTSIDE the dataset directory (listings never
+    see in-flight uploads, as on S3); publication writes a hidden
+    ``.simput-*`` sibling and renames it over the final name — that
+    rename is the simulator's internal mechanism for making the put
+    atomic on a posix disk, not part of the simulated API surface."""
+
+    def __init__(self, final: str):
+        self._final = final
+        fd, self._spool = tempfile.mkstemp(prefix="shardpack-sim-")
+        self._f = os.fdopen(fd, "wb")
+
+    def write(self, b: bytes) -> int:
+        return self._f.write(b)
+
+    def close(self) -> None:
+        self._f.close()
+        parent = os.path.dirname(self._final)
+        os.makedirs(parent, exist_ok=True)
+        tmp = os.path.join(parent, _SIM_INTERNAL_PREFIX + uuid.uuid4().hex[:12])
+        shutil.copyfile(self._spool, tmp)
+        os.replace(tmp, self._final)
+        os.remove(self._spool)
+
+    def abort(self) -> None:
+        try:
+            self._f.close()
+            os.remove(self._spool)
+        except OSError:
+            pass
+
+
+class SimObjectBackend(StorageBackend):
+    """``sim:///abs/dir`` — object-store semantics over a local directory.
+
+    The enforcement half of the abstraction: ``replace`` raises, so any
+    format code path that runs green over ``sim://`` provably never
+    depended on rename atomicity or partial-file visibility — the two
+    guarantees S3/GCS do not give.  ``put_if_absent`` models S3's
+    ``If-None-Match: *`` conditional put (atomic create with full
+    content via link)."""
+
+    atomic_rename = False
+    atomic_put_if_absent = True
+
+    @staticmethod
+    def _p(path: str) -> str:
+        if not path.startswith("sim://"):
+            raise ValueError(f"not a sim:// path: {path}")
+        rest = path[len("sim://") :]
+        if not rest.startswith("/"):
+            rest = "/" + rest
+        return rest
+
+    def open_read(self, path: str):
+        return open(self._p(path), "rb")
+
+    def create(self, path: str) -> WriteHandle:
+        return _SimWriteHandle(self._p(path))
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        p = self._p(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = os.path.join(
+            os.path.dirname(p), _SIM_INTERNAL_PREFIX + uuid.uuid4().hex[:12]
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, p)  # atomic create-with-content iff absent
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._p(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._p(path))
+
+    def listdir(self, path: str) -> list[str]:
+        try:
+            return [
+                n
+                for n in os.listdir(self._p(path))
+                if not n.startswith(_SIM_INTERNAL_PREFIX)
+            ]
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+
+    def getsize(self, path: str) -> int:
+        return os.path.getsize(self._p(path))
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(self._p(path))
+
+    def remove(self, path: str, missing_ok: bool = True) -> None:
+        try:
+            os.remove(self._p(path))
+        except FileNotFoundError:
+            if not missing_ok:
+                raise
+
+    def remove_tree(self, path: str) -> None:
+        shutil.rmtree(self._p(path), ignore_errors=True)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(self._p(path), exist_ok=True)
+
+
+# --- pyarrow.fs remote filesystems (s3/gs/hdfs/abfs) --------------------------
+
+
+class _ArrowWriteHandle(WriteHandle):
+    def __init__(self, stream):
+        self._s = stream
+
+    def write(self, b: bytes) -> int:
+        return self._s.write(b)
+
+    def close(self) -> None:
+        self._s.close()  # multipart complete / object becomes visible
+
+    def abort(self) -> None:
+        try:
+            self._s.close()
+        except Exception:
+            pass
+
+
+class ArrowFsBackend(StorageBackend):
+    """Remote filesystems via ``pyarrow.fs.FileSystem.from_uri``.
+
+    One instance per (scheme, authority); paths are translated to the
+    filesystem's internal form per call.  HDFS renames atomically;
+    object stores (s3/gs/abfs) do not, and their output streams publish
+    the object only at close (multipart complete) — which is exactly
+    the WriteHandle contract, so shard writes need no spooling here.
+
+    ``put_if_absent`` is best-effort (exists-then-put): pyarrow's fs API
+    has no conditional-put parameter as of 21.x.  The commit protocol
+    treats that honestly — see ``atomic_put_if_absent`` usage in
+    datasource: without it concurrent commits fall back to the lock
+    file, and the docs mandate single-writer or an external lock
+    service for multi-writer S3 until a conditional-put backend is
+    registered."""
+
+    def __init__(self, scheme: str, sample_uri: str):
+        import pyarrow.fs as pafs  # import-gated: raises if unavailable
+
+        self._fs, _ = pafs.FileSystem.from_uri(sample_uri)
+        self._scheme = scheme
+        self.atomic_rename = scheme in ("hdfs", "viewfs", "file")
+
+    def _p(self, path: str) -> str:
+        import pyarrow.fs as pafs
+
+        _, internal = pafs.FileSystem.from_uri(path)
+        return internal
+
+    def open_read(self, path: str):
+        return self._fs.open_input_file(self._p(path))
+
+    def create(self, path: str) -> WriteHandle:
+        return _ArrowWriteHandle(self._fs.open_output_stream(self._p(path)))
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        # NOT atomic (no conditional put in pyarrow.fs): callers consult
+        # atomic_put_if_absent (False here) and take the lock path.
+        if self.exists(path):
+            return False
+        self.write_atomic(path, data)
+        return True
+
+    def _info(self, path: str):
+        return self._fs.get_file_info(self._p(path))
+
+    def exists(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self._info(path).type != FileType.NotFound
+
+    def isdir(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self._info(path).type == FileType.Directory
+
+    def listdir(self, path: str) -> list[str]:
+        from pyarrow.fs import FileSelector, FileType
+
+        try:
+            infos = self._fs.get_file_info(
+                FileSelector(self._p(path), recursive=False)
+            )
+        except (FileNotFoundError, OSError):
+            return []
+        return [os.path.basename(i.path.rstrip("/")) for i in infos if i.type != FileType.NotFound]
+
+    def getsize(self, path: str) -> int:
+        info = self._info(path)
+        if info.size is None:
+            raise FileNotFoundError(path)
+        return info.size
+
+    def mtime(self, path: str) -> float:
+        info = self._info(path)
+        return info.mtime.timestamp() if info.mtime else 0.0
+
+    def remove(self, path: str, missing_ok: bool = True) -> None:
+        try:
+            self._fs.delete_file(self._p(path))
+        except FileNotFoundError:
+            if not missing_ok:
+                raise
+
+    def remove_tree(self, path: str) -> None:
+        try:
+            self._fs.delete_dir(self._p(path))
+        except FileNotFoundError:
+            pass
+
+    def makedirs(self, path: str) -> None:
+        self._fs.create_dir(self._p(path), recursive=True)
+
+    def replace(self, src: str, dst: str) -> None:
+        if not self.atomic_rename:
+            raise UnsupportedOperation(f"{self._scheme} has no atomic rename")
+        self._fs.move(self._p(src), self._p(dst))
+
+
+# --- registry -----------------------------------------------------------------
+
+_local = LocalBackend()
+_memory = MemoryBackend()
+_sim = SimObjectBackend()
+_factories: dict[str, Callable[[str, str], StorageBackend]] = {}
+_remote_cache: dict[str, StorageBackend] = {}
+# NOTE: no module-level threading.Lock — this module is cloudpickled by
+# value into Spark plans and locks are unpicklable.  GIL-atomic dict
+# get/set suffices here: the worst race builds one extra backend
+# instance, which the dict assignment simply discards.
+
+
+def register_backend(scheme: str, factory: Callable[[str, str], StorageBackend]) -> None:
+    """Install a custom backend for ``scheme`` (factory(scheme, sample_uri)).
+    The extension hook the reference's trait promises (storage.rs:10-19)."""
+    _factories[scheme.lower()] = factory
+    _remote_cache.pop(scheme.lower(), None)
+
+
+def for_path(path: str) -> StorageBackend:
+    """Resolve the backend that owns ``path`` by scheme."""
+    s = _scheme(path)
+    if s in ("", "file"):
+        return _local
+    if s == "memory":
+        return _memory
+    if s == "sim":
+        return _sim
+    backend = _remote_cache.get(s)
+    if backend is None:
+        factory = _factories.get(s)
+        backend = factory(s, path) if factory else ArrowFsBackend(s, path)
+        _remote_cache[s] = backend
+    return backend
+
+
+def reset_memory() -> None:
+    """Drop every memory:// object (test isolation)."""
+    with _memory._lock:
+        _memory._objects.clear()

@@ -314,18 +314,27 @@ def test_skip_entries_seek_path(tmp_path):
 
 
 def test_inprogress_rename_crash_safety(tmp_path):
-    """An open (crashed) writer leaves only an invisible .inprogress file;
-    close() makes the shard visible atomically."""
+    """An open (crashed) writer leaves only an invisible temp file (the
+    WriteHandle contract: publication happens at close); close() makes
+    the shard visible atomically with its footer."""
     path = str(tmp_path / "s-000000.shardpack")
     w = C.ShardWriter(path)
     w.write_record(C.Record(key="k", entries=[], metadata={}))
     assert not os.path.exists(path)          # not yet visible
-    assert os.path.exists(path + ".inprogress")
     assert C.list_shards(str(tmp_path)) == []
     w.close()
     assert os.path.exists(path)
-    assert not os.path.exists(path + ".inprogress")
+    # no temp residue: the final shard is the only file
+    assert os.listdir(tmp_path) == ["s-000000.shardpack"]
     assert [r.key for r in C.iter_records(path)] == ["k"]
+
+
+def test_writer_abort_leaves_nothing(tmp_path):
+    path = str(tmp_path / "s-000000.shardpack")
+    w = C.ShardWriter(path)
+    w.write_record(C.Record(key="k", entries=[], metadata={}))
+    w.abort()
+    assert os.listdir(tmp_path) == []
 
 
 def test_zstd_frame_checksum_and_vectors():

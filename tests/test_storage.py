@@ -1,0 +1,482 @@
+"""Storage backend abstraction: contract tests, object-store (sim://)
+end-to-end runs, commit CAS safety, crash injection, stat-free planning.
+
+The reference defines storage as a pluggable trait
+(/root/reference/src/storage.rs:10-19); these tests pin our equivalent:
+any format code path that runs green over ``sim://`` (rename-less,
+conditional-put, whole-object visibility) never relied on POSIX rename
+or partial-file visibility — the guarantees S3/GCS do not give.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import uuid
+
+import pytest
+
+from shardpack_spark.format import codec, storage
+from shardpack_spark.format import datasource as ds
+
+
+# --- backend contract ---------------------------------------------------------
+
+
+def _backends(tmp_path):
+    return [
+        ("local", str(tmp_path / "local")),
+        ("memory", f"memory://t-{uuid.uuid4().hex[:8]}"),
+        ("sim", "sim://" + str(tmp_path / "objstore")),
+    ]
+
+
+def test_backend_contract(tmp_path):
+    for label, root in _backends(tmp_path):
+        be = storage.for_path(root)
+        be.makedirs(root)
+        p = os.path.join(root, "a/b.bin")
+        be.makedirs(os.path.join(root, "a"))
+
+        # streaming create: invisible before close, exact bytes after
+        h = be.create(p)
+        h.write(b"hello ")
+        h.write(b"world")
+        assert not be.exists(p), label
+        h.close()
+        assert be.exists(p), label
+        assert be.read_bytes(p) == b"hello world", label
+        assert be.getsize(p) == 11, label
+
+        # seekable random access
+        with be.open_read(p) as f:
+            f.seek(6)
+            assert f.read(5) == b"world", label
+        assert be.read_bytes(p, 6, 3) == b"wor", label
+
+        # atomic replace
+        be.write_atomic(p, b"v2")
+        assert be.read_bytes(p) == b"v2", label
+
+        # conditional create: exactly-once
+        q = os.path.join(root, "a/lock")
+        assert be.put_if_absent(q, b"mine") is True, label
+        assert be.put_if_absent(q, b"theirs") is False, label
+        assert be.read_bytes(q) == b"mine", label
+
+        # namespace
+        assert sorted(be.listdir(os.path.join(root, "a"))) == ["b.bin", "lock"], label
+        assert be.glob_names(os.path.join(root, "a"), "*.bin") == ["b.bin"], label
+        assert be.isdir(os.path.join(root, "a")), label
+        assert be.listdir(os.path.join(root, "missing")) == [], label
+        assert be.mtime(p) > 0, label
+
+        # move works on every backend (rename or copy+delete)
+        be.move(p, os.path.join(root, "a/c.bin"))
+        assert not be.exists(p), label
+        assert be.read_bytes(os.path.join(root, "a/c.bin")) == b"v2", label
+
+        # abort leaves nothing
+        h = be.create(os.path.join(root, "a/never.bin"))
+        h.write(b"x")
+        h.abort()
+        assert not be.exists(os.path.join(root, "a/never.bin")), label
+
+        be.remove(os.path.join(root, "a/c.bin"))
+        be.remove(os.path.join(root, "a/zzz"), missing_ok=True)
+        be.remove_tree(os.path.join(root, "a"))
+        assert not be.isdir(os.path.join(root, "a")), label
+
+
+def test_sim_backend_enforces_no_rename(tmp_path):
+    be = storage.for_path("sim://" + str(tmp_path))
+    assert be.atomic_rename is False
+    with pytest.raises(storage.UnsupportedOperation):
+        be.replace("sim://" + str(tmp_path / "a"), "sim://" + str(tmp_path / "b"))
+
+
+def test_put_if_absent_race_single_winner(tmp_path):
+    """N threads CAS the same object: exactly one wins, content is the
+    winner's (the commit protocol's core invariant)."""
+    for label, root in _backends(tmp_path):
+        be = storage.for_path(root)
+        be.makedirs(root)
+        target = os.path.join(root, "root-claim.json")
+        wins = []
+
+        def claim(i, target=target, be=be, wins=wins):
+            if be.put_if_absent(target, f"writer-{i}".encode()):
+                wins.append(i)
+
+        threads = [threading.Thread(target=claim, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1, label
+        assert be.read_bytes(target) == f"writer-{wins[0]}".encode(), label
+
+
+def test_scheme_routing():
+    assert isinstance(storage.for_path("/x/y"), storage.LocalBackend)
+    assert isinstance(storage.for_path("file:///x"), storage.LocalBackend)
+    assert isinstance(storage.for_path("memory://x"), storage.MemoryBackend)
+    assert isinstance(storage.for_path("sim:///x"), storage.SimObjectBackend)
+    assert storage.strip_file_uri("file:///a/b") == "/a/b"
+    assert storage.strip_file_uri("file:/a/b") == "/a/b"
+    assert storage.relpath("sim:///a/b/c", "sim:///a") == "b/c"
+
+
+# --- end-to-end Spark over sim:// (multi-process object-store semantics) ------
+
+
+def _read_keys(spark, path):
+    from shardpack_spark.format.datasource import read_shardpack
+
+    return sorted(r["key"] for r in read_shardpack(spark, path).select("key").collect())
+
+
+def test_spark_roundtrip_over_sim(spark, tmp_path, sp_rows):
+    """Full DataSource write/append/read/time-travel over object-store
+    semantics, executors in separate processes — nothing in the path may
+    use rename or see partial files."""
+    path = "sim://" + str(tmp_path / "ds")
+    df = sp_rows(spark, [("k%03d" % i, {"i": str(i)}, b"payload-%d" % i) for i in range(50)])
+    ds.register(spark)
+    df.write.format("shardpack").mode("overwrite").save(path)
+    assert _read_keys(spark, path) == ["k%03d" % i for i in range(50)]
+
+    df2 = sp_rows(spark, [("x%03d" % i, {}, b"late") for i in range(10)])
+    df2.write.format("shardpack").mode("append").save(path)
+    got = _read_keys(spark, path)
+    assert len(got) == 60 and "x000" in got
+
+    # time travel across the append boundary
+    versions = [v["version"] for v in ds.list_versions(path)]
+    assert len(versions) == 2
+    old = ds.read_shardpack(spark, path, version=versions[0])
+    assert old.count() == 50
+
+    # delta between snapshots
+    delta = ds.read_version_delta(spark, path, versions[0])
+    assert delta.count() == 10
+
+    # fsck is clean
+    report = ds.verify_dataset(spark, path)
+    assert report["ok"], report
+
+
+def test_spark_compact_and_vacuum_over_sim(spark, tmp_path, sp_rows):
+    path = "sim://" + str(tmp_path / "ds2")
+    ds.register(spark)
+    sp_rows(
+        spark, [("k%04d" % i, {}, b"z" * 200) for i in range(300)]
+    ).write.format("shardpack").mode("overwrite").option(
+        "target_shard_bytes", 4000
+    ).save(path)
+    before = len(codec.list_shards(path))
+    assert before > 1
+    out = ds.compact_dataset(spark, path, target_shard_bytes=10**7, sort_by_key=True)
+    assert out["records"] == 300
+    assert _read_keys(spark, path) == ["k%04d" % i for i in range(300)]
+    rep = ds.vacuum(path, grace_seconds=0)
+    assert rep["dry_run"] is False
+    # post-vacuum read still intact
+    assert ds.read_shardpack(spark, path).count() == 300
+
+
+def test_patches_over_sim(spark, tmp_path, sp_rows):
+    """Merge-on-read patches publish via pointer objects on rename-less
+    stores (no directory rename anywhere)."""
+    from shardpack_spark.format import patches as P
+
+    path = "sim://" + str(tmp_path / "ds3")
+    ds.register(spark)
+    sp_rows(spark, [("k%02d" % i, {}, b"v1") for i in range(20)]).write.format(
+        "shardpack"
+    ).mode("overwrite").save(path)
+    P.write_patch(sp_rows(spark, [("k01", {}, b"v2")]), path)
+    P.write_patch(P.tombstones(spark, ["k02"]), path)
+    assert [p for p in P.list_patches(path)] == ["p00000001", "p00000002"]
+    merged = P.read_with_patches(spark, path)
+    rows = {r["key"]: r for r in merged.collect()}
+    assert len(rows) == 19 and "k02" not in rows
+    assert bytes(rows["k01"]["entries"][0]["data"]) == b"v2"
+    out = P.compact_patches(spark, path)
+    assert out["patches_folded"] == 2
+    assert P.list_patches(path) == []
+    assert ds.read_shardpack(spark, path).count() == 19
+
+
+def test_streaming_sink_over_sim(spark, tmp_path, sp_rows):
+    """Stream micro-batches commit via marker objects; folded stream
+    state reads back exactly over object-store semantics."""
+    src = str(tmp_path / "src_parquet")
+    out = "sim://" + str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    sp_rows(spark, [("s%03d" % i, {}, b"x") for i in range(40)]).write.parquet(src)
+    ds.register(spark)
+    q = (
+        spark.readStream.schema(ds.SCHEMA)
+        .parquet(src)
+        .writeStream.format("shardpack")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _read_keys(spark, out) == ["s%03d" % i for i in range(40)]
+
+
+# --- commit protocol: CAS safety without the lock -----------------------------
+
+
+def _mk_commit_writer(path, **opts):
+    return ds.ShardPackWriter({"path": path, **opts}, overwrite=False)
+
+
+def _stage_shards(path, keys, seq):
+    """Write shard files the way a task would; return a commit message."""
+    w = codec.DatasetWriter(
+        path, basename=f"c{seq:08d}-part-00000-{uuid.uuid4().hex[:8]}"
+    )
+    for k in keys:
+        w.write(codec.Record(key=k, entries=[], metadata={}))
+    results = w.close()
+    return ds.ShardCommitMessage(
+        shards=[
+            {"path": os.path.basename(r["path"]), "records": r["records"], "bytes": r["bytes"]}
+            for r in results
+        ]
+    )
+
+
+def test_concurrent_appends_no_lost_commits(tmp_path, monkeypatch):
+    """VERDICT r2 item 2: concurrent appends must not lose commits even
+    with the lock DISABLED — the conditional-put on root-{vid}.json is
+    the serialization point, and CAS losers re-merge and retry."""
+
+    class _NoLock:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    monkeypatch.setattr(ds, "_CommitLock", _NoLock)
+
+    for root in [str(tmp_path / "loc"), "sim://" + str(tmp_path / "obj")]:
+        be = storage.for_path(root)
+        be.makedirs(root)
+        n_writers, per = 8, 5
+        errors = []
+
+        def commit_one(i, root=root, errors=errors):
+            try:
+                w = _mk_commit_writer(root)
+                msg = _stage_shards(root, [f"w{i}-k{j}" for j in range(per)], seq=i + 1)
+                w.commit([msg])
+            except Exception as e:  # surface in main thread
+                errors.append(e)
+
+        threads = [threading.Thread(target=commit_one, args=(i,)) for i in range(n_writers)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        m = ds._load_latest_manifest(root)
+        assert m["total_records"] == n_writers * per, root
+        names = {s["path"] for s in m["shards"]}
+        assert len(names) == n_writers, root  # every writer's shard listed
+        # version chain is dense: one root per commit
+        assert ds._root_ids(root) == list(range(1, n_writers + 1)), root
+
+
+def test_commit_cas_loser_remerges(tmp_path, monkeypatch):
+    """Deterministic two-writer interleaving: B reads the manifest, A
+    commits, then B commits — B's CAS for A's vid must fail and B must
+    re-merge on top of A's state."""
+
+    class _NoLock:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    monkeypatch.setattr(ds, "_CommitLock", _NoLock)
+    root = str(tmp_path / "cas")
+    storage.for_path(root).makedirs(root)
+
+    msg_a = _stage_shards(root, ["a1", "a2"], seq=1)
+    msg_b = _stage_shards(root, ["b1"], seq=2)
+
+    wa, wb = _mk_commit_writer(root), _mk_commit_writer(root)
+    # B performs its first attempt against the EMPTY prior state but is
+    # paused before the CAS; A commits fully in between.
+    orig_attempt = ds.ShardPackWriter._commit_attempt
+    state_b = {"paused_once": False}
+
+    def attempt_with_pause(self, be, new_shards, state):
+        if self is wb and not state_b["paused_once"]:
+            state_b["paused_once"] = True
+            wa.commit([msg_a])  # A wins vid=1 while B is mid-flight
+        return orig_attempt(self, be, new_shards, state)
+
+    monkeypatch.setattr(ds.ShardPackWriter, "_commit_attempt", attempt_with_pause)
+    wb.commit([msg_b])
+
+    m = ds._load_latest_manifest(root)
+    assert m["version_id"] == 2
+    assert m["total_records"] == 3
+    keys = set()
+    for s in m["shards"]:
+        keys.update(r.key for r in codec.iter_records(os.path.join(root, s["path"])))
+    assert keys == {"a1", "a2", "b1"}
+
+
+# --- stream sink crash injection (VERDICT r2 item 6) --------------------------
+
+
+def test_stream_sink_crash_between_move_and_marker(tmp_path):
+    """Kill the sink commit after shards are moved but before the marker
+    is written: nothing becomes visible; a replayed commit of the same
+    batch publishes exactly once; the crashed files stay invisible and
+    are vacuumable orphans."""
+    root = str(tmp_path / "sink")
+    be = storage.for_path(root)
+    be.makedirs(root)
+
+    def stage(keys):
+        task_dir = os.path.join(root, ds.STAGING_DIR, f"task-{uuid.uuid4().hex[:8]}")
+        w = codec.DatasetWriter(task_dir, basename=f"part-00000-{uuid.uuid4().hex[:8]}")
+        for k in keys:
+            w.write(codec.Record(key=k, entries=[], metadata={}))
+        results = w.close()
+        return ds.ShardCommitMessage(
+            shards=[
+                {
+                    "path": os.path.basename(r["path"]),
+                    "staging": storage.relpath(os.path.dirname(r["path"]), root),
+                    "records": r["records"],
+                    "bytes": r["bytes"],
+                }
+                for r in results
+            ]
+        )
+
+    writer = ds.ShardPackStreamWriter({"path": root})
+
+    class _Boom(RuntimeError):
+        pass
+
+    # crash injection: write_atomic (the marker write) raises
+    real_write_atomic = storage.LocalBackend.write_atomic
+    try:
+        storage.LocalBackend.write_atomic = lambda self, p, d: (_ for _ in ()).throw(_Boom())
+        with pytest.raises(_Boom):
+            writer.commit([stage(["k1", "k2"])], batchId=0)
+    finally:
+        storage.LocalBackend.write_atomic = real_write_atomic
+
+    # no marker -> nothing visible (the moved files are orphans)
+    assert ds._visible_shards(root) == []
+
+    # engine replays batch 0 with a fresh task attempt
+    writer.commit([stage(["k1", "k2"])], batchId=0)
+    vis = ds._visible_shards(root)
+    assert len(vis) == 1
+    keys = [r.key for r in codec.iter_records(os.path.join(root, vis[0]))]
+    assert keys == ["k1", "k2"]
+
+    # a second replay of the committed batch is a no-op
+    writer.commit([stage(["k1", "k2"])], batchId=0)
+    assert ds._visible_shards(root) == vis
+
+    # the crashed attempt's shards are unreferenced -> vacuum reclaims
+    rep = ds.vacuum(root, grace_seconds=0, dry_run=True)
+    assert len(rep["deleted_shards"]) == 1
+
+
+# --- stat-free planning (VERDICT r2 item 4) -----------------------------------
+
+
+def test_planning_uses_manifest_sizes_no_stats(tmp_path, monkeypatch):
+    """A committed dataset plans with ZERO per-shard stat calls: sizes
+    ride in the manifest.  Synthetic 100k-shard manifest plans in pure
+    metadata."""
+    root = str(tmp_path / "plan")
+    be = storage.for_path(root)
+    be.makedirs(root)
+
+    # real dataset for the end-to-end half
+    w = _mk_commit_writer(root)
+    msg = _stage_shards(root, [f"k{i}" for i in range(10)], seq=1)
+    w.commit([msg])
+
+    calls = []
+    real_getsize = storage.LocalBackend.getsize
+
+    def counting_getsize(self, p):
+        calls.append(p)
+        return real_getsize(self, p)
+
+    monkeypatch.setattr(storage.LocalBackend, "getsize", counting_getsize)
+    reader = ds.ShardPackReader({"path": root})
+    parts = reader.partitions()
+    assert len(parts) >= 1
+    assert calls == [], "planning statted shards despite manifest sizes"
+
+    # synthetic 100k-entry manifest: pure-metadata planning
+    names = [f"c00000001-part-{i:06d}.shardpack" for i in range(100_000)]
+    sizes = {n: 64 * 1024 * 1024 for n in names}
+    parts = ds._plan_partitions(root, names, split_target=128 * 1024 * 1024, sizes=sizes)
+    assert len(parts) == 100_000
+    assert calls == []
+
+
+# --- writer validation options ------------------------------------------------
+
+
+def test_max_record_bytes_option(spark, tmp_path, sp_rows):
+    ds.register(spark)
+    path = str(tmp_path / "limited")
+    big = sp_rows(spark, [("k", {}, b"x" * 10_000)])
+    with pytest.raises(Exception, match="max_record_bytes"):
+        big.write.format("shardpack").mode("overwrite").option(
+            "max_record_bytes", 1000
+        ).save(path)
+    with pytest.raises(Exception, match="max_entry_bytes"):
+        big.write.format("shardpack").mode("overwrite").option(
+            "max_entry_bytes", 1000
+        ).save(path)
+    # within limits: clean write
+    big.write.format("shardpack").mode("overwrite").option(
+        "max_record_bytes", 100_000
+    ).save(path)
+    assert ds.read_shardpack(spark, path).count() == 1
+
+
+def test_zstd_pure_fallback_warns():
+    codec._zstd_fallback_warned = False
+    try:
+        with pytest.warns(RuntimeWarning, match="pure-Python fallback"):
+            frame = codec._zstd_compress(b"hello world" * 10)
+        assert codec._zstd_decompress(frame) == b"hello world" * 10
+        # one-time: no second warning
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            codec._zstd_compress(b"again")
+    finally:
+        codec._zstd_fallback_warned = True
