@@ -863,6 +863,27 @@ def read_record_at(
     return rec
 
 
+def iter_records_span(
+    path: str,
+    start: int,
+    end: int,
+    n_records: int,
+    verify_checksums: bool = True,
+    skip_payload: bool = False,
+    skip_entries: bool = False,
+) -> Iterator[Record]:
+    """Stream ``n_records`` record blocks from the byte span [start, end)
+    in ONE ranged read — the record-range-split read path (a split is a
+    contiguous slice of the offset table, so its bytes are contiguous
+    too; per-record seeks here would cost one I/O round trip per record
+    on an object store)."""
+    buf = storage.for_path(path).read_bytes(path, start, end - start)
+    pos = 0
+    for _ in range(n_records):
+        rec, pos = decode_record(buf, pos, verify_checksums, skip_payload, skip_entries)
+        yield rec
+
+
 def iter_records(
     path: str,
     verify_checksums: bool = True,

@@ -146,7 +146,14 @@ SCHEMA = StructType(
 @dataclass
 class ShardPartition(InputPartition):
     path: str
-    offsets: list[int] | None  # None -> whole shard
+    offsets: list[int] | None  # None -> whole shard (unless rec_range set)
+    # [start, end) RECORD index range, resolved to byte offsets by the
+    # EXECUTOR (one EOF-index tail read in the task that owns the shard).
+    # Planning oversized shards then needs only manifest metadata — the
+    # driver never opens a shard file, which at 400k shards on an object
+    # store is the difference between metadata-speed planning and O(n)
+    # remote reads.
+    rec_range: tuple[int, int] | None = None
 
 
 def _norm_path(p: str | None) -> str | None:
@@ -538,24 +545,35 @@ def _plan_partitions(
     path: str,
     names: Sequence[str],
     split_target: int,
-    sizes: dict[str, int] | None = None,
+    stats: dict[str, tuple[int, int | None]] | None = None,
 ) -> list[ShardPartition]:
     """One partition per shard; oversized shards split into record-ranges
-    via the EOF offset table so executor work stays even at any scale.
+    so executor work stays even at any scale.
 
-    ``sizes`` carries manifest/marker-recorded byte sizes: a committed
-    dataset plans with ZERO per-shard stat calls (the manifest records
-    every shard's size at commit).  Only ad-hoc directories without a
-    commit log fall back to stats."""
+    ``stats`` carries manifest/marker-recorded (bytes, records) pairs: a
+    committed dataset plans with ZERO per-shard I/O — sizes decide the
+    split count, record counts produce [start, end) record ranges, and
+    the owning EXECUTOR resolves ranges to byte offsets with one
+    EOF-index read.  The driver opens a shard only for log-less ad-hoc
+    directories (stat for size, tail read for the offset table)."""
     be = storage.for_path(path)
     out: list[ShardPartition] = []
     for name in names:
         sp = os.path.join(path, name)
-        size = (sizes or {}).get(name)
+        size, records = (stats or {}).get(name, (None, None))
         if size is None:
             size = be.getsize(sp)
         if size <= split_target:
             out.append(ShardPartition(sp, None))
+        elif records is not None:
+            if records <= 0:
+                continue
+            n_splits = max(1, size // split_target)
+            per = max(1, records // n_splits)
+            for i in range(0, records, per):
+                out.append(
+                    ShardPartition(sp, None, rec_range=(i, min(i + per, records)))
+                )
         else:
             idx = codec.read_index(sp)
             if not idx.offsets:
@@ -567,22 +585,27 @@ def _plan_partitions(
     return out
 
 
-def _manifest_sizes(path: str, manifest: dict | None) -> dict[str, int]:
-    """name -> byte size for every shard the commit log records (manifest
-    entries and stream-batch markers both carry 'bytes')."""
-    sizes: dict[str, int] = {}
-    for s in (manifest or {}).get("shards", []):
+def _manifest_stats(path: str, manifest: dict | None) -> dict[str, tuple[int, int | None]]:
+    """name -> (bytes, records|None) for every shard the commit log
+    records (manifest entries and stream-batch markers both carry
+    both)."""
+    stats: dict[str, tuple[int, int | None]] = {}
+
+    def _take(s: dict) -> None:
         if isinstance(s.get("bytes"), int):
-            sizes[s["path"]] = s["bytes"]
+            rec = s.get("records")
+            stats[s["path"]] = (s["bytes"], rec if isinstance(rec, int) else None)
+
+    for s in (manifest or {}).get("shards", []):
+        _take(s)
     be = storage.for_path(path)
     for f in be.glob_names(path, "_batch_*.json"):
         try:
             for s in json.loads(be.read_bytes(os.path.join(path, f))).get("shards", []):
-                if isinstance(s.get("bytes"), int):
-                    sizes[s["path"]] = s["bytes"]
+                _take(s)
         except (OSError, json.JSONDecodeError, TypeError):
             continue
-    return sizes
+    return stats
 
 
 def _arrow_batches(
@@ -633,13 +656,36 @@ def _arrow_batches(
             names.append("_shard")
         return pa.RecordBatch.from_arrays(arrays, names=names)
 
-    for rec in codec.iter_records(
-        partition.path,
-        verify_checksums=verify,
-        offsets=partition.offsets,
-        skip_payload=skip_payload or metadata_only,
-        skip_entries=metadata_only,
-    ):
+    if partition.offsets is None and partition.rec_range is not None:
+        # record-range split planned from manifest metadata alone: THIS
+        # task resolves its range with one EOF-index read of the shard
+        # it is about to consume anyway, then streams the contiguous
+        # byte span in a single ranged read
+        lo, hi = partition.rec_range
+        idx = codec.read_index(partition.path)
+        lo, hi = min(lo, len(idx.offsets)), min(hi, len(idx.offsets))
+        record_iter = (
+            codec.iter_records_span(
+                partition.path,
+                idx.offsets[lo],
+                idx.offsets[hi] if hi < len(idx.offsets) else idx.index_start,
+                hi - lo,
+                verify_checksums=verify,
+                skip_payload=skip_payload or metadata_only,
+                skip_entries=metadata_only,
+            )
+            if hi > lo
+            else iter(())
+        )
+    else:
+        record_iter = codec.iter_records(
+            partition.path,
+            verify_checksums=verify,
+            offsets=partition.offsets,
+            skip_payload=skip_payload or metadata_only,
+            skip_entries=metadata_only,
+        )
+    for rec in record_iter:
         batch_keys.append(rec.key)
         batch_meta.append(sorted((rec.metadata or {}).items()))
         if not metadata_only:
@@ -775,7 +821,7 @@ class ShardPackReader(DataSourceReader):
                 kept.append(name)
             names = kept
         return _plan_partitions(
-            self.path, names, self.split_target, _manifest_sizes(self.path, manifest)
+            self.path, names, self.split_target, _manifest_stats(self.path, manifest)
         )
 
     def read(self, partition: ShardPartition):
@@ -1188,7 +1234,7 @@ class ShardPackStreamReader(DataSourceStreamReader):
             if lo < n <= hi and n > self._floor
         ]
         return _plan_partitions(
-            self.path, names, self.split_target, _manifest_sizes(self.path, manifest)
+            self.path, names, self.split_target, _manifest_stats(self.path, manifest)
         )
 
     def commit(self, end: dict) -> None:
@@ -1380,9 +1426,9 @@ def compact_dataset(
     # output inherits one shard per input partition); manifest-recorded
     # sizes first, stat only for log-less ad-hoc dirs
     be = storage.for_path(path)
-    sizes = _manifest_sizes(path, manifest)
+    stats = _manifest_stats(path, manifest)
     total_bytes = sum(
-        sizes.get(n, None) or be.getsize(os.path.join(path, n))
+        (stats.get(n) or (None,))[0] or be.getsize(os.path.join(path, n))
         for n in _visible_shards(path, manifest or None)
     )
     n_parts = max(1, -(-total_bytes // target_shard_bytes))

@@ -438,10 +438,41 @@ def test_planning_uses_manifest_sizes_no_stats(tmp_path, monkeypatch):
 
     # synthetic 100k-entry manifest: pure-metadata planning
     names = [f"c00000001-part-{i:06d}.shardpack" for i in range(100_000)]
-    sizes = {n: 64 * 1024 * 1024 for n in names}
-    parts = ds._plan_partitions(root, names, split_target=128 * 1024 * 1024, sizes=sizes)
+    stats = {n: (64 * 1024 * 1024, 5000) for n in names}
+    parts = ds._plan_partitions(root, names, split_target=128 * 1024 * 1024, stats=stats)
     assert len(parts) == 100_000
     assert calls == []
+
+    # oversized shards split into RECORD ranges from manifest record
+    # counts — no shard file is opened at plan time (the files do not
+    # even exist here); executors resolve ranges to offsets themselves
+    big = {n: (512 * 1024 * 1024, 1000) for n in names[:100]}
+    parts = ds._plan_partitions(
+        root, names[:100], split_target=128 * 1024 * 1024, stats=big
+    )
+    assert len(parts) == 400  # 4 range splits per shard
+    assert all(p.rec_range is not None and p.offsets is None for p in parts)
+    ranges = [p.rec_range for p in parts if p.path.endswith(names[0])]
+    assert ranges == [(0, 250), (250, 500), (500, 750), (750, 1000)]
+    assert calls == []
+
+
+def test_record_range_splits_read_correctly(spark, tmp_path, sp_rows):
+    """Committed oversized shards split by manifest record counts; the
+    executor-resolved spans must reproduce every record exactly once."""
+    for scheme in ["", "sim://"]:
+        path = scheme + str(tmp_path / f"split{bool(scheme)}")
+        ds.register(spark)
+        sp_rows(
+            spark, [("k%04d" % i, {}, b"p" * 500) for i in range(400)]
+        ).coalesce(1).write.format("shardpack").mode("overwrite").option(
+            "target_shard_bytes", 10**9
+        ).save(path)
+        assert len(codec.list_shards(path)) == 1  # one big shard
+        df = spark.read.format("shardpack").option("split_target_bytes", 20_000).load(path)
+        assert df.rdd.getNumPartitions() > 4, scheme
+        keys = sorted(r["key"] for r in df.select("key").collect())
+        assert keys == ["k%04d" % i for i in range(400)], scheme
 
 
 # --- writer validation options ------------------------------------------------
