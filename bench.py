@@ -89,6 +89,13 @@ def main() -> None:
     # report the best of two timed passes — single-pass numbers on this
     # shared host swing 30-70% run to run from neighbor load, and min()
     # is the standard steady-state estimator under one-sided noise.
+    #
+    # Each timed pass REBUILDS the DataFrame: re-collecting one object
+    # would let the DAG scheduler skip every stage whose shuffle output
+    # survives (2.3 s LSH "measures" 0.06 s) — a fresh plan forces full
+    # execution.  Base table relations are cached by load_table (the
+    # metastore's job), so rebuild cost is expression construction +
+    # analysis, not repeated parquet listings.
     queries: dict[str, float] = {}
     for name in HEADLINE:
         registry[name].builder(spark, sf_dir).collect()

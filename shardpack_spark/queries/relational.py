@@ -41,18 +41,28 @@ def q01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     # Two countDistincts in ONE agg would plan an Expand (3x the input
-    # rows through the first shuffle).  Splitting each distinct into its
-    # own column-pruned scan + two-level agg and cross-joining the 1-row
-    # results reads the same bytes (1 column per scan) without the row
-    # multiplication — measured 4x faster at sf0.1, and the standard
-    # rewrite for multi-distinct at 100 TB.
-    base = li.agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+    # rows through the first shuffle).  Two single-column scans instead,
+    # each carrying more than its distinct: the l_suppkey scan derives
+    # the TOTAL row count as sum of group counts (no third scan), and
+    # the HLL estimate runs over the already-distinct l_partkey set —
+    # identical estimate (HLL depends only on the distinct value set)
+    # at 1/|rows-per-key| the hashing work.  Partial aggs make both
+    # shuffles |distinct|-sized.  The standard multi-distinct rewrite
+    # for 100 TB: never Expand, never rescan.
+    supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.sum("__c").alias("cnt"), F.count(F.lit(1)).alias("supp_cnt"))
     )
-    supp = li.select("l_suppkey").distinct().agg(F.count(F.lit(1)).alias("supp_cnt"))
-    part = li.select("l_partkey").distinct().agg(F.count(F.lit(1)).alias("part_cnt"))
-    agged = base.crossJoin(supp).crossJoin(part)
+    part = (
+        li.select("l_partkey")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("part_cnt"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx"),
+        )
+    )
+    agged = supp.crossJoin(part)
     ok = (
         (F.col("__approx") >= F.col("part_cnt") * 0.95)
         & (F.col("__approx") <= F.col("part_cnt") * 1.05)
