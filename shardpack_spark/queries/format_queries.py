@@ -59,9 +59,15 @@ def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The aggregate runs over the RE-READ data; matching the parquet-side
     oracle proves the container round-trip is lossless.
+
+    Variant-tagged storage coverage: the round-trip runs over the
+    ``sim://`` OBJECT-STORE backend (format/storage.py) — no rename, no
+    partial-file visibility, conditional-put commit — so the driver's
+    correctness gate exercises the same code path an S3/GCS deployment
+    uses, not just POSIX.
     """
     _ensure_registered(spark)
-    out = tempfile.mkdtemp(prefix="shardpack_rt_")
+    out = "sim://" + tempfile.mkdtemp(prefix="shardpack_rt_")
     # lz4 (pyarrow-native when importable, pure-Python block codec
     # otherwise) so a compressed round-trip is part of the declared,
     # driver-checked surface — not just a pytest case
