@@ -107,7 +107,9 @@ def _shingles(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFr
     sf0.1 and saves less)."""
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    sh = dedup.char_shingles(docs, k=5)
+    # hashed shingles: longs through every downstream hash/join (see
+    # char_shingles docstring) — same pairs, ~2x less hash+shuffle work
+    sh = dedup.char_shingles(docs, k=5, hashed=True)
     return sh.persist() if persist else sh
 
 
