@@ -1,0 +1,220 @@
+"""Importance-resampling data selection (DSIR-style).
+
+Selects raw-corpus documents whose n-gram distribution looks like a
+TARGET corpus, by scoring each document with the log-likelihood ratio of
+its n-grams under target vs raw unigram/bigram models — the published
+DSIR recipe (Xie et al., "Data Selection for Language Models via
+Importance Resampling", 2023; hashed n-gram features + importance
+resampling).  Everything here is DataFrame-native:
+
+- ``ngram_log_ratios``: two groupBy(ngram) counts (raw and target) with
+  map-side partial aggregation, one outer join, Laplace-smoothed
+  log(p_target/p_raw) per n-gram.  The model is a keyed TABLE, not a
+  driver-side array — at 100 TB both corpora stream through two
+  linear aggregations.
+- ``dsir_scores``: explode docs to n-grams, join the ratio table (the
+  model is usually small enough that Catalyst broadcasts it; the join
+  stays a keyed shuffle join when it is not), sum per doc.  tf-weighted.
+- ``hashed_ngram_log_ratios`` / scale variant: n-grams bucketed with
+  xxhash64 into ``n_buckets`` (the paper's hashing trick) so the model
+  is fixed-size regardless of vocabulary — the bucket table is
+  guaranteed broadcastable.
+- ``dsir_resample``: deterministic Gumbel-top-k importance resampling —
+  per-doc noise derived from xxhash64(id, seed), so selection is
+  reproducible and shuffle-free beyond one TakeOrderedAndProject.
+
+Cross-engine determinism note (oracle-checked queries): each per-ngram
+log ratio is rounded to 4 decimals BEFORE the per-doc sum — engines'
+ln() may differ in the last ulp, and summing rounded grid values keeps
+the 4-decimal per-doc score identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ROUND = 10000.0
+
+
+def _round4(col: F.Column) -> F.Column:
+    """FLOOR(x*1e4+0.5)/1e4 — half-up, engine-stable (see timeutil/canon)."""
+    return F.floor(col * _ROUND + F.lit(0.5)) / _ROUND
+
+
+def word_ngrams(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, ngram, tf): whitespace-tokenized lowercase word n-grams with
+    term frequency.  Pure codegen — no Python row path."""
+    ws = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != "")
+    if n == 1:
+        grams = F.col("__ws")
+    else:
+        # 1-based slice: gram i joins words [i, i+n-1].  The size guard
+        # matters: Spark's sequence(1, 0) DESCENDS to [1, 0] instead of
+        # being empty, which would feed slice a zero start.
+        grams = F.expr(
+            f"if(size(__ws) >= {n}, "
+            f"transform(sequence(1, size(__ws) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(__ws, i, {n}))), "
+            f"array())"
+        )
+    out = (
+        df.select(F.col(id_col).alias("id"), ws.alias("__ws"))
+        .select("id", F.explode(grams).alias("ngram"))
+        .groupBy("id", "ngram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return out
+
+
+def ngram_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(ngram, logr): Laplace-smoothed log(p_target / p_raw) per n-gram.
+
+    logr = ln( ((ct+1) / (Nt+V)) / ((cr+1) / (Nr+V)) ), with V the raw
+    vocabulary size — n-grams unseen in the target get the smoothed
+    floor instead of -inf.  Rounded to 4 decimals (determinism note in
+    the module docstring)."""
+    raw_counts = (
+        word_ngrams(raw, n, text_col, id_col)
+        .groupBy("ngram")
+        .agg(F.sum("tf").alias("cr"))
+    )
+    tgt_counts = (
+        word_ngrams(target, n, text_col, id_col)
+        .groupBy("ngram")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    # totals / vocab as 1-row DF -> crossJoin (never .collect(): the
+    # totals job would otherwise run eagerly and twice)
+    totals = raw_counts.agg(
+        F.sum("cr").alias("nr"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(tgt_counts.agg(F.sum("ct").alias("nt")))
+    joined = (
+        raw_counts.join(tgt_counts, "ngram", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(totals))
+    )
+    logr = F.log(
+        ((F.col("ct") + 1) * (F.col("nr") + F.col("v")))
+        / ((F.col("cr") + 1) * (F.col("nt") + F.col("v")))
+    )
+    return joined.select("ngram", _round4(logr).alias("logr"))
+
+
+def dsir_scores(
+    df: DataFrame,
+    ratios: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score): tf-weighted mean log-likelihood ratio per document.
+
+    Mean (not sum) so the score is length-normalized — otherwise long
+    documents dominate selection regardless of fit, the standard DSIR
+    normalization.  N-grams absent from the ratio table (not in the raw
+    corpus model) contribute 0."""
+    grams = word_ngrams(df, n, text_col, id_col)
+    scored = (
+        grams.join(ratios, "ngram", "left")
+        .na.fill({"logr": 0.0})
+        .groupBy("id")
+        .agg(
+            (F.sum(F.col("tf") * F.col("logr")) / F.sum("tf")).alias("__raw_score")
+        )
+    )
+    return scored.select("id", _round4(F.col("__raw_score")).alias("score"))
+
+
+def hashed_ngram_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    n_buckets: int = 1 << 14,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, logr): the DSIR paper's hashed variant — n-grams bucket
+    into a fixed-size table via xxhash64, so the model is O(n_buckets)
+    no matter the vocabulary (guaranteed broadcastable at any corpus
+    size; collisions blur the model slightly, exactly as published)."""
+    b = lambda d: (  # noqa: E731
+        word_ngrams(d, n, text_col, id_col)
+        .select(F.pmod(F.xxhash64("ngram"), F.lit(n_buckets)).alias("bucket"), "tf")
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("c"))
+    )
+    raw_b = b(raw).withColumnRenamed("c", "cr")
+    tgt_b = b(target).withColumnRenamed("c", "ct")
+    totals = raw_b.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt_b.agg(F.sum("ct").alias("nt"))
+    )
+    joined = (
+        raw_b.join(tgt_b, "bucket", "outer")
+        .na.fill({"cr": 0, "ct": 0})
+        .crossJoin(F.broadcast(totals))
+    )
+    logr = F.log(
+        ((F.col("ct") + 1) * (F.col("nr") + F.lit(n_buckets)))
+        / ((F.col("cr") + 1) * (F.col("nt") + F.lit(n_buckets)))
+    )
+    return joined.select("bucket", _round4(logr).alias("logr"))
+
+
+def dsir_scores_hashed(
+    df: DataFrame,
+    bucket_ratios: DataFrame,
+    n: int = 2,
+    n_buckets: int = 1 << 14,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale-path scoring against the hashed model (broadcast join)."""
+    grams = word_ngrams(df, n, text_col, id_col).select(
+        "id", F.pmod(F.xxhash64("ngram"), F.lit(n_buckets)).alias("bucket"), "tf"
+    )
+    return (
+        grams.join(F.broadcast(bucket_ratios), "bucket", "left")
+        .na.fill({"logr": 0.0})
+        .groupBy("id")
+        .agg(_round4(F.sum(F.col("tf") * F.col("logr")) / F.sum("tf")).alias("score"))
+    )
+
+
+def dsir_resample(
+    scored: DataFrame,
+    k: int,
+    seed: int = 42,
+    temperature: float = 1.0,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k importance resampling.
+
+    Sampling WITHOUT replacement proportional to exp(score/temperature)
+    == taking the top k of score/temperature + Gumbel noise (the
+    Gumbel-max trick).  Noise derives from xxhash64(id, seed), so the
+    draw is reproducible, embarrassingly parallel, and the only global
+    operation is one TakeOrderedAndProject — no shuffle of the corpus.
+    temperature -> 0 degrades to plain top-k by score."""
+    # u in (0,1): 53 mantissa bits of the hash; g = -ln(-ln(u))
+    u = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 53)).cast("double")
+        + 0.5
+    ) / float(1 << 53)
+    g = -F.log(-F.log(u))
+    key = F.col(score_col) / F.lit(max(temperature, 1e-12)) + g
+    return (
+        scored.withColumn("__g", key)
+        .orderBy(F.desc("__g"), F.col(id_col))
+        .limit(k)
+        .drop("__g")
+    )

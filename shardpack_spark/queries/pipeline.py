@@ -296,3 +296,72 @@ def q61_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.semantic_dedup(
         emb, threshold=_SEM_T, k=_KM_K, n_iter=_KM_ITER, seed=_KM_SEED
     )
+
+
+@register(
+    "q62_dsir_selection",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         w -> length(w) > 0) AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS ngram
+      FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    tf AS (SELECT doc_id, ngram, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+    raw_counts AS (SELECT ngram, SUM(tf) AS cr FROM tf GROUP BY 1),
+    tgt_counts AS (
+      SELECT ngram, SUM(tf) AS ct
+      FROM tf JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cr) AS nr, COUNT(*) AS v FROM raw_counts),
+    ttot AS (SELECT COALESCE(SUM(ct), 0) AS nt FROM tgt_counts),
+    ratios AS (
+      SELECT r.ngram,
+             FLOOR(LN(CAST((COALESCE(t.ct, 0) + 1) * (tot.nr + tot.v) AS DOUBLE)
+                      / CAST((r.cr + 1) * (ttot.nt + tot.v) AS DOUBLE))
+                   * 10000.0 + 0.5) / 10000.0 AS logr
+      FROM raw_counts r LEFT JOIN tgt_counts t USING (ngram), tot, ttot
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_grams,
+           FLOOR(SUM(tf.tf * ratios.logr) * 10000.0 + 0.5) / 10000.0 AS score_sum
+    FROM tf JOIN ratios USING (ngram)
+    GROUP BY 1
+    """,
+    doc="DSIR importance scoring (Xie et al. 2023): bigram Laplace "
+    "log-likelihood ratios of an English-target model vs the raw corpus, "
+    "tf-weighted per document; the oracle replays the whole model fit in "
+    "SQL.",
+)
+def q62_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data selection by importance resampling (Q62).
+
+    Fits the DSIR bigram model (target = lang='en' documents, raw = the
+    whole corpus) with two linear aggregations, scores every document by
+    its tf-weighted log-likelihood-ratio SUM.  The sum (not the mean) is
+    the declared output: each per-ngram ratio is rounded to the 1e-4
+    grid first, so the per-doc sum lands exactly on that grid and
+    cross-engine FP noise (~1e-12) cannot flip the final rounding —
+    the mean's divisor would re-introduce .5-boundary ties.  The mean
+    and Gumbel-top-k resampling live in operators/selection.py
+    (pytest-checked; the noise hash has no cross-engine oracle).
+    """
+    from shardpack_spark.operators import selection
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    ratios = selection.ngram_log_ratios(docs, target, n=2)
+    grams = selection.word_ngrams(docs, n=2)
+    return (
+        grams.join(ratios, "ngram")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.sum("tf").alias("n_grams"),
+            (F.floor(F.sum(F.col("tf") * F.col("logr")) * 10000.0 + F.lit(0.5)) / 10000.0).alias("score_sum"),
+        )
+    )
