@@ -166,7 +166,9 @@ def _norm_path(p: str | None) -> str | None:
     return p
 
 
-def _load_manifest(path: str, version: int | None = None) -> dict | None:
+def _load_manifest(
+    path: str, version: int | None = None, flatten: bool = True
+) -> dict | None:
     """Load the commit manifest, resolving log-structured roots.
 
     v2 roots inline the full shard list.  v3 roots (log-structured) list
@@ -195,6 +197,12 @@ def _load_manifest(path: str, version: int | None = None) -> dict | None:
             return None
     root = json.loads(be.read_bytes(mp))
     if root.get("version", 2) >= 3 and "parts" in root:
+        if not flatten:
+            # metadata-only view: parts list + totals without opening a
+            # single part file — what an APPEND commit needs, keeping it
+            # O(new shards) even when the dataset holds 400k (a flatten
+            # here would read every part just to append one)
+            return dict(root)
         shards: list[dict] = []
         for rel in root["parts"]:
             part_path = os.path.join(path, rel)
@@ -220,7 +228,7 @@ def _root_ids(path: str) -> list[int]:
     )
 
 
-def _observe_latest(path: str) -> tuple[dict | None, int]:
+def _observe_latest(path: str, flatten: bool = True) -> tuple[dict | None, int]:
     """ONE consistent observation of the newest committed state:
     (manifest | None, version-id floor for the next commit).
 
@@ -236,12 +244,15 @@ def _observe_latest(path: str) -> tuple[dict | None, int]:
     newer root id than the state it merged and claim an unclaimed
     higher vid, silently dropping the unseen commits — with one
     observation, claiming floor+1 collides (CAS) with any commit that
-    landed in between, forcing the re-merge."""
-    m = _load_manifest(path)
+    landed in between, forcing the re-merge.
+
+    ``flatten=False`` returns the metadata-only view (no part files
+    opened) — sufficient for append commits."""
+    m = _load_manifest(path, flatten=flatten)
     ids = _root_ids(path)
     top = ids[-1] if ids else 0
     if top > (m or {}).get("version_id", 0):
-        m = _load_manifest(path, top)
+        m = _load_manifest(path, top, flatten=flatten)
     return m, max(top, (m or {}).get("version_id", 0))
 
 
@@ -1026,7 +1037,13 @@ class ShardPackWriter(DataSourceArrowWriter):
 
     def _commit_attempt(self, be, new_shards: list[dict], state: dict) -> dict | None:
         """One CAS attempt; returns the committed manifest or None to retry."""
-        prior, prior_vid = _observe_latest(self.path)
+        prior, prior_vid = _observe_latest(
+            self.path,
+            # append needs only parts+totals; spec naming needs the
+            # prior shard COUNT and overwrite re-reads via
+            # _visible_shards anyway
+            flatten=bool(self.spec_basename),
+        )
         spec_trash: list[str] = []
         if self.spec_basename and not state["spec_done"]:
             # spec renames run once (first attempt): they move real files,
@@ -1601,7 +1618,7 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
         shards: list[dict] = []
         for mp in to_fold:
             shards.extend(json.loads(be.read_bytes(mp)).get("shards", []))
-        prior, prior_vid0 = _observe_latest(path)
+        prior, prior_vid0 = _observe_latest(path, flatten=False)
         if prior is None:
             parts, total = [], 0
             comp, target = "none", codec.DEFAULT_TARGET_SHARD_BYTES

@@ -344,6 +344,80 @@ def test_commit_cas_loser_remerges(tmp_path, monkeypatch):
     assert keys == {"a1", "a2", "b1"}
 
 
+# --- batch commit crash injection ---------------------------------------------
+
+
+def test_batch_commit_crash_before_root_claim(tmp_path, monkeypatch):
+    """Crash after the part file is written but before the root CAS:
+    nothing is committed, readers see the prior state, a fresh commit
+    succeeds, vacuum reclaims the orphan part."""
+    root = str(tmp_path / "c1")
+    storage.for_path(root).makedirs(root)
+    w0 = _mk_commit_writer(root)
+    w0.commit([_stage_shards(root, ["base"], seq=1)])
+
+    class _Boom(RuntimeError):
+        pass
+
+    real = storage.LocalBackend.put_if_absent
+
+    def boom(self, p, d):
+        if "root-" in os.path.basename(p):
+            raise _Boom()
+        return real(self, p, d)
+
+    monkeypatch.setattr(storage.LocalBackend, "put_if_absent", boom)
+    w1 = _mk_commit_writer(root)
+    msg = _stage_shards(root, ["lost1", "lost2"], seq=2)
+    with pytest.raises(_Boom):
+        w1.commit([msg])
+    monkeypatch.setattr(storage.LocalBackend, "put_if_absent", real)
+
+    m = ds._load_latest_manifest(root)
+    assert m["total_records"] == 1  # crashed commit invisible
+    # orphan part from the crashed commit is vacuumable
+    rep = ds.vacuum(root, grace_seconds=0, dry_run=True)
+    assert len(rep["deleted_parts"]) == 1
+    # recovery: a fresh commit of the same staged shards lands
+    w2 = _mk_commit_writer(root)
+    w2.commit([msg])
+    assert ds._load_latest_manifest(root)["total_records"] == 3
+
+
+def test_batch_commit_crash_before_pointer_write(tmp_path, monkeypatch):
+    """Crash after the root CAS but before the live-pointer write: the
+    commit IS durable (the root is the truth); readers resolve it via
+    the max-root rule and the next commit heals the pointer."""
+    root = str(tmp_path / "c2")
+    storage.for_path(root).makedirs(root)
+    w0 = _mk_commit_writer(root)
+    w0.commit([_stage_shards(root, ["base"], seq=1)])
+
+    class _Boom(RuntimeError):
+        pass
+
+    monkeypatch.setattr(
+        ds, "_write_manifest", lambda *a: (_ for _ in ()).throw(_Boom())
+    )
+    w1 = _mk_commit_writer(root)
+    with pytest.raises(_Boom):
+        w1.commit([_stage_shards(root, ["k2"], seq=2)])
+    monkeypatch.undo()
+
+    # pointer lags; latest-resolution still sees the committed root
+    assert ds._load_manifest(root)["version_id"] == 1
+    m = ds._load_latest_manifest(root)
+    assert m["version_id"] == 2 and m["total_records"] == 2
+    # the reader plans against the committed state
+    reader = ds.ShardPackReader({"path": root})
+    assert len(reader.partitions()) == 2
+    # next commit heals the pointer
+    w2 = _mk_commit_writer(root)
+    w2.commit([_stage_shards(root, ["k3"], seq=3)])
+    assert ds._load_manifest(root)["version_id"] == 3
+    assert ds._load_latest_manifest(root)["total_records"] == 3
+
+
 # --- stream sink crash injection (VERDICT r2 item 6) --------------------------
 
 
