@@ -1883,6 +1883,7 @@ def read_shardpack(
     path: str,
     columns: list | None = None,
     where_meta: dict | None = None,
+    explode_entries: bool = False,
     **options,
 ):
     """Driver-side read helper: enables key-filter pruning automatically
@@ -1912,6 +1913,7 @@ def read_shardpack(
         options["prune_by_key"] = "true"
     if (
         columns is not None
+        and not explode_entries  # exploded view consumes the entries array
         and "skip_payload" not in options
         and "metadata_only" not in options
         and all(isinstance(c, str) for c in columns)
@@ -1937,4 +1939,11 @@ def read_shardpack(
 
         for k, v in where_meta.items():
             df = df.filter(F.element_at("metadata", F.lit(k)) == v)
+    if explode_entries:
+        # one row per FILE ENTRY (the spec's entry-level access,
+        # draft.md:84-94): key/metadata repeat per entry, entry fields
+        # flatten to top level — SURVEY §1.3's exploded view
+        from shardpack_spark.operators.multimodal import explode_entries as _xe
+
+        df = _xe(df)
     return df.select(*columns) if columns else df

@@ -959,3 +959,23 @@ def test_spec_naming_overwrite_preserves_committed_data(spark_ds, tmp_path):
     assert m["total_records"] == 4
     # displaced trash is cleaned after the manifest swap
     assert not [f for f in os.listdir(out) if ".trash-" in f]
+
+
+def test_read_exploded_entries_option(spark_ds, sf_dir, tmp_path):
+    """SURVEY §1.3: the exploded one-row-per-entry view as a reader
+    convenience (entry fields flattened, key/metadata repeated)."""
+    from shardpack_spark.format.datasource import read_shardpack
+
+    out = str(tmp_path / "ds")
+    _docs_as_records(spark_ds, sf_dir).limit(20).write.format("shardpack").mode(
+        "append"
+    ).save(out)
+    flat = read_shardpack(spark_ds, out, explode_entries=True)
+    assert {"key", "metadata", "file_name", "content_type", "data"} <= set(flat.columns)
+    assert flat.count() == 20  # one entry per record in this fixture
+    row = flat.filter(F.col("key") == "doc/00000007").head()
+    assert row["file_name"] == "text.txt" and row["content_type"] == "text/plain"
+    # projection over the exploded view works
+    assert read_shardpack(
+        spark_ds, out, columns=["key", "file_name"], explode_entries=True
+    ).columns == ["key", "file_name"]
