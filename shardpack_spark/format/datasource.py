@@ -568,32 +568,46 @@ def _plan_partitions(
     EOF-index read.  The driver opens a shard only for log-less ad-hoc
     directories (stat for size, tail read for the offset table)."""
     be = storage.for_path(path)
-    out: list[ShardPartition] = []
-    for name in names:
+
+    def _one(name: str) -> list[ShardPartition]:
         sp = os.path.join(path, name)
         size, records = (stats or {}).get(name, (None, None))
         if size is None:
             size = be.getsize(sp)
         if size <= split_target:
-            out.append(ShardPartition(sp, None))
-        elif records is not None:
+            return [ShardPartition(sp, None)]
+        if records is not None:
             if records <= 0:
-                continue
+                return []
             n_splits = max(1, size // split_target)
             per = max(1, records // n_splits)
-            for i in range(0, records, per):
-                out.append(
-                    ShardPartition(sp, None, rec_range=(i, min(i + per, records)))
-                )
-        else:
-            idx = codec.read_index(sp)
-            if not idx.offsets:
-                continue
-            n_splits = max(1, size // split_target)
-            per = max(1, len(idx.offsets) // n_splits)
-            for i in range(0, len(idx.offsets), per):
-                out.append(ShardPartition(sp, idx.offsets[i : i + per]))
-    return out
+            return [
+                ShardPartition(sp, None, rec_range=(i, min(i + per, records)))
+                for i in range(0, records, per)
+            ]
+        idx = codec.read_index(sp)
+        if not idx.offsets:
+            return []
+        n_splits = max(1, size // split_target)
+        per = max(1, len(idx.offsets) // n_splits)
+        return [
+            ShardPartition(sp, idx.offsets[i : i + per])
+            for i in range(0, len(idx.offsets), per)
+        ]
+
+    # committed datasets plan from pure metadata (stats has every name);
+    # only log-less ad-hoc dirs stat/open shards — do those with an I/O
+    # thread pool, the reference's parallel index build (R8,
+    # src/index/bucket.rs:85-117: buffer_unordered(parallelism))
+    needs_io = stats is None or any(n not in stats for n in names)
+    if needs_io and len(names) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
+            per_name = list(ex.map(_one, names))
+    else:
+        per_name = [_one(n) for n in names]
+    return [p for parts in per_name for p in parts]
 
 
 def _manifest_stats(path: str, manifest: dict | None) -> dict[str, tuple[int, int | None]]:

@@ -2,7 +2,7 @@
 
 hygiene (PII redaction) -> quality gate (Gopher verdict) -> exact dedup
 -> MinHash-LSH near-dup -> cluster resolution -> deterministic mixture
-sample -> sequence packing -> materialization -> shardpack write/read.
+sample -> DSIR importance selection -> sequence packing -> materialization -> shardpack write/read.
 
 This is the workload the engine exists for; the test pins that the
 stages compose (schemas line up, survivors flow through) and that the
@@ -18,6 +18,7 @@ from shardpack_spark.operators import dedup
 from shardpack_spark.operators.packing import materialize_sequences, pack_sequences
 from shardpack_spark.operators.pii import redact
 from shardpack_spark.operators.sampling import mixture_sample
+from shardpack_spark.operators import selection
 from shardpack_spark.operators.text import gopher_quality_filter
 from shardpack_spark.tables import load_table
 
@@ -55,6 +56,16 @@ def _curate(spark, sf_dir, repartition: int | None = None):
     docs = mixture_sample(
         docs, "lang", {"en": 1.0, "zh": 0.5}, key_col="doc_id", default_rate=0.8
     )
+
+    # 5b. DSIR importance selection: keep the 250 docs that look most
+    # like the English target distribution, via deterministic
+    # Gumbel-top-k resampling (same draw on any partitioning)
+    ratios = selection.ngram_log_ratios(docs, docs.filter(F.col("lang") == "en"))
+    scored = selection.dsir_scores(docs, ratios)
+    pick = selection.dsir_resample(scored, k=250, seed=13).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = docs.join(pick, "doc_id")
 
     # 6-7. pack into 2048-token sequences and materialize training rows
     toks = docs.select(
