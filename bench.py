@@ -207,6 +207,51 @@ def main() -> None:
     finally:
         shutil.rmtree(bulk, ignore_errors=True)
 
+    # steady-state bulk throughput: 20k x 32 KiB (~625 MiB) — enough data
+    # that per-task fixed costs (Python worker round trip, task
+    # scheduling) amortize and the number reflects the encode/decode
+    # pipeline, not harness overhead.  The 94 MiB yardstick above is
+    # kept for comparability with earlier rounds.
+    bulk2 = tempfile.mkdtemp(prefix="bench_shardpack_bulk2_")
+    try:
+        n2 = 20000
+        big_df = (
+            spark.range(n2)
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            .select(
+                F.concat(F.lit("rec/"), F.col("id").cast("string")).alias("key"),
+                F.create_map(F.lit("i"), F.col("id").cast("string")).alias("metadata"),
+                F.array(
+                    F.struct(
+                        F.lit("blob.bin").alias("file_name"),
+                        F.lit("application/octet-stream").alias("content_type"),
+                        F.lit("none").alias("encoding"),
+                        F.lit(payload).cast("long").alias("size"),
+                        F.encode(F.repeat(F.lit("x"), payload), "utf-8").alias("data"),
+                    )
+                ).alias("entries"),
+            )
+        )
+        mb2 = n2 * payload / 1e6
+
+        def w_big():
+            big_df.write.format("shardpack").option(
+                "target_shard_bytes", 64 * 1024 * 1024
+            ).mode("overwrite").save(bulk2)
+
+        w_big()
+        yard["bulk_write_steady_mb_s"] = round(mb2 / time_query(w_big), 1)
+
+        def r_big():
+            read_shardpack(spark, bulk2).select(
+                F.sum(F.element_at("entries", 1)["size"])
+            ).collect()
+
+        r_big()
+        yard["bulk_scan_steady_mb_s"] = round(mb2 / time_query(r_big), 1)
+    finally:
+        shutil.rmtree(bulk2, ignore_errors=True)
+
     # inverted-index probe: build once over the sf documents, then time a
     # warm 2-term BM25 top-10 — the latency that stays flat as the index
     # grows (key-IN shard pruning)
