@@ -690,3 +690,75 @@ def char_lm_scores(
         )
         .withColumn("ppl", F.exp(-F.col("avg_logp")))
     )
+
+
+# --- C4-style cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning...", §2.2 — the heuristics behind the C4 corpus) ---------
+
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+C4_TERMINAL = ('.', '!', '?', '"')
+
+
+def c4_clean_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4's LINE-level pass, pure codegen: keep only lines that end in a
+    terminal punctuation mark ('.', '!', '?', '\"'), contain at least
+    C4_MIN_WORDS_PER_LINE words, and do not mention 'javascript'
+    (case-insensitive); rebuild the document from the survivors.
+
+    Returns (id, clean_text, n_lines, n_kept_lines).  Documents whose
+    every line is dropped come back with clean_text = '' — pair with
+    ``c4_document_filter`` which drops them for the sentence-count rule.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    is_kept = (
+        lambda ln: F.trim(ln).rlike(r"[.!?\"]$")
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = F.filter(lines, is_kept)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+    )
+
+
+def c4_document_filter(
+    cleaned: DataFrame,
+    text_col: str = "clean_text",
+    id_col: str = "id",
+    bad_phrases: tuple = ("lorem ipsum",),
+) -> DataFrame:
+    """C4's DOCUMENT-level gates over the line-cleaned text: at least
+    C4_MIN_SENTENCES sentences (terminal-punctuation count), no curly
+    brace (code), none of ``bad_phrases`` (the paper also applies a
+    blocklist; parameterized here).  Returns (id, n_sentences, keep,
+    reasons) with deterministic comma-joined reasons, same contract as
+    gopher_quality_filter.
+
+    Span-level dedup (the paper's three-sentence-window rule) is
+    ``dedup.substring_dedup`` — run it after this gate.
+    """
+    low = F.lower(F.col(text_col))
+    n_sent = F.size(F.filter(F.split(F.col(text_col), r"[.!?]"), lambda s: F.trim(s) != ""))
+    rules = [
+        ("too_few_sentences", n_sent < C4_MIN_SENTENCES),
+        ("curly_brace", F.col(text_col).contains("{")),
+    ] + [
+        (f"bad_phrase_{i}", low.contains(p.lower()))
+        for i, p in enumerate(bad_phrases)
+    ]
+    reasons = F.array_join(
+        F.array_compact(F.array(*[F.when(cond, F.lit(name)) for name, cond in sorted(rules)])),
+        ",",
+    )
+    return cleaned.select(
+        id_col,
+        n_sent.alias("n_sentences"),
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )

@@ -365,3 +365,64 @@ def q62_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.sum(F.col("tf") * F.col("logr")) * 10000.0 + F.lit(0.5)) / 10000.0).alias("score_sum"),
         )
     )
+
+
+@register(
+    "q63_c4_filters",
+    oracle=r"""
+    WITH lines AS (
+      SELECT doc_id, regexp_split_to_array(text, '\n') AS ls FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             len(ls) AS n_lines,
+             list_filter(ls, ln ->
+               regexp_matches(trim(ln), '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(trim(ln), '\s+'),
+                                   w -> length(w) > 0)) >= 3
+               AND NOT contains(lower(ln), 'javascript')) AS kept
+      FROM lines
+    ),
+    doc AS (
+      SELECT doc_id, n_lines, len(kept) AS n_kept_lines,
+             COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+      FROM cleaned
+    ),
+    gated AS (
+      SELECT doc_id, n_lines, n_kept_lines,
+             len(list_filter(regexp_split_to_array(clean_text, '[.!?]'),
+                             s -> trim(s) <> '')) AS n_sentences,
+             contains(lower(clean_text), 'lorem ipsum') AS bad0,
+             contains(clean_text, '{') AS curly
+      FROM doc
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+           array_to_string(list_filter([
+             CASE WHEN bad0 THEN 'bad_phrase_0' END,
+             CASE WHEN curly THEN 'curly_brace' END,
+             CASE WHEN n_sentences < 5 THEN 'too_few_sentences' END
+           ], x -> x IS NOT NULL), ',') AS reasons,
+           (NOT bad0 AND NOT curly AND n_sentences >= 5) AS keep
+    FROM gated
+    """,
+    doc="C4 cleaning heuristics (Raffel et al. 2020 §2.2): line-level "
+    "terminal-punctuation/3-word/javascript filters, then document "
+    "gates (>=5 sentences, no curly brace, no 'lorem ipsum') — the "
+    "oracle replays both passes in SQL.",
+)
+def q63_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus cleaning verdict per document (Q63)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = text.c4_clean_lines(docs)
+    gated = text.c4_document_filter(cleaned)
+    return (
+        cleaned.join(gated, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_lines",
+            "n_kept_lines",
+            "n_sentences",
+            "reasons",
+            "keep",
+        )
+    )

@@ -450,3 +450,34 @@ def test_cap_per_group_quota_and_determinism(spark, sf_dir):
 
     with pytest.raises(ValueError, match="n must be"):
         cap_per_group(docs, "source", 0, "doc_id")
+
+
+def test_c4_line_and_document_filters(spark):
+    from shardpack_spark.operators.text import c4_clean_lines, c4_document_filter
+
+    rows = [
+        # kept: enough terminal-punctuated 3+-word lines
+        (1, "The cat sat down.\nA dog barked loudly!\nBirds fly south now.\n"
+            "Rain fell all day.\nThe sun came out."),
+        (2, "no punctuation here\nshort.\ncontains javascript code.\nReal sentence is here."),
+        (3, "Broken { code } document.\nIt has five words here.\nMore text lives here.\n"
+            "Another full sentence here.\nAnd one more ending."),
+        (4, "lorem ipsum dolor sit amet.\nFive more words are here.\nAnd again more words here.\n"
+            "Sentences keep on coming now.\nFinal line ends properly."),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned = {r["id"]: r for r in c4_clean_lines(df).collect()}
+    # doc 2: 'no punctuation here' dropped (no terminal punct), 'short.'
+    # dropped (<3 words), javascript line dropped, last line kept
+    assert cleaned[2]["n_lines"] == 4 and cleaned[2]["n_kept_lines"] == 1
+    assert cleaned[2]["clean_text"] == "Real sentence is here."
+    assert cleaned[1]["n_kept_lines"] == 5
+    assert cleaned[5]["n_kept_lines"] == 0 and cleaned[5]["clean_text"] == ""
+
+    gated = {r["id"]: r for r in c4_document_filter(c4_clean_lines(df)).collect()}
+    assert gated[1]["keep"] is True and gated[1]["reasons"] == ""
+    assert gated[2]["keep"] is False and "too_few_sentences" in gated[2]["reasons"]
+    assert gated[3]["keep"] is False and "curly_brace" in gated[3]["reasons"]
+    assert gated[4]["keep"] is False and "bad_phrase_0" in gated[4]["reasons"]
+    assert gated[5]["keep"] is False
