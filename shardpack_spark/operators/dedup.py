@@ -115,6 +115,72 @@ def minhash_signatures(
     return agged.select("sid", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
 
 
+def minhash_signatures_oph(
+    shingled: DataFrame, n_bins: int = 64, seed: int = 42
+) -> DataFrame:
+    """(sid, sig: array<bigint>) one-permutation-hashing minhash.
+
+    Classic minhash evaluates n_hashes hash functions per shingle; OPH
+    (Li, Owen & Zhang 2012) hashes each shingle ONCE and bins it by
+    `hash mod n_bins`, taking the per-bin minimum — n_bins signature
+    slots for 1/n_bins of the hashing work, the optimization every
+    production-scale near-dup pipeline ships.  Empty bins (docs with few
+    shingles) are filled by rotation densification (Shrivastava & Li
+    2014): borrow the nearest following non-empty bin's value offset by
+    the borrow distance, so two documents agree on a filled bin exactly
+    when they borrowed equal values at equal distance — keeping the
+    collision probability an unbiased Jaccard estimate.
+
+    Output shape matches ``minhash_signatures`` — banding, candidate
+    pruning, and signature estimation compose unchanged.  Signature
+    VALUES differ (different hash family), so don't mix the two
+    functions' outputs in one index.
+
+    Plan shape: one groupBy(sid, bin) partial-agg shuffle (rows out:
+    docs x n_bins max), then a per-doc map pivot + an O(2·n_bins)
+    aggregate expression for densification — all codegen, no Python.
+    """
+    h = F.xxhash64("shingle", F.lit(seed * _SEED_MIX))
+    per_bin = (
+        shingled.groupBy("sid", F.pmod(h, F.lit(n_bins)).alias("bin"))
+        .agg(F.min(h).alias("mh"))
+    )
+    agged = per_bin.groupBy("sid").agg(
+        F.map_from_entries(F.collect_list(F.struct("bin", "mh"))).alias("m")
+    )
+    sparse = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda j: F.element_at(F.col("m"), j.cast("int")),
+    )
+    # rotation densification over the doubled array: after one full
+    # cycle every slot has seen a non-empty bin (a doc always has >= 1),
+    # so the second half is fully dense.  A filled slot's value is
+    # xxhash64(borrowed value, borrow distance): two docs agree on a
+    # filled slot exactly when they borrowed EQUAL values at EQUAL
+    # distance (the rotation-densification agreement rule), and hashing
+    # avoids the long-overflow a wraparound add would hit under ANSI.
+    doubled = F.concat(sparse, sparse)
+    acc0 = F.struct(
+        F.array().cast("array<bigint>").alias("out"),
+        F.lit(None).cast("bigint").alias("last"),
+        F.lit(0).alias("dist"),
+    )
+    filled = F.aggregate(
+        doubled,
+        acc0,
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["out"],
+                F.array(F.coalesce(x, F.xxhash64(acc["last"], acc["dist"]))),
+            ).alias("out"),
+            F.coalesce(x, acc["last"]).alias("last"),
+            F.when(x.isNull(), acc["dist"] + 1).otherwise(F.lit(0)).alias("dist"),
+        ),
+        lambda acc: F.slice(acc["out"], n_bins + 1, n_bins),
+    )
+    return agged.select("sid", filled.alias("sig"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,

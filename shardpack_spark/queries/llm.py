@@ -60,23 +60,29 @@ _JACCARD_ORACLE = """
     SELECT 'exact' AS variant, * FROM ({_JACCARD_ORACLE})
     UNION ALL
     SELECT 'lsh' AS variant, * FROM ({_JACCARD_ORACLE})
+    UNION ALL
+    SELECT 'oph' AS variant, * FROM ({_JACCARD_ORACLE})
     """,
-    doc="Exact-Jaccard pairs AND the MinHash-LSH scale path in one tagged "
-    "result; the LSH variant hash-matching the exact one IS the recall "
-    "check.",
+    doc="Exact-Jaccard pairs AND two MinHash scale paths (classic 64-hash "
+    "and one-permutation hashing) in one tagged result; each hash family "
+    "matching the exact pairs IS its recall check.",
 )
 def q29_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy dedup both ways (Q29): exact 5-gram Jaccard >= 0.8 pairs
-    ('exact' variant) and the 100 TB path — MinHash signatures -> banded
-    LSH candidates -> signature prefilter -> candidate-scoped exact
-    verification ('lsh' variant).  The two variants must agree pair for
-    pair, which the shared oracle enforces.  The exact variant is the
-    correctness anchor only — it joins on shared shingles without LSH
-    blocking, so it is quadratic in cluster size and benched separately
-    (bench measures fuzzy_dedup_lsh, the path you'd run at scale)."""
+    """Fuzzy dedup three ways (Q29): exact 5-gram Jaccard >= 0.8 pairs
+    ('exact' variant) and two 100 TB paths — classic 64-hash MinHash
+    ('lsh') and one-permutation hashing with rotation densification
+    ('oph', 1/64th the hashing work; Li/Owen/Zhang 2012 + Shrivastava &
+    Li 2014) — both: signatures -> banded LSH candidates -> signature
+    prefilter -> candidate-scoped exact verification.  All variants must
+    agree pair for pair, which the shared oracle enforces.  The exact
+    variant is the correctness anchor only — it joins on shared shingles
+    without LSH blocking, so it is quadratic in cluster size and benched
+    separately (bench measures fuzzy_dedup_lsh, the OPH path you'd run
+    at scale)."""
     sh = _shingles(spark, sf_dir, persist=True)
     exact = dedup.jaccard_pairs_exact(sh, threshold=0.8)
     lsh = _lsh_pairs(sh)
+    oph = _lsh_pairs(sh, oph=True)
 
     def tag(variant: str, pairs: DataFrame) -> DataFrame:
         return pairs.select(
@@ -86,7 +92,7 @@ def q29_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4d(F.col("jac")).alias("jac"),
         )
 
-    return tag("exact", exact).unionAll(tag("lsh", lsh))
+    return tag("exact", exact).unionAll(tag("lsh", lsh)).unionAll(tag("oph", oph))
 
 
 def _shingles(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:
@@ -113,8 +119,13 @@ def _shingles(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFr
     return sh.persist() if persist else sh
 
 
-def _lsh_pairs(sh: DataFrame) -> DataFrame:
-    sigs = dedup.minhash_signatures(sh, n_hashes=64, seed=42).persist()
+def _lsh_pairs(sh: DataFrame, oph: bool = False) -> DataFrame:
+    if oph:
+        # one-permutation hashing: 1 hash per shingle into 64 bins —
+        # the scale path (verified pair-identical to classic on all SFs)
+        sigs = dedup.minhash_signatures_oph(sh, n_bins=64, seed=42).persist()
+    else:
+        sigs = dedup.minhash_signatures(sh, n_hashes=64, seed=42).persist()
     cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
     # signature prefilter kills the false-positive bulk from dense buckets
     # before the (comparatively expensive) exact shingle intersection
@@ -124,8 +135,11 @@ def _lsh_pairs(sh: DataFrame) -> DataFrame:
 
 def fuzzy_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-only fuzzy dedup — the scale path alone, used by bench.py.
-    Identical plan to q29_fuzzy_dedup's 'lsh' variant."""
-    return _lsh_pairs(_shingles(spark, sf_dir)).select(
+    Identical plan to q29_fuzzy_dedup's 'oph' variant (one-permutation
+    hashing: 1 hash per shingle instead of 64 — the configuration a
+    100 TB dedup run would use; its pair output is held equal to the
+    exact-Jaccard anchor by q29's oracle)."""
+    return _lsh_pairs(_shingles(spark, sf_dir), oph=True).select(
         "sid_a", "sid_b", round4d(F.col("jac")).alias("jac")
     )
 

@@ -129,3 +129,54 @@ def test_hash_sampling_partitioning_independent(spark, sf_dir):
     top2 = sampling.hash_sample_n(docs.repartition(7), "doc_id", 5).collect()
     assert [r["doc_id"] for r in top] == [r["doc_id"] for r in top2]
     assert len(top) == 5
+
+
+def test_oph_minhash_densification_and_agreement(spark):
+    """One-permutation hashing with rotation densification: tiny docs
+    (fewer shingles than bins) densify deterministically; identical docs
+    agree on every slot; distinct docs don't."""
+    from shardpack_spark.operators.dedup import (
+        char_shingles,
+        minhash_signatures_oph,
+    )
+
+    rows = [
+        (1, "abcdefgh"),          # 4 shingles in 64 bins: ~60 borrowed slots
+        (2, "abcdefgh"),          # identical to 1
+        (3, "zzzzzzzzyxwvuts"),   # different content
+        (4, "the quick brown fox jumps over the lazy dog " * 30),  # dense
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = char_shingles(df, k=5, hashed=True)
+    sigs = {r["sid"]: r["sig"] for r in minhash_signatures_oph(sh, n_bins=64).collect()}
+    assert all(len(s) == 64 and all(v is not None for v in s) for s in sigs.values())
+    assert sigs[1] == sigs[2]                     # identical docs: full agreement
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert agree_13 <= 8                          # disjoint shingle sets
+    # deterministic across recomputation
+    again = {r["sid"]: r["sig"] for r in minhash_signatures_oph(sh, n_bins=64).collect()}
+    assert again == sigs
+
+
+def test_oph_pairs_match_classic_on_sf(spark, sf_dir):
+    """The OPH scale path finds exactly the pairs classic minhash finds
+    on the test corpus (the property q29's oracle enforces per-round)."""
+    from shardpack_spark.operators import dedup
+    from shardpack_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(8)
+    sh = dedup.char_shingles(docs, k=5, hashed=True).persist()
+    try:
+        def pairs(sigs):
+            cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+            cand = dedup.filter_candidates_by_signature(cand, sigs, min_estimate=0.6)
+            return {
+                (r["sid_a"], r["sid_b"])
+                for r in dedup.jaccard_pairs_exact(sh, 0.8, candidates=cand).collect()
+            }
+
+        classic = pairs(dedup.minhash_signatures(sh, 64).persist())
+        oph = pairs(dedup.minhash_signatures_oph(sh, 64).persist())
+        assert classic == oph and len(classic) > 0
+    finally:
+        sh.unpersist()
