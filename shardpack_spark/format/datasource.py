@@ -1961,3 +1961,78 @@ def read_shardpack(
 
         df = _xe(df)
     return df.select(*columns) if columns else df
+
+
+def publish_checked(
+    df,
+    path: str,
+    rules,
+    audit=None,
+    **write_options,
+):
+    """Write-audit-publish in one call: append ``df``, audit exactly the
+    appended rows, and roll the commit back atomically if the audit
+    fails.
+
+    The append-only commit log makes the audit PRECISE and the undo
+    METADATA-ONLY: the new snapshot's delta vs the pre-write version is
+    the exact set of shards this commit added (read_version_delta), and
+    rollback() re-points the live manifest at the prior root — no data
+    copy, no tombstones, the failed batch simply never becomes current.
+    Readers of the live table never see unaudited rows EXCEPT in the
+    window between commit and audit completion; pin ``version=prior``
+    for strict isolation, or vacuum-then-retry after a failure.
+
+    ``rules`` is a list of expectations (operators/expectations.Rule)
+    evaluated on the appended rows; ``audit`` optionally adds an
+    arbitrary callable DataFrame -> bool for checks rules cannot
+    express.  Returns {"published", "version", "prior_version",
+    "check"}; on failure the dict carries the rolled-back state.
+    """
+    from shardpack_spark.operators.expectations import check as _check
+
+    spark = df.sparkSession
+    register(spark)
+    versions = list_versions(path) if storage.for_path(path).isdir(path) else []
+    prior_version = versions[-1]["version"] if versions else 0
+    writer = df.write.format("shardpack").mode("append")
+    for k, v in write_options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+    new_version = list_versions(path)[-1]["version"]
+    delta = read_version_delta(spark, path, prior_version, to_version=new_version)
+    report = _check(delta, rules) if rules else {"passed": True, "rules": []}
+    ok = report["passed"] and (audit is None or bool(audit(delta)))
+    if not ok:
+        if prior_version > 0:
+            rollback(path, prior_version)
+        else:
+            # first-ever commit failed its audit: the pre-write state was
+            # EMPTY, so the undo removes the new snapshot outright —
+            # its shards, parts, root, and the live pointer (same
+            # delete-after-metadata ordering as overwrite cleanup)
+            be = storage.for_path(path)
+            with _CommitLock(path):
+                snap = _load_manifest(path, new_version)
+                be.remove(os.path.join(path, MANIFEST_NAME))
+                be.remove(
+                    os.path.join(
+                        path, MANIFEST_PARTS_DIR, f"root-{new_version:08d}.json"
+                    )
+                )
+                for rel in snap.get("parts", []):
+                    be.remove(os.path.join(path, rel))
+                for s in snap.get("shards", []):
+                    be.remove(os.path.join(path, s["path"]))
+        return {
+            "published": False,
+            "version": prior_version,
+            "prior_version": prior_version,
+            "check": report,
+        }
+    return {
+        "published": True,
+        "version": new_version,
+        "prior_version": prior_version,
+        "check": report,
+    }

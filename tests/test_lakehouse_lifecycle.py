@@ -77,3 +77,72 @@ def test_full_lifecycle(spark, sf_dir, tmp_path):
     # 6. history resets at the compaction (an overwrite commit)
     vs = list_versions(base)
     assert len(vs) == 1 and vs[0]["total_records"] == 278
+
+
+def test_publish_checked_write_audit_publish(spark, tmp_path, sp_rows):
+    """publish_checked: good batches land, bad batches vanish atomically
+    (metadata-only rollback), on local AND object-store backends."""
+    from shardpack_spark.format.datasource import (
+        list_versions,
+        publish_checked,
+        read_shardpack,
+    )
+    from shardpack_spark.operators.expectations import not_null, unique
+
+    rules = [not_null("key"), unique("key")]
+    for scheme in ["", "sim://"]:
+        path = scheme + str(tmp_path / f"wap{bool(scheme)}")
+
+        # batch 1: clean -> published
+        out = publish_checked(
+            sp_rows(spark, [("a", {}, b"1"), ("b", {}, b"2")]), path, rules
+        )
+        assert out["published"] and out["version"] == 1
+        assert read_shardpack(spark, path).count() == 2
+
+        # batch 2: duplicate keys -> rolled back, table unchanged
+        out = publish_checked(
+            sp_rows(spark, [("c", {}, b"3"), ("c", {}, b"4")]), path, rules
+        )
+        assert not out["published"]
+        assert out["version"] == 1
+        assert not out["check"]["passed"]
+        assert read_shardpack(spark, path).count() == 2
+        assert [v["version"] for v in list_versions(path)] == [1]
+
+        # batch 3: custom audit callable fails -> rolled back
+        out = publish_checked(
+            sp_rows(spark, [("d", {}, b"5")]), path, rules,
+            audit=lambda delta: delta.count() >= 100,
+        )
+        assert not out["published"]
+        assert read_shardpack(spark, path).count() == 2
+
+        # batch 4: clean again -> version advances over the undone ones
+        out = publish_checked(sp_rows(spark, [("e", {}, b"6")]), path, rules)
+        assert out["published"]
+        assert sorted(
+            r["key"] for r in read_shardpack(spark, path).select("key").collect()
+        ) == ["a", "b", "e"]
+
+
+def test_publish_checked_first_commit_failure_resets_to_empty(spark, tmp_path, sp_rows):
+    from shardpack_spark.format.datasource import (
+        _load_manifest,
+        publish_checked,
+        read_shardpack,
+    )
+    from shardpack_spark.operators.expectations import unique
+
+    path = str(tmp_path / "wap0")
+    out = publish_checked(
+        sp_rows(spark, [("x", {}, b"1"), ("x", {}, b"2")]),
+        path,
+        [unique("key")],
+    )
+    assert not out["published"] and out["version"] == 0
+    assert _load_manifest(path) is None  # back to the empty state
+    # and a subsequent clean publish starts fresh at version 1
+    out = publish_checked(sp_rows(spark, [("y", {}, b"3")]), path, [])
+    assert out["published"] and out["version"] == 1
+    assert read_shardpack(spark, path).count() == 1
