@@ -54,6 +54,32 @@ _JACCARD_ORACLE = """
 """
 
 
+_WORD3_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id AS sid, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT sid, shingle FROM (
+        SELECT sid, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+        FROM (SELECT sid, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)
+      )
+    ), sizes AS (
+      SELECT sid, COUNT(*) AS n FROM sh GROUP BY sid
+    ), inter AS (
+      SELECT a.sid AS sid_a, b.sid AS sid_b, COUNT(*) AS ic
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY 1, 2
+    )
+    SELECT i.sid_a, i.sid_b,
+           FLOOR(CAST(i.ic AS DOUBLE) / (na.n + nb.n - i.ic) * 10000.0 + 0.5) / 10000.0 AS jac
+    FROM inter i
+    JOIN sizes na ON na.sid = i.sid_a
+    JOIN sizes nb ON nb.sid = i.sid_b
+    WHERE CAST(i.ic AS DOUBLE) / (na.n + nb.n - i.ic) >= 0.8
+"""
+
+
 @register(
     "q29_fuzzy_dedup",
     oracle=f"""
@@ -62,9 +88,12 @@ _JACCARD_ORACLE = """
     SELECT 'lsh' AS variant, * FROM ({_JACCARD_ORACLE})
     UNION ALL
     SELECT 'oph' AS variant, * FROM ({_JACCARD_ORACLE})
+    UNION ALL
+    SELECT 'word3' AS variant, * FROM ({_WORD3_ORACLE})
     """,
-    doc="Exact-Jaccard pairs AND two MinHash scale paths (classic 64-hash "
-    "and one-permutation hashing) in one tagged result; each hash family "
+    doc="Exact-Jaccard pairs, two MinHash scale paths (classic 64-hash "
+    "and one-permutation hashing), and the word-3-gram token-level "
+    "variant (formerly q55) in one tagged result; each hash family "
     "matching the exact pairs IS its recall check.",
 )
 def q29_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,6 +112,26 @@ def q29_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dedup.jaccard_pairs_exact(sh, threshold=0.8)
     lsh = _lsh_pairs(sh)
     oph = _lsh_pairs(sh, oph=True)
+    # word-3-gram token-level pairs (the n-gram Jaccard dedup family's
+    # token variant, formerly its own query q55)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("sid"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+    ).filter(F.size("t") >= 3)
+    wsh = (
+        toks.select(
+            "sid",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    word3 = dedup.jaccard_pairs_exact(wsh, threshold=0.8)
 
     def tag(variant: str, pairs: DataFrame) -> DataFrame:
         return pairs.select(
@@ -92,7 +141,12 @@ def q29_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4d(F.col("jac")).alias("jac"),
         )
 
-    return tag("exact", exact).unionAll(tag("lsh", lsh)).unionAll(tag("oph", oph))
+    return (
+        tag("exact", exact)
+        .unionAll(tag("lsh", lsh))
+        .unionAll(tag("oph", oph))
+        .unionAll(tag("word3", word3))
+    )
 
 
 def _shingles(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFrame:

@@ -1,6 +1,7 @@
 """Additional pipeline operators: time-bucketed rollups (hypertable-style
-continuous aggregates), word n-gram Jaccard, per-event sessionization
-(Q54-Q56)."""
+continuous aggregates) and per-event sessionization (Q54, Q56).
+The word n-gram Jaccard check (formerly q55) lives on as q29_fuzzy_dedup's
+'word3' variant."""
 
 from __future__ import annotations
 
@@ -35,57 +36,6 @@ def q54_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         money2(F.sum(dec("value"))).alias("sum_value"),
         F.countDistinct("user_id").alias("users"),
     )
-
-
-@register(
-    "q55_word_ngram_jaccard",
-    oracle=r"""
-    WITH toks AS (
-      SELECT doc_id AS sid, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM documents
-    ), sh AS (
-      SELECT DISTINCT sid, shingle FROM (
-        SELECT sid, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
-        FROM (SELECT sid, t, unnest(generate_series(1, len(t) - 2)) AS i
-              FROM toks WHERE len(t) >= 3)
-      )
-    ), sizes AS (
-      SELECT sid, COUNT(*) AS n FROM sh GROUP BY sid
-    ), inter AS (
-      SELECT a.sid AS sid_a, b.sid AS sid_b, COUNT(*) AS ic
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
-      GROUP BY 1, 2
-    )
-    SELECT i.sid_a, i.sid_b,
-           FLOOR(CAST(i.ic AS DOUBLE) / (na.n + nb.n - i.ic) * 10000.0 + 0.5) / 10000.0 AS jac
-    FROM inter i
-    JOIN sizes na ON na.sid = i.sid_a
-    JOIN sizes nb ON nb.sid = i.sid_b
-    WHERE CAST(i.ic AS DOUBLE) / (na.n + nb.n - i.ic) >= 0.8
-    """,
-)
-def q55_word_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word 3-gram Jaccard >= 0.8 — the token-level
-    variant of Q29 (n-gram Jaccard dedup family) (Q55)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.col("doc_id").alias("sid"),
-        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
-    ).filter(F.size("t") >= 3)
-    sh = (
-        toks.select(
-            "sid",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    pairs = dedup.jaccard_pairs_exact(sh, threshold=0.8)
-    return pairs.select("sid_a", "sid_b", round4d(F.col("jac")).alias("jac"))
 
 
 @register(

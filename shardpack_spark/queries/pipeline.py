@@ -298,9 +298,7 @@ def q61_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q62_dsir_selection",
-    oracle=r"""
+_DSIR_ORACLE = r"""
     WITH words AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
@@ -328,48 +326,17 @@ def q61_kmeans_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM raw_counts r LEFT JOIN tgt_counts t USING (ngram), tot, ttot
     )
     SELECT tf.doc_id,
-           CAST(SUM(tf.tf) AS BIGINT) AS n_grams,
-           FLOOR(SUM(tf.tf * ratios.logr) * 10000.0 + 0.5) / 10000.0 AS score_sum
+           CAST(SUM(tf.tf) AS BIGINT) AS i1,
+           CAST(NULL AS BIGINT) AS i2,
+           CAST(NULL AS BIGINT) AS i3,
+           FLOOR(SUM(tf.tf * ratios.logr) * 10000.0 + 0.5) / 10000.0 AS score,
+           '' AS tags,
+           CAST(NULL AS BOOLEAN) AS keep
     FROM tf JOIN ratios USING (ngram)
     GROUP BY 1
-    """,
-    doc="DSIR importance scoring (Xie et al. 2023): bigram Laplace "
-    "log-likelihood ratios of an English-target model vs the raw corpus, "
-    "tf-weighted per document; the oracle replays the whole model fit in "
-    "SQL.",
-)
-def q62_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data selection by importance resampling (Q62).
+"""
 
-    Fits the DSIR bigram model (target = lang='en' documents, raw = the
-    whole corpus) with two linear aggregations, scores every document by
-    its tf-weighted log-likelihood-ratio SUM.  The sum (not the mean) is
-    the declared output: each per-ngram ratio is rounded to the 1e-4
-    grid first, so the per-doc sum lands exactly on that grid and
-    cross-engine FP noise (~1e-12) cannot flip the final rounding —
-    the mean's divisor would re-introduce .5-boundary ties.  The mean
-    and Gumbel-top-k resampling live in operators/selection.py
-    (pytest-checked; the noise hash has no cross-engine oracle).
-    """
-    from shardpack_spark.operators import selection
-
-    docs = load_table(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    ratios = selection.ngram_log_ratios(docs, target, n=2)
-    grams = selection.word_ngrams(docs, n=2)
-    return (
-        grams.join(ratios, "ngram")
-        .groupBy(F.col("id").alias("doc_id"))
-        .agg(
-            F.sum("tf").alias("n_grams"),
-            (F.floor(F.sum(F.col("tf") * F.col("logr")) * 10000.0 + F.lit(0.5)) / 10000.0).alias("score_sum"),
-        )
-    )
-
-
-@register(
-    "q63_c4_filters",
-    oracle=r"""
+_C4_ORACLE = r"""
     WITH lines AS (
       SELECT doc_id, regexp_split_to_array(text, '\n') AS ls FROM documents
     ),
@@ -396,33 +363,81 @@ def q62_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
              contains(clean_text, '{') AS curly
       FROM doc
     )
-    SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS i1,
+           CAST(n_kept_lines AS BIGINT) AS i2,
+           CAST(n_sentences AS BIGINT) AS i3,
+           CAST(NULL AS DOUBLE) AS score,
            array_to_string(list_filter([
              CASE WHEN bad0 THEN 'bad_phrase_0' END,
              CASE WHEN curly THEN 'curly_brace' END,
              CASE WHEN n_sentences < 5 THEN 'too_few_sentences' END
-           ], x -> x IS NOT NULL), ',') AS reasons,
+           ], x -> x IS NOT NULL), ',') AS tags,
            (NOT bad0 AND NOT curly AND n_sentences >= 5) AS keep
     FROM gated
+"""
+
+
+@register(
+    "q62_curation_scores",
+    oracle=f"""
+    SELECT 'dsir' AS variant, * FROM ({_DSIR_ORACLE})
+    UNION ALL
+    SELECT 'c4' AS variant, * FROM ({_C4_ORACLE})
     """,
-    doc="C4 cleaning heuristics (Raffel et al. 2020 §2.2): line-level "
-    "terminal-punctuation/3-word/javascript filters, then document "
-    "gates (>=5 sentences, no curly brace, no 'lorem ipsum') — the "
-    "oracle replays both passes in SQL.",
+    doc="Two corpus-curation scorers in one tagged result: DSIR "
+    "importance scoring (Xie et al. 2023 — bigram Laplace LLR model "
+    "fit, tf-weighted per-doc sums) and C4 cleaning heuristics "
+    "(Raffel et al. 2020 §2.2 — line filters + document gates); both "
+    "pipelines are replayed end-to-end in the DuckDB oracle.",
 )
-def q63_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style corpus cleaning verdict per document (Q63)."""
+def q62_curation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores + C4 cleaning verdicts (Q62).
+
+    Column harmonization for the variant union: i1/i2/i3 carry the
+    integer signals (dsir: n_grams/—/—; c4: n_lines/n_kept_lines/
+    n_sentences), ``score`` the DSIR log-likelihood-ratio sum, ``tags``
+    the C4 violation reasons, ``keep`` the C4 verdict.
+
+    DSIR determinism: each per-ngram ratio is rounded to the 1e-4 grid
+    BEFORE the per-doc sum, so the sum lands exactly on that grid and
+    cross-engine libm/summation-order noise (~1e-12) cannot flip the
+    final rounding — the mean's divisor would re-introduce .5-boundary
+    ties (use operators/selection.dsir_scores for the length-normalized
+    mean and dsir_resample for Gumbel-top-k selection; the noise hash
+    has no cross-engine oracle).
+    """
+    from shardpack_spark.operators import selection
+
     docs = load_table(spark, sf_dir, "documents")
-    cleaned = text.c4_clean_lines(docs)
-    gated = text.c4_document_filter(cleaned)
-    return (
-        cleaned.join(gated, "id")
-        .select(
-            F.col("id").alias("doc_id"),
-            "n_lines",
-            "n_kept_lines",
-            "n_sentences",
-            "reasons",
-            "keep",
+    target = docs.filter(F.col("lang") == "en")
+    ratios = selection.ngram_log_ratios(docs, target, n=2)
+    grams = selection.word_ngrams(docs, n=2)
+    dsir = (
+        grams.join(ratios, "ngram")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.sum("tf").alias("i1"),
+            F.lit(None).cast("bigint").alias("i2"),
+            F.lit(None).cast("bigint").alias("i3"),
+            (F.floor(F.sum(F.col("tf") * F.col("logr")) * 10000.0 + F.lit(0.5)) / 10000.0).alias("score"),
+            F.lit("").alias("tags"),
+            F.lit(None).cast("boolean").alias("keep"),
         )
     )
+    cleaned = text.c4_clean_lines(docs)
+    gated = text.c4_document_filter(cleaned)
+    c4 = cleaned.join(gated, "id").select(
+        F.col("id").alias("doc_id"),
+        F.col("n_lines").cast("bigint").alias("i1"),
+        F.col("n_kept_lines").cast("bigint").alias("i2"),
+        F.col("n_sentences").cast("bigint").alias("i3"),
+        F.lit(None).cast("double").alias("score"),
+        F.col("reasons").alias("tags"),
+        "keep",
+    )
+
+    def tag(variant: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(variant).alias("variant"), "*")
+
+    return tag("dsir", dsir).unionAll(tag("c4", c4))
