@@ -95,9 +95,7 @@ def q51_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q52_tpch_q10_shape",
-    oracle="""
+_Q10_ORACLE = """
     WITH agg AS (
       SELECT c.c_custkey, c.c_name, n.n_name,
              CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
@@ -109,12 +107,69 @@ def q51_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l.l_returnflag = 'R'
       GROUP BY c.c_custkey, c.c_name, n.n_name
     )
-    SELECT c_custkey, c_name, n_name, revenue
+    SELECT c_custkey AS k1, c_name || '/' || n_name AS s1, revenue AS val,
+           CAST(NULL AS BIGINT) AS cnt
     FROM agg ORDER BY revenue DESC, c_custkey LIMIT 20
-    """,
-)
-def q52_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: returned-item revenue per customer, top-20 (Q52)."""
+"""
+
+# TPC-H Q17 shape with a genuinely CORRELATED pair of scalar subqueries in
+# the oracle; the Spark builder decorrelates them by hand (groupBy + join),
+# which is exactly what Catalyst's RewriteCorrelatedScalarSubquery does to
+# the SQL form.  The threshold "l_quantity < 0.2 * AVG(l_quantity per
+# part)" is evaluated as  qty * 5 * n < sum_qty  in DECIMAL so neither
+# engine performs an inexact division/average before the comparison.
+_Q17_ORACLE = """
+    SELECT CAST(NULL AS BIGINT) AS k1, 'brand_total' AS s1,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS val,
+           COUNT(*) AS cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+    WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5
+            * (SELECT COUNT(*) FROM lineitem x WHERE x.l_partkey = l.l_partkey)
+          < (SELECT SUM(CAST(x.l_quantity AS DECIMAL(18,4)))
+             FROM lineitem x WHERE x.l_partkey = l.l_partkey)
+"""
+
+# TPC-H Q21 shape (EXISTS + NOT EXISTS, both correlated): suppliers whose
+# line is the strictly-last-shipped in a multi-supplier order.  Spark
+# expresses the two subqueries as a left-semi and a left-anti join on the
+# order key (the decorrelated plan Catalyst produces for EXISTS).
+_Q21_ORACLE = """
+    SELECT CAST(NULL AS BIGINT) AS k1, s.s_name AS s1,
+           CAST(NULL AS DOUBLE) AS val, COUNT(*) AS cnt
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY cnt DESC, s1 LIMIT 20
+"""
+
+# TPC-H Q22 shape (uncorrelated scalar subquery + anti join): customers
+# with an above-global-average positive balance and no orders, rolled up
+# per nation.  The average is compared as  bal * n > sum  in DECIMAL —
+# exact in both engines.
+_Q22_ORACLE = """
+    SELECT CAST(c.c_nationkey AS BIGINT) AS k1, CAST(NULL AS VARCHAR) AS s1,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS val,
+           COUNT(*) AS cnt
+    FROM customer c
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,4))
+            * (SELECT COUNT(*) FROM customer x WHERE x.c_acctbal > 0)
+          > (SELECT SUM(CAST(x.c_acctbal AS DECIMAL(18,4)))
+             FROM customer x WHERE x.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+"""
+
+
+def tpch_q10_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-item revenue per customer, top-20 (harmonized)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
@@ -129,4 +184,138 @@ def q52_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
+        .select(
+            F.col("c_custkey").alias("k1"),
+            F.concat_ws("/", "c_name", "n_name").alias("s1"),
+            F.col("revenue").alias("val"),
+            F.lit(None).cast("bigint").alias("cnt"),
+        )
+    )
+
+
+def _tpch_q17_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape, decorrelated: the per-part correlated scalar subqueries
+    become ONE partial-aggregated groupBy over lineitem joined back on
+    l_partkey — a single extra shuffle instead of a per-row subquery, the
+    plan that survives 100 TB (the subquery side prunes to the brand's
+    partkeys first, so the agg covers only relevant parts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    # lineitems of the brand's parts (broadcast the tiny dim first so the
+    # per-part aggregate below only sees relevant rows)
+    lik = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    stats = lik.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    kept = lik.join(stats, "l_partkey").filter(
+        dec("l_quantity") * F.lit(5) * F.col("n") < F.col("sq")
+    )
+    return kept.agg(
+        F.lit(None).cast("bigint").alias("k1"),
+        F.lit("brand_total").alias("s1"),
+        money2(F.sum(dec("l_extendedprice"))).alias("val"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def _tpch_q21_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS -> left-semi, NOT EXISTS -> left-anti, both equi
+    on l_orderkey with residual conditions — no nested-loop anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
+    multi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).alias("l1")
+    last = multi.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        last.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("s_name"))
+        .limit(20)
+        .select(
+            F.lit(None).cast("bigint").alias("k1"),
+            F.col("s_name").alias("s1"),
+            F.lit(None).cast("double").alias("val"),
+            "cnt",
+        )
+    )
+
+
+def _tpch_q22_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: the uncorrelated scalar subquery is a 1-row aggregate
+    broadcast (allowlisted O(1)-row NLJ); NOT EXISTS is a left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(dec("c_acctbal")).alias("pos_sum"), F.count(F.lit(1)).alias("pos_n")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(dec("c_acctbal") * F.col("pos_n") > F.col("pos_sum"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            money2(F.sum(dec("c_acctbal"))).alias("val"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("k1"),
+            F.lit(None).cast("string").alias("s1"),
+            "val",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "q52_tpch_shapes",
+    oracle=f"""
+    SELECT 'q10' AS variant, * FROM ({_Q10_ORACLE})
+    UNION ALL
+    SELECT 'q17' AS variant, * FROM ({_Q17_ORACLE})
+    UNION ALL
+    SELECT 'q21' AS variant, * FROM ({_Q21_ORACLE})
+    UNION ALL
+    SELECT 'q22' AS variant, * FROM ({_Q22_ORACLE})
+    """,
+    doc="Four TPC-H shapes in one tagged result: Q10 (multi-join top-k), "
+    "Q17 (correlated scalar subqueries, decorrelated to agg+join), Q21 "
+    "(EXISTS/NOT EXISTS as semi/anti joins), Q22 (uncorrelated scalar "
+    "subquery broadcast + anti join).  The oracle keeps the SUBQUERY "
+    "form so the hash check proves the decorrelated Spark plans compute "
+    "the same relation.",
+)
+def q52_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10/Q17/Q21/Q22 shapes, variant-tagged (Q52).
+
+    Harmonized columns: k1 (bigint key), s1 (string label), val (money),
+    cnt (count).  Q17/Q21/Q22 exercise the subquery-decorrelation surface:
+    correlated scalar subqueries become per-key aggregates joined back,
+    EXISTS/NOT EXISTS become left-semi/left-anti joins, and uncorrelated
+    scalars become 1-row broadcasts — the shapes Catalyst itself emits
+    for the SQL forms, hand-declared so every join is keyed (no nested
+    loop over lineitem at any scale).
+    """
+
+    def tag(variant: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(variant).alias("variant"), "*")
+
+    return (
+        tag("q10", tpch_q10_variant(spark, sf_dir))
+        .unionAll(tag("q17", _tpch_q17_variant(spark, sf_dir)))
+        .unionAll(tag("q21", _tpch_q21_variant(spark, sf_dir)))
+        .unionAll(tag("q22", _tpch_q22_variant(spark, sf_dir)))
     )
