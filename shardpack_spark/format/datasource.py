@@ -1481,6 +1481,161 @@ def compact_dataset(
     }
 
 
+def convert_to_dataset(
+    spark,
+    path: str,
+    key_stats: bool = True,
+    compression: str = "none",
+) -> dict:
+    """Adopt a log-less shard directory into the commit log with a
+    DISTRIBUTED index scan — the CONVERT-TO-DELTA / add_files analog,
+    and SURVEY §3.3's large-catalog planning job.
+
+    A directory populated by the raw codec (or copied in) has no
+    manifest: every scan pays a listing plus one EOF-index read per
+    oversized shard at PLAN time, on the driver, and gets no pruning.
+    The first DataSource append folds such files into its manifest, but
+    reads their indexes serially on the driver — at 10^5 shards on an
+    object store that is hours of driver I/O.  This utility moves the
+    scan into ONE Spark job: executors read each shard's EOF index (and,
+    with ``key_stats``, its record headers — never the payload bytes)
+    and return one bounded stats row per shard; the driver then commits
+    manifest version 1 through the normal CAS protocol.  Afterwards
+    every scan plans from pure metadata with the same bloom / min-max /
+    meta-value pruning as DataSource-written datasets.
+
+    The stats rows mirror ``_write_with_stats`` exactly, so an adopted
+    dataset is indistinguishable from a written one.  Returns the
+    committed manifest.  Raises if a commit log already exists (nothing
+    to convert) or appears concurrently (that writer already adopted the
+    ad-hoc files; convert aborts and removes its orphan part).
+    """
+    register(spark)  # ensures by-value pickling for the closure below
+    if _load_latest_manifest(path) is not None or _marker_shards(path):
+        raise codec.ShardPackIOError(
+            f"{path} already has a commit log; convert_to_dataset adopts "
+            "log-less directories only"
+        )
+    names = _visible_shards(path, None)
+    if not names:
+        raise codec.ShardPackIOError(f"{path}: no shard files to adopt")
+    root = path
+    want_keys = key_stats
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for name in pdf["name"]:
+                full = os.path.join(root, name)
+                idx = codec.read_index(full)  # validates magic + offsets
+                entry = {
+                    "name": name,
+                    "records": len(idx.offsets),
+                    "bytes": storage.for_path(full).getsize(full),
+                    "min_key": None,
+                    "max_key": None,
+                    "bloom": None,
+                    "meta_values": None,
+                }
+                if want_keys and idx.offsets:
+                    hashes: list[tuple[int, int]] = []
+                    mv: dict[str, set] = {}
+                    mn = mx = None
+                    # offsets=None lets iter_records' header-seek fast
+                    # path engage on payload-heavy shards (key+metadata
+                    # reads only, payload bytes never leave the store)
+                    for rec in codec.iter_records(
+                        full,
+                        verify_checksums=False,
+                        skip_payload=True,
+                        skip_entries=True,
+                    ):
+                        mn = rec.key if mn is None else min(mn, rec.key)
+                        mx = rec.key if mx is None else max(mx, rec.key)
+                        hashes.append(_bloom_key_hashes(rec.key))
+                        for mk, v in (rec.metadata or {}).items():
+                            vs = mv.setdefault(mk, set())
+                            if len(vs) <= _META_VALUES_CAP:
+                                vs.add(v)
+                    entry["min_key"], entry["max_key"] = mn, mx
+                    bloom = _bloom_build(hashes)
+                    if bloom is not None:
+                        entry["bloom"] = json.dumps(bloom)
+                    kept = {
+                        mk: sorted(vs)
+                        for mk, vs in mv.items()
+                        if len(vs) <= _META_VALUES_CAP
+                    }
+                    if kept:
+                        entry["meta_values"] = json.dumps(kept)
+                rows.append(entry)
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "name string, records long, bytes long, min_key string, "
+        "max_key string, bloom string, meta_values string"
+    )
+    n_tasks = max(1, min(len(names), spark.sparkContext.defaultParallelism * 4))
+    stat_rows = (
+        spark.createDataFrame([(n,) for n in names], "name string")
+        .repartition(n_tasks)
+        .mapInPandas(_scan, schema)
+        .collect()  # bounded: one manifest-entry-sized row per shard
+    )
+    entries: list[dict] = []
+    for r in sorted(stat_rows, key=lambda r: r["name"]):
+        e: dict = {"path": r["name"], "records": r["records"], "bytes": r["bytes"]}
+        if r["min_key"] is not None:
+            e["min_key"], e["max_key"] = r["min_key"], r["max_key"]
+        if r["bloom"] is not None:
+            e["bloom"] = json.loads(r["bloom"])
+        if r["meta_values"] is not None:
+            e["meta_values"] = json.loads(r["meta_values"])
+        entries.append(e)
+
+    be = storage.for_path(path)
+    part: str | None = None
+    with _CommitLock(path):
+        for _ in range(64):
+            prior, prior_vid = _observe_latest(path, flatten=False)
+            if prior is not None:
+                # a concurrent first commit won and adopted the ad-hoc
+                # files itself; our stats part (if written) is an orphan
+                if part is not None:
+                    be.remove(os.path.join(path, part))
+                raise codec.ShardPackIOError(
+                    f"{path}: a commit log appeared during convert "
+                    "(another writer adopted the directory); aborting"
+                )
+            if part is None:
+                part = _write_manifest_part(path, entries)
+            vid = 1 + prior_vid
+            manifest = {
+                "version": 3,
+                "version_id": vid,
+                "compression": compression,
+                "target_shard_bytes": codec.DEFAULT_TARGET_SHARD_BYTES,
+                "parts": [part],
+                "total_records": sum(e["records"] for e in entries),
+            }
+            arch = os.path.join(path, MANIFEST_PARTS_DIR, f"root-{vid:08d}.json")
+            be.makedirs(os.path.dirname(arch))
+            payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
+            try:
+                claimed = be.put_if_absent(arch, payload)
+            except storage.UnsupportedOperation:
+                be.write_atomic(arch, payload)
+                claimed = True
+            if claimed:
+                _write_manifest(path, manifest)
+                return manifest
+        raise codec.ShardPackIOError(
+            f"convert contention on {path}: could not claim a snapshot id"
+        )
+
+
 def read_version_delta(
     spark, path: str, since_version: int, to_version: int | None = None, **options
 ):

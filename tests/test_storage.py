@@ -686,3 +686,73 @@ def test_zstd_pure_fallback_warns():
             codec._zstd_compress(b"again")
     finally:
         codec._zstd_fallback_warned = True
+
+
+# --- convert_to_dataset: distributed adoption of log-less directories ---------
+
+
+def test_convert_to_dataset_adopts_logless_dir(spark, tmp_path):
+    """A codec-written (log-less) directory becomes a committed dataset via
+    ONE Spark job: manifest v1 carries records/bytes/min-max/bloom/
+    meta_values per shard, reads are identical, planning is metadata-only,
+    and bloom pruning works — on local FS and over sim://."""
+    for root in [str(tmp_path / "loc"), "sim://" + str(tmp_path / "obj")]:
+        w = codec.DatasetWriter(root, basename="adhoc", target_shard_bytes=2048)
+        keys = [f"k{i:04d}" for i in range(120)]
+        for i, k in enumerate(keys):
+            w.write(
+                codec.Record(
+                    key=k,
+                    entries=[codec.FileEntry("f.bin", "application/octet-stream", b"x" * 64)],
+                    metadata={"lang": "en" if i % 2 else "de"},
+                )
+            )
+        w.close()
+
+        manifest = ds.convert_to_dataset(spark, root)
+        assert manifest["version_id"] == 1
+        assert manifest["total_records"] == len(keys)
+        flat = ds._load_manifest(root)
+        shards = flat["shards"]
+        assert len(shards) > 1  # 2 KiB target -> many shards
+        be = storage.for_path(root)
+        for s in shards:
+            assert s["bytes"] == be.getsize(os.path.join(root, s["path"]))
+            assert s["min_key"] <= s["max_key"]
+            assert "bloom" in s
+            assert set(s["meta_values"]["lang"]) <= {"en", "de"}
+
+        # reads are unchanged and plan from metadata (no per-shard stat)
+        assert _read_keys(spark, root) == keys
+
+        # adopted stats prune exactly like written ones
+        from pyspark.sql.datasource import EqualTo
+
+        reader = ds.ShardPackPruningReader({"path": root, "prune_by_key": "true"})
+        reader.pushFilters([EqualTo(("key",), keys[0])])
+        kept = reader.partitions()
+        assert 1 <= len(kept) < len(shards)
+        reader2 = ds.ShardPackPruningReader({"path": root, "prune_by_key": "true"})
+        reader2.pushFilters([EqualTo(("key",), "absent-key")])
+        assert len(reader2.partitions()) == 0
+
+        # converting twice is an explicit error (commit log exists now)
+        with pytest.raises(codec.ShardPackIOError):
+            ds.convert_to_dataset(spark, root)
+
+
+def test_convert_to_dataset_rejects_streamed_dirs(spark, tmp_path):
+    """Marker-committed (streamed) directories already have a commit log."""
+    root = str(tmp_path / "streamed")
+    w = codec.DatasetWriter(root, basename="c00000000-part-00000-aaaa")
+    w.write(codec.Record(key="a", entries=[], metadata={}))
+    results = w.close()
+    be = storage.for_path(root)
+    be.write_atomic(
+        os.path.join(root, "_batch_00000000.json"),
+        json.dumps(
+            {"shards": [{"path": os.path.basename(r["path"]), "records": r["records"], "bytes": r["bytes"]} for r in results]}
+        ).encode(),
+    )
+    with pytest.raises(codec.ShardPackIOError):
+        ds.convert_to_dataset(spark, root)
