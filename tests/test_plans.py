@@ -204,3 +204,20 @@ def test_gap_fill_no_driver_spine(spark, sf_dir):
     s = _explain(spark, gap_fill(ev, 3600, by="user_id", method="locf"), mode="simple")
     assert "Generate explode" in s
     assert s.count("Exchange hashpartitioning") <= 3
+
+
+def test_q52_subquery_decorrelation_shapes(spark, sf_dir):
+    """The hand-decorrelated subquery variants must carry the keyed-join
+    shapes — semi/anti for EXISTS/NOT EXISTS, ONE single-row broadcast
+    for the uncorrelated scalar — and no cartesian anywhere."""
+    s = plan(spark, sf_dir, "q52_tpch_shapes", mode="simple")
+    assert "LeftSemi" in s, "Q21 EXISTS must run as a left-semi join"
+    assert "LeftAnti" in s, "Q21/Q22 NOT EXISTS must run as left-anti joins"
+    assert s.count("BroadcastNestedLoopJoin") == 1, (
+        "exactly the Q22 1-row scalar broadcast may nest-loop"
+    )
+    assert "CartesianProduct" not in s
+    # Q17's correlated scalar subqueries became ONE aggregate joined back
+    # (not a per-row subquery): a partial-agg pair over the brand-pruned
+    # lineitems must appear
+    assert "partial_sum" in s and "partial_count" in s
