@@ -154,6 +154,12 @@ class ShardPartition(InputPartition):
     # store is the difference between metadata-speed planning and O(n)
     # remote reads.
     rec_range: tuple[int, int] | None = None
+    # Many-small-shards coalescing: when set, this ONE task reads every
+    # listed shard whole (path == group[0]).  The inverse of record-range
+    # splitting — without it a directory of 10^4 KB-sized shards (stream
+    # sinks, tiny commits, freshly converted ad-hoc dirs) costs 10^4
+    # Python-worker task launches per scan.
+    group: list[str] | None = None
 
 
 def _norm_path(p: str | None) -> str | None:
@@ -557,23 +563,34 @@ def _plan_partitions(
     names: Sequence[str],
     split_target: int,
     stats: dict[str, tuple[int, int | None]] | None = None,
+    small_bin_bytes: int = 32 * 1024 * 1024,
+    min_group_bins: int = 64,
 ) -> list[ShardPartition]:
-    """One partition per shard; oversized shards split into record-ranges
-    so executor work stays even at any scale.
+    """One partition per shard; oversized shards split into record-ranges,
+    MANY SMALL shards coalesce into grouped partitions — executor work
+    stays even at any scale in both directions.
 
     ``stats`` carries manifest/marker-recorded (bytes, records) pairs: a
     committed dataset plans with ZERO per-shard I/O — sizes decide the
     split count, record counts produce [start, end) record ranges, and
     the owning EXECUTOR resolves ranges to byte offsets with one
     EOF-index read.  The driver opens a shard only for log-less ad-hoc
-    directories (stat for size, tail read for the offset table)."""
+    directories (stat for size, tail read for the offset table).
+
+    Coalescing engages only past ``min_group_bins`` whole shards and
+    never produces fewer than that many bins, so normal datasets (and
+    pruned lookups) keep their one-task-per-shard parallelism while a
+    10^4-tiny-shard directory plans ~64+ tasks instead of 10^4 Python
+    worker launches.  ``small_bin_bytes=0`` disables grouping."""
     be = storage.for_path(path)
+    sizes: dict[str, int] = {}
 
     def _one(name: str) -> list[ShardPartition]:
         sp = os.path.join(path, name)
         size, records = (stats or {}).get(name, (None, None))
         if size is None:
             size = be.getsize(sp)
+        sizes[sp] = size
         if size <= split_target:
             return [ShardPartition(sp, None)]
         if records is not None:
@@ -607,7 +624,33 @@ def _plan_partitions(
             per_name = list(ex.map(_one, names))
     else:
         per_name = [_one(n) for n in names]
-    return [p for parts in per_name for p in parts]
+    parts = [p for parts in per_name for p in parts]
+
+    whole = [p for p in parts if p.offsets is None and p.rec_range is None]
+    if small_bin_bytes <= 0 or len(whole) <= min_group_bins:
+        return parts
+    split = [p for p in parts if p.offsets is not None or p.rec_range is not None]
+    total = sum(sizes[p.path] for p in whole)
+    # bytes-driven bin count, floored at min_group_bins so grouping never
+    # costs parallelism a real cluster has
+    n_bins = max(-(-total // small_bin_bytes), min_group_bins)
+    if n_bins >= len(whole):
+        return parts
+    bin_target = -(-total // n_bins)
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for p in sorted(whole, key=lambda p: p.path):  # contiguous name runs
+        if cur and cur_bytes + sizes[p.path] > bin_target:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(p.path)
+        cur_bytes += sizes[p.path]
+    if cur:
+        groups.append(cur)
+    return split + [
+        ShardPartition(g[0], None, group=g if len(g) > 1 else None) for g in groups
+    ]
 
 
 def _manifest_stats(path: str, manifest: dict | None) -> dict[str, tuple[int, int | None]]:
@@ -643,6 +686,17 @@ def _arrow_batches(
     """Yield Arrow RecordBatches (not rows): bulk columnar transfer to the
     JVM instead of per-row pickling — the difference between a Python-speed
     scan and an Arrow-speed scan on binary-heavy data."""
+    if partition.group:
+        # coalesced small shards: one task streams each member whole
+        for member in partition.group:
+            yield from _arrow_batches(
+                ShardPartition(member, None),
+                verify,
+                skip_payload,
+                metadata_only,
+                shard_column,
+            )
+        return
     import pyarrow as pa
 
     entry_struct = pa.struct(
@@ -744,6 +798,8 @@ class ShardPackReader(DataSourceReader):
             raise codec.ShardPackIOError("shardpack reader requires a path")
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
         self.split_target = int(options.get("split_target_bytes", 128 * 1024 * 1024))
+        # 0 disables many-small-shards coalescing (one task per shard)
+        self.small_bin = int(options.get("small_bin_bytes", 32 * 1024 * 1024))
         self.skip_payload = str(options.get("skip_payload", "false")).lower() == "true"
         self.metadata_only = str(options.get("metadata_only", "false")).lower() == "true"
         self.shard_column = str(options.get("with_shard_column", "false")).lower() == "true"
@@ -846,7 +902,11 @@ class ShardPackReader(DataSourceReader):
                 kept.append(name)
             names = kept
         return _plan_partitions(
-            self.path, names, self.split_target, _manifest_stats(self.path, manifest)
+            self.path,
+            names,
+            self.split_target,
+            _manifest_stats(self.path, manifest),
+            small_bin_bytes=self.small_bin,
         )
 
     def read(self, partition: ShardPartition):
@@ -1223,6 +1283,7 @@ class ShardPackStreamReader(DataSourceStreamReader):
             raise codec.ShardPackIOError("shardpack stream reader requires a path")
         self.verify = str(options.get("verify_checksums", "true")).lower() == "true"
         self.split_target = int(options.get("split_target_bytes", 128 * 1024 * 1024))
+        self.small_bin = int(options.get("small_bin_bytes", 32 * 1024 * 1024))
         # Admission control: cap how many shards a micro-batch admits so a
         # deep backlog (or a bulk import landing mid-stream) drains as
         # bounded batches instead of one giant catch-up batch.  0 = no cap.
@@ -1265,7 +1326,11 @@ class ShardPackStreamReader(DataSourceStreamReader):
             if lo < n <= hi and n > self._floor
         ]
         return _plan_partitions(
-            self.path, names, self.split_target, _manifest_stats(self.path, manifest)
+            self.path,
+            names,
+            self.split_target,
+            _manifest_stats(self.path, manifest),
+            small_bin_bytes=self.small_bin,
         )
 
     def commit(self, end: dict) -> None:

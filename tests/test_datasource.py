@@ -979,3 +979,35 @@ def test_read_exploded_entries_option(spark_ds, sf_dir, tmp_path):
     assert read_shardpack(
         spark_ds, out, columns=["key", "file_name"], explode_entries=True
     ).columns == ["key", "file_name"]
+
+
+def test_small_shard_coalescing(spark_ds, tmp_path):
+    """A directory of many tiny shards must plan grouped partitions (not
+    one Python task per shard) while small/pruned datasets keep
+    one-partition-per-shard; results are identical either way."""
+    from shardpack_spark.format import codec
+    from shardpack_spark.format.datasource import (
+        ShardPackReader,
+        convert_to_dataset,
+        read_shardpack,
+    )
+
+    out = str(tmp_path / "tiny")
+    w = codec.DatasetWriter(out, basename="t", target_shard_bytes=1)  # 1 rec/shard
+    n = 300
+    for i in range(n):
+        w.write(codec.Record(key=f"k{i:05d}", entries=[], metadata={}))
+    w.close()
+    convert_to_dataset(spark_ds, out, key_stats=False)
+
+    parts = ShardPackReader({"path": out}).partitions()
+    assert 64 <= len(parts) < n  # floored at min_group_bins, well under n
+    grouped = [p for p in parts if p.group]
+    assert grouped and sum(len(p.group) for p in grouped) + (
+        len(parts) - len(grouped)
+    ) == n  # every shard read exactly once
+    assert read_shardpack(spark_ds, out).count() == n
+
+    # opt-out restores one partition per shard
+    parts_off = ShardPackReader({"path": out, "small_bin_bytes": "0"}).partitions()
+    assert len(parts_off) == n
