@@ -152,12 +152,7 @@ def doc_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     punct = _count_matches(t, _PUNCT)
     alpha = _count_matches(t, r"[A-Za-z]")
     stop = _marker_count(_word_tokens(t), list(_STOPWORDS))
-    p = 1_000_000_007
-    fp = F.aggregate(
-        F.split(t, ""),
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % p,
-    )
+    fp = rolling_fingerprint(t)
     base = df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -188,6 +183,17 @@ def doc_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def rolling_fingerprint(c: Column) -> Column:
+    """Rolling polynomial hash (base 31 mod 1e9+7) of a string column as a
+    codegen fold — order-sensitive, unlike a bag-of-words hash."""
+    p = 1_000_000_007
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % p,
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic rolling polynomial hash (base 31 mod 1e9+7) per doc.
 
@@ -195,14 +201,52 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     hash); computed with a sequential higher-order fold over the char
     array so it stays in codegen.
     """
-    p = 1_000_000_007
-    chars = F.split(F.col(text_col), "")
-    fp = F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % p,
-    )
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    return df.select(F.col(id_col), rolling_fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+# HTML entity decode pairs, applied AFTER tag stripping (so "&lt;p&gt;"
+# survives as literal text, never becomes a strippable tag); &amp; last.
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+# Patterns stay inside the Java-regex ∩ RE2 subset — inline (?is) flags,
+# non-greedy quantifiers, explicit character classes, no backreferences —
+# so the DuckDB oracle replays them VERBATIM (with its 'g' flag).
+# _ATTRS is quote-aware: a '>' INSIDE a quoted attribute value
+# (title="a > b") must not end the tag early.
+_ATTRS = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
+HTML_DROP_BLOCKS = rf"(?is)<(script|style){_ATTRS}>.*?</(script|style)>"
+HTML_BLOCK_BREAKS = rf"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/table){_ATTRS}>"
+HTML_ANY_TAG = rf"<{_ATTRS}>"
+
+
+def html_to_text(c: Column) -> Column:
+    """Extract visible text from HTML markup — the first step of every
+    web-corpus pipeline (C4 / RefinedWeb start from WET/WARC HTML).
+
+    Pure codegen regex chain: drop <script>/<style> blocks (non-greedy,
+    dot-matches-newline), turn block-closers and <br> into newlines,
+    strip remaining tags to spaces, decode the six common entities,
+    collapse horizontal whitespace and newline runs, trim.  Linear
+    single-pass work per document, no Python, no shuffle — a 100 TB WET
+    extraction is exactly one scan.
+    """
+    x = F.regexp_replace(c, HTML_DROP_BLOCKS, " ")
+    x = F.regexp_replace(x, HTML_BLOCK_BREAKS, "\n")
+    x = F.regexp_replace(x, HTML_ANY_TAG, " ")
+    for ent, rep in HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = F.regexp_replace(x, r"[ \t]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n\n+", "\n")
+    # trim BOTH spaces and newlines at the ends (F.trim is spaces-only)
+    return F.regexp_replace(x, r"^[\n ]+|[\n ]+$", "")
 
 
 def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -472,9 +472,7 @@ _STOP_SQL = " + ".join(
     rf"len(regexp_extract_all(text, '\b{w}\b'))" for w in text._STOPWORDS
 )
 
-@register(
-    "q32_doc_features",
-    oracle=rf"""
+_FEAT_ORACLE = rf"""
     WITH feat AS (
       SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars,
@@ -495,13 +493,104 @@ _STOP_SQL = " + ".join(
                   - 0.2 * (CAST(punct_cnt AS DOUBLE) / n_chars)) * 10000.0 + 0.5) / 10000.0 AS quality,
            fingerprint
     FROM feat
+"""
+
+# The synthetic wrapping both engines build identically: paragraphs from
+# the document's newlines, plus hostile bits — a <script> whose BODY
+# contains markup (non-greedy block drop must not overrun), entities that
+# must decode to literal text, and attributes on stripped tags.
+_HTML_WRAP_SQL = """
+    '<html><head><style>p{color:red}</style>'
+    || '<script type="text/javascript">var s = "<p>not text</p>";</script>'
+    || '</head><body><h1 class="t">Title</h1><p>'
+    || replace(text, chr(10), '</p><p>')
+    || '</p><div id="f">&amp; &lt;tag&gt; &quot;q&quot;&nbsp;&#39;s&#39;</div></body></html>'
+"""
+
+# DuckDB replay of text.html_to_text — the SAME pattern constants
+# (Java-regex ∩ RE2 subset) interpolated with SQL quote-doubling, so the
+# two engines cannot drift, with DuckDB's explicit 'g' flag.
+def _sqlq(pattern: str) -> str:
+    return pattern.replace("'", "''")
+
+
+_HTML_EXTRACT_SQL = rf"""
+    regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            {_HTML_WRAP_SQL},
+            '{_sqlq(text.HTML_DROP_BLOCKS)}', ' ', 'g'),
+            '{_sqlq(text.HTML_BLOCK_BREAKS)}', chr(10), 'g'),
+            '{_sqlq(text.HTML_ANY_TAG)}', ' ', 'g'),
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        '[ \t]+', ' ', 'g'),
+        ' ?\n ?', chr(10), 'g'),
+        '\n\n+', chr(10), 'g'),
+      '^[\n ]+|[\n ]+$', '', 'g')
+"""
+
+_HTML_ORACLE = rf"""
+    WITH x AS (
+      SELECT doc_id, {_HTML_EXTRACT_SQL} AS xt FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(xt) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(xt), '\s+')) AS INT) AS ws_tokens,
+           CAST(NULL AS INT) AS bpe_tokens,
+           CAST(NULL AS DOUBLE) AS punct_ratio,
+           CAST(NULL AS DOUBLE) AS alpha_ratio,
+           CAST(NULL AS DOUBLE) AS quality,
+           LIST_REDUCE(LIST_TRANSFORM(string_split(xt, ''), c -> CAST(ascii(c) AS BIGINT)),
+                       (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
+    FROM x
+"""
+
+
+@register(
+    "q32_doc_features",
+    oracle=f"""
+    SELECT 'feat' AS variant, * FROM ({_FEAT_ORACLE})
+    UNION ALL
+    SELECT 'html' AS variant, * FROM ({_HTML_ORACLE})
     """,
+    doc="Per-doc text features in one scan (token counts Q32, quality "
+    "Q33, fingerprint Q35) plus the 'html' variant: HTML-to-text "
+    "extraction (script/style drop, tag strip, entity decode, whitespace "
+    "canon) verified by char-count, token-count and a rolling hash of "
+    "the EXTRACTED text — both engines build the same hostile markup "
+    "wrapping and must extract bit-identical text.",
 )
 def q32_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All per-doc text features in one scan: whitespace/BPE-ish token
     counts (Q32), quality features + composite (Q33), rolling-hash
-    fingerprint (Q35)."""
-    return text.doc_features(load_table(spark, sf_dir, "documents"))
+    fingerprint (Q35); 'html' variant certifies text.html_to_text."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = text.doc_features(docs)
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style>'),
+        F.lit('<script type="text/javascript">var s = "<p>not text</p>";</script>'),
+        F.lit('</head><body><h1 class="t">Title</h1><p>'),
+        F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+        F.lit('</p><div id="f">&amp; &lt;tag&gt; &quot;q&quot;&nbsp;&#39;s&#39;</div></body></html>'),
+    )
+    xt = text.html_to_text(html)
+    hf = docs.select(
+        "doc_id",
+        F.length(xt).cast("bigint").alias("n_chars"),
+        F.size(F.split(F.trim(xt), r"\s+")).cast("int").alias("ws_tokens"),
+        F.lit(None).cast("int").alias("bpe_tokens"),
+        F.lit(None).cast("double").alias("punct_ratio"),
+        F.lit(None).cast("double").alias("alpha_ratio"),
+        F.lit(None).cast("double").alias("quality"),
+        text.rolling_fingerprint(xt).alias("fingerprint"),
+    )
+
+    def tag(variant: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(variant).alias("variant"), "*")
+
+    return tag("feat", feat).unionAll(tag("html", hf))
 
 
 def _lang_score_sql(lang: str) -> str:

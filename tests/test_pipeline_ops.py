@@ -481,3 +481,36 @@ def test_c4_line_and_document_filters(spark):
     assert gated[3]["keep"] is False and "curly_brace" in gated[3]["reasons"]
     assert gated[4]["keep"] is False and "bad_phrase_0" in gated[4]["reasons"]
     assert gated[5]["keep"] is False
+
+
+def test_html_to_text_hand_cases(spark):
+    """HTML extraction: block drops, tag strips, entity decode order,
+    whitespace canonicalization — each pinned on a hand-built document."""
+    cases = [
+        # script/style bodies vanish even when they contain markup
+        (
+            '<script>var s = "<p>fake</p>";</script><p>real</p>',
+            "real",
+        ),
+        ('<style>p { color: red; }</style>hello', "hello"),
+        # block closers become newlines, inline tags become spaces
+        ("<p>one</p><p>two</p>", "one\ntwo"),
+        ("a<br>b", "a\nb"),
+        ("<b>bold</b> and <i>italic</i>", "bold and italic"),
+        # entities decode AFTER stripping: '&lt;p&gt;' stays literal text
+        ("&lt;p&gt; &amp; &quot;q&quot; &#39;s&#39;&nbsp;!", "<p> & \"q\" 's' !"),
+        # attributes don't confuse the stripper
+        ('<a href="x.html" title="a > b?">link</a>', "link"),
+        # whitespace runs collapse; blank-line runs collapse to one break
+        ("<p>a</p>\n\n\n<p>b</p>", "a\nb"),
+        ("  spaced\tout  ", "spaced out"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, html string"
+    )
+    got = {
+        r["i"]: r["xt"]
+        for r in df.select("i", text.html_to_text(F.col("html")).alias("xt")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
