@@ -249,6 +249,35 @@ def html_to_text(c: Column) -> Column:
     return F.regexp_replace(x, r"^[\n ]+|[\n ]+$", "")
 
 
+def html_extract_sql(expr: str) -> str:
+    """DuckDB replay of ``html_to_text`` over the SQL expression ``expr``.
+
+    Built from the SAME pattern constants (SQL-quote-doubled) so the two
+    engines cannot drift; DuckDB needs its explicit 'g' flag where Spark
+    replaces globally by default.  Used by the q32 'html' oracle and the
+    hypothesis cross-engine fuzz."""
+
+    def q(pattern: str) -> str:
+        return pattern.replace("'", "''")
+
+    return rf"""
+    regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(
+        replace(replace(replace(replace(replace(replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            {expr},
+            '{q(HTML_DROP_BLOCKS)}', ' ', 'g'),
+            '{q(HTML_BLOCK_BREAKS)}', chr(10), 'g'),
+            '{q(HTML_ANY_TAG)}', ' ', 'g'),
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        '[ \t]+', ' ', 'g'),
+        ' ?\n ?', chr(10), 'g'),
+        '\n\n+', chr(10), 'g'),
+      '^[\n ]+|[\n ]+$', '', 'g')
+"""
+
+
 def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-(doc, term) TF-IDF: (doc_id, term, tf, df, tfidf).
 

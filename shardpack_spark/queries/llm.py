@@ -507,29 +507,9 @@ _HTML_WRAP_SQL = """
     || '</p><div id="f">&amp; &lt;tag&gt; &quot;q&quot;&nbsp;&#39;s&#39;</div></body></html>'
 """
 
-# DuckDB replay of text.html_to_text — the SAME pattern constants
-# (Java-regex ∩ RE2 subset) interpolated with SQL quote-doubling, so the
-# two engines cannot drift, with DuckDB's explicit 'g' flag.
-def _sqlq(pattern: str) -> str:
-    return pattern.replace("'", "''")
-
-
-_HTML_EXTRACT_SQL = rf"""
-    regexp_replace(
-      regexp_replace(regexp_replace(regexp_replace(
-        replace(replace(replace(replace(replace(replace(
-          regexp_replace(regexp_replace(regexp_replace(
-            {_HTML_WRAP_SQL},
-            '{_sqlq(text.HTML_DROP_BLOCKS)}', ' ', 'g'),
-            '{_sqlq(text.HTML_BLOCK_BREAKS)}', chr(10), 'g'),
-            '{_sqlq(text.HTML_ANY_TAG)}', ' ', 'g'),
-          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-        '[ \t]+', ' ', 'g'),
-        ' ?\n ?', chr(10), 'g'),
-        '\n\n+', chr(10), 'g'),
-      '^[\n ]+|[\n ]+$', '', 'g')
-"""
+# DuckDB replay of text.html_to_text, generated from the same pattern
+# constants (text.html_extract_sql) so the two engines cannot drift.
+_HTML_EXTRACT_SQL = text.html_extract_sql(_HTML_WRAP_SQL)
 
 _HTML_ORACLE = rf"""
     WITH x AS (

@@ -514,3 +514,53 @@ def test_html_to_text_hand_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_html_to_text_cross_engine_fuzz(spark):
+    """Property check of the Java-regex ∩ RE2 claim: Spark's html_to_text
+    and DuckDB's html_extract_sql replay must extract IDENTICAL text on
+    random token-soup markup (nesting, unclosed tags, quotes holding '>',
+    entities, stray angle brackets)."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    tokens = st.sampled_from(
+        [
+            "<p>", "</p>", "<div class=\"x>y\">", "</div>", "<br>",
+            "<script>", "</script>", "<style>", "</style>",
+            "<a href='u>v' title=\"a > b\">", "</a>", "<h2>", "</h2>",
+            "<b>", "</b>", "<li>", "</li>", "<table>", "</table>", "<tr>", "</tr>",
+            "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
+            "text", "word soup", "5 > 3", "x<y", "q&a", "'", '"',
+            "<", ">", "&", " ", "\t", "\n", "café", "<>",
+        ]
+    )
+    samples = []
+
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(tokens, max_size=30).map("".join))
+    def collect(s):
+        samples.append(s)
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, html string"
+    )
+    spark_got = {
+        r["i"]: r["xt"]
+        for r in df.select("i", text.html_to_text(F.col("html")).alias("xt")).collect()
+    }
+    pdf = pd.DataFrame({"i": range(len(samples)), "html": samples})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck_got = dict(
+        con.execute(f"SELECT i, {text.html_extract_sql('html')} FROM t").fetchall()
+    )
+    for i, s in enumerate(samples):
+        assert spark_got[i] == duck_got[i], f"diverged on {s!r}: spark={spark_got[i]!r} duckdb={duck_got[i]!r}"
