@@ -157,6 +157,69 @@ def near_dup_ingest_batch(
         sigs.unpersist()
 
 
+BASE_BATCH_ID = -1  # consolidated partition; -1 < every real batch id
+
+
+def compact_signature_store(
+    spark, store_path: str, up_to_batch: int
+) -> dict:
+    """Fold per-batch signature partitions below ``up_to_batch`` into the
+    consolidated BASE partition (batch_id = -1).
+
+    A long-running stream leaves one parquet partition per micro-batch;
+    thousands of small partitions slow every banded join.  Compaction
+    rewrites them into one partition that still satisfies the replay
+    contract (base id -1 < every current batch id, so decisions keep
+    seeing exactly the prior corpus).
+
+    CALLER CONTRACT: ``up_to_batch`` must not exceed the stream's last
+    CHECKPOINT-COMMITTED batch id — only the latest uncommitted batch can
+    ever replay, and a batch folded into base must never be one that
+    could re-run (it would see its own signatures).
+
+    Crash-safe by duplicate tolerance: the consolidated partition is
+    written (dynamic overwrite) BEFORE the folded partitions are
+    deleted.  A crash between the two leaves some signatures present
+    twice — harmless, because ingest verdicts aggregate with min/max
+    over matches, so duplicate store rows cannot change any decision —
+    and the next compaction removes the leftovers.
+    """
+    store = spark.read.parquet(store_path)
+    # localCheckpoint breaks lineage: the consolidated write overwrites
+    # the path the fold was READ from, which Spark otherwise rejects
+    # (and lazily re-reading mid-overwrite would be wrong anyway)
+    fold = (
+        store.filter(F.col("batch_id") < F.lit(up_to_batch))
+        .select("sid", "sig")
+        .distinct()  # idempotent across repeated compactions
+        .localCheckpoint(eager=True)
+    )
+    n = fold.count()
+    if n == 0:
+        return {"folded_rows": 0, "dropped_partitions": 0}
+    (
+        fold.withColumn("batch_id", F.lit(BASE_BATCH_ID))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(store_path)
+    )
+    # base is durable; now drop the folded per-batch partitions
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dropped = 0
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(conf)
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("batch_id="):
+            bid = int(name.split("=", 1)[1])
+            if bid != BASE_BATCH_ID and bid < up_to_batch:
+                fs.delete(status.getPath(), True)
+                dropped += 1
+    return {"folded_rows": n, "dropped_partitions": dropped}
+
+
 def start_near_dup_ingest(
     docs_stream: DataFrame,
     store_path: str,

@@ -123,3 +123,46 @@ def test_streaming_wiring_file_source(spark, tmp_path):
     # s3 arrived in a later micro-batch and must match the STORED s1
     assert got["s3"][0] == "s1" and got["s3"][1] is True
     assert len({r[2] for r in got.values()}) == 2  # two distinct batch ids
+
+
+def test_signature_store_compaction(spark, tmp_path):
+    """Folding per-batch partitions into base (-1) must not change any
+    later verdict; the crash window (base written, old partitions not
+    yet deleted -> duplicate store rows) is harmless by construction."""
+    from shardpack_spark.streaming.dedup_stream import compact_signature_store
+
+    store = str(tmp_path / "sigs")
+    dec = str(tmp_path / "dec")
+    near_dup_ingest_batch(_docs(spark, [("d1", BASE), ("d2", OTHER)]), 0, store, dec)
+    near_dup_ingest_batch(
+        _docs(spark, [("d3", "standalone vocabulary about volcanic basalt columns")]),
+        1, store, dec,
+    )
+
+    # crash-window simulation FIRST: write base for batches < 2 but keep
+    # the per-batch partitions too (duplicates) -> verdicts unchanged
+    import shutil
+
+    backup = str(tmp_path / "sigs_bak")
+    shutil.copytree(store, backup)
+    compact_signature_store(spark, store, up_to_batch=2)
+    for bdir in ["batch_id=0", "batch_id=1"]:
+        shutil.copytree(
+            os.path.join(backup, bdir), os.path.join(store, bdir)
+        )  # resurrect folded partitions = duplicates everywhere
+    b2 = _docs(spark, [("d4", BASE + " extra"), ("d5", OTHER)])
+    near_dup_ingest_batch(b2, 2, store, dec)
+    got_dup = _decisions(spark, dec)
+    assert got_dup["d4"][0] == "d1" and got_dup["d5"][0] == "d2"
+
+    # clean compaction (drops leftovers incl. resurrected dirs)
+    res = compact_signature_store(spark, store, up_to_batch=3)
+    assert res["dropped_partitions"] >= 2
+    parts = {
+        r["batch_id"] for r in spark.read.parquet(store).select("batch_id").distinct().collect()
+    }
+    assert parts == {-1}
+    # post-compaction ingest still sees the whole corpus
+    near_dup_ingest_batch(_docs(spark, [("d6", BASE + "!!")]), 3, store, dec)
+    got = _decisions(spark, dec)
+    assert got["d6"][0] == "d1" and got["d6"][1] is True
