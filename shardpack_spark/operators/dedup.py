@@ -240,6 +240,7 @@ def minhash_lsh_candidates_against(
     corpus_signatures: DataFrame,
     bands: int = 16,
     rows_per_band: int = 4,
+    broadcast_new: bool = False,
 ) -> DataFrame:
     """Banded LSH candidates BETWEEN two corpora (never within one).
 
@@ -248,9 +249,14 @@ def minhash_lsh_candidates_against(
     each incoming batch is signed with the SAME (n_hashes, seed) and its
     banded rows are equi-joined against the corpus's banded rows on
     (band, band_hash).  The join space is new-vs-corpus only — ingesting
-    a batch costs O(|batch| * bands) rows plus one bucketed shuffle, not
-    a self-join over the re-unioned corpus.  Returns distinct
-    (sid_new, sid_corpus).
+    a batch costs O(|batch| * bands) rows, not a self-join over the
+    re-unioned corpus.  Returns distinct (sid_new, sid_corpus).
+
+    ``broadcast_new`` is the steady-state ingest shape: with the batch
+    side broadcast, the corpus's banded rows are SCANNED but never
+    SHUFFLED — per-batch cost is one corpus read plus O(|batch|) work,
+    independent of corpus size in shuffle terms.  Leave False when the
+    "new" side is itself huge (a backfill merging two corpora).
     """
 
     def banded(sigs: DataFrame, out: str) -> DataFrame:
@@ -269,9 +275,11 @@ def minhash_lsh_candidates_against(
             ).alias("bb"),
         ).select(out, "bb.band", "bb.bh")
 
+    new_banded = banded(new_signatures, "sid_new")
+    if broadcast_new:
+        new_banded = F.broadcast(new_banded)
     return (
-        banded(new_signatures, "sid_new")
-        .join(banded(corpus_signatures, "sid_corpus"), ["band", "bh"])
+        new_banded.join(banded(corpus_signatures, "sid_corpus"), ["band", "bh"])
         .select("sid_new", "sid_corpus")
         .distinct()
     )

@@ -115,13 +115,25 @@ def near_dup_ingest_batch(
                 sigs.select("sid", "sig"),
             )
         )
-        # (b) vs the standing corpus: new-vs-corpus banded join only
+        # (b) vs the standing corpus: new-vs-corpus banded join with the
+        # BATCH side broadcast — the corpus signature table is scanned
+        # (partition-pruned to batch_id < current) but never shuffled, so
+        # per-batch shuffle cost is independent of corpus size
         if corpus is not None:
             cand = dedup.minhash_lsh_candidates_against(
-                sigs, corpus, bands=bands, rows_per_band=rows_per_band
+                sigs, corpus, bands=bands, rows_per_band=rows_per_band,
+                broadcast_new=True,
+            )
+            # fetch sig arrays for ONLY the matched corpus docs: broadcast
+            # semi-filter, then a broadcast join of the (small) survivors —
+            # the second corpus scan also shuffles nothing
+            hits = corpus.join(
+                F.broadcast(cand.select(F.col("sid_corpus").alias("sid")).distinct()),
+                "sid",
+                "left_semi",
             )
             matches.append(
-                _estimate_between(cand, sigs, corpus).filter(
+                _estimate_between(F.broadcast(cand), sigs, hits).filter(
                     F.col("est") >= threshold
                 )
             )

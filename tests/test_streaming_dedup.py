@@ -166,3 +166,26 @@ def test_signature_store_compaction(spark, tmp_path):
     near_dup_ingest_batch(_docs(spark, [("d6", BASE + "!!")]), 3, store, dec)
     got = _decisions(spark, dec)
     assert got["d6"][0] == "d1" and got["d6"][1] is True
+
+
+def test_ingest_never_shuffles_the_corpus(spark):
+    """The steady-state ingest shape: candidates and sig-fetch joins
+    broadcast the (small) batch side, so the corpus signature table is
+    scanned but NEVER hash-exchanged — per-batch shuffle cost must be
+    corpus-size-independent."""
+    from shardpack_spark.operators import dedup
+
+    docs = _docs(spark, [(f"d{i}", BASE + f" tail {i}") for i in range(5)])
+    sh = dedup.char_shingles(docs, text_col="text", id_col="doc_id", k=5)
+    sigs = dedup.minhash_signatures(sh, n_hashes=64, seed=42)
+    corpus = sigs.select(F.col("sid"), F.col("sig"))  # stand-in corpus table
+
+    cand = dedup.minhash_lsh_candidates_against(
+        sigs, corpus, broadcast_new=True
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    s = cand._jdf.queryExecution().explainString(jmode)
+    assert "BroadcastHashJoin" in s, "batch side must broadcast"
+    # the only allowed exchanges are the broadcast itself and the final
+    # distinct's aggregation — never a hashpartitioning of both join inputs
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
