@@ -101,6 +101,25 @@ def tombstones(spark, keys) -> "F.DataFrame":
     )
 
 
+def delete_where(spark, base: str, predicate) -> str:
+    """Predicate-driven merge-on-read delete: tombstone every CURRENT row
+    matching ``predicate`` (a Column or SQL string) in one pass.
+
+    The match runs against the patch-merged view, so rows an earlier
+    patch already deleted or rewrote are judged in their CURRENT state —
+    re-deleting is a no-op, not a resurrection hazard.  Returns the
+    committed patch name.  (The selection scans the merged view, which
+    cannot take a projection — for a metadata-only predicate over a
+    payload-heavy UNPATCHED dataset, selecting keys from
+    ``read_shardpack(..., columns=["key","metadata"])`` and calling
+    ``tombstones`` directly skips the payload bytes.)
+    """
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    keys = read_with_patches(spark, base).filter(predicate).select("key")
+    return write_patch(tombstones(spark, keys), base)
+
+
 def write_patch(df, base: str, compression: str = "none") -> str:
     """Commit one patch dataset; returns its directory name.
 

@@ -150,3 +150,28 @@ def test_read_with_patches_rejects_columns_projection(spark, tmp_path):
     write_patch(_records(spark, [0], "v2"), base)
     with pytest.raises(ValueError, match="columns"):
         read_with_patches(spark, base, columns=["key", "metadata"])
+
+
+def test_delete_where_predicate_tombstones(spark, tmp_path):
+    """Predicate deletes judge rows in their patch-merged CURRENT state
+    and compose with later compaction."""
+    from shardpack_spark.format.patches import delete_where
+
+    base = str(tmp_path / "dw")
+    _records(spark, range(10), "v1").write.format("shardpack").mode(
+        "overwrite"
+    ).save(base)
+    # rewrite key 2 to v2 first; then delete all v1 rows with index < 4
+    write_patch(_records(spark, [2], "v2"), base)
+    delete_where(
+        spark,
+        base,
+        "metadata['ver'] = 'v1' AND key < 'k/0004'",
+    )
+    got = _state(read_with_patches(spark, base))
+    # 0,1,3 deleted (v1, index<4); 2 survived because it is CURRENTLY v2
+    assert {k for k in got} == {"k/0002"} | {f"k/{i:04d}" for i in range(4, 10)}
+    assert got["k/0002"][0]["ver"] == "v2"
+    # idempotent: re-running matches nothing new
+    delete_where(spark, base, "metadata['ver'] = 'v1' AND key < 'k/0004'")
+    assert _state(read_with_patches(spark, base)) == got
