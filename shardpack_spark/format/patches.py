@@ -120,6 +120,40 @@ def delete_where(spark, base: str, predicate) -> str:
     return write_patch(tombstones(spark, keys), base)
 
 
+def update_where(spark, base: str, predicate, set_meta: dict) -> str:
+    """Predicate-driven merge-on-read UPDATE of metadata values.
+
+    Every CURRENT row matching ``predicate`` is re-emitted as a patch row
+    with ``set_meta``'s entries overlaid on its metadata (map_concat
+    right-wins), entries untouched.  Like ``delete_where``, the match
+    runs on the patch-merged view, so chained updates compose and
+    re-running the same update is a no-op for the merged result.
+    Returns the committed patch name.
+    """
+    if isinstance(predicate, str):
+        predicate = F.expr(predicate)
+    current = read_with_patches(spark, base).filter(predicate)
+    overlay = F.create_map(
+        *[x for k, v in sorted(set_meta.items()) for x in (F.lit(k), F.lit(str(v)))]
+    )
+    updated = current.select(
+        "key",
+        # map_concat keeps the LAST value for a duplicated key only with
+        # spark.sql.mapKeyDedupPolicy=LAST_WIN; build the merged map
+        # explicitly from distinct keys instead so no session conf is
+        # assumed: overlay keys win, others pass through
+        F.map_filter(
+            F.col("metadata"), lambda k, _: ~k.isin(*list(set_meta))
+        ).alias("__kept"),
+        "entries",
+    ).select(
+        "key",
+        F.map_concat(F.col("__kept"), overlay).alias("metadata"),
+        "entries",
+    )
+    return write_patch(updated, base)
+
+
 def write_patch(df, base: str, compression: str = "none") -> str:
     """Commit one patch dataset; returns its directory name.
 

@@ -175,3 +175,30 @@ def test_delete_where_predicate_tombstones(spark, tmp_path):
     # idempotent: re-running matches nothing new
     delete_where(spark, base, "metadata['ver'] = 'v1' AND key < 'k/0004'")
     assert _state(read_with_patches(spark, base)) == got
+
+
+def test_update_where_metadata_overlay(spark, tmp_path):
+    """Predicate updates overlay metadata (right-wins), keep entries, and
+    compose across chained updates."""
+    from shardpack_spark.format.patches import delete_where, update_where
+
+    base = str(tmp_path / "uw")
+    _records(spark, range(6), "v1").write.format("shardpack").mode(
+        "overwrite"
+    ).save(base)
+    update_where(spark, base, "key < 'k/0003'", {"ver": "v2", "flag": "hot"})
+    got = _state(read_with_patches(spark, base))
+    assert got["k/0000"][0]["ver"] == "v2" and got["k/0000"][0]["flag"] == "hot"
+    assert got["k/0004"][0]["ver"] == "v1" and "flag" not in got["k/0004"][0]
+    # entries survive the metadata rewrite
+    rows = {
+        r["key"]: r
+        for r in read_with_patches(spark, base).collect()
+    }
+    assert len(rows["k/0001"]["entries"]) == len(rows["k/0004"]["entries"])
+    # chained: second update sees v2 state; delete composes after
+    update_where(spark, base, "metadata['flag'] = 'hot'", {"tier": "a"})
+    delete_where(spark, base, "metadata['tier'] = 'a' AND key = 'k/0002'")
+    got2 = _state(read_with_patches(spark, base))
+    assert "k/0002" not in got2
+    assert got2["k/0001"][0]["tier"] == "a"
