@@ -218,3 +218,59 @@ def dsir_resample(
         .limit(k)
         .drop("__g")
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group KL divergence of the unigram distribution from the whole
+    corpus — the data-mixture drift diagnostic (which source no longer
+    looks like the mix it feeds).
+
+    KL(group || corpus) = sum_w p_g(w) * ln(p_g(w) / p_c(w)) with
+    Laplace smoothing over the corpus vocabulary V:
+    p_g = (c_gw + 1) / (n_g + V), p_c = (c_w + 1) / (n_c + V).
+
+    Cross-engine determinism: each word's contribution is scaled to an
+    INTEGER (floor(x * 1e8 + 0.5) as BIGINT) before summation, so the
+    per-group sum is exact integer arithmetic in both engines and
+    summation order cannot move the result; only a ~1-ulp libm ln()
+    difference landing a contribution exactly on a .5 grid boundary
+    could diverge (~1e-8 per term, the DSIR precedent).  Returns
+    (group, n_tokens, kl) with kl floor-rounded to 1e-6.
+    """
+    words = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("w"),
+        )
+    )
+    gw = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("cgw"))
+    cw = gw.groupBy("w").agg(F.sum("cgw").alias("cw"))
+    gtot = gw.groupBy("grp").agg(F.sum("cgw").alias("ng"))
+    consts = cw.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("cw").alias("nc")
+    )  # 1 row: vocabulary size + corpus token count
+    pg = (F.col("cgw") + 1) / (F.col("ng") + F.col("v"))
+    pc = (F.col("cw") + 1) / (F.col("nc") + F.col("v"))
+    contrib = F.floor(pg * F.log(pg / pc) * F.lit(1e8) + F.lit(0.5)).cast("long")
+    return (
+        gw.join(cw, "w")
+        .join(F.broadcast(gtot), "grp")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("grp")
+        .agg(
+            F.max("ng").alias("n_tokens"),
+            (
+                F.floor(F.sum(contrib).cast("double") / F.lit(100.0) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("kl"),
+        )
+    )

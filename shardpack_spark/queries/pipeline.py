@@ -378,12 +378,49 @@ _C4_ORACLE = r"""
 """
 
 
+_KL_ORACLE = r"""
+    WITH words AS (
+      SELECT source AS grp,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                w -> w <> '')) AS w
+      FROM documents
+    ), gw AS (
+      SELECT grp, w, COUNT(*) AS cgw FROM words GROUP BY 1, 2
+    ), cw AS (
+      SELECT w, SUM(cgw) AS cw FROM gw GROUP BY 1
+    ), gtot AS (
+      SELECT grp, SUM(cgw) AS ng FROM gw GROUP BY 1
+    ), consts AS (
+      SELECT COUNT(*) AS v, SUM(cw) AS nc FROM cw
+    ), terms AS (
+      SELECT gw.grp, gtot.ng,
+             CAST(FLOOR(
+               ((gw.cgw + 1) / (gtot.ng + consts.v))
+                 * ln(((gw.cgw + 1) / (gtot.ng + consts.v))
+                      / ((cw.cw + 1) / (consts.nc + consts.v)))
+                 * 1e8 + 0.5) AS BIGINT) AS contrib
+      FROM gw JOIN cw USING (w) JOIN gtot USING (grp), consts
+    )
+    SELECT CAST(NULL AS BIGINT) AS doc_id,
+           CAST(MAX(ng) AS BIGINT) AS i1,
+           CAST(NULL AS BIGINT) AS i2,
+           CAST(NULL AS BIGINT) AS i3,
+           FLOOR(CAST(SUM(contrib) AS DOUBLE) / 100.0 + 0.5) / 1000000.0 AS score,
+           grp AS tags,
+           CAST(NULL AS BOOLEAN) AS keep
+    FROM terms
+    GROUP BY grp
+"""
+
+
 @register(
     "q62_curation_scores",
     oracle=f"""
     SELECT 'dsir' AS variant, * FROM ({_DSIR_ORACLE})
     UNION ALL
     SELECT 'c4' AS variant, * FROM ({_C4_ORACLE})
+    UNION ALL
+    SELECT 'kl' AS variant, * FROM ({_KL_ORACLE})
     """,
     doc="Two corpus-curation scorers in one tagged result: DSIR "
     "importance scoring (Xie et al. 2023 — bigram Laplace LLR model "
@@ -437,7 +474,17 @@ def q62_curation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
     )
 
+    kl = selection.source_kl_divergence(docs).select(
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("i1"),
+        F.lit(None).cast("bigint").alias("i2"),
+        F.lit(None).cast("bigint").alias("i3"),
+        F.col("kl").alias("score"),
+        F.col("grp").alias("tags"),
+        F.lit(None).cast("boolean").alias("keep"),
+    )
+
     def tag(variant: str, df: DataFrame) -> DataFrame:
         return df.select(F.lit(variant).alias("variant"), "*")
 
-    return tag("dsir", dsir).unionAll(tag("c4", c4))
+    return tag("dsir", dsir).unionAll(tag("c4", c4)).unionAll(tag("kl", kl))

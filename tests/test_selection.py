@@ -121,3 +121,42 @@ def test_sf_corpus_end_to_end(spark, sf_dir):
     assert sum(en_scores) / len(en_scores) > sum(other) / len(other)
     picked = selection.dsir_resample(scored, k=50, seed=1)
     assert picked.count() == 50
+
+
+def test_source_kl_divergence_matches_reference(spark):
+    """KL per group equals a pure-Python recomputation on a hand corpus."""
+    import math
+
+    from shardpack_spark.operators.selection import source_kl_divergence
+
+    rows = [
+        ("a", "x x y"),
+        ("a", "x z"),
+        ("b", "y y y z"),
+        ("c", "w w w w"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["grp"]: (r["n_tokens"], r["kl"]) for r in source_kl_divergence(df).collect()}
+
+    # reference
+    from collections import Counter
+
+    gw: dict[str, Counter] = {}
+    for g, t in rows:
+        gw.setdefault(g, Counter()).update(t.split())
+    cw = Counter()
+    for c in gw.values():
+        cw.update(c)
+    V, nc = len(cw), sum(cw.values())
+    for g, c in gw.items():
+        ng = sum(c.values())
+        s = 0
+        for w, cgw in c.items():
+            pg = (cgw + 1) / (ng + V)
+            pc = (cw[w] + 1) / (nc + V)
+            s += math.floor(pg * math.log(pg / pc) * 1e8 + 0.5)
+        want = math.floor(s / 100.0 + 0.5) / 1e6
+        assert got[g] == (ng, want), (g, got[g], (ng, want))
+    # a group identical to the corpus mix would have ~0 divergence; the
+    # all-'w' group must diverge most
+    assert got["c"][1] == max(v for _, v in got.values())
