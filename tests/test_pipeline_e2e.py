@@ -1,8 +1,9 @@
 """End-to-end corpus curation: the full engine composed as one pipeline.
 
-hygiene (PII redaction) -> quality gate (Gopher verdict) -> exact dedup
--> MinHash-LSH near-dup -> cluster resolution -> deterministic mixture
-sample -> DSIR importance selection -> sequence packing -> materialization -> shardpack write/read.
+HTML extraction (WET-style) -> hygiene (PII redaction) -> quality gate
+(Gopher verdict) -> exact dedup -> MinHash-LSH near-dup -> cluster
+resolution -> deterministic mixture sample -> DSIR importance selection
+-> sequence packing -> materialization -> shardpack write/read.
 
 This is the workload the engine exists for; the test pins that the
 stages compose (schemas line up, survivors flow through) and that the
@@ -27,6 +28,18 @@ def _curate(spark, sf_dir, repartition: int | None = None):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     if repartition:
         docs = docs.repartition(repartition)
+
+    # 0. ingest from markup: wrap every doc in HTML (stand-in for a WET
+    #    crawl payload) and extract the visible text back — the result
+    #    must round-trip so the rest of the pipeline sees clean text
+    from shardpack_spark.operators.text import html_to_text
+
+    wrapped = F.concat(
+        F.lit("<html><body><script>var n = 1;</script><p>"),
+        F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+        F.lit("</p></body></html>"),
+    )
+    docs = docs.withColumn("text", html_to_text(wrapped))
 
     # 1. hygiene: redact PII in place
     docs = docs.withColumn("text", redact(F.col("text")))
