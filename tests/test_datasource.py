@@ -1011,3 +1011,53 @@ def test_small_shard_coalescing(spark_ds, tmp_path):
     # opt-out restores one partition per shard
     parts_off = ShardPackReader({"path": out, "small_bin_bytes": "0"}).partitions()
     assert len(parts_off) == n
+
+
+def test_plan_partitions_grouping_invariants(tmp_path):
+    """Hypothesis fuzz of the planner's coalescing math (pure metadata —
+    no files opened): every shard planned exactly once, groups only form
+    past the bin floor, and group count never drops below it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from shardpack_spark.format.datasource import _plan_partitions
+
+    SPLIT = 128 * 1024 * 1024
+    BIN = 32 * 1024 * 1024
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=SPLIT),  # whole-shard sizes
+            min_size=1,
+            max_size=400,
+        )
+    )
+    def run(sizes):
+        names = [f"s{i:05d}.shardpack" for i in range(len(sizes))]
+        stats = {n: (sz, 10) for n, sz in zip(names, sizes)}
+        parts = _plan_partitions(str(tmp_path), names, SPLIT, stats)
+        seen: list[str] = []
+        for p in parts:
+            if p.group:
+                assert p.path == p.group[0]
+                assert len(p.group) > 1
+                seen.extend(os.path.basename(x) for x in p.group)
+            else:
+                assert p.offsets is None and p.rec_range is None
+                seen.append(os.path.basename(p.path))
+        # exactly-once coverage
+        assert sorted(seen) == sorted(names)
+        # grouping engages only past the 64-shard floor and never
+        # produces fewer than 64 bins
+        if len(names) <= 64:
+            assert all(p.group is None for p in parts)
+        else:
+            assert len(parts) >= min(len(names), 64)
+        # no bin mixes more bytes than one target-split shard would hold
+        for p in parts:
+            if p.group:
+                total = sum(stats[os.path.basename(x)][0] for x in p.group)
+                assert total <= SPLIT
+
+    run()
