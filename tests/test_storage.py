@@ -756,3 +756,34 @@ def test_convert_to_dataset_rejects_streamed_dirs(spark, tmp_path):
     )
     with pytest.raises(codec.ShardPackIOError):
         ds.convert_to_dataset(spark, root)
+
+
+def test_convert_aborts_cleanly_when_log_appears(spark, tmp_path, monkeypatch):
+    """If a commit log appears between convert's pre-check and its commit
+    window (another writer adopted the directory), convert must raise and
+    remove its own orphan manifest part."""
+    root = str(tmp_path / "race")
+    w = codec.DatasetWriter(root, basename="adhoc")
+    w.write(codec.Record(key="a", entries=[], metadata={}))
+    w.close()
+
+    real_observe = ds._observe_latest
+    calls = {"n": 0}
+
+    def raced_observe(path, flatten=True):
+        # first call is convert's pre-check (no log yet); any later call
+        # sees a concurrent first commit winning the window
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None, 0
+        return {"version_id": 1, "parts": [], "total_records": 1}, 1
+
+    monkeypatch.setattr(ds, "_observe_latest", raced_observe)
+    with pytest.raises(codec.ShardPackIOError, match="appeared during convert"):
+        ds.convert_to_dataset(spark, root)
+    monkeypatch.setattr(ds, "_observe_latest", real_observe)
+    # no orphan parts: the _manifest dir holds nothing convert created
+    be = storage.for_path(root)
+    md = os.path.join(root, "_manifest")
+    leftover = [f for f in be.listdir(md) if f.startswith("part-")] if be.isdir(md) else []
+    assert leftover == []
