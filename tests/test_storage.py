@@ -771,14 +771,24 @@ def test_convert_aborts_cleanly_when_log_appears(spark, tmp_path, monkeypatch):
     calls = {"n": 0}
 
     def raced_observe(path, flatten=True):
-        # first call is convert's pre-check (no log yet); any later call
-        # sees a concurrent first commit winning the window
+        # call 1: pre-check (no log); call 2: first commit attempt (still
+        # none — convert writes its part and tries the CAS, which the
+        # patched put_if_absent loses); call 3+: the winner's log is
+        # visible, so convert must clean its orphan part and raise
         calls["n"] += 1
-        if calls["n"] == 1:
+        if calls["n"] <= 2:
             return None, 0
         return {"version_id": 1, "parts": [], "total_records": 1}, 1
 
+    real_pia = storage.LocalBackend.put_if_absent
+
+    def lose_root_cas(self, path, data):
+        if "root-" in os.path.basename(path):
+            return False  # concurrent commit owns the vid
+        return real_pia(self, path, data)
+
     monkeypatch.setattr(ds, "_observe_latest", raced_observe)
+    monkeypatch.setattr(storage.LocalBackend, "put_if_absent", lose_root_cas)
     with pytest.raises(codec.ShardPackIOError, match="appeared during convert"):
         ds.convert_to_dataset(spark, root)
     monkeypatch.setattr(ds, "_observe_latest", real_observe)
