@@ -1012,6 +1012,16 @@ def test_small_shard_coalescing(spark_ds, tmp_path):
     parts_off = ShardPackReader({"path": out, "small_bin_bytes": "0"}).partitions()
     assert len(parts_off) == n
 
+    # grouped partitions compose with the payload-skipping projection
+    # and metadata-only reads (group expansion forwards the flags)
+    meta_rows = read_shardpack(spark_ds, out, columns=["key", "metadata"]).count()
+    assert meta_rows == n
+    keys = sorted(
+        r["key"]
+        for r in read_shardpack(spark_ds, out, metadata_only="true").select("key").collect()
+    )
+    assert keys == [f"k{i:05d}" for i in range(n)]
+
 
 def test_plan_partitions_grouping_invariants(tmp_path):
     """Hypothesis fuzz of the planner's coalescing math (pure metadata —
