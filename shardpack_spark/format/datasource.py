@@ -809,6 +809,16 @@ class ShardPackReader(DataSourceReader):
         # of shard names to read instead of the whole visible set
         only = options.get("only_shards")
         self.only_shards = set(json.loads(only)) if only else None
+        # deterministic shard sampling for estimate-from-a-fraction scans
+        # (profile a 100 TB corpus by reading ~1% of its shards): a shard
+        # is kept iff sha256(name) mod 1e6 < fraction*1e6 — stable across
+        # runs and processes, independent of listing order
+        ss = options.get("shard_sample")
+        self.shard_sample = float(ss) if ss is not None and str(ss) != "" else None
+        if self.shard_sample is not None and not 0.0 < self.shard_sample <= 1.0:
+            raise codec.ShardPackIOError(
+                f"shard_sample must be in (0, 1], got {self.shard_sample}"
+            )
         wm = options.get("where_meta")
         self.where_meta: dict[str, str] | None = json.loads(wm) if wm else None
         self._key_filters: list[str] = []
@@ -832,6 +842,17 @@ class ShardPackReader(DataSourceReader):
             names = _visible_shards(self.path, manifest)
         if self.only_shards is not None:
             names = [n for n in names if n in self.only_shards]
+        if self.shard_sample is not None and self.shard_sample < 1.0:
+            cut = int(self.shard_sample * 1_000_000)
+            names = [
+                n
+                for n in names
+                if int.from_bytes(
+                    hashlib.sha256(n.encode("utf-8")).digest()[:8], "little"
+                )
+                % 1_000_000
+                < cut
+            ]
         if self.where_meta:
             # metadata data skipping: drop shards whose recorded value set
             # for a probed key EXCLUDES the probe value.  Keys absent from

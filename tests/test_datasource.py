@@ -1071,3 +1071,30 @@ def test_plan_partitions_grouping_invariants(tmp_path):
                 assert total <= SPLIT
 
     run()
+
+
+def test_shard_sample_deterministic_fraction(spark_ds, tmp_path):
+    """shard_sample reads a deterministic, hash-stable subset of shards —
+    the estimate-from-a-fraction scan for 100 TB profiling."""
+    from shardpack_spark.format.datasource import ShardPackReader, read_shardpack
+
+    out = str(tmp_path / "samp")
+    w = codec.DatasetWriter(out, basename="s", target_shard_bytes=1)
+    n = 200
+    for i in range(n):
+        w.write(codec.Record(key=f"k{i:04d}", entries=[], metadata={}))
+    w.close()
+
+    full = read_shardpack(spark_ds, out).count()
+    assert full == n
+    s1 = sorted(r["key"] for r in read_shardpack(spark_ds, out, shard_sample="0.25").collect())
+    s2 = sorted(r["key"] for r in read_shardpack(spark_ds, out, shard_sample="0.25").collect())
+    assert s1 == s2  # deterministic
+    assert 0.1 * n < len(s1) < 0.45 * n  # ~25% of 1-record shards
+    # monotone: a larger fraction is a superset
+    s3 = set(r["key"] for r in read_shardpack(spark_ds, out, shard_sample="0.5").collect())
+    assert set(s1) <= s3
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        ShardPackReader({"path": out, "shard_sample": "1.5"})
