@@ -217,6 +217,39 @@ def main() -> None:
     finally:
         shutil.rmtree(bulk, ignore_errors=True)
 
+    # many-tiny-shards scan: 2000 one-record shards (a stream sink's or
+    # tiny-commit pathology) read through the coalescing planner —
+    # without grouping this is 2000 Python worker launches (~14 s);
+    # grouped it must stay near one bulk-scan's cost
+    tiny = tempfile.mkdtemp(prefix="bench_shardpack_tiny_")
+    try:
+        from shardpack_spark.format import codec as _codec
+
+        tw = _codec.DatasetWriter(tiny, basename="t", target_shard_bytes=1)
+        for i in range(2000):
+            tw.write(
+                _codec.Record(
+                    key=f"t/{i:05d}",
+                    entries=[
+                        _codec.FileEntry(
+                            "b.bin", "application/octet-stream", b"x" * 256
+                        )
+                    ],
+                    metadata={},
+                )
+            )
+        tw.close()
+
+        def tiny_scan():
+            read_shardpack(spark, tiny).select(F.count(F.lit(1))).collect()
+
+        tiny_scan()
+        yard["tiny_shard_scan_s"] = round(
+            min(time_query(tiny_scan) for _ in range(2)), 3
+        )
+    finally:
+        shutil.rmtree(tiny, ignore_errors=True)
+
     # steady-state bulk throughput: 20k x 32 KiB (~625 MiB) — enough data
     # that per-task fixed costs (Python worker round trip, task
     # scheduling) amortize and the number reflects the encode/decode
