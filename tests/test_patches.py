@@ -202,3 +202,71 @@ def test_update_where_metadata_overlay(spark, tmp_path):
     got2 = _state(read_with_patches(spark, base))
     assert "k/0002" not in got2
     assert got2["k/0001"][0]["tier"] == "a"
+
+
+def test_update_where_overlay_matches_dict_model(spark, tmp_path):
+    """Hypothesis: the metadata overlay must equal Python's
+    {**old, **set_meta} for random metadata maps and overlay dicts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from shardpack_spark.format.patches import update_where
+
+    keys_st = st.text(alphabet="abcdexyz_", min_size=1, max_size=6)
+    meta_st = st.dictionaries(keys_st, st.text(max_size=8), max_size=4)
+    # overlay keys from a TINY alphabet: each distinct overlay dict costs
+    # one Spark patch-commit job, so bound the distinct-group count while
+    # old-metadata maps stay fully random
+    overlay_st = st.dictionaries(
+        st.sampled_from(["a", "b", "x_"]), st.sampled_from(["", "v1", "v2"]),
+        min_size=1, max_size=2,
+    )
+    samples: list[tuple[dict, dict]] = []
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(meta_st, overlay_st)
+    def collect(old, overlay):
+        samples.append((old, overlay))
+
+    collect()
+    # one dataset, one update per distinct overlay group: batch overlays
+    # with identical SET dicts to keep the Spark-job count bounded
+    from collections import defaultdict
+
+    by_overlay = defaultdict(list)
+    for i, (old, overlay) in enumerate(samples):
+        by_overlay[tuple(sorted(overlay.items()))].append((i, old))
+    base = str(tmp_path / "fuzz")
+    rows = [
+        (f"k{i:04d}", old, [])
+        for group in by_overlay.values()
+        for i, old in group
+    ]
+    from shardpack_spark.format.datasource import register as _register
+
+    _register(spark)
+    spark.createDataFrame(
+        rows,
+        "key string, metadata map<string,string>, "
+        "entries array<struct<file_name:string,content_type:string,encoding:string,size:bigint,data:binary>>",
+    ).write.format("shardpack").mode("overwrite").save(base)
+    for overlay_items, group in by_overlay.items():
+        overlay = dict(overlay_items)
+        ids = [f"k{i:04d}" for i, _ in group]
+        update_where(
+            spark, base, F.col("key").isin(ids), {k: v for k, v in overlay.items()}
+        )
+    got = {
+        r["key"]: dict(r["metadata"])
+        for r in read_with_patches(spark, base).collect()
+    }
+    for overlay_items, group in by_overlay.items():
+        overlay = dict(overlay_items)
+        for i, old in group:
+            want = {**{k: str(v) for k, v in old.items()}, **{k: str(v) for k, v in overlay.items()}}
+            assert got[f"k{i:04d}"] == want, (i, old, overlay, got[f"k{i:04d}"])
+
