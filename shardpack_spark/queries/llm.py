@@ -468,8 +468,11 @@ def q31_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# lower(text): the Spark side tokenizes LOWERCASED text, so 'The' counts —
+# the oracle must match (latent divergence found by the adversarial-corpus
+# fuzz; the driver corpus is all-lowercase and never exposed it)
 _STOP_SQL = " + ".join(
-    rf"len(regexp_extract_all(text, '\b{w}\b'))" for w in text._STOPWORDS
+    rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in text._STOPWORDS
 )
 
 _FEAT_ORACLE = rf"""

@@ -368,11 +368,16 @@ _C4_ORACLE = r"""
            CAST(n_kept_lines AS BIGINT) AS i2,
            CAST(n_sentences AS BIGINT) AS i3,
            CAST(NULL AS DOUBLE) AS score,
-           array_to_string(list_filter([
+           -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+           -- concat_ws is '' — a clean doc (no violations) must read ''
+           -- in both engines (divergence found by the adversarial-corpus
+           -- fuzz; driver word-soup docs always fail the sentence gate,
+           -- so tags was never empty there)
+           COALESCE(array_to_string(list_filter([
              CASE WHEN bad0 THEN 'bad_phrase_0' END,
              CASE WHEN curly THEN 'curly_brace' END,
              CASE WHEN n_sentences < 5 THEN 'too_few_sentences' END
-           ], x -> x IS NOT NULL), ',') AS tags,
+           ], x -> x IS NOT NULL), ','), '') AS tags,
            (NOT bad0 AND NOT curly AND n_sentences >= 5) AS keep
     FROM gated
 """
