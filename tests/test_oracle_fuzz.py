@@ -19,7 +19,16 @@ import pytest
 
 from shardpack_spark.oracle import run_declared_query
 
-QUERIES = ["q32_doc_features", "q34_lang_id", "q62_curation_scores"]
+QUERIES = [
+    "q29_fuzzy_dedup",
+    "q31_text_stats",
+    "q32_doc_features",
+    "q33_tfidf",
+    "q34_lang_id",
+    "q36_simhash",
+    "q60_repetition",
+    "q62_curation_scores",
+]
 
 _EDGE_TEXTS = [
     "...!!!???",  # punctuation only
