@@ -21,11 +21,16 @@ from shardpack_spark.oracle import run_declared_query
 
 QUERIES = [
     "q29_fuzzy_dedup",
+    "q28_exact_dedup",
+    "q30d_sampling",
     "q31_text_stats",
     "q32_doc_features",
     "q33_tfidf",
     "q34_lang_id",
     "q36_simhash",
+    "q37_dedup_clusters",
+    "q43_contamination",
+    "q59_pii_redaction",
     "q60_repetition",
     "q62_curation_scores",
 ]

@@ -21,6 +21,7 @@ import pytest
 from shardpack_spark.oracle import run_declared_query
 
 QUERIES = [
+    "q01_scan_count",
     "q03_project_filter",
     "q05_join_inner",
     "q07_join_left",
@@ -30,6 +31,12 @@ QUERIES = [
     "q15_grouping_sets",
     "q18_topk",
     "q19_set_ops",
+    "q20_string_funcs",
+    "q22_math_funcs",
+    "q23_array_funcs",
+    "q45_outer_cross_subq",
+    "q57_pivot",
+    "q58_explode_lateral",
     "q50_tpch_q3_shape",
     "q51_tpch_q5_shape",
     "q52_tpch_shapes",
