@@ -20,6 +20,7 @@ import pytest
 from shardpack_spark.oracle import run_declared_query
 
 QUERIES = [
+    "q02_shardpack_roundtrip",
     "q29_fuzzy_dedup",
     "q28_exact_dedup",
     "q30d_sampling",
@@ -29,6 +30,7 @@ QUERIES = [
     "q34_lang_id",
     "q36_simhash",
     "q37_dedup_clusters",
+    "q40_multimodal_text_decode",
     "q43_contamination",
     "q59_pii_redaction",
     "q60_repetition",
