@@ -17,6 +17,29 @@ from shardpack_spark.queries import register
 from shardpack_spark.tables import load_table
 
 
+def _sweep_stale_workdirs(max_age_s: int = 3600) -> None:
+    """Remove this module's own stale temp datasets (best-effort).
+
+    A builder's output dataset must OUTLIVE the call — the driver
+    collects the returned DataFrame later — so dirs cannot be removed
+    on exit.  Instead each invocation sweeps siblings older than an
+    hour, bounding the leak on long-lived hosts."""
+    import os
+    import shutil
+    import time
+
+    root = tempfile.gettempdir()
+    cutoff = time.time() - max_age_s
+    for name in os.listdir(root):
+        if name.startswith(("shardpack_rt_", "shardpack_mm_", "shardpack_lookup_")):
+            p = os.path.join(root, name)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+
+
 def _ensure_registered(spark: SparkSession) -> None:
     from shardpack_spark.format.datasource import register
 
@@ -67,6 +90,7 @@ def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses, not just POSIX.
     """
     _ensure_registered(spark)
+    _sweep_stale_workdirs()
     out = "sim://" + tempfile.mkdtemp(prefix="shardpack_rt_")
     # lz4 (pyarrow-native when importable, pure-Python block codec
     # otherwise) so a compressed round-trip is part of the declared,
@@ -94,6 +118,7 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-level decode path: shardpack text entries -> utf-8 -> agg by
     the lang metadata tag (Q40)."""
     _ensure_registered(spark)
+    _sweep_stale_workdirs()
     out = tempfile.mkdtemp(prefix="shardpack_mm_")
     docs_as_shardpack_rows(load_table(spark, sf_dir, "documents")).write.format(
         "shardpack"
