@@ -30,7 +30,10 @@ QUERIES = [
     "q34_lang_id",
     "q36_simhash",
     "q37_dedup_clusters",
+    "q39_metadata_only_scan",
     "q40_multimodal_text_decode",
+    "q41_image_features",
+    "q53_shardpack_point_lookup",
     "q43_contamination",
     "q59_pii_redaction",
     "q60_repetition",
