@@ -206,16 +206,19 @@ def compact_signature_store(
         .distinct()  # idempotent across repeated compactions
         .localCheckpoint(eager=True)
     )
-    n = fold.count()
-    if n == 0:
-        return {"folded_rows": 0, "dropped_partitions": 0}
-    (
-        fold.withColumn("batch_id", F.lit(BASE_BATCH_ID))
-        .write.partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(store_path)
-    )
+    try:
+        n = fold.count()
+        if n == 0:
+            return {"folded_rows": 0, "dropped_partitions": 0}
+        (
+            fold.withColumn("batch_id", F.lit(BASE_BATCH_ID))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(store_path)
+        )
+    finally:
+        fold.unpersist()
     # base is durable; now drop the folded per-batch partitions
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
