@@ -15,13 +15,14 @@ Scale mapping (reference semantics -> Spark execution):
 - one InputPartition per shard; shards over `split_target_bytes` are split
   into record-ranges using the EOF offset table (draft.md:124-127), so a
   1000-executor cluster gets even work regardless of shard sizing
-- key-equality filters prune partitions BEFORE any shard is opened (the
-  bucket index access path, src/bucket.rs:147-169, as partition pruning)
-  using two manifest stats per shard: the [min,max] key range (decisive
-  when shards hold disjoint sorted ranges) and a ~10-bits/key Bloom filter
-  over the exact key set (decisive for hash-placed keys, where every range
-  overlaps); filters are also re-applied by Spark, so pruning is purely an
-  optimization
+- key filters prune partitions BEFORE any shard is opened (the bucket
+  index access path, src/bucket.rs:147-169, as partition pruning) using
+  two manifest stats per shard: the [min,max] key range (decisive when
+  shards hold disjoint sorted ranges — equality, IN, prefix, AND the
+  >/>=/</<=-comparison conjuncts of a key-range scan all prune through
+  it) and a ~10-bits/key Bloom filter over the exact key set (decisive
+  for hash-placed keys, where every range overlaps); filters are also
+  re-applied by Spark, so pruning is purely an optimization
 - write side: one DataWriter per task, rolling shards at
   `target_shard_bytes` (src/shard/config.rs:1); the driver-side commit()
   writes a dataset manifest with per-shard stats
@@ -97,8 +98,12 @@ from pyspark.sql.datasource import (
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -823,6 +828,10 @@ class ShardPackReader(DataSourceReader):
         self.where_meta: dict[str, str] | None = json.loads(wm) if wm else None
         self._key_filters: list[str] = []
         self._prefix_filters: list[str] = []
+        # conjunctive key-range constraint from </>= comparisons on `key`:
+        # (bound, inclusive) — tightest lower / upper bound pushed so far
+        self._range_lo: tuple[str, bool] | None = None
+        self._range_hi: tuple[str, bool] | None = None
 
     def partitions(self) -> Sequence[ShardPartition]:
         if self.version is not None:
@@ -881,10 +890,16 @@ class ShardPackReader(DataSourceReader):
             raise codec.ShardPackIOError(f"no .shardpack files under {self.path}")
         stats = {s["path"]: s for s in (manifest or {}).get("shards", [])}
 
-        if self._key_filters or self._prefix_filters:
+        if (
+            self._key_filters
+            or self._prefix_filters
+            or self._range_lo is not None
+            or self._range_hi is not None
+        ):
             # hoist the (shard-independent) bloom hashes: planning cost is
             # O(shards x keys) bit probes, not O(shards x keys) sha256es
             key_hashes = {k: _bloom_key_hashes(k) for k in self._key_filters}
+            range_lo, range_hi = self._range_lo, self._range_hi
             kept = []
             for name in names:
                 st = stats.get(name)
@@ -912,13 +927,33 @@ class ShardPackReader(DataSourceReader):
                             return True
                         return st["max_key"] >= p and st["min_key"][: len(p)] <= p
 
-                    # multiple values/prefixes are probed as a union —
-                    # conservative (never prunes a shard any one of them
-                    # could touch), matching parquet partition pruning
-                    if not (
+                    def range_overlaps() -> bool:
+                        # shard survives iff [min_key, max_key] intersects
+                        # the pushed (lo, hi) interval; bound exclusivity
+                        # prunes the exactly-touching shard too
+                        if "min_key" not in st:
+                            return True  # unstatted shard: conservative
+                        if range_lo is not None:
+                            v, incl = range_lo
+                            if st["max_key"] < v or (st["max_key"] == v and not incl):
+                                return False
+                        if range_hi is not None:
+                            v, incl = range_hi
+                            if st["min_key"] > v or (st["min_key"] == v and not incl):
+                                return False
+                        return True
+
+                    # values/prefixes are probed as a union — conservative
+                    # (never prunes a shard any one of them could touch),
+                    # matching parquet partition pruning; the range bound
+                    # is a separate CONJUNCT (Spark pushes AND-ed filters)
+                    point_ok = (
+                        not self._key_filters and not self._prefix_filters
+                    ) or (
                         any(may_hold(k) for k in self._key_filters)
                         or any(may_hold_prefix(p) for p in self._prefix_filters)
-                    ):
+                    )
+                    if not (point_ok and range_overlaps()):
                         continue  # pruned: no requested key can live here
                 kept.append(name)
             names = kept
@@ -943,13 +978,17 @@ class ShardPackReader(DataSourceReader):
 
 
 class ShardPackPruningReader(ShardPackReader):
-    """Reader with key-equality filter pushdown for manifest-based shard
-    pruning (the bucket-index access path, src/bucket.rs:147-169)."""
+    """Reader with key-filter pushdown for manifest-based shard pruning
+    (the bucket-index access path, src/bucket.rs:147-169): point/IN/prefix
+    probes prune via [min,max] ranges + per-shard blooms, and key-range
+    comparisons (>, >=, <, <=) prune via range intersection — decisive on
+    sorted / range-partitioned layouts (sort_dataset_by_key), where a
+    key-range scan opens only the shards whose ranges overlap."""
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        """Record key-equality filters; all filters are returned so Spark
-        re-applies them — pruning is a strict optimization, mirroring
-        parquet partition pruning."""
+        """Record key equality/prefix/range filters; all filters are
+        returned so Spark re-applies them — pruning is a strict
+        optimization, mirroring parquet partition pruning."""
         for f in filters:
             if isinstance(f, EqualTo) and tuple(f.attribute) == ("key",):
                 self._key_filters.append(f.value)
@@ -960,6 +999,26 @@ class ShardPackPruningReader(ShardPackReader):
                 self._key_filters.extend(v for v in f.value if v is not None)
             elif isinstance(f, StringStartsWith) and tuple(f.attribute) == ("key",):
                 self._prefix_filters.append(f.value)
+            elif (
+                isinstance(f, (GreaterThan, GreaterThanOrEqual))
+                and tuple(f.attribute) == ("key",)
+                and isinstance(f.value, str)
+            ):
+                # key > / >= v: keep the TIGHTEST lower bound (largest
+                # value; at equal values the exclusive form is stricter)
+                incl = isinstance(f, GreaterThanOrEqual)
+                cur = self._range_lo
+                if cur is None or f.value > cur[0] or (f.value == cur[0] and not incl):
+                    self._range_lo = (f.value, incl)
+            elif (
+                isinstance(f, (LessThan, LessThanOrEqual))
+                and tuple(f.attribute) == ("key",)
+                and isinstance(f.value, str)
+            ):
+                incl = isinstance(f, LessThanOrEqual)
+                cur = self._range_hi
+                if cur is None or f.value < cur[0] or (f.value == cur[0] and not incl):
+                    self._range_hi = (f.value, incl)
         return filters
 
 
@@ -2156,7 +2215,16 @@ def read_shardpack(
     whose manifest value set excludes a probe value are never opened
     (low-cardinality keys only — ≤16 distinct values per shard), and the
     equivalent row filter is applied on top so semantics don't depend on
-    pruning."""
+    pruning.
+
+    CAVEAT (Spark 4.1 Python-DSv2): when the SAME returned DataFrame is
+    branched into differently-filtered legs of one query (self-union,
+    self-join), Spark deduplicates the plan-equal Python scans while
+    ignoring their pushed filters — every leg then executes the
+    last-planned leg's pruned partition set and the others silently
+    lose rows.  Call read_shardpack once PER differently-filtered leg
+    (distinct relations are never deduplicated; verified by test and by
+    the q53 point+range union).  Parquet/JVM sources are unaffected."""
     register(spark)
     reader = spark.read.format("shardpack")
     if where_meta:

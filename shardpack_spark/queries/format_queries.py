@@ -155,23 +155,51 @@ def _lookup_dataset(spark: SparkSession, sf_dir: str) -> str:
 @register(
     "q53_shardpack_point_lookup",
     oracle="""
-    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    SELECT 'point' AS variant, doc_id, CAST(n_chars AS BIGINT) AS n_chars
     FROM documents WHERE doc_id = 7
+    UNION ALL
+    SELECT 'range' AS variant, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id BETWEEN 100 AND 119
     """,
 )
 def q53_shardpack_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point lookup by record key through the shardpack bucket-index path:
-    the EqualTo('key') filter prunes to the owning shard via the manifest
-    key ranges (the reference's Bucket::read access path) (Q53)."""
+    """Key lookups through the shardpack bucket-index path, both access
+    shapes tagged and unioned (Q53, the reference's Bucket::read):
+
+    - 'point': EqualTo('key') prunes to the owning shard via manifest
+      key ranges + blooms;
+    - 'range': the >=/< conjuncts of a key-range scan prune via
+      [min,max] interval intersection — on this sorted layout the scan
+      opens only the shards overlapping the requested range.
+    """
     _ensure_registered(spark)
     from shardpack_spark.format.datasource import read_shardpack
 
-    ds = read_shardpack(spark, _lookup_dataset(spark, sf_dir))
-    hit = ds.filter(F.col("key") == "doc/00000007")
-    return hit.select(
-        F.regexp_replace("key", "^doc/0*", "").cast("long").alias("doc_id"),
-        F.element_at("metadata", "n_chars").cast("long").alias("n_chars"),
+    # one load() PER branch: Spark 4.1 deduplicates plan-equal Python
+    # DSv2 scans while IGNORING their pushed filters, so two
+    # differently-filtered branches derived from a single load() both
+    # execute the last-planned branch's pruned partition set (observed:
+    # the union silently loses the first branch's rows).  Separate loads
+    # make the relations distinct and each branch plans its own scan.
+    path = _lookup_dataset(spark, sf_dir)
+
+    def shape(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("variant"),
+            F.regexp_replace("key", "^doc/0*", "").cast("long").alias("doc_id"),
+            F.element_at("metadata", "n_chars").cast("long").alias("n_chars"),
+        )
+
+    point = shape(
+        read_shardpack(spark, path).filter(F.col("key") == "doc/00000007"), "point"
     )
+    rng = shape(
+        read_shardpack(spark, path).filter(
+            (F.col("key") >= "doc/00000100") & (F.col("key") < "doc/00000120")
+        ),
+        "range",
+    )
+    return point.unionAll(rng)
 
 
 @register(

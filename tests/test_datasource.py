@@ -111,6 +111,121 @@ def test_key_filter_prunes_partitions(spark_ds, sf_dir, tmp_path):
     assert all("min_key" in s and "max_key" in s for s in manifest["shards"])
 
 
+def test_range_filter_prunes_partitions(spark_ds, sf_dir, tmp_path):
+    """key >/>=/</<= comparisons prune via manifest [min,max] intersection
+    — the range-scan access path over a sorted layout."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from shardpack_spark.format.datasource import (
+        ShardPackPruningReader,
+        _load_manifest,
+        read_shardpack,
+    )
+
+    out = str(tmp_path / "sorted")
+    _docs_as_records(spark_ds, sf_dir).orderBy("key").coalesce(1).write.format(
+        "shardpack"
+    ).option("target_shard_bytes", 16 * 1024).mode("append").save(out)
+    shards = _load_manifest(out)["shards"]
+    assert len(shards) > 4
+
+    # end-to-end: Spark pushes the BETWEEN conjuncts through pushFilters
+    lo, hi = "doc/00000100", "doc/00000120"
+    rng = read_shardpack(spark_ds, out).filter(
+        (F.col("key") >= lo) & (F.col("key") < hi)
+    )
+    assert rng.count() == 20
+    assert rng.rdd.getNumPartitions() < len(shards)
+
+    def kept(filters, small_bin="0"):
+        # small_bin_bytes=0 disables tiny-shard coalescing so the count
+        # below is a SHARD count, not a bin count
+        r = ShardPackPruningReader(
+            {"path": out, "prune_by_key": "true", "small_bin_bytes": small_bin}
+        )
+        r.pushFilters(filters)
+        return r.partitions()
+
+    all_n = len(kept([]))
+    assert all_n == len(shards)
+    mid_n = len(kept([GreaterThanOrEqual(("key",), lo), LessThan(("key",), hi)]))
+    assert 0 < mid_n < all_n
+
+    # boundary semantics: an EXCLUSIVE bound at exactly a shard's edge
+    # prunes the touching shard; the inclusive form keeps it
+    edge = shards[0]["max_key"]
+    assert len(kept([LessThan(("key",), shards[0]["min_key"])])) == 0
+    assert len(kept([GreaterThan(("key",), shards[-1]["max_key"])])) == 0
+    excl = len(kept([GreaterThan(("key",), edge)]))
+    incl = len(kept([GreaterThanOrEqual(("key",), edge)]))
+    assert incl == excl + 1
+
+    # conflicting conjuncts (empty interval) prune everything
+    assert len(kept([GreaterThan(("key",), hi), LessThanOrEqual(("key",), lo)])) == 0
+
+    # range + equality compose as a conjunction: a key OUTSIDE the range
+    # keeps nothing even though its own shard exists
+    assert (
+        len(
+            kept(
+                [
+                    EqualTo(("key",), shards[-1]["max_key"]),
+                    LessThan(("key",), shards[0]["max_key"]),
+                ]
+            )
+        )
+        == 0
+    )
+
+    # pruning is an optimization only: values match an unpruned filter run
+    full = (
+        spark_ds.read.format("shardpack")
+        .load(out)
+        .filter((F.col("key") >= lo) & (F.col("key") < hi))
+    )
+    assert sorted(r["key"] for r in rng.collect()) == sorted(
+        r["key"] for r in full.collect()
+    )
+
+
+def test_pruned_self_union_per_leg_loads(spark_ds, sf_dir, tmp_path):
+    """Differently-filtered legs of a union MUST come from separate
+    read_shardpack calls: Spark 4.1 dedups plan-equal Python DSv2 scans
+    ignoring pushed filters, so legs sharing ONE DataFrame all execute
+    the last-planned leg's pruned partitions (documented hazard in
+    read_shardpack).  Pins the safe pattern stays correct under pruning."""
+    from shardpack_spark.format.datasource import read_shardpack
+
+    out = str(tmp_path / "sorted")
+    _docs_as_records(spark_ds, sf_dir).orderBy("key").coalesce(1).write.format(
+        "shardpack"
+    ).option("target_shard_bytes", 16 * 1024).mode("append").save(out)
+
+    point = (
+        read_shardpack(spark_ds, out)
+        .filter(F.col("key") == "doc/00000007")
+        .select("key")
+    )
+    rng = (
+        read_shardpack(spark_ds, out)
+        .filter((F.col("key") >= "doc/00000100") & (F.col("key") < "doc/00000103"))
+        .select("key")
+    )
+    got = sorted(r["key"] for r in point.unionAll(rng).collect())
+    assert got == [
+        "doc/00000007",
+        "doc/00000100",
+        "doc/00000101",
+        "doc/00000102",
+    ]
+
+
 def test_bloom_prunes_hash_placed_keys(spark_ds, sf_dir, tmp_path):
     """Hash-placed keys overlap every shard's [min,max] range, so range
     pruning keeps everything — the per-shard Bloom filter must still cut a
