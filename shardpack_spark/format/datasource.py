@@ -826,6 +826,10 @@ class ShardPackReader(DataSourceReader):
             )
         wm = options.get("where_meta")
         self.where_meta: dict[str, str] | None = json.loads(wm) if wm else None
+        # {meta_key: [lo|null, hi|null]} inclusive numeric bounds probed
+        # against the manifest's per-shard meta_ranges zone maps
+        wmr = options.get("where_meta_range")
+        self.where_meta_range: dict | None = json.loads(wmr) if wmr else None
         self._key_filters: list[str] = []
         self._prefix_filters: list[str] = []
         # conjunctive key-range constraint from </>= comparisons on `key`:
@@ -879,6 +883,29 @@ class ShardPackReader(DataSourceReader):
                 )
 
             names = [n for n in names if meta_may_match(n)]
+        if self.where_meta_range:
+            # numeric zone-map skipping: drop shards whose recorded
+            # [min,max] for a probed key cannot intersect the probe
+            # interval.  Keys without a recorded range (non-numeric,
+            # oversized, or pre-zone-map manifests) never prune.
+            stats1 = {s["path"]: s for s in (manifest or {}).get("shards", [])}
+
+            def range_may_match(name: str) -> bool:
+                mr = stats1.get(name, {}).get("meta_ranges")
+                if not mr:
+                    return True
+                for k, bounds in self.where_meta_range.items():
+                    if k not in mr:
+                        continue
+                    s_lo, s_hi = mr[k]
+                    lo, hi = bounds[0], bounds[1]
+                    if lo is not None and s_hi < float(lo):
+                        return False
+                    if hi is not None and s_lo > float(hi):
+                        return False
+                return True
+
+            names = [n for n in names if range_may_match(n)]
         if not names:
             if manifest is not None or self.only_shards is not None:
                 # a committed-but-empty dataset (all rows tombstoned and
@@ -1054,14 +1081,44 @@ def _batches_to_records(iterator) -> Iterator[codec.Record]:
             )
 
 
+# zone maps only track values float64 represents exactly as integers get
+# sketchy past 2^53 — a rounded bound could wrongly exclude a shard, so
+# larger magnitudes poison the key instead (conservative: never pruned)
+_META_RANGE_MAX_ABS = float(2**53)
+
+
+def _meta_range_add(rng: dict, mk: str, v) -> None:
+    """Fold one metadata value into a per-shard numeric [min,max] zone
+    map; any non-numeric / non-finite / oversized value poisons the key
+    (rng[mk] = None -> no range recorded, shard never range-pruned)."""
+    cur = rng.get(mk, ())
+    if cur is None:
+        return
+    try:
+        x = float(v)
+    except (TypeError, ValueError):
+        rng[mk] = None
+        return
+    if not (-_META_RANGE_MAX_ABS <= x <= _META_RANGE_MAX_ABS):  # NaN fails too
+        rng[mk] = None
+        return
+    rng[mk] = (x, x) if cur == () else (min(cur[0], x), max(cur[1], x))
+
+
+def _meta_ranges_kept(rng: dict) -> dict:
+    return {mk: [lo, hi] for mk, (lo, hi) in
+            ((mk, c) for mk, c in rng.items() if c not in (None, ()))}
+
+
 def _write_with_stats(writer: "codec.DatasetWriter", iterator):
     """Drain an Arrow-batch iterator into a DatasetWriter, collecting the
     per-shard pruning stats every commit path records: [min,max] key
-    range, the key Bloom filter, and low-cardinality metadata value sets
-    (batch and streaming writers share this, so streamed shards prune the
-    same as batch-written ones)."""
+    range, the key Bloom filter, low-cardinality metadata value sets, and
+    numeric metadata [min,max] zone maps (batch and streaming writers
+    share this, so streamed shards prune the same as batch-written ones)."""
     stats: dict[str, dict] = {}
     meta_vals: dict[str, dict[str, set]] = {}
+    meta_rngs: dict[str, dict] = {}
     # bloom hash pairs are finalized per shard the moment the writer
     # rolls to the next one (a DatasetWriter never reopens a shard), so
     # task memory is bounded by ONE shard's key count — not every record
@@ -1089,10 +1146,12 @@ def _write_with_stats(writer: "codec.DatasetWriter", iterator):
         # key's distinct values up to a small cap; past the cap the key
         # is high-cardinality in this shard and recorded as unprunable
         mv = meta_vals.setdefault(cur, {})
+        mr = meta_rngs.setdefault(cur, {})
         for mk, v in (rec.metadata or {}).items():
             vs = mv.setdefault(mk, set())
             if len(vs) <= _META_VALUES_CAP:
                 vs.add(v)
+            _meta_range_add(mr, mk, v)
     if hash_shard is not None:
         _finalize_bloom(hash_shard)
     for name, mv in meta_vals.items():
@@ -1101,6 +1160,10 @@ def _write_with_stats(writer: "codec.DatasetWriter", iterator):
         }
         if kept:
             stats[name]["meta_values"] = kept
+    for name, mr in meta_rngs.items():
+        kept_r = _meta_ranges_kept(mr)
+        if kept_r:
+            stats[name]["meta_ranges"] = kept_r
     return writer.close(), stats
 
 
@@ -1683,10 +1746,12 @@ def convert_to_dataset(
                     "max_key": None,
                     "bloom": None,
                     "meta_values": None,
+                    "meta_ranges": None,
                 }
                 if want_keys and idx.offsets:
                     hashes: list[tuple[int, int]] = []
                     mv: dict[str, set] = {}
+                    mr: dict = {}
                     mn = mx = None
                     # offsets=None lets iter_records' header-seek fast
                     # path engage on payload-heavy shards (key+metadata
@@ -1704,6 +1769,7 @@ def convert_to_dataset(
                             vs = mv.setdefault(mk, set())
                             if len(vs) <= _META_VALUES_CAP:
                                 vs.add(v)
+                            _meta_range_add(mr, mk, v)
                     entry["min_key"], entry["max_key"] = mn, mx
                     bloom = _bloom_build(hashes)
                     if bloom is not None:
@@ -1715,12 +1781,15 @@ def convert_to_dataset(
                     }
                     if kept:
                         entry["meta_values"] = json.dumps(kept)
+                    kept_r = _meta_ranges_kept(mr)
+                    if kept_r:
+                        entry["meta_ranges"] = json.dumps(kept_r)
                 rows.append(entry)
             yield pd.DataFrame(rows)
 
     schema = (
         "name string, records long, bytes long, min_key string, "
-        "max_key string, bloom string, meta_values string"
+        "max_key string, bloom string, meta_values string, meta_ranges string"
     )
     n_tasks = max(1, min(len(names), spark.sparkContext.defaultParallelism * 4))
     stat_rows = (
@@ -1738,6 +1807,8 @@ def convert_to_dataset(
             e["bloom"] = json.loads(r["bloom"])
         if r["meta_values"] is not None:
             e["meta_values"] = json.loads(r["meta_values"])
+        if r["meta_ranges"] is not None:
+            e["meta_ranges"] = json.loads(r["meta_ranges"])
         entries.append(e)
 
     be = storage.for_path(path)
@@ -2197,6 +2268,7 @@ def read_shardpack(
     path: str,
     columns: list | None = None,
     where_meta: dict | None = None,
+    where_meta_range: dict | None = None,
     explode_entries: bool = False,
     **options,
 ):
@@ -2217,6 +2289,16 @@ def read_shardpack(
     equivalent row filter is applied on top so semantics don't depend on
     pruning.
 
+    ``where_meta_range`` ({meta_key: (lo, hi)}, either bound None for
+    open) is NUMERIC zone-map skipping: writers record a per-shard
+    [min,max] over every metadata key whose values all parse as finite
+    numbers, and shards whose recorded range cannot intersect the probe
+    interval are never opened — a quality cut like n_chars >= 1000 over
+    a length-clustered corpus becomes metadata-only planning.  Bounds
+    are inclusive; the matching row filter (numeric cast, so non-numeric
+    and missing values drop) is applied on top, so semantics never
+    depend on pruning.
+
     CAVEAT (Spark 4.1 Python-DSv2): when the SAME returned DataFrame is
     branched into differently-filtered legs of one query (self-union,
     self-join), Spark deduplicates the plan-equal Python scans while
@@ -2229,6 +2311,10 @@ def read_shardpack(
     reader = spark.read.format("shardpack")
     if where_meta:
         options["where_meta"] = json.dumps(where_meta)
+    if where_meta_range:
+        options["where_meta_range"] = json.dumps(
+            {k: [v[0], v[1]] for k, v in where_meta_range.items()}
+        )
     if (
         "prune_by_key" not in options
         and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false") == "true"
@@ -2262,6 +2348,15 @@ def read_shardpack(
 
         for k, v in where_meta.items():
             df = df.filter(F.element_at("metadata", F.lit(k)) == v)
+    if where_meta_range:
+        from pyspark.sql import functions as F
+
+        for k, (lo, hi) in where_meta_range.items():
+            num = F.element_at("metadata", F.lit(k)).cast("double")
+            if lo is not None:
+                df = df.filter(num >= float(lo))
+            if hi is not None:
+                df = df.filter(num <= float(hi))
     if explode_entries:
         # one row per FILE ENTRY (the spec's entry-level access,
         # draft.md:84-94): key/metadata repeat per entry, entry fields

@@ -205,23 +205,50 @@ def q53_shardpack_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q39_metadata_only_scan",
     oracle="""
-    SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    SELECT 'all' AS variant, lang, COUNT(*) AS cnt,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'long' AS variant, lang, COUNT(*) AS cnt,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE n_chars >= 500 GROUP BY lang
     """,
 )
 def q39_metadata_only_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-only aggregate over a shardpack dataset (Q39, reference
-    R4 Bucket::get_metadata): the `metadata_only` read option serves
-    key+metadata from block heads with per-record seeks — the text
-    payloads never leave the disk."""
+    """Metadata-only aggregates over a shardpack dataset, tagged and
+    unioned (Q39, reference R4 Bucket::get_metadata):
+
+    - 'all': the `metadata_only` read option serves key+metadata from
+      block heads with per-record seeks — text payloads never leave disk;
+    - 'long': the same scan under a `where_meta_range` numeric zone-map
+      cut (n_chars >= 500) — shards whose recorded [min,max] excludes
+      the interval are pruned at planning, the length-quality-cut shape
+      of a curation pipeline.
+
+    Each leg loads its own relation (differing options already make the
+    scans plan-distinct, but the per-leg-load rule from read_shardpack's
+    DSv2 dedup caveat is followed regardless)."""
     _ensure_registered(spark)
     from shardpack_spark.format.datasource import read_shardpack
 
-    ds = read_shardpack(spark, _lookup_dataset(spark, sf_dir), metadata_only="true")
-    return ds.groupBy(F.element_at("metadata", "lang").alias("lang")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.element_at("metadata", "n_chars").cast("long")).alias("sum_chars"),
+    path = _lookup_dataset(spark, sf_dir)
+
+    def agg(ds: DataFrame, tag: str) -> DataFrame:
+        return ds.groupBy(F.element_at("metadata", "lang").alias("lang")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.element_at("metadata", "n_chars").cast("long")).alias(
+                "sum_chars"
+            ),
+        ).select(F.lit(tag).alias("variant"), "lang", "cnt", "sum_chars")
+
+    full = agg(read_shardpack(spark, path, metadata_only="true"), "all")
+    cut = agg(
+        read_shardpack(
+            spark, path, metadata_only="true", where_meta_range={"n_chars": (500, None)}
+        ),
+        "long",
     )
+    return full.unionAll(cut)
 
 
 def _b1(col):

@@ -928,6 +928,115 @@ def test_metadata_data_skipping(spark_ds, sf_dir, tmp_path):
     assert len(unpruned) == len(all_parts)
 
 
+def test_metadata_zone_map_skipping(spark_ds, sf_dir, tmp_path):
+    """where_meta_range prunes shards via numeric metadata [min,max] zone
+    maps; non-numeric keys are poisoned (never recorded, never pruned);
+    row semantics never depend on pruning."""
+    import json as _json
+
+    from shardpack_spark.format.datasource import (
+        ShardPackReader,
+        _load_manifest,
+        read_shardpack,
+    )
+
+    out = str(tmp_path / "zones")
+    docs = _docs_as_records(spark_ds, sf_dir)
+    # order by n_chars so shards carry disjoint numeric ranges
+    docs.orderBy(F.element_at("metadata", F.lit("n_chars")).cast("int")).coalesce(
+        1
+    ).write.format("shardpack").option("target_shard_bytes", 16 * 1024).mode(
+        "append"
+    ).save(out)
+
+    m = _load_manifest(out)
+    assert len(m["shards"]) > 4
+    for s in m["shards"]:
+        mr = s["meta_ranges"]
+        # numeric key recorded; non-numeric keys poisoned out
+        assert mr["n_chars"][0] <= mr["n_chars"][1]
+        assert "lang" not in mr and "source" not in mr
+
+    # pruning: a top-of-range cut plans strictly fewer partitions
+    hi_cut = max(s["meta_ranges"]["n_chars"][0] for s in m["shards"])
+    all_parts = ShardPackReader({"path": out, "small_bin_bytes": "0"}).partitions()
+    pruned = ShardPackReader(
+        {
+            "path": out,
+            "small_bin_bytes": "0",
+            "where_meta_range": _json.dumps({"n_chars": [hi_cut, None]}),
+        }
+    ).partitions()
+    assert 0 < len(pruned) < len(all_parts)
+    # an impossible interval prunes everything (empty sentinel comes back)
+    nothing = ShardPackReader(
+        {
+            "path": out,
+            "small_bin_bytes": "0",
+            "where_meta_range": _json.dumps({"n_chars": [None, -1]}),
+        }
+    ).partitions()
+    assert len(nothing) == 1 and nothing[0].path == ""
+
+    # poisoned / untracked keys never prune
+    for probe in ({"lang": [0, 1]}, {"nope": [0, 1]}):
+        kept = ShardPackReader(
+            {
+                "path": out,
+                "small_bin_bytes": "0",
+                "where_meta_range": _json.dumps(probe),
+            }
+        ).partitions()
+        assert len(kept) == len(all_parts)
+
+    # semantics: exactly the rows a plain numeric filter returns
+    want = docs.filter(
+        F.element_at("metadata", F.lit("n_chars")).cast("double") >= hi_cut
+    ).count()
+    got = read_shardpack(
+        spark_ds, out, where_meta_range={"n_chars": (hi_cut, None)}
+    ).count()
+    assert got == want > 0
+    # two-sided interval
+    want2 = docs.filter(
+        F.element_at("metadata", F.lit("n_chars")).cast("double").between(100, 500)
+    ).count()
+    got2 = read_shardpack(
+        spark_ds, out, where_meta_range={"n_chars": (100, 500)}
+    ).count()
+    assert got2 == want2
+
+
+def test_zone_maps_from_convert_to_dataset(spark_ds, sf_dir, tmp_path):
+    """convert_to_dataset's distributed stats job records the same
+    meta_ranges zone maps as the write path."""
+    from shardpack_spark.format import codec
+    from shardpack_spark.format.datasource import (
+        _load_manifest,
+        convert_to_dataset,
+        read_shardpack,
+    )
+
+    out = str(tmp_path / "adhoc")
+    w = codec.DatasetWriter(out, basename="t", target_shard_bytes=8 * 1024)
+    for i in range(200):
+        w.write(
+            codec.Record(
+                key=f"k{i:05d}",
+                entries=[],
+                metadata={"n_chars": str(i * 7), "lang": "en" if i % 2 else "de"},
+            )
+        )
+    w.close()
+
+    convert_to_dataset(spark_ds, out)
+    m = _load_manifest(out)
+    assert all(
+        "meta_ranges" in s and "n_chars" in s["meta_ranges"] for s in m["shards"]
+    )
+    assert read_shardpack(spark_ds, out, where_meta_range={"n_chars": (0, None)}).count() == 200
+
+
 def test_with_shard_column_provenance(spark_ds, sf_dir, tmp_path):
     """with_shard_column=true appends a `_shard` column naming the source
     shard file; values are real shard names and group records exactly as
