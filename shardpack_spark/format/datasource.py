@@ -830,6 +830,12 @@ class ShardPackReader(DataSourceReader):
         # against the manifest's per-shard meta_ranges zone maps
         wmr = options.get("where_meta_range")
         self.where_meta_range: dict | None = json.loads(wmr) if wmr else None
+        # head-of-scan planning cut: stop planning shards once manifest
+        # record counts cover N.  Conservative (unknown counts add 0), so
+        # the plan always holds >= N records when they exist; the exact
+        # row cap is read_shardpack's .limit(N) on top.
+        lr = options.get("limit_records")
+        self.limit_records: int | None = int(lr) if lr else None
         self._key_filters: list[str] = []
         self._prefix_filters: list[str] = []
         # conjunctive key-range constraint from </>= comparisons on `key`:
@@ -984,13 +990,50 @@ class ShardPackReader(DataSourceReader):
                         continue  # pruned: no requested key can live here
                 kept.append(name)
             names = kept
-        return _plan_partitions(
+        mstats = _manifest_stats(self.path, manifest)
+        tail_cut: tuple[str, int] | None = None
+        if self.limit_records and self.limit_records > 0 and names:
+            # truncate planning at the first prefix of the (pruned,
+            # name-ordered) shard sequence whose recorded record counts
+            # reach N — a 10^5-shard dataset previews with a 1-shard
+            # plan.  R21's "reads only needed offsets": the tail shard
+            # plans a [0, k) record range the executor resolves to byte
+            # offsets with one EOF-index read.
+            kept_n, need = [], self.limit_records
+            for n in names:
+                kept_n.append(n)
+                rec = mstats.get(n, (None, None))[1]
+                if rec is not None:
+                    if need - rec <= 0:
+                        if need < rec:
+                            tail_cut = (os.path.join(self.path, n), need)
+                        need = 0
+                        break
+                    need -= rec
+            names = kept_n
+        parts = _plan_partitions(
             self.path,
             names,
             self.split_target,
-            _manifest_stats(self.path, manifest),
+            mstats,
             small_bin_bytes=self.small_bin,
         )
+        if tail_cut is not None:
+            tail_path, k = tail_cut
+            out = []
+            for p in parts:
+                if p.path != tail_path or p.group is not None or p.offsets is not None:
+                    out.append(p)  # grouped/offset plans: limit on top
+                elif p.rec_range is None:
+                    out.append(ShardPartition(p.path, None, rec_range=(0, k)))
+                elif p.rec_range[0] < k:
+                    out.append(
+                        ShardPartition(
+                            p.path, None, rec_range=(p.rec_range[0], min(p.rec_range[1], k))
+                        )
+                    )
+            parts = out
+        return parts
 
     def read(self, partition: ShardPartition):
         if partition is None or not partition.path:
@@ -2269,6 +2312,7 @@ def read_shardpack(
     columns: list | None = None,
     where_meta: dict | None = None,
     where_meta_range: dict | None = None,
+    limit_records: int | None = None,
     explode_entries: bool = False,
     **options,
 ):
@@ -2299,6 +2343,17 @@ def read_shardpack(
     and missing values drop) is applied on top, so semantics never
     depend on pruning.
 
+    ``limit_records=N`` is a head-of-scan preview: planning stops at
+    the first prefix of the (pruned, name-ordered) shard sequence whose
+    manifest record counts reach N — previewing a 10^5-shard dataset
+    plans ~1 shard, and the tail shard plans a [0, k) record range the
+    owning executor resolves with one EOF-index read (the R21
+    offset-seek path).  An exact ``.limit(N)`` is applied BEFORE the
+    where_meta row filters, so the result is "filter(first-N-scanned)",
+    not "first N matches" — use it to peek, not to paginate.  Shards
+    without recorded counts (log-less directories) plan conservatively
+    (never under-plan); the row cap stays exact.
+
     CAVEAT (Spark 4.1 Python-DSv2): when the SAME returned DataFrame is
     branched into differently-filtered legs of one query (self-union,
     self-join), Spark deduplicates the plan-equal Python scans while
@@ -2315,6 +2370,8 @@ def read_shardpack(
         options["where_meta_range"] = json.dumps(
             {k: [v[0], v[1]] for k, v in where_meta_range.items()}
         )
+    if limit_records is not None and limit_records > 0:
+        options["limit_records"] = str(int(limit_records))
     if (
         "prune_by_key" not in options
         and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false") == "true"
@@ -2343,6 +2400,8 @@ def read_shardpack(
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.load(path)
+    if limit_records is not None and limit_records > 0:
+        df = df.limit(int(limit_records))
     if where_meta:
         from pyspark.sql import functions as F
 

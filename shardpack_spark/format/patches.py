@@ -262,7 +262,7 @@ def read_with_patches(spark, base: str, **reader_options):
             "read_with_patches does not take a 'columns' projection; "
             "select on the merged result instead"
         )
-    for opt in ("where_meta", "where_meta_range", "version", "only_shards"):
+    for opt in ("where_meta", "where_meta_range", "limit_records", "version", "only_shards"):
         if opt in reader_options:
             # where_meta's row filter would drop tombstones from the
             # overlay (their metadata is only __tombstone) and RESURRECT

@@ -1322,3 +1322,58 @@ def test_shard_sample_deterministic_fraction(spark_ds, tmp_path):
 
     with _pytest.raises(Exception):
         ShardPackReader({"path": out, "shard_sample": "1.5"})
+
+
+def test_limit_records_head_preview(spark_ds, sf_dir, tmp_path):
+    """limit_records truncates PLANNING at the shard-count prefix
+    covering N (tail shard gets a [0, k) record range) and caps rows
+    exactly; conservative (plans everything) when counts are unknown."""
+    import json as _json
+
+    from shardpack_spark.format.datasource import ShardPackReader, read_shardpack
+
+    out = str(tmp_path / "head")
+    docs = _docs_as_records(spark_ds, sf_dir)
+    total = docs.count()
+    docs.coalesce(1).write.format("shardpack").option(
+        "target_shard_bytes", 16 * 1024
+    ).mode("append").save(out)
+
+    all_parts = ShardPackReader({"path": out, "small_bin_bytes": "0"}).partitions()
+    assert len(all_parts) > 4
+    # tiny limit plans exactly one partition carrying a [0, k) range
+    head = ShardPackReader(
+        {"path": out, "small_bin_bytes": "0", "limit_records": "7"}
+    ).partitions()
+    assert len(head) == 1
+    assert head[0].rec_range is not None and head[0].rec_range[0] == 0
+    assert head[0].rec_range[1] >= 7  # >= N records planned
+    # limit past the dataset keeps the full plan
+    over = ShardPackReader(
+        {"path": out, "small_bin_bytes": "0", "limit_records": str(total * 2)}
+    ).partitions()
+    assert len(over) == len(all_parts)
+
+    # exact row cap, deterministic under re-read
+    assert read_shardpack(spark_ds, out, limit_records=7).count() == 7
+    a = sorted(r["key"] for r in read_shardpack(spark_ds, out, limit_records=7).collect())
+    b = sorted(r["key"] for r in read_shardpack(spark_ds, out, limit_records=7).collect())
+    assert a == b and len(a) == 7
+    assert read_shardpack(spark_ds, out, limit_records=total * 2).count() == total
+
+    # composes with zone-map pruning: filter applies AFTER the head cut
+    got = read_shardpack(
+        spark_ds, out, limit_records=50, where_meta_range={"n_chars": (0, None)}
+    )
+    assert got.count() <= 50
+
+    # log-less ad-hoc dir: counts unknown -> conservative full plan, cap
+    # still exact
+    from shardpack_spark.format import codec
+
+    adhoc = str(tmp_path / "adhoc")
+    w = codec.DatasetWriter(adhoc, basename="t", target_shard_bytes=4 * 1024)
+    for i in range(60):
+        w.write(codec.Record(key=f"k{i:04d}", entries=[], metadata={"i": str(i)}))
+    w.close()
+    assert read_shardpack(spark_ds, adhoc, limit_records=9).count() == 9
