@@ -617,10 +617,22 @@ class ArrowFsBackend(StorageBackend):
         self.atomic_rename = scheme in ("hdfs", "viewfs", "file")
 
     def _p(self, path: str) -> str:
-        import pyarrow.fs as pafs
-
-        _, internal = pafs.FileSystem.from_uri(path)
-        return internal
+        # strip the scheme to the filesystem-internal form WITHOUT
+        # re-running FileSystem.from_uri per call — from_uri constructs
+        # a fresh remote client (TLS setup, credential resolution) each
+        # time, which would turn every stat/open into a client build.
+        # pyarrow's internal form for s3/gs/abfs is "bucket/key", for
+        # hdfs an absolute path; both are exactly the URI minus
+        # "scheme://" (hdfs authority handled by the fs instance).
+        i = path.find("://")
+        if i < 0:
+            return path
+        rest = path[i + 3 :]
+        if self._scheme in ("hdfs", "viewfs"):
+            # drop the authority ("namenode:port/abs/path" -> "/abs/path")
+            j = rest.find("/")
+            return rest[j:] if j >= 0 else "/"
+        return rest
 
     def open_read(self, path: str):
         return self._fs.open_input_file(self._p(path))
@@ -709,7 +721,8 @@ def register_backend(scheme: str, factory: Callable[[str, str], StorageBackend])
     """Install a custom backend for ``scheme`` (factory(scheme, sample_uri)).
     The extension hook the reference's trait promises (storage.rs:10-19)."""
     _factories[scheme.lower()] = factory
-    _remote_cache.pop(scheme.lower(), None)
+    for k in [k for k in _remote_cache if k.split("://", 1)[0] == scheme.lower()]:
+        _remote_cache.pop(k, None)
 
 
 def for_path(path: str) -> StorageBackend:
@@ -721,11 +734,17 @@ def for_path(path: str) -> StorageBackend:
         return _memory
     if s == "sim":
         return _sim
-    backend = _remote_cache.get(s)
+    # cache per (scheme, authority): two buckets/namenodes of the same
+    # scheme may resolve to differently-configured filesystems (region,
+    # credentials), so "s3://a/..." and "s3://b/..." each get their own
+    # instance while every path under one authority shares it
+    rest = path[len(s) + 3 :]
+    cache_key = s + "://" + rest.split("/", 1)[0]
+    backend = _remote_cache.get(cache_key)
     if backend is None:
         factory = _factories.get(s)
         backend = factory(s, path) if factory else ArrowFsBackend(s, path)
-        _remote_cache[s] = backend
+        _remote_cache[cache_key] = backend
     return backend
 
 

@@ -797,3 +797,45 @@ def test_convert_aborts_cleanly_when_log_appears(spark, tmp_path, monkeypatch):
     md = os.path.join(root, "_manifest")
     leftover = [f for f in be.listdir(md) if f.startswith("part-")] if be.isdir(md) else []
     assert leftover == []
+
+
+def test_arrowfs_path_translation_no_client_rebuild():
+    """_p strips the scheme (and hdfs authority) WITHOUT calling
+    FileSystem.from_uri — object stores get 'bucket/key', hdfs an
+    absolute path."""
+    be = storage.ArrowFsBackend.__new__(storage.ArrowFsBackend)
+    be._scheme = "s3"
+    assert be._p("s3://bucket/a/b.bin") == "bucket/a/b.bin"
+    assert be._p("s3://bucket") == "bucket"
+    be._scheme = "hdfs"
+    assert be._p("hdfs://nn:8020/data/x") == "/data/x"
+    assert be._p("hdfs://nn:8020") == "/"
+
+
+def test_remote_backend_cache_per_authority():
+    """for_path caches one backend per (scheme, authority) — different
+    buckets get their own instance; register_backend invalidates."""
+    built = []
+
+    class _Fake(storage.StorageBackend):
+        pass
+
+    def factory(scheme, sample):
+        built.append(sample)
+        return _Fake()
+
+    try:
+        storage.register_backend("faketest", factory)
+        a1 = storage.for_path("faketest://bucket-a/x/y")
+        a2 = storage.for_path("faketest://bucket-a/other")
+        b1 = storage.for_path("faketest://bucket-b/x")
+        assert a1 is a2 and a1 is not b1
+        assert len(built) == 2
+        # re-registering clears every cached instance of the scheme
+        storage.register_backend("faketest", factory)
+        a3 = storage.for_path("faketest://bucket-a/x")
+        assert a3 is not a1 and len(built) == 3
+    finally:
+        storage._factories.pop("faketest", None)
+        for k in [k for k in storage._remote_cache if k.startswith("faketest://")]:
+            storage._remote_cache.pop(k)
