@@ -52,7 +52,7 @@ import struct
 from collections.abc import Iterable, Iterator
 from dataclasses import dataclass, field
 
-from shardpack_spark.format import storage
+from shardpack_spark.format import storage, zstd_entropy
 
 MAGIC = b"SHARDPK1"
 DEFAULT_TARGET_SHARD_BYTES = 256 * 1024 * 1024  # reference src/shard/config.rs:1
@@ -319,14 +319,16 @@ def _snappy_decompress(src: bytes) -> bytes:
     return bytes(out)
 
 
-# --- zstd (pure-Python, RFC 8878 frames with Raw/RLE blocks) ----------------
+# --- zstd (pure-Python, RFC 8878) -------------------------------------------
 #
-# A full zstd implementation needs FSE + Huffman entropy coding; this
-# fallback emits SPEC-COMPLIANT frames restricted to Raw and RLE blocks
-# (any real zstd decoder reads them, checksum included) and decodes
-# frames that contain only Raw/RLE blocks.  Frames with entropy-coded
-# (Compressed) blocks raise ShardPackCodecError — if `zstandard` is
-# installed it takes over below and handles everything.
+# The fallback ENCODER emits spec-compliant frames restricted to Raw and
+# RLE blocks (any real zstd decoder reads them, checksum included — but
+# ~0% compression, hence the one-time warning below).  The fallback
+# DECODER reads ANY spec-compliant frame: Raw/RLE blocks here,
+# entropy-coded (Compressed) blocks via zstd_entropy (full FSE + Huffman
+# + sequence execution, RFC 8878 §3-4), so data zstd-compressed by
+# pyarrow/libzstd elsewhere stays readable without any wheel.  Only
+# dictionary frames raise (undecodable without the dictionary).
 
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 _ZSTD_BLOCK_MAX = 128 * 1024  # Block_Maximum_Size (RFC 8878 §3.1.1.2.3)
@@ -452,7 +454,14 @@ def _zstd_decompress(src: bytes) -> bytes:
     dict_flag = desc & 0x03
     if not single_segment:
         i += 1  # Window_Descriptor
+    if dict_flag:
+        # a dictionary frame is undecodable without its dictionary by
+        # definition — not a fallback limitation
+        did = int.from_bytes(src[i : i + (0, 1, 2, 4)[dict_flag]], "little")
+        if did != 0:
+            raise ShardPackCodecError(f"zstd: dictionary frames unsupported (id {did})")
     i += (0, 1, 2, 4)[dict_flag]
+    entropy_ctx: dict = {}
     fcs = None
     fcs_size = {0: 1 if single_segment else 0, 1: 2, 2: 4, 3: 8}[fcs_flag]
     if fcs_size:
@@ -476,11 +485,12 @@ def _zstd_decompress(src: bytes) -> bytes:
         elif btype == 1:  # RLE
             out += src[i : i + 1] * bsize
             i += 1
-        elif btype == 2:
-            raise ShardPackCodecError(
-                "zstd: entropy-coded block — the pure-Python fallback reads "
-                "only Raw/RLE frames (install `zstandard` for full decode)"
-            )
+        elif btype == 2:  # Compressed: FSE/Huffman entropy block
+            try:
+                zstd_entropy.decode_compressed_block(src, i, bsize, out, entropy_ctx)
+            except (ValueError, IndexError) as e:
+                raise ShardPackCodecError(f"zstd: corrupt compressed block: {e}") from e
+            i += bsize
         else:
             raise ShardPackCodecError("zstd: reserved block type")
         if last:
@@ -512,10 +522,10 @@ try:
     # path when importable — ~100x the pure-Python throughput.  Formats
     # interoperate: pyarrow 'lz4_raw' IS the LZ4 block format the pure
     # encoder emits, 'snappy' is the standard raw-snappy framing, and
-    # pyarrow's zstd reads the pure encoder's Raw/RLE frames.  The one
-    # asymmetry (data zstd-compressed by pyarrow uses entropy-coded
-    # blocks the pure fallback cannot read) only bites when a dataset is
-    # written with pyarrow present and read where it is absent.
+    # zstd interoperates BOTH ways: pyarrow reads the pure encoder's
+    # Raw/RLE frames, and the pure decoder (zstd_entropy) reads
+    # pyarrow's entropy-coded frames — verified by the cross-codec
+    # matrix in tests/test_codec.py.
     import pyarrow  # noqa: F401  (probe only — codecs are built lazily)
 
     # pa.Codec objects are NOT picklable, and this module travels to

@@ -1658,8 +1658,13 @@ def _pickle_by_value() -> None:
 
     from shardpack_spark.format import codec as codec_mod
     from shardpack_spark.format import storage as storage_mod
+    from shardpack_spark.format import zstd_entropy as zstd_mod
 
-    for mod in (storage_mod, codec_mod, sys.modules[__name__]):
+    # order matters only in that EVERY module codec references at module
+    # level must be registered too — by-value registration is not
+    # recursive, so a new intra-package import that is missed here
+    # surfaces as executor-side ModuleNotFoundError in vanilla sessions
+    for mod in (storage_mod, zstd_mod, codec_mod, sys.modules[__name__]):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:

@@ -350,17 +350,78 @@ def test_zstd_frame_checksum_and_vectors():
         C._zstd_decompress(bytes(z))
 
 
-def test_zstd_rejects_entropy_blocks():
-    """A frame advertising a Compressed (FSE/Huffman) block is out of the
-    fallback's scope and must raise, not mis-decode."""
+def test_zstd_rejects_corrupt_entropy_block():
+    """A Compressed block with garbage content must raise
+    ShardPackCodecError, never mis-decode or crash with a raw
+    IndexError."""
     frame = (
         C._ZSTD_MAGIC
         + bytes([0x20])          # single-segment, FCS flag 0 -> 1 byte
         + bytes([3])             # content size 3
         + (1 | (2 << 1) | (3 << 3)).to_bytes(3, "little")  # last, Compressed
-        + b"\x00\x00\x00"
+        + b"\xff\xff\xff"  # treeless literals with no prior table
     )
-    with pytest.raises(C.ShardPackCodecError, match="entropy"):
+    with pytest.raises(C.ShardPackCodecError, match="corrupt"):
+        C._zstd_decompress(frame)
+
+
+def test_zstd_decodes_foreign_entropy_frames():
+    """The pure-Python decoder reads REAL entropy-coded frames produced
+    by libzstd (via pyarrow) — FSE sequence tables (predefined, RLE,
+    FSE-compressed, repeat), 1- and 4-stream Huffman literals, treeless
+    blocks, and multi-block frames whose repeat-offset history crosses
+    the 128 KiB block boundary.  This is the interop direction a user
+    hits when data is compressed on a machine with libzstd and read on
+    one with neither pyarrow nor zstandard."""
+    pa = pytest.importorskip("pyarrow")
+    import random
+
+    rng = random.Random(7)
+    words = [b"alpha", b"beta", b"gamma", b"the", b"of", b"lorem"]
+
+    def gen(kind, n):
+        if kind == "rand":
+            return bytes(rng.randrange(256) for _ in range(n))
+        if kind == "text":
+            out = bytearray()
+            while len(out) < n:
+                out += rng.choice(words) + b" "
+            return bytes(out[:n])
+        if kind == "runs":
+            out = bytearray()
+            while len(out) < n:
+                out += bytes([rng.randrange(256)]) * rng.randrange(1, 300)
+            return bytes(out[:n])
+        base = bytes(rng.randrange(256) for _ in range(200))  # matchy
+        out = bytearray()
+        while len(out) < n:
+            s = rng.randrange(0, 150)
+            out += base[s : s + rng.randrange(4, 50)]
+        return bytes(out[:n])
+
+    for level in (1, 3, 19):
+        codec = pa.Codec("zstd", compression_level=level)
+        for kind in ("rand", "text", "runs", "matchy"):
+            # 400k spans 4 blocks: exercises cross-block repeat offsets,
+            # treeless literals, and table-repeat modes
+            for n in (0, 1, 17, 1000, 20000, 131073, 400000):
+                data = gen(kind, n)
+                comp = codec.compress(data, asbytes=True)
+                assert C._zstd_decompress(comp) == data, (level, kind, n)
+
+
+def test_zstd_rejects_dictionary_frames():
+    """Dictionary frames are undecodable without the dictionary; the
+    decoder must say so instead of producing garbage."""
+    frame = (
+        C._ZSTD_MAGIC
+        + bytes([0x21])          # single-segment + dict-id flag 1
+        + bytes([7])             # dictionary id 7
+        + bytes([3])             # content size 3
+        + (1 | (0 << 1) | (3 << 3)).to_bytes(3, "little")
+        + b"abc"
+    )
+    with pytest.raises(C.ShardPackCodecError, match="dictionary"):
         C._zstd_decompress(frame)
 
 
