@@ -443,6 +443,15 @@ def _zstd_compress(src: bytes) -> bytes:
 
 
 def _zstd_decompress(src: bytes) -> bytes:
+    # a truncated frame header must fail TYPED like every other corrupt
+    # input (the body's src[i] byte reads raise IndexError on short input)
+    try:
+        return _zstd_decompress_inner(src)
+    except IndexError as e:
+        raise ShardPackCodecError(f"zstd: truncated frame: {e}") from e
+
+
+def _zstd_decompress_inner(src: bytes) -> bytes:
     if src[:4] != _ZSTD_MAGIC:
         raise ShardPackCodecError("zstd: bad magic")
     i = 4

@@ -440,3 +440,31 @@ def test_xxh64_matches_spark_jvm(spark):
         for p in payloads
     ]
     assert got == want
+
+
+def test_zstd_corrupt_frames_fail_typed():
+    """Mutated/truncated zstd frames must either decode (silent wrong
+    bytes are possible without a checksum) or raise ShardPackCodecError
+    — never leak IndexError/ValueError or hang.  Deterministic slice of
+    the 6000-case corruption fuzz that hardened the frame parser."""
+    pa = pytest.importorskip("pyarrow")
+    import random
+
+    rng = random.Random(99)
+    codec = pa.Codec("zstd", compression_level=3)
+    data = (b"the quick brown fox " * 50 + bytes(range(256))) * 20
+    frame = bytearray(codec.compress(data, asbytes=True))
+    for trial in range(400):
+        f = bytearray(frame)
+        mode = trial % 3
+        if mode == 0:
+            f[rng.randrange(len(f))] ^= 1 << rng.randrange(8)
+        elif mode == 1:
+            f = f[: rng.randrange(1, len(f))]
+        else:
+            for _ in range(rng.randrange(1, 6)):
+                f[rng.randrange(len(f))] = rng.randrange(256)
+        try:
+            C._zstd_decompress(bytes(f))
+        except C.ShardPackCodecError:
+            pass
