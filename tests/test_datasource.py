@@ -1377,3 +1377,57 @@ def test_limit_records_head_preview(spark_ds, sf_dir, tmp_path):
         w.write(codec.Record(key=f"k{i:04d}", entries=[], metadata={"i": str(i)}))
     w.close()
     assert read_shardpack(spark_ds, adhoc, limit_records=9).count() == 9
+
+
+def test_zone_map_fold_soundness_property():
+    """Property fuzz of the zone-map building blocks (pure functions, no
+    Spark): for ANY metadata value sequence, either the key is poisoned
+    (None -> never prunes, always sound) or the recorded [min,max]
+    contains every float-parseable value — so `range_may_match` can
+    never prune a shard holding a row the equivalent Spark row filter
+    would keep (Python float() accepts a superset of Spark's castable
+    strings; NaN/inf/overflow all poison via the finite check)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from shardpack_spark.format.datasource import (
+        _META_RANGE_MAX_ABS,
+        _meta_range_add,
+        _meta_ranges_kept,
+    )
+
+    values = st.one_of(
+        st.integers(-(10**20), 10**20).map(str),
+        st.floats(allow_nan=True, allow_infinity=True).map(repr),
+        st.sampled_from(["", "x", "nan", "inf", "-inf", "1e400", " 12 ", "1_0", "0x1A"]),
+        st.text(max_size=8),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(vals=st.lists(values, min_size=1, max_size=30))
+    def check(vals):
+        rng: dict = {}
+        for v in vals:
+            _meta_range_add(rng, "k", v)
+        kept = _meta_ranges_kept(rng)
+        parsed = []
+        for v in vals:
+            try:
+                x = float(v)
+            except (TypeError, ValueError):
+                parsed.append(None)
+                continue
+            parsed.append(x)
+        poisoned = any(
+            p is None or not (-_META_RANGE_MAX_ABS <= p <= _META_RANGE_MAX_ABS)
+            for p in parsed
+        )
+        if poisoned:
+            assert "k" not in kept  # unprunable: always sound
+        else:
+            lo, hi = kept["k"]
+            assert lo == min(parsed) and hi == max(parsed)
+            # soundness: every value inside the recorded bounds
+            assert all(lo <= p <= hi for p in parsed)
+
+    check()
