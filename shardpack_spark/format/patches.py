@@ -233,8 +233,10 @@ def write_patch(df, base: str, compression: str = "none") -> str:
                         continue
             for d in be.listdir(_patch_root(base)):
                 full = os.path.join(_patch_root(base), d)
-                stale = d.startswith(".tmp-") or (
-                    d.startswith(".d-") and d not in referenced
+                stale = (
+                    d.startswith(".tmp-")
+                    or d.startswith(".gone-")  # compact_patches unlisted it
+                    or (d.startswith(".d-") and d not in referenced)
                 )
                 try:
                     if stale and be.mtime(full) < cutoff:
@@ -300,9 +302,25 @@ def read_with_patches(spark, base: str, **reader_options):
         F.coalesce(F.element_at("metadata", TOMBSTONE_KEY), F.lit("")) != "true"
     )
     patched_keys = latest.select("key")
-    return base_df.join(
-        F.broadcast(patched_keys), "key", "left_anti"
-    ).unionByName(survivors)
+    # The broadcast hint is gated on the patch manifests' recorded row
+    # counts — a pure METADATA read, no job.  Patches are small by
+    # construction so the hint almost always applies (the 100 TB base is
+    # then never shuffled), but a predicate-driven delete_where matching
+    # half the corpus can legitimately produce billions of tombstones;
+    # force-broadcasting those would OOM the driver, so past the cap the
+    # plan falls back to a shuffle join (AQE may still pick broadcast if
+    # the post-agg key set turns out small).
+    from shardpack_spark.format.datasource import _load_manifest
+
+    total_patch_rows = 0
+    for d in patches:
+        m = _load_manifest(patch_path(base, d))
+        total_patch_rows += (m or {}).get("total_records", 0)
+    if total_patch_rows <= int(
+        spark.conf.get("shardpack.patches.broadcastMaxRows", "20000000")
+    ):
+        patched_keys = F.broadcast(patched_keys)
+    return base_df.join(patched_keys, "key", "left_anti").unionByName(survivors)
 
 
 def compact_patches(spark, base: str, compression: str | None = None) -> dict:
@@ -325,12 +343,26 @@ def compact_patches(spark, base: str, compression: str | None = None) -> dict:
         .save(base)
     )
     # cleanup AFTER the new manifest is durable; a crash here leaves
-    # patches whose re-application is a no-op (idempotent merge)
+    # patches whose re-application is a no-op (idempotent merge).
+    # UNLIST each patch atomically BEFORE deleting its data: remove_tree
+    # is not atomic, so deleting data first opens a crash window where a
+    # still-listed patch has a half-deleted dataset and the merged read
+    # ERRORS instead of no-opping.  Rename-capable backends hide the dir
+    # with one rename; pointer-committed patches drop the .ptr (the data
+    # dir then reads as an unreferenced .d-* orphan the next write_patch
+    # GCs if this cleanup crashes mid-way).
     be = storage.for_path(base)
-    for d in patches:
-        be.remove_tree(patch_path(base, d))
-        be.remove(os.path.join(_patch_root(base), d + ".ptr"))
     root = _patch_root(base)
+    for d in patches:
+        data_dir = patch_path(base, d)
+        ptr = os.path.join(root, d + ".ptr")
+        if be.exists(ptr):
+            be.remove(ptr)
+        elif be.atomic_rename:
+            hidden = os.path.join(root, f".gone-{uuid.uuid4().hex[:12]}")
+            be.replace(data_dir, hidden)
+            data_dir = hidden
+        be.remove_tree(data_dir)
     if not be.listdir(root):
         be.rmdir_if_empty(root)
     n = (_load_manifest(base) or {}).get("total_records", 0)

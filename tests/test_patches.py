@@ -270,3 +270,72 @@ def test_update_where_overlay_matches_dict_model(spark, tmp_path):
             want = {**{k: str(v) for k, v in old.items()}, **{k: str(v) for k, v in overlay.items()}}
             assert got[f"k{i:04d}"] == want, (i, old, overlay, got[f"k{i:04d}"])
 
+
+
+def test_compact_cleanup_unlists_before_deleting(spark, tmp_path):
+    """compact_patches must atomically UNLIST a patch before deleting its
+    data: a crash mid-remove_tree must never leave a listed patch with
+    half-deleted data (merged reads would error instead of no-op).
+    Observable invariants: after compaction nothing is listed, no .ptr
+    dangles, and a leftover .gone-* unlist marker is swept by the next
+    write_patch's GC."""
+    import time as _t
+
+    from shardpack_spark.format import storage
+    from shardpack_spark.format.patches import PATCH_DIR, patch_path
+
+    base = str(tmp_path / "ds")
+    _records(spark, range(12), "v1").write.format("shardpack").mode(
+        "overwrite"
+    ).save(base)
+    write_patch(_records(spark, range(3), "v2"), base)
+    write_patch(tombstones(spark, ["k/0005"]), base)
+    assert len(list_patches(base)) == 2
+    res = compact_patches(spark, base)
+    assert res["patches_folded"] == 2
+    assert list_patches(base) == []
+    root = os.path.join(base, PATCH_DIR)
+    be = storage.for_path(base)
+    assert [d for d in be.listdir(root) if d.endswith(".ptr")] == []
+
+    # a crashed cleanup's .gone-* marker dir is stale by definition and
+    # must be GC'd by the next patch commit (backdated past the grace)
+    os.makedirs(os.path.join(root, ".gone-deadbeef"), exist_ok=True)
+    old = _t.time() - 7200
+    os.utime(os.path.join(root, ".gone-deadbeef"), (old, old))
+    write_patch(_records(spark, range(2), "v3"), base)
+    assert not os.path.isdir(os.path.join(root, ".gone-deadbeef"))
+    # the fresh patch itself is intact and listed
+    assert len(list_patches(base)) == 1
+    assert os.path.isdir(patch_path(base, list_patches(base)[0]))
+
+
+def test_patch_broadcast_gated_by_manifest_counts(spark, tmp_path):
+    """The anti-join broadcast hint is driven by the patch manifests'
+    recorded row counts (metadata-only): under the cap the plan carries
+    a broadcast exchange on the patch-key side; with the cap forced to 0
+    it does not (huge predicate-deletes must not OOM the driver)."""
+    base = str(tmp_path / "ds")
+    _records(spark, range(30), "v1").write.format("shardpack").mode(
+        "overwrite"
+    ).save(base)
+    write_patch(_records(spark, range(4), "v2"), base)
+
+    plan_default = (
+        read_with_patches(spark, base)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "strategy=broadcast" in plan_default
+
+    spark.conf.set("shardpack.patches.broadcastMaxRows", "0")
+    try:
+        df = read_with_patches(spark, base)
+        plan_capped = df._jdf.queryExecution().optimizedPlan().toString()
+        # no forced-broadcast hint past the cap (AQE stays free to pick
+        # broadcast on actual runtime sizes — that's the point)
+        assert "strategy=broadcast" not in plan_capped
+        # semantics identical either way
+        st = _state(df)
+        assert st["k/0003"][0]["ver"] == "v2" and st["k/0010"][0]["ver"] == "v1"
+        assert len(st) == 30
+    finally:
+        spark.conf.unset("shardpack.patches.broadcastMaxRows")
