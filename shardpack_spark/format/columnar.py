@@ -228,6 +228,7 @@ def read_columnar_zipped(
     path: str,
     columns: list[str] | None = None,
     how: str = "inner",
+    chunk_bytes: int = 64 * 1024 * 1024,
 ):
     """ZERO-SHUFFLE aligned read of a columnar dataset.
 
@@ -317,9 +318,16 @@ def read_columnar_zipped(
     col_order = list(columns)
     want_all = how == "full"
 
+    # flush the merge output whenever buffered payload crosses
+    # chunk_bytes: task memory stays O(chunk), not O(keyspace slice) — a
+    # slice spans whole shards of EVERY requested column, which at the
+    # 256 MiB shard target times N columns would otherwise buffer
+    # gigabytes per task
+
     def merge(batches):
         for pdf in batches:
             out_rows = []
+            buffered = 0
             for lo, hi, shards_json in zip(pdf["lo"], pdf["hi"], pdf["shards"]):
                 lo = None if lo is None or (isinstance(lo, float)) else lo
                 hi = None if hi is None or (isinstance(hi, float)) else hi
@@ -361,6 +369,14 @@ def read_columnar_zipped(
                                         }
                                     )
                         out_rows.append((k, meta, entries))
+                        buffered += sum(len(e["data"] or b"") for e in entries)
+                        if buffered >= chunk_bytes:
+                            yield _pd.DataFrame(
+                                out_rows,
+                                columns=["key", "metadata", "entries"],
+                                dtype=object,
+                            )
+                            out_rows, buffered = [], 0
                     for n in present:
                         heads[n] = next(iters[n], None)
             # object dtype even when empty — float64 default columns fail

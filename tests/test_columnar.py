@@ -177,3 +177,26 @@ def test_zipped_read_empty_driving_column_full_mode(spark, tmp_path):
     assert full.count() == 20  # thumbs exist for 2/3 of 30 records
     inner = read_columnar_zipped(spark, out, ["text.txt", "thumb.bin"], how="inner")
     assert inner.count() == 0
+
+
+def test_zipped_read_chunked_flush_same_result(spark, tmp_path):
+    """A tiny chunk_bytes forces many intra-slice flushes of the merge
+    buffer (the bounded-memory path a 256 MiB-shard dataset exercises);
+    the result is identical to the single-flush read."""
+    from shardpack_spark.format.columnar import read_columnar_zipped
+
+    out = str(tmp_path / "zipchunk")
+    write_columnar(_two_column_records(spark, 150), out, target_shard_bytes=8 * 1024)
+
+    def snap(df):
+        return {
+            r["key"]: sorted(
+                (e["file_name"], bytes(e["data"])) for e in r["entries"]
+            )
+            for r in df.collect()
+        }
+
+    cols = ["text.txt", "thumb.bin"]
+    big = snap(read_columnar_zipped(spark, out, cols))
+    tiny = snap(read_columnar_zipped(spark, out, cols, chunk_bytes=1))
+    assert tiny == big and len(big) > 0
