@@ -64,12 +64,36 @@ def _with_dl(tf: DataFrame) -> DataFrame:
     return tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
 
 
-def _plist_agg(tfd: DataFrame) -> DataFrame:
-    """(term, df, plist) from (term, doc_id, tf, dl) rows."""
-    return tfd.groupBy("term").agg(
+def _plist_agg(
+    tfd: DataFrame, min_df: int = 1, max_df: int | None = None
+) -> DataFrame:
+    """(term, df, plist) from (term, doc_id, tf, dl) rows.
+
+    The ``max_df`` stopword cut is applied BEFORE collect_list for real:
+    a HAVING-style filter on the aggregated df cannot push below its own
+    aggregate, so filtering after the agg would still materialize a
+    corpus-sized posting array in one task for every stopword-grade
+    term.  Instead df is counted first (partial-agg, no lists), the
+    over-cap terms — FEW by Zipf's law — broadcast into an anti-join
+    that drops their rows pre-aggregation, and only then are lists
+    built.  ``min_df`` cuts the long tail AFTER the agg, where each
+    dropped list has fewer than min_df elements (harmless), because the
+    tail vocabulary is millions of terms and could not broadcast."""
+    if max_df is not None:
+        heavy = (
+            tfd.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("term")
+        )
+        tfd = tfd.join(F.broadcast(heavy), "term", "left_anti")
+    out = tfd.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.array_sort(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("plist"),
     )
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return out
 
 
 def _postings_to_rows(postings: DataFrame, segment_docs: int) -> DataFrame:
@@ -123,14 +147,6 @@ def _stats_row(
     return spark.createDataFrame([(STATS_KEY, meta, [])], SCHEMA)
 
 
-def _df_cut(postings: DataFrame, min_df: int, max_df: int | None) -> DataFrame:
-    if min_df > 1:
-        postings = postings.filter(F.col("df") >= min_df)
-    if max_df is not None:
-        postings = postings.filter(F.col("df") <= max_df)
-    return postings
-
-
 def build_inverted_index(
     docs: DataFrame,
     path: str,
@@ -157,7 +173,7 @@ def build_inverted_index(
     n_docs, total_tokens = (
         tf.agg(F.count_distinct("doc_id"), F.coalesce(F.sum("tf"), F.lit(0))).collect()[0]
     )
-    postings = _df_cut(_plist_agg(_with_dl(tf)), min_df, max_df)
+    postings = _plist_agg(_with_dl(tf), min_df, max_df)
     rows = _postings_to_rows(postings, segment_docs).unionByName(
         _stats_row(spark, n_docs, total_tokens, segment_docs, min_df, max_df)
     )

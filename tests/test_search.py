@@ -343,3 +343,33 @@ def test_update_refuses_df_cut_index(spark, sf_dir, tmp_path):
     build_inverted_index(docs.limit(100), out, max_df=50)
     with pytest.raises(ValueError, match="df-cut"):
         update_inverted_index(docs.limit(10), out)
+
+
+def test_max_df_cut_is_pre_aggregation(spark):
+    """The stopword cut's plan shape: with max_df set, a broadcast
+    LeftAnti join sits BELOW the posting-list aggregate (over-cap terms'
+    rows are dropped before any list materializes); results match the
+    post-filter model exactly."""
+    from shardpack_spark.operators.search import _plist_agg, _term_tf, _with_dl
+
+    docs = spark.createDataFrame(
+        [(i, ("common " * 5 + f"rare{i} mid{i % 3} ")) for i in range(20)],
+        "doc_id long, text string",
+    )
+    tfd = _with_dl(_term_tf(docs, "doc_id", "text"))
+
+    cut = _plist_agg(tfd, min_df=2, max_df=10)
+    plan = cut._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan and "strategy=broadcast" in plan
+
+    got = {r["term"]: r["df"] for r in cut.collect()}
+    # 'common' (df 20) exceeds max_df; rare terms (df 1) fall to min_df;
+    # mid0/1/2 (df 6-7) survive
+    assert "common" not in got and not any(t.startswith("rare") for t in got)
+    assert set(got) == {"mid0", "mid1", "mid2"}
+    model = {
+        r["term"]: r["df"]
+        for r in _plist_agg(tfd).collect()
+        if 2 <= r["df"] <= 10
+    }
+    assert got == model
