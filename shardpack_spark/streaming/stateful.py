@@ -102,6 +102,12 @@ def _session_tracker_cls():
         def init(self, handle: StatefulProcessorHandle) -> None:
             self.handle = handle
             self.totals = handle.getValueState("totals", state_schema)
+            # expiry of the currently-armed timer: re-arming must DELETE
+            # the previous timer, or a stale timer from an earlier batch
+            # fires mid-activity and flushes/clears live state early
+            self.armed = handle.getValueState(
+                "armed", StructType([StructField("t", LongType())])
+            )
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
             n, total = (self.totals.get() or (0, 0.0)) if self.totals.exists() else (0, 0.0)
@@ -109,18 +115,28 @@ def _session_tracker_cls():
                 n += len(pdf)
                 total += float(pdf["value"].sum())
             self.totals.update((n, total))
-            self.handle.registerTimer(
-                timerValues.getCurrentProcessingTimeInMs() + self.INACTIVITY_MS
-            )
+            if self.armed.exists():
+                self.handle.deleteTimer(self.armed.get()[0])
+            expiry = timerValues.getCurrentProcessingTimeInMs() + self.INACTIVITY_MS
+            self.handle.registerTimer(expiry)
+            self.armed.update((expiry,))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_value": [total],
                  "flushed": [False]}
             )
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+            # belt-and-braces: only the CURRENTLY-armed timer may flush
+            # (deleteTimer makes stale firings impossible going forward,
+            # but a timer armed before this code shipped could survive in
+            # a restarted checkpoint's state store)
+            armed_t = self.armed.get()[0] if self.armed.exists() else None
+            if armed_t is not None and expiredTimerInfo.getExpiryTimeInMs() < armed_t:
+                return
             if self.totals.exists():
                 n, total = self.totals.get()
                 self.totals.clear()
+                self.armed.clear()
                 yield pd.DataFrame(
                     {"user_id": [key[0]], "n_events": [n], "total_value": [total],
                      "flushed": [True]}

@@ -148,3 +148,87 @@ def test_transform_with_state_inactivity_flush(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_session_tracker_rearm_deletes_stale_timer():
+    """Unit-level check of the SessionTracker timer protocol with fake
+    state/handle objects (no real clock, so no flaky sleeps): re-arming
+    on new input DELETES the previously registered timer — otherwise a
+    stale timer from an earlier batch fires mid-activity and flushes +
+    clears live state prematurely — and an expired timer older than the
+    armed one is ignored."""
+    import pandas as pd
+
+    from shardpack_spark.streaming.stateful import _session_tracker_cls
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = tuple(v)
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+            self.registered = []
+            self.deleted = []
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeState())
+        def registerTimer(self, t):
+            self.registered.append(t)
+        def deleteTimer(self, t):
+            self.deleted.append(t)
+
+    class FakeTimerValues:
+        def __init__(self, now):
+            self._now = now
+        def getCurrentProcessingTimeInMs(self):
+            return self._now
+
+    class FakeExpiredInfo:
+        def __init__(self, t):
+            self._t = t
+        def getExpiryTimeInMs(self):
+            return self._t
+
+    tracker = _session_tracker_cls()()
+    h = FakeHandle()
+    tracker.init(h)
+    ia = tracker.INACTIVITY_MS
+
+    def feed(now, values):
+        return list(
+            tracker.handleInputRows(
+                (1,), iter([pd.DataFrame({"value": values})]), FakeTimerValues(now)
+            )
+        )
+
+    out1 = feed(1000, [1.0, 2.0])
+    assert h.registered == [1000 + ia] and h.deleted == []
+    assert out1[0]["n_events"][0] == 2
+
+    # activity again before the first timer expires: old timer deleted
+    out2 = feed(1500, [4.0])
+    assert h.deleted == [1000 + ia]
+    assert h.registered == [1000 + ia, 1500 + ia]
+    assert out2[0]["total_value"][0] == 7.0
+
+    # a stale pre-fix timer surviving in a restarted checkpoint: ignored
+    stale = list(
+        tracker.handleExpiredTimer((1,), FakeTimerValues(1000 + ia), FakeExpiredInfo(1000 + ia))
+    )
+    assert stale == []
+    assert h.states["totals"].exists()  # live state NOT cleared
+
+    # the armed timer fires: flush + clear
+    fired = list(
+        tracker.handleExpiredTimer((1,), FakeTimerValues(1500 + ia), FakeExpiredInfo(1500 + ia))
+    )
+    assert fired[0]["flushed"][0] and fired[0]["n_events"][0] == 3
+    assert not h.states["totals"].exists() and not h.states["armed"].exists()
