@@ -119,17 +119,20 @@ def q29_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("sid"),
         F.split(F.trim(F.col("text")), r"\s+").alias("t"),
     ).filter(F.size("t") >= 3)
-    wsh = (
-        toks.select(
-            "sid",
-            F.explode(
+    # per-document dedup INSIDE the row (array_distinct before the
+    # explode), exactly like char_shingles: a trailing .distinct() on the
+    # exploded rows would re-shuffle every shingle of every document to
+    # remove duplicates that are already local to the row
+    wsh = toks.select(
+        "sid",
+        F.explode(
+            F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size("t") - 2),
                     lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
                 )
-            ).alias("shingle"),
-        )
-        .distinct()
+            )
+        ).alias("shingle"),
     )
     word3 = dedup.jaccard_pairs_exact(wsh, threshold=0.8)
 
