@@ -442,6 +442,10 @@ def _zstd_compress(src: bytes) -> bytes:
     return bytes(out)
 
 
+_ZSTD_SKIP_LO = 0x184D2A50  # skippable frame magic range (RFC 8878 §3.1.2)
+_ZSTD_SKIP_HI = 0x184D2A5F
+
+
 def _zstd_decompress(src: bytes) -> bytes:
     # a truncated frame header must fail TYPED like every other corrupt
     # input (the body's src[i] byte reads raise IndexError on short input)
@@ -452,9 +456,34 @@ def _zstd_decompress(src: bytes) -> bytes:
 
 
 def _zstd_decompress_inner(src: bytes) -> bytes:
-    if src[:4] != _ZSTD_MAGIC:
-        raise ShardPackCodecError("zstd: bad magic")
-    i = 4
+    """Decode a zstd FILE: one or more concatenated frames, skippable
+    frames ignored — `cat a.zst b.zst` and zstd-CLI outputs with
+    metadata frames decode like the reference implementation, instead of
+    silently truncating after the first frame."""
+    if not src:
+        raise ShardPackCodecError("zstd: empty input")
+    out = bytearray()
+    i = 0
+    while i < len(src):
+        magic = int.from_bytes(src[i : i + 4], "little")
+        if _ZSTD_SKIP_LO <= magic <= _ZSTD_SKIP_HI:
+            if i + 8 > len(src):
+                raise ShardPackCodecError("zstd: truncated skippable frame")
+            size = int.from_bytes(src[i + 4 : i + 8], "little")
+            if i + 8 + size > len(src):
+                raise ShardPackCodecError("zstd: truncated skippable frame")
+            i += 8 + size
+            continue
+        if src[i : i + 4] != _ZSTD_MAGIC:
+            raise ShardPackCodecError("zstd: bad magic")
+        frame, i = _zstd_decode_frame(src, i + 4)
+        out += frame
+    return bytes(out)
+
+
+def _zstd_decode_frame(src: bytes, i: int) -> tuple[bytes, int]:
+    """Decode ONE frame whose header starts at ``i`` (past the magic);
+    returns (content, offset past the frame)."""
     desc = src[i]
     i += 1
     fcs_flag = desc >> 6
@@ -505,13 +534,16 @@ def _zstd_decompress_inner(src: bytes) -> bytes:
         if last:
             break
     if has_checksum:
+        if i + 4 > len(src):
+            raise ShardPackCodecError("zstd: truncated content checksum")
         want = int.from_bytes(src[i : i + 4], "little")
         got = _xxh64(bytes(out)) & 0xFFFFFFFF
         if want != got:
             raise ShardPackCodecError(f"zstd: content checksum mismatch ({got:#x} != {want:#x})")
+        i += 4
     if fcs is not None and fcs != len(out):
         raise ShardPackCodecError(f"zstd: content size {len(out)} != header {fcs}")
-    return bytes(out)
+    return bytes(out), i
 
 
 # Decompressors take (stored_bytes, expected_size|None): the container

@@ -468,3 +468,27 @@ def test_zstd_corrupt_frames_fail_typed():
             C._zstd_decompress(bytes(f))
         except C.ShardPackCodecError:
             pass
+
+
+def test_zstd_multi_frame_and_skippable():
+    """A zstd FILE may be several concatenated frames with skippable
+    (metadata) frames interleaved — `cat a.zst b.zst` decodes to a+b
+    like the reference implementation, pure-encoder and libzstd frames
+    mix freely, and truncated skippable frames fail typed."""
+    pa = pytest.importorskip("pyarrow")
+    import warnings
+
+    codec = pa.Codec("zstd", compression_level=3)
+    a, b = b"first frame content " * 50, b"second frame bytes! " * 80
+    fa, fb = codec.compress(a, asbytes=True), codec.compress(b, asbytes=True)
+    assert C._zstd_decompress(fa + fb) == a + b
+    skip = (0x184D2A53).to_bytes(4, "little") + (5).to_bytes(4, "little") + b"metaX"
+    assert C._zstd_decompress(skip + fa + skip + fb + skip) == a + b
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pf = C._zstd_compress(b"pure frame")
+    assert C._zstd_decompress(fa + pf) == a + b"pure frame"
+    with pytest.raises(C.ShardPackCodecError):
+        C._zstd_decompress(skip[:6])
+    with pytest.raises(C.ShardPackCodecError):
+        C._zstd_decompress(fa + b"garbage!")
