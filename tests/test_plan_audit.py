@@ -51,3 +51,17 @@ def test_no_pair_space_materialization(spark, sf_dir, name):
             f"{name}: nested-loop join in plan — rewrite as equi/banded join "
             f"or allowlist with a justification"
         )
+
+
+@pytest.mark.parametrize("name", sorted(REG))
+def test_no_row_at_a_time_python(spark, sf_dir, name):
+    """No registered plan may contain a row-at-a-time Python UDF
+    (``BatchEvalPython``): Python in the hot path must be Arrow-batched
+    (``ArrowEvalPython`` / MapInPandas / shardpack scans), which is
+    ~10-100x faster.  Guards future registry entries against quietly
+    shipping an F.udf."""
+    s = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in s, (
+        f"{name}: row-at-a-time Python UDF in plan — use pandas_udf / "
+        f"mapInPandas / built-ins instead"
+    )
