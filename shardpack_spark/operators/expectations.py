@@ -143,11 +143,17 @@ def check(df: DataFrame, rules: list[Rule]) -> dict:
             # rows belonging to a duplicated key: count - countDistinct
             # counts the EXTRA copies; report every row of a dup group
             # minus one, the standard "how many rows must go" measure.
-            key = (
-                F.col(cols[0])
-                if len(cols) == 1
-                else F.concat_ws("\x00", *[F.col(x).cast("string") for x in cols])
-            )
+            # The key is a STRUCT, not a string concat: concat_ws SKIPS
+            # null fields, so ("a", NULL, "b") and ("a", "b", NULL)
+            # would collide as "a\x00b" and count as false duplicates.
+            # Keys containing any NULL never violate (masked to a null
+            # key, which count/count_distinct both skip) — same contract
+            # as the single-column form: compose with not_null.
+            cs = [F.col(x) for x in cols]
+            nonnull = cs[0].isNotNull()
+            for c in cs[1:]:
+                nonnull = nonnull & c.isNotNull()
+            key = F.when(nonnull, F.struct(*cs))
             aggs.append(
                 (F.count(key) - F.count_distinct(key)).alias(f"__v{i}")
             )

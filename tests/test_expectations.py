@@ -184,3 +184,26 @@ def test_edge_cases(spark):
     clean, dirty = quarantine(three, [])
     assert clean.count() == 3 and dirty.count() == 0
     assert dict(dirty.dtypes)["_violated"] == "array<string>"
+
+
+def test_unique_multicolumn_null_fields_never_collide(spark):
+    """Multi-column unique must not fold NULL fields away: ("a", NULL,
+    "b") and ("a", "b", NULL) are DIFFERENT keys (a concat_ws-style key
+    would collide them), and any key containing NULL never violates
+    (compose with not_null), matching the single-column contract."""
+    from shardpack_spark.operators.expectations import check, unique
+
+    df = spark.createDataFrame(
+        [
+            ("a", None, "b"),
+            ("a", "b", None),   # distinct from the row above
+            ("x", "y", "z"),
+            ("x", "y", "z"),    # one true duplicate pair
+            ("x", "y", None),   # null-key rows never violate...
+            ("x", "y", None),   # ...even when repeated
+        ],
+        "c1 string, c2 string, c3 string",
+    )
+    rep = check(df, [unique("c1", "c2", "c3")])
+    (rule,) = rep["rules"]
+    assert rule["violations"] == 1 and not rule["passed"]
