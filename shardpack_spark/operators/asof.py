@@ -83,6 +83,13 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (right_on, right_by)]
+    # NULL event times never MATCH and never SERVE as matches (pandas
+    # merge_asof refuses them outright; we keep the left row, unmatched).
+    # Without this, a null-ts right row sorts FIRST in the ascending pass
+    # and its values get carried to every later probe row as a "match",
+    # and a null-ts left row in the descending pass sorts last and picks
+    # up the smallest-ts right row.
+    right = right.filter(F.col(right_on).isNotNull())
 
     lcols = left.columns
     # All right value columns travel as ONE struct (with the matched ts as
@@ -120,6 +127,9 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
 
     def pick(m: Column) -> list[Column]:
+        # a null-ts PROBE row never matches (its window position is
+        # order-dependent, not semantic)
+        m = F.when(F.col("__ts").isNotNull(), m)
         return [
             *[F.col(c) for c in lcols],
             *[m[c].alias(c) for c in value_cols],

@@ -564,3 +564,44 @@ def test_html_to_text_cross_engine_fuzz(spark):
     )
     for i, s in enumerate(samples):
         assert spark_got[i] == duck_got[i], f"diverged on {s!r}: spark={spark_got[i]!r} duckdb={duck_got[i]!r}"
+
+
+def test_asof_null_event_times_never_match(spark):
+    """NULL event times neither match nor serve as matches (pandas
+    merge_asof refuses them; we keep the left row unmatched): a null-ts
+    right row must not be carried into later probes by the ascending
+    pass, and a null-ts left row must not pick up the smallest-ts right
+    row in the descending pass.  Non-null subset must equal pandas
+    merge_asof exactly."""
+    import pandas as pd
+
+    from shardpack_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "l1"), (1, 20.0, "l2"), (1, None, "lnull"), (2, 5.0, "l3")],
+        "k long, ts double, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "POISON"), (1, 8.0, "r8"), (1, 15.0, "r15"), (2, 9.0, "r9")],
+        "k long, ts double, rv string",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            (r["k"], r["ts"]): r["rv"]
+            for r in asof_join(
+                left, right, "ts", "ts", "k", "k", direction=direction
+            ).collect()
+        }
+        # null-ts probes never match, in any direction
+        assert got[(1, None)] is None, direction
+        # the null-ts right row is never a match for anyone
+        assert "POISON" not in got.values(), direction
+        # non-null subset == pandas merge_asof on null-dropped frames
+        lp = pd.DataFrame({"k": [1, 1, 2], "ts": [10.0, 20.0, 5.0]}).sort_values("ts")
+        rp = pd.DataFrame(
+            {"k": [1, 1, 2], "ts": [8.0, 15.0, 9.0], "rv": ["r8", "r15", "r9"]}
+        ).sort_values("ts")
+        want = pd.merge_asof(lp, rp, on="ts", by="k", direction=direction)
+        for _, row in want.iterrows():
+            exp = row["rv"] if isinstance(row["rv"], str) else None
+            assert got[(row["k"], row["ts"])] == exp, (direction, row["ts"])
