@@ -29,7 +29,18 @@ def salted_join(
     The salt is xxhash64-derived (deterministic, no rand() — reruns give
     identical partitioning).  Output columns = skewed ++ dim minus the
     right key.
+
+    Only left-side-preserving joins are valid: the dim side is REPLICATED
+    n_salts times, so a right/full/outer join would emit every unmatched
+    dim row once per replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join replicates the dim side {n_salts}x; join type "
+            f"{how!r} would duplicate unmatched dim rows — use inner/left/"
+            "semi/anti"
+        )
     salted_l = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     )

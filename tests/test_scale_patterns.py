@@ -56,3 +56,20 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     agg.collect()
     n = agg.rdd.getNumPartitions()
     assert n < 32, f"AQE should coalesce tiny shuffle, got {n} partitions"
+
+
+def test_salted_join_rejects_dim_preserving_types(spark, sf_dir):
+    """The dim side is replicated n_salts times, so right/full joins
+    would emit unmatched dim rows once per replica — rejected loudly."""
+    import pytest as _pt
+
+    from shardpack_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    for how in ("right", "full", "outer", "full_outer"):
+        with _pt.raises(ValueError, match="duplicate unmatched dim rows"):
+            salted_join(li, p, "l_partkey", "p_partkey", how=how)
+    # left join still works and preserves unmatched left rows once
+    n = salted_join(li.limit(100), p, "l_partkey", "p_partkey", how="left").count()
+    assert n == 100
