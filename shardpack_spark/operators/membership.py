@@ -95,7 +95,21 @@ def build_bloom(
                              np.uint8(1) << (flat & np.uint64(7)).astype(np.uint8))
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    parts = hashes.mapInPandas(to_bitmap, "bits binary").collect()
+    def or_merge(batches):
+        import pandas as pd
+
+        acc = np.zeros(n_bytes, dtype=np.uint8)
+        for b in batches:
+            for buf in b["bits"]:
+                acc |= np.frombuffer(buf, dtype=np.uint8)
+        yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    # two-level merge: a 1000-task scan would otherwise ship 1000 bitmaps
+    # (each m/8 bytes — ~150 MB at a billion items / 1% fpp) straight to
+    # the driver.  One distributed OR-reduce stage first caps the collect
+    # at 16 bitmaps regardless of scan parallelism.
+    bitmaps = hashes.mapInPandas(to_bitmap, "bits binary")
+    parts = bitmaps.repartition(16).mapInPandas(or_merge, "bits binary").collect()
     merged = np.zeros(n_bytes, dtype=np.uint8)
     for r in parts:
         merged |= np.frombuffer(r["bits"], dtype=np.uint8)
