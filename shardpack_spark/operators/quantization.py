@@ -42,6 +42,7 @@ def pq_train(
     n_iter: int = 3,
     seed: int = 42,
     dim: int | None = None,
+    train_fraction: float | None = None,
 ) -> list[list[list[float]]]:
     """Train M codebooks of K centroids each; returns codebooks[m][k][d/M].
 
@@ -49,11 +50,22 @@ def pq_train(
     Centroid ids may be sparse (empty clusters drop) — codebooks keep
     only surviving centroids, and codes index into that list.  Pass
     ``dim`` when known to skip the one-row probe job.
+
+    ``train_fraction``: train on a deterministic hash sample instead of
+    the full corpus (the FAISS convention — codebooks converge on a few
+    hundred points per centroid, and M x n_iter full-corpus passes are
+    the dominant build cost at 100 TB).  The sample is a pure function
+    of (id, seed), so codebooks stay reproducible under any
+    partitioning; encoding always covers every vector.
     """
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if train_fraction is not None:
+        from shardpack_spark.operators.sampling import hash_sample
+
+        df = hash_sample(df, id_col, train_fraction, seed=seed)
     sub_d = dim // m
     books: list[list[list[float]]] = []
     for mi in range(m):
@@ -121,6 +133,7 @@ def ivfpq_build(
     id_col: str = "vec_id",
     n_iter: int = 3,
     seed: int = 42,
+    train_fraction: float | None = None,
 ):
     """IVF-PQ index build (the standard billion-scale ANN layout):
     coarse k-means buckets the corpus, PQ encodes each vector's RESIDUAL
@@ -168,7 +181,7 @@ def ivfpq_build(
         books = pq_train(
             res_df, m=m, k=k, vec_col=vec_col, id_col=id_col,
             n_iter=n_iter, seed=seed + 7919 * (coarse_k + 1),
-            dim=len(cents[0]),
+            dim=len(cents[0]), train_fraction=train_fraction,
         )
         encoded = pq_encode(res_df, books, vec_col).select(id_col, "cid", "pq_code")
         # materialize the (small: M bytes/vector) index before dropping

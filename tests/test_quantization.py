@@ -199,3 +199,21 @@ def test_query_dim_validation(spark):
         pq_topk(codes, books, [0.0] * 8, k=3)
     with pytest.raises(ValueError, match="nprobe"):
         ivfpq_topk(codes, [(0, [0.0] * 16)], books, [0.0] * 16, nprobe=0)
+
+
+def test_pq_train_fraction_deterministic_and_covering(spark, sf_dir):
+    """train_fraction trains codebooks on a deterministic hash sample:
+    same fraction+seed -> identical codebooks under any partitioning;
+    encoding still covers EVERY vector."""
+    from shardpack_spark.operators.quantization import pq_encode, pq_train
+    from shardpack_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b1 = pq_train(emb, m=4, k=4, n_iter=2, train_fraction=0.5)
+    b2 = pq_train(emb.repartition(7), m=4, k=4, n_iter=2, train_fraction=0.5)
+    assert b1 == b2
+    full = pq_train(emb, m=4, k=4, n_iter=2)
+    assert b1 != full  # the sample genuinely restricted training
+    enc = pq_encode(emb, b1, "embedding")
+    assert enc.count() == emb.count()
+    assert enc.filter("pq_code is null or size(pq_code) != 4").count() == 0
