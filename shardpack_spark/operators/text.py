@@ -569,10 +569,21 @@ def line_dedup(
     ).withColumn("__norm", F.lower(F.trim("__line")))
     dedupable = F.length("__norm") >= min_line_chars
 
+    # document frequency: each doc counts each normalized line ONCE.
+    # The per-doc dedup happens INSIDE the row (array_distinct before
+    # the explode) — a (id, norm).distinct() on the exploded rows would
+    # shuffle every line of every document to remove duplicates that
+    # are local to the row (the char_shingles rule).
+    norm_arr = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), pat), lambda l: F.lower(F.trim(l))
+            ),
+            lambda s: F.length(s) >= min_line_chars,
+        )
+    )
     drop_list = (
-        lines.filter(dedupable)
-        .select(id_col, "__norm")
-        .distinct()
+        df.select(F.explode(norm_arr).alias("__norm"))
         .groupBy("__norm")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") > max_doc_freq)
