@@ -362,60 +362,93 @@ def ngram_contamination(
     )
 
 
-def _gram_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """One-scan token/bigram/trigram statistics per document.
+def _run_fold(sorted_arr: Column) -> Column:
+    """(best, dup) over a SORTED gram array, one codegen left-fold:
+    ``best`` = the longest equal-run length (= the max gram count),
+    ``dup`` = total instances of grams occurring more than once
+    (when a run reaches 2 both instances count, each extension adds 1 —
+    summing run_len over runs with run_len > 1)."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+    )
 
-    Tokenizes once, builds unigrams+bigrams+trigrams as a single tagged
-    array inside the row, explodes once, then takes TWO aggregations on
-    compact keys — (doc, n, gram) counts, then conditional sums per doc.
-    Both partial-aggregate map-side, nothing shuffles text except the
-    gram strings themselves.  ONE pass over the corpus for every signal
-    repetition_signals and gopher_quality_filter need (the naive shape —
-    one subplan per signal — re-scans the table once per signal).
+    def step(acc, x):
+        run2 = (
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).cast("long")
+        )
+        dup2 = acc["dup"] + (
+            F.when(run2 == 2, F.lit(2)).when(run2 > 2, F.lit(1)).otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(acc["best"], run2).alias("best"),
+            dup2.cast("long").alias("dup"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        acc0,
+        step,
+        lambda acc: F.struct(acc["best"].alias("best"), acc["dup"].alias("dup")),
+    )
+
+
+def _gram_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-scan token/bigram/trigram statistics per document — with ZERO
+    shuffles.
+
+    Every signal here is document-local, so nothing needs a groupBy:
+    grams build inside the row, gram counts come from equal-run folds
+    over the row's SORTED gram arrays (O(tokens log tokens) codegen per
+    row), and the output is a pure select.  The previous shape exploded
+    (doc, n, gram) and aggregated twice — shuffling every distinct gram
+    string of the corpus for per-document answers.  Output columns and
+    NULL semantics (short docs have NULL bigram/trigram stats, exactly
+    as conditional aggregation produced) are unchanged.
     """
     toks = _word_tokens(F.trim(F.col(text_col)))
     toks = F.filter(toks, lambda t: F.length(t) > 0)
 
     def grams(n: int):
-        if n == 1:
-            arr = F.col("__toks")
-        else:
-            # guard: sequence(1, 0) DESCENDS in Spark, so short docs need
-            # an explicit empty array, not a clamped upper bound
-            arr = F.when(
-                F.size("__toks") >= n,
-                F.expr(
-                    f"transform(sequence(1, size(__toks) - {n - 1}),"
-                    f" i -> array_join(slice(__toks, i, {n}), ' '))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        return F.transform(arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+        # guard: sequence(1, 0) DESCENDS in Spark, so short docs need
+        # an explicit empty array, not a clamped upper bound
+        return F.when(
+            F.size("__toks") >= n,
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {n - 1}),"
+                f" i -> array_join(slice(__toks, i, {n}), ' '))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
-    tagged = (
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    bi = F.array_sort(grams(2))
+    tri = F.array_sort(grams(3))
+    bst = _run_fold(bi)
+    tst = _run_fold(tri)
+    return (
         df.select(F.col(id_col), toks.alias("__toks"))
         .filter(F.size("__toks") > 0)  # 0-word docs have no defined signals
         .select(
             F.col(id_col),
-            F.explode(F.concat(grams(1), grams(2), grams(3))).alias("ng"),
+            F.size("__toks").cast("long").alias("n_words"),
+            F.size(F.array_distinct("__toks")).cast("long").alias("n_distinct"),
+            F.aggregate(
+                F.col("__toks"),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t),
+            ).alias("char_sum"),
+            F.exists("__toks", lambda t: F.array_contains(stop_arr, t))
+            .cast("int")
+            .alias("has_stop_i"),
+            F.when(F.size(bi) > 0, bst["best"]).alias("max_bigram"),
+            F.when(F.size(bi) > 0, F.size(bi).cast("long")).alias("total_bigrams"),
+            F.when(F.size(tri) > 0, tst["dup"]).alias("dup_trigram_inst"),
+            F.when(F.size(tri) > 0, F.size(tri).cast("long")).alias("total_trigrams"),
         )
-        .select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
-    )
-    counts = tagged.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("cnt"))
-    is1, is2, is3 = (F.col("n") == i for i in (1, 2, 3))
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    return counts.groupBy(id_col).agg(
-        F.sum(F.when(is1, F.col("cnt"))).alias("n_words"),
-        F.count(F.when(is1, F.lit(1))).alias("n_distinct"),
-        F.sum(F.when(is1, F.length("g") * F.col("cnt"))).alias("char_sum"),
-        F.max(
-            F.when(is1, F.array_contains(stop_arr, F.col("g")).cast("int"))
-        ).alias("has_stop_i"),
-        F.max(F.when(is2, F.col("cnt"))).alias("max_bigram"),
-        F.sum(F.when(is2, F.col("cnt"))).alias("total_bigrams"),
-        F.sum(
-            F.when(is3, F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
-        ).alias("dup_trigram_inst"),
-        F.sum(F.when(is3, F.col("cnt"))).alias("total_trigrams"),
     )
 
 

@@ -180,3 +180,17 @@ def test_oph_pairs_match_classic_on_sf(spark, sf_dir):
         assert classic == oph and len(classic) > 0
     finally:
         sh.unpersist()
+
+
+def test_repetition_signals_zero_shuffle_plan(spark, sf_dir):
+    """Every repetition/Gopher signal is document-local, so the plan
+    must contain NO exchange: grams build and count inside the row via
+    sorted-array folds (the previous shape shuffled every distinct
+    (doc, gram) pair of the corpus, twice)."""
+    from shardpack_spark.operators.text import gopher_quality_filter, repetition_signals
+    from shardpack_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for fn in (repetition_signals, gopher_quality_filter):
+        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, fn.__name__
