@@ -42,18 +42,25 @@ def hashed_features(
     """
     if dim < 2:
         raise ValueError(f"dim must be >= 2, got {dim}")
-    toks = df.select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("__tok")
-    ).select(
-        id_col,
-        F.pmod(F.xxhash64(F.col("__tok")), F.lit(dim)).alias("bucket"),
+    # the L1 denominator is just the doc's token count — computed IN-ROW
+    # before the explode and carried alongside, so normalization needs no
+    # second aggregation and no join (one shuffle total, on (id, bucket))
+    base = df.select(F.col(id_col), _tokens(text_col).alias("__t"))
+    toks = base.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("__n"),
+        F.explode(
+            F.transform("__t", lambda t: F.pmod(F.xxhash64(t), F.lit(dim)))
+        ).alias("bucket"),
     )
-    per_doc = toks.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("__cnt"))
-    totals = per_doc.groupBy(id_col).agg(F.sum("__cnt").alias("__n"))
-    return per_doc.join(totals, id_col).select(
-        id_col,
-        "bucket",
-        (F.col("__cnt").cast("double") / F.col("__n")).alias("x"),
+    return (
+        toks.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.first("__n").alias("__n"))
+        .select(
+            id_col,
+            "bucket",
+            (F.col("__cnt").cast("double") / F.col("__n")).alias("x"),
+        )
     )
 
 
