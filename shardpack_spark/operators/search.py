@@ -51,17 +51,23 @@ STATS_KEY = "\x00corpus-stats"
 
 
 def _term_tf(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = docs.select(
+    """(term, doc_id, tf, dl) rows.  ``dl`` (the BM25 document length =
+    the doc's non-empty token count) is computed IN-ROW before the
+    explode and carried alongside — the previous shape derived it with a
+    doc-keyed window over the exploded rows, a second full shuffle of
+    every (term, doc) pair just to attach a per-document scalar."""
+    base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(_word_tokens(F.col(text_col))).alias("term"),
-    ).filter(F.col("term") != "")
-    return toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-
-
-def _with_dl(tf: DataFrame) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    return tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+        F.filter(_word_tokens(F.col(text_col)), lambda t: t != F.lit("")).alias("__t"),
+    )
+    toks = base.select(
+        "doc_id",
+        F.size("__t").cast("long").alias("dl"),
+        F.explode("__t").alias("term"),
+    )
+    return toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
 
 
 def _plist_agg(
@@ -173,7 +179,7 @@ def build_inverted_index(
     n_docs, total_tokens = (
         tf.agg(F.count_distinct("doc_id"), F.coalesce(F.sum("tf"), F.lit(0))).collect()[0]
     )
-    postings = _plist_agg(_with_dl(tf), min_df, max_df)
+    postings = _plist_agg(tf, min_df, max_df)
     rows = _postings_to_rows(postings, segment_docs).unionByName(
         _stats_row(spark, n_docs, total_tokens, segment_docs, min_df, max_df)
     )
@@ -279,7 +285,7 @@ def update_inverted_index(
     if n_new == 0:
         tf.unpersist()
         return ""
-    new_postings = _plist_agg(_with_dl(tf))
+    new_postings = _plist_agg(tf)
 
     # existing postings for ONLY the affected terms
     terms = [r["term"] for r in new_postings.select("term").limit(max_probe_terms + 1).collect()]

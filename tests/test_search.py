@@ -350,13 +350,13 @@ def test_max_df_cut_is_pre_aggregation(spark):
     LeftAnti join sits BELOW the posting-list aggregate (over-cap terms'
     rows are dropped before any list materializes); results match the
     post-filter model exactly."""
-    from shardpack_spark.operators.search import _plist_agg, _term_tf, _with_dl
+    from shardpack_spark.operators.search import _plist_agg, _term_tf
 
     docs = spark.createDataFrame(
         [(i, ("common " * 5 + f"rare{i} mid{i % 3} ")) for i in range(20)],
         "doc_id long, text string",
     )
-    tfd = _with_dl(_term_tf(docs, "doc_id", "text"))
+    tfd = _term_tf(docs, "doc_id", "text")  # carries dl in-row
 
     cut = _plist_agg(tfd, min_df=2, max_df=10)
     plan = cut._jdf.queryExecution().optimizedPlan().toString()
