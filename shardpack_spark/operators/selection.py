@@ -42,11 +42,12 @@ def _round4(col: F.Column) -> F.Column:
     return F.floor(col * _ROUND + F.lit(0.5)) / _ROUND
 
 
-def word_ngrams(
-    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+def _gram_rows(
+    df: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id, ngram, tf): whitespace-tokenized lowercase word n-grams with
-    term frequency.  Pure codegen — no Python row path."""
+    """(id, ngram) OCCURRENCE rows (duplicates repeat) — the shared
+    explode both the per-doc tf aggregation and the corpus-level model
+    fits build on; the fits count occurrences directly, one shuffle."""
     ws = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != "")
     if n == 1:
         grams = F.col("__ws")
@@ -60,13 +61,21 @@ def word_ngrams(
             f"i -> concat_ws(' ', slice(__ws, i, {n}))), "
             f"array())"
         )
-    out = (
-        df.select(F.col(id_col).alias("id"), ws.alias("__ws"))
-        .select("id", F.explode(grams).alias("ngram"))
+    return df.select(F.col(id_col).alias("id"), ws.alias("__ws")).select(
+        "id", F.explode(grams).alias("ngram")
+    )
+
+
+def word_ngrams(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, ngram, tf): whitespace-tokenized lowercase word n-grams with
+    term frequency.  Pure codegen — no Python row path."""
+    return (
+        _gram_rows(df, n, text_col, id_col)
         .groupBy("id", "ngram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return out
 
 
 def ngram_log_ratios(
@@ -82,15 +91,18 @@ def ngram_log_ratios(
     vocabulary size — n-grams unseen in the target get the smoothed
     floor instead of -inf.  Rounded to 4 decimals (determinism note in
     the module docstring)."""
+    # corpus-level counts aggregate OCCURRENCE rows directly — the
+    # per-doc (id, ngram) pre-aggregation would be a second shuffle
+    # feeding an identical integer total (exact under any order)
     raw_counts = (
-        word_ngrams(raw, n, text_col, id_col)
+        _gram_rows(raw, n, text_col, id_col)
         .groupBy("ngram")
-        .agg(F.sum("tf").alias("cr"))
+        .agg(F.count(F.lit(1)).alias("cr"))
     )
     tgt_counts = (
-        word_ngrams(target, n, text_col, id_col)
+        _gram_rows(target, n, text_col, id_col)
         .groupBy("ngram")
-        .agg(F.sum("tf").alias("ct"))
+        .agg(F.count(F.lit(1)).alias("ct"))
     )
     # totals / vocab as 1-row DF -> crossJoin (never .collect(): the
     # totals job would otherwise run eagerly and twice)
@@ -147,10 +159,10 @@ def hashed_ngram_log_ratios(
     no matter the vocabulary (guaranteed broadcastable at any corpus
     size; collisions blur the model slightly, exactly as published)."""
     b = lambda d: (  # noqa: E731
-        word_ngrams(d, n, text_col, id_col)
-        .select(F.pmod(F.xxhash64("ngram"), F.lit(n_buckets)).alias("bucket"), "tf")
+        _gram_rows(d, n, text_col, id_col)
+        .select(F.pmod(F.xxhash64("ngram"), F.lit(n_buckets)).alias("bucket"))
         .groupBy("bucket")
-        .agg(F.sum("tf").alias("c"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     raw_b = b(raw).withColumnRenamed("c", "cr")
     tgt_b = b(target).withColumnRenamed("c", "ct")
