@@ -53,6 +53,23 @@ Consistency model (single logical writer per dataset directory):
 Options:
     compression         none|gzip|lz4|zstd|snappy     (write; default none)
     target_shard_bytes  int                           (write; default 256 MiB)
+    partition_by        "k1,k2"  (write; route records into partition-PURE
+                                  shards keyed by these METADATA keys.
+                                  Flat-directory hive partitioning: values
+                                  ride per-shard in the manifest, giving
+                                  exact where_meta pruning and dynamic
+                                  overwrite; layout recorded at the root
+                                  for compaction)
+    partition_overwrite_mode  static|dynamic  (write; with mode=overwrite
+                                  and partition_by, `dynamic` replaces ONLY
+                                  the partitions present in the new data —
+                                  Spark's partitionOverwriteMode semantics.
+                                  Replaced shards are dropped logically
+                                  (root `dropped` list), files retained for
+                                  time travel until vacuum)
+    max_partition_writers  int   (write; default 64 — cap on per-task open
+                                  partition writers; repartition by the
+                                  partition keys to stay under it)
     verify_checksums    true|false                    (read; default true)
     split_target_bytes  int                           (read; default 128 MiB)
     skip_payload        true|false  (read; entry headers without payload
@@ -224,6 +241,12 @@ def _load_manifest(
                     f"manifest part {rel} missing under {path} "
                     "(snapshot removed by a later overwrite?)"
                 ) from None
+        # dynamic partition overwrite drops shards LOGICALLY: part files
+        # are immutable, so the root lists the names its view excludes
+        # (the files stay for older snapshots; vacuum reclaims them)
+        dropped = set(root.get("dropped") or ())
+        if dropped:
+            shards = [s for s in shards if s["path"] not in dropped]
         return {**root, "shards": shards}
     return root
 
@@ -286,6 +309,27 @@ def list_versions(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def dataset_partitions(path: str, version: int | None = None) -> list[dict]:
+    """Live partitions of a partitioned dataset, metadata-only (no shard
+    opened): ``[{"partition": {k: v}, "shards", "records", "bytes"}]``,
+    sorted by partition tuple.  Shards without recorded partition values
+    (pre-partitioning appends) aggregate under partition=None, making a
+    mixed layout visible instead of invisible."""
+    m = _load_manifest(path, version) or {}
+    agg: dict[tuple | None, dict] = {}
+    for s in m.get("shards", []):
+        part = s.get("partition")
+        k = tuple(sorted(part.items())) if part is not None else None
+        e = agg.setdefault(k, {"shards": 0, "records": 0, "bytes": 0})
+        e["shards"] += 1
+        e["records"] += s.get("records", 0)
+        e["bytes"] += s.get("bytes", 0)
+    return [
+        {"partition": dict(k) if k is not None else None, **agg[k]}
+        for k in sorted(agg, key=lambda t: (t is None, json.dumps(t)))
+    ]
 
 
 def _write_manifest_part(path: str, shards: list[dict]) -> str:
@@ -881,12 +925,20 @@ class ShardPackReader(DataSourceReader):
             stats0 = {s["path"]: s for s in (manifest or {}).get("shards", [])}
 
             def meta_may_match(name: str) -> bool:
-                mv = stats0.get(name, {}).get("meta_values")
-                if not mv:
-                    return True
-                return all(
-                    k not in mv or v in mv[k] for k, v in self.where_meta.items()
-                )
+                s = stats0.get(name, {})
+                part = s.get("partition")
+                mv = s.get("meta_values")
+                for k, v in self.where_meta.items():
+                    if part and k in part:
+                        # partition-pure shard: the recorded value is
+                        # EXACT (writer-enforced), so equality prunes
+                        # even where value sets overflow their cap
+                        if part[k] != v:
+                            return False
+                        continue
+                    if mv and k in mv and v not in mv[k]:
+                        return False
+                return True
 
             names = [n for n in names if meta_may_match(n)]
         if self.where_meta_range:
@@ -1153,61 +1205,75 @@ def _meta_ranges_kept(rng: dict) -> dict:
             ((mk, c) for mk, c in rng.items() if c not in (None, ()))}
 
 
-def _write_with_stats(writer: "codec.DatasetWriter", iterator):
-    """Drain an Arrow-batch iterator into a DatasetWriter, collecting the
-    per-shard pruning stats every commit path records: [min,max] key
+class _StatsTracker:
+    """Per-shard pruning stats every commit path records: [min,max] key
     range, the key Bloom filter, low-cardinality metadata value sets, and
     numeric metadata [min,max] zone maps (batch and streaming writers
-    share this, so streamed shards prune the same as batch-written ones)."""
-    stats: dict[str, dict] = {}
-    meta_vals: dict[str, dict[str, set]] = {}
-    meta_rngs: dict[str, dict] = {}
-    # bloom hash pairs are finalized per shard the moment the writer
-    # rolls to the next one (a DatasetWriter never reopens a shard), so
-    # task memory is bounded by ONE shard's key count — not every record
-    # the task ever wrote
-    hashes: list[tuple[int, int]] = []
-    hash_shard: str | None = None
+    share this, so streamed shards prune the same as batch-written ones).
 
-    def _finalize_bloom(name: str) -> None:
-        bloom = _bloom_build(hashes)
+    ``add`` must see each writer's shards SEQUENTIALLY (a DatasetWriter
+    never reopens a shard): bloom hash pairs are finalized the moment the
+    shard name changes, so task memory is bounded by ONE shard's key
+    count per tracker — partitioned writes hold one tracker per open
+    partition writer, preserving the bound per writer."""
+
+    def __init__(self) -> None:
+        self.stats: dict[str, dict] = {}
+        self._meta_vals: dict[str, dict[str, set]] = {}
+        self._meta_rngs: dict[str, dict] = {}
+        self._hashes: list[tuple[int, int]] = []
+        self._hash_shard: str | None = None
+
+    def _finalize_bloom(self, name: str) -> None:
+        bloom = _bloom_build(self._hashes)
         if bloom is not None:
-            stats[name]["bloom"] = bloom
-        hashes.clear()
+            self.stats[name]["bloom"] = bloom
+        self._hashes.clear()
 
-    for rec in _batches_to_records(iterator):
-        writer.write(rec)
-        cur = os.path.basename(writer._writer.path)  # current shard for key stats
-        if hash_shard is not None and cur != hash_shard:
-            _finalize_bloom(hash_shard)
-        hash_shard = cur
-        s = stats.setdefault(cur, {"min_key": rec.key, "max_key": rec.key})
+    def add(self, rec: "codec.Record", cur: str) -> None:
+        if self._hash_shard is not None and cur != self._hash_shard:
+            self._finalize_bloom(self._hash_shard)
+        self._hash_shard = cur
+        s = self.stats.setdefault(cur, {"min_key": rec.key, "max_key": rec.key})
         s["min_key"] = min(s["min_key"], rec.key)
         s["max_key"] = max(s["max_key"], rec.key)
-        hashes.append(_bloom_key_hashes(rec.key))
+        self._hashes.append(_bloom_key_hashes(rec.key))
         # per-shard metadata value sets for data skipping: track each
         # key's distinct values up to a small cap; past the cap the key
         # is high-cardinality in this shard and recorded as unprunable
-        mv = meta_vals.setdefault(cur, {})
-        mr = meta_rngs.setdefault(cur, {})
+        mv = self._meta_vals.setdefault(cur, {})
+        mr = self._meta_rngs.setdefault(cur, {})
         for mk, v in (rec.metadata or {}).items():
             vs = mv.setdefault(mk, set())
             if len(vs) <= _META_VALUES_CAP:
                 vs.add(v)
             _meta_range_add(mr, mk, v)
-    if hash_shard is not None:
-        _finalize_bloom(hash_shard)
-    for name, mv in meta_vals.items():
-        kept = {
-            mk: sorted(vs) for mk, vs in mv.items() if len(vs) <= _META_VALUES_CAP
-        }
-        if kept:
-            stats[name]["meta_values"] = kept
-    for name, mr in meta_rngs.items():
-        kept_r = _meta_ranges_kept(mr)
-        if kept_r:
-            stats[name]["meta_ranges"] = kept_r
-    return writer.close(), stats
+
+    def finish(self) -> dict[str, dict]:
+        if self._hash_shard is not None:
+            self._finalize_bloom(self._hash_shard)
+            self._hash_shard = None
+        for name, mv in self._meta_vals.items():
+            kept = {
+                mk: sorted(vs) for mk, vs in mv.items() if len(vs) <= _META_VALUES_CAP
+            }
+            if kept:
+                self.stats[name]["meta_values"] = kept
+        for name, mr in self._meta_rngs.items():
+            kept_r = _meta_ranges_kept(mr)
+            if kept_r:
+                self.stats[name]["meta_ranges"] = kept_r
+        return self.stats
+
+
+def _write_with_stats(writer: "codec.DatasetWriter", iterator):
+    """Drain an Arrow-batch iterator into a DatasetWriter, collecting
+    per-shard pruning stats (see _StatsTracker)."""
+    tracker = _StatsTracker()
+    for rec in _batches_to_records(iterator):
+        writer.write(rec)
+        tracker.add(rec, os.path.basename(writer._writer.path))
+    return writer.close(), tracker.finish()
 
 
 class ShardPackWriter(DataSourceArrowWriter):
@@ -1234,6 +1300,37 @@ class ShardPackWriter(DataSourceArrowWriter):
         meb = options.get("max_entry_bytes")
         self.max_record_bytes = int(mrb) if mrb is not None else None
         self.max_entry_bytes = int(meb) if meb is not None else None
+        # Partitioned layout: route records to partition-pure shards keyed
+        # by these METADATA keys (the hive-partitioning analog for a
+        # key/metadata/entries record model).  Shards stay in ONE flat
+        # directory — partition values ride in the manifest, where exact
+        # planning-time pruning and dynamic overwrite read them — so
+        # every flat-layout code path (listing, vacuum, streaming
+        # watermarks, spec naming collisions aside) keeps working.
+        pb = options.get("partition_by")
+        self.partition_by: list[str] = (
+            [k.strip() for k in pb.split(",") if k.strip()] if pb else []
+        )
+        if self.partition_by and self.spec_basename:
+            raise codec.ShardPackIOError(
+                "partition_by and spec_naming cannot combine: spec renames "
+                "assign one global sequence, which would interleave "
+                "partitions into shared names"
+            )
+        pom = str(options.get("partition_overwrite_mode", "static")).lower()
+        if pom not in ("static", "dynamic"):
+            raise codec.ShardPackIOError(
+                f"partition_overwrite_mode must be static|dynamic, got {pom!r}"
+            )
+        # dynamic overwrite == mode('overwrite') that replaces ONLY the
+        # partitions present in the new data (Spark's
+        # spark.sql.sources.partitionOverwriteMode=dynamic semantics)
+        self.dynamic_overwrite = overwrite and pom == "dynamic"
+        if self.dynamic_overwrite and not self.partition_by:
+            raise codec.ShardPackIOError(
+                "partition_overwrite_mode=dynamic requires partition_by"
+            )
+        self.max_partition_writers = int(options.get("max_partition_writers", 64))
         storage.for_path(self.path).makedirs(self.path)
         # driver-side: monotonic commit sequence for this job's shard names
         self.commit_seq = _next_commit_seq(self.path)
@@ -1245,6 +1342,8 @@ class ShardPackWriter(DataSourceArrowWriter):
 
         tc = TaskContext.get()
         basename = f"c{self.commit_seq:08d}-part-{tc.partitionId():05d}-{uuid.uuid4().hex[:8]}"
+        if self.partition_by:
+            return ShardCommitMessage(shards=self._write_partitioned(iterator, basename))
         writer = codec.DatasetWriter(
             self.path,
             basename=basename,
@@ -1261,6 +1360,63 @@ class ShardPackWriter(DataSourceArrowWriter):
                 {"path": name, "records": r["records"], "bytes": r["bytes"], **stats.get(name, {})}
             )
         return ShardCommitMessage(shards=shards)
+
+    def _write_partitioned(self, iterator, basename: str) -> list[dict]:
+        """Route records to one DatasetWriter per distinct partition-value
+        tuple, so every output shard is partition-PURE (one value per
+        partition key) and the manifest can prune and replace by exact
+        partition match.
+
+        Memory stays bounded: each open writer buffers one compression
+        stream and its _StatsTracker holds one shard's key hashes; the
+        writer count is capped (a task fed N random partitions would
+        otherwise open N handles AND emit N tiny shards — the fix at
+        scale is `df.repartition(F.element_at("metadata", lit(k)))` so
+        each task sees few partition values, same as Spark's dynamic
+        partition inserts)."""
+        writers: dict[tuple, tuple[codec.DatasetWriter, _StatsTracker]] = {}
+        for rec in _batches_to_records(iterator):
+            md = rec.metadata or {}
+            pv = tuple(md.get(k) for k in self.partition_by)
+            ent = writers.get(pv)
+            if ent is None:
+                if len(writers) >= self.max_partition_writers:
+                    raise codec.ShardPackIOError(
+                        f"task saw more than max_partition_writers="
+                        f"{self.max_partition_writers} distinct values of "
+                        f"partition_by={self.partition_by}; repartition the "
+                        "input by the partition keys first "
+                        "(df.repartition(F.element_at('metadata', lit(k)))) "
+                        "or raise the option"
+                    )
+                w = codec.DatasetWriter(
+                    self.path,
+                    basename=f"{basename}-p{len(writers):04d}",
+                    compression=self.compression,
+                    target_shard_bytes=self.target,
+                    max_record_bytes=self.max_record_bytes,
+                    max_entry_bytes=self.max_entry_bytes,
+                )
+                ent = writers[pv] = (w, _StatsTracker())
+            w, tracker = ent
+            w.write(rec)
+            tracker.add(rec, os.path.basename(w._writer.path))
+        shards: list[dict] = []
+        for pv, (w, tracker) in writers.items():
+            stats = tracker.finish()
+            pdict = dict(zip(self.partition_by, pv))
+            for r in w.close():
+                name = os.path.basename(r["path"])
+                shards.append(
+                    {
+                        "path": name,
+                        "records": r["records"],
+                        "bytes": r["bytes"],
+                        "partition": pdict,
+                        **stats.get(name, {}),
+                    }
+                )
+        return shards
 
     def commit(self, messages) -> None:
         """Publish this job's shards as one atomic commit.
@@ -1300,9 +1456,10 @@ class ShardPackWriter(DataSourceArrowWriter):
         prior, prior_vid = _observe_latest(
             self.path,
             # append needs only parts+totals; spec naming needs the
-            # prior shard COUNT and overwrite re-reads via
+            # prior shard COUNT, dynamic partition overwrite needs the
+            # per-shard partition values, and full overwrite re-reads via
             # _visible_shards anyway
-            flatten=bool(self.spec_basename),
+            flatten=bool(self.spec_basename) or self.dynamic_overwrite,
         )
         spec_trash: list[str] = []
         if self.spec_basename and not state["spec_done"]:
@@ -1338,8 +1495,30 @@ class ShardPackWriter(DataSourceArrowWriter):
         if state["new_part"] is None:
             state["new_part"] = _write_manifest_part(self.path, new_shards)
         new_part = state["new_part"]
-        if self.overwrite:
+        dropped: list[str] = []
+        if self.overwrite and not (self.dynamic_overwrite and prior is not None):
             old_names = set(_visible_shards(self.path)) - {s["path"] for s in new_shards}
+            if prior:
+                # shards dropped by earlier dynamic overwrites are absent
+                # from the visible (filtered) view but their files remain
+                # for time travel — a FULL overwrite resets history, so
+                # they die here with everything else
+                old_names |= set(prior.get("dropped") or ()) - {
+                    s["path"] for s in new_shards
+                }
+            if self.dynamic_overwrite and old_names:
+                # no commit log, but the directory holds visible ad-hoc
+                # shards whose partitions nobody recorded: deleting them
+                # (static-overwrite behavior) under a DYNAMIC overwrite
+                # would silently destroy partitions the caller believed
+                # untouched — refuse and direct to the adoption path
+                raise codec.ShardPackIOError(
+                    f"dynamic partition overwrite on {self.path}: directory "
+                    "has shards but no commit log, so their partitions are "
+                    "unknown; run convert_to_dataset + a partitioned "
+                    "rewrite, or use mode('overwrite') with "
+                    "partition_overwrite_mode=static"
+                )
             parts = [new_part]
             total = sum(s["records"] for s in new_shards)
         elif prior is None:
@@ -1376,6 +1555,44 @@ class ShardPackWriter(DataSourceArrowWriter):
                 parts.append(_write_manifest_part(self.path, entries))
                 total += sum(e["records"] for e in entries)
             parts.append(new_part)
+        elif self.dynamic_overwrite:
+            # Replace ONLY the partitions present in the new data
+            # (partitionOverwriteMode=dynamic semantics): the new commit
+            # appends its part like any other, and logically DROPS every
+            # live shard whose partition tuple matches an incoming one via
+            # the root's `dropped` list — O(replaced) metadata, no part
+            # rewrites.  Files stay on disk for time travel; vacuum
+            # reclaims them once no retained snapshot references them.
+            old_names = set()
+            new_pvs = {
+                tuple((k, (s.get("partition") or {}).get(k)) for k in self.partition_by)
+                for s in new_shards
+            }
+            replaced: list[str] = []
+            replaced_records = 0
+            for s in prior.get("shards", []):
+                part = s.get("partition") or {}
+                if any(k not in part for k in self.partition_by):
+                    raise codec.ShardPackIOError(
+                        "dynamic partition overwrite requires every live "
+                        f"shard to carry partition values for "
+                        f"{self.partition_by}; shard {s['path']} predates "
+                        "the partitioned layout — rewrite once with "
+                        "mode('overwrite') + partition_by first"
+                    )
+                if tuple((k, part.get(k)) for k in self.partition_by) in new_pvs:
+                    replaced.append(s["path"])
+                    replaced_records += s.get("records", 0)
+            parts = list(prior.get("parts", []))
+            if not parts and prior.get("shards"):
+                parts = [_write_manifest_part(self.path, prior["shards"])]
+            parts.append(new_part)
+            dropped = sorted(set(prior.get("dropped") or ()) | set(replaced))
+            total = (
+                prior.get("total_records", 0)
+                - replaced_records
+                + sum(s["records"] for s in new_shards)
+            )
         else:
             old_names = set()
             parts = list(prior.get("parts", []))
@@ -1384,6 +1601,7 @@ class ShardPackWriter(DataSourceArrowWriter):
                 # first part, once, and is never rewritten again
                 parts = [_write_manifest_part(self.path, prior["shards"])]
             parts.append(new_part)
+            dropped = list(prior.get("dropped") or ())
             total = prior.get("total_records", 0) + sum(s["records"] for s in new_shards)
         # next snapshot id: strictly 1 + the id floor from the SAME
         # observation that produced `prior` (never a fresh listing — see
@@ -1397,6 +1615,17 @@ class ShardPackWriter(DataSourceArrowWriter):
             "parts": parts,
             "total_records": total,
         }
+        if dropped:
+            manifest["dropped"] = dropped
+        # informational layout record (compaction reads it to preserve
+        # partition purity); a full overwrite RESETS it to this commit's
+        # layout, append/dynamic carry the prior keys forward
+        full_reset = self.overwrite and not (self.dynamic_overwrite and prior is not None)
+        pb = self.partition_by or (
+            [] if full_reset else (prior or {}).get("partition_by") or []
+        )
+        if pb:
+            manifest["partition_by"] = pb
         # Archive the root BEFORE the live swap: shard files and parts are
         # immutable, so this root replays this commit's exact view forever
         # (until an overwrite deletes the data files and resets history).
@@ -1420,11 +1649,17 @@ class ShardPackWriter(DataSourceArrowWriter):
             # displaced spec-named files die only after the new manifest
             # is durable (same rule as overwrite's old-file deletion)
             be.remove(t)
-        if self.overwrite:
+        if full_reset:
             # old files die only after the new manifest is durable; a crash
-            # mid-deletion leaves invisible extras, cleaned next overwrite
+            # mid-deletion leaves invisible extras, cleaned next overwrite.
+            # (dynamic partition overwrite never enters: it keeps history,
+            # and its replaced shards stay on disk for time travel)
             for name in old_names:
-                be.remove(os.path.join(self.path, name))
+                try:
+                    be.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    # a dropped-list straggler vacuum already reclaimed
+                    pass
             # drop prior parts, orphan parts from crashed commits, and the
             # now-unreadable version history (its shard files are gone)
             keep = {os.path.basename(p) for p in parts} | {f"root-{vid:08d}.json"}
@@ -1719,17 +1954,30 @@ def compact_dataset(
         for n in _visible_shards(path, manifest or None)
     )
     n_parts = max(1, -(-total_bytes // target_shard_bytes))
+    pb = manifest.get("partition_by") or []
     if sort_by_key:
         df = df.repartitionByRange(n_parts, "key").sortWithinPartitions("key")
+    elif pb:
+        # co-locate each partition's records so the rewrite emits few,
+        # right-sized partition-pure shards (the writer routes per
+        # partition value regardless — this avoids P tiny shards/task)
+        from pyspark.sql import functions as F
+
+        df = df.repartition(
+            n_parts, *[F.element_at("metadata", F.lit(k)) for k in pb]
+        )
     else:
         df = df.repartition(n_parts)
-    (
+    w = (
         df.write.format("shardpack")
         .option("target_shard_bytes", target_shard_bytes)
         .option("compression", comp)
-        .mode("overwrite")
-        .save(path)
     )
+    if pb:
+        # preserve the partitioned layout (and re-enable dynamic
+        # overwrite) across compaction
+        w = w.option("partition_by", ",".join(pb))
+    w.mode("overwrite").save(path)
     new_manifest = _load_manifest(path) or {}
     return {
         "shards": len(new_manifest.get("shards", [])),
@@ -1955,7 +2203,11 @@ def verify_dataset(spark, path: str) -> dict:
 
     on_disk = {os.path.basename(p) for p in codec.list_shards(path)}
     missing = [n for n in expected if n not in on_disk]
-    orphans = sorted(on_disk - set(expected))
+    # shards a dynamic partition overwrite dropped are expected-absent
+    # from the live view but still on disk for older snapshots — label
+    # them instead of flagging replaced data as orphaned
+    dropped = set(manifest.get("dropped") or ())
+    orphans = sorted(on_disk - set(expected) - dropped)
 
     present = [(n, expected[n]) for n in expected if n not in missing]
     if not present:
@@ -2403,6 +2655,10 @@ def read_shardpack(
         elif not needs_data:
             options["skip_payload"] = "true"  # headers without payloads
     for k, v in options.items():
+        if v is None:
+            # a None option value NPEs in the JVM option-map transfer;
+            # treat it as "not set" so callers can thread optional kwargs
+            continue
         reader = reader.option(k, v)
     df = reader.load(path)
     if limit_records is not None and limit_records > 0:
