@@ -164,3 +164,153 @@ def test_stream_committed_shards_carry_pruning_stats(spark, tmp_path):
     m = _load_manifest(sink)
     assert all("min_key" in s and "bloom" in s for s in m["shards"])
     assert len(_glob.glob(os.path.join(sink, "_batch_*.json"))) == 1
+
+
+# --- crash injection in the sink's commit window -----------------------------
+#
+# The sink's commit is two steps: move staged shards to `c{batch:08d}-<name>`
+# in the root, then write the `_batch_{id}.json` marker (the commit point).
+# A driver crash anywhere before the marker write must leave the dataset
+# readable with NO partial batch visible, and the engine's replay of the
+# micro-batch (fresh task uuids, same records) must converge to exactly-once.
+# Reference parity: the marker protocol replaces the reference's
+# rename-is-commit assumption (/root/reference/src/storage.rs) which cannot
+# hold on object stores.
+
+from shardpack_spark.format import storage as _storage
+from shardpack_spark.format.datasource import (
+    STAGING_DIR,
+    ShardCommitMessage,
+    ShardPackStreamWriter,
+    read_shardpack,
+    vacuum,
+)
+
+
+def _stage(out: str, tag: str, keys: list[str]) -> ShardCommitMessage:
+    """Simulate one task attempt's write(): staged shards + commit message
+    (one record per shard via target_shard_bytes=1, so multi-move commits
+    exercise the mid-move crash window)."""
+    task_dir = os.path.join(out, STAGING_DIR, f"task-00000-{tag}")
+    w = codec.DatasetWriter(task_dir, basename=f"part-00000-{tag}", target_shard_bytes=1)
+    for k in keys:
+        w.write(
+            codec.Record(
+                key=k,
+                entries=[codec.FileEntry("b.bin", "application/octet-stream", k.encode())],
+            )
+        )
+    results = w.close()
+    return ShardCommitMessage(
+        shards=[
+            {
+                "path": os.path.basename(r["path"]),
+                "staging": _storage.relpath(os.path.dirname(r["path"]), out),
+                "records": r["records"],
+                "bytes": r["bytes"],
+            }
+            for r in results
+        ]
+    )
+
+
+class _CrashingBackend:
+    """Delegating backend that raises on the Nth call of one method."""
+
+    def __init__(self, inner, method: str, calls_before_crash: int):
+        self._inner = inner
+        self._method = method
+        self._left = calls_before_crash
+
+    def __getattr__(self, name):
+        real = getattr(self._inner, name)
+        if name != self._method:
+            return real
+
+        def crashing(*a, **kw):
+            if self._left <= 0:
+                raise RuntimeError("injected crash")
+            self._left -= 1
+            return real(*a, **kw)
+
+        return crashing
+
+
+def _keys(spark, out: str) -> list[str]:
+    return sorted(r["key"] for r in read_shardpack(spark, out).select("key").collect())
+
+
+def _crash_commit(monkeypatch, writer, msg, batch_id, method, calls_before_crash):
+    inner = _storage.for_path(writer.path)
+    be = _CrashingBackend(inner, method, calls_before_crash)
+    from shardpack_spark.format import datasource as _ds
+
+    with monkeypatch.context() as m:
+        m.setattr(_ds.storage, "for_path", lambda p: be)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            writer.commit([msg], batch_id)
+
+
+def test_stream_sink_crash_before_marker(spark, tmp_path, monkeypatch):
+    """Crash AFTER all shard moves, BEFORE the marker write: the moved
+    shards are orphans (never marker-listed), invisible to readers, the
+    replay commits cleanly, and vacuum reclaims the orphans."""
+    register(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    writer = ShardPackStreamWriter({"path": out})
+
+    writer.commit([_stage(out, "b0a", ["a", "b"])], 0)
+    assert _keys(spark, out) == ["a", "b"]
+
+    # batch 1, attempt 1: crash at the marker write (all moves done)
+    _crash_commit(monkeypatch, writer, _stage(out, "b1a", ["c", "d"]), 1,
+                  "write_atomic", 0)
+    assert not os.path.exists(os.path.join(out, "_batch_00000001.json"))
+    orphans = [f for f in os.listdir(out) if f.startswith("c00000001-")]
+    assert len(orphans) == 2, "crashed attempt should leave moved-but-unmarked shards"
+    # no partial visibility: readers still see only batch 0
+    assert _keys(spark, out) == ["a", "b"]
+
+    # restart replays batch 1 with fresh task uuids — same records
+    writer.commit([_stage(out, "b1b", ["c", "d"])], 1)
+    assert _keys(spark, out) == ["a", "b", "c", "d"]
+
+    # vacuum reclaims the orphaned first-attempt files (grace disabled)
+    rep = vacuum(out, grace_seconds=0)
+    assert sorted(rep["deleted_shards"]) == sorted(orphans)
+    assert _keys(spark, out) == ["a", "b", "c", "d"]
+    # a second replay of the committed batch is discarded via the marker
+    writer.commit([_stage(out, "b1c", ["c", "d"])], 1)
+    assert _keys(spark, out) == ["a", "b", "c", "d"]
+
+
+def test_stream_sink_crash_mid_move(spark, tmp_path, monkeypatch):
+    """Crash between the first and second shard move: one orphan in the
+    root, one shard still staged, no marker — readers see nothing of the
+    batch; replay converges; vacuum reclaims both leftovers."""
+    register(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    writer = ShardPackStreamWriter({"path": out})
+
+    writer.commit([_stage(out, "b0a", ["a"])], 0)
+
+    _crash_commit(monkeypatch, writer, _stage(out, "b1a", ["c", "d", "e"]), 1,
+                  "move", 1)
+    assert not os.path.exists(os.path.join(out, "_batch_00000001.json"))
+    orphans = [f for f in os.listdir(out) if f.startswith("c00000001-")]
+    assert len(orphans) == 1, "exactly the first move should have landed"
+    staged_dirs = os.listdir(os.path.join(out, STAGING_DIR))
+    assert any("b1a" in d for d in staged_dirs), "unmoved shards stay staged"
+    assert _keys(spark, out) == ["a"]
+
+    writer.commit([_stage(out, "b1b", ["c", "d", "e"])], 1)
+    assert _keys(spark, out) == ["a", "c", "d", "e"]
+
+    rep = vacuum(out, grace_seconds=0)
+    assert sorted(rep["deleted_shards"]) == sorted(orphans)
+    assert any("b1a" in d for d in rep["deleted_debris"]), (
+        "crashed attempt's staging dir is reclaimed as debris"
+    )
+    assert _keys(spark, out) == ["a", "c", "d", "e"]
