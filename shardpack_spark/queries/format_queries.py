@@ -73,38 +73,86 @@ def docs_as_shardpack_rows(docs: DataFrame) -> DataFrame:
 @register(
     "q02_shardpack_roundtrip",
     oracle="""
-    SELECT COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-    FROM documents
+    WITH per AS (
+      SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT 'full' AS variant, lang, cnt, sum_chars FROM per
+    UNION ALL
+    SELECT 'pruned' AS variant, lang, cnt, sum_chars FROM per
+    WHERE lang = (SELECT MIN(lang) FROM documents)
     """,
 )
 def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> format('shardpack') -> read back -> aggregate (Q2).
 
-    The aggregate runs over the RE-READ data; matching the parquet-side
-    oracle proves the container round-trip is lossless.
+    The aggregates run over the RE-READ data; matching the parquet-side
+    oracle proves the container round-trip is lossless (per-lang rows sum
+    to the corpus, so the original total-count check is subsumed).
 
-    Variant-tagged storage coverage: the round-trip runs over the
-    ``sim://`` OBJECT-STORE backend (format/storage.py) — no rename, no
-    partial-file visibility, conditional-put commit — so the driver's
-    correctness gate exercises the same code path an S3/GCS deployment
-    uses, not just POSIX.
+    Variant-tagged storage + layout coverage, all on the ``sim://``
+    OBJECT-STORE backend (format/storage.py — no rename, no partial-file
+    visibility, conditional-put commit; the same code path S3/GCS uses):
+
+    - 'full': PARTITIONED write (partition_by=lang, partition-pure
+      shards) followed by a same-data DYNAMIC partition overwrite of the
+      min-lang partition — proving partitionOverwriteMode=dynamic
+      replaces exactly that partition and nothing else — then a full
+      read-back grouped by the lang tag.
+    - 'pruned': a where_meta partition-pruned read of the min-lang
+      partition; partition-pure shards prune EXACTLY (writer-recorded
+      partition values, datasource.py meta_may_match), so this path
+      plans only that partition's shards yet must return the identical
+      aggregate.
     """
     _ensure_registered(spark)
     _sweep_stale_workdirs()
     out = "sim://" + tempfile.mkdtemp(prefix="shardpack_rt_")
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs_as_shardpack_rows(docs)
     # lz4 (pyarrow-native when importable, pure-Python block codec
     # otherwise) so a compressed round-trip is part of the declared,
     # driver-checked surface — not just a pytest case
-    docs_as_shardpack_rows(load_table(spark, sf_dir, "documents")).write.format(
+    writer_opts = {
+        "target_shard_bytes": 256 * 1024,
+        "compression": "lz4",
+        "partition_by": "lang",
+    }
+    w = rows.write.format("shardpack")
+    for k, v in writer_opts.items():
+        w = w.option(k, v)
+    w.mode("overwrite").save(out)
+
+    # dynamic overwrite of ONE partition with its own rows: the final
+    # dataset must still equal the source — a replace that leaked into
+    # other partitions or dropped rows fails the hash check
+    min_lang = docs.agg(F.min("lang")).head()[0]
+    w2 = rows.filter(F.element_at("metadata", "lang") == min_lang).write.format(
         "shardpack"
-    ).option("target_shard_bytes", 256 * 1024).option("compression", "lz4").mode(
-        "overwrite"
-    ).save(out)
-    back = spark.read.format("shardpack").load(out)
-    return back.agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.element_at("metadata", "n_chars").cast("long")).alias("sum_chars"),
     )
+    for k, v in {**writer_opts, "partition_overwrite_mode": "dynamic"}.items():
+        w2 = w2.option(k, v)
+    w2.mode("overwrite").save(out)
+
+    from shardpack_spark.format.datasource import read_shardpack
+
+    def per_lang(df: DataFrame, variant: str) -> DataFrame:
+        return (
+            df.groupBy(F.element_at("metadata", "lang").alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.element_at("metadata", "n_chars").cast("long")).alias(
+                    "sum_chars"
+                ),
+            )
+            .select(F.lit(variant).alias("variant"), "lang", "cnt", "sum_chars")
+        )
+
+    full = per_lang(spark.read.format("shardpack").load(out), "full")
+    pruned = per_lang(
+        read_shardpack(spark, out, where_meta={"lang": min_lang}), "pruned"
+    )
+    return full.unionAll(pruned)
 
 
 @register(
