@@ -525,68 +525,20 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_near_pairs(sim: DataFrame, bands: int = 4) -> DataFrame:
-    """Near-dup candidates: pairs agreeing on >=1 of `bands` 16-bit slices
-    (Hamming-distance blocking), verified to Hamming distance <= 3.
+    """Near-dup candidates: pairs agreeing on >=1 of `bands` disjoint
+    slices (Hamming-distance blocking), verified to Hamming distance <= 3.
 
     Blocking guarantee: 4 disjoint 16-bit bands mean any pair at Hamming
     distance <= 3 differs in at most 3 bands, so it MUST agree on at least
     one — the candidate set provably contains every qualifying pair.
 
-    ``bands`` must split evenly into the two 32-bit signature halves
-    (bands in {2, 4, 8, 16, 32}): an uneven split would band some bit
-    ranges twice and others never, silently voiding the guarantee."""
-    if bands not in (2, 4, 8, 16, 32):
-        raise ValueError(
-            f"bands must be one of 2/4/8/16/32 (even tiling of the two "
-            f"32-bit halves), got {bands}"
-        )
-    width = 64 // bands
-    half_bands = bands // 2
+    Delegates to ``operators.perceptual.hamming_near_pairs``, the shared
+    banded-join implementation for every 64-bit signature family (text
+    SimHash, image dHash, audio fingerprints); it validates band tiling
+    and rejects band counts too small for the <=3 guarantee."""
+    from shardpack_spark.operators.perceptual import hamming_near_pairs
 
-    def band_key(b: int) -> F.Column:
-        src = F.col("sim_lo") if b < half_bands else F.col("sim_hi")
-        return (
-            F.shiftrightunsigned(src, (b % half_bands) * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-        )
-
-    slices = sim.select(
-        "sid",
-        "sim_hi",
-        "sim_lo",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
-                for b in range(bands)
-            ])
-        ).alias("s"),
-    ).select("sid", "sim_hi", "sim_lo", "s.band", "s.key")
-    l, r = slices.alias("l"), slices.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.sid") < F.col("r.sid")),
-        )
-        .select(
-            F.col("l.sid").alias("sid_a"),
-            F.col("r.sid").alias("sid_b"),
-            F.col("l.sim_hi").alias("ha_hi"),
-            F.col("l.sim_lo").alias("ha_lo"),
-            F.col("r.sim_hi").alias("hb_hi"),
-            F.col("r.sim_lo").alias("hb_lo"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi"))) + F.bit_count(
-        F.col("ha_lo").bitwiseXOR(F.col("hb_lo"))
-    )
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
-        .select("sid_a", "sid_b", "hamming")
-    )
+    return hamming_near_pairs(sim, bands=bands, max_hamming=3)
 
 
 def substring_dedup(

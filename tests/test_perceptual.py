@@ -1,0 +1,324 @@
+"""Perceptual near-dup: image dHash (real over npy tensors), audio
+fingerprints (real over PCM WAV), and the shared Hamming-band pair
+finder — including its completeness guarantee against brute force."""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from shardpack_spark.operators import perceptual
+from shardpack_spark.operators.perceptual import (
+    _block_mean_grid,
+    _dhash_bits,
+    _pack_bits,
+    _wav_fingerprint_bits,
+    audio_fingerprint,
+    dhash_images,
+    dhash_tensors,
+    hamming_near_pairs,
+)
+
+ENTRY_SCHEMA = (
+    "key string, metadata map<string,string>, "
+    "entries array<struct<file_name string, content_type string, "
+    "encoding string, size bigint, data binary>>"
+)
+
+
+def _entry(fname: str, ctype: str, data: bytes) -> Row:
+    return Row(
+        file_name=fname, content_type=ctype, encoding="none",
+        size=len(data), data=data,
+    )
+
+
+def _rows_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(key=k, metadata={}, entries=entries) for k, entries in rows],
+        ENTRY_SCHEMA,
+    )
+
+
+def _npy_bytes(arr) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def _wav_bytes(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    """Minimal PCM16 WAV from float samples in [-1, 1]."""
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    if channels > 1:
+        pcm = np.repeat(pcm[:, None], channels, axis=1)
+    raw = pcm.tobytes()
+    block = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+
+
+# --- primitives ---------------------------------------------------------------
+
+
+def test_block_mean_grid_exact_divisor():
+    a = np.arange(16.0).reshape(4, 4)
+    g = _block_mean_grid(a, 2, 2)
+    # 2x2 blocks: mean of each quadrant
+    assert np.allclose(g, [[2.5, 4.5], [10.5, 12.5]])
+
+
+def test_block_mean_grid_uneven():
+    a = np.arange(15.0).reshape(3, 5)
+    g = _block_mean_grid(a, 2, 2)
+    # bucket assignment i*rows//n: row buckets {0,1} and {2}; col
+    # buckets {0,1,2} and {3,4}
+    assert np.allclose(
+        g,
+        [
+            [a[:2, :3].mean(), a[:2, 3:].mean()],
+            [a[2:, :3].mean(), a[2:, 3:].mean()],
+        ],
+    )
+    # every cell counted once: total mass preserved
+    assert np.isclose(
+        (g * [[2 * 3, 2 * 2], [1 * 3, 1 * 2]]).sum(), a.sum()
+    )
+
+
+def test_pack_bits_round_trip():
+    bits = [(i * 7) % 3 == 0 for i in range(64)]
+    hi, lo = _pack_bits(bits)
+    assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+    unpacked = [(lo >> i) & 1 for i in range(32)] + [(hi >> i) & 1 for i in range(32)]
+    assert [bool(b) for b in unpacked] == bits
+
+
+def test_dhash_bits_known_gradient():
+    # strictly increasing columns: every cell < right neighbor -> all False
+    inc = np.tile(np.arange(9.0), (8, 1))
+    assert _dhash_bits(inc) == [False] * 64
+    assert _dhash_bits(inc[:, ::-1]) == [True] * 64
+
+
+# --- hamming_near_pairs: completeness vs brute force ---------------------------
+
+
+@pytest.mark.parametrize("bands,max_hamming", [(4, 3), (8, 7), (8, 4)])
+def test_hamming_near_pairs_matches_brute_force(spark, bands, max_hamming):
+    rng = np.random.default_rng(42 + bands + max_hamming)
+    # base signatures plus planted near-copies so qualifying pairs exist
+    sigs = [int(rng.integers(0, 2**64, dtype=np.uint64)) for _ in range(40)]
+    for i in range(12):
+        flips = rng.choice(64, size=int(rng.integers(0, max_hamming + 1)), replace=False)
+        v = sigs[i]
+        for b in flips:
+            v ^= 1 << int(b)
+        sigs.append(v)
+    rows = [
+        Row(sid=f"s{i:03d}", sim_hi=int(v >> 32), sim_lo=int(v & 0xFFFFFFFF))
+        for i, v in enumerate(sigs)
+    ]
+    expected = {
+        (a.sid, b.sid, bin((sigs[i] ^ sigs[j])).count("1"))
+        for i, a in enumerate(rows)
+        for j, b in enumerate(rows)
+        if a.sid < b.sid
+        and bin(sigs[i] ^ sigs[j]).count("1") <= max_hamming
+    }
+    df = spark.createDataFrame(rows, "sid string, sim_hi long, sim_lo long")
+    got = {
+        (r.sid_a, r.sid_b, r.hamming)
+        for r in hamming_near_pairs(df, bands=bands, max_hamming=max_hamming).collect()
+    }
+    assert got == expected and expected, "blocking must be exact, not approximate"
+
+
+def test_hamming_near_pairs_validation(spark):
+    df = spark.createDataFrame(
+        [Row(sid="a", sim_hi=0, sim_lo=0)], "sid string, sim_hi long, sim_lo long"
+    )
+    with pytest.raises(ValueError, match="bands"):
+        hamming_near_pairs(df, bands=3)
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamming_near_pairs(df, bands=2, max_hamming=3)
+
+
+# --- image dHash over tensors ---------------------------------------------------
+
+
+def test_dhash_tensors_identical_and_perturbed(spark):
+    rng = np.random.default_rng(7)
+    # smooth random image: cumulative sums give strong gradients that a
+    # small perturbation cannot flip wholesale
+    base = np.cumsum(rng.random((64, 64)), axis=1) + np.cumsum(
+        rng.random((64, 64)), axis=0
+    )
+    noisy = base.copy()
+    noisy[10:14, 20:24] += 0.3  # localized small edit
+    other = rng.random((64, 64)) * 100
+    df = _rows_df(
+        spark,
+        [
+            ("a", [_entry("t.npy", "application/x-npy", _npy_bytes(base))]),
+            ("b", [_entry("t.npy", "application/x-npy", _npy_bytes(base))]),
+            ("c", [_entry("t.npy", "application/x-npy", _npy_bytes(noisy))]),
+            ("d", [_entry("t.npy", "application/x-npy", _npy_bytes(other))]),
+        ],
+    )
+    sig = dhash_tensors(df)
+    rows = {r.sid: (r.sim_hi, r.sim_lo) for r in sig.collect()}
+    assert set(rows) == {"a/t.npy", "b/t.npy", "c/t.npy", "d/t.npy"}
+    # executor-computed bits match the driver-side reference function
+    hi, lo = _pack_bits(_dhash_bits(base))
+    assert rows["a/t.npy"] == (hi, lo)
+    assert rows["a/t.npy"] == rows["b/t.npy"]
+
+    def ham(x, y):
+        return bin((x[0] ^ y[0])).count("1") + bin((x[1] ^ y[1])).count("1")
+
+    assert ham(rows["a/t.npy"], rows["c/t.npy"]) <= 3, "local edit stays near"
+    assert ham(rows["a/t.npy"], rows["d/t.npy"]) > 3, "unrelated image is far"
+
+    pairs = {
+        (r.sid_a, r.sid_b): r.hamming
+        for r in hamming_near_pairs(sig).collect()
+    }
+    assert pairs[("a/t.npy", "b/t.npy")] == 0
+    assert ("a/t.npy", "c/t.npy") in pairs
+    assert not any("d/t.npy" in p for p in pairs)
+
+
+def test_dhash_tensors_channel_mean_and_skips(spark):
+    rng = np.random.default_rng(11)
+    img = np.cumsum(rng.random((16, 16, 3)), axis=0)
+    df = _rows_df(
+        spark,
+        [
+            ("rgb", [_entry("t.npy", "application/x-npy", _npy_bytes(img))]),
+            ("gray", [_entry("t.npy", "application/x-npy", _npy_bytes(img.mean(axis=2)))]),
+            ("vec", [_entry("v.npy", "application/x-npy", _npy_bytes(np.arange(5.0)))]),
+            ("txt", [_entry("s.npy", "application/x-npy", _npy_bytes(np.array(["x", "y"])))]),
+            ("bad", [_entry("b.npy", "application/x-npy", b"not npy at all")]),
+        ],
+    )
+    rows = {r.sid: (r.sim_hi, r.sim_lo) for r in dhash_tensors(df).collect()}
+    # 3-D hashes as the channel mean; 1-D, non-numeric, corrupt are skipped
+    assert set(rows) == {"rgb/t.npy", "gray/t.npy"}
+    assert rows["rgb/t.npy"] == rows["gray/t.npy"]
+
+
+def test_dhash_tensors_npz_members(spark):
+    a = np.cumsum(np.ones((8, 9)), axis=1)
+    buf = io.BytesIO()
+    np.savez(buf, one=a, two=a * 2)
+    df = _rows_df(
+        spark, [("k", [_entry("m.npz", "application/x-npz", buf.getvalue())])]
+    )
+    sids = sorted(r.sid for r in dhash_tensors(df).collect())
+    assert sids == ["k/m.npz/one", "k/m.npz/two"]
+
+
+# --- image dHash over image/* (stub path in this environment) -------------------
+
+
+def test_dhash_images_stub_is_deterministic_exact_dup(spark):
+    payload = b"\x89PNG\r\n\x1a\n" + bytes(range(200))
+    df = _rows_df(
+        spark,
+        [
+            ("a", [_entry("i.png", "image/png", payload)]),
+            ("b", [_entry("i.png", "image/png", payload)]),
+            ("c", [_entry("i.png", "image/png", payload + b"!")]),
+        ],
+    )
+    sig = dhash_images(df)
+    rows = {r.sid: (r.sim_hi, r.sim_lo) for r in sig.collect()}
+    assert rows["a/i.png"] == rows["b/i.png"], "identical bytes -> identical hash"
+    assert rows["a/i.png"] != rows["c/i.png"]
+    pairs = hamming_near_pairs(sig).collect()
+    assert {(p.sid_a, p.sid_b, p.hamming) for p in pairs} == {
+        ("a/i.png", "b/i.png", 0)
+    }
+
+
+# --- audio fingerprints ----------------------------------------------------------
+
+
+def test_wav_fingerprint_real_decode_and_mixdown():
+    t = np.arange(16000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    mono = _wav_fingerprint_bits(_wav_bytes(tone))
+    stereo = _wav_fingerprint_bits(_wav_bytes(tone, channels=2))
+    assert mono is not None and len(mono) == 64
+    assert mono == stereo, "stereo mixdown of the same signal fingerprints equally"
+    assert _wav_fingerprint_bits(b"junk") is None
+    assert _wav_fingerprint_bits(_wav_bytes(tone[:1500])) is None, "too short"
+
+
+def test_audio_fingerprint_near_and_far(spark):
+    # structured "notes" audio (per-segment frequency + loudness over a
+    # small noise floor): the block-pooled spectrogram dHash keys on
+    # exactly this temporal band structure, so a lightly-noised copy
+    # stays near while a reordered pattern lands far
+    n = 16000
+
+    def notes(pattern, rng):
+        t = np.arange(n) / 8000.0
+        sig = 0.02 * rng.standard_normal(n)
+        for i, (f, amp) in enumerate(pattern):
+            s = slice(i * 2000, (i + 1) * 2000)
+            sig[s] += amp * np.sin(2 * np.pi * f * t[s])
+        return 0.8 * sig / np.abs(sig).max()
+
+    p1 = [(440, 0.8), (880, 0.2), (1760, 0.6), (300, 0.9),
+          (2500, 0.4), (660, 0.7), (1200, 0.3), (3000, 0.5)]
+    tone = notes(p1, np.random.default_rng(10))
+    noisy = tone + 0.002 * np.random.default_rng(11).standard_normal(n)
+    other = notes(p1[::-1], np.random.default_rng(12))
+    df = _rows_df(
+        spark,
+        [
+            ("a", [_entry("a.wav", "audio/wav", _wav_bytes(tone))]),
+            ("b", [_entry("b.wav", "audio/wav", _wav_bytes(noisy))]),
+            ("c", [_entry("c.wav", "audio/wav", _wav_bytes(other))]),
+            ("junk", [_entry("x.wav", "audio/wav", b"RIFFjunk")]),
+        ],
+    )
+    sig = audio_fingerprint(df)
+    rows = {r.sid: (r.sim_hi, r.sim_lo) for r in sig.collect()}
+    assert set(rows) == {"a/a.wav", "b/b.wav", "c/c.wav"}
+
+    def ham(x, y):
+        return bin((x[0] ^ y[0])).count("1") + bin((x[1] ^ y[1])).count("1")
+
+    near = ham(rows["a/a.wav"], rows["b/b.wav"])
+    far = ham(rows["a/a.wav"], rows["c/c.wav"])
+    assert near <= 7, f"light noise must stay near (got {near})"
+    assert far > near, f"different content must be farther ({far} vs {near})"
+    pairs = {
+        (r.sid_a, r.sid_b)
+        for r in hamming_near_pairs(sig, bands=8, max_hamming=7).collect()
+    }
+    assert ("a/a.wav", "b/b.wav") in pairs
+
+
+# --- plan shape ------------------------------------------------------------------
+
+
+def test_hamming_near_pairs_plan_has_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [Row(sid=f"s{i}", sim_hi=i, sim_lo=i * 3) for i in range(20)],
+        "sid string, sim_hi long, sim_lo long",
+    )
+    plan = hamming_near_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
