@@ -322,3 +322,89 @@ def test_hamming_near_pairs_plan_has_no_cartesian(spark):
     plan = hamming_near_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- video fingerprints ------------------------------------------------------
+#
+# Uncompressed-DIB AVIs are the REAL end-to-end path: raw pixel rows
+# decode with a numpy reshape (no media library), so the fingerprint is
+# a true majority-dHash over sampled frames.
+
+from test_multimodal import mk_avi  # minimal RIFF/AVI builder
+
+from shardpack_spark.operators.perceptual import _frame_gray, video_fingerprint
+
+
+def _dib_frame(gray_img: np.ndarray) -> bytes:
+    """24bpp BGR bottom-up DIB payload (rows padded to 4 bytes) whose
+    grayscale equals the input grid."""
+    h, w = gray_img.shape
+    px = np.repeat(np.clip(gray_img, 0, 255).astype("u1")[:, :, None], 3, axis=2)
+    rows = np.zeros((h, ((w * 3 + 3) // 4) * 4), dtype="u1")
+    rows[:, : w * 3] = px.reshape(h, w * 3)
+    return rows[::-1].tobytes()
+
+
+def test_frame_gray_raw_dib_decode():
+    rng = np.random.default_rng(5)
+    img = (rng.random((12, 18)) * 255).astype("u1").astype("float64")
+    frame = _dib_frame(img)  # w=18 -> 54-byte rows pad to 56
+    assert len(frame) == 56 * 12
+    got = _frame_gray(frame, 18, 12)
+    assert np.allclose(got, img)
+    # wrong-size payload (not a raw DIB, no PIL here) -> surrogate 8x8
+    assert _frame_gray(b"\xff\xd8jpegish", 18, 12).shape == (8, 8)
+
+
+def test_video_fingerprint_majority_and_pairs(spark):
+    rng = np.random.default_rng(9)
+    w, h = 18, 12
+    base_frames = [
+        (np.cumsum(rng.random((h, w)), axis=1) * 10 + i) for i in range(6)
+    ]
+    near_frames = [f + rng.random((h, w)) * 0.5 for f in base_frames]
+    far_frames = [rng.random((h, w)) * 255 for _ in range(6)]
+    vids = [
+        ("a", [_entry("v.avi", "video/x-msvideo",
+                      mk_avi([_dib_frame(f) for f in base_frames], w, h))]),
+        ("b", [_entry("v.avi", "video/x-msvideo",
+                      mk_avi([_dib_frame(f) for f in near_frames], w, h))]),
+        ("c", [_entry("v.avi", "video/x-msvideo",
+                      mk_avi([_dib_frame(f) for f in far_frames], w, h))]),
+        ("junk", [_entry("v.avi", "video/x-msvideo", b"RIFFnope")]),
+    ]
+    sig = video_fingerprint(_rows_df(spark, vids), every_n=1)
+    rows = {r.sid: (r.sim_hi, r.sim_lo) for r in sig.collect()}
+    assert set(rows) == {"a/v.avi", "b/v.avi", "c/v.avi"}
+
+    def ham(x, y):
+        return bin((x[0] ^ y[0])).count("1") + bin((x[1] ^ y[1])).count("1")
+
+    near = ham(rows["a/v.avi"], rows["b/v.avi"])
+    far = ham(rows["a/v.avi"], rows["c/v.avi"])
+    assert near <= 3, f"lightly-noised frames stay near (got {near})"
+    assert far > near
+    pairs = {
+        (r.sid_a, r.sid_b)
+        for r in hamming_near_pairs(sig, bands=4, max_hamming=3).collect()
+    }
+    assert ("a/v.avi", "b/v.avi") in pairs
+    assert not any("c/v.avi" in p for p in pairs)
+
+
+def test_video_fingerprint_majority_ignores_outlier_frame(spark):
+    rng = np.random.default_rng(13)
+    w, h = 16, 16
+    a = np.cumsum(rng.random((h, w)), axis=0) * 20
+    outlier = rng.random((h, w)) * 255
+    df = _rows_df(
+        spark,
+        [
+            ("v", [_entry("v.avi", "video/x-msvideo",
+                          mk_avi([_dib_frame(a)] * 5 + [_dib_frame(outlier)], w, h))]),
+        ],
+    )
+    rows = {r.sid: (r.sim_hi, r.sim_lo) for r in video_fingerprint(df, every_n=1).collect()}
+    # 5-of-6 majority == the repeated frame's own dHash
+    hi, lo = _pack_bits(_dhash_bits(a))
+    assert rows["v/v.avi"] == (hi, lo)
