@@ -316,10 +316,26 @@ def dataset_partitions(path: str, version: int | None = None) -> list[dict]:
     opened): ``[{"partition": {k: v}, "shards", "records", "bytes"}]``,
     sorted by partition tuple.  Shards without recorded partition values
     (pre-partitioning appends) aggregate under partition=None, making a
-    mixed layout visible instead of invisible."""
+    mixed layout visible instead of invisible.
+
+    The live view (``version=None``) includes not-yet-folded stream-batch
+    marker shards — the same visibility readers have.  A ``version``
+    pins the archived snapshot exactly (markers are unversioned)."""
     m = _load_manifest(path, version) or {}
+    shard_list = list(m.get("shards", []))
+    if version is None:
+        hidden = {s["path"] for s in shard_list} | set(m.get("dropped") or ())
+        be = storage.for_path(path)
+        for f in be.glob_names(path, "_batch_*.json"):
+            try:
+                mk = json.loads(be.read_bytes(os.path.join(path, f)))
+            except (OSError, json.JSONDecodeError):
+                continue
+            shard_list.extend(
+                s for s in mk.get("shards", []) if s["path"] not in hidden
+            )
     agg: dict[tuple | None, dict] = {}
-    for s in m.get("shards", []):
+    for s in shard_list:
         part = s.get("partition")
         k = tuple(sorted(part.items())) if part is not None else None
         e = agg.setdefault(k, {"shards": 0, "records": 0, "bytes": 0})
@@ -575,6 +591,14 @@ def _visible_shards(path: str, manifest=_UNSET) -> list[str]:
     if manifest is not None:
         names.update(s["path"] for s in manifest.get("shards", []))
     names.update(_marker_shards(path))
+    if manifest is not None:
+        # the root's logical-delete list applies to MARKER shards too: a
+        # dynamic partition overwrite replaces not-yet-folded stream
+        # shards by dropping their names while the marker file stays (it
+        # remains the stream writer's replay guard).  Manifest shards
+        # were already filtered during the flatten; subtracting here
+        # covers the marker-sourced names.
+        names -= set(manifest.get("dropped") or ())
     if not names and manifest is None:
         # ad-hoc directory (codec-written, no commit log): plain listing,
         # EXCLUDING commit-named files — `c{seq}-part-*` shards only ever
@@ -700,6 +724,26 @@ def _plan_partitions(
     return split + [
         ShardPartition(g[0], None, group=g if len(g) > 1 else None) for g in groups
     ]
+
+
+def _pruning_stats(path: str, manifest: dict | None) -> dict[str, dict]:
+    """name -> full per-shard stats entry (min/max key, bloom,
+    meta_values, meta_ranges, partition) from the manifest AND from
+    stream-batch markers.  Markers record the same stats the manifest
+    does (the stream sink carries them through the commit rename), so an
+    always-on ingest directory prunes exactly like a batch-written one —
+    without waiting for fold_stream_markers.  Marker entries win over a
+    stale manifest entry of the same name (they cannot coexist in
+    correct histories; markers are newer when they do)."""
+    stats = {s["path"]: s for s in (manifest or {}).get("shards", [])}
+    be = storage.for_path(path)
+    for f in be.glob_names(path, "_batch_*.json"):
+        try:
+            for s in json.loads(be.read_bytes(os.path.join(path, f))).get("shards", []):
+                stats[s["path"]] = s
+        except (OSError, json.JSONDecodeError, TypeError):
+            continue
+    return stats
 
 
 def _manifest_stats(path: str, manifest: dict | None) -> dict[str, tuple[int, int | None]]:
@@ -916,13 +960,22 @@ class ShardPackReader(DataSourceReader):
                 % 1_000_000
                 < cut
             ]
+        # one stats view serves every pruning family below; built lazily
+        # (costs a marker glob) and ONCE per plan
+        _pstats_memo: list[dict | None] = [None]
+
+        def _stats_view() -> dict[str, dict]:
+            if _pstats_memo[0] is None:
+                _pstats_memo[0] = _pruning_stats(self.path, manifest)
+            return _pstats_memo[0]
+
         if self.where_meta:
             # metadata data skipping: drop shards whose recorded value set
             # for a probed key EXCLUDES the probe value.  Keys absent from
             # a shard's map are high-cardinality or untracked there —
             # unprunable, kept.  Pure optimization: the caller's filter
             # still applies row-level.
-            stats0 = {s["path"]: s for s in (manifest or {}).get("shards", [])}
+            stats0 = _stats_view()
 
             def meta_may_match(name: str) -> bool:
                 s = stats0.get(name, {})
@@ -946,7 +999,7 @@ class ShardPackReader(DataSourceReader):
             # [min,max] for a probed key cannot intersect the probe
             # interval.  Keys without a recorded range (non-numeric,
             # oversized, or pre-zone-map manifests) never prune.
-            stats1 = {s["path"]: s for s in (manifest or {}).get("shards", [])}
+            stats1 = _stats_view()
 
             def range_may_match(name: str) -> bool:
                 mr = stats1.get(name, {}).get("meta_ranges")
@@ -973,7 +1026,6 @@ class ShardPackReader(DataSourceReader):
                 # empty plan), so hand back a sentinel read() drops
                 return [ShardPartition("", [])]
             raise codec.ShardPackIOError(f"no .shardpack files under {self.path}")
-        stats = {s["path"]: s for s in (manifest or {}).get("shards", [])}
 
         if (
             self._key_filters
@@ -981,6 +1033,7 @@ class ShardPackReader(DataSourceReader):
             or self._range_lo is not None
             or self._range_hi is not None
         ):
+            stats = _stats_view()
             # hoist the (shard-independent) bloom hashes: planning cost is
             # O(shards x keys) bit probes, not O(shards x keys) sha256es
             key_hashes = {k: _bloom_key_hashes(k) for k in self._key_filters}
@@ -1362,61 +1415,17 @@ class ShardPackWriter(DataSourceArrowWriter):
         return ShardCommitMessage(shards=shards)
 
     def _write_partitioned(self, iterator, basename: str) -> list[dict]:
-        """Route records to one DatasetWriter per distinct partition-value
-        tuple, so every output shard is partition-PURE (one value per
-        partition key) and the manifest can prune and replace by exact
-        partition match.
-
-        Memory stays bounded: each open writer buffers one compression
-        stream and its _StatsTracker holds one shard's key hashes; the
-        writer count is capped (a task fed N random partitions would
-        otherwise open N handles AND emit N tiny shards — the fix at
-        scale is `df.repartition(F.element_at("metadata", lit(k)))` so
-        each task sees few partition values, same as Spark's dynamic
-        partition inserts)."""
-        writers: dict[tuple, tuple[codec.DatasetWriter, _StatsTracker]] = {}
-        for rec in _batches_to_records(iterator):
-            md = rec.metadata or {}
-            pv = tuple(md.get(k) for k in self.partition_by)
-            ent = writers.get(pv)
-            if ent is None:
-                if len(writers) >= self.max_partition_writers:
-                    raise codec.ShardPackIOError(
-                        f"task saw more than max_partition_writers="
-                        f"{self.max_partition_writers} distinct values of "
-                        f"partition_by={self.partition_by}; repartition the "
-                        "input by the partition keys first "
-                        "(df.repartition(F.element_at('metadata', lit(k)))) "
-                        "or raise the option"
-                    )
-                w = codec.DatasetWriter(
-                    self.path,
-                    basename=f"{basename}-p{len(writers):04d}",
-                    compression=self.compression,
-                    target_shard_bytes=self.target,
-                    max_record_bytes=self.max_record_bytes,
-                    max_entry_bytes=self.max_entry_bytes,
-                )
-                ent = writers[pv] = (w, _StatsTracker())
-            w, tracker = ent
-            w.write(rec)
-            tracker.add(rec, os.path.basename(w._writer.path))
-        shards: list[dict] = []
-        for pv, (w, tracker) in writers.items():
-            stats = tracker.finish()
-            pdict = dict(zip(self.partition_by, pv))
-            for r in w.close():
-                name = os.path.basename(r["path"])
-                shards.append(
-                    {
-                        "path": name,
-                        "records": r["records"],
-                        "bytes": r["bytes"],
-                        "partition": pdict,
-                        **stats.get(name, {}),
-                    }
-                )
-        return shards
+        return _route_partitioned(
+            iterator,
+            self.path,
+            basename,
+            self.partition_by,
+            compression=self.compression,
+            target_shard_bytes=self.target,
+            max_record_bytes=self.max_record_bytes,
+            max_entry_bytes=self.max_entry_bytes,
+            max_partition_writers=self.max_partition_writers,
+        )
 
     def commit(self, messages) -> None:
         """Publish this job's shards as one atomic commit.
@@ -1570,7 +1579,27 @@ class ShardPackWriter(DataSourceArrowWriter):
             }
             replaced: list[str] = []
             replaced_records = 0
-            for s in prior.get("shards", []):
+            # marker-committed (not-yet-folded) stream shards are just as
+            # live as manifest ones: a replace that skipped them would
+            # leave stale rows in the "replaced" partition.  They join
+            # the dropped list (visibility is names-minus-dropped either
+            # way) but NOT the record arithmetic — marker records were
+            # never part of the manifest's total.
+            already_dropped = set(prior.get("dropped") or ())
+            marker_stats: list[dict] = []
+            for f in be.glob_names(self.path, "_batch_*.json"):
+                try:
+                    mk = json.loads(be.read_bytes(os.path.join(self.path, f)))
+                except (OSError, json.JSONDecodeError):
+                    continue  # a torn marker commits nothing
+                marker_stats.extend(
+                    s
+                    for s in mk.get("shards", [])
+                    if s["path"] not in already_dropped
+                )
+            for s, counted in [(s, True) for s in prior.get("shards", [])] + [
+                (s, False) for s in marker_stats
+            ]:
                 part = s.get("partition") or {}
                 if any(k not in part for k in self.partition_by):
                     raise codec.ShardPackIOError(
@@ -1582,7 +1611,8 @@ class ShardPackWriter(DataSourceArrowWriter):
                     )
                 if tuple((k, part.get(k)) for k in self.partition_by) in new_pvs:
                     replaced.append(s["path"])
-                    replaced_records += s.get("records", 0)
+                    if counted:
+                        replaced_records += s.get("records", 0)
             parts = list(prior.get("parts", []))
             if not parts and prior.get("shards"):
                 parts = [_write_manifest_part(self.path, prior["shards"])]
@@ -1766,6 +1796,76 @@ class ShardPackStreamReader(DataSourceStreamReader):
 
 
 
+def _route_partitioned(
+    iterator,
+    out_dir: str,
+    basename: str,
+    partition_by: list[str],
+    *,
+    compression: str,
+    target_shard_bytes: int,
+    max_record_bytes: int | None = None,
+    max_entry_bytes: int | None = None,
+    max_partition_writers: int = 64,
+) -> list[dict]:
+    """Route records to one DatasetWriter per distinct partition-value
+    tuple, so every output shard is partition-PURE (one value per
+    partition key) and the manifest/marker can prune and replace by
+    exact partition match.  Shared by the batch writer and the stream
+    sink (which routes into its task staging dir).
+
+    Memory stays bounded: each open writer buffers one compression
+    stream and its _StatsTracker holds one shard's key hashes; the
+    writer count is capped (a task fed N random partitions would
+    otherwise open N handles AND emit N tiny shards — the fix at
+    scale is `df.repartition(F.element_at("metadata", lit(k)))` so
+    each task sees few partition values, same as Spark's dynamic
+    partition inserts)."""
+    writers: dict[tuple, tuple[codec.DatasetWriter, _StatsTracker]] = {}
+    for rec in _batches_to_records(iterator):
+        md = rec.metadata or {}
+        pv = tuple(md.get(k) for k in partition_by)
+        ent = writers.get(pv)
+        if ent is None:
+            if len(writers) >= max_partition_writers:
+                raise codec.ShardPackIOError(
+                    f"task saw more than max_partition_writers="
+                    f"{max_partition_writers} distinct values of "
+                    f"partition_by={partition_by}; repartition the "
+                    "input by the partition keys first "
+                    "(df.repartition(F.element_at('metadata', lit(k)))) "
+                    "or raise the option"
+                )
+            w = codec.DatasetWriter(
+                out_dir,
+                basename=f"{basename}-p{len(writers):04d}",
+                compression=compression,
+                target_shard_bytes=target_shard_bytes,
+                max_record_bytes=max_record_bytes,
+                max_entry_bytes=max_entry_bytes,
+            )
+            ent = writers[pv] = (w, _StatsTracker())
+        w, tracker = ent
+        w.write(rec)
+        tracker.add(rec, os.path.basename(w._writer.path))
+    shards: list[dict] = []
+    for pv, (w, tracker) in writers.items():
+        stats = tracker.finish()
+        pdict = dict(zip(partition_by, pv))
+        for r in w.close():
+            name = os.path.basename(r["path"])
+            shards.append(
+                {
+                    "path": name,
+                    "records": r["records"],
+                    "bytes": r["bytes"],
+                    "partition": pdict,
+                    **stats.get(name, {}),
+                }
+            )
+    return shards
+
+
 class ShardPackStreamWriter(DataSourceStreamArrowWriter):
     """Streaming sink with batch-commit visibility.
 
@@ -1783,6 +1883,19 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
             raise codec.ShardPackIOError("shardpack stream writer requires a path")
         self.compression = options.get("compression", "none")
         self.target = int(options.get("target_shard_bytes", codec.DEFAULT_TARGET_SHARD_BYTES))
+        mrb = options.get("max_record_bytes")
+        meb = options.get("max_entry_bytes")
+        self.max_record_bytes = int(mrb) if mrb is not None else None
+        self.max_entry_bytes = int(meb) if meb is not None else None
+        # partition-pure streamed shards (same layout + same manifest
+        # semantics as the batch writer's partition_by; values ride in
+        # the batch MARKER until fold_stream_markers moves them into the
+        # manifest — pruning reads both)
+        pb = options.get("partition_by")
+        self.partition_by: list[str] = (
+            [k.strip() for k in pb.split(",") if k.strip()] if pb else []
+        )
+        self.max_partition_writers = int(options.get("max_partition_writers", 64))
 
     def write(self, iterator) -> ShardCommitMessage:
         from pyspark import TaskContext
@@ -1791,11 +1904,30 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
         task_dir = os.path.join(
             self.path, STAGING_DIR, f"task-{tc.partitionId():05d}-{uuid.uuid4().hex[:8]}"
         )
+        basename = f"part-{tc.partitionId():05d}-{uuid.uuid4().hex[:8]}"
+        staging_rel = storage.relpath(task_dir, self.path)
+        if self.partition_by:
+            shards = _route_partitioned(
+                iterator,
+                task_dir,
+                basename,
+                self.partition_by,
+                compression=self.compression,
+                target_shard_bytes=self.target,
+                max_record_bytes=self.max_record_bytes,
+                max_entry_bytes=self.max_entry_bytes,
+                max_partition_writers=self.max_partition_writers,
+            )
+            return ShardCommitMessage(
+                shards=[{**s, "staging": staging_rel} for s in shards]
+            )
         writer = codec.DatasetWriter(
             task_dir,
-            basename=f"part-{tc.partitionId():05d}-{uuid.uuid4().hex[:8]}",
+            basename=basename,
             compression=self.compression,
             target_shard_bytes=self.target,
+            max_record_bytes=self.max_record_bytes,
+            max_entry_bytes=self.max_entry_bytes,
         )
         results, stats = _write_with_stats(writer, iterator)
         return ShardCommitMessage(
@@ -1835,7 +1967,13 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
             # batch-written ones
             final.append({**{k: v for k, v in s.items() if k != "staging"}, "path": name})
         # the marker IS the commit point (atomic tmp+rename / object put)
-        be.write_atomic(marker, json.dumps({"batch": batchId, "shards": final}).encode())
+        payload: dict = {"batch": batchId, "shards": final}
+        if self.partition_by:
+            # layout record — fold_stream_markers moves it to the
+            # manifest root, where compaction reads it to preserve
+            # partition purity
+            payload["partition_by"] = self.partition_by
+        be.write_atomic(marker, json.dumps(payload).encode())
         self._drop_staging(staged)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
@@ -2279,9 +2417,11 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
     writer's replay detection — a restart replays at most the newest
     uncommitted batch, so a generous tail is belt and braces.
 
-    Folded entries carry records/bytes but no key stats; key pruning
-    (optimization-only) keeps such shards.  Run ``compact_dataset`` when
-    a stats-bearing, right-sized rewrite is wanted.
+    Folded entries carry everything the marker recorded — bytes/records,
+    key range + bloom, meta value sets/ranges, partition values, and the
+    sink's partition_by layout — so pruning and dynamic overwrite work
+    identically before and after a fold.  Run ``compact_dataset`` when a
+    right-sized rewrite is wanted.
 
     ``keep_last`` must be >= 1: folding EVERY marker would delete the
     newest batch's replay-detection record, and a restart replaying that
@@ -2301,9 +2441,17 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
         if not to_fold:
             return {"folded": 0}
         shards: list[dict] = []
+        marker_pb: list[str] = []
         for mp in to_fold:
-            shards.extend(json.loads(be.read_bytes(mp)).get("shards", []))
+            m = json.loads(be.read_bytes(mp))
+            shards.extend(m.get("shards", []))
+            marker_pb = m.get("partition_by") or marker_pb  # newest wins
         prior, prior_vid0 = _observe_latest(path, flatten=False)
+        # marker shards a dynamic overwrite logically dropped must not
+        # fold back in (their files await vacuum, not resurrection)
+        prior_dropped = set((prior or {}).get("dropped") or ())
+        if prior_dropped:
+            shards = [s for s in shards if s["path"] not in prior_dropped]
         if prior is None:
             parts, total = [], 0
             comp, target = "none", codec.DEFAULT_TARGET_SHARD_BYTES
@@ -2329,6 +2477,16 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
             "parts": parts,
             "total_records": total + sum(s["records"] for s in shards),
         }
+        # layout record: keep the prior manifest's, else adopt the
+        # (newest) folded marker's — compaction reads it to preserve
+        # partition purity of a stream-partitioned ingest
+        pb = (prior or {}).get("partition_by") or marker_pb
+        if pb:
+            manifest["partition_by"] = pb
+        # a fold must not resurrect shards a dynamic overwrite dropped:
+        # the prior root's exclusion list rides along (its parts do too)
+        if (prior or {}).get("dropped"):
+            manifest["dropped"] = prior["dropped"]
         # same CAS publication as the batch commit: claiming root-{vid}
         # is the serialization point; a lost claim under a broken lock
         # would mean a concurrent commit — rerun fold in that case

@@ -326,3 +326,141 @@ def test_partitioned_over_object_store(spark_ds, sf_dir, tmp_path):
 
     got = read_shardpack(spark_ds, out, where_meta={"lang": lang}).count()
     assert got == 4
+
+
+def test_stream_sink_partitioned(spark_ds, sf_dir, tmp_path):
+    """The streaming sink writes partition-pure shards: partition values
+    ride in the batch markers (pruning reads them BEFORE any fold), and
+    fold_stream_markers moves values + layout into the manifest so the
+    dataset is indistinguishable from a batch-partitioned one."""
+    import glob as _glob
+    import os as _os
+
+    from shardpack_spark.format.datasource import (
+        ShardPackReader,
+        _load_manifest,
+        dataset_partitions,
+        fold_stream_markers,
+        read_shardpack,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    all_docs = _docs(spark_ds, sf_dir)  # key = doc/<8-digit id>: range-sliceable
+    docs = all_docs.filter(F.col("key") < "doc/00000200")
+    docs.write.format("shardpack").mode("overwrite").save(src)
+    want = _lang_counts(spark_ds, src)
+
+    assert (
+        spark_ds.readStream.format("shardpack")
+        .load(src)
+        .writeStream.format("shardpack")
+        .option("path", sink)
+        .option("partition_by", "lang")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    ), "stream did not finish in time"
+
+    # markers carry partition values + the layout record
+    markers = sorted(_glob.glob(_os.path.join(sink, "_batch_*.json")))
+    assert markers
+    marked = []
+    for mp in markers:
+        m = _json.load(open(mp))
+        assert m.get("partition_by") == ["lang"]
+        marked.extend(m["shards"])
+    assert marked and all(set(s["partition"]) == {"lang"} for s in marked)
+    # purity: recorded value == the shard's whole value set
+    assert all(
+        s["meta_values"]["lang"] == [s["partition"]["lang"]] for s in marked
+    )
+
+    # pruning works PRE-fold: where_meta on the partition key plans only
+    # that partition's (marker-committed) shards
+    lang = sorted(want)[0]
+    planned = ShardPackReader(
+        {"path": sink, "where_meta": _json.dumps({"lang": lang})}
+    ).partitions()
+    names = set()
+    for p in planned:
+        if p.path:
+            for full in p.group or [p.path]:
+                names.add(full.rsplit("/", 1)[-1])
+    by_name = {s["path"]: s for s in marked}
+    assert names and all(by_name[n]["partition"]["lang"] == lang for n in names)
+    assert len(names) == sum(
+        1 for s in marked if s["partition"]["lang"] == lang
+    )
+    assert _lang_counts(spark_ds, sink) == want
+
+    # second micro-batch (same checkpoint -> batchId advances), so the
+    # fold below has a foldable prefix while keep_last=1 retains the
+    # newest marker as the replay guard
+    extra = all_docs.filter(
+        (F.col("key") >= "doc/00000200") & (F.col("key") < "doc/00000250")
+    )
+    n_extra = extra.count()
+    assert n_extra > 0
+    extra.write.format("shardpack").mode("append").save(src)
+    assert (
+        spark_ds.readStream.format("shardpack")
+        .load(src)
+        .writeStream.format("shardpack")
+        .option("path", sink)
+        .option("partition_by", "lang")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    total_langs = _lang_counts(spark_ds, sink)
+    assert sum(total_langs.values()) == sum(want.values()) + n_extra
+
+    # fold: manifest adopts the layout; values survive; reads unchanged
+    assert fold_stream_markers(sink, keep_last=1)["folded"] >= 1
+    m = _load_manifest(sink)
+    assert m["partition_by"] == ["lang"]
+    assert m["shards"] and all("partition" in s for s in m["shards"])
+    assert _lang_counts(spark_ds, sink) == total_langs
+    parts = dataset_partitions(sink)
+    assert {p["partition"]["lang"]: p["records"] for p in parts} == total_langs
+
+    # the folded stream dataset supports batch dynamic overwrite
+    repl = _docs(spark_ds, sf_dir).filter(
+        F.element_at("metadata", F.lit("lang")) == lang
+    ).limit(3)
+    _write_partitioned(repl, sink, mode="overwrite",
+                       partition_overwrite_mode="dynamic")
+    after = _lang_counts(spark_ds, sink)
+    assert after[lang] == 3
+    for other in total_langs:
+        if other != lang:
+            assert after[other] == total_langs[other]
+    n_after = read_shardpack(spark_ds, sink).count()
+
+    # fold after a dynamic overwrite must keep the dropped list in force
+    # (a fold that forgot it would resurrect the replaced shards)
+    more = all_docs.filter(
+        (F.col("key") >= "doc/00000250") & (F.col("key") < "doc/00000257")
+    )
+    n_more = more.count()
+    assert n_more > 0
+    more.write.format("shardpack").mode("append").save(src)
+    assert (
+        spark_ds.readStream.format("shardpack")
+        .load(src)
+        .writeStream.format("shardpack")
+        .option("path", sink)
+        .option("partition_by", "lang")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert fold_stream_markers(sink, keep_last=1)["folded"] >= 1
+    m2 = _load_manifest(sink)
+    assert m2.get("dropped"), "fold dropped the dynamic-overwrite exclusions"
+    assert read_shardpack(spark_ds, sink).count() == n_after + n_more
