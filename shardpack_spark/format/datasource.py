@@ -2093,7 +2093,20 @@ def compact_dataset(
     )
     n_parts = max(1, -(-total_bytes // target_shard_bytes))
     pb = manifest.get("partition_by") or []
-    if sort_by_key:
+    if sort_by_key and pb:
+        # range-exchange on (partition keys, key): each task holds a
+        # contiguous slice of ONE partition (at boundaries, two), so the
+        # per-partition writer fan-out emits few right-sized shards with
+        # DISJOINT key ranges inside every partition — ranging on the
+        # key alone would hand every task all P partitions (P tiny
+        # shards per task, and the max_partition_writers cap at large P)
+        from pyspark.sql import functions as F
+
+        pcols = [F.element_at("metadata", F.lit(k)) for k in pb]
+        df = df.repartitionByRange(n_parts, *pcols, "key").sortWithinPartitions(
+            *pcols, "key"
+        )
+    elif sort_by_key:
         df = df.repartitionByRange(n_parts, "key").sortWithinPartitions("key")
     elif pb:
         # co-locate each partition's records so the rewrite emits few,

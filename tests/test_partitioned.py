@@ -464,3 +464,42 @@ def test_stream_sink_partitioned(spark_ds, sf_dir, tmp_path):
     m2 = _load_manifest(sink)
     assert m2.get("dropped"), "fold dropped the dynamic-overwrite exclusions"
     assert read_shardpack(spark_ds, sink).count() == n_after + n_more
+
+
+def test_sorted_compaction_of_partitioned_dataset(spark_ds, sf_dir, tmp_path):
+    """compact_dataset(sort_by_key=True) on a partitioned dataset keeps
+    the layout AND yields disjoint key ranges inside each partition, so
+    partition pruning and point-lookup pruning compose."""
+    from shardpack_spark.format.datasource import (
+        _load_manifest,
+        compact_dataset,
+        read_shardpack,
+    )
+
+    out = str(tmp_path / "sorted")
+    src = _docs(spark_ds, sf_dir)
+    want = src.count()
+    _write_partitioned(src, out, mode="overwrite")
+
+    compact_dataset(spark_ds, out, target_shard_bytes=64 * 1024, sort_by_key=True)
+    m = _load_manifest(out)
+    assert m["partition_by"] == ["lang"]
+    by_lang: dict[str, list] = {}
+    for s in m["shards"]:
+        assert set(s["partition"]) == {"lang"}
+        assert s["meta_values"]["lang"] == [s["partition"]["lang"]]
+        by_lang.setdefault(s["partition"]["lang"], []).append(
+            (s["min_key"], s["max_key"])
+        )
+    # disjoint, ordered key ranges within every partition
+    for ranges in by_lang.values():
+        ranges.sort()
+        for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2, f"overlapping ranges {hi1} >= {lo2}"
+    assert read_shardpack(spark_ds, out).count() == want
+    # dynamic overwrite still works on the compacted layout
+    lang = sorted(by_lang)[0]
+    repl = src.filter(F.element_at("metadata", F.lit("lang")) == lang).limit(2)
+    _write_partitioned(repl, out, mode="overwrite",
+                       partition_overwrite_mode="dynamic")
+    assert _lang_counts(spark_ds, out)[lang] == 2
