@@ -66,6 +66,19 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def _collect_centroids(centroids: DataFrame, centroid_id: str, centroid_vec: str):
+    """Collect the (tiny, O(k*d) by contract) centroid table once:
+    (ids sorted ascending, row-normalized matrix)."""
+    import numpy as np
+
+    rows = sorted(
+        centroids.select(centroid_id, centroid_vec).collect(), key=lambda r: r[0]
+    )
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return cids, cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+
 def assign_to_centroids(
     df: DataFrame,
     centroids: DataFrame,
@@ -85,18 +98,12 @@ def assign_to_centroids(
     |data| * k joined rows just to argmax over k, which is exactly the
     plan you can't afford at 100 TB.)
     """
-    import numpy as np
     import pandas as pd  # noqa: F401
     from pyspark.sql.pandas.functions import pandas_udf
 
     globals().setdefault("pd", pd)
 
-    rows = sorted(
-        centroids.select(centroid_id, centroid_vec).collect(), key=lambda r: r[0]
-    )
-    cids = np.array([r[0] for r in rows], dtype=np.int64)
-    cmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cids, cn = _collect_centroids(centroids, centroid_id, centroid_vec)
 
     @pandas_udf("long")
     def nearest(vecs: pd.Series) -> pd.Series:
@@ -127,18 +134,30 @@ def ivf_topk(
 
     At 100 TB the assignment is precomputed once (a bucketed table
     partitioned by cid); the query-time scan reads only probed partitions.
+    The probe set is ranked DRIVER-SIDE against the already-collected
+    centroid matrix (one numpy matvec over O(k) centroids — the same
+    state any IVF index holds) and applied as a `cid IN (...)` predicate:
+    no join, and on a cid-partitioned/bucketed layout the predicate is
+    exactly what partition pruning consumes.  (The previous shape ran a
+    broadcast crossJoin + sort job to rank centroids and a broadcast
+    semi-join to apply them — two extra exchanges for a list the driver
+    already had in memory.)
     """
+    import numpy as np
+
     assigned = assign_to_centroids(df, centroids, vec_col, id_col)
-    # Rank centroids for the query directly (tiny) and keep nprobe ids.
-    qc = (
-        query.select(F.col(vec_col).alias("__q"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("__sim", _dot(F.col("__q"), F.col("cvec")) / (_norm(F.col("__q")) * _norm(F.col("cvec"))))
-        .orderBy(F.desc("__sim"), F.asc("cid"))
-        .limit(nprobe)
-        .select("cid")
+    cids, cn = _collect_centroids(centroids, "cid", "cvec")
+    qvec = np.array(
+        [list(r[0]) for r in query.select(vec_col).collect()], dtype=np.float64
     )
-    bucketed = assigned.join(F.broadcast(qc), "cid", "left_semi")
+    if qvec.shape[0] != 1:
+        raise ValueError(f"ivf_topk expects a single-row query, got {qvec.shape[0]}")
+    q = qvec[0] / (np.linalg.norm(qvec[0]) or 1.0)
+    sims = cn @ q
+    # same ordering contract as before: cosine desc, centroid id asc
+    order = sorted(range(len(cids)), key=lambda i: (-sims[i], cids[i]))
+    probe = [int(cids[i]) for i in order[:nprobe]]
+    bucketed = assigned.filter(F.col("cid").isin(probe))
     return cosine_topk(bucketed, query, k, vec_col, id_col)
 
 
