@@ -1157,8 +1157,8 @@ class ShardPackPruningReader(ShardPackReader):
     (the bucket-index access path, src/bucket.rs:147-169): point/IN/prefix
     probes prune via [min,max] ranges + per-shard blooms, and key-range
     comparisons (>, >=, <, <=) prune via range intersection — decisive on
-    sorted / range-partitioned layouts (sort_dataset_by_key), where a
-    key-range scan opens only the shards whose ranges overlap."""
+    sorted / range-partitioned layouts (compact_dataset(sort_by_key=True)),
+    where a key-range scan opens only the shards whose ranges overlap."""
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
         """Record key equality/prefix/range filters; all filters are
