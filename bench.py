@@ -159,6 +159,34 @@ def main() -> None:
         r_docs()  # warm with the SAME payload-decoding plan, not count()
         t_r = min(time_query(r_docs) for _ in range(2))
         yard["shardpack_scan_s"] = round(t_r, 3)
+
+        # partition pruning: rewrite the same docs partitioned by lang at
+        # a small shard size (so the dataset has enough shards for
+        # pruning to matter), then time the SAME aggregate as a full scan
+        # vs a where_meta scan of ONE language — the pruned plan opens
+        # only that partition's shards
+        docs.write.format("shardpack").option(
+            "target_shard_bytes", 64 * 1024
+        ).option("partition_by", "lang").mode("overwrite").save(out)
+        lang = (
+            load_table(spark, sf_dir, "documents")
+            .agg(F.min("lang")).head()[0]
+        )
+
+        def r_part(meta):
+            read_shardpack(spark, out, where_meta=meta).agg(
+                F.count(F.lit(1)),
+                F.sum(F.element_at("metadata", "n_chars").cast("long")),
+            ).collect()
+
+        r_part(None)
+        yard["partitioned_full_s"] = round(
+            min(time_query(lambda: r_part(None)) for _ in range(2)), 3
+        )
+        r_part({"lang": lang})
+        yard["partitioned_prune_s"] = round(
+            min(time_query(lambda: r_part({"lang": lang})) for _ in range(2)), 3
+        )
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

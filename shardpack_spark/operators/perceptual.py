@@ -493,3 +493,78 @@ def hamming_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("sid_a", "sid_b", "hamming")
     )
+
+
+def hamming_near_pairs_against(
+    new_sig: DataFrame,
+    corpus_sig: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near pairs BETWEEN two signature sets (never within one):
+    ``(sid_new, sid_corpus, hamming)`` with ``hamming <= max_hamming``.
+
+    The perceptual-dedup ingest shape, mirroring
+    ``dedup.minhash_lsh_candidates_against``: the standing corpus's
+    image/audio/video signatures are computed once and stored; each
+    incoming batch is signed with the same construction and banded-joined
+    against them.  With ``broadcast_new`` (the steady-state default —
+    a batch is small next to the corpus) the corpus's banded rows are
+    SCANNED but never SHUFFLED: per-batch cost is one corpus read plus
+    O(|batch|) work, independent of corpus size in shuffle terms.  Set
+    False for a backfill merging two large sets.
+
+    Same completeness guarantee as ``hamming_near_pairs``: disjoint
+    bands with ``max_hamming <= bands-1`` provably cover every
+    qualifying cross pair.
+    """
+    if bands not in (2, 4, 8, 16, 32):
+        raise ValueError(
+            f"bands must be one of 2/4/8/16/32 (even tiling of the two "
+            f"32-bit halves), got {bands}"
+        )
+    if not 0 <= max_hamming <= bands - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, bands-1] for the blocking "
+            f"guarantee to hold, got max_hamming={max_hamming} bands={bands}"
+        )
+    width = 64 // bands
+    half_bands = bands // 2
+
+    def banded(sig: DataFrame, tag: str) -> DataFrame:
+        def band_key(b: int) -> F.Column:
+            src = F.col("sim_lo") if b < half_bands else F.col("sim_hi")
+            return (
+                F.shiftrightunsigned(src, (b % half_bands) * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+            )
+
+        return sig.select(
+            F.col("sid").alias(f"sid_{tag}"),
+            F.col("sim_hi").alias(f"hi_{tag}"),
+            F.col("sim_lo").alias(f"lo_{tag}"),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
+                    for b in range(bands)
+                ])
+            ).alias("s"),
+        ).select(f"sid_{tag}", f"hi_{tag}", f"lo_{tag}", "s.band", "s.key")
+
+    nb = banded(new_sig, "new")
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    cand = (
+        nb.join(banded(corpus_sig, "corpus"), ["band", "key"])
+        .select("sid_new", "hi_new", "lo_new", "sid_corpus", "hi_corpus", "lo_corpus")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("hi_new").bitwiseXOR(F.col("hi_corpus"))) + F.bit_count(
+        F.col("lo_new").bitwiseXOR(F.col("lo_corpus"))
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("sid_new", "sid_corpus", "hamming")
+    )

@@ -408,3 +408,67 @@ def test_video_fingerprint_majority_ignores_outlier_frame(spark):
     # 5-of-6 majority == the repeated frame's own dHash
     hi, lo = _pack_bits(_dhash_bits(a))
     assert rows["v/v.avi"] == (hi, lo)
+
+
+# --- cross-corpus (ingest) near pairs -------------------------------------------
+
+from shardpack_spark.operators.perceptual import hamming_near_pairs_against
+
+
+@pytest.mark.parametrize("broadcast_new", [True, False])
+def test_hamming_near_pairs_against_brute_force(spark, broadcast_new):
+    """Cross-set blocking is exact: every (new, corpus) pair within the
+    threshold is found, nothing else, and no within-set pair leaks."""
+    rng = np.random.default_rng(21)
+    corpus = [int(rng.integers(0, 2**64, dtype=np.uint64)) for _ in range(30)]
+    new = []
+    for i in range(8):  # near-copies of corpus members
+        v = corpus[i]
+        for b in rng.choice(64, size=int(rng.integers(0, 4)), replace=False):
+            v ^= 1 << int(b)
+        new.append(v)
+    new += [int(rng.integers(0, 2**64, dtype=np.uint64)) for _ in range(6)]
+
+    def df_of(vals, prefix):
+        return spark.createDataFrame(
+            [Row(sid=f"{prefix}{i:03d}", sim_hi=int(v >> 32),
+                 sim_lo=int(v & 0xFFFFFFFF)) for i, v in enumerate(vals)],
+            "sid string, sim_hi long, sim_lo long",
+        )
+
+    expected = {
+        (f"n{i:03d}", f"c{j:03d}", bin(a ^ b).count("1"))
+        for i, a in enumerate(new)
+        for j, b in enumerate(corpus)
+        if bin(a ^ b).count("1") <= 3
+    }
+    got = {
+        (r.sid_new, r.sid_corpus, r.hamming)
+        for r in hamming_near_pairs_against(
+            df_of(new, "n"), df_of(corpus, "c"), bands=4, max_hamming=3,
+            broadcast_new=broadcast_new,
+        ).collect()
+    }
+    assert got == expected and expected
+
+
+def test_hamming_near_pairs_against_ingest_plan(spark):
+    """The steady-state ingest shape: the corpus side must not shuffle
+    (broadcast hash join, no exchange on the corpus branch)."""
+    rng = np.random.default_rng(33)
+    df_small = spark.createDataFrame(
+        [Row(sid=f"n{i}", sim_hi=int(rng.integers(0, 2**32)),
+             sim_lo=int(rng.integers(0, 2**32))) for i in range(4)],
+        "sid string, sim_hi long, sim_lo long",
+    )
+    df_corpus = spark.createDataFrame(
+        [Row(sid=f"c{i}", sim_hi=int(rng.integers(0, 2**32)),
+             sim_lo=int(rng.integers(0, 2**32))) for i in range(200)],
+        "sid string, sim_hi long, sim_lo long",
+    )
+    plan = (
+        hamming_near_pairs_against(df_small, df_corpus)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
