@@ -746,6 +746,63 @@ def _pruning_stats(path: str, manifest: dict | None) -> dict[str, dict]:
     return stats
 
 
+def _names_matching_meta(
+    names: list[str],
+    stats: dict[str, dict],
+    where_meta: dict | None,
+    where_meta_range: dict | None,
+) -> list[str]:
+    """Metadata data skipping over shard names, shared by the batch and
+    stream readers.
+
+    ``where_meta``: drop shards whose recorded value set for a probed key
+    EXCLUDES the probe value; a PARTITION-pure shard's recorded value is
+    exact (writer-enforced), so equality prunes even where value sets
+    overflow their cap.  Keys absent from a shard's stats are
+    high-cardinality or untracked — unprunable, kept.
+
+    ``where_meta_range``: numeric zone maps — drop shards whose recorded
+    [min,max] for a probed key cannot intersect the probe interval.
+
+    Both are PURE optimizations: the caller's row-level filter still
+    applies, so semantics never depend on pruning."""
+    if where_meta:
+
+        def meta_may_match(name: str) -> bool:
+            s = stats.get(name, {})
+            part = s.get("partition")
+            mv = s.get("meta_values")
+            for k, v in where_meta.items():
+                if part and k in part:
+                    if part[k] != v:
+                        return False
+                    continue
+                if mv and k in mv and v not in mv[k]:
+                    return False
+            return True
+
+        names = [n for n in names if meta_may_match(n)]
+    if where_meta_range:
+
+        def range_may_match(name: str) -> bool:
+            mr = stats.get(name, {}).get("meta_ranges")
+            if not mr:
+                return True
+            for k, bounds in where_meta_range.items():
+                if k not in mr:
+                    continue
+                s_lo, s_hi = mr[k]
+                lo, hi = bounds[0], bounds[1]
+                if lo is not None and s_hi < float(lo):
+                    return False
+                if hi is not None and s_lo > float(hi):
+                    return False
+            return True
+
+        names = [n for n in names if range_may_match(n)]
+    return names
+
+
 def _manifest_stats(path: str, manifest: dict | None) -> dict[str, tuple[int, int | None]]:
     """name -> (bytes, records|None) for every shard the commit log
     records (manifest entries and stream-batch markers both carry
@@ -969,54 +1026,10 @@ class ShardPackReader(DataSourceReader):
                 _pstats_memo[0] = _pruning_stats(self.path, manifest)
             return _pstats_memo[0]
 
-        if self.where_meta:
-            # metadata data skipping: drop shards whose recorded value set
-            # for a probed key EXCLUDES the probe value.  Keys absent from
-            # a shard's map are high-cardinality or untracked there —
-            # unprunable, kept.  Pure optimization: the caller's filter
-            # still applies row-level.
-            stats0 = _stats_view()
-
-            def meta_may_match(name: str) -> bool:
-                s = stats0.get(name, {})
-                part = s.get("partition")
-                mv = s.get("meta_values")
-                for k, v in self.where_meta.items():
-                    if part and k in part:
-                        # partition-pure shard: the recorded value is
-                        # EXACT (writer-enforced), so equality prunes
-                        # even where value sets overflow their cap
-                        if part[k] != v:
-                            return False
-                        continue
-                    if mv and k in mv and v not in mv[k]:
-                        return False
-                return True
-
-            names = [n for n in names if meta_may_match(n)]
-        if self.where_meta_range:
-            # numeric zone-map skipping: drop shards whose recorded
-            # [min,max] for a probed key cannot intersect the probe
-            # interval.  Keys without a recorded range (non-numeric,
-            # oversized, or pre-zone-map manifests) never prune.
-            stats1 = _stats_view()
-
-            def range_may_match(name: str) -> bool:
-                mr = stats1.get(name, {}).get("meta_ranges")
-                if not mr:
-                    return True
-                for k, bounds in self.where_meta_range.items():
-                    if k not in mr:
-                        continue
-                    s_lo, s_hi = mr[k]
-                    lo, hi = bounds[0], bounds[1]
-                    if lo is not None and s_hi < float(lo):
-                        return False
-                    if hi is not None and s_lo > float(hi):
-                        return False
-                return True
-
-            names = [n for n in names if range_may_match(n)]
+        if self.where_meta or self.where_meta_range:
+            names = _names_matching_meta(
+                names, _stats_view(), self.where_meta, self.where_meta_range
+            )
         if not names:
             if manifest is not None or self.only_shards is not None:
                 # a committed-but-empty dataset (all rows tombstoned and
@@ -1740,6 +1753,16 @@ class ShardPackStreamReader(DataSourceStreamReader):
         # bounded batches instead of one giant catch-up batch.  0 = no cap.
         self.max_shards = int(options.get("max_shards_per_batch", 0))
         self.shard_column = str(options.get("with_shard_column", "false")).lower() == "true"
+        # metadata data skipping for stream consumers (a tailer of one
+        # partition/lang must not read every committed shard): same
+        # option syntax and same pruning-only semantics as the batch
+        # reader — combine with a row-level .filter() for exactness.
+        # Skipped shards are PERMANENTLY skipped for this query (the
+        # watermark advances past them), which is the point.
+        wm = options.get("where_meta")
+        self.where_meta: dict[str, str] | None = json.loads(wm) if wm else None
+        wmr = options.get("where_meta_range")
+        self.where_meta_range: dict | None = json.loads(wmr) if wmr else None
         self._last = ""  # high-watermark of the newest offset handed out
         # Restart safety for admission control: the engine is free to call
         # latestOffset() on a fresh reader BEFORE anything reveals the
@@ -1776,6 +1799,13 @@ class ShardPackStreamReader(DataSourceStreamReader):
             for n in _visible_shards(self.path, manifest)
             if lo < n <= hi and n > self._floor
         ]
+        if self.where_meta or self.where_meta_range:
+            names = _names_matching_meta(
+                names,
+                _pruning_stats(self.path, manifest),
+                self.where_meta,
+                self.where_meta_range,
+            )
         return _plan_partitions(
             self.path,
             names,

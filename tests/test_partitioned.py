@@ -503,3 +503,32 @@ def test_sorted_compaction_of_partitioned_dataset(spark_ds, sf_dir, tmp_path):
     _write_partitioned(repl, out, mode="overwrite",
                        partition_overwrite_mode="dynamic")
     assert _lang_counts(spark_ds, out)[lang] == 2
+
+
+def test_stream_reader_partition_pruned(spark_ds, sf_dir, tmp_path):
+    """A streaming consumer with where_meta tails ONE partition: only
+    matching shards are admitted (pruning, not row filtering — purity
+    makes it exact for partition keys)."""
+    src = str(tmp_path / "psrc")
+    docs = _docs(spark_ds, sf_dir, limit=300)
+    _write_partitioned(docs, src, mode="overwrite")
+    langs = sorted(_lang_counts(spark_ds, src))
+    lang = langs[0]
+    want = _lang_counts(spark_ds, src)[lang]
+
+    q = (
+        spark_ds.readStream.format("shardpack")
+        .option("where_meta", _json.dumps({"lang": lang}))
+        .load(src)
+        .groupBy(F.element_at("metadata", F.lit("lang")).alias("lang"))
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("pruned_tail")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {r["lang"]: r["n"] for r in spark_ds.sql("SELECT * FROM pruned_tail").collect()}
+    # partition purity -> ONLY the probed lang ever reaches the stream
+    assert rows == {lang: want}
