@@ -2764,6 +2764,50 @@ def vacuum(
     return out
 
 
+def write_partitioned(
+    df,
+    path: str,
+    partition_by: list[str] | str,
+    mode: str = "append",
+    dynamic: bool = False,
+    tasks: int | None = None,
+    **options,
+) -> None:
+    """Partition-routed write with the scale-correct exchange built in.
+
+    Repartitions by the partition-key metadata values FIRST, so each
+    write task sees few distinct partitions (few open writers, few
+    right-sized shards — the same exchange Spark's dynamic partition
+    inserts plan), then writes with ``partition_by`` (+
+    ``partition_overwrite_mode=dynamic`` when ``dynamic``).  Without the
+    exchange, a task fed random partitions opens one writer per value it
+    sees and emits tiny shards — the raw option requires callers to
+    repartition themselves; this helper is that call spelled once.
+
+    ``tasks`` caps the exchange's partition count (default: Spark's
+    shuffle partitioning).  Extra ``options`` pass through to the writer
+    (compression, target_shard_bytes, ...).
+    """
+    from pyspark.sql import functions as F
+
+    keys = (
+        [k.strip() for k in partition_by.split(",") if k.strip()]
+        if isinstance(partition_by, str)
+        else list(partition_by)
+    )
+    if not keys:
+        raise codec.ShardPackIOError("write_partitioned requires partition keys")
+    exprs = [F.element_at("metadata", F.lit(k)) for k in keys]
+    df = df.repartition(tasks, *exprs) if tasks else df.repartition(*exprs)
+    w = df.write.format("shardpack").option("partition_by", ",".join(keys))
+    if dynamic:
+        w = w.option("partition_overwrite_mode", "dynamic")
+        mode = "overwrite"
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.mode(mode).save(path)
+
+
 def read_shardpack(
     spark,
     path: str,

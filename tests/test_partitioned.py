@@ -532,3 +532,34 @@ def test_stream_reader_partition_pruned(spark_ds, sf_dir, tmp_path):
     rows = {r["lang"]: r["n"] for r in spark_ds.sql("SELECT * FROM pruned_tail").collect()}
     # partition purity -> ONLY the probed lang ever reaches the stream
     assert rows == {lang: want}
+
+
+def test_write_partitioned_helper(spark_ds, sf_dir, tmp_path):
+    """The helper repartitions by the partition keys (few writers per
+    task, few shards per partition) and supports dynamic replace."""
+    from shardpack_spark.format.datasource import (
+        _load_manifest,
+        dataset_partitions,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "helper")
+    src = _docs(spark_ds, sf_dir)
+    write_partitioned(src, out, "lang", mode="overwrite", tasks=8)
+    m = _load_manifest(out)
+    assert m["partition_by"] == ["lang"]
+    n_langs = len({s["partition"]["lang"] for s in m["shards"]})
+    # with the exchange, each partition lands in ~1 task -> ~1 shard
+    assert len(m["shards"]) <= 2 * n_langs
+    before = _lang_counts(spark_ds, out)
+
+    lang = sorted(before)[0]
+    repl = src.filter(F.element_at("metadata", F.lit("lang")) == lang).limit(4)
+    write_partitioned(repl, out, ["lang"], dynamic=True, tasks=2)
+    after = _lang_counts(spark_ds, out)
+    assert after[lang] == 4
+    assert all(after[o] == before[o] for o in before if o != lang)
+    assert sum(p["records"] for p in dataset_partitions(out)) == sum(after.values())
+
+    with pytest.raises(Exception, match="requires partition keys"):
+        write_partitioned(src, out, [], mode="overwrite")
