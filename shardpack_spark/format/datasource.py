@@ -1774,8 +1774,23 @@ class ShardPackStreamReader(DataSourceStreamReader):
         # never emitted again, so a regressed batch is empty rather than a
         # duplicate, and the cap re-engages from the floor afterwards.
         self._floor = ""
+        # earliest (default) replays the whole committed history; latest
+        # tails from the shards committed as of query START (the standard
+        # startingOffsets=latest semantics — only NEW commits flow).
+        # Evaluated in initialOffset, which the engine calls once for a
+        # fresh query and then checkpoints — restarts resume the
+        # checkpoint, never "latest again".
+        sp = str(options.get("starting_position", "earliest")).lower()
+        if sp not in ("earliest", "latest"):
+            raise codec.ShardPackIOError(
+                f"starting_position must be earliest|latest, got {sp!r}"
+            )
+        self.starting_position = sp
 
     def initialOffset(self) -> dict:  # noqa: N802
+        if self.starting_position == "latest":
+            names = _visible_shards(self.path)
+            return {"last": names[-1] if names else ""}
         return {"last": ""}
 
     def latestOffset(self) -> dict:  # noqa: N802

@@ -314,3 +314,46 @@ def test_stream_sink_crash_mid_move(spark, tmp_path, monkeypatch):
         "crashed attempt's staging dir is reclaimed as debris"
     )
     assert _keys(spark, out) == ["a", "c", "d", "e"]
+
+
+def test_stream_starting_position_latest(spark, tmp_path):
+    """starting_position=latest tails from query start: history committed
+    before the first batch never flows; later commits do; restarts resume
+    the checkpoint rather than re-evaluating 'latest'."""
+    register(spark)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _event_shard(src, 0, [("old1", "2025-01-01T00:00:00", 1.0),
+                          ("old2", "2025-01-01T00:00:01", 1.0)])
+
+    sink = str(tmp_path / "sink")
+
+    def drain(_):
+        q = (
+            spark.readStream.format("shardpack")
+            .option("starting_position", "latest")
+            .load(src)
+            .writeStream.format("shardpack")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        try:
+            return sorted(
+                r["key"]
+                for r in read_shardpack(spark, sink).select("key").collect()
+            )
+        except Exception:  # zero batches delivered -> no shards yet
+            return []
+
+    assert drain("tail1") == [], "pre-existing history must not flow"
+    _event_shard(src, 1, [("new1", "2025-01-02T00:00:00", 2.0)])
+    assert drain("tail2") == ["new1"], "only post-start commits flow"
+
+    from shardpack_spark.format.datasource import ShardPackStreamReader
+
+    with pytest.raises(Exception, match="earliest\\|latest"):
+        ShardPackStreamReader({"path": src, "starting_position": "now"})
