@@ -1397,6 +1397,21 @@ class ShardPackWriter(DataSourceArrowWriter):
                 "partition_overwrite_mode=dynamic requires partition_by"
             )
         self.max_partition_writers = int(options.get("max_partition_writers", 64))
+        # dataset-level custom metadata (the spec's `--metadata k=v`
+        # shard-level fields, docs/draft.md:136-148, lifted to the
+        # dataset where our commit log lives): a JSON object recorded in
+        # the manifest root under `user_metadata`.  Append/dynamic merge
+        # key-wise (this commit's keys win); a full overwrite resets to
+        # exactly this commit's object.
+        um = options.get("dataset_metadata")
+        self.dataset_metadata: dict | None = json.loads(um) if um else None
+        if self.dataset_metadata is not None and (
+            not isinstance(self.dataset_metadata, dict)
+            or not all(isinstance(v, str) for v in self.dataset_metadata.values())
+        ):
+            raise codec.ShardPackIOError(
+                "dataset_metadata must be a JSON object of string values"
+            )
         storage.for_path(self.path).makedirs(self.path)
         # driver-side: monotonic commit sequence for this job's shard names
         self.commit_seq = _next_commit_seq(self.path)
@@ -1669,6 +1684,13 @@ class ShardPackWriter(DataSourceArrowWriter):
         )
         if pb:
             manifest["partition_by"] = pb
+        # dataset-level custom metadata: merge over the prior commit's
+        # (this commit's keys win); full overwrite starts fresh
+        um = {} if full_reset else dict((prior or {}).get("user_metadata") or {})
+        if self.dataset_metadata:
+            um.update(self.dataset_metadata)
+        if um:
+            manifest["user_metadata"] = um
         # Archive the root BEFORE the live swap: shard files and parts are
         # immutable, so this root replays this commit's exact view forever
         # (until an overwrite deletes the data files and resets history).
@@ -2173,6 +2195,10 @@ def compact_dataset(
         # preserve the partitioned layout (and re-enable dynamic
         # overwrite) across compaction
         w = w.option("partition_by", ",".join(pb))
+    if manifest.get("user_metadata"):
+        # a compaction rewrites data, not identity: custom dataset
+        # metadata survives the full-overwrite commit
+        w = w.option("dataset_metadata", json.dumps(manifest["user_metadata"]))
     w.mode("overwrite").save(path)
     new_manifest = _load_manifest(path) or {}
     return {
@@ -2545,6 +2571,8 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
         # the prior root's exclusion list rides along (its parts do too)
         if (prior or {}).get("dropped"):
             manifest["dropped"] = prior["dropped"]
+        if (prior or {}).get("user_metadata"):
+            manifest["user_metadata"] = prior["user_metadata"]
         # same CAS publication as the batch commit: claiming root-{vid}
         # is the serialization point; a lost claim under a broken lock
         # would mean a concurrent commit — rerun fold in that case
@@ -2777,6 +2805,112 @@ def vacuum(
                 except (OSError, FileNotFoundError):
                     continue
     return out
+
+
+# extension -> content type for directory ingestion (the spec's
+# recommended types, docs/draft.md:185-197, plus the formats this repo
+# decodes natively)
+_INGEST_CONTENT_TYPES = {
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "png": "image/png",
+    "gif": "image/gif",
+    "txt": "text/plain",
+    "md": "text/plain",
+    "json": "application/json",
+    "jsonl": "application/json",
+    "npy": "application/x-npy",
+    "npz": "application/x-npz",
+    "msgpack": "application/msgpack",
+    "wav": "audio/wav",
+    "avi": "video/x-msvideo",
+    "mp4": "video/mp4",
+    "csv": "text/csv",
+    "parquet": "application/vnd.apache.parquet",
+}
+
+
+def ingest_files(
+    spark,
+    input_path: str,
+    out: str,
+    group_by_stem: bool = True,
+    key_prefix: str = "",
+    glob: str | None = None,
+    mode: str = "append",
+    content_types: dict[str, str] | None = None,
+    **writer_options,
+) -> None:
+    """Pack a directory of files into a shardpack dataset — the
+    reference CLI's primary use case (`shardpack create --input dir`,
+    docs/draft.md:132-148) as ONE distributed job.
+
+    Files are read with Spark's built-in ``binaryFile`` source
+    (recursive), so listing and byte transfer scale with the cluster,
+    not the driver.  ``group_by_stem=True`` (default) packs files that
+    share a path-minus-extension into ONE record with one entry per
+    file — the spec's sample+annotation shape (img0001.jpg +
+    img0001.json -> record "img0001" with two entries); with False each
+    file is its own single-entry record.  Record keys are the
+    slash-normalized path relative to ``input_path`` (minus extension
+    when grouping), prefixed with ``key_prefix``; entries within a
+    record sort by file name, so output is deterministic for a given
+    tree.  Content types come from the extension map (unknowns ->
+    application/octet-stream); record metadata carries the entry count
+    and total bytes as strings.
+
+    ``writer_options`` pass through (compression, target_shard_bytes,
+    max_record_bytes, partition_by, dataset_metadata, ...).
+    """
+    from pyspark.sql import functions as F
+
+    register(spark)
+    ctypes = {**_INGEST_CONTENT_TYPES, **(content_types or {})}
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(input_path)
+
+    base = _norm_path(input_path).rstrip("/") + "/"
+    rel = F.regexp_replace(
+        F.regexp_replace(F.col("path"), r"^file:", ""), re.escape(base), ""
+    )
+    stem = F.regexp_replace(rel, r"\.[^./]+$", "") if group_by_stem else rel
+    ext = F.lower(F.regexp_extract(rel, r"\.([^./]+)$", 1))
+    ct_expr = F.coalesce(
+        *[F.when(ext == e, F.lit(c)) for e, c in sorted(ctypes.items())],
+        F.lit("application/octet-stream"),
+    )
+    entries = files.select(
+        (F.concat(F.lit(key_prefix), stem) if key_prefix else stem).alias("key"),
+        F.struct(
+            F.element_at(F.split(rel, "/"), -1).alias("file_name"),
+            ct_expr.alias("content_type"),
+            F.lit("none").alias("encoding"),
+            F.col("length").cast("long").alias("size"),
+            F.col("content").alias("data"),
+        ).alias("e"),
+    )
+    records = entries.groupBy("key").agg(
+        F.array_sort(
+            F.collect_list("e"), lambda a, b: F.when(a["file_name"] < b["file_name"], -1)
+            .when(a["file_name"] > b["file_name"], 1)
+            .otherwise(0)
+        ).alias("entries")
+    ).select(
+        "key",
+        F.create_map(
+            F.lit("n_entries"), F.size("entries").cast("string"),
+            F.lit("n_bytes"),
+            F.aggregate("entries", F.lit(0).cast("long"), lambda acc, e: acc + e["size"])
+            .cast("string"),
+        ).alias("metadata"),
+        "entries",
+    )
+    w = records.write.format("shardpack")
+    for k, v in writer_options.items():
+        w = w.option(k, v)
+    w.mode(mode).save(out)
 
 
 def write_partitioned(

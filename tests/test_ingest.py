@@ -1,0 +1,198 @@
+"""Directory ingestion (the reference CLI's `shardpack create --input
+dir` use case, docs/draft.md:132-148) and dataset-level custom metadata
+(`--metadata k=v`)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from shardpack_spark.format.datasource import (
+    _load_manifest,
+    compact_dataset,
+    ingest_files,
+    read_shardpack,
+    register,
+)
+
+
+@pytest.fixture(scope="module")
+def spark_ds(spark):
+    register(spark)
+    return spark
+
+
+def _tree(tmp_path):
+    d = tmp_path / "corpus"
+    (d / "sub").mkdir(parents=True)
+    (d / "img0001.jpg").write_bytes(b"\xff\xd8\xff fakejpeg-1")
+    (d / "img0001.json").write_bytes(b'{"label": "cat"}')
+    (d / "img0002.jpg").write_bytes(b"\xff\xd8\xff fakejpeg-two")
+    (d / "sub" / "notes.txt").write_bytes(b"hello world")
+    (d / "sub" / "blob.xyz").write_bytes(b"\x00\x01\x02")
+    return str(d)
+
+
+def test_ingest_files_grouped(spark_ds, tmp_path):
+    src = _tree(tmp_path)
+    out = str(tmp_path / "ds")
+    ingest_files(spark_ds, src, out, mode="overwrite")
+
+    rows = {
+        r["key"]: r
+        for r in read_shardpack(spark_ds, out).collect()
+    }
+    assert set(rows) == {"img0001", "img0002", "sub/notes", "sub/blob"}
+    # stem grouping: jpg + json in one record, entries sorted by name
+    e1 = rows["img0001"]["entries"]
+    assert [e["file_name"] for e in e1] == ["img0001.jpg", "img0001.json"]
+    assert [e["content_type"] for e in e1] == ["image/jpeg", "application/json"]
+    assert bytes(e1[0]["data"]) == b"\xff\xd8\xff fakejpeg-1"
+    assert rows["img0001"]["metadata"]["n_entries"] == "2"
+    assert rows["img0001"]["metadata"]["n_bytes"] == str(
+        len(b"\xff\xd8\xff fakejpeg-1") + len(b'{"label": "cat"}')
+    )
+    # unknown extension falls back to octet-stream
+    assert rows["sub/blob"]["entries"][0]["content_type"] == "application/octet-stream"
+    assert rows["sub/notes"]["entries"][0]["content_type"] == "text/plain"
+
+    # determinism: re-ingest into a second dataset, same record keys/bytes
+    out2 = str(tmp_path / "ds2")
+    ingest_files(spark_ds, src, out2, mode="overwrite")
+    a = sorted(
+        (r["key"], [bytes(e["data"]) for e in r["entries"]])
+        for r in read_shardpack(spark_ds, out2).collect()
+    )
+    b = sorted(
+        (r["key"], [bytes(e["data"]) for e in r["entries"]])
+        for r in read_shardpack(spark_ds, out).collect()
+    )
+    assert a == b
+
+
+def test_ingest_files_ungrouped_prefix_glob(spark_ds, tmp_path):
+    src = _tree(tmp_path)
+    out = str(tmp_path / "flat")
+    ingest_files(
+        spark_ds, src, out, group_by_stem=False, key_prefix="raw/",
+        glob="*.jpg", mode="overwrite",
+    )
+    rows = {r["key"]: r for r in read_shardpack(spark_ds, out).collect()}
+    assert set(rows) == {"raw/img0001.jpg", "raw/img0002.jpg"}
+    assert all(len(r["entries"]) == 1 for r in rows.values())
+
+
+def test_dataset_metadata_lifecycle(spark_ds, sf_dir, tmp_path):
+    from shardpack_spark.tables import load_table
+
+    out = str(tmp_path / "meta")
+    docs = load_table(spark_ds, sf_dir, "documents").limit(20).select(
+        F.concat(F.lit("d/"), F.col("doc_id").cast("string")).alias("key"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("metadata"),
+        F.array(
+            F.struct(
+                F.lit("t.txt").alias("file_name"),
+                F.lit("text/plain").alias("content_type"),
+                F.lit("none").alias("encoding"),
+                F.length("text").cast("long").alias("size"),
+                F.encode("text", "utf-8").alias("data"),
+            )
+        ).alias("entries"),
+    )
+
+    def write(mode, md=None, **opts):
+        w = docs.write.format("shardpack")
+        if md is not None:
+            w = w.option("dataset_metadata", json.dumps(md))
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.mode(mode).save(out)
+
+    write("overwrite", {"creator": "me", "training": "true"})
+    assert _load_manifest(out)["user_metadata"] == {
+        "creator": "me", "training": "true"
+    }
+    # append merges key-wise, new keys win
+    write("append", {"training": "false", "epoch": "2"})
+    assert _load_manifest(out)["user_metadata"] == {
+        "creator": "me", "training": "false", "epoch": "2"
+    }
+    # plain append (no option) carries it forward
+    write("append")
+    assert _load_manifest(out)["user_metadata"]["creator"] == "me"
+    # compaction rewrites data but keeps identity metadata
+    compact_dataset(spark_ds, out, target_shard_bytes=64 * 1024)
+    assert _load_manifest(out)["user_metadata"]["creator"] == "me"
+    # full overwrite resets
+    write("overwrite")
+    assert "user_metadata" not in _load_manifest(out)
+    # validation: non-string values rejected
+    with pytest.raises(Exception, match="string values"):
+        write("append", {"n": 3})
+
+
+def test_ingest_then_dedup_composes(spark_ds, tmp_path):
+    """The packed dataset feeds the engine directly: exact dedup over
+    ingested text entries finds the duplicated payload."""
+    d = tmp_path / "texts"
+    d.mkdir()
+    (d / "a.txt").write_bytes(b"same body")
+    (d / "b.txt").write_bytes(b"same body")
+    (d / "c.txt").write_bytes(b"different")
+    out = str(tmp_path / "packed")
+    ingest_files(spark_ds, str(d), out, mode="overwrite")
+
+    from shardpack_spark.operators.dedup import exact_dedup
+
+    docs = read_shardpack(spark_ds, out).select(
+        F.col("key").alias("doc_id"),
+        F.decode(F.element_at("entries", 1)["data"], "utf-8").alias("text"),
+    )
+    kept = exact_dedup(docs, text_col="text", id_col="doc_id")
+    assert kept.count() == 2
+
+
+def test_cli_pack_ls_verify_compact(spark_ds, tmp_path, capsys):
+    """The CLI round trip: pack a tree (with size limit + custom
+    metadata), ls it metadata-only, verify, compact — every command
+    prints one scriptable JSON object."""
+    from shardpack_spark.__main__ import main
+
+    src = _tree(tmp_path)
+    out = str(tmp_path / "cli_ds")
+
+    assert main([
+        "pack", src, out, "--compression", "gzip",
+        "--record-size-limit", str(1 << 20),
+        "--metadata", "creator=cli-test", "training=true",
+        "--mode", "overwrite",
+    ]) == 0
+    packed = json.loads(capsys.readouterr().out.strip())
+    assert packed["records"] == 4 and packed["shards"] >= 1
+
+    assert main(["ls", out]) == 0
+    ls = json.loads(capsys.readouterr().out.strip())
+    assert ls["records"] == 4
+    assert ls["user_metadata"] == {"creator": "cli-test", "training": "true"}
+    assert ls["compression"] == "gzip"
+
+    assert main(["verify", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert not rep.get("errors") and not rep.get("missing")
+
+    assert main(["compact", out, "--sort-by-key"]) == 0
+    comp = json.loads(capsys.readouterr().out.strip())
+    assert comp["records"] == 4
+    # identity metadata survives the compaction rewrite
+    assert _load_manifest(out)["user_metadata"]["creator"] == "cli-test"
+
+    # data still reads back losslessly after the whole tour
+    rows = {r["key"] for r in read_shardpack(spark_ds, out).collect()}
+    assert rows == {"img0001", "img0002", "sub/notes", "sub/blob"}
+
+    with pytest.raises(SystemExit):
+        main(["pack", src, out, "--metadata", "novalue"])
