@@ -81,6 +81,15 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("dataset")
     f.add_argument("--keep-last", type=int, default=100)
 
+    h = sub.add_parser("head", help="preview records (plans ~1 shard)")
+    h.add_argument("dataset")
+    h.add_argument("-n", type=int, default=10)
+
+    e = sub.add_parser("export", help="dataset -> parquet (exploded entries)")
+    e.add_argument("dataset")
+    e.add_argument("parquet_out")
+    e.add_argument("--mode", default="overwrite", choices=["append", "overwrite"])
+
     args = ap.parse_args(argv)
     from shardpack_spark.format import datasource as ds
 
@@ -139,6 +148,24 @@ def main(argv: list[str] | None = None) -> int:
             grace_seconds=args.grace_seconds,
             dry_run=args.dry_run,
         )
+    elif args.cmd == "head":
+        # limit_records stops planning at the first shards covering n —
+        # previewing a huge dataset opens ~1 shard, payloads skipped
+        rows = ds.read_shardpack(
+            _spark(), args.dataset, columns=["key", "metadata"],
+            limit_records=args.n,
+        ).limit(args.n).collect()
+        report = {
+            "dataset": args.dataset,
+            "rows": [{"key": r["key"], "metadata": dict(r["metadata"] or {})}
+                     for r in rows],
+        }
+    elif args.cmd == "export":
+        # migration escape hatch: one row per file entry, bytes intact
+        ds.read_shardpack(_spark(), args.dataset, explode_entries=True).write.mode(
+            args.mode
+        ).parquet(args.parquet_out)
+        report = {"dataset": args.dataset, "parquet": args.parquet_out}
     else:  # fold
         report = ds.fold_stream_markers(args.dataset, keep_last=args.keep_last)
 

@@ -196,3 +196,28 @@ def test_cli_pack_ls_verify_compact(spark_ds, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["pack", src, out, "--metadata", "novalue"])
+
+
+def test_cli_head_and_export(spark_ds, tmp_path, capsys):
+    from shardpack_spark.__main__ import main
+
+    src = _tree(tmp_path)
+    out = str(tmp_path / "he_ds")
+    assert main(["pack", src, out, "--mode", "overwrite"]) == 0
+    capsys.readouterr()
+
+    assert main(["head", out, "-n", "2"]) == 0
+    head = json.loads(capsys.readouterr().out.strip())
+    assert len(head["rows"]) == 2
+    assert all("key" in r and "metadata" in r for r in head["rows"])
+
+    pq = str(tmp_path / "exported.parquet")
+    assert main(["export", out, pq]) == 0
+    capsys.readouterr()
+    back = spark_ds.read.parquet(pq)
+    assert back.count() == 5  # one row per file entry (img0001 has two)
+    got = {
+        (r["key"], r["file_name"], bytes(r["data"]))
+        for r in back.collect()
+    }
+    assert ("img0001", "img0001.json", b'{"label": "cat"}') in got
