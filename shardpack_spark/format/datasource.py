@@ -2891,13 +2891,21 @@ def ingest_files(
             F.col("content").alias("data"),
         ).alias("e"),
     )
-    records = entries.groupBy("key").agg(
-        F.array_sort(
-            F.collect_list("e"), lambda a, b: F.when(a["file_name"] < b["file_name"], -1)
-            .when(a["file_name"] > b["file_name"], 1)
-            .otherwise(0)
-        ).alias("entries")
-    ).select(
+    if group_by_stem:
+        # co-locating a record's entries is inherently a shuffle on the
+        # stem — the only full-data exchange in the pipeline
+        grouped = entries.groupBy("key").agg(
+            F.array_sort(
+                F.collect_list("e"),
+                lambda a, b: F.when(a["file_name"] < b["file_name"], -1)
+                .when(a["file_name"] > b["file_name"], 1)
+                .otherwise(0),
+            ).alias("entries")
+        )
+    else:
+        # one file = one record: map-only, no payload ever shuffles
+        grouped = entries.select("key", F.array("e").alias("entries"))
+    records = grouped.select(
         "key",
         F.create_map(
             F.lit("n_entries"), F.size("entries").cast("string"),
