@@ -242,3 +242,28 @@ def test_ungrouped_ingest_plans_no_shuffle(spark_ds, tmp_path):
     out = str(tmp_path / "noshuffle")
     dsm.ingest_files(spark_ds, src, out, group_by_stem=False, mode="overwrite")
     assert dsm.read_shardpack(spark_ds, out).count() == 5
+
+
+def test_ingest_edge_names(spark_ds, tmp_path):
+    """Names that break naive path handling: spaces, dotted directories,
+    extensionless files (group with same-stem siblings), multi-suffix
+    files (one extension level strips)."""
+    d = tmp_path / "edge"
+    (d / "v1.2" / "sub dir").mkdir(parents=True)
+    (d / "file with space.txt").write_bytes(b"a")
+    (d / "v1.2" / "sub dir" / "noext").write_bytes(b"b")
+    (d / "v1.2" / "x.tar.gz").write_bytes(b"c")
+    (d / "README").write_bytes(b"d")
+    (d / "README.txt").write_bytes(b"e")
+    out = str(tmp_path / "edge_ds")
+    ingest_files(spark_ds, str(d), out, mode="overwrite")
+    got = {
+        r["key"]: [e["file_name"] for e in r["entries"]]
+        for r in read_shardpack(spark_ds, out).collect()
+    }
+    assert got == {
+        "README": ["README", "README.txt"],
+        "file with space": ["file with space.txt"],
+        "v1.2/sub dir/noext": ["noext"],
+        "v1.2/x.tar": ["x.tar.gz"],
+    }
