@@ -472,3 +472,68 @@ def test_hamming_near_pairs_against_ingest_plan(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# --- end-to-end multimodal dedup pipeline ----------------------------------------
+#
+# ingest a directory of media files -> perceptual signatures (real npy /
+# wav paths) -> banded near pairs -> connected components -> keep-one.
+# The full shape a training-data pipeline runs, with no operator-specific
+# glue: every stage consumes the previous stage's DataFrame.
+
+
+def test_multimodal_dedup_pipeline_end_to_end(spark, tmp_path):
+    from shardpack_spark.format.datasource import (
+        ingest_files,
+        read_shardpack,
+        register,
+    )
+    from shardpack_spark.operators.dedup import connected_components
+
+    register(spark)
+    rng = np.random.default_rng(17)
+    d = tmp_path / "media"
+    d.mkdir()
+    # three image tensors: two near-identical, one different
+    img = np.cumsum(rng.random((32, 32)), axis=1) * 10
+    near = img.copy()
+    near[4:6, 4:6] += 0.2
+    other = rng.random((32, 32)) * 200
+    for name, arr in [("shot_a", img), ("shot_b", near), ("shot_c", other)]:
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        (d / f"{name}.npy").write_bytes(buf.getvalue())
+    # two audio clips: duplicate waveform + one different
+    n = 16000
+    wave = np.cumsum(rng.standard_normal(n))
+    wave = 0.6 * wave / np.abs(wave).max()
+    ow = np.cumsum(rng.standard_normal(n))
+    ow = 0.6 * ow / np.abs(ow).max()
+    (d / "clip_a.wav").write_bytes(_wav_bytes(wave))
+    (d / "clip_b.wav").write_bytes(_wav_bytes(wave + 0.001 * rng.standard_normal(n)))
+    (d / "clip_c.wav").write_bytes(_wav_bytes(ow))
+
+    packed = str(tmp_path / "packed")
+    ingest_files(spark, str(d), packed, mode="overwrite")
+    ds = read_shardpack(spark, packed)
+
+    sig = dhash_tensors(ds).unionAll(audio_fingerprint(ds))
+    assert sig.count() == 6
+    pairs = hamming_near_pairs(sig, bands=8, max_hamming=7)
+    clusters = connected_components(pairs)
+    by_cluster: dict = {}
+    for r in clusters.collect():
+        by_cluster.setdefault(r["cluster"], set()).add(r["sid"])
+    assert {frozenset(v) for v in by_cluster.values()} == {
+        frozenset({"shot_a/shot_a.npy", "shot_b/shot_b.npy"}),
+        frozenset({"clip_a/clip_a.wav", "clip_b/clip_b.wav"}),
+    }
+    # keep-one: drop every clustered sid except its canonical minimum
+    drop = {
+        r["sid"] for r in clusters.collect() if r["sid"] != r["cluster"]
+    }
+    survivors = {r["sid"] for r in sig.collect()} - drop
+    assert survivors == {
+        "clip_a/clip_a.wav", "shot_a/shot_a.npy",
+        "clip_c/clip_c.wav", "shot_c/shot_c.npy",
+    }
