@@ -90,6 +90,13 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("parquet_out")
     e.add_argument("--mode", default="overwrite", choices=["append", "overwrite"])
 
+    i = sub.add_parser("import", help="exploded-entry parquet -> dataset")
+    i.add_argument("parquet_in")
+    i.add_argument("dataset")
+    i.add_argument("--compression", default="none",
+                   choices=["none", "gzip", "lz4", "zstd", "snappy"])
+    i.add_argument("--mode", default="append", choices=["append", "overwrite"])
+
     args = ap.parse_args(argv)
     from shardpack_spark.format import datasource as ds
 
@@ -159,6 +166,17 @@ def main(argv: list[str] | None = None) -> int:
             "dataset": args.dataset,
             "rows": [{"key": r["key"], "metadata": dict(r["metadata"] or {})}
                      for r in rows],
+        }
+    elif args.cmd == "import":
+        spark = _spark()
+        ds.records_from_entries(spark.read.parquet(args.parquet_in)).write.format(
+            "shardpack"
+        ).option("compression", args.compression).mode(args.mode).save(args.dataset)
+        m = ds._load_manifest(args.dataset) or {}
+        report = {
+            "dataset": args.dataset,
+            "version": m.get("version_id"),
+            "records": m.get("total_records"),
         }
     elif args.cmd == "export":
         # migration escape hatch: one row per file entry, bytes intact

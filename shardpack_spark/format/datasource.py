@@ -2921,6 +2921,32 @@ def ingest_files(
     w.mode(mode).save(out)
 
 
+def records_from_entries(df) -> "DataFrame":
+    """Entry-level rows -> shardpack record rows (the exact inverse of
+    ``read_shardpack(explode_entries=True)`` / the CLI's ``export``):
+    group by key, entries sorted by file name, first metadata map wins
+    (entry rows of one key carry identical metadata by construction).
+    ``export`` -> ``records_from_entries`` -> write round-trips a
+    dataset through parquet byte for byte."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy("key")
+        .agg(
+            F.first("metadata").alias("metadata"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("file_name", "content_type", "encoding", "size", "data")
+                ),
+                lambda a, b: F.when(a["file_name"] < b["file_name"], -1)
+                .when(a["file_name"] > b["file_name"], 1)
+                .otherwise(0),
+            ).alias("entries"),
+        )
+        .select("key", "metadata", "entries")
+    )
+
+
 def write_partitioned(
     df,
     path: str,

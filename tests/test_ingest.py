@@ -267,3 +267,31 @@ def test_ingest_edge_names(spark_ds, tmp_path):
         "v1.2/sub dir/noext": ["noext"],
         "v1.2/x.tar": ["x.tar.gz"],
     }
+
+
+def test_cli_export_import_round_trip(spark_ds, tmp_path, capsys):
+    """export -> import round-trips a dataset through parquet byte for
+    byte (keys, metadata, entry order, payloads)."""
+    from shardpack_spark.__main__ import main
+
+    src = _tree(tmp_path)
+    ds1 = str(tmp_path / "rt1")
+    assert main(["pack", src, ds1, "--mode", "overwrite"]) == 0
+    pq = str(tmp_path / "rt.parquet")
+    assert main(["export", ds1, pq]) == 0
+    ds2 = str(tmp_path / "rt2")
+    assert main(["import", pq, ds2, "--mode", "overwrite"]) == 0
+    capsys.readouterr()
+
+    def snapshot(p):
+        return sorted(
+            (
+                r["key"],
+                dict(r["metadata"] or {}),
+                [(e["file_name"], e["content_type"], bytes(e["data"]))
+                 for e in r["entries"]],
+            )
+            for r in read_shardpack(spark_ds, p).collect()
+        )
+
+    assert snapshot(ds2) == snapshot(ds1)
