@@ -4,9 +4,13 @@ Images/audio/video are opaque BINARY entries tagged with a MIME
 content_type (draft.md:185-195).  Container-level parsing is REAL pure
 Python: image dimensions (PNG IHDR / JPEG SOFn / GIF), AVI demuxing and
 frame sampling (RIFF chunk walk — MJPEG frames come out as standalone
-JPEGs).  Only pixel/sample decoding (resize, pixel stats) would need
-PIL/libav and stays behind `_DECODE_STUBBED`; swapping it in keeps
-every signature and partition shape identical.
+JPEGs).  Pixel decoding is REAL wheel-free for the spec's first-class
+image types (draft.md:185-190): `operators.imagecodec` decodes PNG and
+baseline JPEG in pure Python/numpy, so `resize_images` produces true
+PNG thumbnails with no image library installed.  PIL, when importable,
+extends coverage to other containers; payloads neither path decodes
+degrade to deterministic tagged marker bytes per record (never a job
+abort).
 """
 
 from __future__ import annotations
@@ -27,9 +31,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Pixel/sample decoding (resize, frame extraction) still needs PIL/libav
-# and stays stubbed; header parsing below is REAL (pure Python).
-_DECODE_STUBBED = True
+# module-LEVEL import, never inside executor-run function bodies: the
+# reference must be captured in pickled globals so by-value registration
+# ships it — a runtime `from shardpack_spark...` inside a UDF body dies
+# with ModuleNotFoundError on vanilla executors that can't import the
+# package (caught by the /verify vanilla-session simulation)
+from shardpack_spark.operators import imagecodec
+
+# Pixel decoding is real (pure Python) for PNG + baseline JPEG via
+# operators.imagecodec; formats beyond those still need PIL/libav and
+# degrade to tagged marker bytes without it.
+_DECODE_STUBBED = False
 
 
 def parse_image_dims(b: bytes) -> tuple[int | None, int | None]:
@@ -80,8 +92,9 @@ def _self_pickle_by_value() -> None:
     from pyspark import cloudpickle
 
     from shardpack_spark.format import msgpack as msgpack_mod
+    from shardpack_spark.operators import imagecodec as imagecodec_mod
 
-    for mod in (msgpack_mod, sys.modules[__name__]):
+    for mod in (msgpack_mod, imagecodec_mod, sys.modules[__name__]):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:
@@ -179,13 +192,26 @@ def image_features(df: DataFrame) -> DataFrame:
 
 
 def _resize_pixels(data: bytes, width: int, height: int) -> bytes:
-    """Pixel-level resize.  REAL path: PIL, when importable.  STUB path
-    (_DECODE_STUBBED, no image libs in this environment): a deterministic
-    fake payload tagged with the target dims and a digest of the source
-    bytes — stable across runs/partitions so tests can assert on it, and
-    clearly non-image so it can never be mistaken for a real thumbnail."""
+    """Pixel-level resize.  REAL wheel-free for PNG and baseline JPEG:
+    `operators.imagecodec` decodes pixels in pure Python/numpy, bilinear
+    resampling runs in float64, and the thumbnail re-encodes as PNG
+    (lossless, self-describing — output payloads always start with the
+    PNG signature).  The pure path runs FIRST so outputs are
+    bit-identical on every cluster; PIL, when importable, covers the
+    remaining formats (GIF, progressive JPEG, ...).  Payloads neither
+    path decodes return a deterministic tagged marker (target dims + a
+    digest of the source bytes) — per-record degradation, never a job
+    abort, and clearly non-image so it can't be mistaken for a real
+    thumbnail."""
     import hashlib
 
+    try:
+        arr = imagecodec.decode_image(data)
+        if str(arr.dtype) == "uint16":
+            arr = arr / 257.0  # 16-bit channels -> 8-bit thumbnail range
+        return imagecodec.encode_png(imagecodec.resize_array(arr, width, height))
+    except Exception:
+        pass
     digest = hashlib.sha256(data).hexdigest()[:16].encode()
     try:
         from PIL import Image  # noqa: PLC0415
@@ -228,16 +254,22 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             datas = [bytes(b) for b in pdf["data"]]
             dims = [parse_image_dims(b) for b in datas]
+            out = [_resize_pixels(b, width, height) for b in datas]
             yield pd.DataFrame(
                 {
                     "key": pdf["key"],
                     "file_name": pdf["file_name"],
-                    "content_type": pdf["content_type"],
+                    # thumbnails re-encode as PNG; marker bytes keep the
+                    # source type so a consumer can see what failed
+                    "content_type": [
+                        "image/png" if o[:8] == b"\x89PNG\r\n\x1a\n" else ct
+                        for o, ct in zip(out, pdf["content_type"])
+                    ],
                     "src_width": [w for w, _ in dims],
                     "src_height": [h for _, h in dims],
                     "width": [width] * len(datas),
                     "height": [height] * len(datas),
-                    "data": [_resize_pixels(b, width, height) for b in datas],
+                    "data": out,
                 }
             )
 

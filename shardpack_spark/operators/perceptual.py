@@ -22,12 +22,14 @@ Real-vs-stub boundary (same contract as ``operators.multimodal``):
   with numpy, block-mean downscale and gradient bits are exact.
 - ``audio_fingerprint`` is REAL end to end for PCM WAV: int16/int8
   samples decode with numpy, the filter bank runs on numpy rFFT.
-- ``dhash_images`` pixel decoding is PIL-gated: with PIL present the
-  hash is a true dHash; without it a deterministic byte-digest
-  surrogate grid keeps the plumbing testable, degrading semantics to
-  exact-duplicate detection (identical bytes <=> identical hash) —
-  clearly the wrong tool for near-dup until the wheel is installed,
-  and documented as such.
+- ``dhash_images`` is REAL for PNG and baseline JPEG payloads with no
+  wheel installed: ``operators.imagecodec`` decodes pixels in pure
+  Python/numpy (full PNG; baseline sequential JPEG), so the hash is a
+  true dHash on the formats the spec names first-class
+  (draft.md:185-190).  PIL, when importable, extends coverage to other
+  containers (GIF, progressive JPEG, webp...); only payloads neither
+  path can decode fall back to the deterministic byte-digest surrogate
+  (exact-duplicate semantics), so a corrupt image never aborts a job.
 """
 
 from __future__ import annotations
@@ -42,7 +44,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from shardpack_spark.operators.multimodal import explode_entries
+# module-LEVEL imports, never inside executor-run function bodies: these
+# references must sit in pickled globals so by-value registration ships
+# them — a runtime `from shardpack_spark...` inside a UDF body dies with
+# ModuleNotFoundError on vanilla executors that can't import the package
+from shardpack_spark.operators import imagecodec
+from shardpack_spark.operators.multimodal import explode_entries, parse_wav_header
 
 if TYPE_CHECKING:
     from collections.abc import Iterator
@@ -57,9 +64,10 @@ def _self_pickle_by_value() -> None:
 
     from pyspark import cloudpickle
 
+    from shardpack_spark.operators import imagecodec as ic_mod
     from shardpack_spark.operators import multimodal as mm_mod
 
-    for mod in (mm_mod, sys.modules[__name__]):
+    for mod in (ic_mod, mm_mod, sys.modules[__name__]):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:
@@ -182,11 +190,13 @@ def dhash_images(df: DataFrame) -> DataFrame:
     """Perceptual dHash over ``image/*`` entries -> ``(sid, sim_hi,
     sim_lo)``; ``sid`` is ``key/file_name``.
 
-    REAL with PIL importable (grayscale decode, then the same
-    block-mean dHash as ``dhash_tensors``); without it the surrogate
-    grid keeps the Spark plumbing real while semantics collapse to
-    exact-dup (see module docstring).  Undecodable images fall back to
-    the surrogate rather than aborting the job.
+    REAL wheel-free for PNG and baseline JPEG: pixels decode through
+    ``operators.imagecodec`` (pure Python/numpy), then the same
+    block-mean dHash as ``dhash_tensors``.  The pure path runs FIRST so
+    hashes are bit-identical on every cluster regardless of installed
+    wheels; PIL (when importable) covers remaining formats, and only
+    payloads neither can decode fall back to the byte-digest surrogate
+    (exact-dup semantics) rather than aborting the job.
     """
     _self_pickle_by_value()
     imgs = explode_entries(df).filter(
@@ -205,6 +215,10 @@ def dhash_images(df: DataFrame) -> DataFrame:
             Image = None
 
         def gray(data: bytes):
+            try:
+                return imagecodec.to_gray(imagecodec.decode_image(data))
+            except Exception:
+                pass
             if Image is not None:
                 try:  # pragma: no cover - PIL absent in this environment
                     im = Image.open(io.BytesIO(data)).convert("L")
@@ -251,8 +265,6 @@ def _wav_fingerprint_bits(data: bytes, n_frames_cap: int = 256) -> list[bool] | 
     clips too short for a 9-block envelope (< frame + 8 hops samples).
     """
     import numpy as np
-
-    from shardpack_spark.operators.multimodal import parse_wav_header
 
     try:
         info = parse_wav_header(data)
@@ -328,7 +340,9 @@ def _frame_gray(frame: bytes, width: int | None, height: int | None):
       rows — byte length identifies 8/24/32 bpp exactly, numpy reshapes
       them with zero media libraries (rows are stored bottom-up; flip
       keeps hashes orientation-consistent with decoded images);
-    - compressed frames (MJPEG '##dc' JPEGs) decode through PIL when
+    - compressed frames (MJPEG '##dc' JPEGs, or PNG payloads) decode
+      through the pure-Python ``operators.imagecodec`` first (real
+      wheel-free pixels for baseline JPEG/PNG), then PIL when
       importable;
     - otherwise the deterministic byte-digest surrogate (exact-dup
       semantics, same contract as dhash_images).
@@ -347,6 +361,10 @@ def _frame_gray(frame: bytes, width: int | None, height: int | None):
                     px = rows[:, : width * ch].reshape(height, width, ch)
                     g = px[:, :, :3].astype("float64").mean(axis=2)
                 return g[::-1]  # bottom-up storage -> top-down grid
+    try:
+        return imagecodec.to_gray(imagecodec.decode_image(frame))
+    except Exception:
+        pass
     try:
         from PIL import Image  # pragma: no cover - absent in this environment
 

@@ -1,0 +1,264 @@
+"""Pure-Python image codecs: PNG (full) + baseline JPEG, no wheels.
+
+Round trips alone could hide a symmetric encoder/decoder bug, so the
+decoders are also checked against hand-built byte fixtures (a PNG
+assembled chunk by chunk, a one-block JPEG whose IDCT output is derived
+on paper) and the DCT matrix against a naive O(n^2) cosine-sum
+reference.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from shardpack_spark.operators import imagecodec as ic
+
+
+# --- PNG round trips ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(11, 7), (11, 7, 2), (16, 16, 3), (9, 13, 4), (1, 1), (2, 3, 3)])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_filters(shape, filter_type):
+    rng = np.random.default_rng(hash((shape, filter_type)) % 2**32)
+    a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = ic.decode_png(ic.encode_png(a, filter_type=filter_type))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, a.reshape(out.shape))
+
+
+@pytest.mark.parametrize("shape", [(11, 7), (16, 16, 3), (9, 13, 4)])
+def test_png_roundtrip_interlaced(shape):
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    for ft in (0, 2, 4):
+        out = ic.decode_png(ic.encode_png(a, filter_type=ft, interlace=True))
+        assert np.array_equal(out, a.reshape(out.shape))
+
+
+def test_png_roundtrip_16bit():
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 65536, size=(8, 5, 3), dtype=np.uint16)
+    out = ic.decode_png(ic.encode_png(a, filter_type=4))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, a)
+    g = rng.integers(0, 65536, size=(6, 9), dtype=np.uint16)
+    assert np.array_equal(ic.decode_png(ic.encode_png(g, interlace=True)), g)
+
+
+# --- PNG hand-built fixtures (decoder checked against the spec, not our
+# own encoder) ----------------------------------------------------------------
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png(ihdr: bytes, *chunks: bytes) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + b"".join(chunks)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_hand_built_rgb():
+    # 2x2 RGB8: rows (filter 0) written explicitly per the spec layout
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    row0 = b"\x00" + bytes([255, 0, 0, 0, 255, 0])
+    row1 = b"\x00" + bytes([0, 0, 255, 10, 20, 30])
+    png = _png(ihdr, _chunk(b"IDAT", zlib.compress(row0 + row1)))
+    out = ic.decode_png(png)
+    assert np.array_equal(
+        out,
+        np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], np.uint8),
+    )
+
+
+def test_png_hand_built_1bit_gray():
+    # 8x2, 1-bit: 0xAA = 10101010 (leftmost pixel in the high bit), 0x55 inverse
+    ihdr = struct.pack(">IIBBBBB", 8, 2, 1, 0, 0, 0, 0)
+    png = _png(ihdr, _chunk(b"IDAT", zlib.compress(b"\x00\xaa\x00\x55")))
+    out = ic.decode_png(png)
+    assert np.array_equal(out[0], np.array([255, 0] * 4, np.uint8))
+    assert np.array_equal(out[1], np.array([0, 255] * 4, np.uint8))
+
+
+def test_png_hand_built_4bit_gray_scaling():
+    # 3x1, 4-bit samples 0x0, 0xF, 0x7 -> 0, 255, 119 (v * 17)
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 4, 0, 0, 0, 0)
+    png = _png(ihdr, _chunk(b"IDAT", zlib.compress(b"\x00\x0f\x70")))
+    assert np.array_equal(ic.decode_png(png), np.array([[0, 255, 119]], np.uint8))
+
+
+def test_png_palette_and_trns():
+    # 4x1 indexed: palette [red, green, blue], tRNS alpha for entry 0 only
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 8, 3, 0, 0, 0)
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    idat = _chunk(b"IDAT", zlib.compress(b"\x00\x00\x01\x02\x00"))
+    rgb = ic.decode_png(_png(ihdr, plte, idat))
+    assert np.array_equal(
+        rgb, np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 0, 0]]], np.uint8)
+    )
+    rgba = ic.decode_png(_png(ihdr, plte, _chunk(b"tRNS", bytes([7])), idat))
+    assert rgba.shape == (1, 4, 4)
+    assert list(rgba[0, :, 3]) == [7, 255, 255, 7]
+
+
+def test_png_rejects_corruption():
+    a = np.zeros((4, 4), np.uint8)
+    good = ic.encode_png(a)
+    with pytest.raises(ValueError):
+        ic.decode_png(b"\x89PNG\r\n\x1a\njunk")
+    # flip one IDAT byte: CRC must catch it
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        ic.decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        ic.decode_png(good[:-16])  # truncated (IEND gone)
+
+
+# --- DCT sanity against a naive reference ------------------------------------
+
+
+def test_dct_matrix_matches_naive_definition():
+    A = ic._dct_matrix()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(8)
+    # DCT-II with orthonormal scaling, written as the textbook double sum
+    naive = np.array(
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * sum(x[n] * np.cos((2 * n + 1) * k * np.pi / 16) for n in range(8))
+            for k in range(8)
+        ]
+    )
+    assert np.allclose(A @ x, naive)
+    assert np.allclose(A.T @ (A @ x), x)  # orthonormal inverse
+
+
+# --- JPEG --------------------------------------------------------------------
+
+
+def _smooth_rgb(h, w, seed=0):
+    """Band-limited (smooth) test image — JPEG's intended content."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = 128 + 100 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    g = 128 + 90 * np.cos(xx / 13.0 + 1) * np.sin(yy / 5.0 + 2)
+    b = 128 + 80 * np.sin((xx + yy) / 11.0)
+    return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_solid_color_roundtrip():
+    solid = np.full((24, 24, 3), [200, 60, 120], dtype=np.uint8)
+    out = ic.decode_jpeg(ic.encode_jpeg(solid, quality=90))
+    assert out.shape == (24, 24, 3)
+    assert np.abs(out.astype(int) - solid.astype(int)).max() <= 4
+
+
+def test_jpeg_gray_roundtrip():
+    grad = np.tile(np.linspace(0, 255, 64), (48, 1)).astype(np.uint8)
+    out = ic.decode_jpeg(ic.encode_jpeg(grad, quality=90))
+    assert out.shape == (48, 64)
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 6
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("restart_interval", [0, 2])
+def test_jpeg_smooth_image_psnr(subsampling, restart_interval):
+    img = _smooth_rgb(37, 53)
+    enc = ic.encode_jpeg(
+        img, quality=90, subsampling=subsampling, restart_interval=restart_interval
+    )
+    dec = ic.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    mse = ((dec.astype(float) - img.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 30, f"psnr {psnr:.1f} dB too low for a smooth image at q90"
+
+
+def test_jpeg_odd_dimensions_and_determinism():
+    img = _smooth_rgb(17, 19, seed=1)
+    e1 = ic.encode_jpeg(img, quality=80, subsampling="420")
+    e2 = ic.encode_jpeg(img, quality=80, subsampling="420")
+    assert e1 == e2, "encoder must be bit-deterministic"
+    assert ic.decode_jpeg(e1).shape == (17, 19, 3)
+
+
+def test_jpeg_hand_built_single_block():
+    """One 8x8 gray block, DC-only: coef 16*4=64 -> every pixel
+    64/8 + 128 = 136 (derived from the orthonormal IDCT by hand)."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([4] * 64)
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    # DC table: single symbol (category 5) with a 1-bit code; AC: EOB only
+    dht_dc = b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x00, 1] + [0] * 15) + bytes([5])
+    dht_ac = b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x10, 1] + [0] * 15) + bytes([0x00])
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    # bits: DC code '0', diff=16 -> '10000', EOB '0', pad '1' => 0b01000001
+    jpeg = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes([0b01000001]) + b"\xff\xd9"
+    out = ic.decode_jpeg(jpeg)
+    assert out.shape == (8, 8)
+    assert np.all(out == 136)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    img = _smooth_rgb(16, 16)
+    enc = bytearray(ic.encode_jpeg(img))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError, match="SOF2"):
+        ic.decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        ic.decode_jpeg(b"\xff\xd8\xff\xc0 not a jpeg")
+    with pytest.raises(ValueError):
+        ic.decode_jpeg(b"not even soi")
+
+
+def test_jpeg_truncated_scan_raises():
+    img = _smooth_rgb(24, 24)
+    enc = ic.encode_jpeg(img)
+    with pytest.raises(ValueError):
+        ic.decode_jpeg(enc[: len(enc) // 2])
+
+
+# --- dispatch + pixel utilities ----------------------------------------------
+
+
+def test_decode_image_dispatch():
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(ic.decode_image(ic.encode_png(a)), a)
+    assert ic.decode_image(ic.encode_jpeg(a)).shape == (8, 8)
+    with pytest.raises(ValueError):
+        ic.decode_image(b"GIF89a\x01\x00\x01\x00")  # real format, no pure decoder
+
+
+def test_to_gray_weights_and_shapes():
+    px = np.array([[[255, 0, 0], [0, 255, 0]]], np.uint8)
+    g = ic.to_gray(px)
+    assert np.allclose(g, [[0.299 * 255, 0.587 * 255]])
+    ga = np.dstack([np.full((2, 2), 9), np.full((2, 2), 200)]).astype(np.uint8)
+    assert np.allclose(ic.to_gray(ga), 9)
+    assert np.allclose(ic.to_gray(np.full((3, 3), 7.0)), 7.0)
+
+
+def test_resize_array_identity_and_interp():
+    img = np.arange(12.0).reshape(3, 4)
+    assert np.allclose(ic.resize_array(img, 4, 3), img)
+    # 2x upscale of a 2-px gradient: half-pixel-center bilinear midpoints
+    up = ic.resize_array(np.array([[0.0, 100.0]]), 4, 1)
+    assert np.allclose(up, [[0.0, 25.0, 75.0, 100.0]])
+    rgb = np.stack([np.full((4, 4), v) for v in (10.0, 20.0, 30.0)], axis=2)
+    down = ic.resize_array(rgb, 2, 2)
+    assert down.shape == (2, 2, 3)
+    assert np.allclose(down[0, 0], [10, 20, 30])
