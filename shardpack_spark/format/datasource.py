@@ -79,6 +79,11 @@ Options:
                                      payload-heavy shards are read with
                                      per-record seeks, payloads never leave
                                      the disk)
+    timestamp_as_of     float|ISO   (read; time travel by TIMESTAMP —
+                                     resolves to the newest snapshot
+                                     committed at or before the instant
+                                     via version_at(); an explicit
+                                     `version` wins if both are set)
     version             int         (read; pin an archived snapshot — every
                                      batch commit saves its root, so version
                                      N replays exactly that commit's view;
@@ -135,12 +140,35 @@ from pyspark.sql.types import (
 )
 
 from shardpack_spark.format import codec, storage
+from shardpack_spark.format.manifest import (  # noqa: F401  (re-exported:
+    # manifest/pruning logic lives pyspark-free in format.manifest so the
+    # Spark-free reader facade shares ONE implementation; existing callers
+    # keep importing these names from here)
+    MANIFEST_NAME,
+    MANIFEST_PARTS_DIR,
+    _META_VALUES_CAP,
+    _UNSET,
+    _bloom_build,
+    _bloom_key_hashes,
+    _bloom_maybe_contains,
+    _load_latest_manifest,
+    _load_manifest,
+    _manifest_stats,
+    _marker_shards,
+    _names_matching_meta,
+    _norm_path,
+    _observe_latest,
+    _pruning_stats,
+    _root_ids,
+    _visible_shards,
+    dataset_partitions,
+    list_versions,
+    version_at,
+)
 
 if TYPE_CHECKING:
     from collections.abc import Iterator, Sequence
 
-MANIFEST_NAME = "_shardpack_manifest.json"
-MANIFEST_PARTS_DIR = "_manifest"
 STAGING_DIR = "_staging"
 
 SCHEMA = StructType(
@@ -182,170 +210,6 @@ class ShardPartition(InputPartition):
     # sinks, tiny commits, freshly converted ad-hoc dirs) costs 10^4
     # Python-worker task launches per scan.
     group: list[str] | None = None
-
-
-def _norm_path(p: str | None) -> str | None:
-    """Accept plain paths and file: URIs (SQL DDL and catalog layers hand
-    the table location over as 'file:/x' or 'file:///x').  Other schemes
-    (sim://, memory://, s3://, ...) pass through and select their storage
-    backend (storage.for_path)."""
-    if p and p.startswith("file:"):
-        return storage.strip_file_uri(p)
-    return p
-
-
-def _load_manifest(
-    path: str, version: int | None = None, flatten: bool = True
-) -> dict | None:
-    """Load the commit manifest, resolving log-structured roots.
-
-    v2 roots inline the full shard list.  v3 roots (log-structured) list
-    immutable part files under `_manifest/`, each holding the shards of
-    ONE commit — appends then cost O(new shards), not O(dataset), which
-    is what keeps commit time flat at 100 TB / 400k shards.  Either way
-    callers receive the flat {"shards": [...]} view.
-
-    ``version`` pins a snapshot: every batch commit archives its root as
-    `_manifest/root-{id:08d}.json`, and because shard files and manifest
-    parts are immutable, loading an old root reproduces exactly that
-    commit's view (time travel).  History spans appends since the last
-    overwrite/compaction — overwrite deletes the old data files, so it
-    resets the version chain too."""
-    be = storage.for_path(path)
-    if version is not None:
-        mp = os.path.join(path, MANIFEST_PARTS_DIR, f"root-{version:08d}.json")
-        if not be.exists(mp):
-            raise codec.ShardPackIOError(
-                f"version {version} not available under {path} "
-                "(never committed, or removed by a later overwrite)"
-            )
-    else:
-        mp = os.path.join(path, MANIFEST_NAME)
-        if not be.exists(mp):
-            return None
-    root = json.loads(be.read_bytes(mp))
-    if root.get("version", 2) >= 3 and "parts" in root:
-        if not flatten:
-            # metadata-only view: parts list + totals without opening a
-            # single part file — what an APPEND commit needs, keeping it
-            # O(new shards) even when the dataset holds 400k (a flatten
-            # here would read every part just to append one)
-            return dict(root)
-        shards: list[dict] = []
-        for rel in root["parts"]:
-            part_path = os.path.join(path, rel)
-            try:
-                shards.extend(json.loads(be.read_bytes(part_path))["shards"])
-            except FileNotFoundError:
-                raise codec.ShardPackIOError(
-                    f"manifest part {rel} missing under {path} "
-                    "(snapshot removed by a later overwrite?)"
-                ) from None
-        # dynamic partition overwrite drops shards LOGICALLY: part files
-        # are immutable, so the root lists the names its view excludes
-        # (the files stay for older snapshots; vacuum reclaims them)
-        dropped = set(root.get("dropped") or ())
-        if dropped:
-            shards = [s for s in shards if s["path"] not in dropped]
-        return {**root, "shards": shards}
-    return root
-
-
-def _root_ids(path: str) -> list[int]:
-    """Version ids of all archived snapshot roots (one listing, no JSON
-    parsing)."""
-    be = storage.for_path(path)
-    return sorted(
-        int(f[5:13])
-        for f in be.glob_names(os.path.join(path, MANIFEST_PARTS_DIR), "root-*.json")
-        if f[5:13].isdigit()
-    )
-
-
-def _observe_latest(path: str, flatten: bool = True) -> tuple[dict | None, int]:
-    """ONE consistent observation of the newest committed state:
-    (manifest | None, version-id floor for the next commit).
-
-    On object stores two racing commits can publish their roots via
-    conditional put (the real serialization point) and then write the
-    live pointer out of order; the pointer may briefly lag or regress.
-    'Latest' therefore resolves as max(pointer.version_id, max archived
-    root id): one extra listing, zero extra JSON reads in the common
-    case.
-
-    The vid floor MUST come from the same listing that resolved the
-    manifest: re-listing at claim time would let a commit observe a
-    newer root id than the state it merged and claim an unclaimed
-    higher vid, silently dropping the unseen commits — with one
-    observation, claiming floor+1 collides (CAS) with any commit that
-    landed in between, forcing the re-merge.
-
-    ``flatten=False`` returns the metadata-only view (no part files
-    opened) — sufficient for append commits."""
-    m = _load_manifest(path, flatten=flatten)
-    ids = _root_ids(path)
-    top = ids[-1] if ids else 0
-    if top > (m or {}).get("version_id", 0):
-        m = _load_manifest(path, top, flatten=flatten)
-    return m, max(top, (m or {}).get("version_id", 0))
-
-
-def _load_latest_manifest(path: str) -> dict | None:
-    """Newest committed state — see _observe_latest."""
-    return _observe_latest(path)[0]
-
-
-def list_versions(path: str) -> list[dict]:
-    """Committed snapshots, oldest first: [{version, total_records}]."""
-    be = storage.for_path(path)
-    d = os.path.join(path, MANIFEST_PARTS_DIR)
-    out = []
-    for f in be.glob_names(d, "root-*.json"):
-        r = json.loads(be.read_bytes(os.path.join(d, f)))
-        out.append(
-            {
-                "version": int(f[5:13]),
-                "total_records": r.get("total_records", 0),
-            }
-        )
-    return out
-
-
-def dataset_partitions(path: str, version: int | None = None) -> list[dict]:
-    """Live partitions of a partitioned dataset, metadata-only (no shard
-    opened): ``[{"partition": {k: v}, "shards", "records", "bytes"}]``,
-    sorted by partition tuple.  Shards without recorded partition values
-    (pre-partitioning appends) aggregate under partition=None, making a
-    mixed layout visible instead of invisible.
-
-    The live view (``version=None``) includes not-yet-folded stream-batch
-    marker shards — the same visibility readers have.  A ``version``
-    pins the archived snapshot exactly (markers are unversioned)."""
-    m = _load_manifest(path, version) or {}
-    shard_list = list(m.get("shards", []))
-    if version is None:
-        hidden = {s["path"] for s in shard_list} | set(m.get("dropped") or ())
-        be = storage.for_path(path)
-        for f in be.glob_names(path, "_batch_*.json"):
-            try:
-                mk = json.loads(be.read_bytes(os.path.join(path, f)))
-            except (OSError, json.JSONDecodeError):
-                continue
-            shard_list.extend(
-                s for s in mk.get("shards", []) if s["path"] not in hidden
-            )
-    agg: dict[tuple | None, dict] = {}
-    for s in shard_list:
-        part = s.get("partition")
-        k = tuple(sorted(part.items())) if part is not None else None
-        e = agg.setdefault(k, {"shards": 0, "records": 0, "bytes": 0})
-        e["shards"] += 1
-        e["records"] += s.get("records", 0)
-        e["bytes"] += s.get("bytes", 0)
-    return [
-        {"partition": dict(k) if k is not None else None, **agg[k]}
-        for k in sorted(agg, key=lambda t: (t is None, json.dumps(t)))
-    ]
 
 
 def _write_manifest_part(path: str, shards: list[dict]) -> str:
@@ -492,134 +356,6 @@ class _CommitLock:
 
 
 # --- per-shard key Bloom filters -------------------------------------------
-#
-# Manifest [min_key, max_key] ranges prune point lookups only when shards
-# hold disjoint key ranges (key-sorted compaction).  Hash-placed keys make
-# every range span the whole keyspace and range pruning keeps everything —
-# the common case for content-hash record keys at 100 TB.  A small per-shard
-# Bloom filter over the exact key set restores O(1)-shard point lookups for
-# ANY placement: ~10 bits/key ≈ <1% false-positive rate, so a lookup opens
-# the owning shard plus at most a handful of false positives out of 400k.
-# Filters ride in the commit manifest (base64; ~1.7 KiB per 1k keys).  For
-# datasets past ~100k shards the manifest itself should shard (the same
-# sidecar split the manifest needs anyway at that point); pruning degrades
-# to range-only if a shard entry has no bloom, so old manifests keep working.
-
-_BLOOM_BITS_PER_KEY = 10
-_BLOOM_HASHES = 7
-_BLOOM_MAX_BITS = 1 << 20  # cap: 128 KiB of filter per shard
-
-# per-shard metadata data skipping: a metadata key whose distinct values
-# within a shard stay at or below this cap gets its value SET recorded in
-# the manifest; `where_meta` reads skip shards whose set excludes the
-# probe value.  Past the cap the key is high-cardinality in that shard
-# and unprunable (absent from the map) — skipping stays sound.
-_META_VALUES_CAP = 16
-
-
-def _bloom_key_hashes(key: str) -> tuple[int, int]:
-    """Two independent 64-bit hashes; probes i = h1 + i*h2 (double
-    hashing), the standard Bloom construction."""
-    d = hashlib.sha256(key.encode("utf-8")).digest()
-    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:16], "little") | 1
-
-
-def _bloom_build(hash_pairs: list[tuple[int, int]]) -> dict | None:
-    if not hash_pairs:
-        return None
-    m = min(max(64, len(hash_pairs) * _BLOOM_BITS_PER_KEY), _BLOOM_MAX_BITS)
-    bits = bytearray((m + 7) // 8)
-    for h1, h2 in hash_pairs:
-        for i in range(_BLOOM_HASHES):
-            b = (h1 + i * h2) % m
-            bits[b >> 3] |= 1 << (b & 7)
-    return {
-        "m": m,
-        "k": _BLOOM_HASHES,
-        "bits": base64.b64encode(bytes(bits)).decode("ascii"),
-    }
-
-
-def _bloom_maybe_contains(
-    bloom: dict, bits: bytes, key: str, hashes: tuple[int, int] | None = None
-) -> bool:
-    """False => key is definitely absent; True => might be present.
-    Malformed filters answer True (pruning must stay a pure optimization).
-    ``hashes`` lets planners hoist the (shard-independent) key hashes out
-    of a shards x keys loop."""
-    try:
-        m, k = int(bloom["m"]), int(bloom["k"])
-    except (KeyError, TypeError, ValueError):
-        return True
-    if m <= 0 or (m + 7) // 8 > len(bits):
-        return True
-    h1, h2 = hashes if hashes is not None else _bloom_key_hashes(key)
-    for i in range(k):
-        b = (h1 + i * h2) % m
-        if not (bits[b >> 3] >> (b & 7)) & 1:
-            return False
-    return True
-
-
-def _marker_shards(path: str) -> list[str]:
-    """Shard names committed by streaming micro-batches (`_batch_*.json`)."""
-    be = storage.for_path(path)
-    names: list[str] = []
-    for f in be.glob_names(path, "_batch_*.json"):
-        try:
-            data = json.loads(be.read_bytes(os.path.join(path, f)))
-            names.extend(s["path"] for s in data.get("shards", []))
-        except (OSError, json.JSONDecodeError, KeyError, TypeError):
-            continue  # a torn marker commits nothing
-    return names
-
-
-_UNSET = object()
-
-
-def _visible_shards(path: str, manifest=_UNSET) -> list[str]:
-    """Sorted shard *names* a reader may consume.
-
-    When a commit log exists (manifest and/or stream markers), only files
-    it names are visible — files from failed or in-flight jobs are not.
-    Ad-hoc directories without any commit log fall back to listing.
-    Pass an already-loaded ``manifest`` (possibly None) to avoid
-    re-opening every manifest part on long commit chains."""
-    if manifest is _UNSET:
-        manifest = _load_manifest(path)
-    names = set()
-    if manifest is not None:
-        names.update(s["path"] for s in manifest.get("shards", []))
-    names.update(_marker_shards(path))
-    if manifest is not None:
-        # the root's logical-delete list applies to MARKER shards too: a
-        # dynamic partition overwrite replaces not-yet-folded stream
-        # shards by dropping their names while the marker file stays (it
-        # remains the stream writer's replay guard).  Manifest shards
-        # were already filtered during the flatten; subtracting here
-        # covers the marker-sourced names.
-        names -= set(manifest.get("dropped") or ())
-    if not names and manifest is None:
-        # ad-hoc directory (codec-written, no commit log): plain listing,
-        # EXCLUDING commit-named files — `c{seq}-part-*` shards only ever
-        # come from a DataSource job or stream batch whose marker/manifest
-        # is the visibility gate; after a crash between shard move and
-        # log write they are uncommitted orphans, not data (the same rule
-        # the first-commit ad-hoc adoption applies)
-        committish = re.compile(r"c\d{8}-part-")
-        return [
-            n
-            for p in codec.list_shards(path)
-            if not committish.match(n := os.path.basename(p))
-        ]
-    # existence filter (tolerates vacuumed/rolled-back stragglers in old
-    # logs) via ONE directory listing, not O(shards) stat round-trips —
-    # at 400k shards on an object store per-name stats would dominate
-    # planning
-    present = set(storage.for_path(path).listdir(path))
-    return sorted(n for n in names if n in present)
-
-
 def _next_commit_seq(path: str) -> int:
     """1 + the highest commit-sequence prefix present in the directory."""
     best = 0
@@ -724,106 +460,6 @@ def _plan_partitions(
     return split + [
         ShardPartition(g[0], None, group=g if len(g) > 1 else None) for g in groups
     ]
-
-
-def _pruning_stats(path: str, manifest: dict | None) -> dict[str, dict]:
-    """name -> full per-shard stats entry (min/max key, bloom,
-    meta_values, meta_ranges, partition) from the manifest AND from
-    stream-batch markers.  Markers record the same stats the manifest
-    does (the stream sink carries them through the commit rename), so an
-    always-on ingest directory prunes exactly like a batch-written one —
-    without waiting for fold_stream_markers.  Marker entries win over a
-    stale manifest entry of the same name (they cannot coexist in
-    correct histories; markers are newer when they do)."""
-    stats = {s["path"]: s for s in (manifest or {}).get("shards", [])}
-    be = storage.for_path(path)
-    for f in be.glob_names(path, "_batch_*.json"):
-        try:
-            for s in json.loads(be.read_bytes(os.path.join(path, f))).get("shards", []):
-                stats[s["path"]] = s
-        except (OSError, json.JSONDecodeError, TypeError):
-            continue
-    return stats
-
-
-def _names_matching_meta(
-    names: list[str],
-    stats: dict[str, dict],
-    where_meta: dict | None,
-    where_meta_range: dict | None,
-) -> list[str]:
-    """Metadata data skipping over shard names, shared by the batch and
-    stream readers.
-
-    ``where_meta``: drop shards whose recorded value set for a probed key
-    EXCLUDES the probe value; a PARTITION-pure shard's recorded value is
-    exact (writer-enforced), so equality prunes even where value sets
-    overflow their cap.  Keys absent from a shard's stats are
-    high-cardinality or untracked — unprunable, kept.
-
-    ``where_meta_range``: numeric zone maps — drop shards whose recorded
-    [min,max] for a probed key cannot intersect the probe interval.
-
-    Both are PURE optimizations: the caller's row-level filter still
-    applies, so semantics never depend on pruning."""
-    if where_meta:
-
-        def meta_may_match(name: str) -> bool:
-            s = stats.get(name, {})
-            part = s.get("partition")
-            mv = s.get("meta_values")
-            for k, v in where_meta.items():
-                if part and k in part:
-                    if part[k] != v:
-                        return False
-                    continue
-                if mv and k in mv and v not in mv[k]:
-                    return False
-            return True
-
-        names = [n for n in names if meta_may_match(n)]
-    if where_meta_range:
-
-        def range_may_match(name: str) -> bool:
-            mr = stats.get(name, {}).get("meta_ranges")
-            if not mr:
-                return True
-            for k, bounds in where_meta_range.items():
-                if k not in mr:
-                    continue
-                s_lo, s_hi = mr[k]
-                lo, hi = bounds[0], bounds[1]
-                if lo is not None and s_hi < float(lo):
-                    return False
-                if hi is not None and s_lo > float(hi):
-                    return False
-            return True
-
-        names = [n for n in names if range_may_match(n)]
-    return names
-
-
-def _manifest_stats(path: str, manifest: dict | None) -> dict[str, tuple[int, int | None]]:
-    """name -> (bytes, records|None) for every shard the commit log
-    records (manifest entries and stream-batch markers both carry
-    both)."""
-    stats: dict[str, tuple[int, int | None]] = {}
-
-    def _take(s: dict) -> None:
-        if isinstance(s.get("bytes"), int):
-            rec = s.get("records")
-            stats[s["path"]] = (s["bytes"], rec if isinstance(rec, int) else None)
-
-    for s in (manifest or {}).get("shards", []):
-        _take(s)
-    be = storage.for_path(path)
-    for f in be.glob_names(path, "_batch_*.json"):
-        try:
-            for s in json.loads(be.read_bytes(os.path.join(path, f))).get("shards", []):
-                _take(s)
-        except (OSError, json.JSONDecodeError, TypeError):
-            continue
-    return stats
 
 
 def _arrow_batches(
@@ -955,6 +591,16 @@ class ShardPackReader(DataSourceReader):
         self.shard_column = str(options.get("with_shard_column", "false")).lower() == "true"
         v = options.get("version")
         self.version = int(v) if v is not None and str(v) != "" else None
+        # time travel by TIMESTAMP: resolve the newest snapshot committed
+        # at or before the given instant (epoch seconds or ISO-8601) to a
+        # version pin; an explicit version option wins when both are set
+        tso = options.get("timestamp_as_of")
+        if tso not in (None, "") and self.version is None:
+            try:
+                tso = float(tso)
+            except (TypeError, ValueError):
+                pass  # ISO string: version_at parses it
+            self.version = version_at(self.path, tso)
         # explicit shard scoping (set by read_version_delta): a JSON list
         # of shard names to read instead of the whole visible set
         only = options.get("only_shards")
@@ -1246,29 +892,60 @@ def _batches_to_records(iterator) -> Iterator[codec.Record]:
 # sketchy past 2^53 — a rounded bound could wrongly exclude a shard, so
 # larger magnitudes poison the key instead (conservative: never pruned)
 _META_RANGE_MAX_ABS = float(2**53)
+# string zone maps cap their bounds: truncating an upper bound would
+# wrongly EXCLUDE shards (a prefix sorts below what it abbreviates), so
+# an over-long value poisons the key instead
+_META_STR_RANGE_MAX_LEN = 64
 
 
 def _meta_range_add(rng: dict, mk: str, v) -> None:
-    """Fold one metadata value into a per-shard numeric [min,max] zone
-    map; any non-numeric / non-finite / oversized value poisons the key
-    (rng[mk] = None -> no range recorded, shard never range-pruned)."""
+    """Fold one metadata value into a per-shard [min,max] zone map.
+
+    Two domains, tagged in the accumulator (("num", lo, hi) /
+    ("str", lo, hi); () empty; None poisoned):
+
+    - NUMERIC: every value parses as a finite float within ±2^53 — the
+      quality-cut case (n_chars, scores).
+    - STRING: lexicographic [min,max] over the raw strings — the
+      event-time case: ISO-8601 dates/timestamps order correctly as
+      strings, so `where_meta_range={"event_date": ("2024-01-01",
+      None)}` tails a date-keyed ingest from metadata alone.  Bounds
+      longer than _META_STR_RANGE_MAX_LEN poison the key.
+
+    Mixing domains within one shard poisons the key (rng[mk] = None ->
+    no range recorded, shard never range-pruned — conservative)."""
     cur = rng.get(mk, ())
     if cur is None:
         return
     try:
         x = float(v)
+        ok_num = -_META_RANGE_MAX_ABS <= x <= _META_RANGE_MAX_ABS  # NaN fails
     except (TypeError, ValueError):
+        ok_num = False
+    if ok_num:
+        if cur == ():
+            rng[mk] = ("num", x, x)
+        elif cur[0] == "num":
+            rng[mk] = ("num", min(cur[1], x), max(cur[2], x))
+        else:
+            rng[mk] = None
+        return
+    if not isinstance(v, str) or len(v) > _META_STR_RANGE_MAX_LEN:
         rng[mk] = None
         return
-    if not (-_META_RANGE_MAX_ABS <= x <= _META_RANGE_MAX_ABS):  # NaN fails too
+    if cur == ():
+        rng[mk] = ("str", v, v)
+    elif cur[0] == "str":
+        rng[mk] = ("str", min(cur[1], v), max(cur[2], v))
+    else:
         rng[mk] = None
-        return
-    rng[mk] = (x, x) if cur == () else (min(cur[0], x), max(cur[1], x))
 
 
 def _meta_ranges_kept(rng: dict) -> dict:
-    return {mk: [lo, hi] for mk, (lo, hi) in
-            ((mk, c) for mk, c in rng.items() if c not in (None, ()))}
+    """Manifest form: {key: [lo, hi]} — floats for the numeric domain,
+    strings for the lexicographic one (readers dispatch on the JSON
+    type; old numeric-only manifests parse identically)."""
+    return {mk: [c[1], c[2]] for mk, c in rng.items() if c not in (None, ())}
 
 
 class _StatsTracker:
@@ -1665,9 +1342,12 @@ class ShardPackWriter(DataSourceArrowWriter):
         # observation that produced `prior` (never a fresh listing — see
         # _observe_latest for why that would lose commits)
         vid = 1 + prior_vid
+        import time as _time
+
         manifest = {
             "version": 3,
             "version_id": vid,
+            "committed_at": round(_time.time(), 3),
             "compression": self.compression,
             "target_shard_bytes": self.target,
             "parts": parts,
@@ -2097,6 +1777,7 @@ def _pickle_by_value() -> None:
     from pyspark import cloudpickle
 
     from shardpack_spark.format import codec as codec_mod
+    from shardpack_spark.format import manifest as manifest_mod
     from shardpack_spark.format import storage as storage_mod
     from shardpack_spark.format import zstd_entropy as zstd_mod
 
@@ -2104,7 +1785,7 @@ def _pickle_by_value() -> None:
     # level must be registered too — by-value registration is not
     # recursive, so a new intra-package import that is missed here
     # surfaces as executor-side ModuleNotFoundError in vanilla sessions
-    for mod in (storage_mod, zstd_mod, codec_mod, sys.modules[__name__]):
+    for mod in (storage_mod, zstd_mod, codec_mod, manifest_mod, sys.modules[__name__]):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:
@@ -2112,8 +1793,16 @@ def _pickle_by_value() -> None:
 
 
 def register(spark) -> None:
+    # Idempotent per session: re-registering emits a JVM-side "data source
+    # shardpack replaced a previously registered data source" warning that
+    # drowns real signal in bench/driver logs, and every registration
+    # re-ships the pickled class. Callers (queries, bench, CLI) all call
+    # register() defensively, so dedupe here.
+    if getattr(spark, "_shardpack_registered", False):
+        return
     _pickle_by_value()
     spark.dataSource.register(ShardPackDataSource)
+    spark._shardpack_registered = True
 
 
 def compact_dataset(
@@ -2346,9 +2035,12 @@ def convert_to_dataset(
             if part is None:
                 part = _write_manifest_part(path, entries)
             vid = 1 + prior_vid
+            import time as _time
+
             manifest = {
                 "version": 3,
                 "version_id": vid,
+                "committed_at": round(_time.time(), 3),
                 "compression": compression,
                 "target_shard_bytes": codec.DEFAULT_TARGET_SHARD_BYTES,
                 "parts": [part],
@@ -2553,9 +2245,12 @@ def fold_stream_markers(path: str, keep_last: int = 100) -> dict:
         # folded stream entries (their markers are deleted below, and no
         # root references their part).
         vid = 1 + prior_vid0  # same-observation floor, as in batch commit
+        import time as _time
+
         manifest = {
             "version": 3,
             "version_id": vid,
+            "committed_at": round(_time.time(), 3),
             "compression": comp,
             "target_shard_bytes": target,
             "parts": parts,
@@ -2991,6 +2686,20 @@ def write_partitioned(
     w.mode(mode).save(path)
 
 
+def _is_str_bound(b) -> bool:
+    """A where_meta_range probe bound is in the STRING (lexicographic)
+    domain when it is a str that does not parse as a float — ISO dates
+    and timestamps, sortable ids.  Numeric strings stay numeric for
+    back-compatibility with existing numeric zone-map probes."""
+    if not isinstance(b, str):
+        return False
+    try:
+        float(b)
+        return False
+    except ValueError:
+        return True
+
+
 def read_shardpack(
     spark,
     path: str,
@@ -3100,11 +2809,37 @@ def read_shardpack(
         from pyspark.sql import functions as F
 
         for k, (lo, hi) in where_meta_range.items():
-            num = F.element_at("metadata", F.lit(k)).cast("double")
-            if lo is not None:
-                df = df.filter(num >= float(lo))
-            if hi is not None:
-                df = df.filter(num <= float(hi))
+            # bound domain decides the row comparison: numeric bounds
+            # cast the value to double (non-numeric rows drop); STRING
+            # bounds compare lexicographically on the raw value (the
+            # ISO-date/timestamp tailing cut — correct because ISO-8601
+            # orders lexicographically).  Mixing domains in one key's
+            # bounds is ambiguous and rejected.
+            domains = {
+                ("str" if _is_str_bound(b) else "num")
+                for b in (lo, hi)
+                if b is not None
+            }
+            if len(domains) > 1:
+                raise codec.ShardPackIOError(
+                    f"where_meta_range[{k!r}]: bounds mix numeric and "
+                    f"string domains ({lo!r}, {hi!r})"
+                )
+            if domains == {"str"}:
+                val = F.element_at("metadata", F.lit(k))
+                if lo is not None:
+                    df = df.filter(val >= lo)
+                if hi is not None:
+                    df = df.filter(val <= hi)
+            else:
+                # try_cast, not cast: ANSI mode makes cast THROW on a
+                # non-numeric value — the documented semantics are
+                # "non-numeric and missing values drop"
+                num = F.element_at("metadata", F.lit(k)).try_cast("double")
+                if lo is not None:
+                    df = df.filter(num >= float(lo))
+                if hi is not None:
+                    df = df.filter(num <= float(hi))
     if explode_entries:
         # one row per FILE ENTRY (the spec's entry-level access,
         # draft.md:84-94): key/metadata repeat per entry, entry fields

@@ -52,41 +52,19 @@ from shardpack_spark.format.datasource import (
     register,
 )
 
-PATCH_DIR = "_patches"
-TOMBSTONE_KEY = "__tombstone"
+# layout resolution (list_patches/patch_path) lives pyspark-free in
+# format.manifest so the Spark-free reader facade shares it; re-exported
+# here for existing callers
+from shardpack_spark.format.manifest import (  # noqa: E402, F401
+    PATCH_DIR,
+    TOMBSTONE_KEY,
+    list_patches,
+    patch_path,
+)
 
 
 def _patch_root(base: str) -> str:
     return os.path.join(base, PATCH_DIR)
-
-
-def list_patches(base: str) -> list[str]:
-    """Logical patch names in application order.
-
-    Two publication styles coexist: directory-named patches
-    (``p{seq}/``, the atomic-rename path) and pointer-committed patches
-    (``p{seq}.ptr`` naming a hidden data dir — the rename-less path, see
-    write_patch).  Both list as the logical ``p{seq}`` name; resolve a
-    name to its data directory with ``patch_path``."""
-    root = _patch_root(base)
-    be = storage.for_path(base)
-    names = set()
-    for d in be.listdir(root):
-        if d.startswith("p") and d[1:].isdigit() and be.isdir(os.path.join(root, d)):
-            names.add(d)
-        elif d.startswith("p") and d.endswith(".ptr") and d[1:-4].isdigit():
-            names.add(d[:-4])
-    return sorted(names)
-
-
-def patch_path(base: str, name: str) -> str:
-    """Data directory of the logical patch ``name``."""
-    root = _patch_root(base)
-    be = storage.for_path(base)
-    ptr = os.path.join(root, name + ".ptr")
-    if be.exists(ptr):
-        return os.path.join(root, json.loads(be.read_bytes(ptr))["dir"])
-    return os.path.join(root, name)
 
 
 def tombstones(spark, keys) -> "F.DataFrame":

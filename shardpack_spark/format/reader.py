@@ -1,0 +1,386 @@
+"""Spark-free reader facade: the training-loader integration.
+
+The reference's primary read story is a tiny library API —
+``shardpack.open(...)``, ``dataset.records()``, ``get_index()``,
+``read_record_at_offset()`` (docs/draft.md:150-175) — while this repo's
+DataSource serves analytics.  A PyTorch-style data loader wants the
+former WITHOUT dragging a JVM into every worker process, so this module
+composes the pyspark-free layers only:
+
+    codec      — shard parsing, EOF indexes, random access, checksums
+    storage    — local / memory:// / sim:// / pyarrow.fs backends
+    manifest   — commit log, snapshots, dropped lists, blooms, zone maps
+
+and honors the SAME visibility rules as the Spark reader: manifest +
+stream markers gate which files exist, `dropped` hides logically
+deleted shards, `version=` pins an archived snapshot, and merge-on-read
+patches overlay (latest patch wins, tombstones delete).  The module
+graph is import-audited pyspark-free by tests/test_reader_facade.py.
+
+    from shardpack_spark.format.reader import open_dataset
+
+    ds = open_dataset("/data/corpus")
+    for rec in ds.records():              # full scan, shard order
+        ...
+    ds.lookup("doc/42")                   # bloom/range-pruned point read
+    ds[1337]                              # global record index (loaders)
+    idx = ds.get_index(ds.shards()[0])    # raw EOF offset table
+    ds.read_record_at_offset(shard, off)  # O(1) seek
+
+Scale shape: ``records()`` streams shard by shard (one ranged read per
+shard, constant memory); ``lookup`` opens only bloom/range-surviving
+shards; ``__getitem__`` resolves through per-shard record counts from
+the manifest (metadata-only) and one EOF-index tail read for the owning
+shard.  The patch overlay is O(patched keys) in memory — small by
+construction (compact_patches folds them down); ``patches="error"``
+refuses datasets where that assumption broke.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+from bisect import bisect_right
+from typing import TYPE_CHECKING
+
+from shardpack_spark.format import codec, manifest, storage
+
+if TYPE_CHECKING:
+    from collections.abc import Iterator
+
+_TOMBSTONE = object()
+
+
+def _floatable(b) -> bool:
+    try:
+        float(b)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+class Dataset:
+    """One committed view of a shardpack dataset (see ``open_dataset``)."""
+
+    def __init__(
+        self,
+        path: str,
+        version: int | None = None,
+        verify_checksums: bool = True,
+        patches: str = "apply",
+    ):
+        if patches not in ("apply", "ignore", "error"):
+            raise ValueError(f"patches must be apply|ignore|error, got {patches!r}")
+        self.path = manifest._norm_path(path)
+        self.version = version
+        self.verify_checksums = verify_checksums
+        if version is not None:
+            self.manifest = manifest._load_manifest(self.path, version)
+            names = sorted(s["path"] for s in self.manifest.get("shards", []))
+        else:
+            self.manifest = manifest._load_latest_manifest(self.path)
+            names = manifest._visible_shards(self.path, self.manifest)
+        self._names = names
+        self._stats = manifest._pruning_stats(self.path, self.manifest)
+        self._patch_names = (
+            [] if patches == "ignore" else manifest.list_patches(self.path)
+        )
+        if patches == "error" and self._patch_names:
+            raise codec.ShardPackError(
+                f"{self.path} carries {len(self._patch_names)} uncompacted "
+                "patches; open with patches='apply' or run compact_patches"
+            )
+        self._overlay: dict[str, object] | None = None  # lazy {key: Record|_TOMBSTONE}
+        self._cum_counts: list[int] | None = None  # lazy, for __getitem__
+
+    # --- shard-level surface ------------------------------------------------
+
+    def shards(self) -> list[str]:
+        """Absolute paths of the visible shard files, sorted by name."""
+        return [os.path.join(self.path, n) for n in self._names]
+
+    def get_index(self, shard: str) -> codec.ShardIndex:
+        """EOF index (offset table + shard metadata) of one shard —
+        ``shard`` is a path from ``shards()`` or a bare name."""
+        if os.path.basename(shard) == shard:
+            shard = os.path.join(self.path, shard)
+        return codec.read_index(shard)
+
+    def read_record_at_offset(self, shard: str, offset: int) -> codec.Record:
+        """O(1) random access into one shard at a byte offset from its
+        offset table (draft.md:167-175).  Patch overlays do NOT apply —
+        this is the raw physical record."""
+        if os.path.basename(shard) == shard:
+            shard = os.path.join(self.path, shard)
+        return codec.read_record_at(
+            shard, offset, verify_checksums=self.verify_checksums
+        )
+
+    # --- record-level surface -----------------------------------------------
+
+    def records(
+        self,
+        skip_payload: bool = False,
+        where_meta: dict | None = None,
+        where_meta_range: dict | None = None,
+    ) -> Iterator[codec.Record]:
+        """Stream every live record, shard-name order then in-shard order.
+
+        ``where_meta`` / ``where_meta_range`` prune non-matching shards
+        via manifest stats AND filter rows exactly (same contract as the
+        Spark reader: pruning is an optimization, the row filter is the
+        semantics).  Patched keys yield their latest patch row, tombstoned
+        keys are skipped.  ``skip_payload`` parses entry headers without
+        decoding payload bytes."""
+        overlay = self._load_overlay()
+        names = manifest._names_matching_meta(
+            list(self._names), self._stats, where_meta, where_meta_range
+        )
+
+        def row_ok(rec: codec.Record) -> bool:
+            if where_meta and any(
+                rec.metadata.get(k) != v for k, v in where_meta.items()
+            ):
+                return False
+            if where_meta_range:
+                for k, (lo, hi) in where_meta_range.items():
+                    v = rec.metadata.get(k)
+                    if v is None:
+                        return False
+                    # string bounds compare lexicographically (ISO dates
+                    # order correctly); numeric bounds cast the value —
+                    # same dispatch as read_shardpack's row filter
+                    str_bounds = any(
+                        isinstance(b, str) and not _floatable(b)
+                        for b in (lo, hi)
+                        if b is not None
+                    )
+                    if str_bounds:
+                        if lo is not None and v < str(lo):
+                            return False
+                        if hi is not None and v > str(hi):
+                            return False
+                        continue
+                    try:
+                        x = float(v)
+                    except (TypeError, ValueError):
+                        return False
+                    if lo is not None and x < float(lo):
+                        return False
+                    if hi is not None and x > float(hi):
+                        return False
+            return True
+
+        emitted: set[str] = set()
+        for name in names:
+            sp = os.path.join(self.path, name)
+            for rec in codec.iter_records(
+                sp, verify_checksums=self.verify_checksums, skip_payload=skip_payload
+            ):
+                if overlay and rec.key in overlay:
+                    patched = overlay[rec.key]
+                    if patched is _TOMBSTONE or rec.key in emitted:
+                        continue
+                    emitted.add(rec.key)
+                    if row_ok(patched):
+                        yield patched
+                    continue
+                if row_ok(rec):
+                    yield rec
+        # overlay keys whose base row was never visited — patch INSERTS,
+        # plus patch UPDATES whose base shard the meta pruning skipped
+        # (the merged-view row is the patch row, judged on its CURRENT
+        # state, exactly like read_with_patches' filter-after-merge rule)
+        if overlay:
+            for key in sorted(overlay):
+                rec = overlay[key]
+                if rec is _TOMBSTONE or key in emitted:
+                    continue
+                if row_ok(rec):
+                    yield rec
+
+    def keys(self) -> Iterator[str]:
+        """Every live record key (payloads never decoded)."""
+        overlay = self._load_overlay()
+        seen: set[str] = set()
+        for name in self._names:
+            sp = os.path.join(self.path, name)
+            for rec in codec.iter_records(
+                sp, verify_checksums=False, skip_entries=True
+            ):
+                if overlay and rec.key in overlay:
+                    if overlay[rec.key] is _TOMBSTONE or rec.key in seen:
+                        continue
+                    seen.add(rec.key)
+                yield rec.key
+        if overlay:
+            for key in sorted(overlay):
+                if overlay[key] is not _TOMBSTONE and key not in seen:
+                    yield key
+
+    def lookup(self, key: str) -> list[codec.Record]:
+        """Point lookup by record key — the bucket-index access path
+        (src/bucket.rs:147-169) served from manifest stats: shards whose
+        [min,max] key range excludes the key are skipped, surviving
+        shards are vetoed by their Bloom filter, and only then are
+        shard bytes touched.  Returns every matching record (the format
+        permits duplicate keys), overlaid by patches."""
+        overlay = self._load_overlay()
+        if overlay and key in overlay:
+            rec = overlay[key]
+            return [] if rec is _TOMBSTONE else [rec]
+        hashes = manifest._bloom_key_hashes(key)
+        out: list[codec.Record] = []
+        for name in self._names:
+            s = self._stats.get(name, {})
+            kmin, kmax = s.get("min_key"), s.get("max_key")
+            if kmin is not None and kmax is not None and not (kmin <= key <= kmax):
+                continue
+            bloom = s.get("bloom")
+            if bloom:
+                try:
+                    bits = base64.b64decode(bloom.get("bits", ""))
+                except Exception:
+                    bits = b""
+                if not manifest._bloom_maybe_contains(bloom, bits, key, hashes):
+                    continue
+            sp = os.path.join(self.path, name)
+            for rec in codec.iter_records(
+                sp, verify_checksums=self.verify_checksums
+            ):
+                if rec.key == key:
+                    out.append(rec)
+        return out
+
+    def metadata(self, key: str) -> dict | None:
+        """Record metadata without decoding payloads (R4, the
+        index-serves-metadata path) — first match wins; None if absent."""
+        overlay = self._load_overlay()
+        if overlay and key in overlay:
+            rec = overlay[key]
+            return None if rec is _TOMBSTONE else dict(rec.metadata)
+        hashes = manifest._bloom_key_hashes(key)
+        for name in self._names:
+            s = self._stats.get(name, {})
+            kmin, kmax = s.get("min_key"), s.get("max_key")
+            if kmin is not None and kmax is not None and not (kmin <= key <= kmax):
+                continue
+            bloom = s.get("bloom")
+            if bloom:
+                try:
+                    bits = base64.b64decode(bloom.get("bits", ""))
+                except Exception:
+                    bits = b""
+                if not manifest._bloom_maybe_contains(bloom, bits, key, hashes):
+                    continue
+            sp = os.path.join(self.path, name)
+            for rec in codec.iter_records(sp, verify_checksums=False, skip_entries=True):
+                if rec.key == key:
+                    return dict(rec.metadata)
+        return None
+
+    # --- loader ergonomics ---------------------------------------------------
+
+    def __len__(self) -> int:
+        """Physical record count across visible shards (overlay NOT
+        applied — patch-aware counting needs a scan; loaders index
+        physical records)."""
+        self._ensure_counts()
+        return self._cum_counts[-1] if self._cum_counts else 0
+
+    def __getitem__(self, i: int) -> codec.Record:
+        """Global physical record index -> record, resolved with one
+        EOF-index read of the owning shard (counts come from the
+        manifest; log-less directories pay one index read per shard the
+        first time).  The map-style access pattern every PyTorch-like
+        loader wants; tombstoned keys raise KeyError so samplers learn
+        to re-draw (use records() for streaming loaders)."""
+        self._ensure_counts()
+        n = len(self)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(f"record index {i} out of range [0, {n})")
+        si = bisect_right(self._cum_counts, i)
+        local = i - (self._cum_counts[si - 1] if si else 0)
+        sp = os.path.join(self.path, self._names[si])
+        idx = codec.read_index(sp)
+        rec = codec.read_record_at(
+            sp, idx.offsets[local], verify_checksums=self.verify_checksums
+        )
+        overlay = self._load_overlay()
+        if overlay and rec.key in overlay:
+            patched = overlay[rec.key]
+            if patched is _TOMBSTONE:
+                raise KeyError(f"record {i} (key {rec.key!r}) is deleted by a patch")
+            return patched
+        return rec
+
+    def __iter__(self) -> Iterator[codec.Record]:
+        return self.records()
+
+    def partitions(self) -> list[dict]:
+        """Metadata-only partition listing (partition_by layouts)."""
+        return manifest.dataset_partitions(self.path, self.version)
+
+    # --- internals -----------------------------------------------------------
+
+    def _ensure_counts(self) -> None:
+        if self._cum_counts is not None:
+            return
+        stats = manifest._manifest_stats(self.path, self.manifest)
+        cum: list[int] = []
+        total = 0
+        for name in self._names:
+            rec = stats.get(name, (None, None))[1]
+            if rec is None:
+                rec = len(codec.read_index(os.path.join(self.path, name)).offsets)
+            total += rec
+            cum.append(total)
+        self._cum_counts = cum
+
+    def _load_overlay(self) -> dict[str, object]:
+        """{key: Record | _TOMBSTONE} across patches, later patch wins."""
+        if self._overlay is not None:
+            return self._overlay
+        overlay: dict[str, object] = {}
+        for pname in self._patch_names:
+            pdir = manifest.patch_path(self.path, pname)
+            for name in manifest._visible_shards(pdir):
+                for rec in codec.iter_records(
+                    os.path.join(pdir, name),
+                    verify_checksums=self.verify_checksums,
+                ):
+                    if rec.metadata.get(manifest.TOMBSTONE_KEY) == "true":
+                        overlay[rec.key] = _TOMBSTONE
+                    else:
+                        overlay[rec.key] = rec
+        self._overlay = overlay
+        return overlay
+
+def open_dataset(
+    path: str,
+    version: int | None = None,
+    timestamp=None,
+    verify_checksums: bool = True,
+    patches: str = "apply",
+) -> Dataset:
+    """Open a shardpack dataset for Spark-free reading.
+
+    ``version`` pins an archived snapshot (same ids as the Spark
+    reader's ``version`` option / ``list_versions``); ``timestamp``
+    (epoch seconds or ISO-8601 string) resolves to the newest snapshot
+    committed at or before that instant — time travel by time.  An
+    explicit ``version`` wins when both are given.  ``patches``:
+    'apply' (default) overlays merge-on-read patches, 'ignore' reads the
+    raw base, 'error' refuses datasets with uncompacted patches.
+    Raises ShardPackIOError for a missing dataset/version."""
+    norm = manifest._norm_path(path)
+    be = storage.for_path(norm)
+    if version is None and timestamp is not None:
+        version = manifest.version_at(norm, timestamp)
+    if version is None and not be.exists(norm):
+        raise codec.ShardPackIOError(f"no dataset at {path}")
+    return Dataset(
+        norm, version=version, verify_checksums=verify_checksums, patches=patches
+    )
