@@ -50,13 +50,26 @@ def _ensure_registered(spark: SparkSession) -> None:
 
 
 def docs_as_shardpack_rows(docs: DataFrame) -> DataFrame:
-    """documents -> shardpack record rows (text payload + typed metadata)."""
+    """documents -> shardpack record rows (text payload + typed metadata).
+
+    ``crawl_date`` is a deterministic ISO date derived from doc_id
+    (16-doc runs over a 365-day cycle) — an event-time key whose
+    lexicographic order clusters under the key-sorted layout, giving the
+    STRING zone maps something real to prune on (q39 'date' variant)."""
     return docs.select(
         F.concat(F.lit("doc/"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("key"),
         F.create_map(
             F.lit("lang"), F.col("lang"),
             F.lit("source"), F.col("source"),
             F.lit("n_chars"), F.col("n_chars").cast("string"),
+            F.lit("crawl_date"),
+            F.date_format(
+                F.date_add(
+                    F.lit("2024-01-01").cast("date"),
+                    ((F.col("doc_id") / 16).cast("long") % 365).cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ),
         ).alias("metadata"),
         F.array(
             F.struct(
@@ -253,13 +266,26 @@ def q53_shardpack_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q39_metadata_only_scan",
     oracle="""
+    WITH docs2 AS (
+      SELECT lang, n_chars,
+             strftime(DATE '2024-01-01'
+                      + INTERVAL ((doc_id // 16) % 365) DAY, '%Y-%m-%d')
+               AS crawl_date
+      FROM documents
+    )
     SELECT 'all' AS variant, lang, COUNT(*) AS cnt,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-    FROM documents GROUP BY lang
+    FROM docs2 GROUP BY lang
     UNION ALL
     SELECT 'long' AS variant, lang, COUNT(*) AS cnt,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-    FROM documents WHERE n_chars >= 500 GROUP BY lang
+    FROM docs2 WHERE n_chars >= 500 GROUP BY lang
+    UNION ALL
+    SELECT 'date' AS variant, lang, COUNT(*) AS cnt,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM docs2
+    WHERE crawl_date >= '2024-01-10' AND crawl_date <= '2024-01-20'
+    GROUP BY lang
     """,
 )
 def q39_metadata_only_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,7 +297,11 @@ def q39_metadata_only_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'long': the same scan under a `where_meta_range` numeric zone-map
       cut (n_chars >= 500) — shards whose recorded [min,max] excludes
       the interval are pruned at planning, the length-quality-cut shape
-      of a curation pipeline.
+      of a curation pipeline;
+    - 'date': the same scan under a STRING (lexicographic) zone-map cut
+      on the ISO ``crawl_date`` key — event-time tailing from metadata
+      alone; the matching row filter applies on top, so the oracle
+      match proves semantics never depend on pruning.
 
     Each leg loads its own relation (differing options already make the
     scans plan-distinct, but the per-leg-load rule from read_shardpack's
@@ -296,7 +326,16 @@ def q39_metadata_only_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "long",
     )
-    return full.unionAll(cut)
+    dated = agg(
+        read_shardpack(
+            spark,
+            path,
+            metadata_only="true",
+            where_meta_range={"crawl_date": ("2024-01-10", "2024-01-20")},
+        ),
+        "date",
+    )
+    return full.unionAll(cut).unionAll(dated)
 
 
 def _b1(col):

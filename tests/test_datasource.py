@@ -953,9 +953,12 @@ def test_metadata_zone_map_skipping(spark_ds, sf_dir, tmp_path):
     assert len(m["shards"]) > 4
     for s in m["shards"]:
         mr = s["meta_ranges"]
-        # numeric key recorded; non-numeric keys poisoned out
+        # numeric key -> float bounds; short string keys (lang) now get
+        # LEXICOGRAPHIC bounds (the string zone-map domain)
         assert mr["n_chars"][0] <= mr["n_chars"][1]
-        assert "lang" not in mr and "source" not in mr
+        assert not isinstance(mr["n_chars"][0], str)
+        if "lang" in mr:
+            assert isinstance(mr["lang"][0], str)
 
     # pruning: a top-of-range cut plans strictly fewer partitions
     hi_cut = max(s["meta_ranges"]["n_chars"][0] for s in m["shards"])
@@ -1005,6 +1008,102 @@ def test_metadata_zone_map_skipping(spark_ds, sf_dir, tmp_path):
         spark_ds, out, where_meta_range={"n_chars": (100, 500)}
     ).count()
     assert got2 == want2
+
+
+def test_string_zone_map_date_tailing(spark_ds, tmp_path):
+    """VERDICT r3 item 6: event-time tailing on ISO DATE metadata —
+    string (lexicographic) zone maps prune shards, the row filter still
+    applies on top, and mixed numeric/string keys are poisoned."""
+    import json as _json
+
+    from shardpack_spark.format.datasource import (
+        SCHEMA,
+        ShardPackReader,
+        _load_manifest,
+        read_shardpack,
+        register,
+    )
+
+    register(spark_ds)
+    out = str(tmp_path / "dated")
+    rows = [
+        (
+            f"ev/{i:05d}",
+            {
+                "event_date": f"2024-{1 + i // 100:02d}-{1 + (i % 100) % 28:02d}",
+                # mixed-domain key: numeric for even rows, text for odd
+                "mixed": str(i) if i % 2 == 0 else f"x{i}",
+            },
+            [],
+        )
+        for i in range(300)
+    ]
+    df = spark_ds.createDataFrame(rows, SCHEMA)
+    # write sorted by date so shards hold disjoint date ranges
+    df.orderBy(F.element_at("metadata", F.lit("event_date"))).coalesce(1).write.format(
+        "shardpack"
+    ).option("target_shard_bytes", 2048).mode("append").save(out)
+
+    m = _load_manifest(out)
+    assert len(m["shards"]) > 3
+    for s in m["shards"]:
+        mr = s["meta_ranges"]
+        lo, hi = mr["event_date"]
+        assert isinstance(lo, str) and lo <= hi
+        assert "mixed" not in mr, "mixed numeric/string domain must poison"
+
+    # pruning: tail from March plans strictly fewer partitions
+    all_parts = ShardPackReader({"path": out, "small_bin_bytes": "0"}).partitions()
+    pruned = ShardPackReader(
+        {
+            "path": out,
+            "small_bin_bytes": "0",
+            "where_meta_range": _json.dumps({"event_date": ["2024-03-01", None]}),
+        }
+    ).partitions()
+    assert 0 < len(pruned) < len(all_parts)
+
+    # semantics: exactly the rows a plain lexicographic filter returns,
+    # including the boundary shard that straddles the cut
+    for lo, hi in [("2024-03-01", None), ("2024-01-15", "2024-02-10"), (None, "2024-01-03")]:
+        cond = F.lit(True)
+        val = F.element_at("metadata", F.lit("event_date"))
+        if lo is not None:
+            cond = cond & (val >= lo)
+        if hi is not None:
+            cond = cond & (val <= hi)
+        want = df.filter(cond).count()
+        got = read_shardpack(
+            spark_ds, out, where_meta_range={"event_date": (lo, hi)}
+        ).count()
+        assert got == want > 0, (lo, hi)
+
+    # numeric probe against a string-recorded key: unprunable, row filter
+    # (numeric cast) drops every row -> 0, never a wrong subset
+    assert (
+        read_shardpack(spark_ds, out, where_meta_range={"event_date": (0, 1)}).count()
+        == 0
+    )
+    # mixing domains within ONE key's bounds is rejected
+    with pytest.raises(Exception, match="mix"):
+        read_shardpack(
+            spark_ds, out, where_meta_range={"event_date": (5, "2024-02-01")}
+        ).count()
+
+    # Spark-free facade agrees shard-for-shard
+    from shardpack_spark.format.reader import open_dataset
+
+    ds_f = open_dataset(out)
+    facade = sorted(
+        r.key for r in ds_f.records(where_meta_range={"event_date": ("2024-03-01", None)})
+    )
+    spark_keys = sorted(
+        r["key"]
+        for r in read_shardpack(
+            spark_ds, out, where_meta_range={"event_date": ("2024-03-01", None)}
+        ).collect()
+    )
+    assert facade == spark_keys
 
 
 def test_zone_maps_from_convert_to_dataset(spark_ds, sf_dir, tmp_path):
@@ -1403,6 +1502,22 @@ def test_zone_map_fold_soundness_property():
         st.text(max_size=8),
     )
 
+    from shardpack_spark.format.datasource import _META_STR_RANGE_MAX_LEN
+
+    def domain(v):
+        """Mirror of the implementation's domain law: numeric iff float()
+        parses AND the value sits inside ±2^53 (NaN fails); else string
+        iff it fits the bound cap; else poison."""
+        try:
+            x = float(v)
+            if -_META_RANGE_MAX_ABS <= x <= _META_RANGE_MAX_ABS:
+                return ("num", x)
+        except (TypeError, ValueError):
+            pass
+        if isinstance(v, str) and len(v) <= _META_STR_RANGE_MAX_LEN:
+            return ("str", v)
+        return ("poison", None)
+
     @settings(max_examples=300, deadline=None)
     @given(vals=st.lists(values, min_size=1, max_size=30))
     def check(vals):
@@ -1410,24 +1525,17 @@ def test_zone_map_fold_soundness_property():
         for v in vals:
             _meta_range_add(rng, "k", v)
         kept = _meta_ranges_kept(rng)
-        parsed = []
-        for v in vals:
-            try:
-                x = float(v)
-            except (TypeError, ValueError):
-                parsed.append(None)
-                continue
-            parsed.append(x)
-        poisoned = any(
-            p is None or not (-_META_RANGE_MAX_ABS <= p <= _META_RANGE_MAX_ABS)
-            for p in parsed
-        )
-        if poisoned:
-            assert "k" not in kept  # unprunable: always sound
-        else:
-            lo, hi = kept["k"]
-            assert lo == min(parsed) and hi == max(parsed)
-            # soundness: every value inside the recorded bounds
-            assert all(lo <= p <= hi for p in parsed)
+        doms = [domain(v) for v in vals]
+        kinds = {d for d, _ in doms}
+        if kinds != {"num"} and kinds != {"str"}:
+            # mixed domains or any oversized value: unprunable, sound
+            assert "k" not in kept
+            return
+        parsed = [x for _, x in doms]
+        lo, hi = kept["k"]
+        assert lo == min(parsed) and hi == max(parsed)
+        # soundness: every value inside the recorded bounds, same domain
+        assert all(lo <= p <= hi for p in parsed)
+        assert isinstance(lo, str) == (kinds == {"str"})
 
     check()

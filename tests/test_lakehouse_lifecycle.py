@@ -3,6 +3,7 @@ snapshot, delta, patch, merge-on-read, fsck, compact, point lookup."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from shardpack_spark.format.datasource import (
@@ -146,3 +147,59 @@ def test_publish_checked_first_commit_failure_resets_to_empty(spark, tmp_path, s
     out = publish_checked(sp_rows(spark, [("y", {}, b"3")]), path, [])
     assert out["published"] and out["version"] == 1
     assert read_shardpack(spark, path).count() == 1
+
+
+def test_time_travel_by_timestamp(spark, tmp_path, sp_rows):
+    """VERDICT r3 item 7: version_at(ts) + the timestamp_as_of reader
+    option resolve an instant to the snapshot that was current then."""
+    import time
+
+    from shardpack_spark.format.datasource import (
+        list_versions,
+        read_shardpack,
+        register,
+        version_at,
+    )
+    from shardpack_spark.format.reader import open_dataset
+
+    register(spark)
+    base = str(tmp_path / "ttts")
+    sp_rows(spark, [(f"a/{i}", {}, b"x") for i in range(5)]).write.format(
+        "shardpack"
+    ).mode("overwrite").save(base)
+    time.sleep(0.05)
+    between = time.time()
+    time.sleep(0.05)
+    sp_rows(spark, [(f"b/{i}", {}, b"y") for i in range(3)]).write.format(
+        "shardpack"
+    ).mode("append").save(base)
+
+    assert version_at(base, between) == 1
+    assert version_at(base, time.time()) == 2
+    vs = list_versions(base)
+    assert [v["version"] for v in vs] == [1, 2]
+    assert all(isinstance(v["committed_at"], float) for v in vs)
+    assert vs[0]["committed_at"] <= between <= vs[1]["committed_at"]
+
+    # ISO-8601 resolution (UTC) and the too-early error
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(between, dt.timezone.utc).isoformat()
+    assert version_at(base, iso) == 1
+    with pytest.raises(Exception, match="at or before"):
+        version_at(base, between - 3600)
+
+    # Spark reader option
+    got = read_shardpack(spark, base, timestamp_as_of=str(between)).count()
+    assert got == 5
+    assert read_shardpack(spark, base).count() == 8
+    # explicit version wins over timestamp
+    assert (
+        read_shardpack(spark, base, version="2", timestamp_as_of=str(between)).count()
+        == 8
+    )
+
+    # Spark-free facade
+    assert len(open_dataset(base, timestamp=between)) == 5
+    assert len(open_dataset(base, timestamp=iso)) == 5
+    assert len(open_dataset(base)) == 8
