@@ -622,6 +622,9 @@ except ImportError:
 
 
 def compress(data: bytes, encoding: str) -> bytes:
+    if ";chunk=" in encoding:
+        base, _, cb = encoding.partition(";chunk=")
+        return _encode_chunked(data, base, int(cb))
     if encoding not in _CODECS:
         raise ShardPackCodecError(
             f"compression '{encoding}' not available (have: {sorted(_CODECS)})"
@@ -630,11 +633,92 @@ def compress(data: bytes, encoding: str) -> bytes:
 
 
 def decompress(data: bytes, encoding: str, expected_size: int | None = None) -> bytes:
+    if ";chunk=" in encoding:
+        return _decode_chunked(data, encoding.partition(";chunk=")[0])
     if encoding not in _CODECS:
         raise ShardPackCodecError(
             f"compression '{encoding}' not available (have: {sorted(_CODECS)})"
         )
     return _CODECS[encoding][1](data, expected_size)
+
+
+# --- chunk-level entry compression (draft.md:144-148) -------------------------
+#
+# The spec allows compression "on a per-file-entry basis or at a chunk
+# level".  Whole-entry compression makes random access into one multi-GB
+# entry (a long video, a giant tensor) an all-or-nothing decompress;
+# chunked entries restore O(chunk) ranged reads.  The stored payload
+# becomes a self-describing container (all little-endian):
+#
+#   4B  magic b"SPCH"
+#   u32 n_chunks
+#   u64 raw_chunk_bytes      (uncompressed size of every chunk but the last)
+#   u64 raw_total            (uncompressed entry size)
+#   per chunk: u64 comp_len, u32 crc32(compressed bytes)
+#   then the compressed chunk payloads, concatenated
+#
+# The entry's encoding tag carries the base codec and chunk size
+# ('zstd;chunk=4194304') — format-version-gated by construction: a
+# reader without this code fails loudly on the unknown tag instead of
+# returning wrong bytes.  The entry-level sha256 (full uncompressed
+# payload) is unchanged and still verified on full reads; per-chunk
+# crc32 lets a RANGED read verify exactly the chunks it touched.
+
+_CHUNK_MAGIC = b"SPCH"
+
+
+def _encode_chunked(data: bytes, base_codec: str, chunk_bytes: int) -> bytes:
+    import zlib
+
+    if chunk_bytes <= 0:
+        raise ShardPackCodecError(f"chunk_bytes must be positive, got {chunk_bytes}")
+    if base_codec not in _CODECS or base_codec == "none":
+        raise ShardPackCodecError(
+            f"chunked compression needs a real base codec, got '{base_codec}'"
+        )
+    n = max(1, -(-len(data) // chunk_bytes))
+    comps = [
+        _CODECS[base_codec][0](data[i * chunk_bytes : (i + 1) * chunk_bytes])
+        for i in range(n)
+    ]
+    head = _CHUNK_MAGIC + struct.pack("<IQQ", n, chunk_bytes, len(data))
+    table = b"".join(
+        struct.pack("<QI", len(c), zlib.crc32(c) & 0xFFFFFFFF) for c in comps
+    )
+    return head + table + b"".join(comps)
+
+
+def _parse_chunk_container(stored: bytes):
+    """-> (n_chunks, raw_chunk_bytes, raw_total, [(comp_len, crc)],
+    payload_base_offset)."""
+    if stored[:4] != _CHUNK_MAGIC:
+        raise ShardPackCodecError("chunked entry payload missing SPCH magic")
+    n, cb, total = struct.unpack_from("<IQQ", stored, 4)
+    table = [
+        struct.unpack_from("<QI", stored, 24 + 12 * i) for i in range(n)
+    ]
+    return n, cb, total, table, 24 + 12 * n
+
+
+def _decode_chunked(stored: bytes, base_codec: str) -> bytes:
+    import zlib
+
+    n, cb, total, table, base = _parse_chunk_container(stored)
+    out = []
+    pos = base
+    for i, (clen, crc) in enumerate(table):
+        blob = stored[pos : pos + clen]
+        if zlib.crc32(blob) & 0xFFFFFFFF != crc:
+            raise ShardPackChecksumError(f"chunk {i} crc32 mismatch")
+        raw_len = min(cb, total - i * cb)
+        out.append(_CODECS[base_codec][1](blob, raw_len))
+        pos += clen
+    data = b"".join(out)
+    if len(data) != total:
+        raise ShardPackCodecError(
+            f"chunked entry decoded {len(data)} bytes, container says {total}"
+        )
+    return data
 
 
 # --- data model -------------------------------------------------------------
@@ -668,9 +752,17 @@ def _lp_bytes(b: bytes) -> bytes:
     return struct.pack("<I", len(b)) + b
 
 
-def encode_record(record: Record, compression: str = "none") -> bytes:
+def encode_record(
+    record: Record, compression: str = "none", chunk_bytes: int | None = None
+) -> bytes:
     """Serialize one record block; payloads compressed per `compression`
-    unless an entry carries its own non-default encoding."""
+    unless an entry carries its own non-default encoding.
+
+    ``chunk_bytes``: entries larger than this compress at CHUNK level
+    (encoding tag '{codec};chunk={n}') so ranged reads into one huge
+    entry decompress O(chunk) bytes — draft.md:144-148's chunk-level
+    compression.  Smaller entries and uncompressed entries are stored as
+    before (raw bytes are already range-addressable)."""
     body = io.BytesIO()
     key_b = record.key.encode("utf-8")
     meta_b = json.dumps(record.metadata, sort_keys=True).encode("utf-8") if record.metadata else b""
@@ -679,6 +771,13 @@ def encode_record(record: Record, compression: str = "none") -> bytes:
     body.write(struct.pack("<I", len(record.entries)))
     for e in record.entries:
         enc = e.encoding if e.encoding != "none" else compression
+        if (
+            chunk_bytes
+            and enc != "none"
+            and ";chunk=" not in enc
+            and len(e.data) > chunk_bytes
+        ):
+            enc = f"{enc};chunk={chunk_bytes}"
         stored = compress(e.data, enc)
         body.write(_lp_bytes(e.file_name.encode("utf-8")))
         body.write(_lp_bytes(e.content_type.encode("utf-8")))
@@ -792,14 +891,18 @@ class ShardWriter:
         shard_metadata: dict | None = None,
         max_record_bytes: int | None = None,
         max_entry_bytes: int | None = None,
+        chunk_bytes: int | None = None,
     ):
         if compression not in _CODECS:
             raise ShardPackCodecError(f"compression '{compression}' not available")
+        if chunk_bytes is not None and chunk_bytes <= 0:
+            raise ShardPackCodecError(f"chunk_bytes must be positive, got {chunk_bytes}")
         self.path = path
         self.compression = compression
         self.shard_metadata = shard_metadata or {}
         self.max_record_bytes = max_record_bytes
         self.max_entry_bytes = max_entry_bytes
+        self.chunk_bytes = chunk_bytes
         self._f = storage.for_path(path).create(path)
         self._offsets: list[int] = []
         self._pos = 0
@@ -821,7 +924,7 @@ class ShardWriter:
                         f"{len(e.data)} bytes exceeds max_entry_bytes="
                         f"{self.max_entry_bytes}"
                     )
-        block = encode_record(record, self.compression)
+        block = encode_record(record, self.compression, chunk_bytes=self.chunk_bytes)
         if self.max_record_bytes is not None and len(block) > self.max_record_bytes:
             raise ShardPackCodecError(
                 f"record '{record.key}': encoded block {len(block)} bytes "
@@ -912,6 +1015,109 @@ def read_record_at(
         rest = f.read(record_size - 8)
     rec, _ = decode_record(head + rest, 0, verify_checksums, skip_payload, skip_entries)
     return rec
+
+
+def read_entry_slice(
+    path: str,
+    record_offset: int,
+    file_name: str,
+    start: int,
+    length: int,
+) -> bytes:
+    """Ranged read INSIDE one entry's uncompressed payload: ``length``
+    bytes at ``start``, touching O(covered bytes) of storage instead of
+    the whole entry (draft.md:144-148's chunk-level promise).
+
+    I/O shape by encoding:
+    - 'none': one ranged read of exactly the requested span — raw bytes
+      are already range-addressable;
+    - '{codec};chunk=N': reads the chunk table plus ONLY the compressed
+      chunks covering the span; each touched chunk verifies its crc32
+      (the entry-level sha256 covers full reads, which a partial read by
+      definition cannot check);
+    - whole-entry codecs: falls back to reading + decompressing the
+      entire entry (write with ``chunk_bytes`` to make slices cheap).
+
+    Entry headers are parsed progressively with seeks, so a record whose
+    sibling entries hold gigabytes costs only their header bytes.
+    Raises ShardPackIndexError when the entry name is absent, and
+    returns fewer than ``length`` bytes only at payload end (file slice
+    semantics)."""
+    if start < 0 or length < 0:
+        raise ShardPackCodecError("start/length must be nonnegative")
+    with storage.for_path(path).open_read(path) as f:
+        f.seek(record_offset)
+        (record_size,) = struct.unpack("<Q", f.read(8))
+        end = record_offset + record_size
+
+        def lp_skip() -> None:
+            (n,) = struct.unpack("<I", f.read(4))
+            f.seek(n, 1)
+
+        def lp_read() -> bytes:
+            (n,) = struct.unpack("<I", f.read(4))
+            return f.read(n)
+
+        lp_skip()  # key
+        lp_skip()  # metadata
+        (n_entries,) = struct.unpack("<I", f.read(4))
+        for _ in range(n_entries):
+            name = lp_read().decode("utf-8")
+            lp_skip()  # content_type
+            enc = lp_read().decode("utf-8")
+            (file_size,) = struct.unpack("<Q", f.read(8))
+            f.seek(32, 1)  # sha256
+            (data_len,) = struct.unpack("<Q", f.read(8))
+            data_pos = f.tell()
+            if name != file_name:
+                f.seek(data_len, 1)
+                continue
+            want = max(0, min(length, file_size - start))
+            if want == 0:
+                return b""
+            if enc == "none":
+                f.seek(data_pos + start)
+                return f.read(want)
+            if ";chunk=" in enc:
+                import zlib
+
+                base_codec = enc.partition(";chunk=")[0]
+                head = f.read(24)
+                if head[:4] != _CHUNK_MAGIC:
+                    raise ShardPackCodecError(
+                        f"entry '{name}': chunked tag without SPCH container"
+                    )
+                n, cb, total = struct.unpack("<IQQ", head[4:24])
+                table = [
+                    struct.unpack("<QI", f.read(12)) for _ in range(n)
+                ]
+                payload_base = data_pos + 24 + 12 * n
+                c0 = start // cb
+                c1 = (start + want - 1) // cb
+                skip = sum(cl for cl, _ in table[:c0])
+                f.seek(payload_base + skip)
+                out = []
+                for i in range(c0, c1 + 1):
+                    clen, crc = table[i]
+                    blob = f.read(clen)
+                    if zlib.crc32(blob) & 0xFFFFFFFF != crc:
+                        raise ShardPackChecksumError(
+                            f"entry '{name}': chunk {i} crc32 mismatch"
+                        )
+                    raw_len = min(cb, total - i * cb)
+                    out.append(_CODECS[base_codec][1](blob, raw_len))
+                raw = b"".join(out)
+                off = start - c0 * cb
+                return raw[off : off + want]
+            # whole-entry compression: no sub-entry addressing possible
+            stored = f.read(data_len)
+            data = decompress(stored, enc, expected_size=file_size)
+            return data[start : start + want]
+        if f.tell() > end:
+            raise ShardPackCodecError(f"record at {record_offset}: header overrun")
+    raise ShardPackIndexError(
+        f"record at {record_offset} has no entry named '{file_name}'"
+    )
 
 
 def iter_records_span(
@@ -1013,6 +1219,7 @@ class DatasetWriter:
         start_shard_id: int = 0,
         max_record_bytes: int | None = None,
         max_entry_bytes: int | None = None,
+        chunk_bytes: int | None = None,
     ):
         storage.for_path(directory).makedirs(directory)
         self.directory = directory
@@ -1021,6 +1228,7 @@ class DatasetWriter:
         self.target = target_shard_bytes
         self.max_record_bytes = max_record_bytes
         self.max_entry_bytes = max_entry_bytes
+        self.chunk_bytes = chunk_bytes
         self._shard_id = start_shard_id
         self._writer: ShardWriter | None = None
         self.results: list[dict] = []
@@ -1033,6 +1241,7 @@ class DatasetWriter:
             self.compression,
             max_record_bytes=self.max_record_bytes,
             max_entry_bytes=self.max_entry_bytes,
+            chunk_bytes=self.chunk_bytes,
         )
 
     def write(self, record: Record) -> None:

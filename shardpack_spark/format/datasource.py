@@ -1043,6 +1043,11 @@ class ShardPackWriter(DataSourceArrowWriter):
         meb = options.get("max_entry_bytes")
         self.max_record_bytes = int(mrb) if mrb is not None else None
         self.max_entry_bytes = int(meb) if meb is not None else None
+        # chunk-level compression (draft.md:144-148): entries larger than
+        # this compress in independently-decodable chunks so ranged reads
+        # into one huge entry touch O(chunk) bytes (codec.read_entry_slice)
+        cbytes = options.get("chunk_bytes")
+        self.chunk_bytes = int(cbytes) if cbytes not in (None, "") else None
         # Partitioned layout: route records to partition-pure shards keyed
         # by these METADATA keys (the hive-partitioning analog for a
         # key/metadata/entries record model).  Shards stay in ONE flat
@@ -1109,6 +1114,7 @@ class ShardPackWriter(DataSourceArrowWriter):
             target_shard_bytes=self.target,
             max_record_bytes=self.max_record_bytes,
             max_entry_bytes=self.max_entry_bytes,
+            chunk_bytes=self.chunk_bytes,
         )
         results, stats = _write_with_stats(writer, iterator)
         shards = []
@@ -1130,6 +1136,7 @@ class ShardPackWriter(DataSourceArrowWriter):
             max_record_bytes=self.max_record_bytes,
             max_entry_bytes=self.max_entry_bytes,
             max_partition_writers=self.max_partition_writers,
+            chunk_bytes=self.chunk_bytes,
         )
 
     def commit(self, messages) -> None:
@@ -1554,6 +1561,7 @@ def _route_partitioned(
     max_record_bytes: int | None = None,
     max_entry_bytes: int | None = None,
     max_partition_writers: int = 64,
+    chunk_bytes: int | None = None,
 ) -> list[dict]:
     """Route records to one DatasetWriter per distinct partition-value
     tuple, so every output shard is partition-PURE (one value per
@@ -1590,6 +1598,7 @@ def _route_partitioned(
                 target_shard_bytes=target_shard_bytes,
                 max_record_bytes=max_record_bytes,
                 max_entry_bytes=max_entry_bytes,
+                chunk_bytes=chunk_bytes,
             )
             ent = writers[pv] = (w, _StatsTracker())
         w, tracker = ent
@@ -1634,6 +1643,8 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
         meb = options.get("max_entry_bytes")
         self.max_record_bytes = int(mrb) if mrb is not None else None
         self.max_entry_bytes = int(meb) if meb is not None else None
+        cbytes = options.get("chunk_bytes")
+        self.chunk_bytes = int(cbytes) if cbytes not in (None, "") else None
         # partition-pure streamed shards (same layout + same manifest
         # semantics as the batch writer's partition_by; values ride in
         # the batch MARKER until fold_stream_markers moves them into the
@@ -1664,6 +1675,7 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
                 max_record_bytes=self.max_record_bytes,
                 max_entry_bytes=self.max_entry_bytes,
                 max_partition_writers=self.max_partition_writers,
+                chunk_bytes=self.chunk_bytes,
             )
             return ShardCommitMessage(
                 shards=[{**s, "staging": staging_rel} for s in shards]
@@ -1675,6 +1687,7 @@ class ShardPackStreamWriter(DataSourceStreamArrowWriter):
             target_shard_bytes=self.target,
             max_record_bytes=self.max_record_bytes,
             max_entry_bytes=self.max_entry_bytes,
+            chunk_bytes=self.chunk_bytes,
         )
         results, stats = _write_with_stats(writer, iterator)
         return ShardCommitMessage(

@@ -116,6 +116,16 @@ class Dataset:
             shard, offset, verify_checksums=self.verify_checksums
         )
 
+    def read_entry_slice(
+        self, shard: str, offset: int, file_name: str, start: int, length: int
+    ) -> bytes:
+        """Ranged read inside ONE entry's uncompressed payload — O(chunk)
+        storage bytes for chunk-compressed entries, exact span for
+        uncompressed ones (codec.read_entry_slice; draft.md:144-148)."""
+        if os.path.basename(shard) == shard:
+            shard = os.path.join(self.path, shard)
+        return codec.read_entry_slice(shard, offset, file_name, start, length)
+
     # --- record-level surface -----------------------------------------------
 
     def records(

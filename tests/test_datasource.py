@@ -1539,3 +1539,45 @@ def test_zone_map_fold_soundness_property():
         assert isinstance(lo, str) == (kinds == {"str"})
 
     check()
+
+
+def test_chunk_bytes_writer_option_roundtrip(spark_ds, tmp_path):
+    """chunk_bytes threads through the DataSource writer: large entries
+    land chunk-compressed (tagged encoding), reads are unchanged, and
+    read_entry_slice serves ranged reads out of the written shards."""
+    from shardpack_spark.format import codec
+    from shardpack_spark.format.datasource import SCHEMA, read_shardpack, register
+
+    register(spark_ds)
+    out = str(tmp_path / "chunky")
+    big = ("blk" + "x" * 61) * 2000  # 128 KB entry
+    df = spark_ds.createDataFrame(
+        [("k/big", {}, [("b.bin", "application/octet-stream", "none", len(big), bytearray(big.encode()))]),
+         ("k/small", {}, [("s.bin", "application/octet-stream", "none", 4, bytearray(b"tiny"))])],
+        SCHEMA,
+    )
+    df.write.format("shardpack").option("compression", "gzip").option(
+        "chunk_bytes", 32 * 1024
+    ).mode("overwrite").save(out)
+    back = {r["key"]: bytes(r["entries"][0]["data"]) for r in read_shardpack(spark_ds, out).collect()}
+    assert back == {"k/big": big.encode(), "k/small": b"tiny"}
+    # physical layout: the big entry carries the chunked tag
+    found = {}
+    for p in codec.list_shards(out):
+        for rec in codec.iter_records(p):
+            found[rec.key] = (p, rec.entries[0].encoding)
+    assert found["k/big"][1] == f"gzip;chunk={32 * 1024}"
+    assert found["k/small"][1] == "gzip"
+    # ranged read out of the Spark-written shard
+    p = found["k/big"][0]
+    idx = codec.read_index(p)
+    for off in idx.offsets:
+        rec = codec.read_record_at(p, off, skip_payload=True)
+        if rec.key == "k/big":
+            assert (
+                codec.read_entry_slice(p, off, "b.bin", 40_000, 64)
+                == big.encode()[40_000:40_064]
+            )
+            break
+    else:
+        raise AssertionError("k/big not found")
