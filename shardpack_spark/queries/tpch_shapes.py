@@ -163,8 +163,51 @@ _Q22_ORACLE = """
             * (SELECT COUNT(*) FROM customer x WHERE x.c_acctbal > 0)
           > (SELECT SUM(CAST(x.c_acctbal AS DECIMAL(18,4)))
              FROM customer x WHERE x.c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
     GROUP BY c.c_nationkey
+"""
+
+
+# TPC-H Q2 shape (correlated MIN scalar subquery): rows matching their
+# group's minimum.  Classic Q2 keys on partsupp.ps_supplycost; this corpus
+# has no partsupp table, so the same shape runs on lineitem — lines selling
+# a small part at that part's MINIMUM price.  The oracle keeps the
+# correlated `= (SELECT MIN(...) ...)` form; Spark decorrelates it to a
+# per-key MIN aggregate joined back (RewriteCorrelatedScalarSubquery's
+# output, hand-declared).
+_Q2_ORACLE = """
+    SELECT CAST(l.l_partkey AS BIGINT) AS k1, CAST(NULL AS VARCHAR) AS s1,
+           CAST(ROUND(MIN(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS val,
+           COUNT(*) AS cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size < 10
+    WHERE CAST(l.l_extendedprice AS DECIMAL(18,4))
+          = (SELECT MIN(CAST(x.l_extendedprice AS DECIMAL(18,4)))
+             FROM lineitem x WHERE x.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    ORDER BY val DESC, k1 LIMIT 20
+"""
+
+# TPC-H Q20 shape (nested IN with a correlated aggregate threshold):
+# suppliers who, for some red part, shipped MORE THAN A FIFTH of that part's
+# total quantity.  The oracle nests `s_suppkey IN (... GROUP BY ... HAVING
+# SUM(...) * 2 > (correlated SUM))`; Spark turns the IN into a left-semi
+# join and the correlated HAVING into a per-part total joined back —
+# thresholds held in DECIMAL so no cross-engine FP boundary.
+_Q20_ORACLE = """
+    SELECT CAST(s.s_suppkey AS BIGINT) AS k1, s.s_name AS s1,
+           CAST(NULL AS DOUBLE) AS val, CAST(NULL AS BIGINT) AS cnt
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) * 5
+             > (SELECT SUM(CAST(x.l_quantity AS DECIMAL(18,4)))
+                FROM lineitem x WHERE x.l_partkey = l.l_partkey)
+    )
 """
 
 
@@ -256,7 +299,9 @@ def _tpch_q21_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tpch_q22_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 shape: the uncorrelated scalar subquery is a 1-row aggregate
-    broadcast (allowlisted O(1)-row NLJ); NOT EXISTS is a left-anti join."""
+    broadcast (allowlisted O(1)-row NLJ); NOT EXISTS is a left-anti join
+    (against URGENT orders — the all-orders form was vacuously empty on
+    this corpus at every sf, which verified nothing)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     thr = c.filter(F.col("c_acctbal") > 0).agg(
@@ -265,7 +310,11 @@ def _tpch_q22_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.crossJoin(F.broadcast(thr))
         .filter(dec("c_acctbal") * F.col("pos_n") > F.col("pos_sum"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
         .groupBy("c_nationkey")
         .agg(
             money2(F.sum(dec("c_acctbal"))).alias("val"),
@@ -280,6 +329,70 @@ def _tpch_q22_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q2_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape, decorrelated: the correlated MIN scalar subquery becomes
+    one per-part MIN aggregate joined back on l_partkey.  The small-part
+    dim broadcasts FIRST so the aggregate covers only relevant parts —
+    the subquery's per-part value is unchanged by that pruning (it only
+    ever evaluates for kept parts), and at 100 TB it is the difference
+    between aggregating the brand's slice and the whole table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p10 = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    lik = li.join(
+        F.broadcast(p10.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    mins = lik.groupBy("l_partkey").agg(F.min(dec("l_extendedprice")).alias("minp"))
+    kept = lik.join(mins, "l_partkey").filter(
+        dec("l_extendedprice") == F.col("minp")
+    )
+    return (
+        kept.groupBy("l_partkey")
+        .agg(
+            money2(F.min(dec("l_extendedprice"))).alias("val"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy(F.desc("val"), F.asc("l_partkey"))
+        .limit(20)
+        .select(
+            F.col("l_partkey").cast("bigint").alias("k1"),
+            F.lit(None).cast("string").alias("s1"),
+            "val",
+            "cnt",
+        )
+    )
+
+
+def _tpch_q20_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: the nested IN becomes a left-semi join; the correlated
+    HAVING aggregate becomes per-part totals joined back.  Both lineitem
+    passes prune through the broadcast red-part dim first."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    lik = li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+    totals = lik.groupBy("l_partkey").agg(F.sum(dec("l_quantity")).alias("tq"))
+    pairs = lik.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(dec("l_quantity")).alias("sq")
+    )
+    qualifying = (
+        pairs.join(totals, "l_partkey")
+        .filter(F.col("sq") * 5 > F.col("tq"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(
+        qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select(
+        F.col("s_suppkey").cast("bigint").alias("k1"),
+        F.col("s_name").alias("s1"),
+        F.lit(None).cast("double").alias("val"),
+        F.lit(None).cast("bigint").alias("cnt"),
+    )
+
+
 @register(
     "q52_tpch_shapes",
     oracle=f"""
@@ -290,21 +403,29 @@ def _tpch_q22_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'q21' AS variant, * FROM ({_Q21_ORACLE})
     UNION ALL
     SELECT 'q22' AS variant, * FROM ({_Q22_ORACLE})
+    UNION ALL
+    SELECT 'q2' AS variant, * FROM ({_Q2_ORACLE})
+    UNION ALL
+    SELECT 'q20' AS variant, * FROM ({_Q20_ORACLE})
     """,
-    doc="Four TPC-H shapes in one tagged result: Q10 (multi-join top-k), "
+    doc="Six TPC-H shapes in one tagged result: Q10 (multi-join top-k), "
     "Q17 (correlated scalar subqueries, decorrelated to agg+join), Q21 "
     "(EXISTS/NOT EXISTS as semi/anti joins), Q22 (uncorrelated scalar "
-    "subquery broadcast + anti join).  The oracle keeps the SUBQUERY "
-    "form so the hash check proves the decorrelated Spark plans compute "
-    "the same relation.",
+    "subquery broadcast + anti join), Q2 (correlated MIN scalar "
+    "subquery -> per-key MIN joined back), Q20 (nested IN with a "
+    "correlated aggregate threshold -> semi join + totals join).  The "
+    "oracle keeps the SUBQUERY forms so the hash check proves the "
+    "decorrelated Spark plans compute the same relation.",
 )
 def q52_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10/Q17/Q21/Q22 shapes, variant-tagged (Q52).
+    """TPC-H Q10/Q17/Q21/Q22/Q2/Q20 shapes, variant-tagged (Q52).
 
     Harmonized columns: k1 (bigint key), s1 (string label), val (money),
-    cnt (count).  Q17/Q21/Q22 exercise the subquery-decorrelation surface:
-    correlated scalar subqueries become per-key aggregates joined back,
-    EXISTS/NOT EXISTS become left-semi/left-anti joins, and uncorrelated
+    cnt (count).  Q17/Q21/Q22/Q2/Q20 exercise the subquery-decorrelation
+    surface: correlated scalar subqueries (SUM/COUNT in Q17, MIN in Q2)
+    become per-key aggregates joined back, EXISTS/NOT EXISTS become
+    left-semi/left-anti joins, nested IN with a correlated HAVING (Q20)
+    becomes a semi join over a thresholded agg-join, and uncorrelated
     scalars become 1-row broadcasts — the shapes Catalyst itself emits
     for the SQL forms, hand-declared so every join is keyed (no nested
     loop over lineitem at any scale).
@@ -318,4 +439,6 @@ def q52_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tag("q17", _tpch_q17_variant(spark, sf_dir)))
         .unionAll(tag("q21", _tpch_q21_variant(spark, sf_dir)))
         .unionAll(tag("q22", _tpch_q22_variant(spark, sf_dir)))
+        .unionAll(tag("q2", _tpch_q2_variant(spark, sf_dir)))
+        .unionAll(tag("q20", _tpch_q20_variant(spark, sf_dir)))
     )
