@@ -39,6 +39,7 @@ refuses datasets where that assumption broke.
 from __future__ import annotations
 
 import base64
+import hashlib
 import os
 from bisect import bisect_right
 from typing import TYPE_CHECKING
@@ -208,6 +209,92 @@ class Dataset:
                     continue
                 if row_ok(rec):
                     yield rec
+
+    def shard_records(
+        self,
+        num_shards: int,
+        index: int,
+        skip_payload: bool = False,
+    ) -> Iterator[codec.Record]:
+        """Worker-sharded iteration for multi-process data loaders: the
+        ``index``-th of ``num_shards`` workers streams a disjoint slice,
+        and the union over all workers is exactly ``records()``.
+
+        Work splits by SHARD FILE (round-robin over the sorted shard
+        list interleaves early/late commits, so workers stay balanced
+        even when shard sizes drift over a dataset's history) — each
+        worker opens only its own files, the property that matters on an
+        object store.  Patch overlays apply: updates ride with the shard
+        holding the base row; tombstones drop; patch-INSERTED keys go to
+        worker ``hash(key) % num_shards`` so exactly one worker emits
+        each."""
+        if not 0 <= index < num_shards:
+            raise ValueError(f"index must be in [0, {num_shards}), got {index}")
+        overlay = self._load_overlay()
+        mine = self._names[index::num_shards]
+        emitted: set[str] = set()
+        for name in mine:
+            sp = os.path.join(self.path, name)
+            for rec in codec.iter_records(
+                sp, verify_checksums=self.verify_checksums, skip_payload=skip_payload
+            ):
+                if overlay and rec.key in overlay:
+                    patched = overlay[rec.key]
+                    if patched is _TOMBSTONE or rec.key in emitted:
+                        continue
+                    emitted.add(rec.key)
+                    yield patched
+                    continue
+                yield rec
+        if overlay:
+            # patch-INSERTED keys (no base row anywhere): claimed by key
+            # hash so exactly one worker emits each.  Updates are never
+            # claimed here — the worker whose shards hold the base row
+            # already emitted them in place, which _key_has_base_row
+            # (bloom/range-pruned metadata probe) distinguishes.
+            for key in sorted(overlay):
+                rec = overlay[key]
+                if rec is _TOMBSTONE or key in emitted:
+                    continue
+                if int(hashlib.sha256(key.encode()).hexdigest()[:8], 16) % num_shards != index:
+                    continue
+                if self._key_has_base_row(key):
+                    continue  # an update: the worker holding its base emits it
+                yield rec
+
+    def _key_has_base_row(self, key: str) -> bool:
+        """Does ANY visible shard hold a base row for ``key``?  Bloom +
+        range pruning first, then a metadata-only scan of surviving
+        shards; memoized per key set."""
+        cache = getattr(self, "_base_presence", None)
+        if cache is None:
+            cache = self._base_presence = {}
+        if key in cache:
+            return cache[key]
+        hashes = manifest._bloom_key_hashes(key)
+        present = False
+        for name in self._names:
+            s = self._stats.get(name, {})
+            kmin, kmax = s.get("min_key"), s.get("max_key")
+            if kmin is not None and kmax is not None and not (kmin <= key <= kmax):
+                continue
+            bloom = s.get("bloom")
+            if bloom:
+                try:
+                    bits = base64.b64decode(bloom.get("bits", ""))
+                except Exception:
+                    bits = b""
+                if not manifest._bloom_maybe_contains(bloom, bits, key, hashes):
+                    continue
+            sp = os.path.join(self.path, name)
+            for rec in codec.iter_records(sp, verify_checksums=False, skip_entries=True):
+                if rec.key == key:
+                    present = True
+                    break
+            if present:
+                break
+        cache[key] = present
+        return present
 
     def keys(self) -> Iterator[str]:
         """Every live record key (payloads never decoded)."""

@@ -944,21 +944,172 @@ def encode_jpeg(
 
 
 # --------------------------------------------------------------------------
+# GIF (GIF87a/89a, first frame)
+# --------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
+    """GIF-variant LZW: variable code width starting at min_code_size+1,
+    clear/EOI codes, dictionary capped at 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = prev = None
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("GIF LZW: first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(table[prev] + entry[:1])
+            elif code == len(table):
+                entry = table[prev] + table[prev][:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF LZW: code out of range")
+            out += entry
+            if len(out) > max_pixels:
+                raise ValueError("GIF LZW: output exceeds frame size")
+            prev = code
+            if len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a first frame -> uint8 pixels, (H, W, 3) RGB or
+    (H, W, 4) RGBA when a transparent index is declared.  Pure-Python
+    LZW + palette expansion; interlaced frames supported.  Animation
+    beyond the first image descriptor is ignored (the perceptual/
+    thumbnail use case keys on the first frame)."""
+    data = bytes(data)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        return _decode_gif_body(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed GIF: {e}") from e
+
+
+def _decode_gif_body(data: bytes) -> np.ndarray:
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gflags = data[pos + 1]
+                if gflags & 1:
+                    transparent = data[pos + 4]
+            while data[pos]:  # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        # image descriptor
+        ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+        pos += 10
+        lct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            lct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if lct is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = data[pos]
+        pos += 1
+        blocks = []
+        while data[pos]:
+            ln = data[pos]
+            blocks.append(data[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        if iw < 1 or ih < 1:
+            raise ValueError("GIF frame has zero dimension")
+        idx_bytes = _lzw_decode(b"".join(blocks), min_code, iw * ih)
+        if len(idx_bytes) < iw * ih:
+            raise ValueError("GIF frame pixel data truncated")
+        idx = np.frombuffer(idx_bytes[: iw * ih], dtype=np.uint8).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: 4-pass row shuffle
+            rows = np.concatenate(
+                [np.arange(0, ih, 8), np.arange(4, ih, 8),
+                 np.arange(2, ih, 4), np.arange(1, ih, 2)]
+            )
+            deinter = np.empty_like(idx)
+            deinter[rows] = idx
+            idx = deinter
+        if idx.max(initial=0) >= len(lct):
+            raise ValueError("GIF palette index out of range")
+        rgb = lct[idx.astype(np.int64)]
+        # frame placement inside the logical screen: the common
+        # single-frame case is full-screen; offset frames pad with the
+        # frame's own top-left pixel (deterministic, library-free)
+        if (ix, iy, iw, ih) != (0, 0, sw, sh) and sw >= iw and sh >= ih and sw * sh:
+            full = np.tile(rgb[0, 0], (sh, sw, 1))
+            full[iy : iy + ih, ix : ix + iw] = rgb
+            rgb = full
+        if transparent is not None and transparent < len(lct):
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            if rgb.shape[:2] != alpha.shape:
+                a_full = np.full(rgb.shape[:2], 255, dtype=np.uint8)
+                a_full[iy : iy + ih, ix : ix + iw] = alpha
+                alpha = a_full
+            return np.dstack([rgb, alpha])
+        return rgb
+    raise ValueError("GIF has no image descriptor")
+
+
+# --------------------------------------------------------------------------
 # Dispatch + pixel utilities
 # --------------------------------------------------------------------------
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-dispatched pixel decode: PNG or baseline JPEG -> numpy
-    array (see decode_png/decode_jpeg for shapes).  Raises ValueError
-    for other formats or malformed payloads — callers degrade to PIL or
-    a surrogate."""
+    """Magic-dispatched pixel decode: PNG, baseline JPEG, or GIF (first
+    frame) -> numpy array (see the per-format decoders for shapes).
+    Raises ValueError for other formats or malformed payloads — callers
+    degrade to PIL or a surrogate."""
     data = bytes(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
-    raise ValueError("unsupported image format (not PNG/JPEG)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
+    raise ValueError("unsupported image format (not PNG/JPEG/GIF)")
 
 
 def to_gray(arr: np.ndarray) -> np.ndarray:

@@ -262,3 +262,115 @@ def test_resize_array_identity_and_interp():
     down = ic.resize_array(rgb, 2, 2)
     assert down.shape == (2, 2, 3)
     assert np.allclose(down[0, 0], [10, 20, 30])
+
+
+# --- GIF ---------------------------------------------------------------------
+
+
+def _lzw_encode(indices, min_code_size):
+    """Reference GIF-LZW encoder (test-side, written against the spec
+    independently of the decoder): growing dictionary, variable width,
+    clear + EOI codes."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for px in bytes(indices):
+        wk = w + bytes([px])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        w = bytes([px])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _mk_gif(idx, palette, transparent=None, interlace=False):
+    h, w = idx.shape
+    ncol = len(palette)
+    bits = max(1, (ncol - 1).bit_length())
+    size_field = max(0, bits - 1)
+    table = bytearray()
+    for r, g, b in palette:
+        table += bytes([r, g, b])
+    table += b"\x00" * (3 * ((2 << size_field) - ncol))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += table
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    rows = idx
+    if interlace:
+        order = list(range(0, h, 8)) + list(range(4, h, 8)) + list(range(2, h, 4)) + list(range(1, h, 2))
+        rows = idx[order]
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    mcs = max(2, bits)
+    out += bytes([mcs])
+    payload = _lzw_encode(rows.tobytes(), mcs)
+    for i in range(0, len(payload), 200):
+        blk = payload[i : i + 200]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip(interlace):
+    rng = np.random.default_rng(11)
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (20, 40, 60), (200, 200, 0)]
+    idx = rng.integers(0, len(palette), size=(13, 9), dtype=np.uint8)
+    gif = _mk_gif(idx, palette, interlace=interlace)
+    out = ic.decode_gif(gif)
+    assert out.shape == (13, 9, 3)
+    want = np.array(palette, np.uint8)[idx]
+    assert np.array_equal(out, want)
+    assert np.array_equal(ic.decode_image(gif), want)
+
+
+def test_gif_transparency_and_errors():
+    palette = [(0, 0, 0), (255, 255, 255)]
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    rgba = ic.decode_gif(_mk_gif(idx, palette, transparent=0))
+    assert rgba.shape == (2, 2, 4)
+    assert list(rgba[:, :, 3].ravel()) == [0, 255, 255, 0]
+    with pytest.raises(ValueError):
+        ic.decode_gif(b"GIF89a" + b"\x00" * 6)
+    with pytest.raises(ValueError):
+        ic.decode_gif(b"not a gif")
+    # truncated pixel stream fails typed, not silently short
+    good = _mk_gif(idx, palette)
+    with pytest.raises(ValueError):
+        ic.decode_gif(good[:20] + b"\x2c" + good[21:30])
+
+
+def test_gif_large_image_exercises_code_width_growth():
+    """>4096-run image forces dictionary growth through several code
+    widths — the LZW path beyond the trivial fixed-width case."""
+    rng = np.random.default_rng(5)
+    palette = [(i * 16, 255 - i * 16, i * 8) for i in range(16)]
+    idx = rng.integers(0, 16, size=(64, 64), dtype=np.uint8)
+    out = ic.decode_gif(_mk_gif(idx, palette))
+    assert np.array_equal(out, np.array(palette, np.uint8)[idx])

@@ -241,3 +241,36 @@ def test_adhoc_directory_without_commit_log(tmp_path):
     assert ds.lookup("a/007")[0].entries[0].data == bytes([7]) * 10
     assert len(ds) == 12
     assert ds[3].key == [r.key for r in ds.records()][3]
+
+
+def test_shard_records_partitions_exactly(spark, tmp_path):
+    """Worker sharding: disjoint slices whose union == records(), with
+    patches (update in place, tombstone dropped, insert claimed once)."""
+    from shardpack_spark.format.patches import tombstones, write_patch
+
+    base = str(tmp_path / "workers")
+    _records(spark, range(60), "v1").write.format("shardpack").option(
+        "target_shard_bytes", 512
+    ).mode("overwrite").save(base)
+    write_patch(_records(spark, [7], "v2"), base)       # update
+    write_patch(tombstones(spark, ["k/0011"]), base)    # delete
+    write_patch(_records(spark, [99], "v9"), base)      # insert
+    ds = open_dataset(base)
+    assert len(ds.shards()) >= 8
+    full = sorted(r.key for r in ds.records())
+    for n in (1, 2, 3, 5):
+        slices = [
+            [r.key for r in ds.shard_records(n, i)] for i in range(n)
+        ]
+        combined = sorted(k for s in slices for k in s)
+        assert combined == full, f"num_shards={n}"
+        # disjoint
+        assert len(set(combined)) == len(combined)
+    # patch semantics ride along
+    three = [list(ds.shard_records(3, i)) for i in range(3)]
+    by_key = {r.key: r for s in three for r in s}
+    assert by_key["k/0007"].entries[0].data == b"v27"
+    assert "k/0011" not in by_key
+    assert by_key["k/0099"].entries[0].data == b"v999"
+    with pytest.raises(ValueError, match="index"):
+        list(ds.shard_records(3, 3))
