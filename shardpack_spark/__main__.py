@@ -4,6 +4,9 @@ distributed engine:
 
     python -m shardpack_spark pack   <input_dir> <dataset>  [options]
     python -m shardpack_spark ls     <dataset>
+    python -m shardpack_spark head   <dataset> [-n N]
+    python -m shardpack_spark cat    <dataset> <key> [--out FILE]
+    python -m shardpack_spark slice  <dataset> <key> <entry> <start> <len>
     python -m shardpack_spark verify <dataset>
     python -m shardpack_spark compact <dataset> [--sort-by-key]
     python -m shardpack_spark vacuum <dataset> [--keep-versions N] [--dry-run]
@@ -12,9 +15,12 @@ distributed engine:
 `pack` is `shardpack create`: it packs a directory tree into shards with
 one distributed job (grouping sample+annotation files by stem),
 `--record-size-limit` maps to the writer's max_record_bytes, and
-`--metadata k=v` records dataset-level custom fields.  `ls` is
-metadata-only (no shard opened).  Every command prints one JSON object
-so output is scriptable.
+`--metadata k=v` records dataset-level custom fields.  The READ-side
+commands — `ls` (metadata-only), `head` (payload-skipping preview),
+`cat` (bloom-pruned point lookup), `slice` (O(chunk) ranged read inside
+one entry) — run through the Spark-free reader facade: no pyspark
+import, no JVM, instant on a laptop against any dataset the engine
+wrote.  Every command prints one JSON object so output is scriptable.
 """
 
 from __future__ import annotations
@@ -81,9 +87,23 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("dataset")
     f.add_argument("--keep-last", type=int, default=100)
 
-    h = sub.add_parser("head", help="preview records (plans ~1 shard)")
+    h = sub.add_parser("head", help="preview records (Spark-free, ~1 shard)")
     h.add_argument("dataset")
     h.add_argument("-n", type=int, default=10)
+
+    cat = sub.add_parser("cat", help="point lookup by key (Spark-free)")
+    cat.add_argument("dataset")
+    cat.add_argument("key")
+    cat.add_argument("--out", default=None,
+                     help="write the first entry's payload to this file")
+
+    sl = sub.add_parser("slice", help="ranged read inside one entry (Spark-free)")
+    sl.add_argument("dataset")
+    sl.add_argument("key")
+    sl.add_argument("entry")
+    sl.add_argument("start", type=int)
+    sl.add_argument("length", type=int)
+    sl.add_argument("--out", default=None, help="write the bytes to this file")
 
     e = sub.add_parser("export", help="dataset -> parquet (exploded entries)")
     e.add_argument("dataset")
@@ -98,6 +118,104 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--mode", default="append", choices=["append", "overwrite"])
 
     args = ap.parse_args(argv)
+    # metadata-only and facade-backed commands (ls/head/cat/slice/vacuum/
+    # fold) never import pyspark — instant CLI, no JVM; the distributed
+    # commands import the DataSource lazily below
+    if args.cmd == "ls":
+        from shardpack_spark.format import manifest as mf
+
+        m = mf._load_latest_manifest(args.dataset) or {}
+        report = {
+            "dataset": args.dataset,
+            "version": m.get("version_id"),
+            "versions": [v["version"] for v in mf.list_versions(args.dataset)],
+            "shards": len(m.get("shards", [])),
+            "records": m.get("total_records"),
+            "compression": m.get("compression"),
+            "partition_by": m.get("partition_by"),
+            "partitions": mf.dataset_partitions(args.dataset),
+            "user_metadata": m.get("user_metadata"),
+        }
+        print(json.dumps(report, default=str))
+        return 0
+    if args.cmd == "head":
+        from itertools import islice
+
+        from shardpack_spark.format.reader import open_dataset
+
+        recs = islice(
+            open_dataset(args.dataset).records(skip_payload=True), args.n
+        )
+        report = {
+            "dataset": args.dataset,
+            "rows": [{"key": r.key, "metadata": dict(r.metadata or {})}
+                     for r in recs],
+        }
+        print(json.dumps(report, default=str))
+        return 0
+    if args.cmd == "cat":
+        from shardpack_spark.format.reader import open_dataset
+
+        recs = open_dataset(args.dataset).lookup(args.key)
+        if args.out and recs and recs[0].entries:
+            with open(args.out, "wb") as f:
+                f.write(recs[0].entries[0].data)
+        report = {
+            "dataset": args.dataset,
+            "key": args.key,
+            "found": len(recs),
+            "records": [
+                {
+                    "metadata": dict(r.metadata or {}),
+                    "entries": [
+                        {"file_name": e.file_name, "content_type": e.content_type,
+                         "size": e.size}
+                        for e in r.entries
+                    ],
+                }
+                for r in recs
+            ],
+            **({"out": args.out} if args.out else {}),
+        }
+        print(json.dumps(report, default=str))
+        return 0
+    if args.cmd == "slice":
+        import base64 as b64
+        import os as _os
+
+        from shardpack_spark.format import codec as C
+        from shardpack_spark.format.reader import open_dataset
+
+        dset = open_dataset(args.dataset)
+        blob = None
+        for shard in dset.shards():
+            idx = dset.get_index(shard)
+            for off in idx.offsets:
+                rec = C.read_record_at(shard, off, skip_payload=True)
+                if rec.key == args.key and any(
+                    e.file_name == args.entry for e in rec.entries
+                ):
+                    blob = dset.read_entry_slice(
+                        _os.path.basename(shard), off, args.entry,
+                        args.start, args.length,
+                    )
+                    break
+            if blob is not None:
+                break
+        if blob is None:
+            raise SystemExit(f"key {args.key!r} with entry {args.entry!r} not found")
+        if args.out:
+            with open(args.out, "wb") as f:
+                f.write(blob)
+        report = {
+            "dataset": args.dataset, "key": args.key, "entry": args.entry,
+            "start": args.start, "length": len(blob),
+            **({"out": args.out} if args.out else
+               {"base64": b64.b64encode(blob).decode("ascii")}),
+        }
+        print(json.dumps(report, default=str))
+        return 0
+
     from shardpack_spark.format import datasource as ds
 
     if args.cmd == "pack":
@@ -128,19 +246,6 @@ def main(argv: list[str] | None = None) -> int:
             "shards": len(m.get("shards", [])),
             "records": m.get("total_records"),
         }
-    elif args.cmd == "ls":
-        m = ds._load_manifest(args.dataset) or {}
-        report = {
-            "dataset": args.dataset,
-            "version": m.get("version_id"),
-            "versions": [v["version"] for v in ds.list_versions(args.dataset)],
-            "shards": len(m.get("shards", [])),
-            "records": m.get("total_records"),
-            "compression": m.get("compression"),
-            "partition_by": m.get("partition_by"),
-            "partitions": ds.dataset_partitions(args.dataset),
-            "user_metadata": m.get("user_metadata"),
-        }
     elif args.cmd == "verify":
         report = ds.verify_dataset(_spark(), args.dataset)
     elif args.cmd == "compact":
@@ -155,18 +260,6 @@ def main(argv: list[str] | None = None) -> int:
             grace_seconds=args.grace_seconds,
             dry_run=args.dry_run,
         )
-    elif args.cmd == "head":
-        # limit_records stops planning at the first shards covering n —
-        # previewing a huge dataset opens ~1 shard, payloads skipped
-        rows = ds.read_shardpack(
-            _spark(), args.dataset, columns=["key", "metadata"],
-            limit_records=args.n,
-        ).limit(args.n).collect()
-        report = {
-            "dataset": args.dataset,
-            "rows": [{"key": r["key"], "metadata": dict(r["metadata"] or {})}
-                     for r in rows],
-        }
     elif args.cmd == "import":
         spark = _spark()
         ds.records_from_entries(spark.read.parquet(args.parquet_in)).write.format(

@@ -295,3 +295,58 @@ def test_cli_export_import_round_trip(spark_ds, tmp_path, capsys):
         )
 
     assert snapshot(ds2) == snapshot(ds1)
+
+
+def test_cli_spark_free_read_commands(tmp_path, capsys):
+    """ls/head/cat/slice run through the facade with NO pyspark import —
+    verified in a fresh subprocess — and agree with the dataset content."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from shardpack_spark.__main__ import main
+    from shardpack_spark.format import codec
+
+    d = str(tmp_path / "clifree")
+    w = codec.DatasetWriter(
+        d, basename="t", compression="gzip", chunk_bytes=64, target_shard_bytes=2048
+    )
+    for i in range(15):
+        w.write(
+            codec.Record(
+                key=f"k/{i:03d}",
+                entries=[
+                    codec.FileEntry("b.bin", "application/octet-stream", bytes([i]) * 300)
+                ],
+                metadata={"i": str(i)},
+            )
+        )
+    w.close()
+
+    main(["head", d, "-n", "4"])
+    head = _json.loads(capsys.readouterr().out)
+    assert [r["key"] for r in head["rows"]] == ["k/000", "k/001", "k/002", "k/003"]
+
+    main(["cat", d, "k/007", "--out", str(tmp_path / "payload.bin")])
+    cat = _json.loads(capsys.readouterr().out)
+    assert cat["found"] == 1
+    assert cat["records"][0]["entries"][0]["size"] == 300
+    assert (tmp_path / "payload.bin").read_bytes() == bytes([7]) * 300
+
+    main(["slice", d, "k/007", "b.bin", "10", "20"])
+    sl = _json.loads(capsys.readouterr().out)
+    import base64
+
+    assert base64.b64decode(sl["base64"]) == bytes([7]) * 20
+
+    # the no-pyspark property, in a FRESH interpreter per command
+    import os
+
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    for cmd in (["ls", d], ["head", d], ["cat", d, "k/001"]):
+        r = subprocess.run(
+            [sys.executable, "-X", "importtime", "-m", "shardpack_spark", *cmd],
+            capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr[-400:]
+        assert "pyspark" not in r.stderr, f"pyspark imported for {cmd[0]}"
