@@ -296,6 +296,78 @@ class Dataset:
         cache[key] = present
         return present
 
+    def to_batches(
+        self,
+        batch_size: int = 1024,
+        skip_payload: bool = False,
+        where_meta: dict | None = None,
+        where_meta_range: dict | None = None,
+    ):
+        """Stream pyarrow RecordBatches of the live records — the same
+        (key, metadata, entries) schema the Spark DataSource exposes, so
+        a loader can go straight into Arrow/pandas/torch collation
+        without pyspark.  pyarrow imports lazily (the facade's module
+        graph stays pyspark-free AND pyarrow-free until this is
+        called).  Batches respect ``records()`` order and patch/pruning
+        semantics."""
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                pa.field("key", pa.string()),
+                pa.field("metadata", pa.map_(pa.string(), pa.string())),
+                pa.field(
+                    "entries",
+                    pa.list_(
+                        pa.struct(
+                            [
+                                pa.field("file_name", pa.string()),
+                                pa.field("content_type", pa.string()),
+                                pa.field("encoding", pa.string()),
+                                pa.field("size", pa.int64()),
+                                pa.field("data", pa.binary()),
+                            ]
+                        )
+                    ),
+                ),
+            ]
+        )
+
+        def flush(buf):
+            return pa.RecordBatch.from_pydict(
+                {
+                    "key": [r.key for r in buf],
+                    "metadata": [list((r.metadata or {}).items()) for r in buf],
+                    "entries": [
+                        [
+                            {
+                                "file_name": e.file_name,
+                                "content_type": e.content_type,
+                                "encoding": e.encoding,
+                                "size": e.size,
+                                "data": e.data,
+                            }
+                            for e in r.entries
+                        ]
+                        for r in buf
+                    ],
+                },
+                schema=schema,
+            )
+
+        buf: list[codec.Record] = []
+        for rec in self.records(
+            skip_payload=skip_payload,
+            where_meta=where_meta,
+            where_meta_range=where_meta_range,
+        ):
+            buf.append(rec)
+            if len(buf) >= batch_size:
+                yield flush(buf)
+                buf = []
+        if buf:
+            yield flush(buf)
+
     def keys(self) -> Iterator[str]:
         """Every live record key (payloads never decoded)."""
         overlay = self._load_overlay()

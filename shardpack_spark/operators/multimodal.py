@@ -157,9 +157,9 @@ def image_features(df: DataFrame) -> DataFrame:
 
     Magic sniffing, byte stats, and width/height are all REAL: dimensions
     come from parse_image_dims (PNG IHDR / JPEG SOFn / GIF headers, pure
-    Python).  Only pixel decoding (resize etc.) remains behind
-    _DECODE_STUBBED.  The mapInPandas batch shape is exactly what a
-    PIL-based pixel decoder would use.
+    Python).  Pixel-level statistics live in ``image_pixel_features``
+    (full decode, costlier); this pass stays header-only so a corpus-wide
+    inventory never decompresses a pixel.
     """
     _self_pickle_by_value()
     imgs = explode_entries(df).filter(F.col("content_type").startswith("image/")).select(
@@ -189,6 +189,98 @@ def image_features(df: DataFrame) -> DataFrame:
             )
 
     return imgs.mapInPandas(decode, IMAGE_FEATURE_SCHEMA)
+
+
+PIXEL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("file_name", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("std_luma", DoubleType()),
+        StructField("entropy_bits", DoubleType()),
+        StructField("extreme_frac", DoubleType()),
+    ]
+)
+
+
+def image_pixel_features(df: DataFrame) -> DataFrame:
+    """REAL pixel statistics over image/* entries (PNG / baseline JPEG /
+    GIF via the pure-Python ``operators.imagecodec``; PIL extends
+    coverage when importable; undecodable payloads yield no row rather
+    than aborting the corpus job).
+
+    Per image: true (height, width, channels) from decoded pixels,
+    mean/std of BT.601 luma, the 256-bin luma histogram's Shannon
+    entropy in bits (near-0 = blank/synthetic, ~8 = dense natural
+    content), and the fraction of pixels at the extremes (<=2 or >=253 —
+    the over/under-exposure + letterboxing signal).  The standard
+    image-quality cuts a multimodal curation pipeline filters on, as
+    codegen-free numpy per batch."""
+    _self_pickle_by_value()
+    imgs = explode_entries(df).filter(
+        F.col("content_type").startswith("image/")
+    ).select("key", "file_name", "data")
+
+    def stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        import pandas as pd
+
+        try:
+            from PIL import Image
+        except ImportError:
+            Image = None
+
+        for pdf in batches:
+            rows = []
+            for key, fname, data in zip(pdf["key"], pdf["file_name"], pdf["data"]):
+                data = bytes(data)
+                arr = None
+                try:
+                    arr = imagecodec.decode_image(data)
+                except Exception:
+                    if Image is not None:
+                        try:  # pragma: no cover - PIL absent here
+                            arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+                        except Exception:
+                            arr = None
+                if arr is None:
+                    continue
+                channels = 1 if arr.ndim == 2 else arr.shape[2]
+                luma = imagecodec.to_gray(arr)
+                if str(arr.dtype) == "uint16":
+                    luma = luma / 257.0
+                h, w = luma.shape
+                q = np.clip(np.round(luma), 0, 255).astype(np.int64)
+                hist = np.bincount(q.ravel(), minlength=256).astype(np.float64)
+                p = hist / hist.sum()
+                nz = p[p > 0]
+                rows.append(
+                    {
+                        "key": key,
+                        "file_name": fname,
+                        "width": w,
+                        "height": h,
+                        "channels": channels,
+                        "mean_luma": float(luma.mean()),
+                        "std_luma": float(luma.std()),
+                        "entropy_bits": float(-(nz * np.log2(nz)).sum()),
+                        "extreme_frac": float(((q <= 2) | (q >= 253)).mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "file_name", "width", "height", "channels",
+                    "mean_luma", "std_luma", "entropy_bits", "extreme_frac",
+                ],
+            )
+
+    return imgs.mapInPandas(stats_batch, PIXEL_FEATURE_SCHEMA)
 
 
 def _resize_pixels(data: bytes, width: int, height: int) -> bytes:

@@ -252,3 +252,38 @@ def test_resize_error_marker_not_job_abort():
     (only relevant when PIL is installed, but the contract holds)."""
     out = mm._resize_pixels(b"\xff\xd8 not a real jpeg", 32, 32)
     assert out.startswith((b"STUB-RESIZE:32x32:", b"DECODE-ERROR:32x32:"))
+
+
+def test_image_pixel_features_real_stats(spark):
+    """Pixel stats decode REAL pixels: a flat image has ~zero entropy/std,
+    a noisy one is high-entropy, extremes are counted, and undecodable
+    payloads yield no row."""
+    import numpy as np
+
+    from shardpack_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(3)
+    flat = np.full((20, 30), 128, np.uint8)
+    noisy = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    dark = np.zeros((10, 10), np.uint8)  # all-extreme
+    rows = [
+        ("i/flat", "f.png", "image/png", ic.encode_png(flat)),
+        ("i/noisy", "n.jpg", "image/jpeg", ic.encode_jpeg(noisy, quality=95)),
+        ("i/dark", "d.png", "image/png", ic.encode_png(dark)),
+        ("i/bad", "x.png", "image/png", b"\x89PNG\r\n\x1a\nnope"),
+    ]
+    df = spark.createDataFrame(
+        [(k, {}, [(fn, ct, "none", len(b), bytearray(b))]) for k, fn, ct, b in rows],
+        "key string, metadata map<string,string>, entries array<struct<"
+        "file_name:string,content_type:string,encoding:string,size:long,data:binary>>",
+    )
+    out = {r["key"]: r for r in mm.image_pixel_features(df).collect()}
+    assert set(out) == {"i/flat", "i/noisy", "i/dark"}
+    fl = out["i/flat"]
+    assert (fl["width"], fl["height"], fl["channels"]) == (30, 20, 1)
+    assert fl["mean_luma"] == 128.0 and fl["std_luma"] == 0.0
+    assert fl["entropy_bits"] == 0.0 and fl["extreme_frac"] == 0.0
+    nz = out["i/noisy"]
+    assert nz["channels"] == 3 and nz["entropy_bits"] > 5.0
+    dk = out["i/dark"]
+    assert dk["extreme_frac"] == 1.0 and dk["mean_luma"] == 0.0

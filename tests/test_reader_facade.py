@@ -274,3 +274,24 @@ def test_shard_records_partitions_exactly(spark, tmp_path):
     assert by_key["k/0099"].entries[0].data == b"v999"
     with pytest.raises(ValueError, match="index"):
         list(ds.shard_records(3, 3))
+
+
+def test_to_batches_arrow_parity(spark, tmp_path):
+    """Arrow-batch export matches records() content; module graph stays
+    pyarrow-lazy (imported only on call)."""
+    import pyarrow as pa
+
+    base = str(tmp_path / "arrow")
+    _records(spark, range(25)).write.format("shardpack").option(
+        "target_shard_bytes", 512
+    ).mode("overwrite").save(base)
+    ds = open_dataset(base)
+    batches = list(ds.to_batches(batch_size=7))
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert [b.num_rows for b in batches] == [7, 7, 7, 4]
+    tbl = pa.Table.from_batches(batches)
+    got = {
+        row["key"]: (dict(row["metadata"]), row["entries"][0]["data"])
+        for row in tbl.to_pylist()
+    }
+    assert got == _facade_state(ds)
