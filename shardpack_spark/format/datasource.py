@@ -140,6 +140,25 @@ from pyspark.sql.types import (
 )
 
 from shardpack_spark.format import codec, storage
+from shardpack_spark.format.commit import (  # noqa: F401  (re-exported:
+    # the writer-side commit protocol lives pyspark-free in format.commit
+    # so the Spark-free writer facade shares ONE implementation; existing
+    # callers keep importing these names from here)
+    STAGING_DIR,
+    _CommitLock,
+    _META_RANGE_MAX_ABS,
+    _META_STR_RANGE_MAX_LEN,
+    _StatsTracker,
+    _meta_range_add,
+    _meta_ranges_kept,
+    _next_commit_seq,
+    _write_manifest,
+    _write_manifest_part,
+    commit_attempt,
+    commit_shards,
+    route_partitioned_records,
+    write_records_with_stats,
+)
 from shardpack_spark.format.manifest import (  # noqa: F401  (re-exported:
     # manifest/pruning logic lives pyspark-free in format.manifest so the
     # Spark-free reader facade shares ONE implementation; existing callers
@@ -169,7 +188,6 @@ from shardpack_spark.format.manifest import (  # noqa: F401  (re-exported:
 if TYPE_CHECKING:
     from collections.abc import Iterator, Sequence
 
-STAGING_DIR = "_staging"
 
 SCHEMA = StructType(
     [
@@ -210,161 +228,6 @@ class ShardPartition(InputPartition):
     # sinks, tiny commits, freshly converted ad-hoc dirs) costs 10^4
     # Python-worker task launches per scan.
     group: list[str] | None = None
-
-
-def _write_manifest_part(path: str, shards: list[dict]) -> str:
-    """Write one immutable manifest part; returns its root-relative path."""
-    be = storage.for_path(path)
-    be.makedirs(os.path.join(path, MANIFEST_PARTS_DIR))
-    rel = os.path.join(
-        MANIFEST_PARTS_DIR, f"part-{uuid.uuid4().hex[:12]}.json"
-    )
-    be.write_atomic(
-        os.path.join(path, rel),
-        json.dumps({"shards": sorted(shards, key=lambda s: s["path"])}).encode(),
-    )
-    return rel
-
-
-def _write_manifest(path: str, manifest: dict) -> None:
-    """Live-pointer swap: readers see the old or the new manifest, never
-    a torn write (tmp+rename on POSIX, atomic whole-object put on
-    stores — write_atomic provides whichever the backend has).
-
-    The pointer is a read-optimization cache of the newest archived
-    root; under concurrent commits it may briefly point one version
-    back (see _load_latest_manifest), so it is written only if not
-    already newer."""
-    be = storage.for_path(path)
-    mp = os.path.join(path, MANIFEST_NAME)
-    try:
-        cur = json.loads(be.read_bytes(mp))
-        if cur.get("version_id", 0) > manifest.get("version_id", 0):
-            return  # a later commit already advanced the pointer
-    except (FileNotFoundError, ValueError):
-        pass
-    be.write_atomic(mp, json.dumps(manifest, indent=1, sort_keys=True).encode())
-
-
-class _CommitLock:
-    """Serializes the commit's read-merge-write window — for LIVENESS.
-
-    SAFETY no longer depends on this lock: every commit publishes its
-    snapshot root via the backend's conditional create
-    (``put_if_absent(root-{vid}.json)``), so of two racing commits
-    exactly one claims a version id and the loser re-reads and re-merges
-    (see ShardPackWriter.commit).  The lock only keeps concurrent
-    writers from wasting work on doomed attempts.
-
-    Acquisition is the backend's ``put_if_absent`` — O_CREAT|O_EXCL
-    locally, CAS on memory://, conditional put (If-None-Match) on
-    stores that have one.  On backends whose put_if_absent is
-    best-effort (pyarrow.fs object stores today), the lock degrades to
-    advisory; the root-CAS still decides, but IT is also best-effort
-    there, so multi-writer deployments on such stores need a real
-    conditional-put backend (storage.register_backend) or an external
-    lock service — documented in docs/API.md.
-
-    Locks older than ``stale_after`` seconds are broken — a crashed
-    driver must not brick the dataset."""
-
-    def __init__(self, path: str, timeout: float = 60.0, stale_after: float = 300.0):
-        self.be = storage.for_path(path)
-        self.lock_path = os.path.join(path, "_commit.lock")
-        self.timeout = timeout
-        self.stale_after = stale_after
-        self._token = f"{os.getpid()}-{uuid.uuid4().hex}"
-
-    def __enter__(self):
-        import time
-
-        deadline = time.monotonic() + self.timeout
-        while True:
-            try:
-                if self.be.put_if_absent(self.lock_path, self._token.encode()):
-                    return self
-            except storage.UnsupportedOperation:
-                return self  # no conditional create: lock is a no-op,
-                # the commit CAS (or single-writer mode) carries safety
-            try:
-                age = time.time() - self.be.mtime(self.lock_path)
-                if age > self.stale_after:
-                    if self.be.atomic_rename:
-                        # Break a dead holder's lock by RENAMING it to a
-                        # unique name: of N waiters that all saw it
-                        # stale, exactly one replace succeeds (the rest
-                        # raise and re-loop) — a bare remove would let a
-                        # second waiter delete the first waiter's fresh
-                        # lock.
-                        broken = self.lock_path + f".broken-{uuid.uuid4().hex[:8]}"
-                        try:
-                            self.be.replace(self.lock_path, broken)
-                            self.be.remove(broken)
-                        except OSError:
-                            pass
-                    else:
-                        # rename-less store: plain delete.  The residual
-                        # race (two breakers, one deletes the other's
-                        # fresh lock) needs a holder stuck past
-                        # stale_after AND loses only liveness — commit
-                        # safety rides on the root CAS.
-                        self.be.remove(self.lock_path)
-                    continue
-            except (OSError, FileNotFoundError):
-                continue  # holder released between probe and stat
-            if time.monotonic() > deadline:
-                raise codec.ShardPackIOError(
-                    f"timed out waiting for commit lock {self.lock_path}"
-                ) from None
-            time.sleep(0.05)
-
-    def __exit__(self, *exc):
-        # Only release a lock we still own: if ours was broken as stale
-        # (pathological commit longer than stale_after), the file now
-        # belongs to another holder and must not be removed.
-        if self.be.atomic_rename:
-            # Claim via atomic rename FIRST, verify the token after — a
-            # read-then-remove would race a concurrent stale-break and
-            # delete the new holder's fresh lock.  If the claimed file
-            # turns out not to be ours, put it back via put_if_absent
-            # (which refuses if yet another lock appeared).
-            rel = self.lock_path + f".rel-{uuid.uuid4().hex[:8]}"
-            try:
-                self.be.replace(self.lock_path, rel)
-            except OSError:
-                return False  # already broken and cleaned up
-            try:
-                content = self.be.read_bytes(rel)
-                mine = content == self._token.encode()
-            except OSError:
-                content, mine = b"", True
-            if not mine:
-                try:
-                    self.be.put_if_absent(self.lock_path, content)
-                except (OSError, storage.UnsupportedOperation):
-                    pass
-            self.be.remove(rel)
-        else:
-            # rename-less: read-verify-delete (small race window, same
-            # stale-holder precondition as above)
-            try:
-                if self.be.read_bytes(self.lock_path) == self._token.encode():
-                    self.be.remove(self.lock_path)
-            except (OSError, FileNotFoundError):
-                pass
-        return False
-
-
-# --- per-shard key Bloom filters -------------------------------------------
-def _next_commit_seq(path: str) -> int:
-    """1 + the highest commit-sequence prefix present in the directory."""
-    best = 0
-    for f in storage.for_path(path).listdir(path):
-        if f.endswith(".shardpack") and f.startswith("c") and f[1:9].isdigit():
-            best = max(best, int(f[1:9]))
-        elif f.startswith("_batch_") and f.endswith(".json") and f[7:15].isdigit():
-            best = max(best, int(f[7:15]))
-    return best + 1
 
 
 def _plan_partitions(
@@ -888,135 +751,10 @@ def _batches_to_records(iterator) -> Iterator[codec.Record]:
             )
 
 
-# zone maps only track values float64 represents exactly as integers get
-# sketchy past 2^53 — a rounded bound could wrongly exclude a shard, so
-# larger magnitudes poison the key instead (conservative: never pruned)
-_META_RANGE_MAX_ABS = float(2**53)
-# string zone maps cap their bounds: truncating an upper bound would
-# wrongly EXCLUDE shards (a prefix sorts below what it abbreviates), so
-# an over-long value poisons the key instead
-_META_STR_RANGE_MAX_LEN = 64
-
-
-def _meta_range_add(rng: dict, mk: str, v) -> None:
-    """Fold one metadata value into a per-shard [min,max] zone map.
-
-    Two domains, tagged in the accumulator (("num", lo, hi) /
-    ("str", lo, hi); () empty; None poisoned):
-
-    - NUMERIC: every value parses as a finite float within ±2^53 — the
-      quality-cut case (n_chars, scores).
-    - STRING: lexicographic [min,max] over the raw strings — the
-      event-time case: ISO-8601 dates/timestamps order correctly as
-      strings, so `where_meta_range={"event_date": ("2024-01-01",
-      None)}` tails a date-keyed ingest from metadata alone.  Bounds
-      longer than _META_STR_RANGE_MAX_LEN poison the key.
-
-    Mixing domains within one shard poisons the key (rng[mk] = None ->
-    no range recorded, shard never range-pruned — conservative)."""
-    cur = rng.get(mk, ())
-    if cur is None:
-        return
-    try:
-        x = float(v)
-        ok_num = -_META_RANGE_MAX_ABS <= x <= _META_RANGE_MAX_ABS  # NaN fails
-    except (TypeError, ValueError):
-        ok_num = False
-    if ok_num:
-        if cur == ():
-            rng[mk] = ("num", x, x)
-        elif cur[0] == "num":
-            rng[mk] = ("num", min(cur[1], x), max(cur[2], x))
-        else:
-            rng[mk] = None
-        return
-    if not isinstance(v, str) or len(v) > _META_STR_RANGE_MAX_LEN:
-        rng[mk] = None
-        return
-    if cur == ():
-        rng[mk] = ("str", v, v)
-    elif cur[0] == "str":
-        rng[mk] = ("str", min(cur[1], v), max(cur[2], v))
-    else:
-        rng[mk] = None
-
-
-def _meta_ranges_kept(rng: dict) -> dict:
-    """Manifest form: {key: [lo, hi]} — floats for the numeric domain,
-    strings for the lexicographic one (readers dispatch on the JSON
-    type; old numeric-only manifests parse identically)."""
-    return {mk: [c[1], c[2]] for mk, c in rng.items() if c not in (None, ())}
-
-
-class _StatsTracker:
-    """Per-shard pruning stats every commit path records: [min,max] key
-    range, the key Bloom filter, low-cardinality metadata value sets, and
-    numeric metadata [min,max] zone maps (batch and streaming writers
-    share this, so streamed shards prune the same as batch-written ones).
-
-    ``add`` must see each writer's shards SEQUENTIALLY (a DatasetWriter
-    never reopens a shard): bloom hash pairs are finalized the moment the
-    shard name changes, so task memory is bounded by ONE shard's key
-    count per tracker — partitioned writes hold one tracker per open
-    partition writer, preserving the bound per writer."""
-
-    def __init__(self) -> None:
-        self.stats: dict[str, dict] = {}
-        self._meta_vals: dict[str, dict[str, set]] = {}
-        self._meta_rngs: dict[str, dict] = {}
-        self._hashes: list[tuple[int, int]] = []
-        self._hash_shard: str | None = None
-
-    def _finalize_bloom(self, name: str) -> None:
-        bloom = _bloom_build(self._hashes)
-        if bloom is not None:
-            self.stats[name]["bloom"] = bloom
-        self._hashes.clear()
-
-    def add(self, rec: "codec.Record", cur: str) -> None:
-        if self._hash_shard is not None and cur != self._hash_shard:
-            self._finalize_bloom(self._hash_shard)
-        self._hash_shard = cur
-        s = self.stats.setdefault(cur, {"min_key": rec.key, "max_key": rec.key})
-        s["min_key"] = min(s["min_key"], rec.key)
-        s["max_key"] = max(s["max_key"], rec.key)
-        self._hashes.append(_bloom_key_hashes(rec.key))
-        # per-shard metadata value sets for data skipping: track each
-        # key's distinct values up to a small cap; past the cap the key
-        # is high-cardinality in this shard and recorded as unprunable
-        mv = self._meta_vals.setdefault(cur, {})
-        mr = self._meta_rngs.setdefault(cur, {})
-        for mk, v in (rec.metadata or {}).items():
-            vs = mv.setdefault(mk, set())
-            if len(vs) <= _META_VALUES_CAP:
-                vs.add(v)
-            _meta_range_add(mr, mk, v)
-
-    def finish(self) -> dict[str, dict]:
-        if self._hash_shard is not None:
-            self._finalize_bloom(self._hash_shard)
-            self._hash_shard = None
-        for name, mv in self._meta_vals.items():
-            kept = {
-                mk: sorted(vs) for mk, vs in mv.items() if len(vs) <= _META_VALUES_CAP
-            }
-            if kept:
-                self.stats[name]["meta_values"] = kept
-        for name, mr in self._meta_rngs.items():
-            kept_r = _meta_ranges_kept(mr)
-            if kept_r:
-                self.stats[name]["meta_ranges"] = kept_r
-        return self.stats
-
-
 def _write_with_stats(writer: "codec.DatasetWriter", iterator):
     """Drain an Arrow-batch iterator into a DatasetWriter, collecting
-    per-shard pruning stats (see _StatsTracker)."""
-    tracker = _StatsTracker()
-    for rec in _batches_to_records(iterator):
-        writer.write(rec)
-        tracker.add(rec, os.path.basename(writer._writer.path))
-    return writer.close(), tracker.finish()
+    per-shard pruning stats (commit.write_records_with_stats)."""
+    return write_records_with_stats(writer, _batches_to_records(iterator))
 
 
 class ShardPackWriter(DataSourceArrowWriter):
@@ -1140,23 +878,12 @@ class ShardPackWriter(DataSourceArrowWriter):
         )
 
     def commit(self, messages) -> None:
-        """Publish this job's shards as one atomic commit.
-
-        Safety model (object-store-correct):
-        - the commit CLAIMS its snapshot id by conditionally creating
-          `_manifest/root-{vid}.json` (put_if_absent — O_EXCL locally,
-          If-None-Match on stores that have it).  Two racing commits
-          cannot both own a vid; the loser re-reads the winner's state,
-          re-merges its OWN part on top, and retries with vid+1 — no
-          append is ever lost, lock or no lock.
-        - the `_commit.lock` file is liveness-only (avoids wasted
-          retries); see _CommitLock.
-        - the live MANIFEST pointer is a cache written last;
-          _load_latest_manifest resolves pointer-vs-roots races.
-
-        On a backend with neither rename nor conditional create the root
-        is published with a plain atomic put and multi-writer safety is
-        the deployment's job (single writer / external lock)."""
+        """Publish this job's shards as one atomic commit — the full
+        protocol (CAS-claimed snapshot roots, liveness lock, pointer
+        cache) lives pyspark-free in commit.commit_shards; see its
+        docstring for the safety model.  ``_CommitLock`` /
+        ``_write_manifest`` resolve through this module's globals so
+        fault-injection tests can monkeypatch them here."""
         new_shards = [s for m in messages if m is not None for s in m.shards]
         for s in new_shards:
             s["compression"] = self.compression
@@ -1173,260 +900,23 @@ class ShardPackWriter(DataSourceArrowWriter):
             )
 
     def _commit_attempt(self, be, new_shards: list[dict], state: dict) -> dict | None:
-        """One CAS attempt; returns the committed manifest or None to retry."""
-        prior, prior_vid = _observe_latest(
+        """One CAS attempt (commit.commit_attempt with this writer's
+        options) — kept as a method so fault-injection tests can pause
+        a SPECIFIC writer instance mid-commit."""
+        return commit_attempt(
             self.path,
-            # append needs only parts+totals; spec naming needs the
-            # prior shard COUNT, dynamic partition overwrite needs the
-            # per-shard partition values, and full overwrite re-reads via
-            # _visible_shards anyway
-            flatten=bool(self.spec_basename) or self.dynamic_overwrite,
+            be,
+            new_shards,
+            state,
+            overwrite=self.overwrite,
+            dynamic_overwrite=self.dynamic_overwrite,
+            spec_basename=self.spec_basename,
+            partition_by=self.partition_by,
+            compression=self.compression,
+            target_shard_bytes=self.target,
+            dataset_metadata=self.dataset_metadata,
+            write_manifest=_write_manifest,
         )
-        spec_trash: list[str] = []
-        if self.spec_basename and not state["spec_done"]:
-            # spec renames run once (first attempt): they move real files,
-            # and a CAS retry must not redo moves whose sources are gone
-            state["spec_done"] = True
-            seq = 0 if (self.overwrite or prior is None) else len(prior.get("shards", []))
-            for s in sorted(new_shards, key=lambda s: s["path"]):
-                spec = codec.shard_name(self.spec_basename, seq)
-                target = os.path.join(self.path, spec)
-                if be.exists(target):
-                    # spec names restart at 0 on overwrite, colliding with
-                    # the committed files.  NEVER clobber committed data
-                    # before the new manifest is durable: move the old
-                    # file aside (the .trash suffix hides it from the
-                    # *.shardpack listing), so a crash in this window
-                    # makes old-manifest reads fail LOUDLY on a missing
-                    # file instead of silently serving new bytes under
-                    # stale stats.  Trash is deleted after the manifest
-                    # swap below.
-                    trashed = target + f".trash-{uuid.uuid4().hex[:8]}"
-                    be.move(target, trashed)
-                    spec_trash.append(trashed)
-                be.move(os.path.join(self.path, s["path"]), target)
-                s["path"] = spec
-                seq += 1
-        # Log-structured commit (v3): this commit's shards go into ONE new
-        # immutable part file; the root manifest lists part files and is
-        # the only thing rewritten.  Appends therefore cost O(new shards)
-        # no matter how many shards the dataset already holds — at 400k
-        # shards a v2-style full-manifest rewrite would be ~GBs per commit.
-        # The part is content-stable across CAS retries: write it once.
-        if state["new_part"] is None:
-            state["new_part"] = _write_manifest_part(self.path, new_shards)
-        new_part = state["new_part"]
-        dropped: list[str] = []
-        if self.overwrite and not (self.dynamic_overwrite and prior is not None):
-            old_names = set(_visible_shards(self.path)) - {s["path"] for s in new_shards}
-            if prior:
-                # shards dropped by earlier dynamic overwrites are absent
-                # from the visible (filtered) view but their files remain
-                # for time travel — a FULL overwrite resets history, so
-                # they die here with everything else
-                old_names |= set(prior.get("dropped") or ()) - {
-                    s["path"] for s in new_shards
-                }
-            if self.dynamic_overwrite and old_names:
-                # no commit log, but the directory holds visible ad-hoc
-                # shards whose partitions nobody recorded: deleting them
-                # (static-overwrite behavior) under a DYNAMIC overwrite
-                # would silently destroy partitions the caller believed
-                # untouched — refuse and direct to the adoption path
-                raise codec.ShardPackIOError(
-                    f"dynamic partition overwrite on {self.path}: directory "
-                    "has shards but no commit log, so their partitions are "
-                    "unknown; run convert_to_dataset + a partitioned "
-                    "rewrite, or use mode('overwrite') with "
-                    "partition_overwrite_mode=static"
-                )
-            parts = [new_part]
-            total = sum(s["records"] for s in new_shards)
-        elif prior is None:
-            # first manifest over this directory: codec-written shards
-            # (the supported ad-hoc path, previously served by the plain
-            # listing) must fold INTO the commit log, or the new
-            # manifest-trusting reader would silently hide them forever.
-            # Commit-named files (c{seq}-part-*) are EXCLUDED: they are
-            # another in-flight writer's not-yet-committed output, which
-            # that writer's own commit will publish — adopting them here
-            # would double-count them (and break commit isolation).
-            new_names = {s["path"] for s in new_shards}
-            committish = re.compile(r"c\d{8}-part-")
-            adhoc = [
-                n
-                for n in _visible_shards(self.path, None)
-                if n not in new_names and not committish.match(n)
-            ]
-            old_names = set()
-            parts = []
-            total = sum(s["records"] for s in new_shards)
-            if adhoc:
-                entries = []
-                for n in sorted(adhoc):
-                    full = os.path.join(self.path, n)
-                    idx = codec.read_index(full)
-                    entries.append(
-                        {
-                            "path": n,
-                            "records": len(idx.offsets),
-                            "bytes": be.getsize(full),
-                        }
-                    )
-                parts.append(_write_manifest_part(self.path, entries))
-                total += sum(e["records"] for e in entries)
-            parts.append(new_part)
-        elif self.dynamic_overwrite:
-            # Replace ONLY the partitions present in the new data
-            # (partitionOverwriteMode=dynamic semantics): the new commit
-            # appends its part like any other, and logically DROPS every
-            # live shard whose partition tuple matches an incoming one via
-            # the root's `dropped` list — O(replaced) metadata, no part
-            # rewrites.  Files stay on disk for time travel; vacuum
-            # reclaims them once no retained snapshot references them.
-            old_names = set()
-            new_pvs = {
-                tuple((k, (s.get("partition") or {}).get(k)) for k in self.partition_by)
-                for s in new_shards
-            }
-            replaced: list[str] = []
-            replaced_records = 0
-            # marker-committed (not-yet-folded) stream shards are just as
-            # live as manifest ones: a replace that skipped them would
-            # leave stale rows in the "replaced" partition.  They join
-            # the dropped list (visibility is names-minus-dropped either
-            # way) but NOT the record arithmetic — marker records were
-            # never part of the manifest's total.
-            already_dropped = set(prior.get("dropped") or ())
-            marker_stats: list[dict] = []
-            for f in be.glob_names(self.path, "_batch_*.json"):
-                try:
-                    mk = json.loads(be.read_bytes(os.path.join(self.path, f)))
-                except (OSError, json.JSONDecodeError):
-                    continue  # a torn marker commits nothing
-                marker_stats.extend(
-                    s
-                    for s in mk.get("shards", [])
-                    if s["path"] not in already_dropped
-                )
-            for s, counted in [(s, True) for s in prior.get("shards", [])] + [
-                (s, False) for s in marker_stats
-            ]:
-                part = s.get("partition") or {}
-                if any(k not in part for k in self.partition_by):
-                    raise codec.ShardPackIOError(
-                        "dynamic partition overwrite requires every live "
-                        f"shard to carry partition values for "
-                        f"{self.partition_by}; shard {s['path']} predates "
-                        "the partitioned layout — rewrite once with "
-                        "mode('overwrite') + partition_by first"
-                    )
-                if tuple((k, part.get(k)) for k in self.partition_by) in new_pvs:
-                    replaced.append(s["path"])
-                    if counted:
-                        replaced_records += s.get("records", 0)
-            parts = list(prior.get("parts", []))
-            if not parts and prior.get("shards"):
-                parts = [_write_manifest_part(self.path, prior["shards"])]
-            parts.append(new_part)
-            dropped = sorted(set(prior.get("dropped") or ()) | set(replaced))
-            total = (
-                prior.get("total_records", 0)
-                - replaced_records
-                + sum(s["records"] for s in new_shards)
-            )
-        else:
-            old_names = set()
-            parts = list(prior.get("parts", []))
-            if not parts and prior.get("shards"):
-                # migrate a v2 inline manifest: its shard list becomes the
-                # first part, once, and is never rewritten again
-                parts = [_write_manifest_part(self.path, prior["shards"])]
-            parts.append(new_part)
-            dropped = list(prior.get("dropped") or ())
-            total = prior.get("total_records", 0) + sum(s["records"] for s in new_shards)
-        # next snapshot id: strictly 1 + the id floor from the SAME
-        # observation that produced `prior` (never a fresh listing — see
-        # _observe_latest for why that would lose commits)
-        vid = 1 + prior_vid
-        import time as _time
-
-        manifest = {
-            "version": 3,
-            "version_id": vid,
-            "committed_at": round(_time.time(), 3),
-            "compression": self.compression,
-            "target_shard_bytes": self.target,
-            "parts": parts,
-            "total_records": total,
-        }
-        if dropped:
-            manifest["dropped"] = dropped
-        # informational layout record (compaction reads it to preserve
-        # partition purity); a full overwrite RESETS it to this commit's
-        # layout, append/dynamic carry the prior keys forward
-        full_reset = self.overwrite and not (self.dynamic_overwrite and prior is not None)
-        pb = self.partition_by or (
-            [] if full_reset else (prior or {}).get("partition_by") or []
-        )
-        if pb:
-            manifest["partition_by"] = pb
-        # dataset-level custom metadata: merge over the prior commit's
-        # (this commit's keys win); full overwrite starts fresh
-        um = {} if full_reset else dict((prior or {}).get("user_metadata") or {})
-        if self.dataset_metadata:
-            um.update(self.dataset_metadata)
-        if um:
-            manifest["user_metadata"] = um
-        # Archive the root BEFORE the live swap: shard files and parts are
-        # immutable, so this root replays this commit's exact view forever
-        # (until an overwrite deletes the data files and resets history).
-        # put_if_absent is the commit's SERIALIZATION POINT: claiming
-        # root-{vid} atomically makes this commit version vid; losing the
-        # claim means a concurrent commit owns vid — return None and the
-        # caller re-reads (now seeing the winner's root) and retries.
-        arch = os.path.join(self.path, MANIFEST_PARTS_DIR, f"root-{vid:08d}.json")
-        be.makedirs(os.path.dirname(arch))
-        payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
-        try:
-            if not be.put_if_absent(arch, payload):
-                return None  # lost the CAS: re-merge on the winner's state
-        except storage.UnsupportedOperation:
-            # backend has no conditional create (and its lock is at best
-            # advisory): plain atomic put — single-writer deployments only,
-            # as documented
-            be.write_atomic(arch, payload)
-        _write_manifest(self.path, manifest)
-        for t in spec_trash:
-            # displaced spec-named files die only after the new manifest
-            # is durable (same rule as overwrite's old-file deletion)
-            be.remove(t)
-        if full_reset:
-            # old files die only after the new manifest is durable; a crash
-            # mid-deletion leaves invisible extras, cleaned next overwrite.
-            # (dynamic partition overwrite never enters: it keeps history,
-            # and its replaced shards stay on disk for time travel)
-            for name in old_names:
-                try:
-                    be.remove(os.path.join(self.path, name))
-                except FileNotFoundError:
-                    # a dropped-list straggler vacuum already reclaimed
-                    pass
-            # drop prior parts, orphan parts from crashed commits, and the
-            # now-unreadable version history (its shard files are gone)
-            keep = {os.path.basename(p) for p in parts} | {f"root-{vid:08d}.json"}
-            pd = os.path.join(self.path, MANIFEST_PARTS_DIR)
-            for f in be.listdir(pd):
-                if f not in keep:
-                    be.remove(os.path.join(pd, f))
-            for f in be.glob_names(self.path, "_batch_*.json"):
-                be.remove(os.path.join(self.path, f))
-            for f in be.glob_names(self.path, "*.tmp-*"):
-                be.remove(os.path.join(self.path, f))
-            st = os.path.join(self.path, STAGING_DIR)
-            if be.isdir(st):
-                be.remove_tree(st)
-        return manifest
 
     def abort(self, messages) -> None:
         be = storage.for_path(self.path)
@@ -1555,71 +1045,14 @@ def _route_partitioned(
     out_dir: str,
     basename: str,
     partition_by: list[str],
-    *,
-    compression: str,
-    target_shard_bytes: int,
-    max_record_bytes: int | None = None,
-    max_entry_bytes: int | None = None,
-    max_partition_writers: int = 64,
-    chunk_bytes: int | None = None,
+    **kwargs,
 ) -> list[dict]:
-    """Route records to one DatasetWriter per distinct partition-value
-    tuple, so every output shard is partition-PURE (one value per
-    partition key) and the manifest/marker can prune and replace by
-    exact partition match.  Shared by the batch writer and the stream
-    sink (which routes into its task staging dir).
-
-    Memory stays bounded: each open writer buffers one compression
-    stream and its _StatsTracker holds one shard's key hashes; the
-    writer count is capped (a task fed N random partitions would
-    otherwise open N handles AND emit N tiny shards — the fix at
-    scale is `df.repartition(F.element_at("metadata", lit(k)))` so
-    each task sees few partition values, same as Spark's dynamic
-    partition inserts)."""
-    writers: dict[tuple, tuple[codec.DatasetWriter, _StatsTracker]] = {}
-    for rec in _batches_to_records(iterator):
-        md = rec.metadata or {}
-        pv = tuple(md.get(k) for k in partition_by)
-        ent = writers.get(pv)
-        if ent is None:
-            if len(writers) >= max_partition_writers:
-                raise codec.ShardPackIOError(
-                    f"task saw more than max_partition_writers="
-                    f"{max_partition_writers} distinct values of "
-                    f"partition_by={partition_by}; repartition the "
-                    "input by the partition keys first "
-                    "(df.repartition(F.element_at('metadata', lit(k)))) "
-                    "or raise the option"
-                )
-            w = codec.DatasetWriter(
-                out_dir,
-                basename=f"{basename}-p{len(writers):04d}",
-                compression=compression,
-                target_shard_bytes=target_shard_bytes,
-                max_record_bytes=max_record_bytes,
-                max_entry_bytes=max_entry_bytes,
-                chunk_bytes=chunk_bytes,
-            )
-            ent = writers[pv] = (w, _StatsTracker())
-        w, tracker = ent
-        w.write(rec)
-        tracker.add(rec, os.path.basename(w._writer.path))
-    shards: list[dict] = []
-    for pv, (w, tracker) in writers.items():
-        stats = tracker.finish()
-        pdict = dict(zip(partition_by, pv))
-        for r in w.close():
-            name = os.path.basename(r["path"])
-            shards.append(
-                {
-                    "path": name,
-                    "records": r["records"],
-                    "bytes": r["bytes"],
-                    "partition": pdict,
-                    **stats.get(name, {}),
-                }
-            )
-    return shards
+    """Arrow-batch adapter over commit.route_partitioned_records (one
+    DatasetWriter per distinct partition-value tuple -> partition-PURE
+    shards); shared by the batch writer and the stream sink."""
+    return route_partitioned_records(
+        _batches_to_records(iterator), out_dir, basename, partition_by, **kwargs
+    )
 
 
 class ShardPackStreamWriter(DataSourceStreamArrowWriter):
@@ -1790,6 +1223,7 @@ def _pickle_by_value() -> None:
     from pyspark import cloudpickle
 
     from shardpack_spark.format import codec as codec_mod
+    from shardpack_spark.format import commit as commit_mod
     from shardpack_spark.format import manifest as manifest_mod
     from shardpack_spark.format import storage as storage_mod
     from shardpack_spark.format import zstd_entropy as zstd_mod
@@ -1798,7 +1232,14 @@ def _pickle_by_value() -> None:
     # level must be registered too — by-value registration is not
     # recursive, so a new intra-package import that is missed here
     # surfaces as executor-side ModuleNotFoundError in vanilla sessions
-    for mod in (storage_mod, zstd_mod, codec_mod, manifest_mod, sys.modules[__name__]):
+    for mod in (
+        storage_mod,
+        zstd_mod,
+        codec_mod,
+        manifest_mod,
+        commit_mod,
+        sys.modules[__name__],
+    ):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:
