@@ -15,8 +15,9 @@ distributed engine:
 `pack` is `shardpack create`: it packs a directory tree into shards with
 one distributed job (grouping sample+annotation files by stem),
 `--record-size-limit` maps to the writer's max_record_bytes, and
-`--metadata k=v` records dataset-level custom fields.  The READ-side
-commands — `ls` (metadata-only), `head` (payload-skipping preview),
+`--metadata k=v` records dataset-level custom fields; `pack --local`
+runs the same semantics through the Spark-free writer facade (no JVM —
+the fixture/laptop path).  The READ-side commands — `ls` (metadata-only), `head` (payload-skipping preview),
 `cat` (bloom-pruned point lookup), `slice` (O(chunk) ranged read inside
 one entry) — run through the Spark-free reader facade: no pyspark
 import, no JVM, instant on a laptop against any dataset the engine
@@ -67,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--metadata", nargs="*", default=[], metavar="K=V",
                    help="dataset-level custom metadata fields")
     p.add_argument("--mode", default="append", choices=["append", "overwrite"])
+    p.add_argument("--local", action="store_true",
+                   help="pack in-process via the Spark-free writer facade "
+                        "(no JVM; for laptop-scale trees)")
 
     for name in ("ls", "verify"):
         q = sub.add_parser(name)
@@ -212,6 +216,41 @@ def main(argv: list[str] | None = None) -> int:
             "start": args.start, "length": len(blob),
             **({"out": args.out} if args.out else
                {"base64": b64.b64encode(blob).decode("ascii")}),
+        }
+        print(json.dumps(report, default=str))
+        return 0
+
+    if args.cmd == "pack" and args.local:
+        # Spark-free pack: same record semantics as ingest_files, one
+        # process, zero JVM startup — the fixture/laptop path
+        from shardpack_spark.format import manifest as mf
+        from shardpack_spark.format.writer import pack_files
+
+        opts: dict = {"compression": args.compression}
+        if args.target_shard_bytes:
+            opts["target_shard_bytes"] = args.target_shard_bytes
+        if args.record_size_limit:
+            opts["max_record_bytes"] = args.record_size_limit
+        if args.partition_by:
+            opts["partition_by"] = args.partition_by
+        md = _parse_kv(args.metadata)
+        if md:
+            opts["dataset_metadata"] = md
+        pack_files(
+            args.input,
+            args.dataset,
+            group_by_stem=not args.no_group,
+            key_prefix=args.key_prefix,
+            glob=args.glob,
+            mode=args.mode,
+            **opts,
+        )
+        m = mf._load_latest_manifest(args.dataset) or {}
+        report = {
+            "dataset": args.dataset,
+            "version": m.get("version_id"),
+            "shards": len(m.get("shards", [])),
+            "records": m.get("total_records"),
         }
         print(json.dumps(report, default=str))
         return 0

@@ -335,20 +335,8 @@ def write_records_with_stats(
     return writer.close(), tracker.finish()
 
 
-def route_partitioned_records(
-    records: "Iterable[codec.Record]",
-    out_dir: str,
-    basename: str,
-    partition_by: list[str],
-    *,
-    compression: str,
-    target_shard_bytes: int,
-    max_record_bytes: int | None = None,
-    max_entry_bytes: int | None = None,
-    max_partition_writers: int = 64,
-    chunk_bytes: int | None = None,
-) -> list[dict]:
-    """Route records to one DatasetWriter per distinct partition-value
+class PartitionRouter:
+    """Push-style router: one DatasetWriter per distinct partition-value
     tuple, so every output shard is partition-PURE (one value per
     partition key) and the manifest/marker can prune and replace by
     exact partition match.  Shared by the batch writer, the stream sink
@@ -362,50 +350,100 @@ def route_partitioned_records(
     scale is `df.repartition(F.element_at("metadata", lit(k)))` so
     each task sees few partition values, same as Spark's dynamic
     partition inserts)."""
-    writers: dict[tuple, tuple[codec.DatasetWriter, _StatsTracker]] = {}
-    for rec in records:
+
+    def __init__(
+        self,
+        out_dir: str,
+        basename: str,
+        partition_by: list[str],
+        *,
+        compression: str,
+        target_shard_bytes: int,
+        max_record_bytes: int | None = None,
+        max_entry_bytes: int | None = None,
+        max_partition_writers: int = 64,
+        chunk_bytes: int | None = None,
+    ):
+        self.out_dir = out_dir
+        self.basename = basename
+        self.partition_by = partition_by
+        self.compression = compression
+        self.target_shard_bytes = target_shard_bytes
+        self.max_record_bytes = max_record_bytes
+        self.max_entry_bytes = max_entry_bytes
+        self.max_partition_writers = max_partition_writers
+        self.chunk_bytes = chunk_bytes
+        self._writers: dict[tuple, tuple[codec.DatasetWriter, _StatsTracker]] = {}
+
+    def write(self, rec: "codec.Record") -> None:
         md = rec.metadata or {}
-        pv = tuple(md.get(k) for k in partition_by)
-        ent = writers.get(pv)
+        pv = tuple(md.get(k) for k in self.partition_by)
+        ent = self._writers.get(pv)
         if ent is None:
-            if len(writers) >= max_partition_writers:
+            if len(self._writers) >= self.max_partition_writers:
                 raise codec.ShardPackIOError(
                     f"task saw more than max_partition_writers="
-                    f"{max_partition_writers} distinct values of "
-                    f"partition_by={partition_by}; repartition the "
+                    f"{self.max_partition_writers} distinct values of "
+                    f"partition_by={self.partition_by}; repartition the "
                     "input by the partition keys first "
                     "(df.repartition(F.element_at('metadata', lit(k)))) "
                     "or raise the option"
                 )
             w = codec.DatasetWriter(
-                out_dir,
-                basename=f"{basename}-p{len(writers):04d}",
-                compression=compression,
-                target_shard_bytes=target_shard_bytes,
-                max_record_bytes=max_record_bytes,
-                max_entry_bytes=max_entry_bytes,
-                chunk_bytes=chunk_bytes,
+                self.out_dir,
+                basename=f"{self.basename}-p{len(self._writers):04d}",
+                compression=self.compression,
+                target_shard_bytes=self.target_shard_bytes,
+                max_record_bytes=self.max_record_bytes,
+                max_entry_bytes=self.max_entry_bytes,
+                chunk_bytes=self.chunk_bytes,
             )
-            ent = writers[pv] = (w, _StatsTracker())
+            ent = self._writers[pv] = (w, _StatsTracker())
         w, tracker = ent
         w.write(rec)
         tracker.add(rec, os.path.basename(w._writer.path))
-    shards: list[dict] = []
-    for pv, (w, tracker) in writers.items():
-        stats = tracker.finish()
-        pdict = dict(zip(partition_by, pv))
-        for r in w.close():
-            name = os.path.basename(r["path"])
-            shards.append(
-                {
-                    "path": name,
-                    "records": r["records"],
-                    "bytes": r["bytes"],
-                    "partition": pdict,
-                    **stats.get(name, {}),
-                }
-            )
-    return shards
+
+    def close(self) -> list[dict]:
+        shards: list[dict] = []
+        for pv, (w, tracker) in self._writers.items():
+            stats = tracker.finish()
+            pdict = dict(zip(self.partition_by, pv))
+            for r in w.close():
+                name = os.path.basename(r["path"])
+                shards.append(
+                    {
+                        "path": name,
+                        "records": r["records"],
+                        "bytes": r["bytes"],
+                        "partition": pdict,
+                        **stats.get(name, {}),
+                    }
+                )
+        return shards
+
+    def written_paths(self) -> list[str]:
+        """Absolute paths of every shard file opened so far (abort
+        cleanup — includes the in-progress one)."""
+        out = []
+        for w, _ in self._writers.values():
+            out.extend(r["path"] for r in w.results)
+            if w._writer is not None:
+                out.append(w._writer.path)
+        return out
+
+
+def route_partitioned_records(
+    records: "Iterable[codec.Record]",
+    out_dir: str,
+    basename: str,
+    partition_by: list[str],
+    **kwargs,
+) -> list[dict]:
+    """Pull-style adapter over PartitionRouter (see its docstring)."""
+    router = PartitionRouter(out_dir, basename, partition_by, **kwargs)
+    for rec in records:
+        router.write(rec)
+    return router.close()
 
 
 # --- the commit itself -------------------------------------------------------

@@ -159,6 +159,10 @@ from shardpack_spark.format.commit import (  # noqa: F401  (re-exported:
     route_partitioned_records,
     write_records_with_stats,
 )
+from shardpack_spark.format.writer import (  # noqa: F401
+    # extension -> MIME map shared with the Spark-free pack_files facade
+    INGEST_CONTENT_TYPES as _INGEST_CONTENT_TYPES,
+)
 from shardpack_spark.format.manifest import (  # noqa: F401  (re-exported:
     # manifest/pruning logic lives pyspark-free in format.manifest so the
     # Spark-free reader facade shares ONE implementation; existing callers
@@ -1226,6 +1230,7 @@ def _pickle_by_value() -> None:
     from shardpack_spark.format import commit as commit_mod
     from shardpack_spark.format import manifest as manifest_mod
     from shardpack_spark.format import storage as storage_mod
+    from shardpack_spark.format import writer as writer_mod
     from shardpack_spark.format import zstd_entropy as zstd_mod
 
     # order matters only in that EVERY module codec references at module
@@ -1238,6 +1243,7 @@ def _pickle_by_value() -> None:
         codec_mod,
         manifest_mod,
         commit_mod,
+        writer_mod,
         sys.modules[__name__],
     ):
         try:
@@ -1959,24 +1965,6 @@ def vacuum(
 # extension -> content type for directory ingestion (the spec's
 # recommended types, docs/draft.md:185-197, plus the formats this repo
 # decodes natively)
-_INGEST_CONTENT_TYPES = {
-    "jpg": "image/jpeg",
-    "jpeg": "image/jpeg",
-    "png": "image/png",
-    "gif": "image/gif",
-    "txt": "text/plain",
-    "md": "text/plain",
-    "json": "application/json",
-    "jsonl": "application/json",
-    "npy": "application/x-npy",
-    "npz": "application/x-npz",
-    "msgpack": "application/msgpack",
-    "wav": "audio/wav",
-    "avi": "video/x-msvideo",
-    "mp4": "video/mp4",
-    "csv": "text/csv",
-    "parquet": "application/vnd.apache.parquet",
-}
 
 
 def ingest_files(

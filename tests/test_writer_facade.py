@@ -1,0 +1,337 @@
+"""Spark-free writer facade: pyspark-free module graph, commits
+indistinguishable from DataSource commits (interleaved parity), the
+transaction shape of the context manager, and partition routing."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from shardpack_spark.format import codec
+from shardpack_spark.format.manifest import _load_latest_manifest, list_versions
+from shardpack_spark.format.reader import open_dataset
+from shardpack_spark.format.writer import open_writer, write_records
+
+
+def _recs(tag: str, n: int, **meta):
+    return [
+        codec.Record(
+            key=f"{tag}/{i:04d}",
+            entries=[
+                codec.FileEntry(
+                    file_name="body.txt",
+                    content_type="text/plain",
+                    data=f"{tag}-{i}".encode(),
+                )
+            ],
+            metadata={"tag": tag, **{k: str(v) for k, v in meta.items()}},
+        )
+        for i in range(n)
+    ]
+
+
+def _state(ds, **kw):
+    return {r.key: (dict(r.metadata), r.entries[0].data) for r in ds.records(**kw)}
+
+
+def test_module_graph_is_pyspark_free():
+    """Importing the writer facade must not load pyspark anywhere in its
+    module graph (fresh interpreter, so this suite's own pyspark usage
+    can't mask a leak)."""
+    code = (
+        "import sys; import shardpack_spark.format.writer; "
+        "bad = [m for m in sys.modules if m.startswith('pyspark') or m == 'py4j']; "
+        "assert not bad, bad; print('clean')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        check=True,
+    )
+    assert out.stdout.strip() == "clean"
+
+
+def test_roundtrip_with_stats(tmp_path):
+    """write -> commit -> read back, with the same per-shard pruning
+    stats a DataSource commit records (key range, bloom, value sets,
+    zone maps)."""
+    root = str(tmp_path / "ds")
+    m = write_records(
+        root,
+        _recs("a", 20, n_chars=7, day="2026-08-15"),
+        compression="gzip",
+        dataset_metadata={"source": "facade"},
+    )
+    assert m["version_id"] == 1
+    assert m["total_records"] == 20
+    assert m["user_metadata"] == {"source": "facade"}
+    ds = open_dataset(root)
+    st = _state(ds)
+    assert len(st) == 20
+    assert st["a/0003"] == ({"tag": "a", "n_chars": "7", "day": "2026-08-15"}, b"a-3")
+    # stats recorded like a Spark commit's
+    (shard,) = _load_latest_manifest(root)["shards"]
+    assert shard["min_key"] == "a/0000" and shard["max_key"] == "a/0019"
+    assert "bloom" in shard
+    assert shard["meta_values"]["tag"] == ["a"]
+    assert shard["meta_ranges"]["n_chars"] == [7.0, 7.0]
+    assert shard["meta_ranges"]["day"] == ["2026-08-15", "2026-08-15"]
+    assert shard["compression"] == "gzip"
+    # pruned + exact row filtering through the reader facade
+    assert len(_state(ds, where_meta={"tag": "a"})) == 20
+    assert _state(ds, where_meta={"tag": "b"}) == {}
+    # point lookup through bloom/range pruning
+    assert [r.key for r in ds.lookup("a/0007")] == ["a/0007"]
+
+
+def test_interleaved_with_spark_commits(spark, tmp_path):
+    """Facade and DataSource commits interleave into ONE consistent
+    version chain — each sees the other's state and appends on top."""
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.format.datasource import read_shardpack, register
+
+    register(spark)
+    root = str(tmp_path / "mix")
+    write_records(root, _recs("facade1", 5))  # v1, no JVM
+    # Spark appends on top
+    df = spark.createDataFrame([(i,) for i in range(5)], "id int").select(
+        F.concat(F.lit("spark/"), F.col("id").cast("string")).alias("key"),
+        F.create_map(F.lit("tag"), F.lit("spark")).alias("metadata"),
+        F.array(
+            F.struct(
+                F.lit("body.txt").alias("file_name"),
+                F.lit("text/plain").alias("content_type"),
+                F.lit("none").alias("encoding"),
+                F.lit(1).cast("long").alias("size"),
+                F.encode(F.lit("s"), "utf-8").alias("data"),
+            )
+        ).alias("entries"),
+    )
+    df.write.format("shardpack").mode("append").save(root)  # v2
+    write_records(root, _recs("facade2", 3))  # v3, no JVM
+    # all three commits visible to BOTH readers
+    spark_keys = {r["key"] for r in read_shardpack(spark, root).collect()}
+    facade_keys = set(_state(open_dataset(root)))
+    assert spark_keys == facade_keys
+    assert len(spark_keys) == 13
+    vs = list_versions(root)
+    assert [v["version"] for v in vs] == [1, 2, 3]
+    assert [v["total_records"] for v in vs] == [5, 10, 13]
+    # time travel across the mixed chain
+    assert len(_state(open_dataset(root, version=2))) == 10
+
+
+def test_overwrite_resets(tmp_path):
+    root = str(tmp_path / "ow")
+    write_records(root, _recs("old", 8))
+    m = write_records(root, _recs("new", 2), mode="overwrite")
+    assert m["version_id"] == 2 and m["total_records"] == 2
+    assert set(_state(open_dataset(root))) == {"new/0000", "new/0001"}
+
+
+def test_partitioned_and_dynamic_overwrite(tmp_path):
+    root = str(tmp_path / "part")
+    with open_writer(root, partition_by=["lang"]) as w:
+        for i in range(6):
+            w.write(
+                key=f"d/{i}",
+                data=f"x{i}".encode(),
+                metadata={"lang": "en" if i % 2 else "fr"},
+            )
+    parts = open_dataset(root).partitions()
+    assert {(p["partition"]["lang"], p["records"]) for p in parts} == {
+        ("en", 3),
+        ("fr", 3),
+    }
+    # dynamic overwrite replaces ONLY the partition present in new data
+    with open_writer(
+        root,
+        mode="overwrite",
+        partition_by=["lang"],
+        partition_overwrite_mode="dynamic",
+    ) as w:
+        w.write(key="d/new", data=b"y", metadata={"lang": "en"})
+    st = _state(open_dataset(root))
+    assert "d/new" in st
+    assert {k for k in st if st[k][0]["lang"] == "en"} == {"d/new"}
+    assert len({k for k in st if st[k][0]["lang"] == "fr"}) == 3
+    # partition-pure pruning via where_meta
+    assert all(m["lang"] == "fr" for m, _ in _state(open_dataset(root), where_meta={"lang": "fr"}).values())
+    # missing partition key refuses
+    with pytest.raises(codec.ShardPackIOError, match="partition_by"):
+        with open_writer(root, partition_by=["lang"]) as w:
+            w.write(key="bad", data=b"z", metadata={})
+
+
+def test_abort_on_exception(tmp_path):
+    root = str(tmp_path / "ab")
+    write_records(root, _recs("base", 4))
+    with pytest.raises(RuntimeError):
+        with open_writer(root) as w:
+            w.write(key="doomed", data=b"x" * 100)
+            raise RuntimeError("boom")
+    m = _load_latest_manifest(root)
+    assert m["version_id"] == 1 and m["total_records"] == 4
+    assert set(_state(open_dataset(root))) == {f"base/{i:04d}" for i in range(4)}
+    # no stray shard files beyond the committed one
+    stray = [
+        f
+        for f in os.listdir(root)
+        if f.endswith(".shardpack")
+        and f not in {s["path"] for s in m["shards"]}
+    ]
+    assert stray == []
+
+
+def test_concurrent_writers_cas_remerge(tmp_path):
+    """Two open writers, interleaved close(): the CAS loser re-merges —
+    both commits survive with dense version ids."""
+    root = str(tmp_path / "race")
+    wa = open_writer(root)
+    wb = open_writer(root)
+    wa.write(key="a", data=b"1")
+    wb.write(key="b", data=b"2")
+    ma = wa.close()
+    mb = wb.close()
+    assert {ma["version_id"], mb["version_id"]} == {1, 2}
+    assert mb["total_records"] == 2
+    assert set(_state(open_dataset(root))) == {"a", "b"}
+
+
+def test_validation_and_limits(tmp_path):
+    root = str(tmp_path / "val")
+    with pytest.raises(codec.ShardPackIOError, match="mode"):
+        open_writer(root, mode="upsert")
+    with pytest.raises(codec.ShardPackCodecError, match="compression"):
+        open_writer(root, compression="brotli")
+    with pytest.raises(codec.ShardPackIOError, match="dataset_metadata"):
+        open_writer(root, dataset_metadata={"k": 1})
+    with pytest.raises(codec.ShardPackIOError, match="dynamic"):
+        open_writer(root, mode="overwrite", partition_overwrite_mode="dynamic")
+    w = open_writer(root, max_record_bytes=64)
+    with pytest.raises(codec.ShardPackError):
+        w.write(key="big", data=b"x" * 1000)
+    w.abort()
+    w = open_writer(root)
+    w.write(key="k", data=b"v")
+    with pytest.raises(codec.ShardPackIOError, match="not both"):
+        w.write(codec.Record(key="r"), key="also")
+    w.close()
+    with pytest.raises(codec.ShardPackIOError, match="closed"):
+        w.write(key="late", data=b"x")
+    assert w.close() is w.manifest  # idempotent
+
+
+def test_pack_files_parity_with_spark_ingest(spark, tmp_path):
+    """The Spark-free pack_files and the distributed ingest_files must
+    produce byte-identical record state on the same tree — including
+    the pinned edge cases (spaces, dotted dirs, extensionless files,
+    multi-suffix names)."""
+    from shardpack_spark.format.datasource import ingest_files, read_shardpack
+    from shardpack_spark.format.writer import pack_files
+
+    src = tmp_path / "tree"
+    files = {
+        "img0001.jpg": b"\xff\xd8jpegdata",
+        "img0001.json": b'{"label": 1}',
+        "sub dir/note v2.txt": b"hello world",
+        "sub dir/note v2.meta.json": b"{}",
+        "v1.2/data.npy": b"\x93NUMPY",
+        "README": b"no extension",
+        "archive.tar.gz": b"gz",
+    }
+    for rel, data in files.items():
+        p = src / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(data)
+
+    for group in (True, False):
+        a, b = str(tmp_path / f"facade{group}"), str(tmp_path / f"spark{group}")
+        pack_files(str(src), a, group_by_stem=group, key_prefix="t/")
+        ingest_files(spark, str(src), b, group_by_stem=group, key_prefix="t/")
+
+        def state(root):
+            return {
+                r.key: (
+                    dict(r.metadata),
+                    [(e.file_name, e.content_type, e.data) for e in r.entries],
+                )
+                for r in open_dataset(root).records()
+            }
+
+        sa, sb = state(a), state(b)
+        assert sa == sb, f"group_by_stem={group}: {set(sa) ^ set(sb)}"
+        # spot the grouped sample+annotation shape
+        if group:
+            assert [e[0] for e in sa["t/img0001"][1]] == ["img0001.jpg", "img0001.json"]
+            assert sa["t/img0001"][0]["n_entries"] == "2"
+        # Spark reader agrees with the facade reader on the facade-written set
+        rows = read_shardpack(spark, a).collect()
+        assert {r["key"] for r in rows} == set(sa)
+
+
+def test_cli_local_pack(tmp_path):
+    """`pack --local` works end to end in a pyspark-free interpreter."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_bytes(b"aaa")
+    (src / "b.txt").write_bytes(b"bbb")
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.argv = ['shardpack_spark', 'pack', '--local', "
+            f"{str(src)!r}, {str(tmp_path / 'out')!r}, '--compression', 'gzip']; "
+            "import shardpack_spark.__main__ as m; rc = m.main(sys.argv[1:]); "
+            "bad = [x for x in sys.modules if x.startswith('pyspark')]; "
+            "assert not bad, bad; sys.exit(rc)",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    import json as _json
+
+    rep = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["records"] == 2
+    assert {r.key for r in open_dataset(str(tmp_path / "out")).records()} == {
+        "a",
+        "b",
+    }
+
+
+def test_rollover_and_chunked_slice(tmp_path):
+    """target_shard_bytes rolls shards; chunk_bytes enables O(chunk)
+    ranged reads through the reader facade."""
+    root = str(tmp_path / "roll")
+    payload = os.urandom(4096)
+    m = write_records(
+        root,
+        [
+            codec.Record(
+                key=f"r/{i}",
+                entries=[codec.FileEntry("blob.bin", "application/octet-stream", payload)],
+            )
+            for i in range(8)
+        ],
+        target_shard_bytes=10_000,
+        compression="gzip",
+        chunk_bytes=1024,
+    )
+    assert len(_load_latest_manifest(root)["shards"]) > 1  # rolled over
+    ds = open_dataset(root)
+    # locate r/3 and slice bytes 1000..1100 of its entry without a full read
+    for shard in ds.shards():
+        for off in ds.get_index(shard).offsets:
+            if ds.read_record_at_offset(shard, off).key == "r/3":
+                got = ds.read_entry_slice(shard, off, "blob.bin", 1000, 100)
+                assert got == payload[1000:1100]
+                return
+    raise AssertionError("r/3 not found in any shard index")
