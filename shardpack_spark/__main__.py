@@ -90,6 +90,9 @@ def main(argv: list[str] | None = None) -> int:
     f = sub.add_parser("fold")
     f.add_argument("dataset")
     f.add_argument("--keep-last", type=int, default=100)
+    f.add_argument("--parts", action="store_true",
+                   help="also fold the live root's manifest parts into one "
+                        "(planning reads one object instead of one per commit)")
 
     h = sub.add_parser("head", help="preview records (Spark-free, ~1 shard)")
     h.add_argument("dataset")
@@ -318,6 +321,8 @@ def main(argv: list[str] | None = None) -> int:
         report = {"dataset": args.dataset, "parquet": args.parquet_out}
     else:  # fold
         report = ds.fold_stream_markers(args.dataset, keep_last=args.keep_last)
+        if args.parts:
+            report = {**report, **ds.fold_manifest_parts(args.dataset)}
 
     print(json.dumps(report, default=str))
     return 0

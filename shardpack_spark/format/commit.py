@@ -730,6 +730,71 @@ def commit_attempt(
     return manifest
 
 
+def fold_manifest_parts(path: str, max_parts: int = 1) -> dict:
+    """Maintenance: merge the live root's manifest parts into one.
+
+    The log-structured commit keeps appends O(new shards) by writing one
+    immutable part per commit — but the LIVE root then lists one part
+    per historical commit, and every planning flatten reads them all: a
+    year of hourly appends is ~8.8k part objects opened per query
+    planning pass.  This rewrites the live view's shard list into ONE
+    part and publishes a metadata-only commit pointing at it —
+    O(live shards) metadata, zero data files touched, and the planning
+    read drops back to one object.
+
+    Archived snapshot roots keep referencing the old parts (immutable,
+    so time travel replays exactly); vacuum reclaims them once their
+    roots expire.  The root's ``dropped`` list rides along unchanged —
+    it still hides logically-deleted STREAM-MARKER shards, and the new
+    part contains no dropped manifest shards (the flatten already
+    excluded them).  No-op when the live root already has at most
+    ``max_parts`` parts.  Returns {"folded_parts", "version"}."""
+    if max_parts < 1:
+        raise ValueError(f"max_parts must be >= 1, got {max_parts}")
+    be = storage.for_path(path)
+    with _CommitLock(path):
+        prior, prior_vid = _observe_latest(path, flatten=True)
+        if prior is None:
+            return {"folded_parts": 0}
+        parts = prior.get("parts") or []
+        if len(parts) <= max_parts:
+            return {"folded_parts": 0}
+        new_part = _write_manifest_part(path, prior.get("shards", []))
+        vid = 1 + prior_vid
+        import time as _time
+
+        manifest = {
+            "version": 3,
+            "version_id": vid,
+            "committed_at": round(_time.time(), 3),
+            "compression": prior.get("compression", "none"),
+            "target_shard_bytes": prior.get(
+                "target_shard_bytes", codec.DEFAULT_TARGET_SHARD_BYTES
+            ),
+            "parts": [new_part],
+            "total_records": prior.get("total_records", 0),
+        }
+        for carry in ("dropped", "partition_by", "user_metadata"):
+            if prior.get(carry):
+                manifest[carry] = prior[carry]
+        # same CAS publication as every commit: claiming root-{vid} is
+        # the serialization point; a lost claim under a broken/advisory
+        # lock means a concurrent commit landed — rerun the fold then
+        arch = os.path.join(path, MANIFEST_PARTS_DIR, f"root-{vid:08d}.json")
+        be.makedirs(os.path.dirname(arch))
+        payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
+        try:
+            if not be.put_if_absent(arch, payload):
+                raise codec.ShardPackIOError(
+                    f"fold_manifest_parts lost the commit race on {path}; "
+                    "rerun after the concurrent commit finishes"
+                )
+        except storage.UnsupportedOperation:
+            be.write_atomic(arch, payload)
+        _write_manifest(path, manifest)
+        return {"folded_parts": len(parts), "version": vid}
+
+
 def commit_shards(
     path: str,
     new_shards: list[dict],

@@ -156,6 +156,7 @@ from shardpack_spark.format.commit import (  # noqa: F401  (re-exported:
     _write_manifest_part,
     commit_attempt,
     commit_shards,
+    fold_manifest_parts,
     route_partitioned_records,
     write_records_with_stats,
 )

@@ -307,6 +307,63 @@ def test_cli_local_pack(tmp_path):
     }
 
 
+def test_fold_manifest_parts(tmp_path):
+    """Planning cost bound: N append commits leave N parts; the fold
+    publishes a metadata-only commit whose live root lists ONE part,
+    with shards, records, time travel, and dropped lists intact."""
+    from shardpack_spark.format.commit import fold_manifest_parts
+    from shardpack_spark.format.manifest import _load_manifest
+
+    root = str(tmp_path / "fp")
+    for i in range(4):
+        write_records(root, _recs(f"c{i}", 3))
+    live = _load_latest_manifest(root)
+    assert len(live["parts"]) == 4
+    rep = fold_manifest_parts(root)
+    assert rep == {"folded_parts": 4, "version": 5}
+    live = _load_latest_manifest(root)
+    assert len(live["parts"]) == 1
+    assert live["total_records"] == 12
+    assert len(_state(open_dataset(root))) == 12
+    # archived snapshots replay exactly (old parts untouched)
+    assert len(_state(open_dataset(root, version=2))) == 6
+    # idempotent / no-op on an already-folded root
+    assert fold_manifest_parts(root) == {"folded_parts": 0}
+    # appends continue on top of the folded root
+    write_records(root, _recs("c9", 2))
+    live = _load_latest_manifest(root)
+    assert len(live["parts"]) == 2 and live["total_records"] == 14
+
+
+def test_fold_manifest_parts_keeps_dropped_and_vacuums(tmp_path):
+    from shardpack_spark.format.commit import fold_manifest_parts
+    from shardpack_spark.format.datasource import vacuum
+
+    root = str(tmp_path / "fdrop")
+    # partitioned writes, then a dynamic overwrite that drops one side
+    for tag, lang in (("a", "en"), ("b", "fr")):
+        write_records(
+            root, _recs(tag, 3, lang=lang), partition_by=["lang"]
+        )
+    with open_writer(
+        root,
+        mode="overwrite",
+        partition_by=["lang"],
+        partition_overwrite_mode="dynamic",
+    ) as w:
+        w.write(key="en/new", data=b"x", metadata={"lang": "en"})
+    before = _state(open_dataset(root))
+    rep = fold_manifest_parts(root)
+    assert rep["folded_parts"] == 3
+    after = _state(open_dataset(root))
+    assert after == before  # replaced partition stays replaced
+    assert {k for k, (m, _) in after.items() if m["lang"] == "en"} == {"en/new"}
+    # vacuum to 1 version: superseded parts reclaimed, reads intact
+    rep = vacuum(root, keep_versions=1, grace_seconds=0)
+    assert rep["deleted_parts"]
+    assert _state(open_dataset(root)) == before
+
+
 def test_rollover_and_chunked_slice(tmp_path):
     """target_shard_bytes rolls shards; chunk_bytes enables O(chunk)
     ranged reads through the reader facade."""
