@@ -448,6 +448,29 @@ def route_partitioned_records(
 
 # --- the commit itself -------------------------------------------------------
 
+# Manifest checkpointing (the Delta-checkpoint analog): when an append
+# chain's parts list exceeds this, the commit merges the prior state
+# into ONE part and publishes [merged, new] — amortized
+# O(live shards / threshold) metadata per commit, and query planning
+# reads at most threshold+1 part objects instead of one per historical
+# commit.  0 disables (then fold_manifest_parts is the manual bound).
+DEFAULT_MANIFEST_CHECKPOINT_PARTS = 64
+
+
+def _flatten_root_parts(path: str, be, root: dict) -> list[dict]:
+    """The shard list a root's parts describe, dropped names excluded —
+    flatten of THIS root object (not a re-read of the live pointer, so
+    it composes with the single-observation CAS rule)."""
+    if "shards" in root:
+        return list(root["shards"])
+    shards: list[dict] = []
+    for rel in root.get("parts", []):
+        shards.extend(json.loads(be.read_bytes(os.path.join(path, rel)))["shards"])
+    dropped = set(root.get("dropped") or ())
+    if dropped:
+        shards = [s for s in shards if s["path"] not in dropped]
+    return shards
+
 
 def commit_attempt(
     path: str,
@@ -462,6 +485,7 @@ def commit_attempt(
     compression: str = "none",
     target_shard_bytes: int = codec.DEFAULT_TARGET_SHARD_BYTES,
     dataset_metadata: dict | None = None,
+    manifest_checkpoint_parts: int = DEFAULT_MANIFEST_CHECKPOINT_PARTS,
     write_manifest=None,
 ) -> dict | None:
     """One CAS attempt; returns the committed manifest or None to retry.
@@ -636,6 +660,12 @@ def commit_attempt(
             - replaced_records
             + sum(s["records"] for s in new_shards)
         )
+        if manifest_checkpoint_parts and len(parts) > manifest_checkpoint_parts:
+            # checkpoint: prior state (replaced shards still listed —
+            # the new root's dropped list keeps excluding them, so the
+            # view is unchanged) merges into one part
+            base = _flatten_root_parts(path, be, {**prior, "dropped": []})
+            parts = [_write_manifest_part(path, base), new_part]
     else:
         old_names = set()
         parts = list(prior.get("parts", []))
@@ -646,6 +676,12 @@ def commit_attempt(
         parts.append(new_part)
         dropped = list(prior.get("dropped") or ())
         total = prior.get("total_records", 0) + sum(s["records"] for s in new_shards)
+        if manifest_checkpoint_parts and len(parts) > manifest_checkpoint_parts:
+            # checkpoint: the prior chain merges into ONE part; this
+            # commit's own part rides separately so the content-stable
+            # retry cache (state["new_part"]) stays valid
+            base = _flatten_root_parts(path, be, prior)
+            parts = [_write_manifest_part(path, base), new_part]
     # next snapshot id: strictly 1 + the id floor from the SAME
     # observation that produced `prior` (never a fresh listing — see
     # _observe_latest for why that would lose commits)
@@ -806,6 +842,7 @@ def commit_shards(
     compression: str = "none",
     target_shard_bytes: int = codec.DEFAULT_TARGET_SHARD_BYTES,
     dataset_metadata: dict | None = None,
+    manifest_checkpoint_parts: int = DEFAULT_MANIFEST_CHECKPOINT_PARTS,
     lock_cls=None,
     write_manifest=None,
 ) -> dict:
@@ -834,6 +871,7 @@ def commit_shards(
                 compression=compression,
                 target_shard_bytes=target_shard_bytes,
                 dataset_metadata=dataset_metadata,
+                manifest_checkpoint_parts=manifest_checkpoint_parts,
                 write_manifest=write_manifest,
             )
             if manifest is not None:

@@ -70,6 +70,13 @@ Options:
     max_partition_writers  int   (write; default 64 — cap on per-task open
                                   partition writers; repartition by the
                                   partition keys to stay under it)
+    manifest_checkpoint_parts  int  (write; default 64 — when the commit
+                                  log's parts chain exceeds this, the
+                                  commit merges prior state into ONE part
+                                  (Delta-checkpoint analog), bounding
+                                  planning reads on long append chains;
+                                  0 disables, fold_manifest_parts is the
+                                  manual equivalent)
     verify_checksums    true|false                    (read; default true)
     split_target_bytes  int                           (read; default 128 MiB)
     skip_payload        true|false  (read; entry headers without payload
@@ -144,6 +151,7 @@ from shardpack_spark.format.commit import (  # noqa: F401  (re-exported:
     # the writer-side commit protocol lives pyspark-free in format.commit
     # so the Spark-free writer facade shares ONE implementation; existing
     # callers keep importing these names from here)
+    DEFAULT_MANIFEST_CHECKPOINT_PARTS,
     STAGING_DIR,
     _CommitLock,
     _META_RANGE_MAX_ABS,
@@ -837,6 +845,12 @@ class ShardPackWriter(DataSourceArrowWriter):
             raise codec.ShardPackIOError(
                 "dataset_metadata must be a JSON object of string values"
             )
+        # manifest checkpointing: merge the parts chain into one part
+        # when it exceeds this (Delta-checkpoint analog; 0 disables)
+        mcp = options.get("manifest_checkpoint_parts")
+        self.manifest_checkpoint_parts = (
+            int(mcp) if mcp not in (None, "") else DEFAULT_MANIFEST_CHECKPOINT_PARTS
+        )
         storage.for_path(self.path).makedirs(self.path)
         # driver-side: monotonic commit sequence for this job's shard names
         self.commit_seq = _next_commit_seq(self.path)
@@ -920,6 +934,7 @@ class ShardPackWriter(DataSourceArrowWriter):
             compression=self.compression,
             target_shard_bytes=self.target,
             dataset_metadata=self.dataset_metadata,
+            manifest_checkpoint_parts=self.manifest_checkpoint_parts,
             write_manifest=_write_manifest,
         )
 

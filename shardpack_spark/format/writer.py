@@ -92,6 +92,7 @@ class Writer:
         partition_by: list[str] | str | None = None,
         partition_overwrite_mode: str = "static",
         dataset_metadata: dict | None = None,
+        manifest_checkpoint_parts: int = commit.DEFAULT_MANIFEST_CHECKPOINT_PARTS,
     ):
         if mode not in _MODES:
             raise codec.ShardPackIOError(f"mode must be one of {_MODES}, got {mode!r}")
@@ -127,6 +128,7 @@ class Writer:
         self.compression = compression
         self.target = int(target_shard_bytes)
         self.dataset_metadata = dataset_metadata
+        self.manifest_checkpoint_parts = int(manifest_checkpoint_parts)
         self.manifest: dict | None = None  # set by close()
         self._closed = False
         storage.for_path(self.path).makedirs(self.path)
@@ -247,6 +249,7 @@ class Writer:
             compression=self.compression,
             target_shard_bytes=self.target,
             dataset_metadata=self.dataset_metadata,
+            manifest_checkpoint_parts=self.manifest_checkpoint_parts,
         )
         return self.manifest
 

@@ -335,6 +335,43 @@ def test_fold_manifest_parts(tmp_path):
     assert len(live["parts"]) == 2 and live["total_records"] == 14
 
 
+def test_manifest_checkpointing_bounds_parts(tmp_path):
+    """With manifest_checkpoint_parts=N the live root never lists more
+    than N+1 parts no matter how many commits land, and every commit's
+    data + version chain survive (Delta-checkpoint semantics)."""
+    root = str(tmp_path / "ckpt")
+    for i in range(10):
+        write_records(root, _recs(f"c{i}", 2), manifest_checkpoint_parts=3)
+        live = _load_latest_manifest(root)
+        assert len(live["parts"]) <= 4, f"commit {i}: {live['parts']}"
+    assert live["total_records"] == 20
+    assert len(_state(open_dataset(root))) == 20
+    # archived snapshots replay exactly, including pre-checkpoint ones
+    for v, want in ((3, 6), (7, 14), (10, 20)):
+        assert len(_state(open_dataset(root, version=v))) == want
+    # dropped lists survive checkpointing: dynamic overwrite then more
+    # appends past the threshold must not resurrect replaced shards
+    root2 = str(tmp_path / "ckpt2")
+    for i in range(3):
+        write_records(
+            root2, _recs(f"p{i}", 2, lang="en"), partition_by=["lang"],
+            manifest_checkpoint_parts=2,
+        )
+    with open_writer(
+        root2, mode="overwrite", partition_by=["lang"],
+        partition_overwrite_mode="dynamic", manifest_checkpoint_parts=2,
+    ) as w:
+        w.write(key="only", data=b"x", metadata={"lang": "en"})
+    for i in range(3):
+        write_records(
+            root2, _recs(f"q{i}", 1, lang="fr"), partition_by=["lang"],
+            manifest_checkpoint_parts=2,
+        )
+    st = _state(open_dataset(root2))
+    assert {k for k, (m, _) in st.items() if m["lang"] == "en"} == {"only"}
+    assert len(st) == 4
+
+
 def test_fold_manifest_parts_keeps_dropped_and_vacuums(tmp_path):
     from shardpack_spark.format.commit import fold_manifest_parts
     from shardpack_spark.format.datasource import vacuum
