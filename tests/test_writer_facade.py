@@ -401,6 +401,84 @@ def test_fold_manifest_parts_keeps_dropped_and_vacuums(tmp_path):
     assert _state(open_dataset(root)) == before
 
 
+def test_lakehouse_ops_match_model(tmp_path):
+    """Stateful property test: random interleavings of append / dynamic
+    partition overwrite / full overwrite / fold_manifest_parts /
+    fold-irrelevant vacuum, under random checkpoint thresholds, always
+    leave the live read state equal to a trivial dict model.  This pins
+    the interplay of checkpointing with dropped lists — the one place a
+    merge bug would silently resurrect or lose rows."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from shardpack_spark.format.commit import fold_manifest_parts
+    from shardpack_spark.format.datasource import vacuum
+
+    langs = ("en", "fr", "de")
+    op = st.one_of(
+        st.tuples(st.just("append"), st.sampled_from(langs), st.integers(1, 4)),
+        st.tuples(st.just("dyn_ow"), st.sampled_from(langs), st.integers(1, 3)),
+        st.tuples(st.just("full_ow"), st.sampled_from(langs), st.integers(1, 3)),
+        st.tuples(st.just("fold"), st.none(), st.none()),
+        st.tuples(st.just("vacuum"), st.none(), st.none()),
+    )
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=3, max_size=10), ckpt=st.integers(0, 3))
+    def run(ops, ckpt):
+        import shutil
+        import uuid as _uuid
+
+        root = str(tmp_path / f"m{_uuid.uuid4().hex[:8]}")
+        model: dict[str, str] = {}  # key -> lang
+        n = 0
+        for kind, lang, count in ops:
+            if kind == "append":
+                recs = _recs(f"a{n}", count, lang=lang)
+                write_records(
+                    root, recs, partition_by=["lang"],
+                    manifest_checkpoint_parts=ckpt,
+                )
+                model.update({r.key: lang for r in recs})
+            elif kind == "dyn_ow":
+                recs = _recs(f"d{n}", count, lang=lang)
+                write_records(
+                    root, recs, mode="overwrite", partition_by=["lang"],
+                    partition_overwrite_mode="dynamic",
+                    manifest_checkpoint_parts=ckpt,
+                )
+                model = {k: v for k, v in model.items() if v != lang}
+                model.update({r.key: lang for r in recs})
+            elif kind == "full_ow":
+                recs = _recs(f"f{n}", count, lang=lang)
+                write_records(
+                    root, recs, mode="overwrite", partition_by=["lang"],
+                    manifest_checkpoint_parts=ckpt,
+                )
+                model = {r.key: lang for r in recs}
+            elif kind == "fold":
+                if os.path.isdir(root):
+                    fold_manifest_parts(root)
+            else:  # vacuum
+                if os.path.isdir(root):
+                    vacuum(root, keep_versions=1, grace_seconds=0)
+            n += 1
+            if not os.path.isdir(root):
+                assert model == {}  # nothing ever written
+                continue
+            got = {
+                k: m["lang"] for k, (m, _) in _state(open_dataset(root)).items()
+            }
+            assert got == model, f"after op {n-1} {kind}({lang},{count})"
+        shutil.rmtree(root, ignore_errors=True)
+
+    run()
+
+
 def test_rollover_and_chunked_slice(tmp_path):
     """target_shard_bytes rolls shards; chunk_bytes enables O(chunk)
     ranged reads through the reader facade."""
