@@ -401,6 +401,23 @@ def test_fold_manifest_parts_keeps_dropped_and_vacuums(tmp_path):
     assert _state(open_dataset(root)) == before
 
 
+def test_facade_over_object_store_sim(tmp_path):
+    """The whole facade round trip (write, commit, fold, read, lookup)
+    over sim:// — no rename, whole-object puts, conditional create —
+    proving the Spark-free path never relies on POSIX semantics."""
+    from shardpack_spark.format.commit import fold_manifest_parts
+
+    root = f"sim://{tmp_path}/obj"
+    for i in range(3):
+        write_records(root, _recs(f"s{i}", 4), compression="zstd")
+    assert fold_manifest_parts(root)["folded_parts"] == 3
+    ds = open_dataset(root)
+    st = _state(ds)
+    assert len(st) == 12 and st["s1/0002"][1] == b"s1-2"
+    assert [r.key for r in ds.lookup("s2/0001")] == ["s2/0001"]
+    assert len(_state(open_dataset(root, version=2))) == 8
+
+
 def test_lakehouse_ops_match_model(tmp_path):
     """Stateful property test: random interleavings of append / dynamic
     partition overwrite / full overwrite / fold_manifest_parts /
