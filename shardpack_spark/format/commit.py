@@ -33,11 +33,13 @@ from shardpack_spark.format import codec, storage
 from shardpack_spark.format.manifest import (
     MANIFEST_NAME,
     MANIFEST_PARTS_DIR,
+    PATCH_DIR,
     _META_VALUES_CAP,
     _bloom_build,
     _bloom_key_hashes,
     _observe_latest,
     _visible_shards,
+    list_patches,
 )
 
 if TYPE_CHECKING:
@@ -764,6 +766,66 @@ def commit_attempt(
         if be.isdir(st):
             be.remove_tree(st)
     return manifest
+
+
+def publish_patch(base: str, hidden: str) -> str:
+    """Atomically publish an already-written patch data directory
+    (``_patches/{hidden}``, hidden from list_patches) as the next
+    ``p{seq}`` logical patch; returns the logical name.
+
+    Publication is backend-capability-driven (the pyspark-free half of
+    patches.write_patch — the facade's record-level patch writers share
+    it):
+    - atomic rename: rename the hidden dir to p{seq} (one atomic op);
+    - rename-less stores: the data stays in its hidden dir forever and
+      a p{seq}.ptr pointer object names it, committed via conditional
+      create (put_if_absent) — losing the CAS retries with seq+1, so
+      two concurrent patch writers serialize without directory renames.
+
+    Also GCs temp/data dirs orphaned by crashed writers (older than an
+    hour: ``.tmp-*`` always, ``.d-*`` when no pointer references it,
+    ``.gone-*`` compaction leftovers)."""
+    be = storage.for_path(base)
+    proot = os.path.join(base, PATCH_DIR)
+    with _CommitLock(base, timeout=600.0):
+        seq = 1 + max([int(d[1:]) for d in list_patches(base)] or [0])
+        if be.atomic_rename:
+            name = f"p{seq:08d}"
+            be.replace(os.path.join(proot, hidden), os.path.join(proot, name))
+        else:
+            for _ in range(64):
+                name = f"p{seq:08d}"
+                ptr = os.path.join(proot, name + ".ptr")
+                if be.put_if_absent(ptr, json.dumps({"dir": hidden}).encode()):
+                    break
+                seq += 1
+            else:
+                raise codec.ShardPackIOError(f"patch commit contention under {base}")
+        import time as _time
+
+        cutoff = _time.time() - 3600
+        referenced = set()
+        for d in be.listdir(proot):
+            if d.endswith(".ptr"):
+                try:
+                    referenced.add(
+                        json.loads(be.read_bytes(os.path.join(proot, d)))["dir"]
+                    )
+                except (OSError, ValueError, KeyError):
+                    continue
+        for d in be.listdir(proot):
+            full = os.path.join(proot, d)
+            stale = (
+                d.startswith(".tmp-")
+                or d.startswith(".gone-")  # compact_patches unlisted it
+                or (d.startswith(".d-") and d not in referenced)
+            )
+            try:
+                if stale and be.mtime(full) < cutoff:
+                    be.remove_tree(full)
+            except (OSError, FileNotFoundError):
+                continue
+    return name
 
 
 def fold_manifest_parts(path: str, max_parts: int = 1) -> dict:

@@ -37,9 +37,7 @@ idempotent under leftover patches.
 
 from __future__ import annotations
 
-import json
 import os
-import time
 import uuid
 
 from pyspark.sql import functions as F
@@ -140,8 +138,6 @@ def write_patch(df, base: str, compression: str = "none") -> str:
     commit (max by entry-count then metadata size) so merged reads are
     reproducible; rely on separate patches when ordering matters.
     """
-    from shardpack_spark.format.datasource import _CommitLock
-
     spark = df.sparkSession
     register(spark)
     # one row per key: deterministic survivor via a sortable digest of the
@@ -156,18 +152,11 @@ def write_patch(df, base: str, compression: str = "none") -> str:
     be = storage.for_path(base)
     be.makedirs(_patch_root(base))
     # write the patch dataset OUTSIDE the lock into a hidden temp dir
-    # (list_patches only admits p{seq} names / p{seq}.ptr pointers), then
-    # take the base commit lock just for sequence assignment + atomic
-    # publication.  Holding the lock across the whole Spark write job
-    # would outlive stale_after and let a second writer break the lock
-    # mid-job and pick the same pN.
-    #
-    # Publication is backend-capability-driven:
-    # - atomic rename: rename the temp dir to p{seq} (one atomic op);
-    # - rename-less stores: the data stays in its hidden dir forever and
-    #   a p{seq}.ptr pointer object names it, committed via conditional
-    #   create (put_if_absent) — losing the CAS retries with seq+1, so
-    #   two concurrent patch writers serialize without directory renames.
+    # (list_patches only admits p{seq} names / p{seq}.ptr pointers);
+    # commit.publish_patch then takes the base commit lock just for
+    # sequence assignment + atomic publication.  Holding the lock across
+    # the whole Spark write job would outlive stale_after and let a
+    # second writer break the lock mid-job and pick the same pN.
     renameable = be.atomic_rename
     hidden = f".tmp-{uuid.uuid4().hex[:12]}" if renameable else f".d-{uuid.uuid4().hex[:12]}"
     tmp = os.path.join(_patch_root(base), hidden)
@@ -178,53 +167,18 @@ def write_patch(df, base: str, compression: str = "none") -> str:
         .save(tmp)
     )
     try:
-        with _CommitLock(base, timeout=600.0):
-            seq = 1 + max([int(d[1:]) for d in list_patches(base)] or [0])
-            if renameable:
-                name = f"p{seq:08d}"
-                be.replace(tmp, os.path.join(_patch_root(base), name))
-            else:
-                for _ in range(64):
-                    name = f"p{seq:08d}"
-                    ptr = os.path.join(_patch_root(base), name + ".ptr")
-                    if be.put_if_absent(ptr, json.dumps({"dir": hidden}).encode()):
-                        break
-                    seq += 1
-                else:
-                    raise codec.ShardPackIOError(
-                        f"patch commit contention under {base}"
-                    )
-            # opportunistic GC of temp/data dirs orphaned by crashed
-            # writers: .tmp-* is always stale (rename path), .d-* only
-            # when no pointer references it
-            cutoff = time.time() - 3600
-            referenced = set()
-            for d in be.listdir(_patch_root(base)):
-                if d.endswith(".ptr"):
-                    try:
-                        referenced.add(
-                            json.loads(
-                                be.read_bytes(os.path.join(_patch_root(base), d))
-                            )["dir"]
-                        )
-                    except (OSError, ValueError, KeyError):
-                        continue
-            for d in be.listdir(_patch_root(base)):
-                full = os.path.join(_patch_root(base), d)
-                stale = (
-                    d.startswith(".tmp-")
-                    or d.startswith(".gone-")  # compact_patches unlisted it
-                    or (d.startswith(".d-") and d not in referenced)
-                )
-                try:
-                    if stale and be.mtime(full) < cutoff:
-                        be.remove_tree(full)
-                except (OSError, FileNotFoundError):
-                    continue
+        # publication (lock, seq assignment, rename-or-pointer CAS,
+        # orphan GC) is the pyspark-free commit.publish_patch — shared
+        # with the facade's record-level patch writers
+        from shardpack_spark.format.commit import publish_patch
+
+        return publish_patch(base, hidden)
     except BaseException:
-        be.remove_tree(tmp)
+        try:
+            be.remove_tree(tmp)
+        except (OSError, FileNotFoundError):
+            pass  # already published (rename happened) or never written
         raise
-    return name
 
 
 def read_with_patches(spark, base: str, **reader_options):

@@ -36,13 +36,14 @@ edge-node ingest script don't need a JVM.
 from __future__ import annotations
 
 import fnmatch
+import hashlib
 import os
 import re
 import uuid
 from typing import TYPE_CHECKING
 
 from shardpack_spark.format import codec, commit, storage
-from shardpack_spark.format.manifest import _norm_path
+from shardpack_spark.format.manifest import PATCH_DIR, TOMBSTONE_KEY, _norm_path
 
 if TYPE_CHECKING:
     from collections.abc import Iterable
@@ -313,6 +314,66 @@ def write_records(
     with open_writer(path, **kwargs) as w:
         w.write_all(records)
     return w.manifest
+
+
+def write_patch_records(
+    base: str, records: "Iterable[codec.Record]", compression: str = "none"
+) -> str:
+    """Spark-free merge-on-read UPSERT: commit the records as one patch
+    over an existing dataset (patches.write_patch's record-level twin —
+    same layout, same atomic publication via commit.publish_patch, so
+    the Spark reader, the facade reader, and compact_patches all merge
+    it identically: latest patch wins, tombstones delete).
+
+    Duplicate keys within one call collapse to a deterministic single
+    survivor (max by sha256 of the encoded record — arbitrary but
+    stable, the same contract as the Spark writer's digest rule; the
+    chosen row may differ between the two writers, which the contract
+    permits).  Returns the logical patch name."""
+    base = _norm_path(base)
+    be = storage.for_path(base)
+    proot = os.path.join(base, PATCH_DIR)
+    be.makedirs(proot)
+    survivors: dict[str, tuple[str, codec.Record]] = {}
+    for rec in records:
+        d = hashlib.sha256(
+            codec.encode_record(rec, compression="none")
+        ).hexdigest()
+        cur = survivors.get(rec.key)
+        if cur is None or d > cur[0]:
+            survivors[rec.key] = (d, rec)
+    hidden = (
+        f".tmp-{uuid.uuid4().hex[:12]}"
+        if be.atomic_rename
+        else f".d-{uuid.uuid4().hex[:12]}"
+    )
+    tmp = os.path.join(proot, hidden)
+    try:
+        codec.write_dataset(
+            tmp,
+            (survivors[k][1] for k in sorted(survivors)),
+            compression=compression,
+        )
+        return commit.publish_patch(base, hidden)
+    except BaseException:
+        try:
+            be.remove_tree(tmp)
+        except (OSError, FileNotFoundError):
+            pass  # already published (rename happened) or never written
+        raise
+
+
+def delete_keys(base: str, keys: "Iterable[str]") -> str:
+    """Spark-free merge-on-read DELETE: tombstone the given keys (one
+    patch; the reference's side-car mutation convention,
+    docs/draft.md:209-211, without the destructive Bucket::delete)."""
+    return write_patch_records(
+        base,
+        (
+            codec.Record(key=k, entries=[], metadata={TOMBSTONE_KEY: "true"})
+            for k in keys
+        ),
+    )
 
 
 def _walk_files(be, root: str) -> "Iterable[str]":

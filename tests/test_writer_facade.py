@@ -401,6 +401,56 @@ def test_fold_manifest_parts_keeps_dropped_and_vacuums(tmp_path):
     assert _state(open_dataset(root)) == before
 
 
+def test_facade_patches_upsert_and_delete(spark, tmp_path):
+    """Spark-free merge-on-read: write_patch_records / delete_keys
+    produce patches the facade reader, the Spark merged reader, and
+    compact_patches all apply identically."""
+    from shardpack_spark.format.datasource import register
+    from shardpack_spark.format.patches import compact_patches, read_with_patches
+    from shardpack_spark.format.writer import delete_keys, write_patch_records
+
+    register(spark)
+    root = str(tmp_path / "pf")
+    write_records(root, _recs("base", 6))
+    # upsert: rewrite base/0001, insert new/0001 — duplicate-key input
+    # collapses to one deterministic survivor
+    p1 = write_patch_records(
+        root,
+        [
+            codec.Record(
+                key="base/0001",
+                entries=[codec.FileEntry("body.txt", "text/plain", b"patched")],
+                metadata={"tag": "patched"},
+            ),
+            codec.Record(
+                key="new/0001",
+                entries=[codec.FileEntry("body.txt", "text/plain", b"ins")],
+                metadata={"tag": "ins"},
+            ),
+            codec.Record(
+                key="new/0001",
+                entries=[codec.FileEntry("body.txt", "text/plain", b"ins")],
+                metadata={"tag": "ins"},
+            ),
+        ],
+    )
+    p2 = delete_keys(root, ["base/0004"])
+    assert [p1, p2] == ["p00000001", "p00000002"]
+    want_keys = {f"base/{i:04d}" for i in range(6)} - {"base/0004"} | {"new/0001"}
+    # facade reader
+    st = _state(open_dataset(root))
+    assert set(st) == want_keys
+    assert st["base/0001"] == ({"tag": "patched"}, b"patched")
+    # Spark merged reader agrees
+    rows = {r["key"]: dict(r["metadata"]) for r in read_with_patches(spark, root).collect()}
+    assert set(rows) == want_keys
+    assert rows["base/0001"] == {"tag": "patched"}
+    # compaction folds the facade-written patches into the base
+    rep = compact_patches(spark, root)
+    assert rep["patches_folded"] == 2
+    assert set(_state(open_dataset(root, patches="error"))) == want_keys
+
+
 def test_facade_over_object_store_sim(tmp_path):
     """The whole facade round trip (write, commit, fold, read, lookup)
     over sim:// — no rename, whole-object puts, conditional create —
