@@ -104,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
     cat.add_argument("--out", default=None,
                      help="write the first entry's payload to this file")
 
+    dl = sub.add_parser("delete", help="tombstone keys via a merge-on-read "
+                                       "patch (Spark-free)")
+    dl.add_argument("dataset")
+    dl.add_argument("keys", nargs="+")
+
     sl = sub.add_parser("slice", help="ranged read inside one entry (Spark-free)")
     sl.add_argument("dataset")
     sl.add_argument("key")
@@ -159,6 +164,13 @@ def main(argv: list[str] | None = None) -> int:
                      for r in recs],
         }
         print(json.dumps(report, default=str))
+        return 0
+    if args.cmd == "delete":
+        from shardpack_spark.format.writer import delete_keys
+
+        name = delete_keys(args.dataset, args.keys)
+        print(json.dumps({"dataset": args.dataset, "patch": name,
+                          "tombstoned": len(args.keys)}))
         return 0
     if args.cmd == "cat":
         from shardpack_spark.format.reader import open_dataset

@@ -210,6 +210,58 @@ class Dataset:
                 if row_ok(rec):
                     yield rec
 
+    def follow(
+        self,
+        poll_interval: float = 2.0,
+        from_now: bool = False,
+        skip_payload: bool = False,
+        stop=None,
+    ) -> Iterator[codec.Record]:
+        """Tail the dataset: yield records from visible shards, then keep
+        polling the commit log (manifest + stream-batch markers) and
+        yield records from NEWLY committed shards as they appear — the
+        Spark-free consumer of an always-on streaming ingest, for
+        loaders that train while data lands.
+
+        Visibility is commit-gated exactly like ``records()``: a shard
+        is consumed only once its commit names it, never from a
+        directory listing, so half-written task output is never read.
+        Shards are remembered by name (consumed-set, O(shards) driver
+        memory) and each is read once — records within a shard arrive
+        in shard order; across shards in commit-observation order.
+
+        ``from_now=True`` skips the current contents and tails only
+        commits after the call.  ``stop`` is an optional zero-arg
+        callable checked each poll; returning True ends the iterator
+        (it also ends on GeneratorExit, so ``break`` is enough).
+        Patch overlays do NOT apply — tailing is a physical-record
+        stream (patches target batch reads; an ingest being tailed is
+        append-shaped by construction)."""
+        import time as _time
+
+        seen: set[str] = set()
+
+        def visible_now() -> list[str]:
+            m = manifest._load_latest_manifest(self.path)
+            return manifest._visible_shards(self.path, m)
+
+        if from_now:
+            seen.update(visible_now())
+        while True:
+            fresh = [n for n in visible_now() if n not in seen]
+            for name in fresh:
+                seen.add(name)
+                sp = os.path.join(self.path, name)
+                yield from codec.iter_records(
+                    sp,
+                    verify_checksums=self.verify_checksums,
+                    skip_payload=skip_payload,
+                )
+            if stop is not None and stop():
+                return
+            if not fresh:
+                _time.sleep(poll_interval)
+
     def shard_records(
         self,
         num_shards: int,

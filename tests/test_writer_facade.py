@@ -451,6 +451,29 @@ def test_facade_patches_upsert_and_delete(spark, tmp_path):
     assert set(_state(open_dataset(root, patches="error"))) == want_keys
 
 
+def test_follow_tails_new_commits(tmp_path):
+    """reader.follow(): drains current contents, then yields records
+    from commits that land AFTER iteration started — commit-gated, each
+    shard consumed exactly once."""
+    root = str(tmp_path / "tail")
+    write_records(root, _recs("a", 3))
+    ds = open_dataset(root)
+    it = ds.follow(poll_interval=0.01)
+    first = [next(it).key for _ in range(3)]
+    assert first == [f"a/{i:04d}" for i in range(3)]
+    write_records(root, _recs("b", 2))  # second commit while tailing
+    assert [next(it).key for _ in range(2)] == ["b/0000", "b/0001"]
+    it.close()
+    # from_now skips existing contents; stop() ends cleanly
+    calls = {"n": 0}
+
+    def stop():
+        calls["n"] += 1
+        return calls["n"] > 1
+
+    assert list(open_dataset(root).follow(0.01, from_now=True, stop=stop)) == []
+
+
 def test_facade_over_object_store_sim(tmp_path):
     """The whole facade round trip (write, commit, fold, read, lookup)
     over sim:// — no rename, whole-object puts, conditional create —
