@@ -143,7 +143,15 @@ def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = rows.filter(F.element_at("metadata", "lang") == min_lang).write.format(
         "shardpack"
     )
-    for k, v in {**writer_opts, "partition_overwrite_mode": "dynamic"}.items():
+    # manifest_checkpoint_parts=1 forces this commit to merge the prior
+    # parts chain (the Delta-checkpoint path), so the reads below plan
+    # through a checkpointed manifest — checkpoint + dynamic overwrite +
+    # partition pruning compose under the driver's oracle check
+    for k, v in {
+        **writer_opts,
+        "partition_overwrite_mode": "dynamic",
+        "manifest_checkpoint_parts": 1,
+    }.items():
         w2 = w2.option(k, v)
     w2.mode("overwrite").save(out)
 
