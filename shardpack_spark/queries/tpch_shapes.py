@@ -211,6 +211,51 @@ _Q20_ORACLE = """
 """
 
 
+# TPC-H Q4 shape (correlated EXISTS with a residual date comparison):
+# order-priority counts over a one-year window, keeping only orders with a
+# late-shipped line.  The oracle keeps the EXISTS; Spark expresses it as a
+# left-semi join whose condition carries BOTH the equi key (l_orderkey) and
+# the correlated residual (l_shipdate > o_orderdate) — still a hash semi
+# join, never a nested loop.  (Classic Q4 tests l_commitdate <
+# l_receiptdate; this corpus carries neither, so the same shape runs on
+# the ship-after-order predicate.)
+_Q4_ORACLE = """
+    SELECT CAST(NULL AS BIGINT) AS k1, o.o_orderpriority AS s1,
+           CAST(NULL AS DOUBLE) AS val, COUNT(*) AS cnt
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+"""
+
+# TPC-H Q15 shape (aggregate view + uncorrelated scalar MAX over it): the
+# supplier(s) whose half-year revenue equals the view's global maximum.
+# The oracle keeps `total = (SELECT MAX(total) FROM rev)`; Spark reuses
+# ONE revenue aggregate for both sides — a 1-row MAX broadcast crossed
+# back onto the view (allowlisted O(1)-row NLJ, same rule as Q22's) —
+# and the equality compares EXACT decimals, so no cross-engine FP
+# boundary decides membership.
+_Q15_ORACLE = """
+    WITH rev AS (
+      SELECT l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS total
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-07-01'
+      GROUP BY l.l_suppkey
+    )
+    SELECT CAST(s.s_suppkey AS BIGINT) AS k1, s.s_name AS s1,
+           CAST(ROUND(r.total, 2) AS DOUBLE) AS val,
+           CAST(NULL AS BIGINT) AS cnt
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total = (SELECT MAX(total) FROM rev)
+"""
+
+
 def tpch_q10_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: returned-item revenue per customer, top-20 (harmonized)."""
     c = load_table(spark, sf_dir, "customer")
@@ -393,6 +438,55 @@ def _tpch_q20_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q4_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: correlated EXISTS -> left-semi join keyed on l_orderkey
+    with the correlated date comparison as a residual condition — the
+    orders side stays the probe side, lineitem never expands it."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(
+        F.lit(None).cast("bigint").alias("k1"),
+        F.col("o_orderpriority").alias("s1"),
+        F.lit(None).cast("double").alias("val"),
+        "cnt",
+    )
+
+
+def _tpch_q15_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: ONE revenue aggregate serves as both the view and the
+    scalar-MAX side (1-row broadcast crossed back); equality runs on the
+    exact decimal totals, rounding only at output."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("total")
+    )
+    mx = rev.agg(F.max("total").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("k1"),
+            F.col("s_name").alias("s1"),
+            money2(F.col("total")).alias("val"),
+            F.lit(None).cast("bigint").alias("cnt"),
+        )
+    )
+
+
 @register(
     "q52_tpch_shapes",
     oracle=f"""
@@ -407,18 +501,24 @@ def _tpch_q20_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'q2' AS variant, * FROM ({_Q2_ORACLE})
     UNION ALL
     SELECT 'q20' AS variant, * FROM ({_Q20_ORACLE})
+    UNION ALL
+    SELECT 'q4' AS variant, * FROM ({_Q4_ORACLE})
+    UNION ALL
+    SELECT 'q15' AS variant, * FROM ({_Q15_ORACLE})
     """,
-    doc="Six TPC-H shapes in one tagged result: Q10 (multi-join top-k), "
+    doc="Eight TPC-H shapes in one tagged result: Q10 (multi-join top-k), "
     "Q17 (correlated scalar subqueries, decorrelated to agg+join), Q21 "
     "(EXISTS/NOT EXISTS as semi/anti joins), Q22 (uncorrelated scalar "
     "subquery broadcast + anti join), Q2 (correlated MIN scalar "
     "subquery -> per-key MIN joined back), Q20 (nested IN with a "
-    "correlated aggregate threshold -> semi join + totals join).  The "
+    "correlated aggregate threshold -> semi join + totals join), Q4 "
+    "(correlated EXISTS with a date residual -> semi join), Q15 "
+    "(aggregate view + scalar MAX over it -> 1-row broadcast).  The "
     "oracle keeps the SUBQUERY forms so the hash check proves the "
     "decorrelated Spark plans compute the same relation.",
 )
 def q52_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10/Q17/Q21/Q22/Q2/Q20 shapes, variant-tagged (Q52).
+    """TPC-H Q10/Q17/Q21/Q22/Q2/Q20/Q4/Q15 shapes, variant-tagged (Q52).
 
     Harmonized columns: k1 (bigint key), s1 (string label), val (money),
     cnt (count).  Q17/Q21/Q22/Q2/Q20 exercise the subquery-decorrelation
@@ -441,4 +541,6 @@ def q52_tpch_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tag("q22", _tpch_q22_variant(spark, sf_dir)))
         .unionAll(tag("q2", _tpch_q2_variant(spark, sf_dir)))
         .unionAll(tag("q20", _tpch_q20_variant(spark, sf_dir)))
+        .unionAll(tag("q4", _tpch_q4_variant(spark, sf_dir)))
+        .unionAll(tag("q15", _tpch_q15_variant(spark, sf_dir)))
     )

@@ -31,7 +31,7 @@ NLJ_ALLOWED = {
     "q30b_ann_suite",  # single anchor query vector crossed with candidates
     "q33_tfidf",  # corpus-size N (1 row) crossed onto per-term stats
     "q45_outer_cross_subq",  # scalar AVG subquery (1 row) per spec
-    "q52_tpch_shapes",  # Q22 variant: 1-row positive-balance aggregate broadcast
+    "q52_tpch_shapes",  # Q22/Q15 variants: 1-row aggregate broadcasts (balance threshold / global MAX)
     "q62_curation_scores",  # corpus totals (1 row: Nr, Nt, V) crossed onto the DSIR ngram model
 }
 
