@@ -796,6 +796,7 @@ def decode_record(
     verify_checksums: bool = True,
     skip_payload: bool = False,
     skip_entries: bool = False,
+    entry_names: "set[str] | frozenset[str] | None" = None,
 ) -> tuple[Record, int]:
     """Parse one record block at `pos`; returns (record, next_pos).
 
@@ -803,6 +804,10 @@ def decode_record(
     payload bytes — the metadata-only access path (Bucket::get_metadata,
     src/bucket.rs:185-188, served without touching payloads).
     ``skip_entries``: stop after key+metadata; entries come back empty.
+    ``entry_names``: decode payloads ONLY for entries with these file
+    names; others come back header-only (data=b"", true declared_size) —
+    the modality-selective read: a text loader over image+caption
+    records pays zero image decompression.
     """
     (record_size,) = struct.unpack_from("<Q", buf, pos)
     end = pos + record_size
@@ -834,7 +839,7 @@ def decode_record(
         p += 32
         (data_len,) = struct.unpack_from("<Q", buf, p)
         p += 8
-        if skip_payload:
+        if skip_payload or (entry_names is not None and name not in entry_names):
             p += data_len  # seek past the stored bytes: no copy, no decode
             entries.append(
                 FileEntry(
@@ -1002,6 +1007,7 @@ def read_record_at(
     verify_checksums: bool = True,
     skip_payload: bool = False,
     skip_entries: bool = False,
+    entry_names: "set[str] | None" = None,
 ) -> Record:
     """O(1) random access: seek to the offset-table position (draft.md:167-175).
 
@@ -1013,7 +1019,9 @@ def read_record_at(
         head = f.read(8)
         (record_size,) = struct.unpack("<Q", head)
         rest = f.read(record_size - 8)
-    rec, _ = decode_record(head + rest, 0, verify_checksums, skip_payload, skip_entries)
+    rec, _ = decode_record(
+        head + rest, 0, verify_checksums, skip_payload, skip_entries, entry_names
+    )
     return rec
 
 
@@ -1128,6 +1136,7 @@ def iter_records_span(
     verify_checksums: bool = True,
     skip_payload: bool = False,
     skip_entries: bool = False,
+    entry_names: "set[str] | None" = None,
 ) -> Iterator[Record]:
     """Stream ``n_records`` record blocks from the byte span [start, end)
     in ONE ranged read — the record-range-split read path (a split is a
@@ -1137,7 +1146,9 @@ def iter_records_span(
     buf = storage.for_path(path).read_bytes(path, start, end - start)
     pos = 0
     for _ in range(n_records):
-        rec, pos = decode_record(buf, pos, verify_checksums, skip_payload, skip_entries)
+        rec, pos = decode_record(
+            buf, pos, verify_checksums, skip_payload, skip_entries, entry_names
+        )
         yield rec
 
 
@@ -1147,6 +1158,7 @@ def iter_records(
     offsets: list[int] | None = None,
     skip_payload: bool = False,
     skip_entries: bool = False,
+    entry_names: "set[str] | None" = None,
 ) -> Iterator[Record]:
     """Sequential streaming (draft.md:213-218); with `offsets`, reads only
     the selected record blocks (partition range / pruned access path)."""
@@ -1188,11 +1200,15 @@ def iter_records(
         buf = storage.for_path(path).read_bytes(path, 0, idx.index_start)
         pos = 0
         for _ in range(len(offsets)):
-            rec, pos = decode_record(buf, pos, verify_checksums, skip_payload, skip_entries)
+            rec, pos = decode_record(
+                buf, pos, verify_checksums, skip_payload, skip_entries, entry_names
+            )
             yield rec
     else:
         for off in offsets:
-            yield read_record_at(path, off, verify_checksums, skip_payload, skip_entries)
+            yield read_record_at(
+                path, off, verify_checksums, skip_payload, skip_entries, entry_names
+            )
 
 
 # --- dataset (bucket of sequentially numbered shards) -----------------------

@@ -134,6 +134,7 @@ class Dataset:
         skip_payload: bool = False,
         where_meta: dict | None = None,
         where_meta_range: dict | None = None,
+        entry_names: "list[str] | set[str] | None" = None,
     ) -> Iterator[codec.Record]:
         """Stream every live record, shard-name order then in-shard order.
 
@@ -142,7 +143,11 @@ class Dataset:
         Spark reader: pruning is an optimization, the row filter is the
         semantics).  Patched keys yield their latest patch row, tombstoned
         keys are skipped.  ``skip_payload`` parses entry headers without
-        decoding payload bytes."""
+        decoding payload bytes; ``entry_names`` decodes payloads only
+        for the named entries (modality-selective read — a caption-only
+        loader over caption+image records pays zero image
+        decompression; unselected entries come back header-only with
+        their true declared sizes)."""
         overlay = self._load_overlay()
         names = manifest._names_matching_meta(
             list(self._names), self._stats, where_meta, where_meta_range
@@ -182,11 +187,15 @@ class Dataset:
                         return False
             return True
 
+        sel = frozenset(entry_names) if entry_names is not None else None
         emitted: set[str] = set()
         for name in names:
             sp = os.path.join(self.path, name)
             for rec in codec.iter_records(
-                sp, verify_checksums=self.verify_checksums, skip_payload=skip_payload
+                sp,
+                verify_checksums=self.verify_checksums,
+                skip_payload=skip_payload,
+                entry_names=sel,
             ):
                 if overlay and rec.key in overlay:
                     patched = overlay[rec.key]
@@ -267,6 +276,7 @@ class Dataset:
         num_shards: int,
         index: int,
         skip_payload: bool = False,
+        entry_names: "list[str] | set[str] | None" = None,
     ) -> Iterator[codec.Record]:
         """Worker-sharded iteration for multi-process data loaders: the
         ``index``-th of ``num_shards`` workers streams a disjoint slice,
@@ -283,12 +293,16 @@ class Dataset:
         if not 0 <= index < num_shards:
             raise ValueError(f"index must be in [0, {num_shards}), got {index}")
         overlay = self._load_overlay()
+        sel = frozenset(entry_names) if entry_names is not None else None
         mine = self._names[index::num_shards]
         emitted: set[str] = set()
         for name in mine:
             sp = os.path.join(self.path, name)
             for rec in codec.iter_records(
-                sp, verify_checksums=self.verify_checksums, skip_payload=skip_payload
+                sp,
+                verify_checksums=self.verify_checksums,
+                skip_payload=skip_payload,
+                entry_names=sel,
             ):
                 if overlay and rec.key in overlay:
                     patched = overlay[rec.key]
@@ -354,6 +368,7 @@ class Dataset:
         skip_payload: bool = False,
         where_meta: dict | None = None,
         where_meta_range: dict | None = None,
+        entry_names: "list[str] | set[str] | None" = None,
     ):
         """Stream pyarrow RecordBatches of the live records — the same
         (key, metadata, entries) schema the Spark DataSource exposes, so
@@ -412,6 +427,7 @@ class Dataset:
             skip_payload=skip_payload,
             where_meta=where_meta,
             where_meta_range=where_meta_range,
+            entry_names=entry_names,
         ):
             buf.append(rec)
             if len(buf) >= batch_size:

@@ -451,6 +451,47 @@ def test_facade_patches_upsert_and_delete(spark, tmp_path):
     assert set(_state(open_dataset(root, patches="error"))) == want_keys
 
 
+def test_entry_names_selective_decode(tmp_path):
+    """Modality-selective reads: entry_names decodes only the named
+    entries' payloads; others come back header-only (data=b"") with
+    their true declared sizes, across records(), shard_records(), and
+    to_batches()."""
+    root = str(tmp_path / "modal")
+    img = os.urandom(8192)
+    write_records(
+        root,
+        [
+            codec.Record(
+                key=f"m/{i}",
+                entries=[
+                    codec.FileEntry("caption.txt", "text/plain", f"cap {i}".encode()),
+                    codec.FileEntry("image.bin", "image/png", img),
+                ],
+            )
+            for i in range(5)
+        ],
+        compression="gzip",
+    )
+    ds = open_dataset(root)
+    recs = list(ds.records(entry_names=["caption.txt"]))
+    assert len(recs) == 5
+    for r in recs:
+        by_name = {e.file_name: e for e in r.entries}
+        assert by_name["caption.txt"].data == f"cap {r.key[2:]}".encode()
+        assert by_name["image.bin"].data == b""  # header-only
+        assert by_name["image.bin"].size == len(img)  # true declared size
+    # worker-sharded + arrow paths honor the selection too
+    got = [
+        r
+        for i in range(2)
+        for r in ds.shard_records(2, i, entry_names={"caption.txt"})
+    ]
+    assert {r.key for r in got} == {f"m/{i}" for i in range(5)}
+    assert all(e.data == b"" for r in got for e in r.entries if e.file_name == "image.bin")
+    batches = list(ds.to_batches(2, entry_names=["caption.txt"]))
+    assert sum(b.num_rows for b in batches) == 5
+
+
 def test_follow_tails_new_commits(tmp_path):
     """reader.follow(): drains current contents, then yields records
     from commits that land AFTER iteration started — commit-gated, each
