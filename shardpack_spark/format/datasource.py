@@ -82,6 +82,13 @@ Options:
     skip_payload        true|false  (read; entry headers without payload
                                      bytes — the metadata-only access path,
                                      src/bucket.rs:185-188)
+    entry_names         json list   (read; modality-selective decode — only
+                                     the named entries' payloads are
+                                     decompressed, others come back
+                                     header-only with data NULL and their
+                                     true size; a caption-only job over
+                                     caption+image records pays zero image
+                                     decompression)
     metadata_only       true|false  (read; key+metadata only, entries NULL;
                                      payload-heavy shards are read with
                                      per-record seeks, payloads never leave
@@ -344,6 +351,7 @@ def _arrow_batches(
     skip_payload: bool = False,
     metadata_only: bool = False,
     shard_column: bool = False,
+    entry_names: "frozenset[str] | None" = None,
 ):
     """Yield Arrow RecordBatches (not rows): bulk columnar transfer to the
     JVM instead of per-row pickling — the difference between a Python-speed
@@ -357,6 +365,7 @@ def _arrow_batches(
                 skip_payload,
                 metadata_only,
                 shard_column,
+                entry_names,
             )
         return
     import pyarrow as pa
@@ -414,6 +423,7 @@ def _arrow_batches(
                 verify_checksums=verify,
                 skip_payload=skip_payload or metadata_only,
                 skip_entries=metadata_only,
+                entry_names=entry_names,
             )
             if hi > lo
             else iter(())
@@ -425,6 +435,7 @@ def _arrow_batches(
             offsets=partition.offsets,
             skip_payload=skip_payload or metadata_only,
             skip_entries=metadata_only,
+            entry_names=entry_names,
         )
     for rec in record_iter:
         batch_keys.append(rec.key)
@@ -437,7 +448,18 @@ def _arrow_batches(
                         "content_type": e.content_type,
                         "encoding": e.encoding,
                         "size": e.size,
-                        "data": None if skip_payload else e.data,
+                        # NULL for never-read payloads (skip_payload or an
+                        # unselected entry under entry_names) — distinct
+                        # from an actually-empty b"" payload
+                        "data": None
+                        if (
+                            skip_payload
+                            or (
+                                entry_names is not None
+                                and e.file_name not in entry_names
+                            )
+                        )
+                        else e.data,
                     }
                     for e in rec.entries
                 ]
@@ -464,6 +486,14 @@ class ShardPackReader(DataSourceReader):
         self.small_bin = int(options.get("small_bin_bytes", 32 * 1024 * 1024))
         self.skip_payload = str(options.get("skip_payload", "false")).lower() == "true"
         self.metadata_only = str(options.get("metadata_only", "false")).lower() == "true"
+        # modality-selective decode: JSON list of entry file names whose
+        # payloads to decompress; other entries come back header-only
+        # (data NULL like skip_payload, true size) — a text-only job over
+        # image+caption records pays zero image decompression
+        en = options.get("entry_names")
+        self.entry_names: "frozenset[str] | None" = (
+            frozenset(json.loads(en)) if en else None
+        )
         self.shard_column = str(options.get("with_shard_column", "false")).lower() == "true"
         v = options.get("version")
         self.version = int(v) if v is not None and str(v) != "" else None
@@ -684,6 +714,7 @@ class ShardPackReader(DataSourceReader):
             self.skip_payload,
             self.metadata_only,
             self.shard_column,
+            self.entry_names,
         )
 
 
@@ -2166,6 +2197,7 @@ def read_shardpack(
     where_meta_range: dict | None = None,
     limit_records: int | None = None,
     explode_entries: bool = False,
+    entry_names: list | None = None,
     **options,
 ):
     """Driver-side read helper: enables key-filter pruning automatically
@@ -2224,6 +2256,11 @@ def read_shardpack(
         )
     if limit_records is not None and limit_records > 0:
         options["limit_records"] = str(int(limit_records))
+    if entry_names is not None:
+        # modality-selective decode: only these entry file names'
+        # payloads decompress; others ride as header-only rows with
+        # data NULL (like skip_payload) and their true size
+        options["entry_names"] = json.dumps(sorted(set(entry_names)))
     if (
         "prune_by_key" not in options
         and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false") == "true"

@@ -522,6 +522,38 @@ def test_skip_payload_and_metadata_only_reads(spark_ds, sf_dir, tmp_path):
     assert all(r["entries"] is None for r in meta.collect())
 
 
+def test_entry_names_selective_decode_spark(spark_ds, tmp_path):
+    """Modality-selective Spark reads: entry_names decompresses only the
+    named entries; unselected ones ride header-only with data NULL and
+    their true size."""
+    from shardpack_spark.format import codec
+    from shardpack_spark.format.datasource import read_shardpack
+    from shardpack_spark.format.writer import write_records
+
+    out = str(tmp_path / "modal")
+    write_records(
+        out,
+        [
+            codec.Record(
+                key=f"m/{i}",
+                entries=[
+                    codec.FileEntry("caption.txt", "text/plain", f"cap {i}".encode()),
+                    codec.FileEntry("image.bin", "image/png", b"\x89" * 4096),
+                ],
+            )
+            for i in range(10)
+        ],
+        compression="gzip",
+    )
+    df = read_shardpack(spark_ds, out, entry_names=["caption.txt"])
+    rows = df.select(F.explode("entries").alias("e")).select("e.*").collect()
+    caps = [r for r in rows if r["file_name"] == "caption.txt"]
+    imgs = [r for r in rows if r["file_name"] == "image.bin"]
+    assert len(caps) == 10 and len(imgs) == 10
+    assert all(bytes(r["data"]).startswith(b"cap ") for r in caps)
+    assert all(r["data"] is None and r["size"] == 4096 for r in imgs)
+
+
 def test_stream_sink_replay_discards_duplicate_batch(spark_ds, tmp_path):
     """A replayed micro-batch (marker already present) must not duplicate
     records: commit() discards the replayed staging output."""
