@@ -60,6 +60,31 @@ def _floatable(b) -> bool:
         return False
 
 
+def _select_entries(rec: "codec.Record", sel: "frozenset[str] | None") -> "codec.Record":
+    """Apply an entry_names selection to an already-decoded record (the
+    patch-overlay rows): unselected entries become header-only copies,
+    so patched and base rows honor the same contract.  The overlay cache
+    is never mutated — copies only."""
+    if sel is None or all(e.file_name in sel for e in rec.entries):
+        return rec
+    return codec.Record(
+        key=rec.key,
+        metadata=rec.metadata,
+        entries=[
+            e
+            if e.file_name in sel
+            else codec.FileEntry(
+                file_name=e.file_name,
+                content_type=e.content_type,
+                data=b"",
+                encoding=e.encoding,
+                declared_size=e.size,
+            )
+            for e in rec.entries
+        ],
+    )
+
+
 class Dataset:
     """One committed view of a shardpack dataset (see ``open_dataset``)."""
 
@@ -203,7 +228,7 @@ class Dataset:
                         continue
                     emitted.add(rec.key)
                     if row_ok(patched):
-                        yield patched
+                        yield _select_entries(patched, sel)
                     continue
                 if row_ok(rec):
                     yield rec
@@ -217,7 +242,7 @@ class Dataset:
                 if rec is _TOMBSTONE or key in emitted:
                     continue
                 if row_ok(rec):
-                    yield rec
+                    yield _select_entries(rec, sel)
 
     def follow(
         self,
@@ -309,7 +334,7 @@ class Dataset:
                     if patched is _TOMBSTONE or rec.key in emitted:
                         continue
                     emitted.add(rec.key)
-                    yield patched
+                    yield _select_entries(patched, sel)
                     continue
                 yield rec
         if overlay:
@@ -326,7 +351,7 @@ class Dataset:
                     continue
                 if self._key_has_base_row(key):
                     continue  # an update: the worker holding its base emits it
-                yield rec
+                yield _select_entries(rec, sel)
 
     def _key_has_base_row(self, key: str) -> bool:
         """Does ANY visible shard hold a base row for ``key``?  Bloom +
