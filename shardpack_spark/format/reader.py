@@ -94,12 +94,19 @@ class Dataset:
         version: int | None = None,
         verify_checksums: bool = True,
         patches: str = "apply",
+        entry_names: "list[str] | set[str] | None" = None,
     ):
         if patches not in ("apply", "ignore", "error"):
             raise ValueError(f"patches must be apply|ignore|error, got {patches!r}")
         self.path = manifest._norm_path(path)
         self.version = version
         self.verify_checksums = verify_checksums
+        # dataset-level modality selection ("open the caption view"):
+        # the default entry_names for every record-level read, including
+        # map-style __getitem__ and lookup; per-call entry_names wins
+        self.entry_names: "frozenset[str] | None" = (
+            frozenset(entry_names) if entry_names is not None else None
+        )
         if version is not None:
             self.manifest = manifest._load_manifest(self.path, version)
             names = sorted(s["path"] for s in self.manifest.get("shards", []))
@@ -212,7 +219,9 @@ class Dataset:
                         return False
             return True
 
-        sel = frozenset(entry_names) if entry_names is not None else None
+        sel = (
+            frozenset(entry_names) if entry_names is not None else self.entry_names
+        )
         emitted: set[str] = set()
         for name in names:
             sp = os.path.join(self.path, name)
@@ -290,6 +299,7 @@ class Dataset:
                     sp,
                     verify_checksums=self.verify_checksums,
                     skip_payload=skip_payload,
+                    entry_names=self.entry_names,
                 )
             if stop is not None and stop():
                 return
@@ -318,7 +328,9 @@ class Dataset:
         if not 0 <= index < num_shards:
             raise ValueError(f"index must be in [0, {num_shards}), got {index}")
         overlay = self._load_overlay()
-        sel = frozenset(entry_names) if entry_names is not None else None
+        sel = (
+            frozenset(entry_names) if entry_names is not None else self.entry_names
+        )
         mine = self._names[index::num_shards]
         emitted: set[str] = set()
         for name in mine:
@@ -490,7 +502,7 @@ class Dataset:
         overlay = self._load_overlay()
         if overlay and key in overlay:
             rec = overlay[key]
-            return [] if rec is _TOMBSTONE else [rec]
+            return [] if rec is _TOMBSTONE else [_select_entries(rec, self.entry_names)]
         hashes = manifest._bloom_key_hashes(key)
         out: list[codec.Record] = []
         for name in self._names:
@@ -508,7 +520,9 @@ class Dataset:
                     continue
             sp = os.path.join(self.path, name)
             for rec in codec.iter_records(
-                sp, verify_checksums=self.verify_checksums
+                sp,
+                verify_checksums=self.verify_checksums,
+                entry_names=self.entry_names,
             ):
                 if rec.key == key:
                     out.append(rec)
@@ -568,14 +582,17 @@ class Dataset:
         sp = os.path.join(self.path, self._names[si])
         idx = codec.read_index(sp)
         rec = codec.read_record_at(
-            sp, idx.offsets[local], verify_checksums=self.verify_checksums
+            sp,
+            idx.offsets[local],
+            verify_checksums=self.verify_checksums,
+            entry_names=self.entry_names,
         )
         overlay = self._load_overlay()
         if overlay and rec.key in overlay:
             patched = overlay[rec.key]
             if patched is _TOMBSTONE:
                 raise KeyError(f"record {i} (key {rec.key!r}) is deleted by a patch")
-            return patched
+            return _select_entries(patched, self.entry_names)
         return rec
 
     def __iter__(self) -> Iterator[codec.Record]:
@@ -626,8 +643,14 @@ def open_dataset(
     timestamp=None,
     verify_checksums: bool = True,
     patches: str = "apply",
+    entry_names: "list[str] | set[str] | None" = None,
 ) -> Dataset:
     """Open a shardpack dataset for Spark-free reading.
+
+    ``entry_names`` opens a MODALITY VIEW: every record-level read
+    (records, shard_records, to_batches, follow, lookup, ``ds[i]``)
+    decompresses only the named entries' payloads — others ride
+    header-only with their true sizes.  Per-call entry_names overrides.
 
     ``version`` pins an archived snapshot (same ids as the Spark
     reader's ``version`` option / ``list_versions``); ``timestamp``
@@ -644,5 +667,9 @@ def open_dataset(
     if version is None and not be.exists(norm):
         raise codec.ShardPackIOError(f"no dataset at {path}")
     return Dataset(
-        norm, version=version, verify_checksums=verify_checksums, patches=patches
+        norm,
+        version=version,
+        verify_checksums=verify_checksums,
+        patches=patches,
+        entry_names=entry_names,
     )

@@ -490,6 +490,21 @@ def test_entry_names_selective_decode(tmp_path):
     assert all(e.data == b"" for r in got for e in r.entries if e.file_name == "image.bin")
     batches = list(ds.to_batches(2, entry_names=["caption.txt"]))
     assert sum(b.num_rows for b in batches) == 5
+    # dataset-level modality view: the default selection reaches every
+    # record-level read, including map-style access and lookups
+    view = open_dataset(root, entry_names=["caption.txt"])
+    assert all(
+        e.data == b"" and e.size == len(img)
+        for r in view.records()
+        for e in r.entries
+        if e.file_name == "image.bin"
+    )
+    r0 = view[0]
+    assert {e.file_name: e.data for e in r0.entries}["image.bin"] == b""
+    (hit,) = view.lookup("m/3")
+    by = {e.file_name: e for e in hit.entries}
+    assert by["caption.txt"].data == b"cap 3" and by["image.bin"].data == b""
+    assert by["image.bin"].size == len(img)
 
 
 def test_follow_tails_new_commits(tmp_path):
