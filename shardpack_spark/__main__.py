@@ -2,15 +2,16 @@
 hypothetical `shardpack` CLI (docs/draft.md:132-148) backed by the
 distributed engine:
 
-    python -m shardpack_spark pack   <input_dir> <dataset>  [options]
+    python -m shardpack_spark pack   <input_dir> <dataset>  [--local] [options]
     python -m shardpack_spark ls     <dataset>
     python -m shardpack_spark head   <dataset> [-n N]
     python -m shardpack_spark cat    <dataset> <key> [--out FILE]
     python -m shardpack_spark slice  <dataset> <key> <entry> <start> <len>
+    python -m shardpack_spark delete <dataset> <key> [<key> ...]
     python -m shardpack_spark verify <dataset>
     python -m shardpack_spark compact <dataset> [--sort-by-key]
     python -m shardpack_spark vacuum <dataset> [--keep-versions N] [--dry-run]
-    python -m shardpack_spark fold   <dataset> [--keep-last N]
+    python -m shardpack_spark fold   <dataset> [--keep-last N] [--parts]
 
 `pack` is `shardpack create`: it packs a directory tree into shards with
 one distributed job (grouping sample+annotation files by stem),
