@@ -181,6 +181,69 @@ def minhash_signatures_oph(
     return agged.select("sid", filled.alias("sig"))
 
 
+def _lsh_banded_rows(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(sid, band, bh) banded rows — the LSH shuffle key.  Shared by
+    candidate generation and the skew report so both see the SAME
+    buckets."""
+    return signatures.select(
+        "sid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("sid", "bb.band", "bb.bh")
+
+
+def lsh_bucket_skew_report(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: int = 1000,
+    sample_ids: int = 8,
+) -> DataFrame:
+    """Hot-bucket report for the banded LSH shuffle: one row per
+    (band, bh) bucket holding more than ``threshold`` docs, with the
+    bucket size and ``sample_ids`` member sids -> ``(band, bh,
+    bucket_size, sample_sids)``.
+
+    This is the observability side of ``minhash_lsh_candidates``'s
+    ``max_bucket_size`` guard: run it with ``threshold =
+    max_bucket_size`` to see exactly which buckets the cap WILL drop
+    (count + representative documents) before trading completeness for
+    skew protection — a mega-bucket is usually boilerplate (empty docs,
+    a template, a crawler error page) and the samples name it.
+
+    Scale shape: one partial-agg groupBy sizes every bucket (output =
+    hot keys only, tiny); the sample pass re-scans ONLY hot buckets'
+    rows via a broadcast semi-join and takes row_number <= sample_ids,
+    so no unbounded collect_list ever materializes a mega-bucket.
+    """
+    banded = _lsh_banded_rows(signatures, bands, rows_per_band)
+    hot = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > threshold)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bh").orderBy("sid")
+    return (
+        banded.join(F.broadcast(hot), ["band", "bh"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= sample_ids)
+        .groupBy("band", "bh", "bucket_size")
+        .agg(F.sort_array(F.collect_list("sid")).alias("sample_sids"))
+        .select("band", "bh", "bucket_size", "sample_sids")
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
@@ -197,21 +260,13 @@ def minhash_lsh_candidates(
     a bucket of m docs costs m^2 pairs.  Beware: a genuine duplicate
     CLUSTER of more than max_bucket_size docs shares every band bucket,
     so capping silently drops that cluster's pairs — use it only as a
-    skew guard on adversarial data, and prefer reporting the dropped
-    bucket keys.  Default None = exact candidate semantics.
+    skew guard on adversarial data, and pair it with
+    ``lsh_bucket_skew_report(signatures, bands, rows_per_band,
+    threshold=max_bucket_size)``, which names every bucket the cap will
+    drop (size + sample members) so the loss is measured, never silent.
+    Default None = exact candidate semantics.
     """
-    banded = signatures.select(
-        "sid",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("sid", "bb.band", "bb.bh")
+    banded = _lsh_banded_rows(signatures, bands, rows_per_band)
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 

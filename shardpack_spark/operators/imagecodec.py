@@ -11,26 +11,29 @@ with decoders built only on the stdlib (`zlib`, `struct`) and numpy:
   filters, Adam7 interlace, chunk CRC verification.  The encoder emits
   8/16-bit gray / GA / RGB / RGBA with a selectable filter and optional
   interlace (used by tests to exercise every decoder path).
-- JPEG (ITU-T T.81 baseline): sequential DCT, Huffman entropy decode,
+- JPEG (ITU-T T.81): baseline sequential DCT AND progressive (SOF2)
+  Huffman decode — spectral selection, successive approximation,
+  interleaved DC scans, EOB runs, AC refinement (Annex G.2) — with
   arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 MCU walks),
   restart markers, dequant + vectorized float IDCT, JFIF YCbCr→RGB.
-  Progressive (SOF2) and arithmetic coding are rejected with a clear
-  error — PIL remains the fallback for those when installed.  The
-  encoder is two-pass: it counts the scan's symbols and emits optimal
-  single-length canonical Huffman tables in DHT, so no spec Huffman
-  constants are transcribed; quant tables are the public Annex K bases
-  scaled by the libjpeg quality curve.
+  Hierarchical/lossless frame types and arithmetic coding are rejected
+  with a clear error — PIL remains the fallback for those when
+  installed.  The encoder is two-pass: it counts each scan's symbols
+  and emits optimal single-length canonical Huffman tables in DHT, so
+  no spec Huffman constants are transcribed; quant tables are the
+  public Annex K bases scaled by the libjpeg quality curve;
+  ``progressive=True`` emits a libjpeg-shaped SOF2 scan script (the
+  fixture generator for every progressive decoder path).
 
 Scale note: these run inside Arrow-batched `mapInPandas` workers, linear
 in payload bytes.  PNG rows defilter with vectorized numpy (Sub/Up are
 cumsum/add; only Average/Paeth pay a per-byte Python loop).  JPEG
 entropy decode is bit-serial Python — correct everywhere, fast enough
 for thumbnails/fingerprints; a deployment that bulk-decodes camera JPEGs
-should install PIL, which the callers in `operators.multimodal` /
-`operators.perceptual` automatically prefer is NOT the case: the pure
-path runs first so results are identical on every cluster, wheels or
-not (flip the caller's try-order if C-speed JPEG matters more than
-bit-reproducibility).
+should install PIL and pass ``decoder='auto'`` to the callers in
+`operators.multimodal` / `operators.perceptual` (C-speed JPEG over
+bit-reproducibility); the default ``decoder='pure'`` runs this module
+first so results are identical on every cluster, wheels or not.
 """
 
 from __future__ import annotations
@@ -491,11 +494,14 @@ def _receive_extend(br: _BitReader, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 pixels, (H, W) gray or (H, W, 3) RGB.
+    """JPEG bytes -> uint8 pixels, (H, W) gray or (H, W, 3) RGB.
 
     Supports SOF0/SOF1 sequential Huffman scans with any h/v sampling
-    factors and restart markers; rejects progressive (SOF2+) and
-    arithmetic-coded streams with ValueError."""
+    factors and restart markers, AND SOF2 progressive Huffman frames
+    (spectral selection + successive approximation, interleaved DC
+    scans, EOB runs, AC refinement — ITU-T T.81 Annex G.2); rejects
+    hierarchical/lossless frame types and arithmetic-coded streams with
+    ValueError."""
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -504,6 +510,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
     restart_interval = 0
+    planes: dict[int, np.ndarray] = {}  # progressive coefficient state
+    seen_scan = False
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -539,7 +547,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = body[p + 17 : p + 17 + nv]
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(bits, values)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline-decodable
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG sample precision {precision}")
@@ -550,11 +558,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w_img, "h": h_img, "comps": comps}
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            frame = {
+                "w": w_img,
+                "h": h_img,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError(
                 f"unsupported JPEG frame type SOF{marker - 0xC0} "
-                "(only baseline sequential is implemented)"
+                "(baseline sequential and progressive Huffman are implemented)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -567,14 +580,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tables >> 4, tables & 15))
-            return _decode_scan(
-                data, i, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, i, frame, scan, qt, huff_dc, huff_ac, restart_interval
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            i = _decode_progressive_scan(
+                data, i, frame, scan, huff_dc, huff_ac, restart_interval,
+                planes, ss, se, ah, al,
             )
+            seen_scan = True
         # all other markers (APPn, COM, DNL...) are skipped
+    if frame is not None and frame.get("progressive") and seen_scan:
+        return _reconstruct(frame, planes, qt)
     raise ValueError("JPEG has no scan (SOS) segment")
 
 
-def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+def _frame_geometry(frame):
+    """(hmax, vmax, mcus_x, mcus_y) for a validated frame header."""
     w_img, h_img, comps = frame["w"], frame["h"], frame["comps"]
     if w_img < 1 or h_img < 1:
         raise ValueError("JPEG has zero dimension")
@@ -584,8 +608,24 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart_interva
         raise ValueError("bad JPEG sampling factors")
     mcus_x = (w_img + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h_img + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcus_x, mcus_y
 
-    # entropy segments: destuff 0xFF00, split at RSTn, stop at any other marker
+
+def _comp_blocks(frame, comp) -> tuple[int, int]:
+    """Non-interleaved block-grid dims (bw, bh) of one component: the
+    spec's ceil(ceil(dim * sampling / max_sampling) / 8) (T.81 A.2.2) —
+    NOT the MCU-padded grid an interleaved scan walks."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = (frame["w"] * comp["h"] + hmax - 1) // hmax
+    chh = (frame["h"] * comp["v"] + vmax - 1) // vmax
+    return (cw + 7) // 8, (chh + 7) // 8
+
+
+def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded segments from ``start``: destuff 0xFF00, split at
+    RSTn, stop at any other marker.  Returns (segments, end position of
+    the first non-RST marker) so multi-scan (progressive) parsing can
+    resume the marker walk."""
     segments = []
     cur = bytearray()
     i, n = start, len(data)
@@ -606,6 +646,13 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart_interva
         else:
             break
     segments.append(bytes(cur))
+    return segments, i
+
+
+def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    w_img, h_img = frame["w"], frame["h"]
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    segments, _ = _entropy_segments(data, start)
 
     # per-component coefficient planes (in MCU-padded block grids)
     planes = {}
@@ -655,12 +702,23 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart_interva
                         planes[comp["id"]][row] = coefs
             mcu_count += 1
 
-    # dequantize + IDCT + assemble each component plane, then upsample
+    return _reconstruct(frame, planes, qt)
+
+
+def _reconstruct(frame, planes, qt):
+    """Coefficient planes (MCU-padded, zigzag order) -> pixels:
+    dequantize + IDCT + assemble each component plane, upsample to full
+    resolution, YCbCr->RGB for 3 components.  Shared by the sequential
+    and progressive paths."""
+    w_img, h_img = frame["w"], frame["h"]
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
     out_planes = []
-    for comp, _, _ in scan:
+    for comp in frame["comps"]:
         q = qt.get(comp["tq"])
         if q is None:
             raise ValueError("JPEG component references undefined quant table")
+        if comp["id"] not in planes:
+            raise ValueError("JPEG component has no scan data")
         ch, cv = comp["h"], comp["v"]
         bw, bh = mcus_x * ch, mcus_y * cv
         coefs = planes[comp["id"]] * q[None, :]  # both in zigzag order
@@ -686,6 +744,170 @@ def _decode_scan(data, start, frame, scan, qt, huff_dc, huff_ac, restart_interva
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive_scan(
+    data, start, frame, scan, huff_dc, huff_ac, restart_interval,
+    planes, ss, se, ah, al,
+):
+    """Decode ONE progressive scan's entropy data into the persistent
+    per-component coefficient planes (T.81 G.2); returns the byte
+    position after the scan so the caller resumes the marker walk.
+
+    Four scan kinds: DC first (Ah=0, coefficients arrive << Al), DC
+    refinement (one bit per block sets bit Al), AC first (band
+    [Ss, Se] with EOB-run codes), AC refinement (correction bits for
+    history-nonzero coefficients, new coefficients at +-2^Al).  DC
+    scans may interleave several components (MCU walk); AC scans are
+    single-component over the component's own block grid (A.2.2).
+    Restart markers reset DC predictors AND the EOB run."""
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    segments, end = _entropy_segments(data, start)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not ss <= se <= 63:
+            raise ValueError("bad progressive spectral band")
+    for comp, _, _ in scan:
+        if comp["id"] not in planes:
+            bw, bh = mcus_x * comp["h"], mcus_y * comp["v"]
+            planes[comp["id"]] = np.zeros((bh * bw, 64), dtype=np.int64)
+
+    # a scan is interleaved (MCU walk) iff it carries >1 component; a
+    # single-component scan walks that component's own block grid (A.2)
+    def block_walk():
+        if len(scan) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    units = []
+                    for comp, dc_id, ac_id in scan:
+                        ch, cv = comp["h"], comp["v"]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                row = (my * cv + by) * (mcus_x * ch) + (mx * ch + bx)
+                                units.append((comp, dc_id, ac_id, row))
+                    yield units  # one restart unit = one MCU
+        else:
+            comp, dc_id, ac_id = scan[0]
+            bw, bh = _comp_blocks(frame, comp)
+            for by in range(bh):
+                for bx in range(bw):
+                    row = by * (mcus_x * comp["h"]) + bx
+                    yield [(comp, dc_id, ac_id, row)]  # restart unit = 1 block
+
+    pred = {comp["id"]: 0 for comp, _, _ in scan}
+    eobrun = 0
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    unit_count = 0
+    for units in block_walk():
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            for k in pred:
+                pred[k] = 0
+            eobrun = 0
+        for comp, dc_id, ac_id, row in units:
+            coefs = planes[comp["id"]][row]
+            if ss == 0:
+                if ah == 0:  # DC first
+                    if dc_id not in huff_dc:
+                        raise ValueError("JPEG scan references undefined Huffman table")
+                    s = _decode_huff(br, huff_dc[dc_id])
+                    pred[comp["id"]] += _receive_extend(br, s)
+                    coefs[0] = pred[comp["id"]] << al
+                else:  # DC refinement: one bit per block
+                    if br.read_bit():
+                        coefs[0] |= 1 << al
+            else:
+                if ac_id not in huff_ac:
+                    raise ValueError("JPEG scan references undefined Huffman table")
+                if ah == 0:
+                    eobrun = _ac_first_block(br, huff_ac[ac_id], coefs, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, huff_ac[ac_id], coefs, ss, se, al, eobrun)
+        unit_count += 1
+    return end
+
+
+def _ac_first_block(br, tbl, coefs, ss, se, al, eobrun):
+    """AC first scan (Ah=0) for one block: band coefficients arrive as
+    (run, size) pairs shifted left Al; EOBn codes skip 2^n+bits blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, tbl)
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r < 15:  # EOBn: run of blocks ending here
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC coefficient overrun")
+            coefs[k] = _receive_extend(br, size) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, tbl, coefs, ss, se, al, eobrun):
+    """AC refinement scan (Ah=Al+1) for one block: every coefficient the
+    decoder already knows nonzero gets a correction bit as the scan
+    passes over it; ZRL/(run,1) symbols position newly-nonzero
+    coefficients among the zero-HISTORY slots only (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, tbl)
+            r, size = rs >> 4, rs & 15
+            val = 0
+            if size == 0:
+                if r < 15:  # EOBn: count INCLUDES this block — its
+                    # remaining correction bits are read below, then
+                    # the run decrements (T.81 G.1.2.3 order)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions
+            elif size == 1:
+                val = p1 if br.read_bit() else m1
+            else:
+                raise ValueError("bad JPEG AC refinement symbol")
+            while k <= se:
+                c = int(coefs[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        coefs[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coefs[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB run still corrects history-nonzero coefs
+            c = int(coefs[k])
+            if c != 0:
+                if br.read_bit() and (c & p1) == 0:
+                    coefs[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # --- JPEG encoder ----------------------------------------------------------
@@ -775,15 +997,24 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 pixels -> baseline JFIF JPEG bytes.
+    """uint8 pixels -> baseline (or progressive) JFIF JPEG bytes.
 
     (H, W) encodes grayscale (one component); (H, W, 3) encodes RGB as
     YCbCr, ``subsampling`` '444' (no chroma subsampling) or '420'
     (2x2-averaged chroma).  Two-pass: symbols are counted first and the
     DHT tables are uniform-length canonical codes over exactly the
     symbols used.  ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs (exercises the decoder's restart path)."""
+    every that many MCUs (exercises the decoder's restart path).
+
+    ``progressive=True`` emits a SOF2 frame with a libjpeg-shaped scan
+    script — successive-approximation DC (Al=1 then refine), banded AC
+    first scans and two AC refinement levels for luma — so a decoded
+    result carries the EXACT same coefficients as the baseline stream
+    (progressive transmission is lossless in coefficients once all
+    scans land).  This is the fixture generator for the progressive
+    decoder paths (DC/AC first + refine, EOB runs, per-scan DHT)."""
     a = np.asarray(arr)
     if a.dtype != np.uint8:
         a = np.clip(np.round(a), 0, 255).astype(np.uint8)
@@ -858,6 +1089,12 @@ def encode_jpeg(
         zz = fd.reshape(-1, 64)[:, _ZIGZAG]
         comp_coefs.append(
             np.round(zz / qts[qsel[ci]][None, :]).astype(np.int64)
+        )
+
+    if progressive:
+        return _encode_progressive(
+            h_img, w_img, samp, qsel, qts, comp_coefs,
+            mcus_x, mcus_y, restart_interval,
         )
 
     # MCU walk -> symbol stream (pass 1: counts; pass 2: bits)
@@ -939,6 +1176,300 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _prog_scan_script(ncomp: int) -> list[dict]:
+    """libjpeg-shaped progressive scan script: successive-approximation
+    DC (Al=1 then a refine pass), banded luma AC (1-5 then 6-63) at
+    Al=2 with two refinement levels, single-band chroma AC at Al=1 with
+    one refinement — exercises every decoder scan kind including
+    multi-level AC refinement and EOB runs."""
+    if ncomp == 1:
+        return [
+            {"cis": [0], "ss": 0, "se": 0, "ah": 0, "al": 1},
+            {"cis": [0], "ss": 1, "se": 5, "ah": 0, "al": 2},
+            {"cis": [0], "ss": 6, "se": 63, "ah": 0, "al": 2},
+            {"cis": [0], "ss": 1, "se": 63, "ah": 2, "al": 1},
+            {"cis": [0], "ss": 0, "se": 0, "ah": 1, "al": 0},
+            {"cis": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        ]
+    cis = list(range(ncomp))
+    return [
+        {"cis": cis, "ss": 0, "se": 0, "ah": 0, "al": 1},
+        {"cis": [0], "ss": 1, "se": 5, "ah": 0, "al": 2},
+        {"cis": [1], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"cis": [2], "ss": 1, "se": 63, "ah": 0, "al": 1},
+        {"cis": [0], "ss": 6, "se": 63, "ah": 0, "al": 2},
+        {"cis": [0], "ss": 1, "se": 63, "ah": 2, "al": 1},
+        {"cis": cis, "ss": 0, "se": 0, "ah": 1, "al": 0},
+        {"cis": [0], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"cis": [1], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        {"cis": [2], "ss": 1, "se": 63, "ah": 1, "al": 0},
+    ]
+
+
+def _prog_scan_events(
+    scan, samp, comp_coefs, mcus_x, mcus_y, w_img, h_img, restart_interval
+) -> list[tuple]:
+    """One progressive scan -> flat event list: ('sym', ci, symbol) /
+    ('bits', value, nbits) / ('rst', n).  Deterministic, so the caller
+    runs a stats pass (symbol sets -> DHT) and an emission pass over
+    the SAME list."""
+    cis, ss, se = scan["cis"], scan["ss"], scan["se"]
+    ah, al = scan["ah"], scan["al"]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    ev: list[tuple] = []
+
+    def units():
+        if len(cis) > 1:  # interleaved (DC) scan: MCU walk
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    u = []
+                    for ci in cis:
+                        ch, cv = samp[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                u.append(
+                                    (ci, (my * cv + by) * (mcus_x * ch) + (mx * ch + bx))
+                                )
+                    yield u
+        else:  # non-interleaved: the component's own block grid (A.2.2)
+            ci = cis[0]
+            ch, cv = samp[ci]
+            bw = ((w_img * ch + hmax - 1) // hmax + 7) // 8
+            bh = ((h_img * cv + vmax - 1) // vmax + 7) // 8
+            for by in range(bh):
+                for bx in range(bw):
+                    yield [(ci, by * (mcus_x * ch) + bx)]
+
+    if ss == 0 and ah == 0:  # DC first: diffs of (DC >> Al)
+        pred = dict.fromkeys(cis, 0)
+        for count, u in enumerate(units()):
+            if restart_interval and count and count % restart_interval == 0:
+                ev.append(("rst", (count // restart_interval - 1) % 8))
+                pred = dict.fromkeys(cis, 0)
+            for ci, idx in u:
+                v = int(comp_coefs[ci][idx][0]) >> al  # arithmetic point transform
+                diff = v - pred[ci]
+                pred[ci] = v
+                s = _magnitude(diff)
+                ev.append(("sym", ci, s))
+                if s:
+                    ev.append(("bits", diff if diff >= 0 else diff + (1 << s) - 1, s))
+        return ev
+    if ss == 0:  # DC refinement: bit Al of each DC, one per block
+        for count, u in enumerate(units()):
+            if restart_interval and count and count % restart_interval == 0:
+                ev.append(("rst", (count // restart_interval - 1) % 8))
+            for ci, idx in u:
+                ev.append(("bits", (int(comp_coefs[ci][idx][0]) >> al) & 1, 1))
+        return ev
+    ci = cis[0]
+    blocks = [idx for u in units() for _, idx in u]
+    if ah == 0:
+        _prog_ac_first(ev, ci, blocks, comp_coefs[ci], ss, se, al, restart_interval)
+    else:
+        _prog_ac_refine(ev, ci, blocks, comp_coefs[ci], ss, se, al, restart_interval)
+    return ev
+
+
+def _prog_ac_first(ev, ci, blocks, coefs, ss, se, al, restart_interval):
+    """AC first scan (Ah=0): band run-length coding of |coef| >> Al with
+    cross-block EOB runs (EOBn symbols)."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ev.append(("sym", ci, n << 4))
+            if n:
+                ev.append(("bits", eobrun - (1 << n), n))
+            eobrun = 0
+
+    for count, idx in enumerate(blocks):
+        if restart_interval and count and count % restart_interval == 0:
+            flush()
+            ev.append(("rst", (count // restart_interval - 1) % 8))
+        row = coefs[idx]
+        vals = []
+        for k in range(ss, se + 1):
+            c = int(row[k])
+            a = (c if c >= 0 else -c) >> al
+            vals.append(a if c >= 0 else -a)
+        last = -1
+        for j, v in enumerate(vals):
+            if v:
+                last = j
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for j in range(last + 1):
+            v = vals[j]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ev.append(("sym", ci, 0xF0))
+                run -= 16
+            s = _magnitude(v)
+            ev.append(("sym", ci, (run << 4) | s))
+            ev.append(("bits", v if v >= 0 else v + (1 << s) - 1, s))
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _prog_ac_refine(ev, ci, blocks, coefs, ss, se, al, restart_interval):
+    """AC refinement scan (Ah=Al+1): correction bits for history-nonzero
+    coefficients ride after the symbol they follow (libjpeg's buffered-
+    bits discipline), newly-nonzero coefficients code as (run, 1) +
+    sign; EOB runs carry the pending correction bits of every block
+    they cover."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed to the pending EOB run
+
+    def flush():
+        nonlocal eobrun, pending
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ev.append(("sym", ci, n << 4))
+            if n:
+                ev.append(("bits", eobrun - (1 << n), n))
+            eobrun = 0
+        for b in pending:
+            ev.append(("bits", b, 1))
+        pending = []
+
+    for count, idx in enumerate(blocks):
+        if restart_interval and count and count % restart_interval == 0:
+            flush()
+            ev.append(("rst", (count // restart_interval - 1) % 8))
+        row = coefs[idx]
+        absv, signs = [], []
+        eobpos = -1  # band-relative index of the last NEWLY-nonzero coef
+        for k in range(ss, se + 1):
+            c = int(row[k])
+            a = (c if c >= 0 else -c) >> al
+            absv.append(a)
+            signs.append(1 if c >= 0 else 0)
+            if a == 1:
+                eobpos = k - ss
+        run = 0
+        cur: list[int] = []  # correction bits since the last emitted symbol
+        for j, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            # fold trailing zeros into the EOB run unless a newly-nonzero
+            # coefficient still follows (j <= eobpos)
+            while run > 15 and j <= eobpos:
+                flush()
+                ev.append(("sym", ci, 0xF0))
+                run -= 16
+                for b in cur:
+                    ev.append(("bits", b, 1))
+                cur = []
+            if t > 1:  # history-nonzero: correction bit only
+                cur.append(t & 1)
+                continue
+            flush()
+            ev.append(("sym", ci, (run << 4) | 1))
+            ev.append(("bits", signs[j], 1))
+            for b in cur:
+                ev.append(("bits", b, 1))
+            cur = []
+            run = 0
+        if run > 0 or cur:
+            eobrun += 1
+            pending.extend(cur)
+            if eobrun == 0x7FFF or len(pending) > 900:
+                flush()
+    flush()
+
+
+def _encode_progressive(
+    h_img, w_img, samp, qsel, qts, comp_coefs, mcus_x, mcus_y, restart_interval
+) -> bytes:
+    """Assemble the SOF2 file: shared headers, then per scan an optional
+    DHT (rebuilt from exactly that scan's symbols), SOS, entropy body."""
+    ncomp = len(samp)
+    tsel = [0] + [1] * (ncomp - 1)  # DC table ids for interleaved DC scans
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([tq]) + bytes(
+            int(q[i]) for i in range(64)
+        )
+    sof = bytes([8]) + struct.pack(">HH", h_img, w_img) + bytes([ncomp])
+    for ci, (ch, cv) in enumerate(samp):
+        sof += bytes([ci + 1, (ch << 4) | cv, qsel[ci]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for scan in _prog_scan_script(ncomp):
+        ev = _prog_scan_events(
+            scan, samp, comp_coefs, mcus_x, mcus_y, w_img, h_img, restart_interval
+        )
+        ss, ah = scan["ss"], scan["ah"]
+        is_dc = ss == 0
+        # per-scan tables over exactly the symbols used (components that
+        # share a table id pool their symbols); DC-refinement scans carry
+        # no Huffman symbols at all, so no DHT
+        tables: dict[int, tuple] = {}
+        if not (is_dc and ah > 0):
+            merged: dict[int, set] = {}
+            for ci in scan["cis"]:
+                tid = tsel[ci] if is_dc else 0
+                merged.setdefault(tid, set()).update(
+                    e[2] for e in ev if e[0] == "sym" and e[1] == ci
+                )
+            tables = {tid: _build_uniform_huff(s) for tid, s in merged.items()}
+            tc = 0 if is_dc else 1
+            for tid, (bits_, values_, _) in sorted(tables.items()):
+                seg = bytes([(tc << 4) | tid]) + bytes(bits_) + values_
+                out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+
+        sos = bytes([len(scan["cis"])])
+        for ci in scan["cis"]:
+            tid = tsel[ci] if is_dc else 0
+            # DC scan: (dc_tbl, dc_tbl); AC scan: dc nibble unused, ac=tid
+            sos += bytes([ci + 1, ((tid << 4) | tid) if is_dc else tid])
+        sos += bytes([ss, scan["se"], (ah << 4) | scan["al"]])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        bw_ = _BitWriter()
+        body = bytearray()
+        for e in ev:
+            if e[0] == "rst":
+                bw_.flush()
+                body += bw_.out
+                bw_ = _BitWriter()
+                body += bytes([0xFF, 0xD0 + e[1]])
+                continue
+            if e[0] == "sym":
+                _, ci, sym = e
+                tid = tsel[ci] if is_dc else 0
+                code, length = tables[tid][2][sym]
+                bw_.write(code, length)
+            else:
+                _, v, nbits = e
+                bw_.write(v, nbits)
+        bw_.flush()
+        body += bw_.out
+        out += body
+
     out += b"\xff\xd9"
     return bytes(out)
 

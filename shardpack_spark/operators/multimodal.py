@@ -5,12 +5,13 @@ content_type (draft.md:185-195).  Container-level parsing is REAL pure
 Python: image dimensions (PNG IHDR / JPEG SOFn / GIF), AVI demuxing and
 frame sampling (RIFF chunk walk — MJPEG frames come out as standalone
 JPEGs).  Pixel decoding is REAL wheel-free for the spec's first-class
-image types (draft.md:185-190): `operators.imagecodec` decodes PNG and
-baseline JPEG in pure Python/numpy, so `resize_images` produces true
-PNG thumbnails with no image library installed.  PIL, when importable,
-extends coverage to other containers; payloads neither path decodes
-degrade to deterministic tagged marker bytes per record (never a job
-abort).
+image types (draft.md:185-190): `operators.imagecodec` decodes PNG,
+baseline + progressive JPEG, and GIF in pure Python/numpy, so
+`resize_images` produces true PNG thumbnails with no image library
+installed.  PIL, when importable, extends coverage to other containers
+(and `decoder='auto'` prefers its C decoders for bulk throughput);
+payloads neither path decodes degrade to deterministic tagged marker
+bytes per record (never a job abort).
 """
 
 from __future__ import annotations
@@ -38,9 +39,9 @@ from pyspark.sql.types import (
 # package (caught by the /verify vanilla-session simulation)
 from shardpack_spark.operators import imagecodec
 
-# Pixel decoding is real (pure Python) for PNG + baseline JPEG via
-# operators.imagecodec; formats beyond those still need PIL/libav and
-# degrade to tagged marker bytes without it.
+# Pixel decoding is real (pure Python) for PNG + baseline/progressive
+# JPEG + GIF via operators.imagecodec; formats beyond those still need
+# PIL/libav and degrade to tagged marker bytes without it.
 _DECODE_STUBBED = False
 
 
@@ -99,6 +100,39 @@ def _self_pickle_by_value() -> None:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:
             pass
+
+
+def _check_decoder(decoder: str) -> None:
+    if decoder not in ("pure", "auto"):
+        raise ValueError(f"decoder must be 'pure' or 'auto', got {decoder!r}")
+
+
+def _decode_pixels(data: bytes, decoder: str, pil_image):
+    """Pixel array for one payload, or None when undecodable.
+    ``decoder='pure'`` runs the wheel-free codec first (bit-identical
+    results everywhere); ``'auto'`` prefers PIL's C decoders when
+    importable (bulk-throughput deployments — identical to 'pure' on a
+    PIL-less cluster)."""
+    import io
+
+    import numpy as np
+
+    def pure():
+        return imagecodec.decode_image(data)
+
+    def pil():
+        if pil_image is None:
+            raise ValueError("PIL not importable")
+        return np.asarray(pil_image.open(io.BytesIO(data)).convert("RGB"))
+
+    order = (pil, pure) if decoder == "auto" else (pure, pil)
+    for fn in order:
+        try:
+            return fn()
+        except Exception:
+            continue
+    return None
+
 
 # magic-number sniffing is real logic, not stubbed
 _MAGIC = [
@@ -206,11 +240,13 @@ PIXEL_FEATURE_SCHEMA = StructType(
 )
 
 
-def image_pixel_features(df: DataFrame) -> DataFrame:
-    """REAL pixel statistics over image/* entries (PNG / baseline JPEG /
-    GIF via the pure-Python ``operators.imagecodec``; PIL extends
-    coverage when importable; undecodable payloads yield no row rather
-    than aborting the corpus job).
+def image_pixel_features(df: DataFrame, decoder: str = "pure") -> DataFrame:
+    """REAL pixel statistics over image/* entries (PNG / baseline +
+    progressive JPEG / GIF via the pure-Python ``operators.imagecodec``;
+    PIL extends coverage when importable — ``decoder='auto'`` prefers
+    PIL's C decoders for bulk throughput, ``'pure'`` (default) keeps
+    results bit-identical on every cluster; undecodable payloads yield
+    no row rather than aborting the corpus job).
 
     Per image: true (height, width, channels) from decoded pixels,
     mean/std of BT.601 luma, the 256-bin luma histogram's Shannon
@@ -219,14 +255,13 @@ def image_pixel_features(df: DataFrame) -> DataFrame:
     the over/under-exposure + letterboxing signal).  The standard
     image-quality cuts a multimodal curation pipeline filters on, as
     codegen-free numpy per batch."""
+    _check_decoder(decoder)
     _self_pickle_by_value()
     imgs = explode_entries(df).filter(
         F.col("content_type").startswith("image/")
     ).select("key", "file_name", "data")
 
     def stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
         import numpy as np
         import pandas as pd
 
@@ -239,15 +274,7 @@ def image_pixel_features(df: DataFrame) -> DataFrame:
             rows = []
             for key, fname, data in zip(pdf["key"], pdf["file_name"], pdf["data"]):
                 data = bytes(data)
-                arr = None
-                try:
-                    arr = imagecodec.decode_image(data)
-                except Exception:
-                    if Image is not None:
-                        try:  # pragma: no cover - PIL absent here
-                            arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-                        except Exception:
-                            arr = None
+                arr = _decode_pixels(data, decoder, Image)
                 if arr is None:
                     continue
                 channels = 1 if arr.ndim == 2 else arr.shape[2]
@@ -283,43 +310,51 @@ def image_pixel_features(df: DataFrame) -> DataFrame:
     return imgs.mapInPandas(stats_batch, PIXEL_FEATURE_SCHEMA)
 
 
-def _resize_pixels(data: bytes, width: int, height: int) -> bytes:
-    """Pixel-level resize.  REAL wheel-free for PNG and baseline JPEG:
-    `operators.imagecodec` decodes pixels in pure Python/numpy, bilinear
-    resampling runs in float64, and the thumbnail re-encodes as PNG
-    (lossless, self-describing — output payloads always start with the
-    PNG signature).  The pure path runs FIRST so outputs are
-    bit-identical on every cluster; PIL, when importable, covers the
-    remaining formats (GIF, progressive JPEG, ...).  Payloads neither
-    path decodes return a deterministic tagged marker (target dims + a
-    digest of the source bytes) — per-record degradation, never a job
-    abort, and clearly non-image so it can't be mistaken for a real
-    thumbnail."""
+def _resize_pixels(data: bytes, width: int, height: int, decoder: str = "pure") -> bytes:
+    """Pixel-level resize.  REAL wheel-free for PNG, baseline +
+    progressive JPEG, and GIF: `operators.imagecodec` decodes pixels in
+    pure Python/numpy, bilinear resampling runs in float64, and the
+    thumbnail re-encodes as PNG (lossless, self-describing — output
+    payloads always start with the PNG signature).  With
+    ``decoder='pure'`` (default) the pure path runs FIRST so outputs
+    are bit-identical on every cluster; ``'auto'`` prefers PIL's C
+    decoders when importable.  Payloads neither path decodes return a
+    deterministic tagged marker (target dims + a digest of the source
+    bytes) — per-record degradation, never a job abort, and clearly
+    non-image so it can't be mistaken for a real thumbnail."""
     import hashlib
 
-    try:
+    def pure() -> bytes:
         arr = imagecodec.decode_image(data)
         if str(arr.dtype) == "uint16":
             arr = arr / 257.0  # 16-bit channels -> 8-bit thumbnail range
         return imagecodec.encode_png(imagecodec.resize_array(arr, width, height))
-    except Exception:
-        pass
-    digest = hashlib.sha256(data).hexdigest()[:16].encode()
-    try:
-        from PIL import Image  # noqa: PLC0415
-    except ImportError:
-        return b"STUB-RESIZE:%dx%d:" % (width, height) + digest
-    try:  # pragma: no cover - PIL absent in this environment
+
+    def pil() -> bytes:  # pragma: no cover - PIL absent in this environment
         import io
+
+        from PIL import Image  # noqa: PLC0415
 
         im = Image.open(io.BytesIO(data))
         out = io.BytesIO()
         im.resize((width, height)).save(out, format=im.format or "PNG")
         return out.getvalue()
-    except Exception:
-        # one corrupt/undecodable image must not abort a corpus-wide job:
-        # per-record error marker, same tagged-bytes contract as the stub
-        return b"DECODE-ERROR:%dx%d:" % (width, height) + digest
+
+    order = (pil, pure) if decoder == "auto" else (pure, pil)
+    errors = []
+    for fn in order:
+        try:
+            return fn()
+        except ImportError:
+            errors.append("no-wheel")
+        except Exception:
+            errors.append("decode")
+    digest = hashlib.sha256(data).hexdigest()[:16].encode()
+    if "no-wheel" in errors:  # a wheel MIGHT have decoded it
+        return b"STUB-RESIZE:%dx%d:" % (width, height) + digest
+    # one corrupt/undecodable image must not abort a corpus-wide job:
+    # per-record error marker, same tagged-bytes contract as the stub
+    return b"DECODE-ERROR:%dx%d:" % (width, height) + digest
 
 
 RESIZED_SCHEMA = (
@@ -328,15 +363,19 @@ RESIZED_SCHEMA = (
 )
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    df: DataFrame, width: int, height: int, decoder: str = "pure"
+) -> DataFrame:
     """Thumbnail/resize pass over image/* entries (shardpack row input).
 
     The Spark-side plumbing is real and scale-shaped: explode to one row
     per image entry, Arrow-batched mapInPandas, binary in / binary out,
-    source dims from the pure-Python header parsers — the exact pipeline
-    a PIL-backed deployment runs by swapping `_resize_pixels`'s import
-    path in.  Output rows: (key, file_name, content_type, src_width,
+    source dims from the pure-Python header parsers.  ``decoder='auto'``
+    prefers PIL's C decoders when importable (bulk throughput);
+    ``'pure'`` (default) keeps thumbnails bit-identical on every
+    cluster.  Output rows: (key, file_name, content_type, src_width,
     src_height, width, height, data)."""
+    _check_decoder(decoder)
     _self_pickle_by_value()
     imgs = explode_entries(df).filter(
         F.col("content_type").startswith("image/")
@@ -346,7 +385,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             datas = [bytes(b) for b in pdf["data"]]
             dims = [parse_image_dims(b) for b in datas]
-            out = [_resize_pixels(b, width, height) for b in datas]
+            out = [_resize_pixels(b, width, height, decoder) for b in datas]
             yield pd.DataFrame(
                 {
                     "key": pdf["key"],

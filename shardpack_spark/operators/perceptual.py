@@ -22,14 +22,17 @@ Real-vs-stub boundary (same contract as ``operators.multimodal``):
   with numpy, block-mean downscale and gradient bits are exact.
 - ``audio_fingerprint`` is REAL end to end for PCM WAV: int16/int8
   samples decode with numpy, the filter bank runs on numpy rFFT.
-- ``dhash_images`` is REAL for PNG and baseline JPEG payloads with no
-  wheel installed: ``operators.imagecodec`` decodes pixels in pure
-  Python/numpy (full PNG; baseline sequential JPEG), so the hash is a
-  true dHash on the formats the spec names first-class
-  (draft.md:185-190).  PIL, when importable, extends coverage to other
-  containers (GIF, progressive JPEG, webp...); only payloads neither
-  path can decode fall back to the deterministic byte-digest surrogate
-  (exact-duplicate semantics), so a corrupt image never aborts a job.
+- ``dhash_images`` is REAL for PNG, baseline AND progressive JPEG, and
+  GIF payloads with no wheel installed: ``operators.imagecodec``
+  decodes pixels in pure Python/numpy, so the hash is a true dHash on
+  the formats the spec names first-class (draft.md:185-190).  PIL,
+  when importable, extends coverage to other containers (webp,
+  tiff...); only payloads neither path can decode fall back to the
+  deterministic byte-digest surrogate (exact-duplicate semantics), so
+  a corrupt image never aborts a job.  Every image/video signature
+  row carries a ``decode_path`` telemetry column saying which path it
+  took, and a ``decoder='auto'`` knob flips the try-order to prefer
+  PIL's C decoders for bulk-throughput deployments.
 """
 
 from __future__ import annotations
@@ -81,6 +84,51 @@ SIGNATURE_SCHEMA = StructType(
         StructField("sim_lo", LongType()),
     ]
 )
+
+# image/video signatures also carry HOW each payload decoded —
+# 'pure' (wheel-free codec, real pixels), 'pil' (wheel-extended, real
+# pixels), 'surrogate' (byte-digest: exact-dup semantics only), or
+# 'mixed' (video whose sampled frames took different paths).  Without
+# this a pipeline cannot measure what fraction of its near-dup signal
+# is perceptual vs byte-exact.
+TELEMETRY_SIGNATURE_SCHEMA = StructType(
+    list(SIGNATURE_SCHEMA.fields) + [StructField("decode_path", StringType())]
+)
+
+
+def _gray_with_path(data: bytes, decoder: str, pil_image):
+    """(luma grid, decode_path) for one image payload.  ``decoder``:
+    'pure' runs the wheel-free codec FIRST (bit-identical results on
+    every cluster); 'auto' prefers PIL's C decoders when importable
+    (bulk-throughput deployments).  Either way undecodable payloads
+    degrade to the deterministic byte-digest surrogate."""
+    import io
+
+    import numpy as np
+
+    def pure():
+        return imagecodec.to_gray(imagecodec.decode_image(data))
+
+    def pil():
+        if pil_image is None:
+            raise ValueError("PIL not importable")
+        im = pil_image.open(io.BytesIO(data)).convert("L")
+        return np.asarray(im, dtype="float64")
+
+    order = (("pil", pil), ("pure", pure)) if decoder == "auto" else (
+        ("pure", pure), ("pil", pil)
+    )
+    for path, fn in order:
+        try:
+            return fn(), path
+        except Exception:
+            continue
+    return _surrogate_gray(data), "surrogate"
+
+
+def _check_decoder(decoder: str) -> None:
+    if decoder not in ("pure", "auto"):
+        raise ValueError(f"decoder must be 'pure' or 'auto', got {decoder!r}")
 
 
 def _pack_bits(bits) -> tuple[int, int]:
@@ -186,27 +234,29 @@ def _surrogate_gray(data: bytes):
     return np.frombuffer(h0 + h1, dtype="uint8").astype("float64").reshape(8, 8)
 
 
-def dhash_images(df: DataFrame) -> DataFrame:
+def dhash_images(df: DataFrame, decoder: str = "pure") -> DataFrame:
     """Perceptual dHash over ``image/*`` entries -> ``(sid, sim_hi,
-    sim_lo)``; ``sid`` is ``key/file_name``.
+    sim_lo, decode_path)``; ``sid`` is ``key/file_name``.
 
-    REAL wheel-free for PNG and baseline JPEG: pixels decode through
-    ``operators.imagecodec`` (pure Python/numpy), then the same
-    block-mean dHash as ``dhash_tensors``.  The pure path runs FIRST so
-    hashes are bit-identical on every cluster regardless of installed
-    wheels; PIL (when importable) covers remaining formats, and only
-    payloads neither can decode fall back to the byte-digest surrogate
-    (exact-dup semantics) rather than aborting the job.
+    REAL wheel-free for PNG, baseline AND progressive JPEG, and GIF:
+    pixels decode through ``operators.imagecodec`` (pure Python/numpy),
+    then the same block-mean dHash as ``dhash_tensors``.  With
+    ``decoder='pure'`` (default) the pure path runs FIRST so hashes are
+    bit-identical on every cluster regardless of installed wheels;
+    ``decoder='auto'`` prefers PIL's C decoders when importable (bulk
+    throughput over reproducibility — on a PIL-less cluster auto ==
+    pure).  Only payloads neither path can decode fall back to the
+    byte-digest surrogate (exact-dup semantics) rather than aborting
+    the job; ``decode_path`` ('pure'/'pil'/'surrogate') reports which
+    per row so a pipeline can measure its real-perceptual fraction.
     """
+    _check_decoder(decoder)
     _self_pickle_by_value()
     imgs = explode_entries(df).filter(
         F.col("content_type").startswith("image/")
     ).select("key", "file_name", "data")
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        import numpy as np
         import pandas as pd
 
         try:
@@ -214,22 +264,10 @@ def dhash_images(df: DataFrame) -> DataFrame:
         except ImportError:
             Image = None
 
-        def gray(data: bytes):
-            try:
-                return imagecodec.to_gray(imagecodec.decode_image(data))
-            except Exception:
-                pass
-            if Image is not None:
-                try:  # pragma: no cover - PIL absent in this environment
-                    im = Image.open(io.BytesIO(data)).convert("L")
-                    return np.asarray(im, dtype="float64")
-                except Exception:
-                    return _surrogate_gray(data)
-            return _surrogate_gray(data)
-
         for pdf in batches:
             datas = [bytes(b) for b in pdf["data"]]
-            packed = [_pack_bits(_dhash_bits(gray(b))) for b in datas]
+            grays = [_gray_with_path(b, decoder, Image) for b in datas]
+            packed = [_pack_bits(_dhash_bits(g)) for g, _ in grays]
             yield pd.DataFrame(
                 {
                     "sid": [
@@ -237,10 +275,11 @@ def dhash_images(df: DataFrame) -> DataFrame:
                     ],
                     "sim_hi": [hi for hi, _ in packed],
                     "sim_lo": [lo for _, lo in packed],
+                    "decode_path": [p for _, p in grays],
                 }
             )
 
-    return imgs.mapInPandas(hash_batch, SIGNATURE_SCHEMA)
+    return imgs.mapInPandas(hash_batch, TELEMETRY_SIGNATURE_SCHEMA)
 
 
 def _wav_fingerprint_bits(data: bytes, n_frames_cap: int = 256) -> list[bool] | None:
@@ -347,6 +386,12 @@ def _frame_gray(frame: bytes, width: int | None, height: int | None):
     - otherwise the deterministic byte-digest surrogate (exact-dup
       semantics, same contract as dhash_images).
     """
+    return _frame_gray_path(frame, width, height)[0]
+
+
+def _frame_gray_path(frame: bytes, width: int | None, height: int | None):
+    """(gray grid, decode_path) — see ``_frame_gray``; raw-DIB reshapes
+    count as 'pure' (real pixels, no library)."""
     import numpy as np
 
     if width and height and width >= 2 and height >= 2:
@@ -360,9 +405,9 @@ def _frame_gray(frame: bytes, width: int | None, height: int | None):
                     ch = 4 if bpp == 32 else 3
                     px = rows[:, : width * ch].reshape(height, width, ch)
                     g = px[:, :, :3].astype("float64").mean(axis=2)
-                return g[::-1]  # bottom-up storage -> top-down grid
+                return g[::-1], "pure"  # bottom-up storage -> top-down grid
     try:
-        return imagecodec.to_gray(imagecodec.decode_image(frame))
+        return imagecodec.to_gray(imagecodec.decode_image(frame)), "pure"
     except Exception:
         pass
     try:
@@ -372,9 +417,9 @@ def _frame_gray(frame: bytes, width: int | None, height: int | None):
 
         return np.asarray(
             Image.open(io.BytesIO(frame)).convert("L"), dtype="float64"
-        )
+        ), "pil"
     except Exception:
-        return _surrogate_gray(frame)
+        return _surrogate_gray(frame), "surrogate"
 
 
 def video_fingerprint(
@@ -385,12 +430,15 @@ def video_fingerprint(
 
     Every ``every_n``-th stream-0 frame (capped at ``max_frames`` — the
     sampled head is plenty of signal and bounds per-record cost) is
-    grayscaled (REAL for uncompressed DIB frames via raw numpy reshape,
-    PIL-gated for MJPEG, surrogate otherwise — see ``_frame_gray``) and
-    dHashed; the video's signature is the per-bit MAJORITY across
-    sampled frames, so a re-encode or a few corrupted frames move few
-    bits while different footage lands far.  Non-AVI containers yield
-    no row (mp4/mkv need a real demuxer — same boundary as
+    grayscaled (REAL for uncompressed DIB frames via raw numpy reshape
+    and for MJPEG/PNG frames via the pure codecs, surrogate otherwise —
+    see ``_frame_gray``) and dHashed; the video's signature is the
+    per-bit MAJORITY across sampled frames, so a re-encode or a few
+    corrupted frames move few bits while different footage lands far.
+    ``decode_path`` reports 'pure'/'pil'/'surrogate' when every sampled
+    frame took that path, else 'mixed' — the telemetry a pipeline needs
+    to know how much of the signal is real pixels.  Non-AVI containers
+    yield no row (mp4/mkv need a real demuxer — same boundary as
     ``sample_video_frames``).  Pair finding is ``hamming_near_pairs``.
     """
     from shardpack_spark.operators.multimodal import parse_avi
@@ -417,14 +465,25 @@ def video_fingerprint(
                 if not sampled:
                     continue
                 votes = np.zeros(64)
+                paths = set()
                 for fb in sampled:
-                    g = _frame_gray(fb, avi["width"], avi["height"])
+                    g, path = _frame_gray_path(fb, avi["width"], avi["height"])
+                    paths.add(path)
                     votes += np.array(_dhash_bits(g), dtype="float64")
                 hi, lo = _pack_bits([v * 2 > len(sampled) for v in votes])
-                rows.append({"sid": f"{key}/{fname}", "sim_hi": hi, "sim_lo": lo})
-            yield pd.DataFrame(rows, columns=["sid", "sim_hi", "sim_lo"])
+                rows.append(
+                    {
+                        "sid": f"{key}/{fname}",
+                        "sim_hi": hi,
+                        "sim_lo": lo,
+                        "decode_path": paths.pop() if len(paths) == 1 else "mixed",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["sid", "sim_hi", "sim_lo", "decode_path"]
+            )
 
-    return vids.mapInPandas(hash_batch, SIGNATURE_SCHEMA)
+    return vids.mapInPandas(hash_batch, TELEMETRY_SIGNATURE_SCHEMA)
 
 
 def hamming_near_pairs(

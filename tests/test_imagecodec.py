@@ -212,17 +212,136 @@ def test_jpeg_hand_built_single_block():
     assert np.all(out == 136)
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_lossless_arithmetic_and_garbage():
     img = _smooth_rgb(16, 16)
+    for sof_marker, name in ((0xC3, "SOF3"), (0xC9, "SOF9"), (0xCB, "SOF11")):
+        enc = bytearray(ic.encode_jpeg(img))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 1] = sof_marker  # masquerade as lossless / arithmetic
+        with pytest.raises(ValueError, match=name):
+            ic.decode_jpeg(bytes(enc))
+    # a baseline stream relabeled SOF2 is structurally invalid progressive
+    # (its single scan claims the full 0..63 band in a "DC" scan)
     enc = bytearray(ic.encode_jpeg(img))
-    sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # masquerade as progressive
-    with pytest.raises(ValueError, match="SOF2"):
+    enc[enc.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
         ic.decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
         ic.decode_jpeg(b"\xff\xd8\xff\xc0 not a jpeg")
     with pytest.raises(ValueError):
         ic.decode_jpeg(b"not even soi")
+
+
+# --- progressive JPEG (SOF2) --------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,kw",
+    [
+        ((48, 64), {}),
+        ((17, 19), {"quality": 70}),
+        ((33, 41, 3), {"subsampling": "420"}),
+        ((32, 32, 3), {"quality": 95}),
+        ((24, 24), {"restart_interval": 2}),
+        ((40, 56, 3), {"subsampling": "420", "restart_interval": 3}),
+    ],
+)
+def test_jpeg_progressive_roundtrip_equals_baseline(shape, kw):
+    """Progressive transmission is lossless in coefficients: once every
+    scan lands, decode must be BIT-IDENTICAL to the baseline encode of
+    the same image at the same quality."""
+    img = _smooth_rgb(*shape[:2]) if len(shape) == 3 else np.tile(
+        np.linspace(0, 255, shape[1]), (shape[0], 1)
+    ).astype(np.uint8)
+    enc = ic.encode_jpeg(img, progressive=True, **kw)
+    # really a SOF2 multi-scan file, not a relabeled baseline
+    assert b"\xff\xc2" in enc and enc.count(b"\xff\xda") >= 6
+    assert np.array_equal(ic.decode_jpeg(enc), ic.decode_jpeg(ic.encode_jpeg(img, **kw)))
+
+
+def test_jpeg_progressive_noise_flat_and_checkerboard():
+    """Adversarial coefficient populations: dense AC (noise), all-zero AC
+    (flat -> maximal EOB runs), max-frequency AC (checkerboard)."""
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.integers(0, 256, (48, 64, 3), dtype=np.uint8), {"quality": 95}),
+        (rng.integers(0, 256, (31, 33), dtype=np.uint8), {"quality": 25}),
+        (np.full((64, 64), 128, dtype=np.uint8), {}),
+        (np.full((72, 40, 3), 200, dtype=np.uint8), {"subsampling": "420"}),
+        ((np.indices((40, 40)).sum(0) % 2 * 255).astype(np.uint8), {"quality": 95}),
+    ]
+    for img, kw in cases:
+        prog = ic.decode_jpeg(ic.encode_jpeg(img, progressive=True, **kw))
+        base = ic.decode_jpeg(ic.encode_jpeg(img, **kw))
+        assert np.array_equal(prog, base), (img.shape, kw)
+
+
+def test_jpeg_progressive_psnr_bound():
+    img = _smooth_rgb(37, 53)
+    dec = ic.decode_jpeg(ic.encode_jpeg(img, quality=90, progressive=True))
+    mse = ((dec.astype(float) - img.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 30, f"psnr {psnr:.1f} dB too low for a smooth image at q90"
+
+
+def test_jpeg_progressive_hand_built_fixture():
+    """Wire-format pin INDEPENDENT of our encoder: a 8x16 gray SOF2 file
+    written bit-by-bit from T.81 Annex G — DC first (Al=1), DC refine,
+    AC first with an EOB1 run, AC refine with a correction bit riding
+    the EOB run.  Final coefficients: block0 DC=4, AC[zz1]=3; block1
+    DC=-2 — asserted equal to a hand-built BASELINE file carrying the
+    same coefficients, so both entropy layers pin each other."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([4] * 64)
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    )
+
+    def dht(cls_id: int, bits_: list, values: bytes) -> bytes:
+        seg = bytes([cls_id]) + bytes(bits_) + values
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+
+    def sos(ss, se, ahal) -> bytes:
+        return b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, ss, se, ahal])
+
+    jpeg = (
+        b"\xff\xd8" + dqt + sof2
+        # scan 1 — DC first, Al=1: sends DC>>1 = [2, -1] as diffs 2, -3
+        # (both category 2, 1-bit code '0'): 0 10 0 00 + pad -> 0x43
+        + dht(0x00, [1] + [0] * 15, bytes([2])) + sos(0, 0, 0x01) + bytes([0x43])
+        # scan 2 — DC refine to Al=0: bits (4&1, -2&1) = 0,0 -> 0x3F
+        + sos(0, 0, 0x10) + bytes([0x3F])
+        # scan 3 — AC first 1..63, Al=1: blk0 (0,1)+'1' then EOB1+ext'0'
+        # codes: 0x01='00', 0x10='01': 00 1 01 0 + pad -> 0x2B
+        + dht(0x10, [0, 2] + [0] * 14, bytes([0x01, 0x10])) + sos(1, 63, 0x01) + bytes([0x2B])
+        # scan 4 — AC refine 1..63, Ah=1: EOB1 ('0') + ext '0', then the
+        # buffered correction bit '1' for blk0's AC (2 -> 3) -> 0x3F
+        + dht(0x10, [1] + [0] * 15, bytes([0x10])) + sos(1, 63, 0x10) + bytes([0x3F])
+        + b"\xff\xd9"
+    )
+    out = ic.decode_jpeg(jpeg)
+    assert out.shape == (8, 16)
+
+    # equivalent baseline file: DC diffs 4, -6 (category 3, code '0');
+    # AC blk0 (0,2)=3 then EOB, blk1 EOB; codes 0x00='00', 0x02='01'
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    )
+    base = (
+        b"\xff\xd8" + dqt + sof0
+        + dht(0x00, [1] + [0] * 15, bytes([3]))
+        + dht(0x10, [0, 2] + [0] * 14, bytes([0x00, 0x02]))
+        + sos(0, 63, 0)
+        # 0 100 | 01 11 | 00 || 0 001 | 00 + pad -> 0x47 0x04
+        + bytes([0x47, 0x04]) + b"\xff\xd9"
+    )
+    ref = ic.decode_jpeg(base)
+    assert np.array_equal(out, ref)
+    # and the coefficients really landed: DC-only block1 is flat, block0
+    # carries a horizontal AC ripple (zigzag 1 = natural (0,1))
+    assert len(set(out[:, 8:].ravel().tolist())) == 1
+    assert len(set(out[0, :8].tolist())) > 1
 
 
 def test_jpeg_truncated_scan_raises():

@@ -182,6 +182,58 @@ def test_oph_pairs_match_classic_on_sf(spark, sf_dir):
         sh.unpersist()
 
 
+def test_lsh_bucket_skew_report_names_what_the_cap_drops(spark):
+    """Adversarial duplicate cluster vs the max_bucket_size skew guard:
+    a 30-doc template cluster shares EVERY band bucket, so capping at 10
+    silently loses the whole cluster's pairs (candidate loss, probed
+    here) while small genuine pairs survive.  lsh_bucket_skew_report
+    must name exactly those buckets — size 30, sampled members from the
+    cluster — so the loss is measured, never silent."""
+    from shardpack_spark.operators import dedup
+
+    template = "all work and no play makes jack a dull boy " * 4
+    rows = [(i, template) for i in range(30)]                  # mega-cluster
+    rows += [(100, "the quick brown fox jumps over the lazy dog tonight"),
+             (101, "the quick brown fox jumps over the lazy dog tonite")]
+    rng_texts = [
+        ("".join(chr(97 + (i * 7 + j * 13) % 26) for j in range(60)))
+        for i in range(8)
+    ]
+    rows += [(200 + i, t) for i, t in enumerate(rng_texts)]    # unrelated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(
+        dedup.char_shingles(df, k=5, hashed=True), n_hashes=64
+    ).persist()
+    try:
+        uncapped = {
+            (r.sid_a, r.sid_b)
+            for r in dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).collect()
+        }
+        capped = {
+            (r.sid_a, r.sid_b)
+            for r in dedup.minhash_lsh_candidates(
+                sigs, bands=16, rows_per_band=4, max_bucket_size=10
+            ).collect()
+        }
+        cluster_pairs = {(a, b) for a in range(30) for b in range(30) if a < b}
+        assert cluster_pairs <= uncapped
+        assert not (cluster_pairs & capped), "cap drops the mega-cluster"
+        assert (100, 101) in capped, "small genuine pair survives the cap"
+
+        report = dedup.lsh_bucket_skew_report(
+            sigs, bands=16, rows_per_band=4, threshold=10, sample_ids=5
+        ).collect()
+        assert len(report) == 16, "identical docs share all 16 band buckets"
+        for r in report:
+            assert r.bucket_size == 30
+            assert len(r.sample_sids) == 5
+            assert set(r.sample_sids) <= set(range(30))
+        # nothing else is hot
+        assert dedup.lsh_bucket_skew_report(sigs, threshold=30).count() == 0
+    finally:
+        sigs.unpersist()
+
+
 def test_repetition_signals_zero_shuffle_plan(spark, sf_dir):
     """Every repetition/Gopher signal is document-local, so the plan
     must contain NO exchange: grams build and count inside the row via

@@ -321,6 +321,71 @@ def test_dhash_images_undecodable_falls_back_to_surrogate(spark):
     }
 
 
+def test_dhash_images_decode_path_telemetry_and_decoder_knob(spark):
+    """Every signature row reports HOW it decoded: real pixels (pure /
+    pil) vs byte-digest surrogate — the fraction a pipeline must watch.
+    Progressive JPEG now decodes wheel-free, so it reports 'pure'.  With
+    no PIL installed, decoder='auto' must produce identical rows to
+    'pure' (auto == pure on a bare cluster)."""
+    from shardpack_spark.operators.imagecodec import encode_jpeg, encode_png
+
+    base = _smooth_gray(7)
+    df = _rows_df(
+        spark,
+        [
+            ("png", [_entry("i.png", "image/png", encode_png(base))]),
+            ("jpg", [_entry("i.jpg", "image/jpeg", encode_jpeg(base))]),
+            ("prog", [_entry("i.jpg", "image/jpeg",
+                             encode_jpeg(base, progressive=True))]),
+            ("junk", [_entry("i.png", "image/png", b"\x89PNG\r\n\x1a\n" + bytes(99))]),
+        ],
+    )
+    rows = {r.sid: r for r in dhash_images(df).collect()}
+    assert rows["png/i.png"].decode_path == "pure"
+    assert rows["jpg/i.jpg"].decode_path == "pure"
+    assert rows["prog/i.jpg"].decode_path == "pure", "progressive JPEG is wheel-free now"
+    assert rows["junk/i.png"].decode_path == "surrogate"
+    # progressive pixels really decoded: near the baseline hash, and the
+    # surrogate landed far from everything
+    sig = lambda r: (r.sim_hi, r.sim_lo)  # noqa: E731
+    assert _hamming64(sig(rows["prog/i.jpg"]), sig(rows["jpg/i.jpg"])) <= 4
+    assert _hamming64(sig(rows["junk/i.png"]), sig(rows["png/i.png"])) >= 10
+
+    auto = {r.sid: r for r in dhash_images(df, decoder="auto").collect()}
+    for sid in rows:
+        assert sig(auto[sid]) == sig(rows[sid])
+        assert auto[sid].decode_path == rows[sid].decode_path
+
+    with pytest.raises(ValueError, match="decoder"):
+        dhash_images(df, decoder="fast")
+
+
+def test_video_fingerprint_decode_path(spark):
+    from test_multimodal import mk_avi
+
+    from shardpack_spark.operators.perceptual import video_fingerprint
+
+    rng = np.random.default_rng(3)
+    w, h = 16, 12
+    real = [_dib_frame((rng.random((h, w)) * 255)) for _ in range(3)]
+    df = _rows_df(
+        spark,
+        [
+            ("real", [_entry("v.avi", "video/x-msvideo", mk_avi(real, w, h))]),
+            ("junk", [_entry("v.avi", "video/x-msvideo",
+                             mk_avi([b"notapixelbuf"] * 3, w, h))]),
+            ("mixed", [_entry("v.avi", "video/x-msvideo",
+                              mk_avi([real[0], b"notapixelbuf"], w, h))]),
+        ],
+    )
+    rows = {r.sid: r.decode_path for r in video_fingerprint(df, every_n=1).collect()}
+    assert rows == {
+        "real/v.avi": "pure",
+        "junk/v.avi": "surrogate",
+        "mixed/v.avi": "mixed",
+    }
+
+
 # --- audio fingerprints ----------------------------------------------------------
 
 
