@@ -4,8 +4,14 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q12_agg_tpch_q1": sec, ...}, "sf": ...,
-   "yardsticks": {...}}
+   "queries": {"q12_agg_tpch_q1": median_sec, ...},
+   "query_spread": {"q12_agg_tpch_q1": {"min": s, "max": s}, ...},
+   "sf": ..., "yardsticks": {...}}
+
+Per-query numbers are the MEDIAN of three timed passes (after one
+untimed JIT warm-up); query_spread carries each query's min/max so a
+loaded-host run is distinguishable from a regression inside the
+artifact itself (wide max + tight median = neighbor spike).
 
 Yardsticks (BASELINE.md):
   A parquet_scan_agg_s   - Q12 wall-clock (warm)
@@ -96,9 +102,12 @@ def main() -> None:
     # Steady-state measurement: run each query once untimed first so
     # whole-stage-codegen JIT compilation (5+ s for the widest
     # expressions) doesn't land in one arbitrary query's number; then
-    # report the best of two timed passes — single-pass numbers on this
-    # shared host swing 30-70% run to run from neighbor load, and min()
-    # is the standard steady-state estimator under one-sided noise.
+    # THREE timed passes per query, reporting the MEDIAN with the
+    # min/max spread alongside — single-pass numbers on this shared
+    # host swing 30-70% run to run from neighbor load, and carrying the
+    # spread in the artifact makes a loaded run distinguishable from a
+    # regression on its face (a wide max with a tight median = neighbor
+    # spike; a shifted median = real change).
     #
     # Each timed pass REBUILDS the DataFrame: re-collecting one object
     # would let the DAG scheduler skip every stage whose shuffle output
@@ -107,20 +116,17 @@ def main() -> None:
     # metastore's job), so rebuild cost is expression construction +
     # analysis, not repeated parquet listings.
     queries: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         registry[name].builder(spark, sf_dir).collect()
     for name in HEADLINE:
         q = registry[name]
-        t = min(
+        ts = sorted(
             time_query(lambda q=q: q.builder(spark, sf_dir).collect())
-            for _ in range(2)
+            for _ in range(3)
         )
-        if t > 1.0:
-            # heavy queries get a third pass: they dominate the headline
-            # total, so one neighbor-load spike on both passes would skew
-            # the whole number
-            t = min(t, time_query(lambda q=q: q.builder(spark, sf_dir).collect()))
-        queries[name] = round(t, 3)
+        queries[name] = round(ts[1], 3)  # median of 3
+        spread[name] = {"min": round(ts[0], 3), "max": round(ts[2], 3)}
 
     # --- yardsticks ---------------------------------------------------------
     yard: dict[str, float] = {}
@@ -353,6 +359,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "query_spread": spread,
                 "sf": sf,
                 "yardsticks": yard,
             }

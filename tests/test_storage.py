@@ -1037,3 +1037,74 @@ def test_registered_backend_raced_commits_no_lost_snapshot(tmp_path, monkeypatch
         storage._factories.pop("raced", None)
         for k in [k for k in storage._remote_cache if k.startswith("raced://")]:
             storage._remote_cache.pop(k, None)
+
+
+# --- live object store (env-gated; skipped in CI) ------------------------------
+
+_LIVE_URI = os.environ.get("SHARDPACK_S3_TEST_URI")
+
+
+@pytest.mark.skipif(
+    not _LIVE_URI,
+    reason="live-store certification: set SHARDPACK_S3_TEST_URI=s3://bucket/prefix "
+    "(plus AWS credentials / AWS_ENDPOINT_URL for MinIO/localstack) to run",
+)
+def test_s3_conditional_put_live_store():
+    """Certify `If-None-Match: *` against a REAL object store in minutes
+    (docs/API.md 'Live S3 certification').  The in-repo suite proves the
+    protocol against a fake boto3 client; this is the deployment gate a
+    real cluster runs once per store: first-put wins, second put of the
+    same key loses (412/409 -> False), concurrent fresh-key claims have
+    exactly one winner, and the Spark-free write/read story round-trips
+    through the registered backend."""
+    pytest.importorskip("boto3")
+    base = _LIVE_URI.rstrip("/") + f"/shardpack-live-{uuid.uuid4().hex[:12]}"
+    storage.enable_s3_conditional_put()
+    try:
+        be = storage.for_path(base)
+        assert isinstance(be, storage.S3ConditionalBackend)
+
+        key = base + "/cas/root.1.json"
+        assert be.put_if_absent(key, b"winner") is True
+        assert be.put_if_absent(key, b"loser") is False  # 412 PreconditionFailed
+        with be.open_read(key) as f:
+            assert f.read() == b"winner"
+
+        # concurrent conditional puts of ONE fresh key: exactly one creator
+        key2 = base + "/cas/root.2.json"
+        results: list[bool] = []
+
+        def claim(i: int) -> None:
+            results.append(be.put_if_absent(key2, b"w%d" % i))
+
+        threads = [threading.Thread(target=claim, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sum(results) == 1, results
+
+        # full commit-protocol round trip (facade writer -> facade reader)
+        from shardpack_spark.format import reader as freader
+        from shardpack_spark.format import writer as fwriter
+
+        dsroot = base + "/ds"
+        fwriter.write_records(
+            dsroot,
+            [
+                codec.Record(
+                    key=f"k/{i}",
+                    entries=[codec.FileEntry("t.txt", "text/plain", b"x" * 64)],
+                    metadata={"i": str(i)},
+                )
+                for i in range(8)
+            ],
+        )
+        got = sorted(r.key for r in freader.open_dataset(dsroot).records())
+        assert got == sorted(f"k/{i}" for i in range(8))
+        be.remove_tree(base)
+    finally:
+        # restore default s3 routing so other tests see a clean registry
+        storage._factories.pop("s3", None)
+        for k in [k for k in storage._remote_cache if k.startswith("s3://")]:
+            storage._remote_cache.pop(k, None)

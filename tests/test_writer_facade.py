@@ -547,22 +547,67 @@ def test_facade_over_object_store_sim(tmp_path):
     assert len(_state(open_dataset(root, version=2))) == 8
 
 
-def test_lakehouse_ops_match_model(tmp_path):
+def test_lakehouse_ops_match_model(tmp_path, monkeypatch):
     """Stateful property test: random interleavings of append / dynamic
     partition overwrite / full overwrite / fold_manifest_parts /
-    fold-irrelevant vacuum, under random checkpoint thresholds, always
-    leave the live read state equal to a trivial dict model.  This pins
-    the interplay of checkpointing with dropped lists — the one place a
-    merge bug would silently resurrect or lose rows."""
+    fold-irrelevant vacuum — plus appends whose FIRST snapshot-root CAS
+    attempt is deterministically preempted by a fold (fold-DURING-commit:
+    the commit must lose the claim, re-read the folded state, and land
+    on top of it) — under random checkpoint thresholds, always leave the
+    live read state equal to a trivial dict model.  This pins the
+    interplay of checkpointing/folding with dropped lists and the CAS
+    retry path — the places a merge bug would silently resurrect or
+    lose rows.  The liveness lock is disabled (same as the raced-commit
+    suite) so the mid-commit fold exercises pure CAS serialization."""
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
+    from shardpack_spark.format import commit as commit_mod
+    from shardpack_spark.format import storage
     from shardpack_spark.format.commit import fold_manifest_parts
     from shardpack_spark.format.datasource import vacuum
+
+    class _NoLock:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    monkeypatch.setattr(commit_mod, "_CommitLock", _NoLock)
+
+    # arm-able CAS preemption: when armed, the next snapshot-root claim
+    # first lets a fold win the vid, so the commit's own claim LOSES and
+    # retries on the folded state
+    hook = {"armed_root": None, "in_fold": False}
+    orig_pia = storage.LocalBackend.put_if_absent
+
+    def preempting_pia(self, p, data):
+        tgt = hook["armed_root"]
+        norm = p.replace(os.sep, "/")
+        if (
+            tgt
+            and not hook["in_fold"]
+            and "/root-" in norm
+            and norm.endswith(".json")
+        ):
+            hook["armed_root"] = None
+            hook["in_fold"] = True
+            try:
+                fold_manifest_parts(tgt)
+            finally:
+                hook["in_fold"] = False
+        return orig_pia(self, p, data)
+
+    monkeypatch.setattr(storage.LocalBackend, "put_if_absent", preempting_pia)
 
     langs = ("en", "fr", "de")
     op = st.one_of(
         st.tuples(st.just("append"), st.sampled_from(langs), st.integers(1, 4)),
+        st.tuples(st.just("fold_mid"), st.sampled_from(langs), st.integers(1, 3)),
         st.tuples(st.just("dyn_ow"), st.sampled_from(langs), st.integers(1, 3)),
         st.tuples(st.just("full_ow"), st.sampled_from(langs), st.integers(1, 3)),
         st.tuples(st.just("fold"), st.none(), st.none()),
@@ -583,12 +628,15 @@ def test_lakehouse_ops_match_model(tmp_path):
         model: dict[str, str] = {}  # key -> lang
         n = 0
         for kind, lang, count in ops:
-            if kind == "append":
+            if kind in ("append", "fold_mid"):
+                if kind == "fold_mid" and os.path.isdir(root):
+                    hook["armed_root"] = root  # preempt this commit's CAS
                 recs = _recs(f"a{n}", count, lang=lang)
                 write_records(
                     root, recs, partition_by=["lang"],
                     manifest_checkpoint_parts=ckpt,
                 )
+                hook["armed_root"] = None
                 model.update({r.key: lang for r in recs})
             elif kind == "dyn_ow":
                 recs = _recs(f"d{n}", count, lang=lang)
