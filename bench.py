@@ -360,6 +360,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "query_spread": spread,
+                # Per-query point estimate is the median of 3 runs (since
+                # round 5; rounds 1-4 reported min-of-N, so cross-round
+                # totals are not directly comparable across that boundary).
+                "estimator": "median3",
                 "sf": sf,
                 "yardsticks": yard,
             }

@@ -579,7 +579,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def simhash_near_pairs(sim: DataFrame, bands: int = 4) -> DataFrame:
+def simhash_near_pairs(
+    sim: DataFrame, bands: int = 4, max_bucket_size: int | None = None
+) -> DataFrame:
     """Near-dup candidates: pairs agreeing on >=1 of `bands` disjoint
     slices (Hamming-distance blocking), verified to Hamming distance <= 3.
 
@@ -587,13 +589,22 @@ def simhash_near_pairs(sim: DataFrame, bands: int = 4) -> DataFrame:
     distance <= 3 differs in at most 3 bands, so it MUST agree on at least
     one — the candidate set provably contains every qualifying pair.
 
+    ``max_bucket_size`` (opt-in) is the skew guard for boilerplate-heavy
+    corpora, where one SimHash value (template pages, empty docs) puts m
+    documents in a single slice bucket and the self-join pays m^2 rows on
+    one key; measure what a cap drops first with
+    ``perceptual.hamming_bucket_skew_report(sim, bands,
+    threshold=max_bucket_size)``.
+
     Delegates to ``operators.perceptual.hamming_near_pairs``, the shared
     banded-join implementation for every 64-bit signature family (text
     SimHash, image dHash, audio fingerprints); it validates band tiling
     and rejects band counts too small for the <=3 guarantee."""
     from shardpack_spark.operators.perceptual import hamming_near_pairs
 
-    return hamming_near_pairs(sim, bands=bands, max_hamming=3)
+    return hamming_near_pairs(
+        sim, bands=bands, max_hamming=3, max_bucket_size=max_bucket_size
+    )
 
 
 def substring_dedup(

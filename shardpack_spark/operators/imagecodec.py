@@ -160,13 +160,29 @@ def _rows_to_samples(
     return packed[:, :width].reshape(h, width, 1)
 
 
-def decode_png(data: bytes) -> np.ndarray:
+#: Decode-work budget defaults.  These decoders run bit-serial Python
+#: inside executor tasks over UNTRUSTED crawl bytes; a crafted header
+#: can demand arbitrary work before any payload error surfaces (a
+#: 100000x100000 IHDR allocates 10 GB; a thousand-scan SOF2 walks the
+#: entropy stream a thousand times).  The guards below reject such
+#: inputs in milliseconds with the same ValueError the malformed-input
+#: paths raise, so the telemetry layer records them as 'surrogate'
+#: honestly instead of stalling an executor core.  64 Mpx admits any
+#: plausible crawl photo (8K video frames are 33 Mpx); 64 scans is ~6x
+#: what real progressive encoders emit (typically <= 10).
+DEFAULT_MAX_PIXELS = 64_000_000
+DEFAULT_MAX_SCANS = 64
+
+
+def decode_png(data: bytes, max_pixels: int | None = DEFAULT_MAX_PIXELS) -> np.ndarray:
     """PNG bytes -> numpy pixels.
 
     Shapes: gray (H, W); gray+alpha (H, W, 2); RGB (H, W, 3); RGBA
     (H, W, 4).  dtype uint8, except 16-bit source channels -> uint16.
     Palette images expand through PLTE to RGB (RGBA when tRNS is
-    present).  Raises ValueError on anything malformed."""
+    present).  Raises ValueError on anything malformed, and on images
+    whose IHDR declares more than ``max_pixels`` pixels BEFORE any
+    allocation or inflate work (decode-work bomb guard; None disables)."""
     ihdr = None
     idat = []
     plte = None
@@ -185,6 +201,11 @@ def decode_png(data: bytes) -> np.ndarray:
     width, height, depth, color, comp, filt, interlace = ihdr
     if width < 1 or height < 1:
         raise ValueError("PNG has zero dimension")
+    if max_pixels is not None and width * height > max_pixels:
+        raise ValueError(
+            f"PNG declares {width}x{height} = {width * height} pixels, "
+            f"over the decode budget of {max_pixels} (decode-work bomb guard)"
+        )
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
     if color not in _PNG_CHANNELS:
@@ -493,7 +514,11 @@ def _receive_extend(br: _BitReader, s: int) -> int:
     return v
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def decode_jpeg(
+    data: bytes,
+    max_pixels: int | None = DEFAULT_MAX_PIXELS,
+    max_scans: int | None = DEFAULT_MAX_SCANS,
+) -> np.ndarray:
     """JPEG bytes -> uint8 pixels, (H, W) gray or (H, W, 3) RGB.
 
     Supports SOF0/SOF1 sequential Huffman scans with any h/v sampling
@@ -501,7 +526,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     (spectral selection + successive approximation, interleaved DC
     scans, EOB runs, AC refinement — ITU-T T.81 Annex G.2); rejects
     hierarchical/lossless frame types and arithmetic-coded streams with
-    ValueError."""
+    ValueError.
+
+    Decode-work bomb guards (None disables either): frames declaring
+    more than ``max_pixels`` pixels are rejected at the SOF header, and
+    progressive files with more than ``max_scans`` SOS segments are
+    rejected when the budget is crossed — each progressive scan is a
+    bit-serial walk over all the frame's blocks, so a crafted
+    thousand-scan file is O(scans x blocks) CPU with no such cap."""
     data = bytes(data)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -511,7 +543,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     planes: dict[int, np.ndarray] = {}  # progressive coefficient state
-    seen_scan = False
+    seen_scan = 0
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -558,6 +590,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            if max_pixels is not None and w_img * h_img > max_pixels:
+                raise ValueError(
+                    f"JPEG declares {w_img}x{h_img} = {w_img * h_img} pixels, "
+                    f"over the decode budget of {max_pixels} "
+                    "(decode-work bomb guard)"
+                )
             frame = {
                 "w": w_img,
                 "h": h_img,
@@ -584,13 +622,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 return _decode_scan(
                     data, i, frame, scan, qt, huff_dc, huff_ac, restart_interval
                 )
+            seen_scan += 1
+            if max_scans is not None and seen_scan > max_scans:
+                raise ValueError(
+                    f"JPEG progressive scan count exceeds the decode budget "
+                    f"of {max_scans} (decode-work bomb guard)"
+                )
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
             i = _decode_progressive_scan(
                 data, i, frame, scan, huff_dc, huff_ac, restart_interval,
                 planes, ss, se, ah, al,
             )
-            seen_scan = True
         # all other markers (APPn, COM, DNL...) are skipped
     if frame is not None and frame.get("progressive") and seen_scan:
         return _reconstruct(frame, planes, qt)

@@ -123,7 +123,18 @@ def _decode_pixels(data: bytes, decoder: str, pil_image):
     def pil():
         if pil_image is None:
             raise ValueError("PIL not importable")
-        return np.asarray(pil_image.open(io.BytesIO(data)).convert("RGB"))
+        im = pil_image.open(io.BytesIO(data))
+        # preserve band count so feature semantics (channels, luma stats)
+        # match the pure decoder: grayscale stays 1-channel instead of
+        # being force-converted to RGB; only modes outside the pure
+        # decoder's output space (palette, bilevel, CMYK...) convert
+        if im.mode == "P":
+            im = im.convert("RGBA" if "transparency" in im.info else "RGB")
+        elif im.mode == "1":
+            im = im.convert("L")
+        elif im.mode not in ("L", "LA", "RGB", "RGBA", "I;16"):
+            im = im.convert("RGB")
+        return np.asarray(im)
 
     order = (pil, pure) if decoder == "auto" else (pure, pil)
     for fn in order:
@@ -337,7 +348,13 @@ def _resize_pixels(data: bytes, width: int, height: int, decoder: str = "pure") 
 
         im = Image.open(io.BytesIO(data))
         out = io.BytesIO()
-        im.resize((width, height)).save(out, format=im.format or "PNG")
+        # always PNG, whatever the source format: the docstring contract
+        # ("output payloads start with the PNG signature") must hold on
+        # PIL-equipped clusters under decoder='auto' too
+        thumb = im.resize((width, height))
+        if thumb.mode in ("P", "CMYK", "YCbCr"):
+            thumb = thumb.convert("RGB")
+        thumb.save(out, format="PNG")
         return out.getvalue()
 
     order = (pil, pure) if decoder == "auto" else (pure, pil)

@@ -95,6 +95,36 @@ TELEMETRY_SIGNATURE_SCHEMA = StructType(
     list(SIGNATURE_SCHEMA.fields) + [StructField("decode_path", StringType())]
 )
 
+#: decode_path values in severity order; the rollup emits one count per value.
+DECODE_PATHS = ("pure", "pil", "surrogate", "mixed")
+
+
+def decode_path_rollup(df: DataFrame, group_cols=()) -> DataFrame:
+    """Corpus-level decode telemetry: fold the per-row ``decode_path``
+    column any signature/feature operator emits into
+    ``(group_cols..., n_rows, n_pure, n_pil, n_surrogate, n_mixed,
+    surrogate_frac)`` — the number a pipeline ALERTS on.  A rising
+    ``surrogate_frac`` means near-dup signal is silently degrading from
+    perceptual to byte-exact (new image formats in the crawl, hostile
+    payloads tripping the decode budget, a cluster missing PIL where
+    'auto' expected it).
+
+    ``group_cols`` picks the alert granularity — e.g. a crawl-source or
+    date column joined in upstream, or empty for one corpus-wide row.
+    One partial-agg shuffle on the group key (conditional sums combine
+    map-side); rollup output is one row per group, safe to collect or
+    join against ``operators.profile`` output at any corpus size.
+    """
+    group_cols = list(group_cols)
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum((F.col("decode_path") == p).cast("long")).alias(f"n_{p}")
+        for p in DECODE_PATHS
+    ]
+    out = df.groupBy(*group_cols).agg(*aggs)
+    return out.withColumn(
+        "surrogate_frac", F.col("n_surrogate") / F.col("n_rows")
+    )
+
 
 def _gray_with_path(data: bytes, decoder: str, pil_image):
     """(luma grid, decode_path) for one image payload.  ``decoder``:
@@ -179,6 +209,11 @@ def dhash_tensors(df: DataFrame) -> DataFrame:
     ``key/file_name`` (``/member`` appended for npz members) so multiple
     tensors per record stay distinct.  Arrow-batched mapInPandas,
     linear in payload bytes; pair finding is ``hamming_near_pairs``.
+
+    Emits the 4-column ``TELEMETRY_SIGNATURE_SCHEMA`` with a constant
+    ``decode_path='pure'`` (tensors arrive pre-decoded; no PIL/surrogate
+    branch exists) so the whole signature family — text SimHash aside —
+    stays union-compatible with ``dhash_images``/``video_fingerprint``.
     """
     _self_pickle_by_value()
     tensors = explode_entries(df).filter(
@@ -214,10 +249,14 @@ def dhash_tensors(df: DataFrame) -> DataFrame:
                         continue
                     hi, lo = _pack_bits(_dhash_bits(arr))
                     sid = f"{key}/{fname}" + (f"/{member}" if member else "")
-                    rows.append({"sid": sid, "sim_hi": hi, "sim_lo": lo})
-            yield pd.DataFrame(rows, columns=["sid", "sim_hi", "sim_lo"])
+                    rows.append(
+                        {"sid": sid, "sim_hi": hi, "sim_lo": lo, "decode_path": "pure"}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["sid", "sim_hi", "sim_lo", "decode_path"]
+            )
 
-    return tensors.mapInPandas(hash_batch, SIGNATURE_SCHEMA)
+    return tensors.mapInPandas(hash_batch, TELEMETRY_SIGNATURE_SCHEMA)
 
 
 def _surrogate_gray(data: bytes):
@@ -348,9 +387,13 @@ def _wav_fingerprint_bits(data: bytes, n_frames_cap: int = 256) -> list[bool] | 
 
 def audio_fingerprint(df: DataFrame) -> DataFrame:
     """64-bit audio fingerprints over ``audio/*`` PCM WAV entries ->
-    ``(sid, sim_hi, sim_lo)``; ``sid`` is ``key/file_name``.  Non-WAV,
-    compressed, or too-short payloads are skipped.  Pair finding is
-    ``hamming_near_pairs`` — identical plumbing to the image path."""
+    ``(sid, sim_hi, sim_lo, decode_path)``; ``sid`` is
+    ``key/file_name``.  Non-WAV, compressed, or too-short payloads are
+    skipped.  ``decode_path`` is constant 'pure' (the WAV parse is
+    wheel-free with no PIL/surrogate branch) so the signature family
+    stays union-compatible with ``dhash_images``/``video_fingerprint``.
+    Pair finding is ``hamming_near_pairs`` — identical plumbing to the
+    image path."""
     _self_pickle_by_value()
     auds = explode_entries(df).filter(
         F.col("content_type").startswith("audio/")
@@ -366,10 +409,19 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
                 if bits is None:
                     continue
                 hi, lo = _pack_bits(bits)
-                rows.append({"sid": f"{key}/{fname}", "sim_hi": hi, "sim_lo": lo})
-            yield pd.DataFrame(rows, columns=["sid", "sim_hi", "sim_lo"])
+                rows.append(
+                    {
+                        "sid": f"{key}/{fname}",
+                        "sim_hi": hi,
+                        "sim_lo": lo,
+                        "decode_path": "pure",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["sid", "sim_hi", "sim_lo", "decode_path"]
+            )
 
-    return auds.mapInPandas(hash_batch, SIGNATURE_SCHEMA)
+    return auds.mapInPandas(hash_batch, TELEMETRY_SIGNATURE_SCHEMA)
 
 
 def _frame_gray(frame: bytes, width: int | None, height: int | None):
@@ -486,28 +538,7 @@ def video_fingerprint(
     return vids.mapInPandas(hash_batch, TELEMETRY_SIGNATURE_SCHEMA)
 
 
-def hamming_near_pairs(
-    sig: DataFrame,
-    bands: int = 4,
-    max_hamming: int = 3,
-    id_col: str = "sid",
-    hi_col: str = "sim_hi",
-    lo_col: str = "sim_lo",
-) -> DataFrame:
-    """Near pairs among 64-bit signatures: ``(sid_a, sid_b, hamming)``
-    with ``hamming <= max_hamming``, via disjoint-band blocking.
-
-    Guarantee: a pair at Hamming distance ``d`` differs in at most ``d``
-    of the ``bands`` disjoint slices, so with ``max_hamming <= bands-1``
-    it MUST agree on at least one slice — the banded equi-join's
-    candidate set provably contains every qualifying pair, and the
-    exact ``bit_count`` check on candidates discards the rest.  One
-    shuffle on (band, slice-value); no pair-space materialization.
-
-    ``bands`` must tile the two 32-bit halves evenly (2/4/8/16/32); the
-    generalization of ``dedup.simhash_near_pairs`` shared by text
-    SimHash, image dHash, and audio fingerprints.
-    """
+def _check_band_tiling(bands: int, max_hamming: int) -> None:
     if bands not in (2, 4, 8, 16, 32):
         raise ValueError(
             f"bands must be one of 2/4/8/16/32 (even tiling of the two "
@@ -518,6 +549,18 @@ def hamming_near_pairs(
             f"max_hamming must be in [0, bands-1] for the blocking "
             f"guarantee to hold, got max_hamming={max_hamming} bands={bands}"
         )
+
+
+def _hamming_banded_rows(
+    sig: DataFrame,
+    bands: int,
+    id_col: str = "sid",
+    hi_col: str = "sim_hi",
+    lo_col: str = "sim_lo",
+) -> DataFrame:
+    """(sid, sim_hi, sim_lo, band, key) banded rows — the Hamming-block
+    shuffle key.  Shared by pair generation and the skew report so both
+    see the SAME buckets (the analog of ``dedup._lsh_banded_rows``)."""
     width = 64 // bands
     half_bands = bands // 2
     sig = sig.select(
@@ -533,7 +576,7 @@ def hamming_near_pairs(
             .bitwiseAND(F.lit((1 << width) - 1))
         )
 
-    slices = sig.select(
+    return sig.select(
         "sid",
         "sim_hi",
         "sim_lo",
@@ -544,6 +587,112 @@ def hamming_near_pairs(
             ])
         ).alias("s"),
     ).select("sid", "sim_hi", "sim_lo", "s.band", "s.key")
+
+
+def _drop_hot_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Remove every (band, key) bucket larger than ``max_bucket_size``.
+
+    Shape: a partial-agg groupBy sizes the buckets (the shuffle carries
+    (band, key, partial count) — never the signature rows), the hot set
+    is tiny by construction (at most total_rows / max_bucket_size keys)
+    and broadcast into a left_anti join, so the banded rows themselves
+    take no extra shuffle.  Cheaper at scale than a count-over-window,
+    which would re-shuffle every row on the bucket key.
+    """
+    hot = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") > max_bucket_size)
+        .select("band", "key")
+    )
+    return banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
+
+
+def hamming_bucket_skew_report(
+    sig: DataFrame,
+    bands: int = 4,
+    threshold: int = 1000,
+    sample_ids: int = 8,
+    id_col: str = "sid",
+    hi_col: str = "sim_hi",
+    lo_col: str = "sim_lo",
+) -> DataFrame:
+    """Hot-bucket report for the Hamming-band shuffle: one row per
+    (band, key) slice bucket holding more than ``threshold`` signatures,
+    with the bucket size and ``sample_ids`` member sids ->
+    ``(band, key, bucket_size, sample_sids)``.
+
+    The observability side of ``hamming_near_pairs``'s
+    ``max_bucket_size`` guard, mirroring ``dedup.lsh_bucket_skew_report``
+    for the 64-bit signature families: a degenerate signature — a
+    flat/placeholder image dHashing to all-zero bits, boilerplate text
+    SimHashing identically — puts m docs in one slice bucket and the
+    banded self-join pays m^2 candidate rows on that one key.  Run with
+    ``threshold = max_bucket_size`` to see exactly which buckets the cap
+    WILL drop (count + representative members) before trading
+    completeness for skew protection.
+
+    Scale shape: one partial-agg groupBy sizes every bucket (output =
+    hot keys only, tiny); the sample pass re-scans ONLY hot buckets'
+    rows via a broadcast semi-join and takes row_number <= sample_ids,
+    so no mega-bucket is ever materialized.
+    """
+    _check_band_tiling(bands, 0)
+    banded = _hamming_banded_rows(sig, bands, id_col, hi_col, lo_col)
+    hot = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > threshold)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "key").orderBy("sid")
+    return (
+        banded.join(F.broadcast(hot), ["band", "key"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= sample_ids)
+        .groupBy("band", "key", "bucket_size")
+        .agg(F.sort_array(F.collect_list("sid")).alias("sample_sids"))
+        .select("band", "key", "bucket_size", "sample_sids")
+    )
+
+
+def hamming_near_pairs(
+    sig: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "sid",
+    hi_col: str = "sim_hi",
+    lo_col: str = "sim_lo",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near pairs among 64-bit signatures: ``(sid_a, sid_b, hamming)``
+    with ``hamming <= max_hamming``, via disjoint-band blocking.
+
+    Guarantee: a pair at Hamming distance ``d`` differs in at most ``d``
+    of the ``bands`` disjoint slices, so with ``max_hamming <= bands-1``
+    it MUST agree on at least one slice — the banded equi-join's
+    candidate set provably contains every qualifying pair, and the
+    exact ``bit_count`` check on candidates discards the rest.  One
+    shuffle on (band, slice-value); no pair-space materialization.
+
+    ``max_bucket_size`` (opt-in) drops slice buckets larger than the cap
+    before the self-join — the skew guard for adversarial corpora where
+    one degenerate signature value (all-zero dHash from flat images,
+    boilerplate SimHash) would otherwise cost m^2 candidate rows on a
+    single shuffle key.  Capping can drop pairs from genuine clusters
+    bigger than the cap; pair it with ``hamming_bucket_skew_report(sig,
+    bands, threshold=max_bucket_size)`` so the loss is measured, never
+    silent.  Default None = exact candidate semantics.
+
+    ``bands`` must tile the two 32-bit halves evenly (2/4/8/16/32); the
+    generalization of ``dedup.simhash_near_pairs`` shared by text
+    SimHash, image dHash, and audio fingerprints.
+    """
+    _check_band_tiling(bands, max_hamming)
+    slices = _hamming_banded_rows(sig, bands, id_col, hi_col, lo_col)
+    if max_bucket_size is not None:
+        slices = _drop_hot_buckets(slices, max_bucket_size)
     l, r = slices.alias("l"), slices.alias("r")
     cand = (
         l.join(
@@ -578,6 +727,7 @@ def hamming_near_pairs_against(
     bands: int = 4,
     max_hamming: int = 3,
     broadcast_new: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near pairs BETWEEN two signature sets (never within one):
     ``(sid_new, sid_corpus, hamming)`` with ``hamming <= max_hamming``.
@@ -595,17 +745,18 @@ def hamming_near_pairs_against(
     Same completeness guarantee as ``hamming_near_pairs``: disjoint
     bands with ``max_hamming <= bands-1`` provably cover every
     qualifying cross pair.
+
+    ``max_bucket_size`` (opt-in) caps CORPUS-side slice buckets — the
+    cross-join blowup here is (hot corpus bucket) x (matching new rows),
+    so the guard sits on the standing corpus, whose degenerate clusters
+    accumulate over time.  The hot-bucket set is found with a partial-agg
+    groupBy (shuffles only (band, key, count), never corpus rows) and
+    removed via a broadcast anti-join, preserving the broadcast_new
+    property that corpus rows are scanned but never shuffled.  Measure
+    the loss first with ``hamming_bucket_skew_report(corpus_sig, bands,
+    threshold=max_bucket_size)``.
     """
-    if bands not in (2, 4, 8, 16, 32):
-        raise ValueError(
-            f"bands must be one of 2/4/8/16/32 (even tiling of the two "
-            f"32-bit halves), got {bands}"
-        )
-    if not 0 <= max_hamming <= bands - 1:
-        raise ValueError(
-            f"max_hamming must be in [0, bands-1] for the blocking "
-            f"guarantee to hold, got max_hamming={max_hamming} bands={bands}"
-        )
+    _check_band_tiling(bands, max_hamming)
     width = 64 // bands
     half_bands = bands // 2
 
@@ -632,8 +783,17 @@ def hamming_near_pairs_against(
     nb = banded(new_sig, "new")
     if broadcast_new:
         nb = F.broadcast(nb)
+    cb = banded(corpus_sig, "corpus")
+    if max_bucket_size is not None:
+        hot = (
+            cb.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_bucket_size)
+            .select("band", "key")
+        )
+        cb = cb.join(F.broadcast(hot), ["band", "key"], "left_anti")
     cand = (
-        nb.join(banded(corpus_sig, "corpus"), ["band", "key"])
+        nb.join(cb, ["band", "key"])
         .select("sid_new", "hi_new", "lo_new", "sid_corpus", "hi_corpus", "lo_corpus")
         .distinct()
     )

@@ -493,3 +493,80 @@ def test_gif_large_image_exercises_code_width_growth():
     idx = rng.integers(0, 16, size=(64, 64), dtype=np.uint8)
     out = ic.decode_gif(_mk_gif(idx, palette))
     assert np.array_equal(out, np.array(palette, np.uint8)[idx])
+
+
+# --- decode-work bomb guards ---------------------------------------------------
+
+
+def test_png_pixel_bomb_rejected_fast():
+    """A 100000x100000 IHDR demands a 10 GB allocation before any payload
+    error can surface; the budget guard must reject it from the header
+    alone, in milliseconds, with the same ValueError malformed inputs
+    raise (so telemetry degrades to 'surrogate' honestly)."""
+    import time
+
+    ihdr = struct.pack(">IIBBBBB", 100000, 100000, 8, 0, 0, 0, 0)
+    bomb = _png(ihdr, _chunk(b"IDAT", zlib.compress(b"\x00" * 16)))
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="decode budget"):
+        ic.decode_png(bomb)
+    assert time.perf_counter() - t0 < 0.2
+    # the guard is a budget, not a parser change: disabling it shifts the
+    # failure to the real payload error (row data too short), not success
+    with pytest.raises(ValueError, match="shorter than expected"):
+        ic.decode_png(bomb, max_pixels=None)
+    # an in-budget image still decodes
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(ic.decode_png(ic.encode_png(img)), img)
+
+
+def test_jpeg_pixel_bomb_rejected_at_sof():
+    import time
+
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 60000, 60000) + bytes([1, 1, 0x11, 0])
+    )
+    bomb = b"\xff\xd8" + sof0 + b"\xff\xd9"
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="decode budget"):
+        ic.decode_jpeg(bomb)
+    assert time.perf_counter() - t0 < 0.2
+
+
+def test_jpeg_scan_bomb_rejected_fast():
+    """A crafted SOF2 with 1000 scans is O(scans x blocks) bit-serial
+    Python; the scan budget trips at DEFAULT_MAX_SCANS regardless of how
+    many more follow.  Built from the Annex G fixture's scan grammar:
+    one DC-first scan, then endlessly repeated 1-byte DC-refine scans."""
+    import time
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([4] * 64)
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+    )
+    dht = b"\xff\xc4" + struct.pack(">H", 20) + b"\x00" + bytes([1] + [0] * 15) + bytes([2])
+
+    def sos(ahal: int) -> bytes:
+        return b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, ahal])
+
+    bomb = (
+        b"\xff\xd8" + dqt + sof2 + dht
+        + sos(0x01) + bytes([0x43])                     # DC first, Al=1
+        + (sos(0x10) + bytes([0x3F])) * 1000            # 1000 refine scans
+        + b"\xff\xd9"
+    )
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="scan count"):
+        ic.decode_jpeg(bomb)
+    assert time.perf_counter() - t0 < 1.0
+    # the same wire with a sane scan count decodes fine (refine scans that
+    # re-send bit 0 of the already-final coefficients are idempotent)
+    ok = (
+        b"\xff\xd8" + dqt + sof2 + dht
+        + sos(0x01) + bytes([0x43])
+        + (sos(0x10) + bytes([0x3F])) * 3
+        + b"\xff\xd9"
+    )
+    assert ic.decode_jpeg(ok).shape == (8, 16)

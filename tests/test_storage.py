@@ -1060,6 +1060,7 @@ def test_s3_conditional_put_live_store():
     pytest.importorskip("boto3")
     base = _LIVE_URI.rstrip("/") + f"/shardpack-live-{uuid.uuid4().hex[:12]}"
     storage.enable_s3_conditional_put()
+    be = None
     try:
         be = storage.for_path(base)
         assert isinstance(be, storage.S3ConditionalBackend)
@@ -1102,8 +1103,15 @@ def test_s3_conditional_put_live_store():
         )
         got = sorted(r.key for r in freader.open_dataset(dsroot).records())
         assert got == sorted(f"k/{i}" for i in range(8))
-        be.remove_tree(base)
     finally:
+        # delete the test prefix even when an assertion failed — no
+        # shardpack-live-* litter in the user's real bucket (registry
+        # cleanup below must still run if the delete itself errors)
+        if be is not None:
+            try:
+                be.remove_tree(base)
+            except Exception:
+                pass
         # restore default s3 routing so other tests see a clean registry
         storage._factories.pop("s3", None)
         for k in [k for k in storage._remote_cache if k.startswith("s3://")]:
