@@ -321,14 +321,17 @@ def _snappy_decompress(src: bytes) -> bytes:
 
 # --- zstd (pure-Python, RFC 8878) -------------------------------------------
 #
-# The fallback ENCODER emits spec-compliant frames restricted to Raw and
-# RLE blocks (any real zstd decoder reads them, checksum included — but
-# ~0% compression, hence the one-time warning below).  The fallback
-# DECODER reads ANY spec-compliant frame: Raw/RLE blocks here,
-# entropy-coded (Compressed) blocks via zstd_entropy (full FSE + Huffman
-# + sequence execution, RFC 8878 §3-4), so data zstd-compressed by
-# pyarrow/libzstd elsewhere stays readable without any wheel.  Only
-# dictionary frames raise (undecodable without the dictionary).
+# The fallback ENCODER emits real entropy-coded frames: per 128 KiB
+# block it runs zstd_entropy's LZ77 greedy parse + predefined-FSE
+# sequences + canonical-Huffman literals and keeps the Compressed block
+# when it is smaller (RLE for constant runs, Raw otherwise) — so a
+# wheel-free writer gets genuine compression, just at pure-Python speed
+# (hence the one-time "slower" warning below).  The fallback DECODER
+# reads ANY spec-compliant frame: Raw/RLE blocks here, entropy-coded
+# (Compressed) blocks via zstd_entropy (full FSE + Huffman + sequence
+# execution, RFC 8878 §3-4), so data zstd-compressed by pyarrow/libzstd
+# elsewhere stays readable without any wheel.  Only dictionary frames
+# raise (undecodable without the dictionary).
 
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 _ZSTD_BLOCK_MAX = 128 * 1024  # Block_Maximum_Size (RFC 8878 §3.1.1.2.3)
@@ -392,11 +395,13 @@ _zstd_fallback_warned = False
 
 
 def _zstd_compress(src: bytes) -> bytes:
-    # Honesty over silence: this pure-Python encoder emits spec-compliant
-    # frames restricted to Raw/RLE blocks — interoperable, but ~0%
-    # compression on general data.  It only engages when neither pyarrow
-    # nor zstandard is importable; say so ONCE per process rather than
-    # letting "compression=zstd" silently store uncompressed bytes.
+    # Honesty over silence: this pure-Python encoder emits real
+    # entropy-coded frames (LZ77 + predefined-FSE sequences + Huffman
+    # literals via zstd_entropy) but runs 10-100x slower than libzstd
+    # and compresses somewhat less (single-probe greedy parse, no repeat
+    # offsets).  It only engages when neither pyarrow nor zstandard is
+    # importable; say so ONCE per process so a bulk-write deployment
+    # knows why throughput dropped.
     global _zstd_fallback_warned
     if not _zstd_fallback_warned:
         _zstd_fallback_warned = True
@@ -404,9 +409,9 @@ def _zstd_compress(src: bytes) -> bytes:
 
         warnings.warn(
             "compression='zstd' is using the pure-Python fallback encoder "
-            "(no pyarrow/zstandard in this environment): frames are valid "
-            "zstd but Raw/RLE-only, so data is stored ~uncompressed. "
-            "Install pyarrow or zstandard for real compression.",
+            "(no pyarrow/zstandard in this environment): frames are real "
+            "entropy-coded zstd, but encoding is 10-100x slower than "
+            "libzstd. Install pyarrow or zstandard for fast compression.",
             RuntimeWarning,
             stacklevel=3,
         )
@@ -427,14 +432,24 @@ def _zstd_compress(src: bytes) -> bytes:
     if n == 0:
         out += (1).to_bytes(3, "little")  # last=1, Raw, size 0
     i = 0
+    lz_table: dict = {}  # 4-byte-hash -> recent positions, frame-wide
+    rep = [1, 4, 8]  # §3.1.1.5 repeat-offset history, frame-wide
     while i < n:
         chunk = src[i : i + _ZSTD_BLOCK_MAX]
-        i += len(chunk)
+        start, i = i, i + len(chunk)
         last = 1 if i >= n else 0
         if len(chunk) >= 2 and chunk.count(chunk[0]) == len(chunk):
             # RLE block: size field = regenerated size, content = 1 byte
             out += (last | (1 << 1) | (len(chunk) << 3)).to_bytes(3, "little")
             out.append(chunk[0])
+            continue
+        body, rep_out = zstd_entropy.encode_compressed_block(
+            src, start, i, lz_table, rep
+        )
+        if len(body) < len(chunk):
+            out += (last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+            out += body
+            rep = rep_out  # decoder history advances only on decoded blocks
         else:
             out += (last | (0 << 1) | (len(chunk) << 3)).to_bytes(3, "little")
             out += chunk

@@ -690,3 +690,145 @@ def test_slice_of_64mib_entry_reads_o_chunk_bytes(tmp_path):
         storage._factories.pop("cnt", None)
         for k in [k for k in storage._remote_cache if k.startswith("cnt://")]:
             storage._remote_cache.pop(k, None)
+
+
+# --- pure-Python zstd ENCODER: entropy-coded frames ----------------------------
+
+
+def _zstd_cases():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return {
+        "empty": b"",
+        "one": b"x",
+        "three": b"abc",
+        "const": b"\x00" * 300000,
+        "text": b"the quick brown fox jumps over the lazy dog. " * 8000,
+        "random": rng.bytes(200000),
+        "binary_struct": bytes(rng.integers(0, 8, 300000, dtype=np.uint8) * 32),
+        # block boundary traps: exactly 128 KiB, and 128 KiB + tail
+        # shorter than a 4-byte match atom (a parse that lets an atom
+        # cross the boundary regenerates the wrong per-block sizes)
+        "exact_block": b"A" * 131072,
+        "block_plus2": bytes(rng.integers(0, 8, 131074, dtype=np.uint8) * 32),
+        "high_bytes": bytes(rng.integers(128, 256, 150000, dtype=np.uint16).astype(np.uint8)),
+        "json": b'{"k": "v", "n": 12345, "arr": [1,2,3]}\n' * 6000,
+    }
+
+
+def test_zstd_encoder_roundtrips_own_decoder():
+    """Entropy-coded frames from the fallback encoder decode with the
+    in-repo decoder across data shapes: custom-FSE/RLE/predefined
+    sequence modes, Huffman/raw/RLE literals, repeat offsets,
+    multi-block frames with cross-block matches."""
+    for name, data in _zstd_cases().items():
+        frame = C._zstd_compress(data)
+        assert C._zstd_decompress(frame) == data, name
+
+
+def test_zstd_encoder_frames_decode_with_libzstd():
+    """The same frames decode with the reference implementation — the
+    interop proof that every construction (FSE descriptions, canonical
+    Huffman, backward bitstreams, repeat-offset history) is
+    spec-conformant, not merely self-consistent."""
+    pa = pytest.importorskip("pyarrow")
+    for name, data in _zstd_cases().items():
+        if not data:
+            continue
+        frame = C._zstd_compress(data)
+        got = pa.Codec("zstd").decompress(frame, len(data), asbytes=True)
+        assert got == data, name
+
+
+def test_zstd_encoder_actually_compresses():
+    """Compressible inputs must produce Compressed blocks (type 2), not
+    Raw — and land within 1.5x of libzstd level 3 (the gate for the
+    wheel-free write path; measured 1.05-1.3x on text shapes)."""
+    pa = pytest.importorskip("pyarrow")
+    for name, bound in (("text", 3), ("json", 3), ("binary_struct", 2)):
+        data = _zstd_cases()[name]
+        frame = C._zstd_compress(data)
+        # text/json are template-repetitive (>>3x); binary_struct is
+        # ~3-bit-entropy noise where even libzstd only reaches ~2.3x
+        assert len(frame) < len(data) // bound, (name, len(frame))
+        ref = len(pa.Codec("zstd", compression_level=3).compress(data, asbytes=True))
+        assert len(frame) <= 1.5 * ref, (name, len(frame), ref)
+        # first block header: type bits (1-2) == 2 -> Compressed
+        fhd = frame[4]
+        hdr_len = 1 + (1 << (fhd >> 6)) if (fhd >> 6) else 2  # single-segment FCS
+        bh = int.from_bytes(frame[4 + hdr_len : 7 + hdr_len], "little")
+        assert (bh >> 1) & 3 == 2, f"{name}: first block not Compressed"
+
+
+def test_zstd_encoder_documents_corpus_gate():
+    """The round-6 acceptance gate: sf0.01 documents text compresses to
+    <= 1.5x libzstd level 3 and decodes with both decoders."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.01 testdata not present")
+    text = "\n".join(
+        pq.read_table(path).column("text").to_pylist()
+    ).encode()
+    frame = C._zstd_compress(text)
+    ref = len(pa.Codec("zstd", compression_level=3).compress(text, asbytes=True))
+    assert len(frame) <= 1.5 * ref, (len(frame), ref)
+    assert C._zstd_decompress(frame) == text
+    assert pa.Codec("zstd").decompress(frame, len(text), asbytes=True) == text
+
+
+def test_zstd_fse_description_writer_inverts_parser():
+    """Property fuzz: random normalized distributions serialize and
+    re-parse to the identical decode table, byte-aligned."""
+    import random
+
+    from shardpack_spark.format import zstd_entropy as z
+
+    random.seed(11)
+    for trial in range(120):
+        al = random.randint(5, 9)
+        size = 1 << al
+        nsym = random.randint(2, min(48, size))
+        cuts = sorted(random.sample(range(1, size), nsym - 1))
+        parts = [b - a for a, b in zip([0] + cuts, cuts + [size])]
+        syms = sorted(random.sample(range(nsym * 2), nsym))
+        norm = [0] * (max(syms) + 1)
+        for s, p in zip(syms, parts):
+            norm[s] = p
+        desc = z._fse_write_description(norm, al)
+        table, al2, used = z._fse_parse_description(desc, 0, al, len(norm) - 1)
+        assert (al2, used) == (al, len(desc))
+        assert table == z._fse_build(norm, al), trial
+
+
+def test_zstd_encoder_fuzz_both_decoders():
+    import random
+
+    import numpy as np
+
+    pa = pytest.importorskip("pyarrow")
+    rng = np.random.default_rng(13)
+    random.seed(13)
+    words = [b"alpha", b"beta", b"gamma", b"delta", b" ", b"\n", b"the", b"of"]
+    for trial in range(40):
+        n = random.randrange(0, 50000)
+        kind = trial % 4
+        if kind == 0:
+            data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        elif kind == 1:
+            data = b"".join(random.choice(words) for _ in range(n // 4))
+        elif kind == 2:
+            data = bytes(rng.integers(0, 4, n, dtype=np.uint8) + 250)
+        else:
+            data = rng.bytes(n // 2) + bytes(
+                rng.integers(97, 123, n - n // 2, dtype=np.uint8)
+            )
+        frame = C._zstd_compress(data)
+        assert C._zstd_decompress(frame) == data, trial
+        if data:
+            assert (
+                pa.Codec("zstd").decompress(frame, len(data), asbytes=True) == data
+            ), trial

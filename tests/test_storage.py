@@ -675,7 +675,10 @@ def test_max_record_bytes_option(spark, tmp_path, sp_rows):
 def test_zstd_pure_fallback_warns():
     codec._zstd_fallback_warned = False
     try:
-        with pytest.warns(RuntimeWarning, match="pure-Python fallback"):
+        # the warning says SLOWER, not uncompressed: the fallback encoder
+        # emits real entropy-coded frames since the encoding half of
+        # zstd_entropy landed
+        with pytest.warns(RuntimeWarning, match="slower"):
             frame = codec._zstd_compress(b"hello world" * 10)
         assert codec._zstd_decompress(frame) == b"hello world" * 10
         # one-time: no second warning
