@@ -701,3 +701,54 @@ def test_rollover_and_chunked_slice(tmp_path):
                 assert got == payload[1000:1100]
                 return
     raise AssertionError("r/3 not found in any shard index")
+
+
+def test_manifest_checkpoint_depth_10k_bounds_part_reads():
+    """Scale probe, sparse: a 10,000-commit append chain (one manifest
+    entry per commit, no data files — flatten never opens shards) with
+    manifest_checkpoint_parts=64 must plan by reading AT MOST 65 part
+    objects (threshold + the one uncheckpointed tail part), and the
+    flatten must see every commit.  On an object store each part read
+    is a GET round-trip, so this bound is the difference between ~65
+    and ~10k GETs per planning pass after a year of hourly appends.
+    memory://-backed so 10k commits stay in-process and bounded-time.
+
+    The chain interleaves the documented maintenance loop — vacuum every
+    2,500 commits — because archived snapshot roots otherwise accumulate
+    one per commit and the latest-state LISTING in _observe_latest grows
+    with lifetime history (tools/checkpoint_probe.py measures the
+    un-vacuumed curve: commit median 3.6 ms at depth 500 -> 15.2 ms at
+    10k on local FS, restored to 2.6 ms by one vacuum).  Retention, not
+    lifetime commit count, bounds steady-state commit cost."""
+    import uuid
+
+    from shardpack_spark.format import commit, storage
+    from shardpack_spark.format.datasource import vacuum
+    from shardpack_spark.format.manifest import _observe_latest
+
+    root = f"memory://cp10k-{uuid.uuid4().hex[:8]}"
+    for i in range(10_000):
+        commit.commit_shards(
+            root,
+            [{"path": f"s-{i:06d}.shardpack", "records": 1, "bytes": 128}],
+            manifest_checkpoint_parts=64,
+        )
+        if (i + 1) % 2_500 == 0:
+            vacuum(root, keep_versions=8, grace_seconds=0.0)
+    be = storage.for_path(root)
+    reads = {"parts": 0}
+    real_read = be.read_bytes
+
+    def counting_read(p):
+        if "/part-" in p:
+            reads["parts"] += 1
+        return real_read(p)
+
+    be.read_bytes = counting_read
+    try:
+        m, vid = _observe_latest(root, flatten=True)
+    finally:
+        be.read_bytes = real_read
+    assert m is not None and len(m["shards"]) == 10_000, "flatten lost commits"
+    assert vid >= 10_000
+    assert reads["parts"] <= 65, f"planning read {reads['parts']} parts at depth 10k"
