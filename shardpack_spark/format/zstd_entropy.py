@@ -613,16 +613,27 @@ def _enc_view(kind: str) -> dict:
     return v
 
 
-def _fse_chunks(codes: list[int], view: dict) -> tuple[int, list[tuple[int, int]]]:
+def _fse_chunks(
+    codes: list[int], view: dict, min_last_nb: int = 0
+) -> tuple[int, list[tuple[int, int]]]:
     """Backward FSE state assignment.  Returns (initial state — the one
     the decoder reads first and uses to emit codes[0] — and, per
     transition i, the (value, nb_bits) the decoder reads to move from
-    state_i to state_{i+1})."""
+    state_i to state_{i+1}).
+
+    ``min_last_nb`` constrains the state chosen for the FINAL code:
+    exhaustion-terminated streams (Huffman weights, §4.2.1.2) end when
+    a state reload overruns the bitstream, so the state whose reload is
+    the terminator must ask for >= 1 bit — a high-probability symbol
+    (> half the table) owns nb=0 states that would never overrun.
+    Every symbol has at least one state with nb >= 1 (its lowest
+    occurrence), so the constraint is always satisfiable."""
     import bisect
 
     n = len(codes)
     upds: list[tuple[int, int]] = [(0, 0)] * (n - 1)
-    state = view[codes[-1]][0][2]  # any state decoding the last code
+    last = view[codes[-1]]  # any state decoding the last code qualifies...
+    state = next(e for e in last if e[1] >= min_last_nb)[2]  # ...within the floor
     for i in range(n - 2, -1, -1):
         lst = view[codes[i]]
         base, nb, st = lst[bisect.bisect_right(lst, (state, 1 << 30, 1 << 30)) - 1]
@@ -839,17 +850,25 @@ def _encode_literals_section(lits: bytes) -> bytes:
         freqs[ch] = freqs.get(ch, 0) + 1
     if len(freqs) == 1:
         return _rawish_lit_header(1, n) + lits[:1]  # RLE literals
-    if max(freqs) > 128 or n < 32:
+    if n < 32:
         return raw
     depth = _huf_lengths(freqs)
     if depth is None:
         return raw
     codes, weights = _huf_encoder(depth)
     nw = len(weights) - 1  # last symbol's weight is implied
-    tree = bytes([127 + nw]) + bytes(
-        (weights[i] << 4) | (weights[i + 1] if i + 1 < nw else 0)
-        for i in range(0, nw, 2)
-    )
+    if nw <= 128:
+        tree = bytes([127 + nw]) + bytes(
+            (weights[i] << 4) | (weights[i + 1] if i + 1 < nw else 0)
+            for i in range(0, nw, 2)
+        )
+    else:
+        # alphabet extends past symbol 128: the direct 4-bit form can't
+        # describe it; FSE-compress the weight list (multilingual UTF-8
+        # literals land here routinely)
+        tree = _huf_fse_weight_desc(weights[:nw])
+        if tree is None:
+            return raw
     if n <= 1023:
         body = tree + _huf_stream(lits, codes)
         csize = len(body)
@@ -1126,3 +1145,46 @@ def _choose_stream(codes: list[int], kind: str):
     if cost_c < cost_p:
         return 2, desc, _fse_enc_view(norm_c, al_c), al_c
     return 0, b"", _enc_view(kind), al_p
+
+
+def _huf_fse_weight_desc(listed: list[int]) -> bytes | None:
+    """FSE-compressed Huffman weight description (§4.2.1.2) — the
+    header form that covers alphabets past symbol 128, where the
+    4-bit direct representation runs out (multilingual UTF-8 literals
+    routinely use bytes >= 0x80).  ``listed`` excludes the implied last
+    weight.  Two interleaved FSE states decode the weights; the stream
+    must exhaust EXACTLY after the (n-1)th update read, which holds
+    whenever every table state reloads >= 1 bit — true for any
+    distribution with >= 2 distinct weights (a one-weight table would
+    spin forever, so it returns None; direct/raw covers it).  Returns
+    header byte + description + bitstream, or None when this form
+    can't apply (csize must stay < 128 to not collide with the direct
+    marker)."""
+    from collections import Counter
+
+    cnt = Counter(listed)
+    if len(cnt) < 2:
+        return None
+    al = _HUF_WEIGHT_MAX_AL
+    if len(cnt) > (1 << al):
+        return None
+    norm = _fse_normalize(dict(cnt), al)
+    desc = _fse_write_description(norm, al)
+    view = _fse_enc_view(norm, al)
+    # the machine whose LAST emission is e_{n-2} takes the terminating
+    # overrun read from its final state — that state must reload >= 1 bit
+    n = len(listed)
+    sA, updA = _fse_chunks(listed[0::2], view, min_last_nb=1 if n % 2 == 0 else 0)
+    sB, updB = _fse_chunks(listed[1::2], view, min_last_nb=0 if n % 2 == 0 else 1)
+    # decoder read order (_huf_read_weights): s1 init, s2 init, then
+    # updates alternating A, B — the final emission consumes no bits
+    chunks: list[tuple[int, int]] = [(sA, al), (sB, al)]
+    for k in range(len(listed) - 2):
+        chunks.append(updA[k >> 1] if k % 2 == 0 else updB[k >> 1])
+    w = _BackBitWriter()
+    for v, nb in reversed(chunks):
+        w.add(v, nb)
+    body = desc + w.finish()
+    if len(body) >= 128:
+        return None
+    return bytes([len(body)]) + body

@@ -296,6 +296,7 @@ def minhash_lsh_candidates_against(
     bands: int = 16,
     rows_per_band: int = 4,
     broadcast_new: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH candidates BETWEEN two corpora (never within one).
 
@@ -312,6 +313,15 @@ def minhash_lsh_candidates_against(
     SHUFFLED — per-batch cost is one corpus read plus O(|batch|) work,
     independent of corpus size in shuffle terms.  Leave False when the
     "new" side is itself huge (a backfill merging two corpora).
+
+    ``max_bucket_size`` (opt-in) caps CORPUS-side band buckets — the
+    cross blowup is (hot corpus bucket) x (matching batch rows), and
+    it is the standing corpus where boilerplate clusters accumulate
+    over time.  The hot-bucket set comes from a partial-agg groupBy
+    (the shuffle carries (band, bh, count), never corpus rows) and is
+    removed by a broadcast anti-join, preserving the no-corpus-shuffle
+    property.  Measure the loss first with ``lsh_bucket_skew_report``
+    on the corpus signatures at ``threshold=max_bucket_size``.
     """
 
     def banded(sigs: DataFrame, out: str) -> DataFrame:
@@ -333,8 +343,17 @@ def minhash_lsh_candidates_against(
     new_banded = banded(new_signatures, "sid_new")
     if broadcast_new:
         new_banded = F.broadcast(new_banded)
+    corpus_banded = banded(corpus_signatures, "sid_corpus")
+    if max_bucket_size is not None:
+        hot = (
+            corpus_banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_bucket_size)
+            .select("band", "bh")
+        )
+        corpus_banded = corpus_banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     return (
-        new_banded.join(banded(corpus_signatures, "sid_corpus"), ["band", "bh"])
+        new_banded.join(corpus_banded, ["band", "bh"])
         .select("sid_new", "sid_corpus")
         .distinct()
     )

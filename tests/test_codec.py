@@ -832,3 +832,38 @@ def test_zstd_encoder_fuzz_both_decoders():
             assert (
                 pa.Codec("zstd").decompress(frame, len(data), asbytes=True) == data
             ), trial
+
+
+def test_zstd_fse_weight_description_covers_high_alphabets():
+    """Huffman literals whose alphabet extends past symbol 128 use the
+    FSE-compressed weight description (§4.2.1.2) — multilingual UTF-8
+    literals land here; the direct 4-bit form only reaches symbol 128.
+    Property fuzz pins the writer against the in-repo parser, and a
+    frame whose literals need it must decode with libzstd too."""
+    import random
+
+    from shardpack_spark.format import zstd_entropy as z
+
+    random.seed(5)
+    checked = 0
+    for _ in range(200):
+        n = random.randint(2, 254)
+        listed = [random.randint(0, random.randint(1, 8)) for _ in range(n)]
+        if len(set(listed)) < 2:
+            continue
+        enc = z._huf_fse_weight_desc(listed)
+        if enc is None:
+            continue
+        ws, used = z._huf_read_weights(enc, 0)
+        assert used == len(enc) and ws == listed
+        checked += 1
+    assert checked > 100
+
+    pa = pytest.importorskip("pyarrow")
+    # a skewed >128-symbol literal alphabet: Huffman must engage (clear
+    # win over raw literals) and the frame must interop
+    data = ("žluťoučký kůň úpěl ďábelské ódy — příliš. ").encode() * 2000
+    frame = C._zstd_compress(data)
+    assert len(frame) < len(data) // 4
+    assert C._zstd_decompress(frame) == data
+    assert pa.Codec("zstd").decompress(frame, len(data), asbytes=True) == data

@@ -246,3 +246,35 @@ def test_repetition_signals_zero_shuffle_plan(spark, sf_dir):
     for fn in (repetition_signals, gopher_quality_filter):
         plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, fn.__name__
+
+
+def test_minhash_against_corpus_side_cap(spark):
+    """Incremental-ingest skew guard: a batch probing a corpus whose
+    boilerplate cluster exceeds max_bucket_size loses matches INTO that
+    cluster only; matches to normal corpus docs survive."""
+    from shardpack_spark.operators import dedup
+
+    template = "terms of service apply to all visitors of this site " * 3
+    corpus_rows = [(i, template) for i in range(25)]
+    corpus_rows += [(50, "a genuinely unique corpus document about spark internals today")]
+    new_rows = [(100, template),
+                (101, "a genuinely unique corpus document about spark internals todaX")]
+    corpus = dedup.minhash_signatures(
+        dedup.char_shingles(spark.createDataFrame(corpus_rows, "doc_id long, text string"),
+                            k=5, hashed=True), n_hashes=64)
+    new = dedup.minhash_signatures(
+        dedup.char_shingles(spark.createDataFrame(new_rows, "doc_id long, text string"),
+                            k=5, hashed=True), n_hashes=64)
+    uncapped = {
+        (r.sid_new, r.sid_corpus)
+        for r in dedup.minhash_lsh_candidates_against(new, corpus).collect()
+    }
+    assert (100, 0) in uncapped and (101, 50) in uncapped
+    capped = {
+        (r.sid_new, r.sid_corpus)
+        for r in dedup.minhash_lsh_candidates_against(
+            new, corpus, max_bucket_size=10
+        ).collect()
+    }
+    assert not any(c < 25 for _, c in capped), "mega-cluster matches capped away"
+    assert (101, 50) in capped, "genuine near-dup survives the cap"
