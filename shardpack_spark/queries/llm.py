@@ -648,15 +648,42 @@ def _simhash_sim_cte() -> str:
 @register(
     "q36_simhash",
     oracle=f"""
-    WITH {_simhash_sim_cte()}
+    WITH {_simhash_sim_cte()},
+    bands AS (
+      SELECT sid, sim_hi, sim_lo, b.band,
+             CASE WHEN b.band < 2 THEN (sim_lo >> (16 * b.band)) & 65535
+                  ELSE (sim_hi >> (16 * (b.band - 2))) & 65535 END AS key
+      FROM sim CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    bsize AS (
+      SELECT band, key, COUNT(*) AS bs FROM bands GROUP BY band, key
+    ),
+    kept AS (
+      SELECT bands.sid, bands.band, bands.key, bands.sim_hi, bands.sim_lo
+      FROM bands JOIN bsize USING (band, key) WHERE bs <= 8
+    ),
+    capped AS (
+      SELECT DISTINCT a.sid AS sid_a, b.sid AS sid_b,
+             bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS hamming
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.key = b.key AND a.sid < b.sid
+    )
     SELECT 'hash' AS variant, sid AS id, sim_hi AS x, sim_lo AS y FROM sim
     UNION ALL
     SELECT 'pair' AS variant, a.sid AS id, b.sid AS x,
            CAST(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS BIGINT) AS y
     FROM sim a JOIN sim b ON a.sid < b.sid
     WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+    UNION ALL
+    SELECT 'capped' AS variant, sid_a AS id, sid_b AS x, CAST(hamming AS BIGINT) AS y
+    FROM capped WHERE hamming <= 3
+    UNION ALL
+    SELECT 'skew' AS variant, CAST(band AS BIGINT) AS id, CAST(key AS BIGINT) AS x,
+           CAST(bs AS BIGINT) AS y
+    FROM bsize WHERE bs > 8
     """,
-    doc="SimHash values AND banded near-dup pairs in one tagged result.",
+    doc="SimHash values, banded near-dup pairs, skew-capped pairs, and "
+    "the hot-bucket report in one tagged result.",
 )
 def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash suite (Q36+Q37): 'hash' rows carry each doc's 64-bit
@@ -665,7 +692,14 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     'pair' rows are the banded near-dup candidates at Hamming <= 3
     (id=sid_a, x=sid_b, y=hamming) — the oracle checks the banded
     generation against ALL pairs, which is lossless at this radius
-    (4 disjoint 16-bit bands)."""
+    (4 disjoint 16-bit bands); 'capped' rows re-run the banded join
+    under the max_bucket_size=8 skew guard (the adversarial-corpus
+    protection), whose exact drop semantics the oracle recomputes from
+    explicit (band, key) bucket sizes; 'skew' rows are
+    ``hamming_bucket_skew_report``'s hot buckets (id=band, x=slice key,
+    y=bucket size) — the report that names what the cap drops."""
+    from shardpack_spark.operators.perceptual import hamming_bucket_skew_report
+
     sim = dedup.simhash(load_table(spark, sf_dir, "documents"))
     pairs = dedup.simhash_near_pairs(sim, bands=4)
     hash_rows = sim.select(
@@ -680,7 +714,19 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sid_b").alias("x"),
         F.col("hamming").cast("bigint").alias("y"),
     )
-    return hash_rows.unionAll(pair_rows)
+    capped_rows = dedup.simhash_near_pairs(sim, bands=4, max_bucket_size=8).select(
+        F.lit("capped").alias("variant"),
+        F.col("sid_a").alias("id"),
+        F.col("sid_b").alias("x"),
+        F.col("hamming").cast("bigint").alias("y"),
+    )
+    skew_rows = hamming_bucket_skew_report(sim, bands=4, threshold=8).select(
+        F.lit("skew").alias("variant"),
+        F.col("band").cast("bigint").alias("id"),
+        F.col("key").cast("bigint").alias("x"),
+        F.col("bucket_size").cast("bigint").alias("y"),
+    )
+    return hash_rows.unionAll(pair_rows).unionAll(capped_rows).unionAll(skew_rows)
 
 
 @register(
