@@ -127,14 +127,30 @@ def _observe_latest(path: str, flatten: bool = True) -> tuple[dict | None, int]:
     observation, claiming floor+1 collides (CAS) with any commit that
     landed in between, forcing the re-merge.
 
+    The catch-up listing is BOUNDED: only roots sorting after the
+    pointer's version are requested (``glob_names_after``; zero-padded
+    ids make the name order the numeric order).  Roots at or below the
+    pointer cannot change the answer, so skipping them is free — and on
+    a dataset with a long retained history it is the difference between
+    O(1) and O(lifetime commits) LIST work per observation (measured:
+    the archived-root listing was the dominant drift in commit cost at
+    depth 10k, tools/checkpoint_probe.py).
+
     ``flatten=False`` returns the metadata-only view (no part files
     opened) — sufficient for append commits."""
     m = _load_manifest(path, flatten=flatten)
-    ids = _root_ids(path)
-    top = ids[-1] if ids else 0
-    if top > (m or {}).get("version_id", 0):
+    ptr = (m or {}).get("version_id", 0)
+    be = storage.for_path(path)
+    newer = be.glob_names_after(
+        os.path.join(path, MANIFEST_PARTS_DIR),
+        "root-*.json",
+        f"root-{ptr:08d}.json",
+    )
+    ids = [int(f[5:13]) for f in newer if f[5:13].isdigit()]
+    top = max(ids) if ids else 0
+    if top > ptr:
         m = _load_manifest(path, top, flatten=flatten)
-    return m, max(top, (m or {}).get("version_id", 0))
+    return m, max(top, ptr)
 
 
 def _load_latest_manifest(path: str) -> dict | None:

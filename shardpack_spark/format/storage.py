@@ -179,6 +179,16 @@ class StorageBackend:
         only globbing the format layer needs (never recursive)."""
         return sorted(n for n in self.listdir(dirpath) if fnmatch.fnmatch(n, pattern))
 
+    def glob_names_after(self, dirpath: str, pattern: str, after: str) -> list[str]:
+        """Sorted child names matching ``pattern`` that sort STRICTLY
+        after ``after``.  The default filters ``glob_names``; ordered
+        object stores override it with a server-side start-after listing
+        (S3 ``StartAfter``) so the cost is O(new matches), not
+        O(children) — on a dataset with a long commit history this is
+        the difference between O(1) and O(history) LIST work per
+        latest-state observation (see manifest._observe_latest)."""
+        return [n for n in self.glob_names(dirpath, pattern) if n > after]
+
     def getsize(self, path: str) -> int:
         raise NotImplementedError
 
@@ -783,6 +793,28 @@ class S3ConditionalBackend(StorageBackend):
             ):
                 return False
             raise
+
+    def glob_names_after(self, dirpath: str, pattern: str, after: str) -> list[str]:
+        """Server-side start-after listing via ``list_objects_v2`` —
+        O(new matches) per call however deep the commit history.  Falls
+        back to the base filter when the injected client carries only
+        ``put_object`` (the fake-client test seam)."""
+        lister = getattr(self._client, "list_objects_v2", None)
+        if lister is None:
+            return super().glob_names_after(dirpath, pattern, after)
+        bucket, key = self._bucket_key(dirpath)
+        key = key.rstrip("/") + "/"
+        names: list[str] = []
+        kwargs = dict(
+            Bucket=bucket, Prefix=key, StartAfter=key + after, Delimiter="/"
+        )
+        while True:
+            resp = lister(**kwargs)
+            names += [c["Key"][len(key):] for c in resp.get("Contents", ())]
+            if not resp.get("IsTruncated"):
+                break
+            kwargs["ContinuationToken"] = resp["NextContinuationToken"]
+        return sorted(n for n in names if fnmatch.fnmatch(n, pattern))
 
     # --- data plane: delegate to the pyarrow.fs S3 filesystem ---
     def open_read(self, path: str):

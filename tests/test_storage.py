@@ -1119,3 +1119,105 @@ def test_s3_conditional_put_live_store():
         storage._factories.pop("s3", None)
         for k in [k for k in storage._remote_cache if k.startswith("s3://")]:
             storage._remote_cache.pop(k, None)
+
+
+def test_glob_names_after_default_and_s3_start_after():
+    """glob_names_after: the bounded catch-up listing _observe_latest
+    uses.  Default filters the full glob; the S3 backend pushes the
+    bound server-side via list_objects_v2 StartAfter (paginated), and
+    falls back to the base filter for put_object-only fake clients."""
+    import uuid
+
+    base = f"memory://gna-{uuid.uuid4().hex[:8]}"
+    be = storage.for_path(base)
+    for i in (1, 2, 5, 9):
+        be.write_atomic(f"{base}/m/root-{i:08d}.json", b"{}")
+    be.write_atomic(f"{base}/m/part-00000003.json", b"{}")
+    assert be.glob_names_after(f"{base}/m", "root-*.json", "root-00000002.json") == [
+        "root-00000005.json",
+        "root-00000009.json",
+    ]
+    assert be.glob_names_after(f"{base}/m", "root-*.json", "root-00000009.json") == []
+
+    class FakeS3List:
+        """Paginated list_objects_v2 over a sorted key set."""
+
+        def __init__(self, keys):
+            self.keys = sorted(keys)
+            self.calls = []
+
+        def put_object(self, **kw):  # pragma: no cover - protocol filler
+            raise AssertionError("not used")
+
+        def list_objects_v2(self, Bucket, Prefix, StartAfter, Delimiter,
+                            ContinuationToken=None):
+            self.calls.append(StartAfter)
+            after = ContinuationToken or StartAfter
+            hits = [k for k in self.keys
+                    if k.startswith(Prefix) and k > after
+                    and "/" not in k[len(Prefix):]]
+            page, rest = hits[:2], hits[2:]
+            out = {"Contents": [{"Key": k} for k in page],
+                   "IsTruncated": bool(rest)}
+            if rest:
+                out["NextContinuationToken"] = page[-1]
+            return out
+
+    keys = [f"_manifest/root-{i:08d}.json" for i in (1, 2, 5, 9, 12)]
+    keys += ["_manifest/part-00000001.json", "_manifest/deep/root-99999999.json"]
+    fake = FakeS3List(keys)
+    s3 = storage.S3ConditionalBackend("s3", "s3://bkt/x", client=fake,
+                                      inner=storage.for_path(base))
+    got = s3.glob_names_after("s3://bkt/_manifest", "root-*.json",
+                              "root-00000002.json")
+    assert got == [f"root-{i:08d}.json" for i in (5, 9, 12)]
+    # paginated (page size 2 in the fake): every page carries the bound
+    assert fake.calls and set(fake.calls) == {"_manifest/root-00000002.json"}
+
+    class PutOnly:
+        def put_object(self, **kw):  # pragma: no cover
+            raise AssertionError("not used")
+
+    s3b = storage.S3ConditionalBackend("s3", "s3://bkt/x", client=PutOnly(),
+                                       inner=be)
+    # base-class fallback routes through the inner backend's glob
+    assert s3b.glob_names_after(f"{base}/m", "root-*.json",
+                                "root-00000005.json") == ["root-00000009.json"]
+
+
+def test_observe_latest_bounded_listing_and_pointer_lag():
+    """_observe_latest must (a) catch a root newer than a lagging
+    pointer, and (b) request only names after the pointer's version —
+    the O(1)-per-observation contract on deep histories."""
+    import json
+    import uuid
+
+    from shardpack_spark.format import commit
+    from shardpack_spark.format.manifest import _observe_latest
+
+    root = f"memory://obsl-{uuid.uuid4().hex[:8]}"
+    for i in range(5):
+        commit.commit_shards(root, [{"path": f"s{i}.sp", "records": 1}])
+    be = storage.for_path(root)
+    m, vid = _observe_latest(root)
+    assert vid == 5 and len(m["shards"]) == 5
+
+    # pointer lag: archive root 6 without updating the live pointer
+    arch5 = json.loads(be.read_bytes(f"{root}/_manifest/root-{5:08d}.json"))
+    arch6 = dict(arch5, version_id=6)
+    be.write_atomic(f"{root}/_manifest/root-{6:08d}.json",
+                    json.dumps(arch6).encode())
+    seen = []
+    real = be.glob_names_after
+
+    def spying(dirpath, pattern, after):
+        seen.append(after)
+        return real(dirpath, pattern, after)
+
+    be.glob_names_after = spying
+    try:
+        m2, vid2 = _observe_latest(root)
+    finally:
+        be.glob_names_after = real
+    assert vid2 == 6 and m2["version_id"] == 6
+    assert seen == ["root-00000005.json"], "listing must start after the pointer"
