@@ -1572,23 +1572,33 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif(data: bytes) -> np.ndarray:
+def decode_gif(data: bytes, max_pixels: int | None = DEFAULT_MAX_PIXELS) -> np.ndarray:
     """GIF87a/89a first frame -> uint8 pixels, (H, W, 3) RGB or
     (H, W, 4) RGBA when a transparent index is declared.  Pure-Python
     LZW + palette expansion; interlaced frames supported.  Animation
     beyond the first image descriptor is ignored (the perceptual/
-    thumbnail use case keys on the first frame)."""
+    thumbnail use case keys on the first frame).
+
+    Decode-work bomb guard: GIF dimensions are u16, so a crafted header
+    can declare up to 4.3 Gpx and the bit-serial LZW would try to emit
+    them all; screens/frames over ``max_pixels`` are rejected from the
+    header (None disables)."""
     data = bytes(data)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     try:
-        return _decode_gif_body(data)
+        return _decode_gif_body(data, max_pixels)
     except (struct.error, IndexError) as e:
         raise ValueError(f"malformed GIF: {e}") from e
 
 
-def _decode_gif_body(data: bytes) -> np.ndarray:
+def _decode_gif_body(data: bytes, max_pixels: int | None = None) -> np.ndarray:
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    if max_pixels is not None and sw * sh > max_pixels:
+        raise ValueError(
+            f"GIF declares a {sw}x{sh} logical screen, over the decode "
+            f"budget of {max_pixels} pixels (decode-work bomb guard)"
+        )
     pos = 13
     gct = None
     if flags & 0x80:
@@ -1633,6 +1643,11 @@ def _decode_gif_body(data: bytes) -> np.ndarray:
         pos += 1
         if iw < 1 or ih < 1:
             raise ValueError("GIF frame has zero dimension")
+        if max_pixels is not None and iw * ih > max_pixels:
+            raise ValueError(
+                f"GIF frame declares {iw}x{ih} = {iw * ih} pixels, over "
+                f"the decode budget of {max_pixels} (decode-work bomb guard)"
+            )
         idx_bytes = _lzw_decode(b"".join(blocks), min_code, iw * ih)
         if len(idx_bytes) < iw * ih:
             raise ValueError("GIF frame pixel data truncated")

@@ -120,6 +120,49 @@ def assign_to_centroids(
     return df.withColumn(centroid_id, nearest(F.col(vec_col)))
 
 
+def ivf_bucket_skew_report(
+    assigned: DataFrame,
+    threshold: int = 100_000,
+    sample_ids: int = 8,
+    id_col: str = "vec_id",
+    centroid_id: str = "cid",
+) -> DataFrame:
+    """Hot-centroid report for an IVF layout: one row per centroid
+    bucket holding more than ``threshold`` vectors, with the bucket size
+    and ``sample_ids`` member ids -> ``(cid, bucket_size, sample_ids)``.
+
+    The IVF analog of ``dedup.lsh_bucket_skew_report`` /
+    ``perceptual.hamming_bucket_skew_report``: with skewed data (one
+    dense mode, a degenerate all-zeros embedding cluster, k-means that
+    under-fit k) a single centroid absorbs a disproportionate share of
+    the corpus, and every probe that touches it scans that whole bucket
+    — nprobe pruning quietly stops paying.  Run this against the stored
+    assignment to decide whether to re-train with larger k, split the
+    hot bucket, or route its ids to a brute-force side table.
+
+    Scale shape: one partial-agg groupBy sizes every bucket (output =
+    hot centroids only, tiny); the sample pass re-scans ONLY hot
+    buckets' rows via a broadcast semi-join and takes row_number <=
+    sample_ids, so no mega-bucket is ever materialized.
+    """
+    hot = (
+        assigned.groupBy(centroid_id)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > threshold)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(centroid_id).orderBy(id_col)
+    return (
+        assigned.join(F.broadcast(hot), [centroid_id])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= sample_ids)
+        .groupBy(centroid_id, "bucket_size")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("sample_ids"))
+        .select(centroid_id, "bucket_size", "sample_ids")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query: DataFrame,

@@ -570,3 +570,24 @@ def test_jpeg_scan_bomb_rejected_fast():
         + b"\xff\xd9"
     )
     assert ic.decode_jpeg(ok).shape == (8, 16)
+
+
+def test_gif_pixel_bomb_rejected_fast():
+    """GIF dims are u16: a crafted 65535x65535 screen (4.3 Gpx) must be
+    rejected from the header before the bit-serial LZW runs."""
+    import time
+
+    bomb = (
+        b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+        + bytes([2, 1, 0x00, 0]) + b"\x3b"
+    )
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="decode budget"):
+        ic.decode_gif(bomb)
+    assert time.perf_counter() - t0 < 0.2
+    # in-budget GIFs still decode (reuse the round-trip builder)
+    idx = np.arange(16, dtype=np.uint8).reshape(4, 4) % 4
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    out = ic.decode_gif(_mk_gif(idx, palette))
+    assert out.shape == (4, 4, 3)

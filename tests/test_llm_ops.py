@@ -278,3 +278,38 @@ def test_minhash_against_corpus_side_cap(spark):
     }
     assert not any(c < 25 for _, c in capped), "mega-cluster matches capped away"
     assert (101, 50) in capped, "genuine near-dup survives the cap"
+
+
+def test_ivf_bucket_skew_report_names_hot_centroid(spark):
+    """A degenerate embedding mode (many near-identical vectors) lands
+    in one centroid bucket; the report must name that centroid with its
+    size and sampled members while balanced buckets stay silent — the
+    signal for re-training k / splitting the bucket before nprobe
+    pruning quietly stops paying."""
+    import numpy as np
+
+    from shardpack_spark.operators.similarity import (
+        assign_to_centroids,
+        ivf_bucket_skew_report,
+    )
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(40):  # degenerate mode around +e0
+        v = np.array([10.0, 0.0, 0.0]) + 0.01 * rng.standard_normal(3)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(5):  # small healthy cluster around +e1
+        v = np.array([0.0, 10.0, 0.0]) + 0.01 * rng.standard_normal(3)
+        rows.append((100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cid long, cvec array<double>",
+    )
+    assigned = assign_to_centroids(df, cents)
+    report = ivf_bucket_skew_report(assigned, threshold=10, sample_ids=4).collect()
+    assert len(report) == 1
+    r = report[0]
+    assert r.cid == 0 and r.bucket_size == 40
+    assert r.sample_ids == [0, 1, 2, 3], "row_number over id order"
+    assert ivf_bucket_skew_report(assigned, threshold=40).count() == 0
