@@ -307,6 +307,70 @@ def np_arange_cache(n: int):
     return np.arange(n, dtype=np.int64)
 
 
+def _sketch_banded_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    bands: int,
+    rows_per_band: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band, key) rp-sketch rows — the blocking shuffle key, shared
+    by pair generation and the skew report so both see the SAME
+    buckets."""
+    band_keys = _band_keys_udf(bands, rows_per_band, seed)
+    return df.select(
+        F.col(id_col).alias(out_id), band_keys(F.col(vec_col)).alias("__keys")
+    ).select(out_id, F.posexplode("__keys").alias("band", "key"))
+
+
+def embedding_sketch_skew_report(
+    df: DataFrame,
+    bands: int = 48,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    threshold: int = 1000,
+    sample_ids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hot-bucket report for rp-sketch blocking: one row per (band, key)
+    bucket holding more than ``threshold`` vectors, with size and
+    ``sample_ids`` member ids -> ``(band, key, bucket_size,
+    sample_ids)``.
+
+    The embedding analog of ``dedup.lsh_bucket_skew_report``: a
+    degenerate embedding mode (zero vectors from a failed encoder, one
+    dominant template) produces identical sign sketches, so m vectors
+    share every band bucket and ``embedding_near_dup_pairs`` pays m^2
+    candidate rows per band without its ``max_bucket_size`` cap.  Run
+    with ``threshold = max_bucket_size`` to see exactly what a cap will
+    drop.  Must use the same (bands, rows_per_band, seed).
+
+    Scale shape: partial-agg groupBy sizes buckets; hot-bucket members
+    sampled via broadcast semi-join + row_number — no mega-bucket ever
+    materializes.
+    """
+    banded = _sketch_banded_rows(df, id_col, vec_col, "vid", bands, rows_per_band, seed)
+    hot = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > threshold)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "key").orderBy("vid")
+    return (
+        banded.join(F.broadcast(hot), ["band", "key"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= sample_ids)
+        .groupBy("band", "key", "bucket_size")
+        .agg(F.sort_array(F.collect_list("vid")).alias("sample_ids"))
+        .select("band", "key", "bucket_size", "sample_ids")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -316,6 +380,7 @@ def embedding_near_dup_pairs(
     bands: int = 48,
     rows_per_band: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -352,15 +417,22 @@ def embedding_near_dup_pairs(
         # an Arrow-batched pandas_udf — a ~200-plane random projection as
         # codegen'd fold expressions compiles to megabytes of bytecode and
         # dominates wall-clock at small scale, while the matmul is O(free).
-        band_keys = _band_keys_udf(bands, rows_per_band, seed)
-
-        def banded(side: DataFrame, idc: str, vc: str) -> DataFrame:
-            return side.select(idc, band_keys(F.col(vc)).alias("__keys")).select(
-                idc, F.posexplode("__keys").alias("band", "key")
+        ab = _sketch_banded_rows(df, id_col, vec_col, "id_a", bands, rows_per_band, seed)
+        bb = _sketch_banded_rows(df, id_col, vec_col, "id_b", bands, rows_per_band, seed)
+        if max_bucket_size is not None:
+            # skew guard (opt-in): drop (band, key) buckets over the cap
+            # before the self-join — a degenerate sketch cluster is m^2
+            # candidate rows per band otherwise.  Partial-agg count +
+            # broadcast anti-join: the banded rows take no extra shuffle.
+            # Measure the loss first with embedding_sketch_skew_report.
+            hot = (
+                ab.groupBy("band", "key")
+                .agg(F.count(F.lit(1)).alias("__bs"))
+                .filter(F.col("__bs") > max_bucket_size)
+                .select("band", "key")
             )
-
-        ab = banded(a, "id_a", "va")
-        bb = banded(b, "id_b", "vb")
+            ab = ab.join(F.broadcast(hot), ["band", "key"], "left_anti")
+            bb = bb.join(F.broadcast(hot), ["band", "key"], "left_anti")
         # dedupe candidates on ids BEFORE re-attaching vectors, so the
         # (up to `bands`-fold) redundant bucket co-occurrences never carry
         # vector payloads through the shuffle

@@ -313,3 +313,44 @@ def test_ivf_bucket_skew_report_names_hot_centroid(spark):
     assert r.cid == 0 and r.bucket_size == 40
     assert r.sample_ids == [0, 1, 2, 3], "row_number over id order"
     assert ivf_bucket_skew_report(assigned, threshold=40).count() == 0
+
+
+def test_embedding_sketch_skew_guard_and_report(spark):
+    """A degenerate embedding cluster (identical vectors -> identical
+    rp-sketches) shares every band bucket; max_bucket_size drops those
+    buckets while a distinct genuine near-pair survives, and
+    embedding_sketch_skew_report names the loss."""
+    import numpy as np
+
+    from shardpack_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_sketch_skew_report,
+    )
+
+    rng = np.random.default_rng(33)
+    base = rng.standard_normal(8)
+    rows = [(i, [float(x) for x in base]) for i in range(20)]   # mega-cluster
+    other = rng.standard_normal(8)
+    rows += [(100, [float(x) for x in other]),
+             (101, [float(x) for x in other + 0.001 * rng.standard_normal(8)])]
+    rows += [(200 + i, [float(x) for x in rng.standard_normal(8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.99, bands=8, rows_per_band=4)
+    uncapped = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(df, **kw).collect()}
+    cluster_pairs = {(a, b) for a in range(20) for b in range(20) if a < b}
+    assert cluster_pairs <= uncapped and (100, 101) in uncapped
+    capped = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, max_bucket_size=10, **kw).collect()
+    }
+    assert not (cluster_pairs & capped), "cap drops the mega-cluster"
+    assert (100, 101) in capped, "genuine near-pair survives"
+
+    report = embedding_sketch_skew_report(
+        df, bands=8, rows_per_band=4, threshold=10, sample_ids=5
+    ).collect()
+    assert len(report) == 8, "identical sketches share all 8 band buckets"
+    for r in report:
+        assert r.bucket_size == 20 and set(r.sample_ids) <= set(range(20))
+    assert embedding_sketch_skew_report(df, bands=8, rows_per_band=4,
+                                        threshold=20).count() == 0
