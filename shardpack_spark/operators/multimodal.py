@@ -108,11 +108,13 @@ def _check_decoder(decoder: str) -> None:
 
 
 def _decode_pixels(data: bytes, decoder: str, pil_image):
-    """Pixel array for one payload, or None when undecodable.
-    ``decoder='pure'`` runs the wheel-free codec first (bit-identical
-    results everywhere); ``'auto'`` prefers PIL's C decoders when
-    importable (bulk-throughput deployments — identical to 'pure' on a
-    PIL-less cluster)."""
+    """(pixel array, decode_path) for one payload, or (None, None) when
+    undecodable.  ``decoder='pure'`` runs the wheel-free codec first
+    (bit-identical results everywhere); ``'auto'`` prefers PIL's C
+    decoders when importable (bulk-throughput deployments — identical
+    to 'pure' on a PIL-less cluster).  ``decode_path`` ('pure'/'pil')
+    is the same telemetry vocabulary the perceptual signatures carry,
+    so ``perceptual.decode_path_rollup`` covers these ops too."""
     import io
 
     import numpy as np
@@ -136,13 +138,14 @@ def _decode_pixels(data: bytes, decoder: str, pil_image):
             im = im.convert("RGB")
         return np.asarray(im)
 
-    order = (pil, pure) if decoder == "auto" else (pure, pil)
-    for fn in order:
+    order = ((pil, "pil"), (pure, "pure")) if decoder == "auto" else (
+        (pure, "pure"), (pil, "pil"))
+    for fn, path in order:
         try:
-            return fn()
+            return fn(), path
         except Exception:
             continue
-    return None
+    return None, None
 
 
 # magic-number sniffing is real logic, not stubbed
@@ -247,6 +250,7 @@ PIXEL_FEATURE_SCHEMA = StructType(
         StructField("std_luma", DoubleType()),
         StructField("entropy_bits", DoubleType()),
         StructField("extreme_frac", DoubleType()),
+        StructField("decode_path", StringType()),
     ]
 )
 
@@ -285,7 +289,7 @@ def image_pixel_features(df: DataFrame, decoder: str = "pure") -> DataFrame:
             rows = []
             for key, fname, data in zip(pdf["key"], pdf["file_name"], pdf["data"]):
                 data = bytes(data)
-                arr = _decode_pixels(data, decoder, Image)
+                arr, dpath = _decode_pixels(data, decoder, Image)
                 if arr is None:
                     continue
                 channels = 1 if arr.ndim == 2 else arr.shape[2]
@@ -308,6 +312,7 @@ def image_pixel_features(df: DataFrame, decoder: str = "pure") -> DataFrame:
                         "std_luma": float(luma.std()),
                         "entropy_bits": float(-(nz * np.log2(nz)).sum()),
                         "extreme_frac": float(((q <= 2) | (q >= 253)).mean()),
+                        "decode_path": dpath,
                     }
                 )
             yield pd.DataFrame(
@@ -315,24 +320,30 @@ def image_pixel_features(df: DataFrame, decoder: str = "pure") -> DataFrame:
                 columns=[
                     "key", "file_name", "width", "height", "channels",
                     "mean_luma", "std_luma", "entropy_bits", "extreme_frac",
+                    "decode_path",
                 ],
             )
 
     return imgs.mapInPandas(stats_batch, PIXEL_FEATURE_SCHEMA)
 
 
-def _resize_pixels(data: bytes, width: int, height: int, decoder: str = "pure") -> bytes:
-    """Pixel-level resize.  REAL wheel-free for PNG, baseline +
-    progressive JPEG, and GIF: `operators.imagecodec` decodes pixels in
-    pure Python/numpy, bilinear resampling runs in float64, and the
-    thumbnail re-encodes as PNG (lossless, self-describing — output
-    payloads always start with the PNG signature).  With
-    ``decoder='pure'`` (default) the pure path runs FIRST so outputs
-    are bit-identical on every cluster; ``'auto'`` prefers PIL's C
-    decoders when importable.  Payloads neither path decodes return a
-    deterministic tagged marker (target dims + a digest of the source
-    bytes) — per-record degradation, never a job abort, and clearly
-    non-image so it can't be mistaken for a real thumbnail."""
+def _resize_pixels(
+    data: bytes, width: int, height: int, decoder: str = "pure"
+) -> tuple[bytes, str]:
+    """Pixel-level resize -> (payload bytes, decode_path).  REAL
+    wheel-free for PNG, baseline + progressive JPEG, and GIF:
+    `operators.imagecodec` decodes pixels in pure Python/numpy, bilinear
+    resampling runs in float64, and the thumbnail re-encodes as PNG
+    (lossless, self-describing — output payloads always start with the
+    PNG signature).  With ``decoder='pure'`` (default) the pure path
+    runs FIRST so outputs are bit-identical on every cluster; ``'auto'``
+    prefers PIL's C decoders when importable.  Payloads neither path
+    decodes return a deterministic tagged marker (target dims + a digest
+    of the source bytes) — per-record degradation, never a job abort,
+    and clearly non-image so it can't be mistaken for a real thumbnail.
+    ``decode_path`` is 'pure'/'pil' for real thumbnails and 'surrogate'
+    for marker bytes — the perceptual telemetry vocabulary, so
+    ``perceptual.decode_path_rollup`` covers resize output too."""
     import hashlib
 
     def pure() -> bytes:
@@ -357,26 +368,28 @@ def _resize_pixels(data: bytes, width: int, height: int, decoder: str = "pure") 
         thumb.save(out, format="PNG")
         return out.getvalue()
 
-    order = (pil, pure) if decoder == "auto" else (pure, pil)
+    order = ((pil, "pil"), (pure, "pure")) if decoder == "auto" else (
+        (pure, "pure"), (pil, "pil"))
     errors = []
-    for fn in order:
+    for fn, path in order:
         try:
-            return fn()
+            return fn(), path
         except ImportError:
             errors.append("no-wheel")
         except Exception:
             errors.append("decode")
     digest = hashlib.sha256(data).hexdigest()[:16].encode()
     if "no-wheel" in errors:  # a wheel MIGHT have decoded it
-        return b"STUB-RESIZE:%dx%d:" % (width, height) + digest
+        return b"STUB-RESIZE:%dx%d:" % (width, height) + digest, "surrogate"
     # one corrupt/undecodable image must not abort a corpus-wide job:
     # per-record error marker, same tagged-bytes contract as the stub
-    return b"DECODE-ERROR:%dx%d:" % (width, height) + digest
+    return b"DECODE-ERROR:%dx%d:" % (width, height) + digest, "surrogate"
 
 
 RESIZED_SCHEMA = (
     "key string, file_name string, content_type string, "
-    "src_width int, src_height int, width int, height int, data binary"
+    "src_width int, src_height int, width int, height int, data binary, "
+    "decode_path string"
 )
 
 
@@ -391,7 +404,9 @@ def resize_images(
     prefers PIL's C decoders when importable (bulk throughput);
     ``'pure'`` (default) keeps thumbnails bit-identical on every
     cluster.  Output rows: (key, file_name, content_type, src_width,
-    src_height, width, height, data)."""
+    src_height, width, height, data, decode_path) — decode_path
+    ('pure'/'pil'/'surrogate') feeds ``perceptual.decode_path_rollup``,
+    the corpus-level alert on silently-degraded thumbnails."""
     _check_decoder(decoder)
     _self_pickle_by_value()
     imgs = explode_entries(df).filter(
@@ -402,7 +417,8 @@ def resize_images(
         for pdf in batches:
             datas = [bytes(b) for b in pdf["data"]]
             dims = [parse_image_dims(b) for b in datas]
-            out = [_resize_pixels(b, width, height, decoder) for b in datas]
+            resized = [_resize_pixels(b, width, height, decoder) for b in datas]
+            out = [o for o, _ in resized]
             yield pd.DataFrame(
                 {
                     "key": pdf["key"],
@@ -418,6 +434,7 @@ def resize_images(
                     "width": [width] * len(datas),
                     "height": [height] * len(datas),
                     "data": out,
+                    "decode_path": [pth for _, pth in resized],
                 }
             )
 

@@ -250,8 +250,9 @@ def test_resize_images_real_pixels_no_wheel(spark):
 def test_resize_error_marker_not_job_abort():
     """Per-record decode failures yield tagged error bytes, never raise
     (only relevant when PIL is installed, but the contract holds)."""
-    out = mm._resize_pixels(b"\xff\xd8 not a real jpeg", 32, 32)
+    out, path = mm._resize_pixels(b"\xff\xd8 not a real jpeg", 32, 32)
     assert out.startswith((b"STUB-RESIZE:32x32:", b"DECODE-ERROR:32x32:"))
+    assert path == "surrogate", "marker bytes must report as surrogate"
 
 
 def test_image_pixel_features_real_stats(spark):
@@ -287,3 +288,41 @@ def test_image_pixel_features_real_stats(spark):
     assert nz["channels"] == 3 and nz["entropy_bits"] > 5.0
     dk = out["i/dark"]
     assert dk["extreme_frac"] == 1.0 and dk["mean_luma"] == 0.0
+
+
+def test_multimodal_decode_path_telemetry_and_rollup(spark):
+    """image_pixel_features and resize_images now carry the decode_path
+    column the perceptual ops introduced; decode_path_rollup folds any
+    of them to the corpus surrogate fraction."""
+    import numpy as np
+
+    from shardpack_spark.operators.imagecodec import encode_png
+    from shardpack_spark.operators.perceptual import decode_path_rollup
+
+    base = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rows = [
+        ("a", "i.png", encode_png(base)),
+        ("junk", "j.png", b"\x89PNG\r\n\x1a\n" + bytes(30)),
+    ]
+    df = spark.createDataFrame(
+        [
+            (k, {}, [(fn, "image/png", "none", len(b), bytearray(b))])
+            for k, fn, b in rows
+        ],
+        "key string, metadata map<string,string>, entries array<struct<"
+        "file_name:string,content_type:string,encoding:string,size:bigint,data:binary>>",
+    )
+    feats = {r.key: r.decode_path for r in mm.image_pixel_features(df).collect()}
+    assert feats == {"a": "pure"}, "undecodable yields no feature row"
+    rs = {r.key: r for r in mm.resize_images(df, 4, 4).collect()}
+    assert rs["a"].decode_path == "pure"
+    assert bytes(rs["a"].data)[:8] == b"\x89PNG\r\n\x1a\n"
+    assert rs["junk"].decode_path == "surrogate"
+    # PIL-less cluster: STUB-RESIZE (a wheel might have decoded it);
+    # PIL-equipped: DECODE-ERROR (both decoders really failed)
+    assert bytes(rs["junk"].data).startswith(
+        (b"STUB-RESIZE:4x4:", b"DECODE-ERROR:4x4:")
+    )
+    roll = decode_path_rollup(mm.resize_images(df, 4, 4)).collect()[0]
+    assert (roll.n_rows, roll.n_pure, roll.n_surrogate) == (2, 1, 1)
+    assert abs(roll.surrogate_frac - 0.5) < 1e-12

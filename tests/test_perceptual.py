@@ -864,5 +864,6 @@ def test_resize_and_pixel_features_pil_contract_when_installed(spark):
         assert bytes(r.data)[:8] == b"\x89PNG\r\n\x1a\n", r.file_name
     feats = {r.key: r for r in image_pixel_features(df, decoder="auto").collect()}
     assert feats["g"].channels == 1, "grayscale must not be force-RGB'd under auto"
+    assert {r.decode_path for r in feats.values()} == {"pil"}
     pure = {r.key: r for r in image_pixel_features(df, decoder="pure").collect()}
     assert abs(feats["g"].mean_luma - pure["g"].mean_luma) < 2.0
