@@ -33,6 +33,8 @@ ShardPackCodecError): dictionary frames (``Dictionary_ID_Flag != 0``)
 
 from __future__ import annotations
 
+import bisect
+
 # --- RFC 8878 §3.1.1.3.2.2: predefined FSE distributions ----------------------
 
 _LL_DEFAULT_NORM = (
@@ -461,7 +463,10 @@ def decode_compressed_block(src: bytes, off: int, bsize: int, out: bytearray, ct
     elif b0 < 255:
         nseq, pos = ((b0 - 128) << 8) | src[pos + 1], pos + 2
     else:
-        nseq, pos = src[pos + 1] | (src[pos + 2] << 8) | 0x7F00, pos + 3
+        # long form: byte0=255 -> LE u16 PLUS 0x7F00 (addition, not OR:
+        # OR already has bit 8 set in 0x7F00, so it mis-decodes every
+        # count >= 0x8000 — caught by review against a crafted frame)
+        nseq, pos = (src[pos + 1] | (src[pos + 2] << 8)) + 0x7F00, pos + 3
     if nseq == 0:
         out += literals
         return
@@ -628,8 +633,6 @@ def _fse_chunks(
     (> half the table) owns nb=0 states that would never overrun.
     Every symbol has at least one state with nb >= 1 (its lowest
     occurrence), so the constraint is always satisfiable."""
-    import bisect
-
     n = len(codes)
     upds: list[tuple[int, int]] = [(0, 0)] * (n - 1)
     last = view[codes[-1]]  # any state decoding the last code qualifies...
@@ -647,8 +650,6 @@ _ML_BASELINES = [b for b, _ in _ML_CODE]
 
 
 def _val_to_code(v: int, baselines: list[int], table) -> tuple[int, int, int]:
-    import bisect
-
     c = bisect.bisect_right(baselines, v) - 1
     base, nb = table[c]
     return c, v - base, nb

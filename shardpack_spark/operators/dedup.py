@@ -220,27 +220,18 @@ def lsh_bucket_skew_report(
     skew protection — a mega-bucket is usually boilerplate (empty docs,
     a template, a crawler error page) and the samples name it.
 
-    Scale shape: one partial-agg groupBy sizes every bucket (output =
-    hot keys only, tiny); the sample pass re-scans ONLY hot buckets'
-    rows via a broadcast semi-join and takes row_number <= sample_ids,
-    so no unbounded collect_list ever materializes a mega-bucket.
+    Scale shape: shared with every skew report in the package
+    (``operators.skew.bucket_skew_report``): partial-agg bucket sizing,
+    broadcast semi-join to hot rows only, and deterministic hash
+    thinning before the ranking window so the report itself survives
+    the mega-bucket it diagnoses.
     """
-    banded = _lsh_banded_rows(signatures, bands, rows_per_band)
-    hot = (
-        banded.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .filter(F.col("bucket_size") > threshold)
-    )
-    from pyspark.sql.window import Window
+    from shardpack_spark.operators.skew import bucket_skew_report
 
-    w = Window.partitionBy("band", "bh").orderBy("sid")
-    return (
-        banded.join(F.broadcast(hot), ["band", "bh"])
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= sample_ids)
-        .groupBy("band", "bh", "bucket_size")
-        .agg(F.sort_array(F.collect_list("sid")).alias("sample_sids"))
-        .select("band", "bh", "bucket_size", "sample_sids")
+    banded = _lsh_banded_rows(signatures, bands, rows_per_band)
+    return bucket_skew_report(
+        banded, ["band", "bh"], "sid", threshold, sample_ids,
+        sample_col="sample_sids",
     )
 
 
@@ -268,14 +259,11 @@ def minhash_lsh_candidates(
     """
     banded = _lsh_banded_rows(signatures, bands, rows_per_band)
     if max_bucket_size is not None:
-        from pyspark.sql.window import Window
+        from shardpack_spark.operators.skew import drop_hot_buckets
 
-        w = Window.partitionBy("band", "bh")
-        banded = (
-            banded.withColumn("__bs", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bs") <= max_bucket_size)
-            .drop("__bs")
-        )
+        # partial-agg count + broadcast anti-join (was a count-over-window,
+        # which re-shuffled every banded row on the bucket key)
+        banded = drop_hot_buckets(banded, ["band", "bh"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -345,13 +333,9 @@ def minhash_lsh_candidates_against(
         new_banded = F.broadcast(new_banded)
     corpus_banded = banded(corpus_signatures, "sid_corpus")
     if max_bucket_size is not None:
-        hot = (
-            corpus_banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__bs"))
-            .filter(F.col("__bs") > max_bucket_size)
-            .select("band", "bh")
-        )
-        corpus_banded = corpus_banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+        from shardpack_spark.operators.skew import drop_hot_buckets
+
+        corpus_banded = drop_hot_buckets(corpus_banded, ["band", "bh"], max_bucket_size)
     return (
         new_banded.join(corpus_banded, ["band", "bh"])
         .select("sid_new", "sid_corpus")

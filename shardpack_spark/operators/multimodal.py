@@ -269,7 +269,13 @@ def image_pixel_features(df: DataFrame, decoder: str = "pure") -> DataFrame:
     content), and the fraction of pixels at the extremes (<=2 or >=253 —
     the over/under-exposure + letterboxing signal).  The standard
     image-quality cuts a multimodal curation pipeline filters on, as
-    codegen-free numpy per batch."""
+    codegen-free numpy per batch.
+
+    Undecodable or over-budget payloads emit a decode_path='surrogate'
+    row with null pixel statistics (width/height from the header parse
+    when readable) instead of vanishing: ``decode_path_rollup`` over
+    this output then reports the true surrogate fraction — a dropped
+    row would hide exactly the degradation the telemetry alerts on."""
     _check_decoder(decoder)
     _self_pickle_by_value()
     imgs = explode_entries(df).filter(
@@ -291,6 +297,21 @@ def image_pixel_features(df: DataFrame, decoder: str = "pure") -> DataFrame:
                 data = bytes(data)
                 arr, dpath = _decode_pixels(data, decoder, Image)
                 if arr is None:
+                    w, h = parse_image_dims(data)
+                    rows.append(
+                        {
+                            "key": key,
+                            "file_name": fname,
+                            "width": w,
+                            "height": h,
+                            "channels": None,
+                            "mean_luma": None,
+                            "std_luma": None,
+                            "entropy_bits": None,
+                            "extreme_frac": None,
+                            "decode_path": "surrogate",
+                        }
+                    )
                     continue
                 channels = 1 if arr.ndim == 2 else arr.shape[2]
                 luma = imagecodec.to_gray(arr)
@@ -363,7 +384,10 @@ def _resize_pixels(
         # ("output payloads start with the PNG signature") must hold on
         # PIL-equipped clusters under decoder='auto' too
         thumb = im.resize((width, height))
-        if thumb.mode in ("P", "CMYK", "YCbCr"):
+        # catch-all: any mode PNG can't encode (F, LAB, HSV, CMYK...)
+        # converts rather than raising into the surrogate path — palette
+        # included, since a resized palette image has interpolated pixels
+        if thumb.mode not in ("1", "L", "LA", "RGB", "RGBA", "I;16"):
             thumb = thumb.convert("RGB")
         thumb.save(out, format="PNG")
         return out.getvalue()

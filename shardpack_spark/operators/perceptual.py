@@ -590,22 +590,11 @@ def _hamming_banded_rows(
 
 
 def _drop_hot_buckets(banded: DataFrame, max_bucket_size: int) -> DataFrame:
-    """Remove every (band, key) bucket larger than ``max_bucket_size``.
+    """Remove every (band, key) bucket larger than ``max_bucket_size``
+    — the shared guard (see ``operators.skew`` for the plan shape)."""
+    from shardpack_spark.operators.skew import drop_hot_buckets
 
-    Shape: a partial-agg groupBy sizes the buckets (the shuffle carries
-    (band, key, partial count) — never the signature rows), the hot set
-    is tiny by construction (at most total_rows / max_bucket_size keys)
-    and broadcast into a left_anti join, so the banded rows themselves
-    take no extra shuffle.  Cheaper at scale than a count-over-window,
-    which would re-shuffle every row on the bucket key.
-    """
-    hot = (
-        banded.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("__bs"))
-        .filter(F.col("__bs") > max_bucket_size)
-        .select("band", "key")
-    )
-    return banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    return drop_hot_buckets(banded, ["band", "key"], max_bucket_size)
 
 
 def hamming_bucket_skew_report(
@@ -632,28 +621,19 @@ def hamming_bucket_skew_report(
     WILL drop (count + representative members) before trading
     completeness for skew protection.
 
-    Scale shape: one partial-agg groupBy sizes every bucket (output =
-    hot keys only, tiny); the sample pass re-scans ONLY hot buckets'
-    rows via a broadcast semi-join and takes row_number <= sample_ids,
-    so no mega-bucket is ever materialized.
+    Scale shape: shared with every skew report in the package
+    (``operators.skew.bucket_skew_report``): partial-agg bucket sizing,
+    broadcast semi-join to hot rows only, and deterministic hash
+    thinning before the ranking window so the report itself survives
+    the mega-bucket it diagnoses.
     """
     _check_band_tiling(bands, 0)
-    banded = _hamming_banded_rows(sig, bands, id_col, hi_col, lo_col)
-    hot = (
-        banded.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .filter(F.col("bucket_size") > threshold)
-    )
-    from pyspark.sql.window import Window
+    from shardpack_spark.operators.skew import bucket_skew_report
 
-    w = Window.partitionBy("band", "key").orderBy("sid")
-    return (
-        banded.join(F.broadcast(hot), ["band", "key"])
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= sample_ids)
-        .groupBy("band", "key", "bucket_size")
-        .agg(F.sort_array(F.collect_list("sid")).alias("sample_sids"))
-        .select("band", "key", "bucket_size", "sample_sids")
+    banded = _hamming_banded_rows(sig, bands, id_col, hi_col, lo_col)
+    return bucket_skew_report(
+        banded, ["band", "key"], "sid", threshold, sample_ids,
+        sample_col="sample_sids",
     )
 
 
@@ -785,13 +765,7 @@ def hamming_near_pairs_against(
         nb = F.broadcast(nb)
     cb = banded(corpus_sig, "corpus")
     if max_bucket_size is not None:
-        hot = (
-            cb.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__bs"))
-            .filter(F.col("__bs") > max_bucket_size)
-            .select("band", "key")
-        )
-        cb = cb.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        cb = _drop_hot_buckets(cb, max_bucket_size)
     cand = (
         nb.join(cb, ["band", "key"])
         .select("sid_new", "hi_new", "lo_new", "sid_corpus", "hi_corpus", "lo_corpus")

@@ -140,27 +140,15 @@ def ivf_bucket_skew_report(
     assignment to decide whether to re-train with larger k, split the
     hot bucket, or route its ids to a brute-force side table.
 
-    Scale shape: one partial-agg groupBy sizes every bucket (output =
-    hot centroids only, tiny); the sample pass re-scans ONLY hot
-    buckets' rows via a broadcast semi-join and takes row_number <=
-    sample_ids, so no mega-bucket is ever materialized.
+    Scale shape: shared with every skew report in the package
+    (``operators.skew.bucket_skew_report``): partial-agg bucket sizing,
+    broadcast semi-join to hot rows only, and deterministic hash
+    thinning before the ranking window so the report itself survives
+    the mega-bucket it diagnoses.
     """
-    hot = (
-        assigned.groupBy(centroid_id)
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .filter(F.col("bucket_size") > threshold)
-    )
-    from pyspark.sql.window import Window
+    from shardpack_spark.operators.skew import bucket_skew_report
 
-    w = Window.partitionBy(centroid_id).orderBy(id_col)
-    return (
-        assigned.join(F.broadcast(hot), [centroid_id])
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= sample_ids)
-        .groupBy(centroid_id, "bucket_size")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("sample_ids"))
-        .select(centroid_id, "bucket_size", "sample_ids")
-    )
+    return bucket_skew_report(assigned, [centroid_id], id_col, threshold, sample_ids)
 
 
 def ivf_topk(
@@ -348,27 +336,16 @@ def embedding_sketch_skew_report(
     with ``threshold = max_bucket_size`` to see exactly what a cap will
     drop.  Must use the same (bands, rows_per_band, seed).
 
-    Scale shape: partial-agg groupBy sizes buckets; hot-bucket members
-    sampled via broadcast semi-join + row_number — no mega-bucket ever
-    materializes.
+    Scale shape: shared with every skew report in the package
+    (``operators.skew.bucket_skew_report``): partial-agg bucket sizing,
+    broadcast semi-join to hot rows only, and deterministic hash
+    thinning before the ranking window so the report itself survives
+    the mega-bucket it diagnoses.
     """
-    banded = _sketch_banded_rows(df, id_col, vec_col, "vid", bands, rows_per_band, seed)
-    hot = (
-        banded.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .filter(F.col("bucket_size") > threshold)
-    )
-    from pyspark.sql.window import Window
+    from shardpack_spark.operators.skew import bucket_skew_report
 
-    w = Window.partitionBy("band", "key").orderBy("vid")
-    return (
-        banded.join(F.broadcast(hot), ["band", "key"])
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= sample_ids)
-        .groupBy("band", "key", "bucket_size")
-        .agg(F.sort_array(F.collect_list("vid")).alias("sample_ids"))
-        .select("band", "key", "bucket_size", "sample_ids")
-    )
+    banded = _sketch_banded_rows(df, id_col, vec_col, "vid", bands, rows_per_band, seed)
+    return bucket_skew_report(banded, ["band", "key"], "vid", threshold, sample_ids)
 
 
 def embedding_near_dup_pairs(
@@ -402,7 +379,19 @@ def embedding_near_dup_pairs(
     defaults (48 bands x 4 planes) give ~2.5e-4 even for a low 0.4
     threshold; for realistic >= 0.9 near-dup thresholds a handful of
     bands suffices.  Verification keeps precision exact regardless.
+
+    ``max_bucket_size`` (opt-in) applies to the DEFAULT sketch blocking
+    only — it caps (band, key) buckets before the self-join (see
+    ``embedding_sketch_skew_report``).  Passing it with a ``block_col``
+    raises: semantic blocks have no sketch buckets to cap, and silently
+    ignoring the guard would leave the caller believing a degenerate
+    block was protected when it wasn't.
     """
+    if max_bucket_size is not None and block_col is not None:
+        raise ValueError(
+            "max_bucket_size applies to sketch blocking only "
+            f"(block_col={block_col!r} was also given)"
+        )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if block_col == "__cross__":
@@ -422,17 +411,12 @@ def embedding_near_dup_pairs(
         if max_bucket_size is not None:
             # skew guard (opt-in): drop (band, key) buckets over the cap
             # before the self-join — a degenerate sketch cluster is m^2
-            # candidate rows per band otherwise.  Partial-agg count +
-            # broadcast anti-join: the banded rows take no extra shuffle.
-            # Measure the loss first with embedding_sketch_skew_report.
-            hot = (
-                ab.groupBy("band", "key")
-                .agg(F.count(F.lit(1)).alias("__bs"))
-                .filter(F.col("__bs") > max_bucket_size)
-                .select("band", "key")
-            )
-            ab = ab.join(F.broadcast(hot), ["band", "key"], "left_anti")
-            bb = bb.join(F.broadcast(hot), ["band", "key"], "left_anti")
+            # candidate rows per band otherwise.  Measure the loss first
+            # with embedding_sketch_skew_report.
+            from shardpack_spark.operators.skew import drop_hot_buckets
+
+            ab = drop_hot_buckets(ab, ["band", "key"], max_bucket_size)
+            bb = drop_hot_buckets(bb, ["band", "key"], max_bucket_size)
         # dedupe candidates on ids BEFORE re-attaching vectors, so the
         # (up to `bands`-fold) redundant bucket co-occurrences never carry
         # vector payloads through the shuffle

@@ -75,3 +75,83 @@ def write_bucketed(
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: str) -> DataFrame:
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+# --- shared skew-guard machinery for bucketed operators -------------------------
+#
+# Every blocking operator in this package shuffles on some bucket key —
+# MinHash (band, hash) buckets, Hamming (band, slice) buckets, rp-sketch
+# (band, key) buckets, IVF centroids — and they all share one failure
+# mode: a degenerate value (boilerplate text, a flat image, a zeroed
+# embedding, an under-fit centroid) concentrates m rows on one key and
+# the downstream join pays m^2.  The two primitives below are the one
+# implementation of the guard and its observability report, so a fix
+# lands everywhere at once.
+
+#: the hash pre-filter leaves ~this many times ``sample_ids`` rows per
+#: mega-bucket for the exact window to rank — large enough that
+#: under-selection is vanishingly unlikely, small enough that the
+#: window partition is trivially cheap
+_PREFILTER_FACTOR = 128
+
+
+def drop_hot_buckets(
+    rows: DataFrame, key_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """``rows`` minus every ``key_cols`` bucket larger than
+    ``max_bucket_size``.
+
+    The hot set comes from a partial-agg groupBy (the shuffle carries
+    (key..., partial count), never the data rows; output is at most
+    total_rows / cap keys) and is removed via a broadcast left_anti
+    join, so the bucketed rows themselves take no extra shuffle —
+    strictly cheaper at scale than a count-over-window, which would
+    re-shuffle every row on the bucket key."""
+    hot = (
+        rows.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") > max_bucket_size)
+        .select(*key_cols)
+    )
+    return rows.join(F.broadcast(hot), key_cols, "left_anti")
+
+
+def bucket_skew_report(
+    rows: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    threshold: int,
+    sample_ids: int,
+    sample_col: str = "sample_ids",
+) -> DataFrame:
+    """(key_cols..., bucket_size, ``sample_col``) for every bucket
+    holding more than ``threshold`` rows.
+
+    Samples are the ``sample_ids`` smallest ids of a deterministic
+    hash-thinned subset: buckets up to ``sample_ids * 128`` rows are
+    ranked exactly (the common case, and what tests pin); larger buckets
+    are first thinned by ``xxhash64(id) % (size // (sample_ids * 128))``
+    so the ranking window never sorts a mega-bucket in one task — the
+    report has to scale PAST the skew it exists to detect.
+    """
+    hot = (
+        rows.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > threshold)
+    )
+    from pyspark.sql.window import Window
+
+    joined = rows.join(F.broadcast(hot), key_cols)
+    divisor = F.greatest(
+        F.lit(1),
+        (F.col("bucket_size") / F.lit(sample_ids * _PREFILTER_FACTOR)).cast("long"),
+    )
+    thinned = joined.filter(F.pmod(F.xxhash64(F.col(id_col)), divisor) == 0)
+    w = Window.partitionBy(*key_cols).orderBy(id_col)
+    return (
+        thinned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= sample_ids)
+        .groupBy(*key_cols, "bucket_size")
+        .agg(F.sort_array(F.collect_list(id_col)).alias(sample_col))
+        .select(*key_cols, "bucket_size", sample_col)
+    )

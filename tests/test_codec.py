@@ -867,3 +867,37 @@ def test_zstd_fse_weight_description_covers_high_alphabets():
     assert len(frame) < len(data) // 4
     assert C._zstd_decompress(frame) == data
     assert pa.Codec("zstd").decompress(frame, len(data), asbytes=True) == data
+
+
+def test_zstd_sequence_count_long_form_is_additive():
+    """The 3-byte Number_of_Sequences form is (u16 LE) + 0x7F00, not OR:
+    0x7F00 already has bit 8 set, so OR mis-decoded every count >=
+    0x8000 (review finding).  A crafted block with exactly 0x8000
+    run-length sequences must regenerate exactly, and the section header
+    round-trips across the boundary."""
+    from shardpack_spark.format import zstd_entropy as z
+
+    seqs = [(4, 1, 3)] + [(0, 1, 3)] * 32767  # nseq = 0x8000
+    seq_sec, _ = z._encode_sequences(seqs, [1, 4, 8])
+    body = z._encode_literals_section(b"abcd") + seq_sec
+    out = bytearray()
+    z.decode_compressed_block(body, 0, len(body), out, {})
+    assert bytes(out) == b"abcd" + b"d" * (3 * 32768)
+    # header-level pin across the encoding boundary values
+    for n in (127, 128, 0x7EFF, 0x7F00, 0x7FFF, 0x8000, 0xA123):
+        hdr, _ = z._encode_sequences([], [1, 4, 8])  # 0-seq shortcut unused below
+        out_b = bytearray()
+        if n < 128:
+            enc = bytes([n])
+        elif n < 0x7F00:
+            enc = bytes([128 + (n >> 8), n & 0xFF])
+        else:
+            enc = bytes([255, (n - 0x7F00) & 0xFF, (n - 0x7F00) >> 8])
+        b0 = enc[0]
+        if b0 < 128:
+            got = b0
+        elif b0 < 255:
+            got = ((b0 - 128) << 8) | enc[1]
+        else:
+            got = (enc[1] | (enc[2] << 8)) + 0x7F00
+        assert got == n, (n, got)

@@ -258,7 +258,8 @@ def test_resize_error_marker_not_job_abort():
 def test_image_pixel_features_real_stats(spark):
     """Pixel stats decode REAL pixels: a flat image has ~zero entropy/std,
     a noisy one is high-entropy, extremes are counted, and undecodable
-    payloads yield no row."""
+    payloads yield a surrogate row with null statistics (so the decode
+    telemetry rollup sees them) rather than vanishing."""
     import numpy as np
 
     from shardpack_spark.operators import imagecodec as ic
@@ -279,7 +280,10 @@ def test_image_pixel_features_real_stats(spark):
         "file_name:string,content_type:string,encoding:string,size:long,data:binary>>",
     )
     out = {r["key"]: r for r in mm.image_pixel_features(df).collect()}
-    assert set(out) == {"i/flat", "i/noisy", "i/dark"}
+    assert set(out) == {"i/flat", "i/noisy", "i/dark", "i/bad"}
+    bad = out["i/bad"]
+    assert bad["decode_path"] == "surrogate"
+    assert bad["channels"] is None and bad["mean_luma"] is None
     fl = out["i/flat"]
     assert (fl["width"], fl["height"], fl["channels"]) == (30, 20, 1)
     assert fl["mean_luma"] == 128.0 and fl["std_luma"] == 0.0
@@ -313,7 +317,7 @@ def test_multimodal_decode_path_telemetry_and_rollup(spark):
         "file_name:string,content_type:string,encoding:string,size:bigint,data:binary>>",
     )
     feats = {r.key: r.decode_path for r in mm.image_pixel_features(df).collect()}
-    assert feats == {"a": "pure"}, "undecodable yields no feature row"
+    assert feats == {"a": "pure", "junk": "surrogate"}
     rs = {r.key: r for r in mm.resize_images(df, 4, 4).collect()}
     assert rs["a"].decode_path == "pure"
     assert bytes(rs["a"].data)[:8] == b"\x89PNG\r\n\x1a\n"
