@@ -432,3 +432,59 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_near_dup_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 48,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    broadcast_new: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs BETWEEN two corpora (never within one):
+    ``(id_new, id_corpus, cosine)`` with cosine >= ``threshold``.
+
+    The incremental-ingest shape, completing the family alongside
+    ``dedup.minhash_lsh_candidates_against`` and
+    ``perceptual.hamming_near_pairs_against``: the standing corpus's
+    sketch rows are derived from stored embeddings with the SAME
+    (bands, rows_per_band, seed); each incoming batch is sketched
+    identically and equi-joined against them on (band, key), then every
+    candidate is verified with the exact cosine — precision exact,
+    recall governed by the banding like the self-join variant.
+
+    ``broadcast_new`` (default — a batch is small next to the corpus)
+    keeps the corpus's banded rows SCANNED but never SHUFFLED: per-batch
+    cost is one corpus read plus O(|batch|) work, independent of corpus
+    size in shuffle terms.  ``max_bucket_size`` caps CORPUS-side sketch
+    buckets (where degenerate modes accumulate over time) with the
+    shared partial-agg + broadcast anti-join guard, preserving the
+    no-corpus-shuffle property; measure the loss first with
+    ``embedding_sketch_skew_report(corpus_df, ...)``.
+    """
+    from shardpack_spark.operators.skew import drop_hot_buckets
+
+    nb = _sketch_banded_rows(new_df, id_col, vec_col, "id_new", bands, rows_per_band, seed)
+    if broadcast_new:
+        nb = F.broadcast(nb)
+    cb = _sketch_banded_rows(corpus_df, id_col, vec_col, "id_corpus", bands, rows_per_band, seed)
+    if max_bucket_size is not None:
+        cb = drop_hot_buckets(cb, ["band", "key"], max_bucket_size)
+    cand = nb.join(cb, ["band", "key"]).select("id_new", "id_corpus").distinct()
+    a = new_df.select(F.col(id_col).alias("id_new"), F.col(vec_col).alias("va"))
+    b = corpus_df.select(F.col(id_col).alias("id_corpus"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(a, "id_new")
+        .join(b, "id_corpus")
+        .withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_new", "id_corpus", "cosine")
+    )

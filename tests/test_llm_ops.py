@@ -354,3 +354,37 @@ def test_embedding_sketch_skew_guard_and_report(spark):
         assert r.bucket_size == 20 and set(r.sample_ids) <= set(range(20))
     assert embedding_sketch_skew_report(df, bands=8, rows_per_band=4,
                                         threshold=20).count() == 0
+
+
+def test_embedding_near_dup_against_ingest(spark):
+    """Cross-corpus embedding ingest: candidates come only from
+    new-vs-corpus (never within either side), exact-cosine verified,
+    corpus-side cap drops matches into a degenerate corpus mode while
+    genuine matches survive; plan keeps the corpus un-shuffled before
+    the banded join when the batch broadcasts."""
+    import numpy as np
+
+    from shardpack_spark.operators.similarity import (
+        embedding_near_dup_pairs_against,
+    )
+
+    rng = np.random.default_rng(44)
+    mode = rng.standard_normal(8)          # degenerate corpus mode
+    uniq = rng.standard_normal(8)
+    corpus = [(i, [float(x) for x in mode]) for i in range(25)]
+    corpus += [(50, [float(x) for x in uniq])]
+    new = [(100, [float(x) for x in mode]),
+           (101, [float(x) for x in uniq + 0.001 * rng.standard_normal(8)]),
+           (102, [float(x) for x in rng.standard_normal(8)])]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    ndf = spark.createDataFrame(new, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.99, bands=8, rows_per_band=4)
+    got = {(r.id_new, r.id_corpus)
+           for r in embedding_near_dup_pairs_against(ndf, cdf, **kw).collect()}
+    assert (101, 50) in got
+    assert {(100, c) for c in range(25)} <= got
+    assert not any(i == 102 for i, _ in got)
+    capped = {(r.id_new, r.id_corpus)
+              for r in embedding_near_dup_pairs_against(
+                  ndf, cdf, max_bucket_size=10, **kw).collect()}
+    assert capped == {(101, 50)}, "mode matches capped away, genuine kept"
