@@ -589,6 +589,34 @@ class _BackBitWriter:
         return bytes(self.out)
 
 
+def _pack_backward(values, widths) -> bytes:
+    """Backward bitstream from parallel (value, bit-width) sequences —
+    the vectorized equivalent of appending each pair to ``_BackBitWriter``
+    in order and calling ``finish()`` (sentinel included).  Bit ranges
+    are disjoint by construction, so the scatter is a bitwise OR; widths
+    must stay <= 56 so a shifted chunk fits 8 bytes (ours cap at 28)."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.uint64)
+    w = np.asarray(widths, dtype=np.int64)
+    if len(w) == 0:
+        return b"\x01"
+    ends = np.cumsum(w)
+    total = int(ends[-1])
+    starts = ends - w
+    nbytes = (total + 8) >> 3  # + sentinel bit
+    acc = np.zeros(nbytes + 8, dtype=np.uint8)
+    b_idx = starts >> 3
+    chunk = v << (starts & 7).astype(np.uint64)
+    for k in range(5):
+        np.bitwise_or.at(
+            acc, b_idx + k,
+            ((chunk >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8),
+        )
+    acc[total >> 3] |= np.uint8(1 << (total & 7))
+    return acc[:nbytes].tobytes()
+
+
 def _fse_enc_view(norm, al):
     """Encode view of the §4.1.1 decode table: for each symbol, its
     decode states as (baseline, nb_bits, state), sorted by baseline.
@@ -740,10 +768,8 @@ def _encode_sequences(
             chunks.append(ll_upd[i])
             chunks.append(ml_upd[i])
             chunks.append(of_upd[i])
-    w = _BackBitWriter()
-    for v, nb in reversed(chunks):
-        w.add(v, nb)
-    out += w.finish()
+    chunks.reverse()
+    out += _pack_backward([c[0] for c in chunks], [c[1] for c in chunks])
     return bytes(out), rep
 
 
@@ -820,12 +846,15 @@ def _huf_encoder(depth: dict[int, int]):
 
 
 def _huf_stream(lits, codes) -> bytes:
-    w = _BackBitWriter()
-    add = w.add
-    for ch in reversed(lits):
-        v, nb = codes[ch]
-        add(v, nb)
-    return w.finish()
+    import numpy as np
+
+    code_lut = np.zeros(256, dtype=np.uint64)
+    nb_lut = np.zeros(256, dtype=np.int64)
+    for sym, (v, nb) in codes.items():
+        code_lut[sym] = v
+        nb_lut[sym] = nb
+    rev = np.frombuffer(bytes(lits), dtype=np.uint8)[::-1]
+    return _pack_backward(code_lut[rev], nb_lut[rev])
 
 
 def _rawish_lit_header(ltype: int, n: int) -> bytes:
