@@ -991,6 +991,30 @@ def _lz_parse(
                 if ml > best_ml:
                     best_ml, best_cand = ml, cand
         if best_ml:
+            # 1-step lazy matching: a strictly longer match starting at
+            # i+1 usually nets out positive (one extra literal vs the
+            # longer copy) — the standard greedy-vs-lazy tradeoff
+            if i + 1 < hi:
+                h2 = hashes[i + 1 - start]
+                d0, d1 = table.get(h2, (-1, -1))
+                probe2 = src[i + 1 : i + 5]
+                lazy_ml = 0
+                lazy_cand = -1
+                for cand in (d0, d1):
+                    if (
+                        cand >= 0
+                        and 0 < i + 1 - cand <= _OFF_CAP
+                        and src[cand : cand + 4] == probe2
+                    ):
+                        ml2 = 4 + _common_len(src, cand + 4, i + 5, end - i - 5)
+                        if ml2 > lazy_ml:
+                            lazy_ml, lazy_cand = ml2, cand
+                # advance AT MOST once, after judging both candidates (an
+                # in-loop advance with two winners desynced the literals)
+                if lazy_ml > best_ml + 1:
+                    table[h2] = (i + 1, d0)
+                    i += 1
+                    best_ml, best_cand = lazy_ml, lazy_cand
             cand, ml = best_cand, best_ml
             # backward extension: the repeat usually starts before the
             # position where its 4-byte hash first matched
