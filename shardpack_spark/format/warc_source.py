@@ -1,0 +1,236 @@
+"""``format("warc")`` — a Python DataSource over WARC crawl archives.
+
+The read path for web-scale training data in its native form: point the
+engine at a directory of ``*.warc.gz`` files (the Common Crawl layout —
+tens of thousands of ~1 GiB files per crawl) and get one row per record,
+HTTP responses already split into status/headers/payload.  Downstream is
+the existing pipeline: ``operators.webcorpus.warc_to_documents`` →
+``html_to_text`` → hygiene → dedup → shardpack.
+
+Scale shape:
+- **one task per file**: gzip members can't be split without an external
+  index, so per-file is the parallel grain — exactly how production
+  crawl jobs shard (a crawl's file count >> any cluster's core count).
+- **streaming within a task**: the parser (``format/warc.py``) holds one
+  record at a time; a 1 GiB archive never materializes. Rows flow out as
+  Arrow batches.
+- **cheap filters at the source**: ``record_types`` (e.g. 'response')
+  drops non-content records before they reach Spark; ``skip_payload``
+  serves inventory scans headers-only; ``max_payload_bytes`` caps
+  hostile Content-Length values.  These are reader OPTIONS, not pushed
+  filters — the Python DataSource API has no pushdown hook for
+  non-shardpack schemas, and per-record skipping inside the parser is
+  just as effective.
+- **any storage backend**: files resolve through ``format.storage``
+  (local, sim://, memory://, s3://) like every other format surface.
+
+Per-record degradation throughout: a malformed record (or corrupt gzip
+member) yields one row with ``parse_error`` set and parsing resyncs at
+the next member — mirroring the decode_path='surrogate' philosophy of
+the multimodal operators; ``decode_path_rollup``-style alerting works by
+aggregating ``parse_error IS NOT NULL``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from shardpack_spark.format import storage, warc
+from shardpack_spark.format.codec import ShardPackIOError
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("record_offset", LongType()),
+        StructField("warc_type", StringType()),
+        StructField("record_id", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("warc_headers", MapType(StringType(), StringType())),
+        StructField("http_status", IntegerType()),
+        StructField("http_content_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("truncated", BooleanType()),
+        StructField("parse_error", StringType()),
+    ]
+)
+
+_BATCH_ROWS = 256
+
+
+@dataclass
+class WarcFilePartition(InputPartition):
+    path: str
+
+
+def _list_warc_files(path: str) -> list[str]:
+    """Expand ``path`` to concrete WARC file paths via the storage layer:
+    a file path is taken as-is; a directory lists ``*.warc.gz`` /
+    ``*.warc`` / ``*.warc.wet`` (sorted — deterministic planning)."""
+    be = storage.for_path(path)
+    if be.exists(path) and not path.endswith("/"):
+        # a concrete file (exists() on directories is backend-dependent;
+        # extension check keeps directories falling through to globbing)
+        if path.endswith((".warc", ".warc.gz", ".wet", ".wet.gz", ".arc.gz")):
+            return [path]
+    names: list[str] = []
+    for pat in ("*.warc.gz", "*.warc", "*.wet.gz", "*.wet"):
+        names.extend(be.glob_names(path, pat))
+    if not names:
+        raise ShardPackIOError(f"no WARC files under {path!r}")
+    base = path.rstrip("/")
+    return [f"{base}/{n}" for n in sorted(set(names))]
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ShardPackIOError("warc reader requires a path")
+        rt = options.get("record_types")
+        self.record_types: frozenset[str] | None = (
+            frozenset(s.strip() for s in rt.split(",") if s.strip()) if rt else None
+        )
+        self.skip_payload = str(options.get("skip_payload", "false")).lower() == "true"
+        mpb = options.get("max_payload_bytes")
+        self.max_payload_bytes: int | None = int(mpb) if mpb else None
+        # drop rows whose parse failed instead of surfacing them (the
+        # default SURFACES them: silent loss is the thing telemetry exists
+        # to prevent)
+        self.drop_errors = str(options.get("drop_errors", "false")).lower() == "true"
+
+    def partitions(self):
+        return [WarcFilePartition(p) for p in _list_warc_files(self.path)]
+
+    def read(self, partition: WarcFilePartition):
+        import pyarrow as pa
+
+        be = storage.for_path(partition.path)
+        cols: dict[str, list] = {f.name: [] for f in WARC_SCHEMA.fields}
+
+        def flush():
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["file"], pa.string()),
+                    pa.array(cols["record_offset"], pa.int64()),
+                    pa.array(cols["warc_type"], pa.string()),
+                    pa.array(cols["record_id"], pa.string()),
+                    pa.array(cols["target_uri"], pa.string()),
+                    pa.array(cols["warc_date"], pa.string()),
+                    pa.array(cols["content_type"], pa.string()),
+                    pa.array(cols["warc_headers"], pa.map_(pa.string(), pa.string())),
+                    pa.array(cols["http_status"], pa.int32()),
+                    pa.array(cols["http_content_type"], pa.string()),
+                    pa.array(cols["payload"], pa.binary()),
+                    pa.array(cols["truncated"], pa.bool_()),
+                    pa.array(cols["parse_error"], pa.string()),
+                ],
+                names=[f.name for f in WARC_SCHEMA.fields],
+            )
+            for k in cols:
+                cols[k] = []
+            return batch
+
+        with be.open_read(partition.path) as f:
+            for rec in warc.iter_warc_records(
+                f,
+                parse_http=True,
+                max_payload_bytes=self.max_payload_bytes,
+                skip_payload=self.skip_payload,
+            ):
+                if rec.parse_error and self.drop_errors:
+                    continue
+                if (
+                    self.record_types is not None
+                    and not rec.parse_error
+                    and rec.warc_type not in self.record_types
+                ):
+                    continue
+                cols["file"].append(partition.path)
+                cols["record_offset"].append(rec.offset)
+                cols["warc_type"].append(rec.warc_type or None)
+                cols["record_id"].append(rec.record_id)
+                cols["target_uri"].append(rec.target_uri)
+                cols["warc_date"].append(rec.date)
+                cols["content_type"].append(rec.content_type)
+                cols["warc_headers"].append(sorted(rec.headers.items()))
+                cols["http_status"].append(rec.http_status)
+                cols["http_content_type"].append(
+                    rec.http_headers.get("content-type")
+                )
+                # responses carry the parsed body; non-HTTP records carry
+                # the raw block
+                cols["payload"].append(
+                    None if self.skip_payload else (rec.payload if rec.payload is not None else rec.block)
+                )
+                cols["truncated"].append(rec.truncated)
+                cols["parse_error"].append(rec.parse_error)
+                if len(cols["file"]) >= _BATCH_ROWS:
+                    yield flush()
+        if cols["file"]:
+            yield flush()
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc").load(dir_or_file)`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> StructType:
+        return WARC_SCHEMA
+
+    def reader(self, schema: StructType) -> WarcReader:
+        return WarcReader(self.options)
+
+
+def _pickle_by_value() -> None:
+    """Same contract as datasource._pickle_by_value: executor Python
+    workers may not be able to import shardpack_spark, so every module
+    this source touches at runtime ships inside the pickled plan."""
+    from pyspark import cloudpickle
+
+    import sys
+
+    from shardpack_spark.format import codec as codec_mod
+    from shardpack_spark.format import storage as storage_mod
+    from shardpack_spark.format import warc as warc_mod
+    from shardpack_spark.format import zstd_entropy as zstd_mod
+
+    for mod in (storage_mod, zstd_mod, codec_mod, warc_mod, sys.modules[__name__]):
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass
+
+
+def register_warc(spark) -> None:
+    """Idempotent per session (mirrors datasource.register)."""
+    if getattr(spark, "_shardpack_warc_registered", False):
+        return
+    _pickle_by_value()
+    spark.dataSource.register(WarcDataSource)
+    spark._shardpack_warc_registered = True
+
+
+def read_warc(spark, path: str, **options):
+    """Reader facade: ``read_warc(spark, dir, record_types='response')``."""
+    register_warc(spark)
+    r = spark.read.format("warc")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)

@@ -1,0 +1,188 @@
+"""WARC crawl archives -> document table: the ingest head of the
+web-corpus pipeline.
+
+``format("warc")`` (see ``format/warc_source.py``) yields one row per
+WARC record; this module turns successful HTML/plain-text responses into
+the ``documents``-shaped table every downstream operator consumes
+(hygiene, quality, dedup, sampling, packing).  All transformations are
+codegen (filter + cast + regex chain from ``operators.text``): a crawl
+extraction is one scan with zero Python in the row path.
+
+Charset note: payload bytes are interpreted as UTF-8 (the cast is
+lenient — undecodable bytes pass through rather than aborting, matching
+how crawls actually look).  Full charset transcoding driven by the
+Content-Type header would need an Arrow-batched pandas UDF; real
+pipelines (C4, RefinedWeb) restrict to UTF-8-compatible pages the same
+way this does, filtering the rest on quality signals downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shardpack_spark.operators import text as text_ops
+
+
+def warc_responses(df: DataFrame, min_status: int = 200, max_status: int = 299) -> DataFrame:
+    """Well-formed HTTP response records in the 2xx (or given) band."""
+    return df.filter(
+        (F.col("warc_type") == "response")
+        & F.col("parse_error").isNull()
+        & ~F.col("truncated")
+        & F.col("http_status").between(min_status, max_status)
+    )
+
+
+def warc_to_documents(
+    df: DataFrame,
+    min_status: int = 200,
+    extract_html: bool = True,
+) -> DataFrame:
+    """Crawl records -> ``(doc_id, url, fetched_at, content_type, text)``.
+
+    - keeps 2xx ``response`` records whose Content-Type is text/html or
+      text/plain (parameters of the real pipelines this mirrors);
+    - HTML pages run :func:`operators.text.html_to_text` (codegen regex
+      chain — script/style drop, tag strip, entity decode, whitespace
+      canon); plain text passes through;
+    - ``doc_id`` is the WARC record id (globally unique per the spec),
+      so downstream dedup/lineage keys on it exactly like ``documents.
+      doc_id``.
+    """
+    resp = warc_responses(df, min_status=min_status)
+    ctype = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
+    is_html = ctype.startswith("text/html")
+    is_text = ctype.startswith("text/plain")
+    resp = resp.filter(is_html | is_text)
+    raw = F.col("payload").cast("string")
+    body = (
+        F.when(is_html, text_ops.html_to_text(raw)).otherwise(F.trim(raw))
+        if extract_html
+        else F.trim(raw)
+    )
+    return resp.select(
+        F.col("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched_at"),
+        F.col("http_content_type").alias("content_type"),
+        body.alias("text"),
+    )
+
+
+def documents_to_warc(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = None,
+    header_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Export a documents-shaped table as ``.warc.gz`` — the inverse of
+    :func:`warc_to_documents`, and the interchange path to every tool
+    that speaks the crawl format.
+
+    Executor-written like every sink in this package: each input
+    partition streams its rows into ONE ``part-{pid}.warc.gz`` (one gzip
+    member per record — the Common Crawl layout ``format("warc")`` reads
+    back in parallel), through the storage layer (local/sim/s3), record
+    at a time — no driver collect, no whole-partition buffering.  Extra
+    columns named in ``header_cols`` ride as ``WARC-X-<Col>`` extension
+    headers and come back in the reader's ``warc_headers`` map.
+
+    Returns the (partition-count-sized) manifest DataFrame
+    ``(file, n_records)`` — an ACTION is required to materialize the
+    files (``.collect()`` on it is bounded by the partition count)."""
+    from shardpack_spark.format import storage, warc
+
+    _register_modules_for_pickle()
+    cols = [id_col, text_col] + ([url_col] if url_col else []) + list(header_cols)
+
+    def write_part(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        handle = None
+        target = f"{path.rstrip('/')}/part-{pid:05d}.warc.gz"
+        n = 0
+        try:
+            for pdf in batches:
+                if handle is None and len(pdf):
+                    be = storage.for_path(target)
+                    be.makedirs(path)
+                    handle = be.create(target)
+                for row in pdf.itertuples(index=False):
+                    rid = getattr(row, id_col)
+                    text = getattr(row, text_col) or ""
+                    extra = {
+                        f"WARC-X-{c.replace('_', '-').title()}": str(getattr(row, c))
+                        for c in header_cols
+                    }
+                    blk = warc.http_response_block(
+                        str(text).encode("utf-8"),
+                        content_type="text/plain; charset=utf-8",
+                    )
+                    rec = warc.warc_record_bytes(
+                        "response",
+                        blk,
+                        target_uri=(
+                            str(getattr(row, url_col))
+                            if url_col
+                            else f"urn:doc:{rid}"
+                        ),
+                        record_id=f"<urn:doc:{rid}>",
+                        content_type="application/http; msgtype=response",
+                        headers=extra,
+                    )
+                    warc.write_warc(_Append(handle), [rec])
+                    n += 1
+            if handle is not None:
+                handle.close()
+                yield pd.DataFrame({"file": [target], "n_records": [n]})
+        except BaseException:
+            if handle is not None:
+                handle.abort()
+            raise
+
+    class _Append:
+        """file-like shim: write_warc streams members onto the handle."""
+
+        def __init__(self, h):
+            self._h = h
+
+        def write(self, b):
+            return self._h.write(b)
+
+    return df.select(*cols).mapInPandas(write_part, "file string, n_records long")
+
+
+def _register_modules_for_pickle() -> None:
+    """Executor workers may not be able to import shardpack_spark — ship
+    the modules the write path touches inside the pickled closure (same
+    contract as format.datasource._pickle_by_value)."""
+    from pyspark import cloudpickle
+
+    import shardpack_spark.operators.webcorpus as self_mod
+    from shardpack_spark.format import codec as codec_mod
+    from shardpack_spark.format import storage as storage_mod
+    from shardpack_spark.format import warc as warc_mod
+    from shardpack_spark.format import zstd_entropy as zstd_mod
+
+    for mod in (storage_mod, zstd_mod, codec_mod, warc_mod, self_mod):
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass
+
+
+def warc_error_rollup(df: DataFrame, group_cols=("file",)) -> DataFrame:
+    """Corpus-level ingest telemetry: records / parse errors / truncated
+    counts per group (default per file) — the ``decode_path_rollup``
+    analog for the WARC head, so a crawl job alerts on silently-degrading
+    archives instead of discovering them in model data."""
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.col("parse_error").isNotNull().cast("long")).alias("n_parse_errors"),
+        F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
+    )

@@ -31,7 +31,9 @@ def _sweep_stale_workdirs(max_age_s: int = 3600) -> None:
     root = tempfile.gettempdir()
     cutoff = time.time() - max_age_s
     for name in os.listdir(root):
-        if name.startswith(("shardpack_rt_", "shardpack_mm_", "shardpack_lookup_")):
+        if name.startswith(
+            ("shardpack_rt_", "shardpack_mm_", "shardpack_lookup_", "shardpack_warc_")
+        ):
             p = os.path.join(root, name)
             try:
                 if os.path.getmtime(p) < cutoff:
@@ -179,13 +181,27 @@ def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q40_multimodal_text_decode",
     oracle="""
-    SELECT lang, COUNT(*) AS cnt, CAST(SUM(length(text)) AS BIGINT) AS sum_len
+    SELECT 'shardpack' AS variant, lang, COUNT(*) AS cnt,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'warc' AS variant, lang, COUNT(*) AS cnt,
+           CAST(SUM(length(trim(text))) AS BIGINT) AS sum_len
     FROM documents GROUP BY lang
     """,
 )
 def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entry-level decode path: shardpack text entries -> utf-8 -> agg by
-    the lang metadata tag (Q40)."""
+    """Entry-level decode paths, tagged by container (Q40):
+
+    - 'shardpack': documents through format("shardpack") text entries ->
+      utf-8 decode -> agg by the lang metadata tag;
+    - 'warc': the same documents exported as ``.warc.gz`` crawl archives
+      (``documents_to_warc`` — executor-written, one gzip member per
+      record) and read back through ``format("warc")``, lang riding the
+      WARC extension-header map — write+read fidelity of the web-corpus
+      ingest head, value-checked against the parquet source.  (trim on
+      both sides: the plain-text response path canonicalizes edges.)
+    """
     _ensure_registered(spark)
     _sweep_stale_workdirs()
     out = tempfile.mkdtemp(prefix="shardpack_mm_")
@@ -194,10 +210,35 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).mode("overwrite").save(out)
     back = spark.read.format("shardpack").load(out)
     texts = multimodal.decode_text_entries(back)
-    return texts.groupBy(F.element_at("metadata", "lang").alias("lang")).agg(
+    sp = texts.groupBy(F.element_at("metadata", "lang").alias("lang")).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.length("text")).alias("sum_len"),
     )
+
+    from shardpack_spark.format.warc_source import read_warc
+    from shardpack_spark.operators.webcorpus import documents_to_warc
+
+    wout = tempfile.mkdtemp(prefix="shardpack_warc_")
+    documents_to_warc(
+        load_table(spark, sf_dir, "documents"), wout, header_cols=("lang",)
+    ).collect()  # bounded: one manifest row per partition
+    wc = (
+        read_warc(spark, wout)
+        .groupBy(F.element_at("warc_headers", "warc-x-lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.length(F.trim(F.col("payload").cast("string")))
+            ).alias("sum_len"),
+        )
+    )
+
+    def tag(variant: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(variant).alias("variant"), "lang", "cnt", "sum_len"
+        )
+
+    return tag("shardpack", sp).unionAll(tag("warc", wc))
 
 
 _LOOKUP_CACHE: dict[str, str] = {}

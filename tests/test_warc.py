@@ -1,0 +1,337 @@
+"""WARC ingest: pure parser/writer (format/warc.py), the format("warc")
+source (format/warc_source.py), and the crawl->documents glue
+(operators/webcorpus.py).
+
+Fixtures are hand-built wire bytes through the in-repo writer — the same
+pin-the-parser-against-own-wire strategy the shard codec and image codec
+tests use; cross-checks against stdlib gzip keep the member framing
+honest.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import zlib
+
+import pytest
+
+from shardpack_spark.format import warc as W
+from shardpack_spark.format.warc_source import read_warc
+from shardpack_spark.operators.webcorpus import (
+    warc_error_rollup,
+    warc_responses,
+    warc_to_documents,
+)
+
+
+def _mk_records(n=5, lang="en"):
+    recs = [
+        W.warc_record_bytes(
+            "warcinfo", b"software: shardpack-tests\r\n",
+            content_type="application/warc-fields",
+        )
+    ]
+    for i in range(n):
+        blk = W.http_response_block(
+            f"doc {i} body text".encode(),
+            content_type="text/plain; charset=utf-8",
+            headers={"X-Served-By": "t"},
+        )
+        recs.append(
+            W.warc_record_bytes(
+                "response",
+                blk,
+                target_uri=f"http://corpus.example/{i}",
+                record_id=f"<urn:doc:{i}>",
+                content_type="application/http; msgtype=response",
+                headers={"WARC-X-Lang": lang},
+            )
+        )
+    return recs
+
+
+# --- pure parser ----------------------------------------------------------------
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_roundtrip_plain_and_gz(tmp_path, gz):
+    p = str(tmp_path / ("a.warc.gz" if gz else "a.warc"))
+    W.write_warc(p, _mk_records(4), gzip_members=gz)
+    got = list(W.iter_warc_records(open(p, "rb")))
+    assert [r.warc_type for r in got] == ["warcinfo"] + ["response"] * 4
+    r = got[1]
+    assert r.target_uri == "http://corpus.example/0"
+    assert r.record_id == "<urn:doc:0>"
+    assert r.http_status == 200
+    assert r.payload == b"doc 0 body text"
+    assert r.http_headers["content-type"] == "text/plain; charset=utf-8"
+    assert r.headers["warc-x-lang"] == "en"
+    assert r.date == "2001-01-01T00:00:00Z"
+    assert not r.truncated and r.parse_error is None
+    # offsets are strictly increasing resync points; record 0 at 0
+    offs = [r.offset for r in got]
+    assert offs[0] == 0 and offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_gz_members_are_real_gzip_and_deterministic(tmp_path):
+    """One gzip member per record (the Common Crawl layout): stdlib gzip
+    must decode the whole file to the concatenated records, offsets must
+    point at member starts, and bytes must be run-independent."""
+    recs = _mk_records(3)
+    p1, p2 = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc.gz")
+    W.write_warc(p1, recs)
+    W.write_warc(p2, list(recs))
+    b1 = open(p1, "rb").read()
+    assert b1 == open(p2, "rb").read()  # deterministic (mtime=0)
+    assert gzip.decompress(b1) == b"".join(recs)
+    for rec in list(W.iter_warc_records(b1)):
+        assert b1[rec.offset : rec.offset + 2] == b"\x1f\x8b"
+
+
+def test_multi_record_member_still_parses(tmp_path):
+    """Non-conformant .warc.gz with ALL records in ONE member (some tools
+    emit this) parses identically — offsets then all point at member 0."""
+    recs = _mk_records(3)
+    blob = gzip.compress(b"".join(recs))
+    got = list(W.iter_warc_records(blob))
+    assert [r.warc_type for r in got] == ["warcinfo"] + ["response"] * 3
+    assert all(r.offset == 0 for r in got)
+
+
+def test_http_chunked_and_request_records():
+    body = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    blk = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    r = list(W.iter_warc_records(W.warc_record_bytes("response", blk)))[0]
+    assert r.payload == b"hello world" and r.parse_error is None
+    req = b"GET /x HTTP/1.1\r\nHost: h\r\n\r\n"
+    r = list(W.iter_warc_records(W.warc_record_bytes("request", req)))[0]
+    assert r.http_status is None and r.http_headers["host"] == "h"
+    assert r.payload == b""
+
+
+def test_http_malformed_degrades_not_raises():
+    blk = b"not an http message at all"
+    r = list(W.iter_warc_records(W.warc_record_bytes("response", blk)))[0]
+    assert r.parse_error == "http:not-http"
+    assert r.payload == blk  # raw block still delivered
+
+
+def test_payload_budget_truncates_without_memory():
+    rec = W.warc_record_bytes("resource", b"A" * 1_000_000, record_id="<urn:big>")
+    r = list(W.iter_warc_records(rec, max_payload_bytes=64))[0]
+    assert r.truncated and len(r.block) == 64 and r.parse_error is None
+    # following record still parses (the capped block was drained)
+    two = rec + W.warc_record_bytes("resource", b"tail", record_id="<urn:t>")
+    got = list(W.iter_warc_records(two, max_payload_bytes=64))
+    assert [x.record_id for x in got] == ["<urn:big>", "<urn:t>"]
+    assert got[1].block == b"tail" and not got[1].truncated
+
+
+def test_skip_payload_headers_only():
+    recs = b"".join(_mk_records(2))
+    got = list(W.iter_warc_records(recs, skip_payload=True))
+    assert len(got) == 3
+    assert all(r.block is None and r.payload is None for r in got)
+    assert got[1].target_uri == "http://corpus.example/0"
+
+
+@pytest.mark.parametrize("victim", [0, 2, -1])
+def test_corrupt_gz_member_resyncs(tmp_path, victim):
+    """One corrupt member costs ONE record: parsing resyncs at the next
+    gzip magic, whether the victim is first, middle, or last."""
+    p = str(tmp_path / "a.warc.gz")
+    W.write_warc(p, _mk_records(4))
+    data = bytearray(open(p, "rb").read())
+    starts = []
+    i = -1
+    while True:
+        i = data.find(b"\x1f\x8b\x08", i + 1)
+        if i < 0:
+            break
+        starts.append(i)
+    assert len(starts) == 5  # warcinfo + 4 responses
+    data[starts[victim] + 20] ^= 0xFF
+    got = list(W.iter_warc_records(bytes(data)))
+    errs = [r for r in got if r.parse_error]
+    oks = [r for r in got if not r.parse_error]
+    assert len(errs) == 1 and "corrupt gzip member" in errs[0].parse_error
+    assert len(oks) == 4  # every other record survived
+
+
+def test_truncated_gz_tail_reports_short():
+    p = io.BytesIO()
+    W.write_warc(p, _mk_records(2))
+    data = p.getvalue()[:-30]  # cut into the last member
+    got = list(W.iter_warc_records(data))
+    assert [bool(r.parse_error) for r in got] == [False, False, True]
+
+
+def test_plain_resync_on_garbage_between_records():
+    recs = _mk_records(2)
+    blob = recs[0] + b"GARBAGE NOT A RECORD\r\n\r\nmore junk" + recs[1] + recs[2]
+    got = list(W.iter_warc_records(blob))
+    kinds = [(r.warc_type or "ERR") if not r.parse_error else "ERR" for r in got]
+    assert kinds.count("ERR") >= 1
+    assert [r.record_id for r in got if not r.parse_error] == [
+        got[0].record_id,
+        "<urn:doc:0>",
+        "<urn:doc:1>",
+    ]
+
+
+def test_hostile_header_block_bounded():
+    """A header that never terminates must fail fast (1 MiB cap), not
+    buffer the file."""
+    blob = b"WARC/1.0\r\n" + b"X: y\r\n" * 300_000  # >1 MiB, no blank line
+    got = list(W.iter_warc_records(blob))
+    assert len(got) == 1 and got[0].parse_error
+
+
+def test_header_folding_and_case():
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"Content-Length: 2\r\n"
+        b"WARC-Record-ID: <urn:f>\r\n"
+        b"X-Long: part one\r\n\tpart two\r\n"
+        b"\r\nab\r\n\r\n"
+    )
+    r = list(W.iter_warc_records(raw))[0]
+    assert r.headers["x-long"] == "part one part two"
+    assert r.block == b"ab" and r.warc_type == "metadata"
+
+
+def test_pyspark_free_import():
+    """The parser core must import without pyspark (CLI / facade use)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "from shardpack_spark.format import warc\n"
+        "assert 'pyspark' not in sys.modules and 'py4j' not in sys.modules\n"
+        "b = warc.warc_record_bytes('resource', b'x')\n"
+        "assert list(warc.iter_warc_records(b))[0].block == b'x'\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0 and "OK" in out.stdout, out.stderr
+
+
+# --- Spark source + webcorpus glue ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warcs")
+    texts = {}
+    for part in (0, 1):
+        recs = []
+        for i in range(part, 10, 2):
+            body = f"<html><head><script>junk()</script></head><body><p>doc {i} text</p></body></html>"
+            texts[f"<urn:doc:{i}>"] = f"doc {i} text"
+            blk = W.http_response_block(
+                body.encode(), content_type="text/html; charset=utf-8"
+            )
+            recs.append(
+                W.warc_record_bytes(
+                    "response",
+                    blk,
+                    target_uri=f"http://corpus.example/{i}",
+                    record_id=f"<urn:doc:{i}>",
+                    content_type="application/http; msgtype=response",
+                )
+            )
+        # per-file noise: a request record and a 404
+        recs.append(
+            W.warc_record_bytes(
+                "request", b"GET / HTTP/1.1\r\nHost: h\r\n\r\n",
+                record_id=f"<urn:req:{part}>",
+            )
+        )
+        recs.append(
+            W.warc_record_bytes(
+                "response",
+                W.http_response_block(b"gone", status=404),
+                record_id=f"<urn:404:{part}>",
+                target_uri="http://corpus.example/missing",
+            )
+        )
+        W.write_warc(str(d / f"part-{part}.warc.gz"), recs)
+    return str(d), texts
+
+
+def test_spark_source_reads_and_plans_per_file(spark, warc_dir):
+    d, _ = warc_dir
+    df = read_warc(spark, d)
+    assert df.count() == 14
+    # one partition per file
+    assert df.rdd.getNumPartitions() == 2
+    by_type = {r["warc_type"]: r["count"] for r in df.groupBy("warc_type").count().collect()}
+    assert by_type == {"response": 12, "request": 2}
+    row = df.filter("record_id = '<urn:doc:3>'").head()
+    assert row.http_status == 200 and row.warc_headers["warc-type"] == "response"
+    assert row.file.endswith("part-1.warc.gz") and row.parse_error is None
+
+
+def test_spark_source_options(spark, warc_dir):
+    d, _ = warc_dir
+    assert read_warc(spark, d, record_types="response").count() == 12
+    assert read_warc(spark, d, record_types="request").count() == 2
+    ho = read_warc(spark, d, skip_payload="true")
+    assert ho.filter("payload IS NOT NULL").count() == 0
+    assert ho.count() == 14
+    capped = read_warc(spark, d, max_payload_bytes="10")
+    assert capped.filter("truncated").count() == 14  # every block > 10B
+
+
+def test_warc_to_documents_pipeline(spark, warc_dir):
+    d, texts = warc_dir
+    docs = warc_to_documents(read_warc(spark, d))
+    got = {r.doc_id: r.text for r in docs.collect()}
+    assert got == texts  # html extracted, 404s/requests dropped
+    urls = {r.doc_id: r.url for r in docs.collect()}
+    assert urls["<urn:doc:3>"] == "http://corpus.example/3"
+
+
+def test_warc_responses_and_rollup(spark, warc_dir):
+    d, _ = warc_dir
+    df = read_warc(spark, d)
+    assert warc_responses(df).count() == 10  # 12 responses - 2 404s
+    roll = {r.file.rsplit("/", 1)[-1]: r for r in warc_error_rollup(df).collect()}
+    assert set(roll) == {"part-0.warc.gz", "part-1.warc.gz"}
+    assert all(r.n_records == 7 and r.n_parse_errors == 0 for r in roll.values())
+
+
+def test_spark_source_surfaces_corrupt_members(spark, tmp_path):
+    p = tmp_path / "bad.warc.gz"
+    W.write_warc(str(p), _mk_records(3))
+    data = bytearray(p.read_bytes())
+    starts = []
+    i = -1
+    while True:
+        i = data.find(b"\x1f\x8b\x08", i + 1)
+        if i < 0:
+            break
+        starts.append(i)
+    data[starts[2] + 20] ^= 0xFF
+    p.write_bytes(bytes(data))
+    df = read_warc(spark, str(tmp_path))
+    assert df.count() == 4  # 3 good + 1 error row
+    assert df.filter("parse_error IS NOT NULL").count() == 1
+    assert read_warc(spark, str(tmp_path), drop_errors="true").count() == 3
+
+
+def test_spark_source_empty_dir_raises(spark, tmp_path):
+    from shardpack_spark.format.codec import ShardPackIOError
+
+    with pytest.raises(Exception) as ei:
+        read_warc(spark, str(tmp_path)).count()
+    assert "no WARC files" in str(ei.value)
