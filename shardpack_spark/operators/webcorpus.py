@@ -42,10 +42,13 @@ def warc_to_documents(
     """Crawl records -> ``(doc_id, url, fetched_at, content_type, text)``.
 
     - keeps 2xx ``response`` records whose Content-Type is text/html or
-      text/plain (parameters of the real pipelines this mirrors);
+      text/plain (parameters of the real pipelines this mirrors), AND
+      ``conversion`` records (the WET layout — text already extracted by
+      the crawler; no HTTP envelope, WARC Content-Type is the text
+      type);
     - HTML pages run :func:`operators.text.html_to_text` (codegen regex
       chain — script/style drop, tag strip, entity decode, whitespace
-      canon); plain text passes through;
+      canon); plain text and WET conversions pass through;
     - ``doc_id`` is the WARC record id (globally unique per the spec),
       so downstream dedup/lineage keys on it exactly like ``documents.
       doc_id``.
@@ -55,18 +58,33 @@ def warc_to_documents(
     is_html = ctype.startswith("text/html")
     is_text = ctype.startswith("text/plain")
     resp = resp.filter(is_html | is_text)
+    # WET extracted-text records: no HTTP message, text/plain at the
+    # WARC level (Common Crawl uses 'text/plain'; 'text/x-crawl-diagnostic'
+    # and friends stay excluded)
+    wet = df.filter(
+        (F.col("warc_type") == "conversion")
+        & F.col("parse_error").isNull()
+        & ~F.col("truncated")
+        & F.lower(F.coalesce(F.col("content_type"), F.lit(""))).startswith("text/plain")
+    )
     raw = F.col("payload").cast("string")
     body = (
         F.when(is_html, text_ops.html_to_text(raw)).otherwise(F.trim(raw))
         if extract_html
         else F.trim(raw)
     )
-    return resp.select(
-        F.col("record_id").alias("doc_id"),
-        F.col("target_uri").alias("url"),
-        F.col("warc_date").alias("fetched_at"),
-        F.col("http_content_type").alias("content_type"),
-        body.alias("text"),
+
+    def shape(src: DataFrame, body_col, ctype_col) -> DataFrame:
+        return src.select(
+            F.col("record_id").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("warc_date").alias("fetched_at"),
+            ctype_col.alias("content_type"),
+            body_col.alias("text"),
+        )
+
+    return shape(resp, body, F.col("http_content_type")).unionAll(
+        shape(wet, F.trim(raw), F.col("content_type"))
     )
 
 

@@ -301,6 +301,69 @@ def test_warc_to_documents_pipeline(spark, warc_dir):
     assert urls["<urn:doc:3>"] == "http://corpus.example/3"
 
 
+def test_wet_conversion_records(spark, tmp_path):
+    """WET extracted-text archives (Common Crawl's *.warc.wet.gz): pure
+    conversion records, no HTTP envelope — warc_to_documents takes them
+    as-is alongside response records."""
+    recs = [
+        W.warc_record_bytes(
+            "conversion",
+            f"already extracted text {i}".encode(),
+            target_uri=f"http://w.example/{i}",
+            record_id=f"<urn:wet:{i}>",
+            content_type="text/plain",
+        )
+        for i in range(6)
+    ]
+    # a diagnostic conversion record that must be excluded
+    recs.append(
+        W.warc_record_bytes(
+            "conversion", b"robots noise", record_id="<urn:wet:diag>",
+            content_type="text/x-crawl-diagnostic",
+        )
+    )
+    W.write_warc(str(tmp_path / "a.warc.wet.gz"), recs)
+    df = read_warc(spark, str(tmp_path))
+    assert df.count() == 7
+    docs = warc_to_documents(df)
+    got = {r.doc_id: r.text for r in docs.collect()}
+    assert got == {f"<urn:wet:{i}>": f"already extracted text {i}" for i in range(6)}
+    assert docs.head().content_type == "text/plain"
+
+
+def test_documents_to_warc_roundtrip(spark, sf_dir):
+    """Export->ingest loop over the real documents table: per-lang
+    counts and trimmed lengths survive exactly (what q40's 'warc'
+    variant oracles at sf0.01)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.operators.webcorpus import documents_to_warc
+    from shardpack_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="warc_rt_")
+    man = documents_to_warc(docs.repartition(3), d, header_cols=("lang",)).collect()
+    assert sum(r.n_records for r in man) == docs.count()
+    assert all(r.file.endswith(".warc.gz") for r in man)
+    back = read_warc(spark, d)
+    got = (
+        back.groupBy(F.element_at("warc_headers", "warc-x-lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.length(F.trim(F.col("payload").cast("string")))).alias("s"),
+        )
+    )
+    exp = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(F.length(F.trim("text"))).alias("s")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_warc_responses_and_rollup(spark, warc_dir):
     d, _ = warc_dir
     df = read_warc(spark, d)
