@@ -35,7 +35,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -76,10 +81,12 @@ class WarcFilePartition(InputPartition):
     path: str
 
 
-def _list_warc_files(path: str) -> list[str]:
+def _list_warc_files(path: str, allow_empty: bool = False) -> list[str]:
     """Expand ``path`` to concrete WARC file paths via the storage layer:
     a file path is taken as-is; a directory lists ``*.warc.gz`` /
-    ``*.warc`` / ``*.warc.wet`` (sorted — deterministic planning)."""
+    ``*.warc`` / ``*.warc.wet`` (sorted — deterministic planning, and
+    the STREAM offset order: crawl files are named monotonically, so new
+    arrivals sort after consumed ones)."""
     be = storage.for_path(path)
     if be.exists(path) and not path.endswith("/"):
         # a concrete file (exists() on directories is backend-dependent;
@@ -90,6 +97,8 @@ def _list_warc_files(path: str) -> list[str]:
     for pat in ("*.warc.gz", "*.warc", "*.wet.gz", "*.wet"):
         names.extend(be.glob_names(path, pat))
     if not names:
+        if allow_empty:
+            return []
         raise ShardPackIOError(f"no WARC files under {path!r}")
     base = path.rstrip("/")
     return [f"{base}/{n}" for n in sorted(set(names))]
@@ -184,6 +193,65 @@ class WarcReader(DataSourceReader):
             yield flush()
 
 
+class WarcStreamReader(DataSourceStreamReader):
+    """Incremental crawl ingest: ``spark.readStream.format("warc")`` over
+    a directory crawl files LAND in — each micro-batch admits the files
+    that arrived since the last offset (file name = offset unit; crawl
+    files are named monotonically so arrivals sort after history).
+
+    Same restart discipline as the shardpack stream source: the engine's
+    own start offset is kept as a consumed FLOOR, so a fresh reader whose
+    capped ``latestOffset`` momentarily sorts below the checkpoint yields
+    an empty batch, never a duplicate.  ``max_files_per_batch`` is the
+    admission control that drains a deep backlog (a bulk drop of 10k
+    archives) as bounded batches."""
+
+    def __init__(self, options: dict):
+        self._batch = WarcReader(options)  # validates path + row options
+        self.path = self._batch.path
+        self.max_files = int(options.get("max_files_per_batch", 0))
+        sp = str(options.get("starting_position", "earliest")).lower()
+        if sp not in ("earliest", "latest"):
+            raise ShardPackIOError(
+                f"starting_position must be earliest|latest, got {sp!r}"
+            )
+        self.starting_position = sp
+        self._last = ""
+        self._floor = ""
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        if self.starting_position == "latest":
+            names = _list_warc_files(self.path, allow_empty=True)
+            return {"last": names[-1] if names else ""}
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        names = _list_warc_files(self.path, allow_empty=True)
+        if not self.max_files:
+            return {"last": names[-1] if names else ""}
+        pending = [n for n in names if n > self._last]
+        if pending:
+            self._last = pending[: self.max_files][-1]
+        return {"last": self._last}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        self._floor = max(self._floor, lo)
+        self._last = max(self._last, self._floor, hi)
+        return [
+            WarcFilePartition(p)
+            for p in _list_warc_files(self.path, allow_empty=True)
+            if lo < p <= hi and p > self._floor
+        ]
+
+    def commit(self, end: dict) -> None:
+        self._floor = max(self._floor, end.get("last", ""))
+        self._last = max(self._last, self._floor)
+
+    def read(self, partition: WarcFilePartition):
+        yield from self._batch.read(partition)
+
+
 class WarcDataSource(DataSource):
     """``spark.read.format("warc").load(dir_or_file)`` — see module doc."""
 
@@ -196,6 +264,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WarcReader:
         return WarcReader(self.options)
+
+    def streamReader(self, schema: StructType) -> WarcStreamReader:  # noqa: N802
+        return WarcStreamReader(self.options)
 
 
 def _pickle_by_value() -> None:

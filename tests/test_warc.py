@@ -392,6 +392,77 @@ def test_spark_source_surfaces_corrupt_members(spark, tmp_path):
     assert read_warc(spark, str(tmp_path), drop_errors="true").count() == 3
 
 
+def test_warc_stream_incremental_ingest(spark, tmp_path):
+    """readStream over a directory crawl files land in, checkpointed
+    parquet sink, three availableNow passes: each admits at most
+    max_files_per_batch NEW archives (admission control), consumed files
+    are never re-delivered, late arrivals flow through the same
+    checkpoint.  (availableNow snapshots the capped latestOffset at
+    start, so one pass == one capped step — exactly the bounded-backlog
+    drain the cap exists for.)"""
+    from shardpack_spark.format.warc_source import register_warc
+
+    register_warc(spark)
+    src = tmp_path / "crawl"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    W.write_warc(str(src / "crawl-00000.warc.gz"), _mk_records(3))
+
+    def drain():
+        q = (
+            spark.readStream.format("warc")
+            .option("max_files_per_batch", "1")
+            .load(str(src))
+            .selectExpr("record_id", "file")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = spark.read.parquet(sink).collect()
+        return {r.file.rsplit("/", 1)[-1]: 0 for r in rows} | {
+            f: sum(1 for r in rows if r.file.endswith(f))
+            for f in {r.file.rsplit("/", 1)[-1] for r in rows}
+        }
+
+    assert drain() == {"crawl-00000.warc.gz": 4}  # warcinfo + 3 responses
+
+    W.write_warc(str(src / "crawl-00001.warc.gz"), _mk_records(2))
+    W.write_warc(str(src / "crawl-00002.warc.gz"), _mk_records(1))
+    # cap=1: the next pass admits ONLY crawl-00001
+    assert drain() == {"crawl-00000.warc.gz": 4, "crawl-00001.warc.gz": 3}
+    # and the one after drains the backlog remainder
+    assert drain() == {
+        "crawl-00000.warc.gz": 4,
+        "crawl-00001.warc.gz": 3,
+        "crawl-00002.warc.gz": 2,
+    }
+
+
+def test_warc_stream_starting_position_latest(spark, tmp_path):
+    from shardpack_spark.format.warc_source import WarcStreamReader
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    W.write_warc(str(src / "crawl-00000.warc.gz"), _mk_records(2))
+    r = WarcStreamReader({"path": str(src), "starting_position": "latest"})
+    off = r.initialOffset()
+    assert off["last"].endswith("crawl-00000.warc.gz")
+    # nothing new -> empty batch; a new file -> exactly that file
+    assert r.partitions(off, r.latestOffset()) == []
+    W.write_warc(str(src / "crawl-00001.warc.gz"), _mk_records(1))
+    parts = r.partitions(off, r.latestOffset())
+    assert [p.path.rsplit("/", 1)[-1] for p in parts] == ["crawl-00001.warc.gz"]
+    # restart discipline: offsets below the committed floor re-deliver
+    # nothing
+    r.commit(r.latestOffset())
+    assert r.partitions({"last": ""}, r.latestOffset()) == []
+
+
 def test_spark_source_empty_dir_raises(spark, tmp_path):
     from shardpack_spark.format.codec import ShardPackIOError
 
