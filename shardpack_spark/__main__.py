@@ -12,6 +12,9 @@ distributed engine:
     python -m shardpack_spark compact <dataset> [--sort-by-key]
     python -m shardpack_spark vacuum <dataset> [--keep-versions N] [--dry-run]
     python -m shardpack_spark fold   <dataset> [--keep-last N] [--parts]
+    python -m shardpack_spark warc-ls <archive> [-n N]
+    python -m shardpack_spark warc-cat <archive> <record-id> [--out FILE]
+    python -m shardpack_spark warc-import <archive-or-dir> <dataset> [--types response]
 
 `pack` is `shardpack create`: it packs a directory tree into shards with
 one distributed job (grouping sample+annotation files by stem),
@@ -130,6 +133,27 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["none", "gzip", "lz4", "zstd", "snappy"])
     i.add_argument("--mode", default="append", choices=["append", "overwrite"])
 
+    wl = sub.add_parser("warc-ls", help="WARC archive inventory (Spark-free, "
+                        "headers-only — payloads are skipped, not decoded)")
+    wl.add_argument("warc")
+    wl.add_argument("-n", type=int, default=20)
+
+    wcat = sub.add_parser("warc-cat", help="one WARC record's payload by "
+                          "record id (Spark-free)")
+    wcat.add_argument("warc")
+    wcat.add_argument("record_id")
+    wcat.add_argument("--out", default=None, help="write the payload to this file")
+
+    wi = sub.add_parser("warc-import", help="WARC archive(s) -> shardpack "
+                        "dataset (Spark-free; key=record id, headers as "
+                        "record metadata)")
+    wi.add_argument("warc", help="a .warc[.gz] file or a directory of them")
+    wi.add_argument("dataset")
+    wi.add_argument("--types", default=None,
+                    help="comma list of WARC-Type values to keep (default all)")
+    wi.add_argument("--compression", default="none",
+                    choices=["none", "gzip", "lz4", "zstd", "snappy"])
+
     args = ap.parse_args(argv)
     # metadata-only and facade-backed commands (ls/head/cat/slice/vacuum/
     # fold) never import pyspark — instant CLI, no JVM; the distributed
@@ -165,6 +189,79 @@ def main(argv: list[str] | None = None) -> int:
                      for r in recs],
         }
         print(json.dumps(report, default=str))
+        return 0
+    if args.cmd == "warc-ls":
+        from itertools import islice
+
+        from shardpack_spark.format import storage, warc
+
+        with storage.for_path(args.warc).open_read(args.warc) as f:
+            rows = [
+                {
+                    "offset": r.offset,
+                    "type": r.warc_type,
+                    "id": r.record_id,
+                    "uri": r.target_uri,
+                    "content_length": r.headers.get("content-length"),
+                    "error": r.parse_error,
+                }
+                for r in islice(warc.iter_warc_records(f, skip_payload=True), args.n)
+            ]
+        print(json.dumps({"warc": args.warc, "rows": rows}, default=str))
+        return 0
+    if args.cmd == "warc-cat":
+        from shardpack_spark.format import storage, warc
+
+        with storage.for_path(args.warc).open_read(args.warc) as f:
+            for r in warc.iter_warc_records(f):
+                if r.record_id == args.record_id:
+                    payload = r.payload if r.payload is not None else (r.block or b"")
+                    if args.out:
+                        with open(args.out, "wb") as o:
+                            o.write(payload)
+                        print(json.dumps({"id": r.record_id, "bytes": len(payload),
+                                          "out": args.out}))
+                    else:
+                        sys.stdout.buffer.write(payload)
+                    return 0
+        print(json.dumps({"error": f"record {args.record_id!r} not found"}))
+        return 1
+    if args.cmd == "warc-import":
+        from shardpack_spark.format import codec as fc
+        from shardpack_spark.format import storage, warc
+        from shardpack_spark.format.warc_source import _list_warc_files
+        from shardpack_spark.format.writer import open_writer
+
+        keep = set(s.strip() for s in args.types.split(",")) if args.types else None
+        n = errs = 0
+        with open_writer(args.dataset, compression=args.compression) as w:
+            for path in _list_warc_files(args.warc):
+                with storage.for_path(path).open_read(path) as f:
+                    for r in warc.iter_warc_records(f):
+                        if r.parse_error:
+                            errs += 1
+                            continue
+                        if keep is not None and r.warc_type not in keep:
+                            continue
+                        payload = r.payload if r.payload is not None else (r.block or b"")
+                        w.write(
+                            fc.Record(
+                                key=r.record_id or f"{path}#{r.offset}",
+                                entries=[
+                                    fc.FileEntry(
+                                        "payload",
+                                        r.http_headers.get("content-type")
+                                        or r.content_type
+                                        or "application/octet-stream",
+                                        payload,
+                                    )
+                                ],
+                                metadata={k: v for k, v in r.headers.items()},
+                            )
+                        )
+                        n += 1
+        print(json.dumps({"dataset": args.dataset, "records": n,
+                          "parse_errors_skipped": errs}))
         return 0
     if args.cmd == "delete":
         from shardpack_spark.format.writer import delete_keys

@@ -225,6 +225,97 @@ def test_pyspark_free_import():
     assert out.returncode == 0 and "OK" in out.stdout, out.stderr
 
 
+# --- property fuzz ----------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rec_strategy = st.fixed_dictionaries(
+    {
+        "warc_type": st.sampled_from(["response", "request", "metadata", "conversion", "resource"]),
+        "payload": st.binary(min_size=0, max_size=4000),
+        "http": st.booleans(),
+        "uri": st.one_of(st.none(), st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=40)),
+        "extra": st.dictionaries(
+            st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ-", min_size=1, max_size=12).map(lambda s: "X-" + s),
+            st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=30),
+            max_size=3,
+        ),
+    }
+)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(recs=st.lists(_rec_strategy, min_size=1, max_size=8), gz=st.booleans())
+def test_fuzz_write_parse_roundtrip(recs, gz):
+    """Arbitrary record mixes survive write->parse byte-exactly: types,
+    uris, extension headers, payloads (empty through 4 KB, with or
+    without an HTTP envelope)."""
+    wire = []
+    for i, r in enumerate(recs):
+        block = (
+            W.http_response_block(r["payload"])
+            if r["http"] and r["warc_type"] == "response"
+            else r["payload"]
+        )
+        wire.append(
+            W.warc_record_bytes(
+                r["warc_type"], block, record_id=f"<urn:f:{i}>",
+                target_uri=r["uri"], headers=r["extra"],
+            )
+        )
+    buf = io.BytesIO()
+    W.write_warc(buf, wire, gzip_members=gz)
+    got = list(W.iter_warc_records(buf.getvalue()))
+    assert len(got) == len(recs)
+    for i, (r, g) in enumerate(zip(recs, got)):
+        assert g.warc_type == r["warc_type"]
+        assert g.record_id == f"<urn:f:{i}>"
+        if r["http"] and r["warc_type"] == "response":
+            assert g.parse_error is None, (i, g.parse_error)
+            assert g.http_status == 200 and g.payload == r["payload"]
+        elif r["warc_type"] in ("response", "request"):
+            # arbitrary bytes in an HTTP-typed record: the BLOCK always
+            # roundtrips; the http split either succeeds (the bytes
+            # happened to look like HTTP) or degrades with an http:* tag
+            assert g.block == r["payload"]
+            assert g.parse_error is None or g.parse_error.startswith("http:")
+        else:
+            assert g.parse_error is None, (i, g.parse_error)
+            assert (g.payload if g.payload is not None else g.block) == r["payload"]
+        for k, v in r["extra"].items():
+            assert g.headers.get(k.lower()) == v.strip() or v != v.strip()
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    cut=st.integers(min_value=0, max_value=10_000),
+    flip=st.one_of(st.none(), st.integers(min_value=0, max_value=9_999)),
+    gz=st.booleans(),
+    data=st.data(),
+)
+def test_fuzz_corruption_always_terminates(cut, flip, gz, data):
+    """TERMINATION under arbitrary damage — the property the round's spin
+    bug proved is the dangerous one.  Any single truncation point and/or
+    byte flip must yield a finite parse where every record is either a
+    wire record or an error row, never a hang or unbounded output."""
+    recs = _mk_records(3)
+    buf = io.BytesIO()
+    W.write_warc(buf, recs, gzip_members=gz)
+    blob = bytearray(buf.getvalue())
+    if flip is not None and len(blob):
+        blob[flip % len(blob)] ^= data.draw(st.integers(min_value=1, max_value=255))
+    blob = bytes(blob[: max(0, len(blob) - cut % (len(blob) + 1))])
+    got = list(W.iter_warc_records(blob))
+    assert len(got) <= len(recs) + 4  # bounded: no error-row explosions
+    # every surviving record is structurally sound (a flipped byte in a
+    # header VALUE may alter its text — undetectable by design — but
+    # block length always matches the Content-Length actually parsed)
+    for g in got:
+        if not g.parse_error and g.block is not None:
+            assert len(g.block) == int(g.headers["content-length"])
+
+
 # --- Spark source + webcorpus glue ------------------------------------------------
 
 
@@ -461,6 +552,40 @@ def test_warc_stream_starting_position_latest(spark, tmp_path):
     # nothing
     r.commit(r.latestOffset())
     assert r.partitions({"last": ""}, r.latestOffset()) == []
+
+
+def test_cli_warc_commands(tmp_path, capsys):
+    """warc-ls / warc-cat / warc-import: Spark-free CLI over an archive,
+    import lands a real shardpack dataset (facade-readable)."""
+    import json as _json
+
+    from shardpack_spark.__main__ import main
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    recs = _mk_records(3)
+    W.write_warc(str(d / "a.warc.gz"), recs)
+
+    assert main(["warc-ls", str(d / "a.warc.gz"), "-n", "2"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert len(out["rows"]) == 2 and out["rows"][0]["type"] == "warcinfo"
+
+    assert main(["warc-cat", str(d / "a.warc.gz"), "<urn:doc:1>"]) == 0
+    assert capsys.readouterr().out == "doc 1 body text"
+    assert main(["warc-cat", str(d / "a.warc.gz"), "<urn:missing>"]) == 1
+    capsys.readouterr()
+
+    ds = str(tmp_path / "ds")
+    assert main(["warc-import", str(d), ds, "--types", "response"]) == 0
+    rep = _json.loads(capsys.readouterr().out)
+    assert rep["records"] == 3 and rep["parse_errors_skipped"] == 0
+
+    from shardpack_spark.format.reader import open_dataset
+
+    got = {r.key: r.entries[0].data for r in open_dataset(ds).records()}
+    assert got == {f"<urn:doc:{i}>": f"doc {i} body text".encode() for i in range(3)}
+    meta = open_dataset(ds).lookup("<urn:doc:2>")[0].metadata
+    assert meta["warc-type"] == "response"
 
 
 def test_spark_source_empty_dir_raises(spark, tmp_path):
