@@ -554,6 +554,59 @@ def test_warc_stream_starting_position_latest(spark, tmp_path):
     assert r.partitions({"last": ""}, r.latestOffset()) == []
 
 
+def test_decode_payload_text_charsets(spark, tmp_path):
+    """Charset-aware decode: declared latin-1/gbk/shift_jis round their
+    native bytes back to the exact text; unknown charsets fall back with
+    decode_ok=False; mojibake (utf-8 bytes declared as utf-8 but
+    broken) flags decode_ok=False."""
+    from shardpack_spark.operators.webcorpus import decode_payload_text
+
+    cases = [
+        ("l1", "café au lait", "iso-8859-1"),
+        ("gbk", "训练数据管线", "gbk"),
+        ("sjis", "日本語のページ", "shift_jis"),
+        ("utf", "plain utf-8 ✓", "utf-8"),
+    ]
+    recs = []
+    for rid, text, cs in cases:
+        blk = W.http_response_block(
+            text.encode(cs), content_type=f"text/html; charset={cs}"
+        )
+        recs.append(W.warc_record_bytes("response", blk, record_id=f"<urn:{rid}>"))
+    # unknown charset + broken utf-8 declared utf-8
+    recs.append(
+        W.warc_record_bytes(
+            "response",
+            W.http_response_block(b"abc", content_type='text/html; charset="x-bogus-9"'),
+            record_id="<urn:bogus>",
+        )
+    )
+    recs.append(
+        W.warc_record_bytes(
+            "response",
+            W.http_response_block(b"ok \xff\xfe broken", content_type="text/plain; charset=utf-8"),
+            record_id="<urn:broken>",
+        )
+    )
+    p = tmp_path / "cs.warc.gz"
+    W.write_warc(str(p), recs)
+    df = read_warc(spark, str(tmp_path))
+    out = {
+        r.record_id: r
+        for r in df.withColumn("d", decode_payload_text(df))
+        .select("record_id", "d.text", "d.charset", "d.decode_ok")
+        .collect()
+    }
+    for rid, text, cs in cases:
+        row = out[f"<urn:{rid}>"]
+        assert row.text == text and row.decode_ok, (rid, row)
+    assert out["<urn:bogus>"].text == "abc"
+    assert out["<urn:bogus>"].charset == "utf-8"  # fallback
+    assert out["<urn:bogus>"].decode_ok is False
+    assert out["<urn:broken>"].decode_ok is False
+    assert "broken" in out["<urn:broken>"].text  # degraded, not dropped
+
+
 def test_cli_warc_commands(tmp_path, capsys):
     """warc-ls / warc-cat / warc-import: Spark-free CLI over an archive,
     import lands a real shardpack dataset (facade-readable)."""
