@@ -51,11 +51,15 @@ class WarcFormatError(ShardPackError):
 
 @dataclass
 class WarcRecord:
-    """One parsed record.  ``headers`` keys are lower-cased; values keep
-    their bytes decoded as latin-1 (lossless for arbitrary octets).
-    ``offset`` is the byte offset of the record in the file — for
-    ``.warc.gz`` the COMPRESSED offset of the gzip member it started in,
-    i.e. a seekable resync point."""
+    """One parsed record.  ``headers`` keys are lower-cased; values
+    decode as UTF-8 (the ISO 28500 header charset) with a latin-1
+    fallback so legacy bytes stay lossless.  ``offset`` is a seekable
+    resync point AT OR BEFORE the record start: for the conformant
+    one-record-per-member ``.warc.gz`` layout it is exactly the record's
+    member's compressed offset; for records split across members or
+    packed several to a member it is the start of the earliest member
+    whose bytes were still buffered (always <= the record's true
+    position, so seeking there and scanning forward finds the record)."""
 
     offset: int
     warc_type: str
@@ -182,11 +186,13 @@ class _MemberStream:
     def read_until(self, marker: bytes, limit: int) -> bytes | None:
         """Bytes up to and including ``marker``, or None if not within
         ``limit`` decompressed bytes (hostile/garbage input guard)."""
+        scanned = 0  # resume each .find past already-searched bytes
         while True:
-            idx = self._out.find(marker)
+            idx = self._out.find(marker, max(0, scanned - len(marker) + 1))
             if idx >= 0:
                 return self.read(idx + len(marker))
-            if len(self._out) > limit:
+            scanned = len(self._out)
+            if scanned > limit:
                 return None
             try:
                 if not self._fill():
@@ -249,11 +255,13 @@ class _PlainStream:
         return out
 
     def read_until(self, marker: bytes, limit: int) -> bytes | None:
+        scanned = 0  # resume each .find past already-searched bytes
         while True:
-            idx = bytes(self._buf).find(marker)
+            idx = self._buf.find(marker, max(0, scanned - len(marker) + 1))
             if idx >= 0:
                 return self.read(idx + len(marker))
-            if len(self._buf) > limit:
+            scanned = len(self._buf)
+            if scanned > limit:
                 return None
             chunk = self._raw.read(_READ_CHUNK)
             if not chunk:
@@ -261,9 +269,17 @@ class _PlainStream:
             self._buf.extend(chunk)
 
     def skip_to_next_member(self) -> bool:
-        """Resync on the next 'WARC/1.' magic in the remaining bytes."""
+        """Resync on the next 'WARC/1.' magic in the remaining bytes.
+
+        Position 0 is a VALID match: every error path in
+        ``iter_warc_records`` consumes at least one byte of the failed
+        record before resyncing (header errors consume the header block,
+        short-block errors consume the block bytes, the no-terminator
+        path reads one probe byte), so a magic at the buffer head is
+        always the NEXT record — skipping it would silently drop a good
+        record after every malformed one."""
         while True:
-            idx = bytes(self._buf).find(b"WARC/1.", 1 if bytes(self._buf[:7]) == b"WARC/1." else 0)
+            idx = self._buf.find(b"WARC/1.")
             if idx >= 0:
                 self.read(idx)
                 return True
@@ -276,23 +292,33 @@ class _PlainStream:
             self._buf.extend(chunk)
 
 
+def _hdec(b: bytes) -> str:
+    """Header text decode: UTF-8 (what ISO 28500 specifies for field
+    values, and what our writer emits) with a latin-1 fallback so
+    arbitrary legacy bytes stay lossless instead of erroring."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _parse_header_block(raw: bytes) -> tuple[str, dict[str, str]]:
     """(version-line, {lower-name: value}) with line folding support."""
     lines = raw.split(b"\r\n")
-    version = lines[0].decode("latin-1")
+    version = _hdec(lines[0])
     headers: dict[str, str] = {}
     last: str | None = None
     for ln in lines[1:]:
         if not ln:
             continue
         if ln[:1] in (b" ", b"\t") and last is not None:
-            headers[last] += " " + ln.strip().decode("latin-1")
+            headers[last] += " " + _hdec(ln.strip())
             continue
         name, sep, val = ln.partition(b":")
         if not sep:
             raise WarcFormatError(f"malformed header line: {ln[:60]!r}")
-        last = name.strip().decode("latin-1").lower()
-        headers[last] = val.strip().decode("latin-1")
+        last = _hdec(name.strip()).lower()
+        headers[last] = _hdec(val.strip())
     return version, headers
 
 
@@ -496,8 +522,18 @@ def warc_record_bytes(
     for k, v in (headers or {}).items():
         h.append((k, v))
     h.append(("Content-Length", str(len(block))))
+    # injection guard: a CR/LF inside a name or value would terminate the
+    # field early and let attacker-controlled column data forge arbitrary
+    # WARC headers (e.g. override WARC-Type) — reject at the wire layer
+    for k, v in h:
+        if "\r" in k or "\n" in k or "\r" in v or "\n" in v:
+            raise WarcFormatError(
+                f"header field contains CR/LF (injection): {k!r}: {v[:40]!r}"
+            )
+    # UTF-8 per ISO 28500; the parser decodes UTF-8-first with a latin-1
+    # fallback, so non-ASCII values (titles, URIs) roundtrip exactly
     head = b"WARC/1.0\r\n" + b"".join(
-        f"{k}: {v}".encode("latin-1") + _CRLF for k, v in h
+        f"{k}: {v}".encode("utf-8") + _CRLF for k, v in h
     )
     return head + _CRLF + block + _CRLF + _CRLF
 

@@ -91,7 +91,10 @@ def _list_warc_files(path: str, allow_empty: bool = False) -> list[str]:
     if be.exists(path) and not path.endswith("/"):
         # a concrete file (exists() on directories is backend-dependent;
         # extension check keeps directories falling through to globbing)
-        if path.endswith((".warc", ".warc.gz", ".wet", ".wet.gz", ".arc.gz")):
+        # (.arc.gz is deliberately NOT accepted: legacy ARC has no
+        # WARC/1.0 record magic, so every record would parse_error —
+        # rejecting the extension up front beats a 100%-error scan)
+        if path.endswith((".warc", ".warc.gz", ".wet", ".wet.gz")):
             return [path]
     names: list[str] = []
     for pat in ("*.warc.gz", "*.warc", "*.wet.gz", "*.wet"):

@@ -128,6 +128,23 @@ def decode_payload_text(
         pat = re.compile(r"charset=[\"']?([A-Za-z0-9_\-\.:]+)")
         texts, charsets, oks = [], [], []
         lookup_cache: dict[str, str | None] = {}
+
+        def text_codec(name: str) -> str | None:
+            """Resolved codec name, or None when unknown OR not a TEXT
+            encoding — codecs.lookup also resolves bytes-to-bytes codecs
+            (hex, base64, zip...) whose .decode raises LookupError, and a
+            crawled page can declare charset=hex to weaponize that."""
+            try:
+                info = codecs.lookup(name)
+                # bytes.decode fast-paths b"" before codec validation, so
+                # probing with empty bytes does NOT catch these; the
+                # CodecInfo flag is what bytes.decode itself consults
+                if not getattr(info, "_is_text_encoding", True):
+                    return None
+                return info.name
+            except Exception:
+                return None
+
         for data, ct in zip(payload, ctype):
             if data is None:
                 texts.append(None)
@@ -139,10 +156,7 @@ def decode_payload_text(
             cs = None
             if declared is not None:
                 if declared not in lookup_cache:
-                    try:
-                        lookup_cache[declared] = codecs.lookup(declared).name
-                    except LookupError:
-                        lookup_cache[declared] = None
+                    lookup_cache[declared] = text_codec(declared)
                 cs = lookup_cache[declared]
             known = cs is not None
             cs = cs or default
@@ -199,12 +213,20 @@ def documents_to_warc(
                     be = storage.for_path(target)
                     be.makedirs(path)
                     handle = be.create(target)
+                def hval(v) -> str:
+                    """Column value -> safe header value: CR/LF would be
+                    header injection (warc_record_bytes rejects them, and
+                    one hostile row must not abort the export job), so
+                    fold them to spaces; None stays absent, not 'None'."""
+                    return " ".join(str(v).split())
+
                 for row in pdf.itertuples(index=False):
-                    rid = getattr(row, id_col)
+                    rid = hval(getattr(row, id_col))
                     text = getattr(row, text_col) or ""
                     extra = {
-                        f"WARC-X-{c.replace('_', '-').title()}": str(getattr(row, c))
+                        f"WARC-X-{c.replace('_', '-').title()}": hval(getattr(row, c))
                         for c in header_cols
+                        if getattr(row, c) is not None
                     }
                     blk = warc.http_response_block(
                         str(text).encode("utf-8"),
@@ -214,8 +236,8 @@ def documents_to_warc(
                         "response",
                         blk,
                         target_uri=(
-                            str(getattr(row, url_col))
-                            if url_col
+                            hval(getattr(row, url_col))
+                            if url_col and getattr(row, url_col) is not None
                             else f"urn:doc:{rid}"
                         ),
                         record_id=f"<urn:doc:{rid}>",
@@ -246,21 +268,20 @@ def documents_to_warc(
 
 def _register_modules_for_pickle() -> None:
     """Executor workers may not be able to import shardpack_spark — ship
-    the modules the write path touches inside the pickled closure (same
-    contract as format.datasource._pickle_by_value)."""
+    the modules the write path touches inside the pickled closure.  The
+    format-module list is OWNED by warc_source._pickle_by_value (one
+    place to extend when the WARC runtime path grows a dependency); this
+    only adds the operator module itself."""
     from pyspark import cloudpickle
 
     import shardpack_spark.operators.webcorpus as self_mod
-    from shardpack_spark.format import codec as codec_mod
-    from shardpack_spark.format import storage as storage_mod
-    from shardpack_spark.format import warc as warc_mod
-    from shardpack_spark.format import zstd_entropy as zstd_mod
+    from shardpack_spark.format.warc_source import _pickle_by_value
 
-    for mod in (storage_mod, zstd_mod, codec_mod, warc_mod, self_mod):
-        try:
-            cloudpickle.register_pickle_by_value(mod)
-        except Exception:
-            pass
+    _pickle_by_value()
+    try:
+        cloudpickle.register_pickle_by_value(self_mod)
+    except Exception:
+        pass
 
 
 def warc_error_rollup(df: DataFrame, group_cols=("file",)) -> DataFrame:

@@ -181,6 +181,46 @@ def test_plain_resync_on_garbage_between_records():
     ]
 
 
+def test_plain_bad_record_costs_only_itself():
+    """Review finding: the old resync guard skipped a 'WARC/1.' magic at
+    buffer position 0 — which after a header error is always the NEXT
+    good record.  A malformed record between (or before) good ones must
+    cost exactly itself."""
+    good = _mk_records(3)  # warcinfo + 2 responses
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:bad>\r\n\r\n"
+    # ^ no Content-Length -> header error, header block fully consumed
+    for blob, surviving in [
+        (good[0] + bad + good[1] + good[2], 3),  # bad in the middle
+        (bad + good[0] + good[1] + good[2], 3),  # bad first
+        (good[0] + good[1] + bad + good[2], 3),  # bad before the last
+    ]:
+        got = list(W.iter_warc_records(blob))
+        ok = [r for r in got if not r.parse_error]
+        errs = [r for r in got if r.parse_error]
+        assert len(ok) == surviving and len(errs) == 1, (len(ok), len(errs))
+        assert {r.record_id for r in ok} == {
+            "<urn:shardpack:warcinfo:0>", "<urn:doc:0>", "<urn:doc:1>"
+        }
+
+
+def test_header_utf8_roundtrip_and_injection_guard():
+    """Headers are UTF-8 on the wire (ISO 28500) and decode back exactly;
+    CR/LF in a name or value is rejected at the wire layer (header
+    injection)."""
+    rec = W.warc_record_bytes(
+        "metadata", b"x", record_id="<urn:u>",
+        target_uri="http://ex.com/café–中文",
+        headers={"WARC-X-Title": "naïve — título"},
+    )
+    g = list(W.iter_warc_records(rec))[0]
+    assert g.target_uri == "http://ex.com/café–中文"
+    assert g.headers["warc-x-title"] == "naïve — título"
+    with pytest.raises(W.WarcFormatError, match="injection"):
+        W.warc_record_bytes("metadata", b"x", headers={"X-A": "v\r\nWARC-Type: evil"})
+    with pytest.raises(W.WarcFormatError, match="injection"):
+        W.warc_record_bytes("metadata", b"x", target_uri="u\nX: y")
+
+
 def test_hostile_header_block_bounded():
     """A header that never terminates must fail fast (1 MiB cap), not
     buffer the file."""
@@ -605,6 +645,70 @@ def test_decode_payload_text_charsets(spark, tmp_path):
     assert out["<urn:bogus>"].decode_ok is False
     assert out["<urn:broken>"].decode_ok is False
     assert "broken" in out["<urn:broken>"].text  # degraded, not dropped
+
+
+def test_decode_payload_text_hostile_charset(spark, tmp_path):
+    """Review finding: charset=hex (or base64/zip/rot13...) passes
+    codecs.lookup but is a bytes-to-bytes codec whose .decode raises —
+    must degrade to the default charset with decode_ok=False, never
+    abort the job."""
+    from shardpack_spark.operators.webcorpus import decode_payload_text
+
+    recs = [
+        W.warc_record_bytes(
+            "response",
+            W.http_response_block(b"abc", content_type=f"text/html; charset={cs}"),
+            record_id=f"<urn:{i}>",
+        )
+        for i, cs in enumerate(["hex", "base64", "rot13", "zip", "uu", "utf-8"])
+    ]
+    W.write_warc(str(tmp_path / "h.warc.gz"), recs)
+    df = read_warc(spark, str(tmp_path))
+    rows = (
+        df.withColumn("d", decode_payload_text(df))
+        .select("record_id", "d.text", "d.charset", "d.decode_ok")
+        .collect()
+    )
+    assert len(rows) == 6
+    by_id = {r.record_id: r for r in rows}
+    for i in range(5):  # all the hostile ones
+        r = by_id[f"<urn:{i}>"]
+        assert r.text == "abc" and r.charset == "utf-8" and r.decode_ok is False
+    assert by_id["<urn:5>"].decode_ok is True
+
+
+def test_documents_to_warc_hostile_columns(spark, tmp_path):
+    """Review finding: header/url/id column values with non-latin-1
+    characters, CR/LF (injection attempts), or NULLs must export
+    per-record-safely — sanitized, never job-aborting, never forging
+    headers."""
+    from shardpack_spark.operators.webcorpus import documents_to_warc
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "text one", "naïve — título 中文", "http://ex.com/café"),
+            ("d2", "text two", "evil\r\nWARC-Type: forged", None),
+            ("d3", "text three", None, "u\nX: y"),
+        ],
+        "doc_id string, text string, title string, url string",
+    )
+    d = str(tmp_path / "out")
+    man = documents_to_warc(
+        df.repartition(1), d, url_col="url", header_cols=("title",)
+    ).collect()
+    assert sum(r.n_records for r in man) == 3
+    back = {r.record_id: r for r in read_warc(spark, d).collect()}
+    r1 = back["<urn:doc:d1>"]
+    assert r1.warc_headers["warc-x-title"] == "naïve — título 中文"  # utf-8 intact
+    assert r1.target_uri == "http://ex.com/café"
+    r2 = back["<urn:doc:d2>"]
+    assert r2.warc_type == "response"  # injection folded, not forged
+    assert "forged" in r2.warc_headers["warc-x-title"]
+    assert "\r" not in r2.warc_headers["warc-x-title"]
+    assert r2.target_uri == "urn:doc:d2"  # NULL url -> deterministic urn
+    r3 = back["<urn:doc:d3>"]
+    assert "warc-x-title" not in r3.warc_headers  # NULL header absent
+    assert r3.target_uri == "u X: y"  # folded, single header line
 
 
 def test_cli_warc_commands(tmp_path, capsys):
