@@ -286,11 +286,18 @@ def _register_modules_for_pickle() -> None:
 
 def warc_error_rollup(df: DataFrame, group_cols=("file",)) -> DataFrame:
     """Corpus-level ingest telemetry: records / parse errors / truncated
-    counts per group (default per file) — the ``decode_path_rollup``
-    analog for the WARC head, so a crawl job alerts on silently-degrading
-    archives instead of discovering them in model data."""
-    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+    counts AND fractions per group (default per file) — the
+    ``decode_path_rollup`` analog for the WARC head, so a crawl job
+    alerts on silently-degrading archives (``error_frac > threshold``)
+    instead of discovering them in model data."""
+    out = df.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.count(F.lit(1)).alias("n_records"),
         F.sum(F.col("parse_error").isNotNull().cast("long")).alias("n_parse_errors"),
         F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
+    )
+    return out.withColumns(
+        {
+            "error_frac": F.col("n_parse_errors") / F.col("n_records"),
+            "truncated_frac": F.col("n_truncated") / F.col("n_records"),
+        }
     )

@@ -502,6 +502,7 @@ def test_warc_responses_and_rollup(spark, warc_dir):
     roll = {r.file.rsplit("/", 1)[-1]: r for r in warc_error_rollup(df).collect()}
     assert set(roll) == {"part-0.warc.gz", "part-1.warc.gz"}
     assert all(r.n_records == 7 and r.n_parse_errors == 0 for r in roll.values())
+    assert all(r.error_frac == 0.0 and r.truncated_frac == 0.0 for r in roll.values())
 
 
 def test_spark_source_surfaces_corrupt_members(spark, tmp_path):
