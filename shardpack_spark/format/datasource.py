@@ -1014,6 +1014,13 @@ class ShardPackStreamReader(DataSourceStreamReader):
         wmr = options.get("where_meta_range")
         self.where_meta_range: dict | None = json.loads(wmr) if wmr else None
         self._last = ""  # high-watermark of the newest offset handed out
+        # False until initialOffset (fresh query) or partitions (any
+        # running query) — a RESTARTED reader's first latestOffset must
+        # not return a capped offset, see stream_offsets module doc: the
+        # engine logs it even when it sorts below the checkpoint, and a
+        # crash before the next batch advances past the old watermark
+        # would make the following restart re-deliver everything between
+        self._primed = False
         # Restart safety for admission control: the engine is free to call
         # latestOffset() on a fresh reader BEFORE anything reveals the
         # checkpointed position (initialOffset is not called on restart),
@@ -1038,6 +1045,7 @@ class ShardPackStreamReader(DataSourceStreamReader):
         self.starting_position = sp
 
     def initialOffset(self) -> dict:  # noqa: N802
+        self._primed = True
         if self.starting_position == "latest":
             names = _visible_shards(self.path)
             return {"last": names[-1] if names else ""}
@@ -1047,12 +1055,21 @@ class ShardPackStreamReader(DataSourceStreamReader):
         names = _visible_shards(self.path)
         if not self.max_shards:
             return {"last": names[-1] if names else ""}
+        if not self._primed:
+            # restarted query: one uncapped (monotone) offset, so the
+            # offset log can never regress below the checkpoint; the cap
+            # re-engages next trigger once partitions() reveals the floor
+            self._primed = True
+            if names:
+                self._last = max(self._last, names[-1])
+            return {"last": self._last}
         pending = [n for n in names if n > self._last]
         if pending:
             self._last = pending[: self.max_shards][-1]
         return {"last": self._last}
 
     def partitions(self, start: dict, end: dict) -> Sequence[ShardPartition]:
+        self._primed = True
         lo, hi = start.get("last", ""), end.get("last", "")
         # the engine's start offset IS the consumed position: remember the
         # highest one ever seen and never hand out offsets below it again

@@ -183,6 +183,20 @@ class _MemberStream:
             self._out_member = self._next_member
         return out
 
+    def peek(self, n: int) -> bytes:
+        """Up to ``n`` bytes WITHOUT consuming (record-boundary check).
+        Decode errors during the peek report as empty — the main loop
+        will hit them properly on its next read."""
+        while len(self._out) < n:
+            try:
+                if not self._fill():
+                    break
+            except WarcFormatError:
+                break
+            except zlib.error:
+                break
+        return bytes(self._out[:n])
+
     def read_until(self, marker: bytes, limit: int) -> bytes | None:
         """Bytes up to and including ``marker``, or None if not within
         ``limit`` decompressed bytes (hostile/garbage input guard)."""
@@ -253,6 +267,15 @@ class _PlainStream:
         del self._buf[:n]
         self._buf_at += len(out)
         return out
+
+    def peek(self, n: int) -> bytes:
+        """Up to ``n`` bytes WITHOUT consuming (record-boundary check)."""
+        while len(self._buf) < n:
+            chunk = self._raw.read(max(_READ_CHUNK, n - len(self._buf)))
+            if not chunk:
+                break
+            self._buf.extend(chunk)
+        return bytes(self._buf[:n])
 
     def read_until(self, marker: bytes, limit: int) -> bytes | None:
         scanned = 0  # resume each .find past already-searched bytes
@@ -478,6 +501,29 @@ def iter_warc_records(
             else:
                 rec.payload = block
         yield rec
+        # Record-boundary check: after block + terminator the stream must
+        # sit at EOF, a stray blank separator, or the next record's magic.
+        # A LYING Content-Length (over-claimed: the read swallowed the
+        # following records' bytes; under-claimed: the terminator read ate
+        # payload and left the real tail) would otherwise lose the
+        # following records SILENTLY — the misaligned read mangles their
+        # headers and the old resync could skip past several.  A separate
+        # boundary-error row (the record above may be perfectly fine —
+        # alien filler bytes after a correct record look identical to a
+        # lying length, so the record itself stays unflagged) makes the
+        # loss visible to warc_error_rollup, and the immediate resync
+        # bounds it to the overrun span.
+        nxt = stream.peek(7)
+        if nxt and not b"WARC/1.".startswith(nxt) and not nxt.startswith(b"\r\n"):
+            yield WarcRecord(
+                stream.member_start(),
+                "",
+                {},
+                parse_error="warc:boundary-misaligned (lying Content-Length "
+                "or inter-record filler); resyncing",
+            )
+            if not stream.skip_to_next_member():
+                return
 
 
 class _Concat:  # pragma: no cover - tiny shim for non-seekable inputs

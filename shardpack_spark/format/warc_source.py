@@ -54,6 +54,9 @@ from pyspark.sql.types import (
 
 from shardpack_spark.format import storage, warc
 from shardpack_spark.format.codec import ShardPackIOError
+# module-level, not inside __init__: the streaming runner worker unpickles
+# this module BY VALUE and cannot import shardpack_spark by name at runtime
+from shardpack_spark.format.stream_offsets import CappedListingOffsets
 
 WARC_SCHEMA = StructType(
     [
@@ -117,8 +120,14 @@ class WarcReader(DataSourceReader):
             frozenset(s.strip() for s in rt.split(",") if s.strip()) if rt else None
         )
         self.skip_payload = str(options.get("skip_payload", "false")).lower() == "true"
+        # Default cap 256 MiB: a crafted Content-Length in an untrusted
+        # crawl must not buffer an attacker-chosen allocation (a ~50 MB
+        # gzip member can inflate ~1000x) — no legitimate crawl record
+        # approaches this.  Explicit 0 = unlimited (trusted archives).
         mpb = options.get("max_payload_bytes")
-        self.max_payload_bytes: int | None = int(mpb) if mpb else None
+        self.max_payload_bytes: int | None = (
+            256 * 1024 * 1024 if mpb in (None, "") else (int(mpb) or None)
+        )
         # drop rows whose parse failed instead of surfacing them (the
         # default SURFACES them: silent loss is the thing telemetry exists
         # to prevent)
@@ -212,44 +221,32 @@ class WarcStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._batch = WarcReader(options)  # validates path + row options
         self.path = self._batch.path
-        self.max_files = int(options.get("max_files_per_batch", 0))
+        max_files = int(options.get("max_files_per_batch", 0))
         sp = str(options.get("starting_position", "earliest")).lower()
         if sp not in ("earliest", "latest"):
             raise ShardPackIOError(
                 f"starting_position must be earliest|latest, got {sp!r}"
             )
-        self.starting_position = sp
-        self._last = ""
-        self._floor = ""
+        self._offsets = CappedListingOffsets(
+            lambda: _list_warc_files(self.path, allow_empty=True), max_files, sp
+        )
 
     def initialOffset(self) -> dict:  # noqa: N802
-        if self.starting_position == "latest":
-            names = _list_warc_files(self.path, allow_empty=True)
-            return {"last": names[-1] if names else ""}
-        return {"last": ""}
+        return self._offsets.initial()
 
     def latestOffset(self) -> dict:  # noqa: N802
-        names = _list_warc_files(self.path, allow_empty=True)
-        if not self.max_files:
-            return {"last": names[-1] if names else ""}
-        pending = [n for n in names if n > self._last]
-        if pending:
-            self._last = pending[: self.max_files][-1]
-        return {"last": self._last}
+        return self._offsets.latest()
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = start.get("last", ""), end.get("last", "")
-        self._floor = max(self._floor, lo)
-        self._last = max(self._last, self._floor, hi)
+        lo, hi = self._offsets.advance(start, end)
         return [
             WarcFilePartition(p)
             for p in _list_warc_files(self.path, allow_empty=True)
-            if lo < p <= hi and p > self._floor
+            if lo < p <= hi
         ]
 
     def commit(self, end: dict) -> None:
-        self._floor = max(self._floor, end.get("last", ""))
-        self._last = max(self._last, self._floor)
+        self._offsets.commit(end)
 
     def read(self, partition: WarcFilePartition):
         yield from self._batch.read(partition)
@@ -282,10 +279,11 @@ def _pickle_by_value() -> None:
 
     from shardpack_spark.format import codec as codec_mod
     from shardpack_spark.format import storage as storage_mod
+    from shardpack_spark.format import stream_offsets as offsets_mod
     from shardpack_spark.format import warc as warc_mod
     from shardpack_spark.format import zstd_entropy as zstd_mod
 
-    for mod in (storage_mod, zstd_mod, codec_mod, warc_mod, sys.modules[__name__]):
+    for mod in (storage_mod, zstd_mod, codec_mod, warc_mod, offsets_mod, sys.modules[__name__]):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:

@@ -160,12 +160,18 @@ def decode_payload_text(
                 cs = lookup_cache[declared]
             known = cs is not None
             cs = cs or default
-            text = bytes(data).decode(cs, errors="replace")
+            # strict decode decides decode_ok: a page whose valid bytes
+            # legitimately CONTAIN U+FFFD must not be flagged, so never
+            # infer from replacement characters in the output
+            try:
+                text = bytes(data).decode(cs)
+                ok = known if declared is not None else True
+            except UnicodeDecodeError:
+                text = bytes(data).decode(cs, errors="replace")
+                ok = False
             texts.append(text)
             charsets.append(cs)
-            oks.append(known if declared is not None else True)
-            if "�" in text:
-                oks[-1] = False
+            oks.append(ok)
         return pd.DataFrame({"text": texts, "charset": charsets, "decode_ok": oks})
 
     return dec(F.col(payload_col), F.col(content_type_col))
@@ -220,13 +226,17 @@ def documents_to_warc(
                     fold them to spaces; None stays absent, not 'None'."""
                     return " ".join(str(v).split())
 
-                for row in pdf.itertuples(index=False):
-                    rid = hval(getattr(row, id_col))
-                    text = getattr(row, text_col) or ""
+                # positional row access, not itertuples+getattr: pandas
+                # renames non-identifier/duplicate column names ('lang-id',
+                # 'class') to _N in namedtuples, which would AttributeError
+                for vals in pdf[cols].itertuples(index=False, name=None):
+                    row = dict(zip(cols, vals))
+                    rid = hval(row[id_col])
+                    text = row[text_col] or ""
                     extra = {
-                        f"WARC-X-{c.replace('_', '-').title()}": hval(getattr(row, c))
+                        f"WARC-X-{c.replace('_', '-').title()}": hval(row[c])
                         for c in header_cols
-                        if getattr(row, c) is not None
+                        if row[c] is not None
                     }
                     blk = warc.http_response_block(
                         str(text).encode("utf-8"),
@@ -236,15 +246,17 @@ def documents_to_warc(
                         "response",
                         blk,
                         target_uri=(
-                            hval(getattr(row, url_col))
-                            if url_col and getattr(row, url_col) is not None
+                            hval(row[url_col])
+                            if url_col and row[url_col] is not None
                             else f"urn:doc:{rid}"
                         ),
                         record_id=f"<urn:doc:{rid}>",
                         content_type="application/http; msgtype=response",
                         headers=extra,
                     )
-                    warc.write_warc(_Append(handle), [rec])
+                    # WriteHandle exposes .write — exactly the file-like
+                    # surface write_warc streams members onto
+                    warc.write_warc(handle, [rec])
                     n += 1
             if handle is not None:
                 handle.close()
@@ -253,15 +265,6 @@ def documents_to_warc(
             if handle is not None:
                 handle.abort()
             raise
-
-    class _Append:
-        """file-like shim: write_warc streams members onto the handle."""
-
-        def __init__(self, h):
-            self._h = h
-
-        def write(self, b):
-            return self._h.write(b)
 
     return df.select(*cols).mapInPandas(write_part, "file string, n_records long")
 

@@ -565,14 +565,52 @@ def test_warc_stream_incremental_ingest(spark, tmp_path):
 
     W.write_warc(str(src / "crawl-00001.warc.gz"), _mk_records(2))
     W.write_warc(str(src / "crawl-00002.warc.gz"), _mk_records(1))
-    # cap=1: the next pass admits ONLY crawl-00001
-    assert drain() == {"crawl-00000.warc.gz": 4, "crawl-00001.warc.gz": 3}
-    # and the one after drains the backlog remainder
-    assert drain() == {
+    # Restarted passes: when the engine re-plans the last logged batch
+    # first, partitions() primes the floor and the cap applies (one new
+    # file per pass); when it goes straight to latestOffset, the first
+    # offset is deliberately uncapped (see stream_offsets module doc —
+    # a capped one could regress the checkpoint).  Either way: never a
+    # re-delivery, and the backlog drains within a bounded pass count.
+    expected = {
         "crawl-00000.warc.gz": 4,
         "crawl-00001.warc.gz": 3,
         "crawl-00002.warc.gz": 2,
     }
+    for _ in range(3):
+        got = drain()
+        assert all(got[f] == expected[f] for f in got)  # no duplicates
+        if got == expected:
+            break
+    assert got == expected
+
+
+def test_stream_offsets_restart_discipline():
+    """The capped-offset restart rules, unit-level: fresh queries cap
+    from trigger 1; restarted readers return one uncapped (monotone)
+    offset so the engine's log can never regress; floors prevent
+    re-delivery; capping resumes after the first post-restart batch."""
+    from shardpack_spark.format.stream_offsets import CappedListingOffsets
+
+    files = ["a", "b", "c", "d"]
+
+    # fresh query: initial() primes, caps apply immediately
+    o = CappedListingOffsets(lambda: files, 1, "earliest")
+    assert o.initial() == {"last": ""}
+    assert o.latest() == {"last": "a"}  # capped
+    assert o.advance({"last": ""}, {"last": "a"}) == ("", "a")
+    assert o.latest() == {"last": "b"}
+
+    # restarted query (no initial()): checkpoint at "c" — first latest
+    # must NOT return a capped "a" (it would be logged below "c");
+    # uncapped "d" is monotone, and the floor empties the overlap
+    r = CappedListingOffsets(lambda: files, 1, "earliest")
+    off = r.latest()
+    assert off == {"last": "d"}  # uncapped, >= any possible checkpoint
+    lo, hi = r.advance({"last": "c"}, off)
+    assert lo == "c" and hi == "d"  # only "d" is admitted
+    # from now on capping is back
+    r.commit(off)
+    assert r.latest() == {"last": "d"}  # nothing new -> watermark holds
 
 
 def test_warc_stream_starting_position_latest(spark, tmp_path):
