@@ -419,31 +419,54 @@ def main() -> None:
 
     total = round(sum(queries.values()), 3)
     total_min = round(sum(s["min"] for s in spread.values()), 3)
+    # The driver records only the LAST 2,000 chars of stdout, so the ONE
+    # stdout JSON line must stay under that budget AND carry the roll-ups
+    # near the END of the object (r6's artifact truncated "value" out of
+    # existence).  Per-query min/max spread is analysis detail, not gate
+    # input — it goes to stderr as a second labeled JSON line.
     print(
-        json.dumps(
+        json.dumps({"query_spread": spread, "detail_for": "bench.py"}),
+        file=sys.stderr,
+    )
+    # single-thread sha256 canary + steal/load/uptime: how fast THIS host
+    # was during THIS run.  Compare canary values ACROSS artifacts —
+    # queries slower in proportion to a slower canary = host, not
+    # regression.
+    host_block = _host_finalize(host, stat0)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_clock",
+            "unit": "sec",
+            "sf": sf,
+            "queries": queries,
+            "yardsticks": yard,
+            "host": host_block,
+            # Per-query point estimate is the median of 3 runs (since
+            # round 5; rounds 1-4 reported min-of-N, so cross-round
+            # totals are not directly comparable across that boundary).
+            # value_min (sum of per-query mins) is the min-estimator
+            # total for comparison against those earlier rounds.
+            "estimator": "median3",
+            "value_min": total_min,
+            "value": total,
+        }
+    )
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail capture
+        print(json.dumps({"yardsticks": yard, "detail_for": "bench.py"}),
+              file=sys.stderr)
+        line = json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
-                "value": total,
                 "unit": "sec",
+                "sf": sf,
                 "queries": queries,
-                "query_spread": spread,
-                # Per-query point estimate is the median of 3 runs (since
-                # round 5; rounds 1-4 reported min-of-N, so cross-round
-                # totals are not directly comparable across that boundary).
-                # value_min (sum of per-query mins) is the min-estimator
-                # total for comparison against those earlier rounds.
+                "host": host_block,
                 "estimator": "median3",
                 "value_min": total_min,
-                "sf": sf,
-                "yardsticks": yard,
-                # single-thread sha256 canary + steal/load/uptime: how
-                # fast THIS host was during THIS run.  Compare canary
-                # values ACROSS artifacts — queries slower in proportion
-                # to a slower canary = host, not regression.
-                "host": _host_finalize(host, stat0),
+                "value": total,
             }
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -229,13 +229,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "warc-import":
         from shardpack_spark.format import codec as fc
         from shardpack_spark.format import storage, warc
-        from shardpack_spark.format.warc_source import _list_warc_files
+        from shardpack_spark.format.warc import list_warc_files
         from shardpack_spark.format.writer import open_writer
 
         keep = set(s.strip() for s in args.types.split(",")) if args.types else None
         n = errs = 0
         with open_writer(args.dataset, compression=args.compression) as w:
-            for path in _list_warc_files(args.warc):
+            for path in list_warc_files(args.warc):
                 with storage.for_path(path).open_read(path) as f:
                     for r in warc.iter_warc_records(f):
                         if r.parse_error:

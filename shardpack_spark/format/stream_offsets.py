@@ -20,11 +20,25 @@ admission control subtle across restarts:
   regressed offset and re-delivers everything between them.
 
 The fix: the first ``latestOffset`` of a reader that never saw
-``initialOffset`` (i.e. a restarted query) returns the UNCAPPED latest —
-monotone by construction, since listings only grow — and capping resumes
-from the second trigger, when ``partitions()`` has taught us the true
-floor.  Cost: the first catch-up batch after a restart is unbounded;
-correctness over admission, because this API offers no third option.
+``initialOffset`` returns the UNCAPPED latest — monotone by
+construction, since listings only grow — and capping resumes from the
+second trigger, when ``partitions()`` has taught us the true floor.
+
+**Which batches are therefore uncapped** (``latest()`` cannot tell these
+apart — both reach it unprimed):
+
+- the first batch after a RESTART (the engine skips ``initialOffset``);
+- the FIRST pass of a fresh ``availableNow`` query: availableNow
+  snapshots ``latestOffset()`` BEFORE calling ``initialOffset()``, so
+  the initial backlog lands in one unbounded batch and
+  ``max_*_per_batch`` takes effect from the second pass on.  A caller
+  doing a bulk first ingest who needs bounded batches should run the
+  backfill with a micro-batch trigger (capped from batch one, since
+  that path calls ``initialOffset`` first) and switch to availableNow
+  for steady state.
+
+Cost: one unbounded catch-up batch in those two cases; correctness over
+admission, because this API offers no third option.
 """
 
 from __future__ import annotations

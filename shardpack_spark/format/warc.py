@@ -38,7 +38,8 @@ import io
 import zlib
 from dataclasses import dataclass, field
 
-from shardpack_spark.format.codec import ShardPackError
+from shardpack_spark.format import storage
+from shardpack_spark.format.codec import ShardPackError, ShardPackIOError
 
 _CRLF = b"\r\n"
 _MAX_HEADER_BYTES = 1 << 20  # a header block past 1 MiB is hostile, not real
@@ -544,6 +545,19 @@ class _Concat:  # pragma: no cover - tiny shim for non-seekable inputs
 
 _EPOCH_DATE = "2001-01-01T00:00:00Z"  # deterministic default, never wall-clock
 
+# fields warc_record_bytes writes itself — extension headers may not shadow
+# them (the parser's header dict is last-wins)
+_RESERVED_HEADER_NAMES = frozenset(
+    {
+        "warc-type",
+        "warc-record-id",
+        "warc-date",
+        "warc-target-uri",
+        "content-type",
+        "content-length",
+    }
+)
+
 
 def warc_record_bytes(
     warc_type: str,
@@ -566,6 +580,17 @@ def warc_record_bytes(
     if content_type:
         h.append(("Content-Type", content_type))
     for k, v in (headers or {}).items():
+        # mandatory-field guard: the parser's header dict is last-wins, so
+        # an extension header literally named WARC-Type / WARC-Record-ID /
+        # WARC-Date / WARC-Target-URI / Content-Length / Content-Type
+        # would silently override the mandatory value on parse-back —
+        # reject it like the CR/LF injection below (pass the real value
+        # through the dedicated parameter instead)
+        if k.lower() in _RESERVED_HEADER_NAMES:
+            raise WarcFormatError(
+                f"extension header {k!r} shadows a mandatory WARC field; "
+                "use the dedicated warc_record_bytes parameter"
+            )
         h.append((k, v))
     h.append(("Content-Length", str(len(block))))
     # injection guard: a CR/LF inside a name or value would terminate the
@@ -623,3 +648,36 @@ def write_warc(path_or_buf, records, gzip_members: bool = True) -> int:
         if own:
             f.close()
     return n
+
+
+def list_warc_files(path: str, allow_empty: bool = False) -> list[str]:
+    """Expand ``path`` to concrete WARC file paths via the storage layer:
+    a file path is taken as-is; a directory lists ``*.warc.gz`` /
+    ``*.warc`` / ``*.wet.gz`` / ``*.wet`` (sorted — deterministic
+    planning, and the STREAM offset order: crawl files are named
+    monotonically, so new arrivals sort after consumed ones).
+
+    Lives here (not in warc_source) so the pyspark-free CLI verbs
+    (``warc-import``) share it without paying — or failing on — the
+    ``pyspark.sql.datasource`` import that warc_source needs.  The
+    imports it needs are MODULE-level: this function runs inside the
+    Python worker's pickled-by-value plan, where a runtime
+    ``from shardpack_spark...`` import dies with ModuleNotFoundError."""
+    be = storage.for_path(path)
+    if be.exists(path) and not path.endswith("/"):
+        # a concrete file (exists() on directories is backend-dependent;
+        # extension check keeps directories falling through to globbing)
+        # (.arc.gz is deliberately NOT accepted: legacy ARC has no
+        # WARC/1.0 record magic, so every record would parse_error —
+        # rejecting the extension up front beats a 100%-error scan)
+        if path.endswith((".warc", ".warc.gz", ".wet", ".wet.gz")):
+            return [path]
+    names: list[str] = []
+    for pat in ("*.warc.gz", "*.warc", "*.wet.gz", "*.wet"):
+        names.extend(be.glob_names(path, pat))
+    if not names:
+        if allow_empty:
+            return []
+        raise ShardPackIOError(f"no WARC files under {path!r}")
+    base = path.rstrip("/")
+    return [f"{base}/{n}" for n in sorted(set(names))]

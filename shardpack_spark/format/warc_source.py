@@ -77,6 +77,10 @@ WARC_SCHEMA = StructType(
 )
 
 _BATCH_ROWS = 256
+# byte budget per Arrow batch (sum of payload bytes): bounds executor
+# memory on chunky archives and stays far under pa.binary()'s 2 GiB
+# array capacity even if one capped 256 MiB record follows it
+_BATCH_PAYLOAD_BYTES = 64 * 1024 * 1024
 
 
 @dataclass
@@ -84,30 +88,10 @@ class WarcFilePartition(InputPartition):
     path: str
 
 
-def _list_warc_files(path: str, allow_empty: bool = False) -> list[str]:
-    """Expand ``path`` to concrete WARC file paths via the storage layer:
-    a file path is taken as-is; a directory lists ``*.warc.gz`` /
-    ``*.warc`` / ``*.warc.wet`` (sorted — deterministic planning, and
-    the STREAM offset order: crawl files are named monotonically, so new
-    arrivals sort after consumed ones)."""
-    be = storage.for_path(path)
-    if be.exists(path) and not path.endswith("/"):
-        # a concrete file (exists() on directories is backend-dependent;
-        # extension check keeps directories falling through to globbing)
-        # (.arc.gz is deliberately NOT accepted: legacy ARC has no
-        # WARC/1.0 record magic, so every record would parse_error —
-        # rejecting the extension up front beats a 100%-error scan)
-        if path.endswith((".warc", ".warc.gz", ".wet", ".wet.gz")):
-            return [path]
-    names: list[str] = []
-    for pat in ("*.warc.gz", "*.warc", "*.wet.gz", "*.wet"):
-        names.extend(be.glob_names(path, pat))
-    if not names:
-        if allow_empty:
-            return []
-        raise ShardPackIOError(f"no WARC files under {path!r}")
-    base = path.rstrip("/")
-    return [f"{base}/{n}" for n in sorted(set(names))]
+# listing lives in the pyspark-free parser module so the CLI's
+# warc-import shares it without importing pyspark.sql.datasource; kept
+# under the old private name here for the reader/stream-reader call sites
+_list_warc_files = warc.list_warc_files
 
 
 class WarcReader(DataSourceReader):
@@ -141,6 +125,7 @@ class WarcReader(DataSourceReader):
 
         be = storage.for_path(partition.path)
         cols: dict[str, list] = {f.name: [] for f in WARC_SCHEMA.fields}
+        pending_payload_bytes = 0
 
         def flush():
             batch = pa.RecordBatch.from_arrays(
@@ -194,12 +179,24 @@ class WarcReader(DataSourceReader):
                 )
                 # responses carry the parsed body; non-HTTP records carry
                 # the raw block
-                cols["payload"].append(
-                    None if self.skip_payload else (rec.payload if rec.payload is not None else rec.block)
+                body = (
+                    None
+                    if self.skip_payload
+                    else (rec.payload if rec.payload is not None else rec.block)
                 )
+                cols["payload"].append(body)
+                pending_payload_bytes += len(body) if body is not None else 0
                 cols["truncated"].append(rec.truncated)
                 cols["parse_error"].append(rec.parse_error)
-                if len(cols["file"]) >= _BATCH_ROWS:
+                # flush on rows OR accumulated payload bytes: with the
+                # 256 MiB per-record cap, 256 chunky ~100 MB records would
+                # otherwise pile a multi-GiB Arrow batch (pa.binary()
+                # arrays overflow at 2 GiB; executor memory spikes first)
+                if (
+                    len(cols["file"]) >= _BATCH_ROWS
+                    or pending_payload_bytes >= _BATCH_PAYLOAD_BYTES
+                ):
+                    pending_payload_bytes = 0
                     yield flush()
         if cols["file"]:
             yield flush()
@@ -216,7 +213,14 @@ class WarcStreamReader(DataSourceStreamReader):
     capped ``latestOffset`` momentarily sorts below the checkpoint yields
     an empty batch, never a duplicate.  ``max_files_per_batch`` is the
     admission control that drains a deep backlog (a bulk drop of 10k
-    archives) as bounded batches."""
+    archives) as bounded batches.
+
+    Cap caveat (see ``stream_offsets`` module doc): the first batch after
+    a restart AND the first pass of a fresh ``availableNow`` query are
+    UNCAPPED — availableNow snapshots ``latestOffset()`` before
+    ``initialOffset()``, so the initial backlog lands in one batch.  For
+    a bounded bulk backfill, run the first drain with a micro-batch
+    trigger (capped from batch one), then switch to availableNow."""
 
     def __init__(self, options: dict):
         self._batch = WarcReader(options)  # validates path + row options

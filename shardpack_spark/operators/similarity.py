@@ -219,7 +219,12 @@ def _sketch_udf(n_planes: int, seed: int):
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         return pd.Series((bits * weights).sum(axis=1))
 
-    return sketch
+    # the sketch IS deterministic (seeded planes), but Catalyst's
+    # null-intolerance constraint propagation otherwise clones the UDF
+    # into a pre-filter AND the projection — two Python-worker passes
+    # over the full corpus per side (r6 verdict #3).  Nondeterministic
+    # marking pins exactly one ArrowEvalPython per input; plan-audited.
+    return sketch.asNondeterministic()
 
 
 def rp_lsh_topk(
@@ -286,7 +291,10 @@ def _band_keys_udf(bands: int, rows_per_band: int, seed: int):
         keys = (bits.reshape(len(mat), bands, rows_per_band) * weights).sum(axis=2)
         return pd.Series([row.tolist() for row in keys])
 
-    return band_keys
+    # deterministic (seeded planes) but marked nondeterministic to stop
+    # Catalyst duplicating the UDF into inferred null pre-filters — one
+    # matmul pass per input, not two (see _sketch_udf)
+    return band_keys.asNondeterministic()
 
 
 def np_arange_cache(n: int):

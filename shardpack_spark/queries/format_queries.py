@@ -186,7 +186,11 @@ def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents GROUP BY lang
     UNION ALL
     SELECT 'warc' AS variant, lang, COUNT(*) AS cnt,
-           CAST(SUM(length(trim(text))) AS BIGINT) AS sum_len
+           -- coalesce pins NULL semantics to the Spark side:
+           -- documents_to_warc writes NULL text as an EMPTY body (the
+           -- warc leg sums 0 for it), while bare SUM(length(text))
+           -- would skip the row and yield NULL for an all-NULL group
+           CAST(SUM(length(trim(coalesce(text, '')))) AS BIGINT) AS sum_len
     FROM documents GROUP BY lang
     """,
 )

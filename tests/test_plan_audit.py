@@ -65,3 +65,32 @@ def test_no_row_at_a_time_python(spark, sf_dir, name):
         f"{name}: row-at-a-time Python UDF in plan — use pandas_udf / "
         f"mapInPandas / built-ins instead"
     )
+
+
+# Exact physical-plan ArrowEvalPython budget for the registered queries
+# that use pandas UDFs.  The count is per TREE NODE in formatted mode —
+# one Python-worker round trip over that input each.  r6 verdict #3:
+# Catalyst's null-intolerance constraint cloned the rp-sketch UDF into an
+# inferred pre-filter AND the projection (two full-corpus passes per
+# side); the UDFs are now nondeterministic-marked, and this pin fails if
+# any refactor reintroduces the duplication (q30b was 10 nodes before).
+ARROW_EVAL_BUDGET = {
+    "q30b_ann_suite": 3,  # rp-sketch data side + query side, IVF assign
+    "q38_embedding_near_dup": 2,  # banded sketch: corpus side + probe side
+}
+
+
+@pytest.mark.parametrize("name", sorted(REG))
+def test_arrow_eval_python_budget(spark, sf_dir, name):
+    df = REG[name].builder(spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    s = df._jdf.queryExecution().explainString(jmode)
+    n = s.count("ArrowEvalPython (")
+    want = ARROW_EVAL_BUDGET.get(name, 0)
+    assert n == want, (
+        f"{name}: {n} ArrowEvalPython nodes, expected {want} — a pandas "
+        f"UDF is being duplicated (null-intolerance cloning?) or a new "
+        f"UDF entered the plan; update the budget only with a reason"
+    )

@@ -219,6 +219,13 @@ def test_header_utf8_roundtrip_and_injection_guard():
         W.warc_record_bytes("metadata", b"x", headers={"X-A": "v\r\nWARC-Type: evil"})
     with pytest.raises(W.WarcFormatError, match="injection"):
         W.warc_record_bytes("metadata", b"x", target_uri="u\nX: y")
+    # an extension header literally named after a mandatory field would
+    # silently win on parse-back (last-wins header dict) — rejected too,
+    # case-insensitively, for every mandatory name
+    for bad in ("WARC-Type", "warc-record-id", "WARC-Date",
+                "Warc-Target-Uri", "Content-Length", "content-type"):
+        with pytest.raises(W.WarcFormatError, match="shadows"):
+            W.warc_record_bytes("metadata", b"x", headers={bad: "evil"})
 
 
 def test_hostile_header_block_bounded():
@@ -251,6 +258,12 @@ def test_pyspark_free_import():
     code = (
         "import sys\n"
         "from shardpack_spark.format import warc\n"
+        # the ENTIRE warc-import CLI dependency set, not just the parser —
+        # r6 shipped warc-import importing _list_warc_files from
+        # warc_source, which drags in pyspark.sql.datasource (ADVICE r6)
+        "from shardpack_spark.format.warc import list_warc_files\n"
+        "from shardpack_spark.format import codec, storage\n"
+        "from shardpack_spark.format.writer import open_writer\n"
         "assert 'pyspark' not in sys.modules and 'py4j' not in sys.modules\n"
         "b = warc.warc_record_bytes('resource', b'x')\n"
         "assert list(warc.iter_warc_records(b))[0].block == b'x'\n"
@@ -790,3 +803,37 @@ def test_spark_source_empty_dir_raises(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         read_warc(spark, str(tmp_path)).count()
     assert "no WARC files" in str(ei.value)
+
+
+def test_reader_byte_budget_flush(tmp_path, monkeypatch):
+    """Arrow batches flush on accumulated payload BYTES, not only at 256
+    rows: chunky records (capped at 256 MiB each) must not pile a
+    multi-GiB batch (pa.binary() overflows at 2 GiB).  Forced tiny budget
+    -> multiple flushes, identical rows."""
+    from shardpack_spark.format import warc_source as ws
+
+    p = str(tmp_path / "chunky.warc.gz")
+    recs = [
+        W.warc_record_bytes(
+            "resource", bytes([65 + i]) * 10_000, record_id=f"<urn:c:{i}>"
+        )
+        for i in range(8)
+    ]
+    W.write_warc(p, recs)
+
+    def batches(reader):
+        return list(reader.read(ws.WarcFilePartition(p)))
+
+    big = batches(ws.WarcReader({"path": p}))
+    assert len(big) == 1 and big[0].num_rows == 8  # default: one batch
+
+    monkeypatch.setattr(ws, "_BATCH_PAYLOAD_BYTES", 25_000)
+    small = batches(ws.WarcReader({"path": p}))
+    assert len(small) >= 3  # ~3 rows per 25 kB budget
+    assert sum(b.num_rows for b in small) == 8
+    # row parity: same ids, same payloads, same order
+    def flat(bs, col):
+        return [v for b in bs for v in b.column(col).to_pylist()]
+
+    assert flat(small, "record_id") == flat(big, "record_id")
+    assert flat(small, "payload") == flat(big, "payload")
