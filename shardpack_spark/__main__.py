@@ -14,6 +14,7 @@ distributed engine:
     python -m shardpack_spark fold   <dataset> [--keep-last N] [--parts]
     python -m shardpack_spark warc-ls <archive> [-n N]
     python -m shardpack_spark warc-cat <archive> <record-id> [--out FILE]
+    python -m shardpack_spark warc-index <archive-or-dir>
     python -m shardpack_spark warc-import <archive-or-dir> <dataset> [--types response]
 
 `pack` is `shardpack create`: it packs a directory tree into shards with
@@ -144,6 +145,11 @@ def main(argv: list[str] | None = None) -> int:
     wcat.add_argument("record_id")
     wcat.add_argument("--out", default=None, help="write the payload to this file")
 
+    wx = sub.add_parser("warc-index", help="build .cdxj sidecar record "
+                        "indexes (Spark-free) — enables indexed warc-cat "
+                        "point lookup and split-archive parallel scans")
+    wx.add_argument("warc", help="a .warc[.gz] file or a directory of them")
+
     wi = sub.add_parser("warc-import", help="WARC archive(s) -> shardpack "
                         "dataset (Spark-free; key=record id, headers as "
                         "record metadata)")
@@ -210,22 +216,42 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"warc": args.warc, "rows": rows}, default=str))
         return 0
     if args.cmd == "warc-cat":
-        from shardpack_spark.format import storage, warc
+        from shardpack_spark.format import storage, warc, warc_index
 
+        def _emit(r) -> int:
+            payload = r.payload if r.payload is not None else (r.block or b"")
+            if args.out:
+                with open(args.out, "wb") as o:
+                    o.write(payload)
+                print(json.dumps({"id": r.record_id, "bytes": len(payload),
+                                  "out": args.out}))
+            else:
+                sys.stdout.buffer.write(payload)
+            return 0
+
+        # indexed fast path: .cdxj sidecar -> seek to ONE member; a
+        # missing/stale sidecar falls through to the sequential scan
+        hit = warc_index.lookup_record(args.warc, record_id=args.record_id)
+        if hit is not None:
+            return _emit(hit)
         with storage.for_path(args.warc).open_read(args.warc) as f:
             for r in warc.iter_warc_records(f):
                 if r.record_id == args.record_id:
-                    payload = r.payload if r.payload is not None else (r.block or b"")
-                    if args.out:
-                        with open(args.out, "wb") as o:
-                            o.write(payload)
-                        print(json.dumps({"id": r.record_id, "bytes": len(payload),
-                                          "out": args.out}))
-                    else:
-                        sys.stdout.buffer.write(payload)
-                    return 0
+                    return _emit(r)
         print(json.dumps({"error": f"record {args.record_id!r} not found"}))
         return 1
+    if args.cmd == "warc-index":
+        from shardpack_spark.format.warc import list_warc_files
+        from shardpack_spark.format.warc_index import build_warc_index
+
+        reports = [build_warc_index(p) for p in list_warc_files(args.warc)]
+        print(json.dumps({
+            "files": len(reports),
+            "records": sum(r["records"] for r in reports),
+            "errors": sum(r["errors"] for r in reports),
+            "indexes": reports,
+        }))
+        return 0
     if args.cmd == "warc-import":
         from shardpack_spark.format import codec as fc
         from shardpack_spark.format import storage, warc

@@ -414,6 +414,8 @@ def iter_warc_records(
     parse_http: bool = True,
     max_payload_bytes: int | None = None,
     skip_payload: bool = False,
+    start_offset: int = 0,
+    end_offset: int | None = None,
 ):
     """Yield :class:`WarcRecord` from a plain or gzipped WARC stream.
 
@@ -422,6 +424,14 @@ def iter_warc_records(
       hostile Content-Length burns I/O, never memory.
     - ``skip_payload``: headers-only inventory; ``block``/``payload``
       stay None (the Content-Length bytes are still consumed).
+    - ``start_offset`` / ``end_offset``: parse only the member range
+      ``[start_offset, end_offset)`` of a SEEKABLE input.  start_offset
+      must be a member boundary (a ``WarcRecord.offset`` / sidecar-index
+      value); records whose member starts at or past end_offset are not
+      yielded.  Yielded offsets stay ABSOLUTE (file positions), so an
+      indexed lookup and a range split agree with a sequential parse.
+      This is the random-access path behind the ``.cdxj`` sidecar index
+      (point lookup) and split-archive parallel scans.
     - Malformed records degrade per-record: one record with
       ``parse_error`` set is emitted, then parsing resyncs at the next
       gzip member (``.warc.gz``) or the next ``WARC/1.`` magic (plain) —
@@ -429,9 +439,13 @@ def iter_warc_records(
     """
     if isinstance(raw, (bytes, bytearray)):
         raw = io.BytesIO(bytes(raw))
+    if start_offset:
+        if not hasattr(raw, "seek"):
+            raise WarcFormatError("start_offset requires a seekable input")
+        raw.seek(start_offset)
     head = raw.read(2)
     if hasattr(raw, "seek"):
-        raw.seek(0)
+        raw.seek(start_offset)
         probe_stream = raw
     else:  # pragma: no cover - non-seekable stores (streaming S3 reads)
         probe_stream = _Concat(head, raw)
@@ -439,7 +453,9 @@ def iter_warc_records(
         _MemberStream(probe_stream) if head == b"\x1f\x8b" else _PlainStream(probe_stream)
     )
     while True:
-        offset = stream.member_start()
+        offset = start_offset + stream.member_start()
+        if end_offset is not None and offset >= end_offset:
+            return
         try:
             header_raw = stream.read_until(b"\r\n\r\n", _MAX_HEADER_BYTES)
         except WarcFormatError as ex:
@@ -517,7 +533,7 @@ def iter_warc_records(
         nxt = stream.peek(7)
         if nxt and not b"WARC/1.".startswith(nxt) and not nxt.startswith(b"\r\n"):
             yield WarcRecord(
-                stream.member_start(),
+                start_offset + stream.member_start(),
                 "",
                 {},
                 parse_error="warc:boundary-misaligned (lying Content-Length "
@@ -626,12 +642,23 @@ def http_response_block(
     return head + b"\r\n\r\n" + payload
 
 
-def write_warc(path_or_buf, records, gzip_members: bool = True) -> int:
+def write_warc(
+    path_or_buf,
+    records,
+    gzip_members: bool = True,
+    sizes_out: list[int] | None = None,
+) -> int:
     """Write serialized records (bytes from :func:`warc_record_bytes`)
     as a ``.warc`` / ``.warc.gz`` file; one gzip member PER RECORD (the
     Common Crawl layout — members are the resync points readers rely
     on).  ``path_or_buf``: filesystem path or binary file-like.  Returns
-    the record count.  Deterministic output (gzip mtime pinned to 0)."""
+    the record count.  Deterministic output (gzip mtime pinned to 0).
+
+    ``sizes_out``: when given, the ON-DISK byte count of each record
+    (compressed member size, or raw size for plain output) is appended —
+    cumulative sums are exactly the member offsets a sidecar index needs,
+    so exporters build the ``.cdxj`` index while writing, without a
+    second read pass."""
     own = isinstance(path_or_buf, str)
     f = open(path_or_buf, "wb") if own else path_or_buf
     n = 0
@@ -640,9 +667,12 @@ def write_warc(path_or_buf, records, gzip_members: bool = True) -> int:
             if gzip_members:
                 co = zlib.compressobj(6, zlib.DEFLATED, 31)
                 # wbits=31 writes a gzip header with mtime=0 — determinism
-                f.write(co.compress(rec) + co.flush())
+                data = co.compress(rec) + co.flush()
             else:
-                f.write(rec)
+                data = rec
+            f.write(data)
+            if sizes_out is not None:
+                sizes_out.append(len(data))
             n += 1
     finally:
         if own:

@@ -1,0 +1,247 @@
+"""Sidecar record index for WARC archives — the CDX analog, pyspark-free.
+
+The crawl ecosystem's answer to "WARC is sequential": a tiny index of
+``(member offset, record id, target URI, type)`` per record, stored next
+to the archive, giving two capabilities gzip members alone cannot:
+
+- **point lookup**: find a record by id/URI and decompress ONE member,
+  not the archive — the same EOF-index random-access promise the
+  shardpack format makes for its own shards (reference
+  ``docs/draft.md:124-127``), applied to the crawl container;
+- **splittable archives**: a huge single ``.warc.gz`` (member-per-record)
+  can be scanned by N parallel tasks, each seeking to a member boundary
+  and parsing a byte range — without an index the parallel grain is
+  strictly per-file.
+
+Wire format (``<archive>.cdxj``, UTF-8 text): a JSON header line
+``{"magic": "shardpack-warc-cdxj", "version": 1, "records": N,
+"archive_size": S}`` followed by ONE compact JSON object per record in
+offset order — ``{"o": member_offset, "t": warc_type, "id": record_id,
+"u": target_uri}`` with absent/null fields omitted and parse-error rows
+carrying ``{"o": ..., "e": "<reason>"}``.  Offset order means the offsets
+column is already sorted for range splitting, and grep/jq work on the
+sidecar directly (the reason CDXJ in the wild is line-JSON too).
+
+Staleness guard: ``archive_size`` is recorded at build time and checked
+against the live archive on every read — an index whose archive was
+rewritten is treated as ABSENT (sequential fallback), never trusted into
+mis-seeks.
+
+Scale shape: the index is ~60-100 bytes/record — a 1 GiB archive of
+~100k records carries a ~8 MB sidecar; building is one headers-only
+sequential pass (``skip_payload=True``: Content-Length bytes are drained,
+never buffered); lookups read the sidecar + one member.  All I/O goes
+through ``format.storage`` (local, sim://, memory://, s3://).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from shardpack_spark.format import storage
+from shardpack_spark.format.codec import ShardPackIOError
+from shardpack_spark.format.warc import WarcRecord, iter_warc_records
+
+INDEX_SUFFIX = ".cdxj"
+_MAGIC = "shardpack-warc-cdxj"
+_VERSION = 1
+
+
+def index_path(archive_path: str) -> str:
+    return archive_path + INDEX_SUFFIX
+
+
+@dataclass
+class WarcIndexRow:
+    offset: int
+    warc_type: str | None = None
+    record_id: str | None = None
+    target_uri: str | None = None
+    error: str | None = None
+
+
+@dataclass
+class WarcIndex:
+    """Parsed sidecar: rows in offset order + the size the archive had
+    when indexed."""
+
+    rows: list[WarcIndexRow]
+    archive_size: int
+
+    def member_offsets(self) -> list[int]:
+        """Sorted DISTINCT member offsets — the legal seek/split points.
+        Several records can share one offset (multi-record members)."""
+        return sorted({r.offset for r in self.rows})
+
+    def find(
+        self, record_id: str | None = None, uri: str | None = None
+    ) -> WarcIndexRow | None:
+        """First row matching record_id (exact) or target URI (exact)."""
+        for r in self.rows:
+            if record_id is not None and r.record_id == record_id:
+                return r
+            if uri is not None and r.target_uri == uri:
+                return r
+        return None
+
+    def split_ranges(self, target_split_bytes: int) -> list[tuple[int, int]]:
+        """Greedy member-aligned byte ranges covering [0, archive_size):
+        each range holds whole members and ~target_split_bytes of
+        compressed data (the last may be smaller).  Every archive byte is
+        in exactly one range, so a union of range scans equals one
+        sequential scan — including parse-error records."""
+        offs = self.member_offsets()
+        if not offs or target_split_bytes <= 0:
+            return [(0, self.archive_size)]
+        ranges: list[tuple[int, int]] = []
+        start = 0
+        for off in offs:
+            if off - start >= target_split_bytes:
+                ranges.append((start, off))
+                start = off
+        ranges.append((start, self.archive_size))
+        # leading offs[0] == 0 never closes a range (off - start == 0)
+        return [r for r in ranges if r[1] > r[0]]
+
+
+def _archive_size(be, path: str) -> int:
+    with be.open_read(path) as f:
+        f.seek(0, 2)
+        return f.tell()
+
+
+def _row_obj(r: WarcIndexRow) -> dict:
+    o: dict = {"o": r.offset}
+    if r.error is not None:
+        o["e"] = r.error[:120]
+        return o
+    if r.warc_type:
+        o["t"] = r.warc_type
+    if r.record_id:
+        o["id"] = r.record_id
+    if r.target_uri:
+        o["u"] = r.target_uri
+    return o
+
+
+def write_warc_index(
+    archive_path: str, rows: list[WarcIndexRow], archive_size: int, be=None
+) -> None:
+    """Serialize + atomically publish the sidecar.  Exporters that know
+    offsets from writing (``write_warc(sizes_out=...)`` cumulative sums)
+    call this directly — no second read pass over the archive."""
+    be = be or storage.for_path(archive_path)
+    head = json.dumps(
+        {
+            "magic": _MAGIC,
+            "version": _VERSION,
+            "records": len(rows),
+            "archive_size": archive_size,
+        }
+    )
+    lines = [head]
+    lines.extend(
+        json.dumps(_row_obj(r), separators=(",", ":"), ensure_ascii=False)
+        for r in sorted(rows, key=lambda r: r.offset)
+    )
+    be.write_atomic(index_path(archive_path), ("\n".join(lines) + "\n").encode())
+
+
+def build_warc_index(archive_path: str, be=None) -> dict:
+    """One headers-only pass over the archive -> sidecar.  Returns a
+    summary dict (records / members / errors / archive_size)."""
+    be = be or storage.for_path(archive_path)
+    rows: list[WarcIndexRow] = []
+    with be.open_read(archive_path) as f:
+        for rec in iter_warc_records(f, parse_http=False, skip_payload=True):
+            rows.append(
+                WarcIndexRow(
+                    offset=rec.offset,
+                    warc_type=rec.warc_type or None,
+                    record_id=rec.record_id,
+                    target_uri=rec.target_uri,
+                    error=rec.parse_error,
+                )
+            )
+    size = _archive_size(be, archive_path)
+    write_warc_index(archive_path, rows, size, be=be)
+    return {
+        "archive": archive_path,
+        "records": len(rows),
+        "members": len({r.offset for r in rows}),
+        "errors": sum(1 for r in rows if r.error),
+        "archive_size": size,
+    }
+
+
+def read_warc_index(archive_path: str, be=None) -> WarcIndex | None:
+    """Load the sidecar, or None when absent/foreign/STALE (archive size
+    changed since build) — callers fall back to sequential parsing."""
+    be = be or storage.for_path(archive_path)
+    ip = index_path(archive_path)
+    if not be.exists(ip):
+        return None
+    try:
+        text = be.read_bytes(ip).decode("utf-8")
+        lines = text.splitlines()
+        head = json.loads(lines[0])
+        if head.get("magic") != _MAGIC or head.get("version") != _VERSION:
+            return None
+        rows = []
+        for ln in lines[1:]:
+            if not ln.strip():
+                continue
+            d = json.loads(ln)
+            rows.append(
+                WarcIndexRow(
+                    offset=int(d["o"]),
+                    warc_type=d.get("t"),
+                    record_id=d.get("id"),
+                    target_uri=d.get("u"),
+                    error=d.get("e"),
+                )
+            )
+    except (ValueError, KeyError, IndexError):
+        return None  # torn/foreign sidecar: sequential fallback, not a crash
+    if _archive_size(be, archive_path) != head.get("archive_size"):
+        return None  # archive rewritten since indexing — offsets are lies
+    return WarcIndex(rows=rows, archive_size=int(head["archive_size"]))
+
+
+def lookup_record(
+    archive_path: str,
+    record_id: str | None = None,
+    uri: str | None = None,
+    be=None,
+    parse_http: bool = True,
+    max_payload_bytes: int | None = None,
+) -> WarcRecord | None:
+    """Indexed point lookup: sidecar row -> seek to its member -> parse
+    forward within the member until the record matches (multi-record
+    members make the scan necessary; for the conformant record-per-member
+    layout it decompresses exactly one member).  None when the sidecar is
+    missing/stale or the id/URI is not indexed."""
+    if record_id is None and uri is None:
+        raise ShardPackIOError("lookup_record needs record_id or uri")
+    be = be or storage.for_path(archive_path)
+    idx = read_warc_index(archive_path, be=be)
+    if idx is None:
+        return None
+    row = idx.find(record_id=record_id, uri=uri)
+    if row is None:
+        return None
+    with be.open_read(archive_path) as f:
+        for rec in iter_warc_records(
+            f,
+            parse_http=parse_http,
+            max_payload_bytes=max_payload_bytes,
+            start_offset=row.offset,
+        ):
+            if record_id is not None and rec.record_id == record_id:
+                return rec
+            if uri is not None and rec.target_uri == uri:
+                return rec
+            if rec.offset > row.offset:
+                return None  # left the indexed member: not present
+    return None

@@ -52,7 +52,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from shardpack_spark.format import storage, warc
+from shardpack_spark.format import storage, warc, warc_index
 from shardpack_spark.format.codec import ShardPackIOError
 # module-level, not inside __init__: the streaming runner worker unpickles
 # this module BY VALUE and cannot import shardpack_spark by name at runtime
@@ -85,7 +85,12 @@ _BATCH_PAYLOAD_BYTES = 64 * 1024 * 1024
 
 @dataclass
 class WarcFilePartition(InputPartition):
+    """One scan task: a whole archive (start=0, end=None) or a
+    member-aligned byte range of one (sidecar-index splits)."""
+
     path: str
+    start: int = 0
+    end: int | None = None
 
 
 # listing lives in the pyspark-free parser module so the CLI's
@@ -116,9 +121,53 @@ class WarcReader(DataSourceReader):
         # default SURFACES them: silent loss is the thing telemetry exists
         # to prevent)
         self.drop_errors = str(options.get("drop_errors", "false")).lower() == "true"
+        # split big archives into member-aligned byte ranges when a .cdxj
+        # sidecar exists (format/warc_index.py) — a user with a few huge
+        # .warc.gz files gets N tasks per archive instead of one.  The
+        # index is never auto-built here (that would be a hidden full
+        # scan); build it at export time or via the warc-index CLI.
+        self.split_archives = (
+            str(options.get("split_archives", "true")).lower() == "true"
+        )
+        self.target_split_bytes = int(
+            options.get("target_split_bytes", 128 * 1024 * 1024)
+        )
 
     def partitions(self):
-        return [WarcFilePartition(p) for p in _list_warc_files(self.path)]
+        files = _list_warc_files(self.path)
+        indexed: set[str] | None = None
+        if self.split_archives and self.target_split_bytes > 0:
+            # ONE directory listing finds every sidecar — not one HEAD
+            # per archive (a crawl dump is ~90k files; per-file exists()
+            # would be 90k extra requests on an object store)
+            be = storage.for_path(self.path)
+            if len(files) == 1 and files[0] == self.path:
+                indexed = (
+                    {self.path}
+                    if be.exists(warc_index.index_path(self.path))
+                    else set()
+                )
+            else:
+                base = self.path.rstrip("/")
+                names = be.glob_names(base, "*" + warc_index.INDEX_SUFFIX)
+                have = {f"{base}/{n}" for n in names}
+                indexed = {
+                    f for f in files if warc_index.index_path(f) in have
+                }
+        parts: list[WarcFilePartition] = []
+        for p in files:
+            ranges = None
+            if indexed is not None and p in indexed:
+                idx = warc_index.read_warc_index(p)
+                # read_warc_index returns None for absent/stale sidecars —
+                # sequential whole-file fallback, never a mis-seek
+                if idx is not None and idx.archive_size > self.target_split_bytes:
+                    ranges = idx.split_ranges(self.target_split_bytes)
+            if ranges and len(ranges) > 1:
+                parts.extend(WarcFilePartition(p, s, e) for s, e in ranges)
+            else:
+                parts.append(WarcFilePartition(p))
+        return parts
 
     def read(self, partition: WarcFilePartition):
         import pyarrow as pa
@@ -156,6 +205,8 @@ class WarcReader(DataSourceReader):
                 parse_http=True,
                 max_payload_bytes=self.max_payload_bytes,
                 skip_payload=self.skip_payload,
+                start_offset=partition.start,
+                end_offset=partition.end,
             ):
                 if rec.parse_error and self.drop_errors:
                     continue
@@ -285,9 +336,10 @@ def _pickle_by_value() -> None:
     from shardpack_spark.format import storage as storage_mod
     from shardpack_spark.format import stream_offsets as offsets_mod
     from shardpack_spark.format import warc as warc_mod
+    from shardpack_spark.format import warc_index as warc_index_mod
     from shardpack_spark.format import zstd_entropy as zstd_mod
 
-    for mod in (storage_mod, zstd_mod, codec_mod, warc_mod, offsets_mod, sys.modules[__name__]):
+    for mod in (storage_mod, zstd_mod, codec_mod, warc_mod, warc_index_mod, offsets_mod, sys.modules[__name__]):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:

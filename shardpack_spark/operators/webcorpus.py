@@ -184,6 +184,7 @@ def documents_to_warc(
     text_col: str = "text",
     url_col: str | None = None,
     header_cols: tuple[str, ...] = (),
+    write_index: bool = True,
 ) -> DataFrame:
     """Export a documents-shaped table as ``.warc.gz`` — the inverse of
     :func:`warc_to_documents`, and the interchange path to every tool
@@ -197,10 +198,15 @@ def documents_to_warc(
     columns named in ``header_cols`` ride as ``WARC-X-<Col>`` extension
     headers and come back in the reader's ``warc_headers`` map.
 
+    ``write_index=True`` (default) also publishes a ``.cdxj`` sidecar per
+    file (``format/warc_index.py``) built from the writer's own member
+    sizes — zero extra read passes — enabling indexed point lookup and
+    split-archive parallel scans on the export.
+
     Returns the (partition-count-sized) manifest DataFrame
     ``(file, n_records)`` — an ACTION is required to materialize the
     files (``.collect()`` on it is bounded by the partition count)."""
-    from shardpack_spark.format import storage, warc
+    from shardpack_spark.format import storage, warc, warc_index
 
     _register_modules_for_pickle()
     cols = [id_col, text_col] + ([url_col] if url_col else []) + list(header_cols)
@@ -213,6 +219,8 @@ def documents_to_warc(
         handle = None
         target = f"{path.rstrip('/')}/part-{pid:05d}.warc.gz"
         n = 0
+        offset = 0
+        idx_rows = []
         try:
             for pdf in batches:
                 if handle is None and len(pdf):
@@ -256,10 +264,29 @@ def documents_to_warc(
                     )
                     # WriteHandle exposes .write — exactly the file-like
                     # surface write_warc streams members onto
-                    warc.write_warc(handle, [rec])
+                    sizes: list = []
+                    warc.write_warc(handle, [rec], sizes_out=sizes)
+                    if write_index:
+                        # the writer KNOWS each member's offset — index
+                        # rows cost zero additional I/O
+                        idx_rows.append(
+                            warc_index.WarcIndexRow(
+                                offset=offset,
+                                warc_type="response",
+                                record_id=f"<urn:doc:{rid}>",
+                                target_uri=(
+                                    hval(row[url_col])
+                                    if url_col and row[url_col] is not None
+                                    else f"urn:doc:{rid}"
+                                ),
+                            )
+                        )
+                    offset += sizes[0]
                     n += 1
             if handle is not None:
                 handle.close()
+                if write_index:
+                    warc_index.write_warc_index(target, idx_rows, offset)
                 yield pd.DataFrame({"file": [target], "n_records": [n]})
         except BaseException:
             if handle is not None:

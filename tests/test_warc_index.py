@@ -1,0 +1,306 @@
+"""WARC sidecar record index (format/warc_index.py): build -> seek-read
+parity with sequential parse, O(1)-member point lookup, member-aligned
+split ranges whose union equals a sequential scan, staleness rejection,
+export-time index writing, and the format("warc") split partitions.
+
+Same pin-against-own-wire strategy as test_warc.py: fixtures come from
+the in-repo writer, damage is injected at known byte positions.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from shardpack_spark.format import warc as W
+from shardpack_spark.format import warc_index as WI
+
+
+def _mk_records(n=6):
+    recs = []
+    for i in range(n):
+        blk = W.http_response_block(f"payload {i} ".encode() * 40)
+        recs.append(
+            W.warc_record_bytes(
+                "response",
+                blk,
+                target_uri=f"http://ex.com/{i}",
+                record_id=f"<urn:x:{i}>",
+                content_type="application/http; msgtype=response",
+            )
+        )
+    return recs
+
+
+def _write(tmp_path, name="a.warc.gz", n=6, gz=True):
+    p = str(tmp_path / name)
+    W.write_warc(p, _mk_records(n), gzip_members=gz)
+    return p
+
+
+# --- build / read / parity ---------------------------------------------------
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_build_and_seek_parity(tmp_path, gz):
+    """Every indexed record, seek-read at its offset, equals the record
+    from a sequential parse — id, uri, payload."""
+    p = _write(tmp_path, "a.warc.gz" if gz else "a.warc", n=6, gz=gz)
+    rep = WI.build_warc_index(p)
+    assert rep["records"] == 6 and rep["errors"] == 0
+    assert os.path.exists(p + WI.INDEX_SUFFIX)
+
+    seq = {r.record_id: r for r in W.iter_warc_records(open(p, "rb"))}
+    idx = WI.read_warc_index(p)
+    assert idx is not None and len(idx.rows) == 6
+    for row in idx.rows:
+        with open(p, "rb") as f:
+            got = next(iter(W.iter_warc_records(f, start_offset=row.offset)))
+        want = seq[row.record_id]
+        assert got.record_id == want.record_id
+        assert got.target_uri == want.target_uri
+        assert got.payload == want.payload
+        assert got.offset == row.offset  # offsets stay ABSOLUTE
+
+
+def test_lookup_is_one_member(tmp_path):
+    """Point lookup decompresses one member: raw bytes consumed from the
+    archive are a small constant, not the file."""
+    p = _write(tmp_path, n=40)
+    WI.build_warc_index(p)
+    size = os.path.getsize(p)
+
+    class CountingBackend:
+        """Delegates to the local backend but counts archive bytes read."""
+
+        def __init__(self):
+            from shardpack_spark.format import storage
+
+            self._be = storage.for_path(p)
+            self.archive_bytes = 0
+
+        def open_read(self, path):
+            f = self._be.open_read(path)
+            if not path.endswith(WI.INDEX_SUFFIX):
+                outer = self
+
+                class Wrap:
+                    def read(self, n=-1):
+                        b = f.read(n)
+                        outer.archive_bytes += len(b)
+                        return b
+
+                    def seek(self, *a):
+                        return f.seek(*a)
+
+                    def tell(self):
+                        return f.tell()
+
+                    def __enter__(self):
+                        return self
+
+                    def __exit__(self, *a):
+                        f.close()
+
+                return Wrap()
+            return f
+
+        def __getattr__(self, name):
+            return getattr(self._be, name)
+
+    be = CountingBackend()
+    rec = WI.lookup_record(p, record_id="<urn:x:37>", be=be)
+    assert rec is not None and rec.payload.startswith(b"payload 37 ")
+    # one member is ~a few hundred bytes compressed; the file is ~40x that
+    assert be.archive_bytes < size / 4, (be.archive_bytes, size)
+
+    # uri lookup works too; missing id returns None
+    assert WI.lookup_record(p, uri="http://ex.com/3", be=be).record_id == "<urn:x:3>"
+    assert WI.lookup_record(p, record_id="<urn:missing>", be=be) is None
+
+
+def test_multi_record_member_lookup(tmp_path):
+    """Several records in ONE gzip member: the index points all of them
+    at offset 0 and lookup scans within the member to the right one."""
+    p = str(tmp_path / "multi.warc.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress(b"".join(_mk_records(3))))
+    WI.build_warc_index(p)
+    idx = WI.read_warc_index(p)
+    assert idx.member_offsets() == [0]
+    rec = WI.lookup_record(p, record_id="<urn:x:2>")
+    assert rec is not None and rec.payload.startswith(b"payload 2 ")
+
+
+def test_stale_index_rejected(tmp_path):
+    """An archive rewritten after indexing must NOT be trusted into
+    mis-seeks: read_warc_index returns None, lookup falls back to None."""
+    p = _write(tmp_path, n=3)
+    WI.build_warc_index(p)
+    W.write_warc(p, _mk_records(5))  # rewrite: size changes
+    assert WI.read_warc_index(p) is None
+    assert WI.lookup_record(p, record_id="<urn:x:1>") is None
+    # torn/foreign sidecar is also a clean None
+    with open(p + WI.INDEX_SUFFIX, "w") as f:
+        f.write("not json\n{broken")
+    assert WI.read_warc_index(p) is None
+
+
+def test_index_records_parse_errors(tmp_path):
+    """Error records appear in the index as {'o','e'} rows — offsets keep
+    split ranges exhaustive, errors keep the sidecar honest."""
+    p = _write(tmp_path, n=4)
+    data = bytearray(open(p, "rb").read())
+    starts = []
+    i = -1
+    while True:
+        i = data.find(b"\x1f\x8b\x08", i + 1)
+        if i < 0:
+            break
+        starts.append(i)
+    data[starts[2] + 20] ^= 0xFF
+    open(p, "wb").write(bytes(data))
+    rep = WI.build_warc_index(p)
+    assert rep["errors"] == 1
+    idx = WI.read_warc_index(p)
+    assert sum(1 for r in idx.rows if r.error) == 1
+    # sidecar is plain line-JSON (greppable, jq-able)
+    lines = open(p + WI.INDEX_SUFFIX).read().splitlines()
+    head = json.loads(lines[0])
+    assert head["magic"] == "shardpack-warc-cdxj"
+    assert all(json.loads(ln) for ln in lines[1:])
+
+
+# --- split ranges -------------------------------------------------------------
+
+
+def test_split_ranges_cover_exactly(tmp_path):
+    p = _write(tmp_path, n=20)
+    WI.build_warc_index(p)
+    idx = WI.read_warc_index(p)
+    size = os.path.getsize(p)
+    for target in (1, 300, 10_000_000):
+        ranges = idx.split_ranges(target)
+        assert ranges[0][0] == 0 and ranges[-1][1] == size
+        for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+            assert e1 == s2 and s1 < e1  # contiguous, non-empty
+        # every split point is a member boundary
+        offs = set(idx.member_offsets())
+        assert all(s in offs or s == 0 for s, _ in ranges)
+    assert len(idx.split_ranges(1)) == 20  # one member per range
+    assert idx.split_ranges(10_000_000) == [(0, size)]
+
+
+def test_range_scan_union_equals_sequential(tmp_path):
+    """Union of range scans == one sequential scan (ids, payloads,
+    offsets), including a parse-error record inside a range."""
+    p = _write(tmp_path, n=12)
+    data = bytearray(open(p, "rb").read())
+    starts = []
+    i = -1
+    while True:
+        i = data.find(b"\x1f\x8b\x08", i + 1)
+        if i < 0:
+            break
+        starts.append(i)
+    data[starts[5] + 20] ^= 0xFF
+    open(p, "wb").write(bytes(data))
+    WI.build_warc_index(p)
+    idx = WI.read_warc_index(p)
+
+    seq = [
+        (r.offset, r.record_id, r.parse_error is not None)
+        for r in W.iter_warc_records(open(p, "rb"))
+    ]
+    ranges = idx.split_ranges(400)
+    assert len(ranges) > 2
+    par = []
+    for s, e in ranges:
+        with open(p, "rb") as f:
+            par.extend(
+                (r.offset, r.record_id, r.parse_error is not None)
+                for r in W.iter_warc_records(f, start_offset=s, end_offset=e)
+            )
+    assert sorted(par) == sorted(seq)
+
+
+# --- spark source integration ------------------------------------------------
+
+
+def test_spark_split_partitions_parity(spark, tmp_path):
+    """format('warc') with a sidecar + tiny target_split_bytes plans >1
+    partition per archive and returns exactly the sequential rows."""
+    from shardpack_spark.format.warc_source import (
+        WarcReader,
+        read_warc,
+    )
+
+    p = _write(tmp_path, n=15)
+    baseline = read_warc(spark, p).orderBy("record_offset")
+    base_rows = [
+        (r.record_id, bytes(r.payload)) for r in baseline.collect()
+    ]
+
+    WI.build_warc_index(p)
+    r = WarcReader({"path": p, "target_split_bytes": "400"})
+    parts = r.partitions()
+    assert len(parts) > 2
+    assert parts[0].start == 0 and parts[-1].end == os.path.getsize(p)
+
+    split_df = (
+        spark.read.format("warc")
+        .option("target_split_bytes", 400)
+        .load(p)
+        .orderBy("record_offset")
+    )
+    split_rows = [
+        (r.record_id, bytes(r.payload)) for r in split_df.collect()
+    ]
+    assert split_rows == base_rows
+
+    # split_archives=false forces the old one-task-per-file plan
+    r2 = WarcReader({"path": p, "split_archives": "false"})
+    assert len(r2.partitions()) == 1
+
+
+def test_export_writes_index(spark, tmp_path):
+    """documents_to_warc publishes a .cdxj per part file; lookups work on
+    the export without any extra indexing pass."""
+    from shardpack_spark.operators.webcorpus import documents_to_warc
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"text body {i}") for i in range(10)], "doc_id string, text string"
+    ).coalesce(2)
+    out = str(tmp_path / "export")
+    manifest = documents_to_warc(docs, out).collect()
+    assert len(manifest) == 2
+    for row in manifest:
+        assert os.path.exists(row.file + WI.INDEX_SUFFIX)
+        idx = WI.read_warc_index(row.file)
+        assert idx is not None and len(idx.rows) == row.n_records
+    hit = None
+    for row in manifest:
+        hit = hit or WI.lookup_record(row.file, record_id="<urn:doc:d7>")
+    assert hit is not None and b"text body 7" in hit.payload
+
+    # opt-out writes no sidecar
+    out2 = str(tmp_path / "export2")
+    m2 = documents_to_warc(docs, out2, write_index=False).collect()
+    assert all(not os.path.exists(r.file + WI.INDEX_SUFFIX) for r in m2)
+
+
+def test_cli_warc_index_and_indexed_cat(tmp_path, capsys):
+    from shardpack_spark.__main__ import main
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    _write(d, "a.warc.gz", n=5)
+    _write(d, "b.warc.gz", n=3)
+    assert main(["warc-index", str(d)]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["files"] == 2 and rep["records"] == 8
+    assert main(["warc-cat", str(d / "a.warc.gz"), "<urn:x:4>"]) == 0
+    assert capsys.readouterr().out.startswith("payload 4 ")
