@@ -683,7 +683,7 @@ def write_warc(
 def list_warc_files(path: str, allow_empty: bool = False) -> list[str]:
     """Expand ``path`` to concrete WARC file paths via the storage layer:
     a file path is taken as-is; a directory lists ``*.warc.gz`` /
-    ``*.warc`` / ``*.wet.gz`` / ``*.wet`` (sorted — deterministic
+    ``*.warc`` / ``*.wet[.gz]`` / ``*.wat[.gz]`` (sorted — deterministic
     planning, and the STREAM offset order: crawl files are named
     monotonically, so new arrivals sort after consumed ones).
 
@@ -700,10 +700,13 @@ def list_warc_files(path: str, allow_empty: bool = False) -> list[str]:
         # (.arc.gz is deliberately NOT accepted: legacy ARC has no
         # WARC/1.0 record magic, so every record would parse_error —
         # rejecting the extension up front beats a 100%-error scan)
-        if path.endswith((".warc", ".warc.gz", ".wet", ".wet.gz")):
+        # .wat[.gz] covers Common Crawl's *.warc.wat.gz metadata archives
+        # (conformant WARC of application/json 'metadata' records — see
+        # operators.webcorpus.wat_records)
+        if path.endswith((".warc", ".warc.gz", ".wet", ".wet.gz", ".wat", ".wat.gz")):
             return [path]
     names: list[str] = []
-    for pat in ("*.warc.gz", "*.warc", "*.wet.gz", "*.wet"):
+    for pat in ("*.warc.gz", "*.warc", "*.wet.gz", "*.wet", "*.wat.gz", "*.wat"):
         names.extend(be.glob_names(path, pat))
     if not names:
         if allow_empty:

@@ -227,7 +227,10 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), wout, header_cols=("lang",)
     ).collect()  # bounded: one manifest row per partition
     wc = (
-        read_warc(spark, wout)
+        # export wrote .cdxj sidecars; the tiny target_split_bytes forces
+        # the read-back through member-aligned SPLIT partitions, so the
+        # oracle value-hash also certifies the index/seek path end-to-end
+        read_warc(spark, wout, target_split_bytes="16384")
         .groupBy(F.element_at("warc_headers", "warc-x-lang").alias("lang"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),

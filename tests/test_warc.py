@@ -837,3 +837,120 @@ def test_reader_byte_budget_flush(tmp_path, monkeypatch):
 
     assert flat(small, "record_id") == flat(big, "record_id")
     assert flat(small, "payload") == flat(big, "payload")
+
+
+def _wat_env(uri, date, status, title, links):
+    """Hand-built Common-Crawl-layout WAT envelope (the public shape:
+    Envelope/WARC-Header-Metadata + Payload-Metadata/HTTP-Response-
+    Metadata/HTML-Metadata/Links)."""
+    import json as _json
+
+    return _json.dumps(
+        {
+            "Envelope": {
+                "Format": "WARC",
+                "WARC-Header-Metadata": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": uri,
+                    "WARC-Date": date,
+                },
+                "Payload-Metadata": {
+                    "Actual-Content-Type": "application/http; msgtype=response",
+                    "HTTP-Response-Metadata": {
+                        "Response-Message": {"Status": str(status)},
+                        "HTML-Metadata": {
+                            "Head": {"Title": title},
+                            "Links": [
+                                {"path": "A@/href", "url": u, "text": t}
+                                for u, t in links
+                            ],
+                        },
+                    },
+                },
+            },
+            "Container": {"Filename": "crawl.warc.gz"},
+        }
+    ).encode()
+
+
+def _mk_wat(tmp_path):
+    pages = [
+        ("http://a.example/1", "Page A1",
+         [("http://b.example/x", "b"), ("http://c.example/", "c"),
+          ("/relative/skip", "rel"), ("mailto:x@y", "mail")]),
+        ("http://b.example/x", "Page BX", [("http://a.example/1", "a"),
+                                           ("http://a.example/1", "a-dup")]),
+        ("https://c.example/", "Page C", []),
+    ]
+    recs = []
+    for i, (uri, title, links) in enumerate(pages):
+        recs.append(
+            W.warc_record_bytes(
+                "metadata",
+                _wat_env(uri, f"2017-03-0{i+1}T00:00:00Z", 200, title, links),
+                target_uri=uri,
+                record_id=f"<urn:wat:{i}>",
+                content_type="application/json",
+            )
+        )
+    # a metadata record with INVALID envelope JSON: surfaces with NULL
+    # parsed fields (never vanishes), url falls back to the record header
+    recs.append(
+        W.warc_record_bytes(
+            "metadata", b"{not valid json", target_uri="http://broken.example/",
+            record_id="<urn:wat:bad>", content_type="application/json",
+        )
+    )
+    # a non-metadata record WAT ingest must ignore
+    recs.append(
+        W.warc_record_bytes(
+            "resource", b"noise", record_id="<urn:res:0>",
+            content_type="text/plain",
+        )
+    )
+    # Common Crawl names these *.warc.wat.gz — matched by the *.wat.gz
+    # listing glob (WAT files are themselves conformant WARC)
+    p = str(tmp_path / "seg.warc.wat.gz")
+    W.write_warc(p, recs)
+    return p
+
+
+def test_wat_records_fields(spark, tmp_path):
+    from shardpack_spark.operators.webcorpus import wat_records
+
+    p = _mk_wat(tmp_path)
+    got = {r.doc_id: r for r in wat_records(read_warc(spark, p)).collect()}
+    assert set(got) == {"<urn:wat:0>", "<urn:wat:1>", "<urn:wat:2>", "<urn:wat:bad>"}
+    a = got["<urn:wat:0>"]
+    assert a.url == "http://a.example/1" and a.title == "Page A1"
+    assert a.http_status == 200 and a.subject_type == "response"
+    assert a.fetched_at == "2017-03-01T00:00:00Z"
+    assert [l.url for l in a.links][:2] == ["http://b.example/x", "http://c.example/"]
+    bad = got["<urn:wat:bad>"]
+    assert bad.title is None and bad.links is None
+    assert bad.url == "http://broken.example/"  # header fallback
+
+
+def test_wat_links_and_pagerank(spark, tmp_path):
+    from shardpack_spark.operators.graph import pagerank
+    from shardpack_spark.operators.webcorpus import wat_links
+
+    p = _mk_wat(tmp_path)
+    df = read_warc(spark, p)
+    edges = {(r.src, r.dst) for r in wat_links(df).collect()}
+    # relative + mailto dropped, duplicate collapsed, self-loops none
+    assert edges == {
+        ("http://a.example/1", "http://b.example/x"),
+        ("http://a.example/1", "http://c.example/"),
+        ("http://b.example/x", "http://a.example/1"),
+    }
+    hosts = {(r.src, r.dst) for r in wat_links(df, host_level=True).collect()}
+    assert hosts == {
+        ("a.example", "b.example"),
+        ("a.example", "c.example"),
+        ("b.example", "a.example"),
+    }
+    ranks = pagerank(wat_links(df, host_level=True), iters=5).collect()
+    assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-6
+    byv = {r.vertex: r.rank for r in ranks}
+    assert byv["a.example"] > byv["c.example"]  # two in-links beat one
