@@ -867,3 +867,63 @@ def test_resize_and_pixel_features_pil_contract_when_installed(spark):
     assert {r.decode_path for r in feats.values()} == {"pil"}
     pure = {r.key: r for r in image_pixel_features(df, decoder="pure").collect()}
     assert abs(feats["g"].mean_luma - pure["g"].mean_luma) < 2.0
+
+
+def test_surrogate_fraction_web_frequency_mix(spark):
+    """The r5/r6 'implement SOF9/WebP?' question, answered with a number
+    (README 'Wheel-free codec coverage decision').
+
+    Fixture mirrors the PUBLIC web image-format frequency mix (HTTP
+    Archive / Web Almanac media chapters, 2022-2024: JPEG ~40%, PNG
+    ~27%, GIF ~14%, WebP ~9%, AVIF <1%; arithmetic-coded JPEG ~0% — no
+    browser ever shipped SOF9/SOF11 decode, so the web does not serve
+    it).  On a PIL-less cluster the wheel-free decoders cover everything
+    but WebP/AVIF: surrogate_frac == exactly the WebP+AVIF share (~10%),
+    and decode_path_rollup is the alert that reports it.  With PIL
+    installed (decoder='auto', the documented production path) the same
+    mix decodes fully."""
+    from shardpack_spark.operators.imagecodec import encode_jpeg, encode_png
+    from shardpack_spark.operators.perceptual import decode_path_rollup
+
+    rows = []
+    k = 0
+
+    def add(fmt, ctype, payload, n):
+        nonlocal k
+        for _ in range(n):
+            rows.append((f"{fmt}{k}", [_entry(f"i.{fmt}", ctype, payload)]))
+            k += 1
+
+    g = _smooth_gray(3, 16, 16)
+    add("jpg", "image/jpeg", encode_jpeg(g), 40)
+    add("png", "image/png", encode_png(g), 27)
+    # GIF payload via the spec-written test encoder in test_imagecodec
+    from tests.test_imagecodec import _mk_gif
+
+    pal = [(i, i, i) for i in range(4)]
+    idx = (np.arange(64).reshape(8, 8) % 4).astype(np.uint8)
+    add("gif", "image/gif", bytes(_mk_gif(idx, pal)), 14)
+    # WebP (RIFF container) and AVIF (ISO-BMFF ftyp) headers: REAL format
+    # magics the pure decoders typed-reject -> surrogate on PIL-less
+    webp = b"RIFF" + (32).to_bytes(4, "little") + b"WEBPVP8 " + bytes(24)
+    avif = (28).to_bytes(4, "big") + b"ftypavif" + bytes(16)
+    add("webp", "image/webp", webp, 9)
+    add("avif", "image/avif", avif, 1)
+    # remainder: more JPEG to reach 100 (SVG et al. are not raster inputs)
+    add("jpg", "image/jpeg", encode_jpeg(_smooth_gray(5, 16, 16)), 9)
+
+    sig = dhash_images(_rows_df(spark, rows), decoder="auto")
+    roll = decode_path_rollup(sig).collect()[0]
+    assert roll.n_rows == 100
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:  # pragma: no cover - container has no PIL
+        assert roll.surrogate_frac == 0.0
+    else:
+        # the recorded number: WebP+AVIF share, nothing else degrades
+        assert roll.n_surrogate == 10 and abs(roll.surrogate_frac - 0.10) < 1e-9
+        assert roll.n_pure == 90
