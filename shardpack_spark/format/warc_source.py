@@ -99,6 +99,50 @@ class WarcFilePartition(InputPartition):
 _list_warc_files = warc.list_warc_files
 
 
+def _plan_file_partitions(
+    files: list[str],
+    base_path: str,
+    split_archives: bool,
+    target_split_bytes: int,
+) -> list["WarcFilePartition"]:
+    """Files -> scan partitions, splitting archives bigger than
+    ``target_split_bytes`` into member-aligned ranges when a ``.cdxj``
+    sidecar exists (``format/warc_index.py``).  Shared by the batch
+    reader and each streaming micro-batch, so a huge archive landing in
+    a stream doesn't become one giant task either.  Sidecar discovery is
+    ONE directory listing, not a HEAD per file (a crawl dump is ~90k
+    files).  The index is never auto-built here (that would be a hidden
+    full scan); build it at export time or via the warc-index CLI."""
+    indexed: set[str] | None = None
+    if split_archives and target_split_bytes > 0 and files:
+        be = storage.for_path(base_path)
+        if len(files) == 1 and files[0] == base_path:
+            indexed = (
+                {base_path}
+                if be.exists(warc_index.index_path(base_path))
+                else set()
+            )
+        else:
+            base = base_path.rstrip("/")
+            names = be.glob_names(base, "*" + warc_index.INDEX_SUFFIX)
+            have = {f"{base}/{n}" for n in names}
+            indexed = {f for f in files if warc_index.index_path(f) in have}
+    parts: list[WarcFilePartition] = []
+    for p in files:
+        ranges = None
+        if indexed is not None and p in indexed:
+            idx = warc_index.read_warc_index(p)
+            # read_warc_index returns None for absent/stale sidecars —
+            # sequential whole-file fallback, never a mis-seek
+            if idx is not None and idx.archive_size > target_split_bytes:
+                ranges = idx.split_ranges(target_split_bytes)
+        if ranges and len(ranges) > 1:
+            parts.extend(WarcFilePartition(p, s, e) for s, e in ranges)
+        else:
+            parts.append(WarcFilePartition(p))
+    return parts
+
+
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -134,40 +178,12 @@ class WarcReader(DataSourceReader):
         )
 
     def partitions(self):
-        files = _list_warc_files(self.path)
-        indexed: set[str] | None = None
-        if self.split_archives and self.target_split_bytes > 0:
-            # ONE directory listing finds every sidecar — not one HEAD
-            # per archive (a crawl dump is ~90k files; per-file exists()
-            # would be 90k extra requests on an object store)
-            be = storage.for_path(self.path)
-            if len(files) == 1 and files[0] == self.path:
-                indexed = (
-                    {self.path}
-                    if be.exists(warc_index.index_path(self.path))
-                    else set()
-                )
-            else:
-                base = self.path.rstrip("/")
-                names = be.glob_names(base, "*" + warc_index.INDEX_SUFFIX)
-                have = {f"{base}/{n}" for n in names}
-                indexed = {
-                    f for f in files if warc_index.index_path(f) in have
-                }
-        parts: list[WarcFilePartition] = []
-        for p in files:
-            ranges = None
-            if indexed is not None and p in indexed:
-                idx = warc_index.read_warc_index(p)
-                # read_warc_index returns None for absent/stale sidecars —
-                # sequential whole-file fallback, never a mis-seek
-                if idx is not None and idx.archive_size > self.target_split_bytes:
-                    ranges = idx.split_ranges(self.target_split_bytes)
-            if ranges and len(ranges) > 1:
-                parts.extend(WarcFilePartition(p, s, e) for s, e in ranges)
-            else:
-                parts.append(WarcFilePartition(p))
-        return parts
+        return _plan_file_partitions(
+            _list_warc_files(self.path),
+            self.path,
+            self.split_archives,
+            self.target_split_bytes,
+        )
 
     def read(self, partition: WarcFilePartition):
         import pyarrow as pa
@@ -294,11 +310,21 @@ class WarcStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = self._offsets.advance(start, end)
-        return [
-            WarcFilePartition(p)
+        admitted = [
+            p
             for p in _list_warc_files(self.path, allow_empty=True)
             if lo < p <= hi
         ]
+        # same sidecar-driven splitting as the batch reader: a huge
+        # archive landing in the stream becomes N member-aligned range
+        # tasks, not one; offsets stay per-FILE so exactly-once admission
+        # is untouched (a file's ranges always travel in one batch)
+        return _plan_file_partitions(
+            admitted,
+            self.path,
+            self._batch.split_archives,
+            self._batch.target_split_bytes,
+        )
 
     def commit(self, end: dict) -> None:
         self._offsets.commit(end)

@@ -954,3 +954,46 @@ def test_wat_links_and_pagerank(spark, tmp_path):
     assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-6
     byv = {r.vertex: r.rank for r in ranks}
     assert byv["a.example"] > byv["c.example"]  # two in-links beat one
+
+
+def test_warc_stream_split_partitions(spark, tmp_path):
+    """A huge indexed archive landing in a stream is scanned as N
+    member-aligned range tasks within its micro-batch — same rows, no
+    duplicates, offsets stay per-file."""
+    from shardpack_spark.format import warc_index as WI
+    from shardpack_spark.format.warc_source import WarcStreamReader
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    p = str(src / "crawl-00000.warc.gz")
+    W.write_warc(p, _mk_records(8))
+    WI.build_warc_index(p)
+
+    rdr = WarcStreamReader({"path": str(src), "target_split_bytes": "300"})
+    start = rdr.initialOffset()
+    end = rdr.latestOffset()
+    parts = rdr.partitions(start, end)
+    assert len(parts) > 2 and all(pt.path == p for pt in parts)
+    assert parts[0].start == 0 and parts[-1].end == os.path.getsize(p)
+    rows = []
+    for pt in parts:
+        rows.extend(b.num_rows for b in rdr.read(pt))
+    assert sum(rows) == 9  # warcinfo + 8 responses, exactly once
+
+    # end-to-end through the engine: checkpointed sink, one pass
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("warc")
+        .option("target_split_bytes", "300")
+        .load(str(src))
+        .selectExpr("record_id")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(r.record_id for r in spark.read.parquet(sink).collect())
+    assert len(got) == 9 and len(set(got)) == 9
