@@ -39,6 +39,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    In,
     InputPartition,
 )
 from pyspark.sql.types import (
@@ -143,6 +145,55 @@ def _plan_file_partitions(
     return parts
 
 
+def _lookup_partitions(
+    files: list[str], ids: list[str], uris: list[str]
+) -> list["WarcFilePartition"]:
+    """Point-lookup partition pruning: for each archive WITH a fresh
+    sidecar, emit one member-range partition per member that holds a
+    matching record (indexed files with zero matches contribute NO
+    partitions); archives without a usable sidecar fall back to a
+    whole-file scan — Spark re-applies the filters either way, so
+    pruning never changes results, only I/O."""
+    id_set, uri_set = set(ids), set(uris)
+    have: set[str] | None = None
+    if len(files) > 1:
+        # one listing for sidecar discovery (same reasoning as
+        # _plan_file_partitions: never a HEAD per archive)
+        base = files[0].rstrip("/").rsplit("/", 1)[0]
+        be = storage.for_path(base)
+        names = be.glob_names(base, "*" + warc_index.INDEX_SUFFIX)
+        have = {f"{base}/{n}" for n in names}
+    parts: list[WarcFilePartition] = []
+    for p in files:
+        idx = (
+            warc_index.read_warc_index(p)
+            if have is None or warc_index.index_path(p) in have
+            else None
+        )
+        if idx is None:
+            parts.append(WarcFilePartition(p))
+            continue
+        hit_offsets = sorted(
+            {
+                r.offset
+                for r in idx.rows
+                if (r.record_id in id_set) or (r.target_uri in uri_set)
+            }
+        )
+        if not hit_offsets:
+            continue
+        offs = idx.member_offsets()
+        # member end = next distinct member offset, else archive size
+        nxt = {o: (offs[i + 1] if i + 1 < len(offs) else idx.archive_size)
+               for i, o in enumerate(offs)}
+        parts.extend(WarcFilePartition(p, o, nxt[o]) for o in hit_offsets)
+    if not parts:
+        # the engine calls read(None) when partitions() is empty — hand it
+        # one explicit empty range instead (start == end yields no rows)
+        parts.append(WarcFilePartition(files[0], 0, 0))
+    return parts
+
+
 class WarcReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -176,10 +227,34 @@ class WarcReader(DataSourceReader):
         self.target_split_bytes = int(
             options.get("target_split_bytes", 128 * 1024 * 1024)
         )
+        self._id_filters: list[str] = []
+        self._uri_filters: list[str] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        """Record record_id / target_uri equality+IN filters; ALL filters
+        are returned so Spark re-applies them — pruning is a strict
+        optimization (same contract as the shardpack reader's key
+        pushdown).  With a .cdxj sidecar present, partitions() then opens
+        only the members the looked-up records live in — point lookup by
+        id/URI over a crawl directory reads O(matches) members, not the
+        corpus; indexed files with no match are skipped entirely."""
+        for f in filters:
+            if isinstance(f, EqualTo) and tuple(f.attribute) == ("record_id",):
+                self._id_filters.append(f.value)
+            elif isinstance(f, In) and tuple(f.attribute) == ("record_id",):
+                self._id_filters.extend(v for v in f.value if v is not None)
+            elif isinstance(f, EqualTo) and tuple(f.attribute) == ("target_uri",):
+                self._uri_filters.append(f.value)
+            elif isinstance(f, In) and tuple(f.attribute) == ("target_uri",):
+                self._uri_filters.extend(v for v in f.value if v is not None)
+        return filters
 
     def partitions(self):
+        files = _list_warc_files(self.path)
+        if self._id_filters or self._uri_filters:
+            return _lookup_partitions(files, self._id_filters, self._uri_filters)
         return _plan_file_partitions(
-            _list_warc_files(self.path),
+            files,
             self.path,
             self.split_archives,
             self.target_split_bytes,

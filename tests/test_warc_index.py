@@ -304,3 +304,60 @@ def test_cli_warc_index_and_indexed_cat(tmp_path, capsys):
     assert rep["files"] == 2 and rep["records"] == 8
     assert main(["warc-cat", str(d / "a.warc.gz"), "<urn:x:4>"]) == 0
     assert capsys.readouterr().out.startswith("payload 4 ")
+
+
+def test_filter_pushdown_point_lookup(spark, tmp_path):
+    """EqualTo/In on record_id / target_uri prune partitions to the
+    matching members via the sidecar (O(matches) member reads across the
+    directory; indexed files without a match contribute NO partitions;
+    unindexed files fall back to whole-file scans with filters
+    re-applied)."""
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.format.warc_source import WarcReader, read_warc
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    pa_ = _write(d, "a.warc.gz", n=10)
+    pb = _write(d, "b.warc.gz", n=10)
+    WI.build_warc_index(pa_)
+    WI.build_warc_index(pb)
+
+    # plan-level: one member-range partition for one id (both files
+    # indexed; the id exists in BOTH fixtures since ids repeat)
+    r = WarcReader({"path": str(d)})
+    from pyspark.sql.datasource import EqualTo
+
+    r.pushFilters([EqualTo(("record_id",), "<urn:x:7>")])
+    parts = r.partitions()
+    assert len(parts) == 2  # one member per file (ids repeat across files)
+    assert all(pt.end - pt.start < os.path.getsize(pa_) / 4 for pt in parts)
+
+    # engine-level: values correct through the session (conf enables
+    # python filter pushdown in shardpack_spark.session)
+    df = read_warc(spark, str(d)).filter(F.col("record_id") == "<urn:x:7>")
+    rows = df.collect()
+    assert len(rows) == 2 and all(r.payload.startswith(b"payload 7 ") for r in rows)
+
+    got = (
+        read_warc(spark, str(d))
+        .filter(F.col("target_uri").isin("http://ex.com/3", "http://ex.com/5"))
+        .count()
+    )
+    assert got == 4  # 2 uris x 2 files
+
+    # no-match over indexed files -> one empty-range sentinel partition
+    # (the engine calls read(None) on an empty partition list)
+    r2 = WarcReader({"path": str(d)})
+    r2.pushFilters([EqualTo(("record_id",), "<urn:absent>")])
+    sent = r2.partitions()
+    assert len(sent) == 1 and sent[0].start == sent[0].end == 0
+    assert (
+        read_warc(spark, str(d)).filter(F.col("record_id") == "<urn:absent>").count()
+        == 0
+    )
+
+    # unindexed file: whole-file fallback keeps results identical
+    pc = _write(d, "c.warc.gz", n=4)
+    df2 = read_warc(spark, str(d)).filter(F.col("record_id") == "<urn:x:2>")
+    assert df2.count() == 3  # a, b (pruned) + c (sequential)
