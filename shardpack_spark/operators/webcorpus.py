@@ -296,6 +296,40 @@ def documents_to_warc(
     return df.select(*cols).mapInPandas(write_part, "file string, n_records long")
 
 
+def index_warc_archives(spark, path: str, tasks: int = 512) -> DataFrame:
+    """Build ``.cdxj`` sidecar indexes for every archive under ``path``
+    as ONE distributed job — one headers-only parse task per archive
+    (the CLI ``warc-index`` verb is the sequential Spark-free twin; this
+    is how you index an existing crawl dump, where ~90k files make a
+    driver loop a day-long job but a 1000-core cluster finishes in
+    minutes).
+
+    Returns the per-archive report DataFrame ``(archive, records,
+    members, errors, archive_size)`` — an action materializes the
+    sidecars; ``.collect()`` is bounded by the file count.  Re-running
+    is idempotent (atomic sidecar replace)."""
+    from shardpack_spark.format import warc_index
+    from shardpack_spark.format.warc import list_warc_files
+
+    _register_modules_for_pickle()
+    files = list_warc_files(path)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            reps = [warc_index.build_warc_index(f) for f in pdf["archive"]]
+            if reps:
+                yield pd.DataFrame(reps)
+
+    sdf = spark.createDataFrame([(f,) for f in files], "archive string")
+    return sdf.repartition(min(len(files), tasks)).mapInPandas(
+        build,
+        "archive string, records long, members long, errors long, "
+        "archive_size long",
+    )
+
+
 # --- WAT (metadata archive) ingest -------------------------------------------
 #
 # Common Crawl ships three members per crawl segment: WARC (raw), WET

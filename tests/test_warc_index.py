@@ -361,3 +361,25 @@ def test_filter_pushdown_point_lookup(spark, tmp_path):
     pc = _write(d, "c.warc.gz", n=4)
     df2 = read_warc(spark, str(d)).filter(F.col("record_id") == "<urn:x:2>")
     assert df2.count() == 3  # a, b (pruned) + c (sequential)
+
+
+def test_distributed_index_build(spark, tmp_path):
+    """index_warc_archives: one executor task per archive builds its
+    sidecar; reports are correct; indexed lookups work after."""
+    from shardpack_spark.operators.webcorpus import index_warc_archives
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    for i in range(4):
+        _write(d, f"crawl-{i:05d}.warc.gz", n=3 + i)
+    reps = {r.archive.rsplit("/", 1)[-1]: r for r in
+            index_warc_archives(spark, str(d)).collect()}
+    assert len(reps) == 4
+    assert reps["crawl-00002.warc.gz"].records == 5
+    assert all(r.errors == 0 for r in reps.values())
+    for i in range(4):
+        p = str(d / f"crawl-{i:05d}.warc.gz")
+        assert os.path.exists(p + WI.INDEX_SUFFIX)
+        assert WI.lookup_record(p, record_id="<urn:x:1>") is not None
+    # idempotent re-run
+    assert index_warc_archives(spark, str(d)).count() == 4
