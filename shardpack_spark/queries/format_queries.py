@@ -192,6 +192,12 @@ def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- would skip the row and yield NULL for an all-NULL group
            CAST(SUM(length(trim(coalesce(text, '')))) AS BIGINT) AS sum_len
     FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'warc_lookup' AS variant, lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(length(trim(coalesce(text, '')))) AS BIGINT) AS sum_len
+    FROM documents
+    WHERE doc_id = (SELECT min(doc_id) FROM documents)
+    GROUP BY lang
     """,
 )
 def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,12 +246,34 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # 'warc_lookup': ONE record fetched back through the .cdxj filter
+    # pushdown (EqualTo on record_id -> partitions() prunes to the single
+    # member the sidecar names) — the driver oracle value-checks the
+    # random-access path, not just the scan paths.  The min doc_id is a
+    # 1-row driver scalar (bounded collect).
+    min_id = (
+        load_table(spark, sf_dir, "documents").agg(F.min("doc_id")).collect()[0][0]
+    )
+    wl = (
+        read_warc(spark, wout)
+        .filter(F.col("record_id") == f"<urn:doc:{min_id}>")
+        .groupBy(F.element_at("warc_headers", "warc-x-lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.length(F.trim(F.col("payload").cast("string")))
+            ).alias("sum_len"),
+        )
+    )
+
     def tag(variant: str, df: DataFrame) -> DataFrame:
         return df.select(
             F.lit(variant).alias("variant"), "lang", "cnt", "sum_len"
         )
 
-    return tag("shardpack", sp).unionAll(tag("warc", wc))
+    return tag("shardpack", sp).unionAll(tag("warc", wc)).unionAll(
+        tag("warc_lookup", wl)
+    )
 
 
 _LOOKUP_CACHE: dict[str, str] = {}
