@@ -44,6 +44,7 @@ from shardpack_spark.format.codec import ShardPackIOError
 from shardpack_spark.format.warc import WarcRecord, iter_warc_records
 
 INDEX_SUFFIX = ".cdxj"
+_INDEX_FLUSH_BYTES = 8 * 1024 * 1024  # streamed-build chunk size
 _MAGIC = "shardpack-warc-cdxj"
 _VERSION = 1
 
@@ -150,27 +151,80 @@ def write_warc_index(
 
 def build_warc_index(archive_path: str, be=None) -> dict:
     """One headers-only pass over the archive -> sidecar.  Returns a
-    summary dict (records / members / errors / archive_size)."""
+    summary dict (records / members / errors / archive_size).
+
+    Streaming write, O(1) memory in the record count: a sequential parse
+    yields offsets in non-decreasing order, so row lines go to the
+    publish-on-close write handle in ~8 MiB chunks — the huge-archive
+    case this index exists for (say 100 GiB / ~10M records) never
+    buffers its rows.  Because the true record count is only known at
+    end-of-pass and object stores can't prepend, the header's
+    ``records`` field is written as -1 (unknown) on this path; readers
+    never rely on it (``len(rows)`` on read, ``archive_size`` is the
+    staleness guard).  ``write_warc_index`` — the exporters' list-based
+    path — still records the real count."""
     be = be or storage.for_path(archive_path)
-    rows: list[WarcIndexRow] = []
-    with be.open_read(archive_path) as f:
-        for rec in iter_warc_records(f, parse_http=False, skip_payload=True):
-            rows.append(
-                WarcIndexRow(
+    size = _archive_size(be, archive_path)
+    n = members = errors = 0
+    last_off = None
+    handle = be.create(index_path(archive_path))
+    try:
+        # header first: counts aren't known yet, but the fields a READER
+        # trusts are magic/version/archive_size (staleness guard);
+        # records is informational — declare it -1 (unknown) here and
+        # let read_warc_index use len(rows).
+        handle.write(
+            (
+                json.dumps(
+                    {
+                        "magic": _MAGIC,
+                        "version": _VERSION,
+                        "records": -1,
+                        "archive_size": size,
+                    }
+                )
+                + "\n"
+            ).encode()
+        )
+        buf: list[bytes] = []
+        buf_bytes = 0
+        with be.open_read(archive_path) as f:
+            for rec in iter_warc_records(f, parse_http=False, skip_payload=True):
+                row = WarcIndexRow(
                     offset=rec.offset,
                     warc_type=rec.warc_type or None,
                     record_id=rec.record_id,
                     target_uri=rec.target_uri,
                     error=rec.parse_error,
                 )
-            )
-    size = _archive_size(be, archive_path)
-    write_warc_index(archive_path, rows, size, be=be)
+                line = (
+                    json.dumps(
+                        _row_obj(row), separators=(",", ":"), ensure_ascii=False
+                    )
+                    + "\n"
+                ).encode()
+                buf.append(line)
+                buf_bytes += len(line)
+                if buf_bytes >= _INDEX_FLUSH_BYTES:
+                    handle.write(b"".join(buf))
+                    buf, buf_bytes = [], 0
+                n += 1
+                if rec.offset != last_off:
+                    members += 1
+                    last_off = rec.offset
+                if rec.parse_error:
+                    errors += 1
+        if buf:
+            handle.write(b"".join(buf))
+        handle.close()
+    except BaseException:
+        handle.abort()
+        raise
     return {
         "archive": archive_path,
-        "records": len(rows),
-        "members": len({r.offset for r in rows}),
-        "errors": sum(1 for r in rows if r.error),
+        "records": n,
+        "members": members,
+        "errors": errors,
         "archive_size": size,
     }
 

@@ -383,3 +383,23 @@ def test_distributed_index_build(spark, tmp_path):
         assert WI.lookup_record(p, record_id="<urn:x:1>") is not None
     # idempotent re-run
     assert index_warc_archives(spark, str(d)).count() == 4
+
+
+def test_streamed_build_multi_chunk(tmp_path, monkeypatch):
+    """build_warc_index streams row lines in bounded chunks (O(1) memory
+    in record count); a forced tiny flush threshold produces the same
+    sidecar a list build would."""
+    p = _write(tmp_path, n=12)
+    monkeypatch.setattr(WI, "_INDEX_FLUSH_BYTES", 64)  # ~1 row per flush
+    rep = WI.build_warc_index(p)
+    assert rep["records"] == 12 and rep["members"] == 12
+    idx = WI.read_warc_index(p)
+    assert idx is not None and len(idx.rows) == 12
+    assert [r.record_id for r in idx.rows] == [f"<urn:x:{i}>" for i in range(12)]
+    # streamed header declares records=-1 (count unknown until EOF);
+    # readers never trust it — the exporters' list path records the real
+    # count
+    import json as _json
+
+    head = _json.loads(open(p + WI.INDEX_SUFFIX).readline())
+    assert head["records"] == -1 and head["archive_size"] == os.path.getsize(p)
