@@ -229,38 +229,114 @@ def build_warc_index(archive_path: str, be=None) -> dict:
     }
 
 
-def read_warc_index(archive_path: str, be=None) -> WarcIndex | None:
-    """Load the sidecar, or None when absent/foreign/STALE (archive size
-    changed since build) — callers fall back to sequential parsing."""
+def index_header(archive_path: str, be=None) -> dict | None:
+    """Validate the sidecar header: magic/version AND the staleness guard
+    (live archive size == recorded size).  Returns the header dict, or
+    None for absent/foreign/torn/STALE sidecars — callers fall back to
+    sequential parsing, never a mis-seek."""
     be = be or storage.for_path(archive_path)
     ip = index_path(archive_path)
     if not be.exists(ip):
         return None
     try:
-        text = be.read_bytes(ip).decode("utf-8")
-        lines = text.splitlines()
-        head = json.loads(lines[0])
+        head_line = be.read_bytes(ip, 0, 4096).split(b"\n", 1)[0]
+        head = json.loads(head_line.decode("utf-8"))
         if head.get("magic") != _MAGIC or head.get("version") != _VERSION:
             return None
-        rows = []
-        for ln in lines[1:]:
-            if not ln.strip():
-                continue
-            d = json.loads(ln)
-            rows.append(
-                WarcIndexRow(
-                    offset=int(d["o"]),
-                    warc_type=d.get("t"),
-                    record_id=d.get("id"),
-                    target_uri=d.get("u"),
-                    error=d.get("e"),
-                )
-            )
-    except (ValueError, KeyError, IndexError):
+    except (ValueError, KeyError, IndexError, OSError):
         return None  # torn/foreign sidecar: sequential fallback, not a crash
     if _archive_size(be, archive_path) != head.get("archive_size"):
         return None  # archive rewritten since indexing — offsets are lies
+    return head
+
+
+def iter_index_rows(archive_path: str, be=None, validated: bool = False):
+    """STREAM sidecar rows without materializing them — the planning and
+    lookup primitive for huge archives (a 100 GiB archive's sidecar is
+    ~800 MB; loading it per planning call is exactly the allocation this
+    index family exists to avoid).  Yields :class:`WarcIndexRow` in
+    offset order; yields nothing for an unusable sidecar unless the
+    caller already ran :func:`index_header` (``validated=True``).
+    Torn row lines end the stream at the damage point (offsets already
+    yielded remain valid seek points)."""
+    be = be or storage.for_path(archive_path)
+    if not validated and index_header(archive_path, be=be) is None:
+        return
+    with be.open_read(index_path(archive_path)) as f:
+        # explicit buffered line split: storage handles expose read(),
+        # not necessarily line iteration (pyarrow NativeFile isn't
+        # iterable)
+        buf = b""
+        first = True
+        while True:
+            chunk = f.read(1 << 20)
+            if chunk:
+                buf += chunk
+                lines = buf.split(b"\n")
+                buf = lines.pop()  # incomplete last line carries over
+            else:
+                lines = [buf] if buf else []
+                buf = b""
+            for raw in lines:
+                if first:
+                    first = False  # header line
+                    continue
+                if not raw.strip():
+                    continue
+                try:
+                    d = json.loads(raw.decode("utf-8"))
+                    yield WarcIndexRow(
+                        offset=int(d["o"]),
+                        warc_type=d.get("t"),
+                        record_id=d.get("id"),
+                        target_uri=d.get("u"),
+                        error=d.get("e"),
+                    )
+                except (ValueError, KeyError):
+                    return  # torn tail: stop at the damage, keep what parsed
+            if not chunk:
+                return
+
+
+def read_warc_index(archive_path: str, be=None) -> WarcIndex | None:
+    """Load the WHOLE sidecar, or None when absent/foreign/STALE —
+    convenient for normal crawl archives (~8 MB sidecar per 1 GiB
+    archive); planning and lookup paths stream via
+    :func:`iter_index_rows` instead."""
+    be = be or storage.for_path(archive_path)
+    head = index_header(archive_path, be=be)
+    if head is None:
+        return None
+    rows = list(iter_index_rows(archive_path, be=be, validated=True))
     return WarcIndex(rows=rows, archive_size=int(head["archive_size"]))
+
+
+def split_ranges_for(
+    archive_path: str, target_split_bytes: int, be=None
+) -> list[tuple[int, int]] | None:
+    """Member-aligned split ranges computed by STREAMING the sidecar —
+    O(distinct members) memory, never the row set.  None when the
+    sidecar is unusable or the archive is not bigger than the target
+    (callers keep the whole-file partition)."""
+    be = be or storage.for_path(archive_path)
+    head = index_header(archive_path, be=be)
+    if head is None:
+        return None
+    size = int(head["archive_size"])
+    if size <= target_split_bytes or target_split_bytes <= 0:
+        return None
+    ranges: list[tuple[int, int]] = []
+    start = 0
+    last = None
+    for row in iter_index_rows(archive_path, be=be, validated=True):
+        if row.offset == last:
+            continue  # multi-record member
+        last = row.offset
+        if row.offset - start >= target_split_bytes:
+            ranges.append((start, row.offset))
+            start = row.offset
+    ranges.append((start, size))
+    return [r for r in ranges if r[1] > r[0]]
 
 
 def lookup_record(
@@ -279,10 +355,19 @@ def lookup_record(
     if record_id is None and uri is None:
         raise ShardPackIOError("lookup_record needs record_id or uri")
     be = be or storage.for_path(archive_path)
-    idx = read_warc_index(archive_path, be=be)
-    if idx is None:
+    if index_header(archive_path, be=be) is None:
         return None
-    row = idx.find(record_id=record_id, uri=uri)
+    # streamed scan: never materializes the row set (huge-archive
+    # sidecars are ~GB); stops at the first match
+    row = next(
+        (
+            r
+            for r in iter_index_rows(archive_path, be=be, validated=True)
+            if (record_id is not None and r.record_id == record_id)
+            or (uri is not None and r.target_uri == uri)
+        ),
+        None,
+    )
     if row is None:
         return None
     with be.open_read(archive_path) as f:

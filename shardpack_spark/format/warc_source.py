@@ -133,11 +133,11 @@ def _plan_file_partitions(
     for p in files:
         ranges = None
         if indexed is not None and p in indexed:
-            idx = warc_index.read_warc_index(p)
-            # read_warc_index returns None for absent/stale sidecars —
-            # sequential whole-file fallback, never a mis-seek
-            if idx is not None and idx.archive_size > target_split_bytes:
-                ranges = idx.split_ranges(target_split_bytes)
+            # streams the sidecar (O(distinct members) memory — a huge
+            # archive's sidecar is ~GB and never materializes); None for
+            # absent/stale sidecars or small archives — whole-file
+            # fallback, never a mis-seek
+            ranges = warc_index.split_ranges_for(p, target_split_bytes)
         if ranges and len(ranges) > 1:
             parts.extend(WarcFilePartition(p, s, e) for s, e in ranges)
         else:
@@ -165,28 +165,30 @@ def _lookup_partitions(
         have = {f"{base}/{n}" for n in names}
     parts: list[WarcFilePartition] = []
     for p in files:
-        idx = (
-            warc_index.read_warc_index(p)
+        head = (
+            warc_index.index_header(p)
             if have is None or warc_index.index_path(p) in have
             else None
         )
-        if idx is None:
+        if head is None:
             parts.append(WarcFilePartition(p))
             continue
-        hit_offsets = sorted(
-            {
-                r.offset
-                for r in idx.rows
-                if (r.record_id in id_set) or (r.target_uri in uri_set)
-            }
-        )
-        if not hit_offsets:
-            continue
-        offs = idx.member_offsets()
-        # member end = next distinct member offset, else archive size
-        nxt = {o: (offs[i + 1] if i + 1 < len(offs) else idx.archive_size)
-               for i, o in enumerate(offs)}
-        parts.extend(WarcFilePartition(p, o, nxt[o]) for o in hit_offsets)
+        # single streamed pass, rows arrive in offset order: a hit marks
+        # its member; the member's END is the next DISTINCT offset (or
+        # archive size for the last) — never materializes the row set
+        archive_size = int(head["archive_size"])
+        pending_hit: int | None = None
+        prev_off: int | None = None
+        for r in warc_index.iter_index_rows(p, validated=True):
+            if prev_off is None or r.offset != prev_off:
+                if pending_hit is not None:
+                    parts.append(WarcFilePartition(p, pending_hit, r.offset))
+                    pending_hit = None
+                prev_off = r.offset
+            if (r.record_id in id_set) or (r.target_uri in uri_set):
+                pending_hit = r.offset
+        if pending_hit is not None:
+            parts.append(WarcFilePartition(p, pending_hit, archive_size))
     if not parts:
         # the engine calls read(None) when partitions() is empty — hand it
         # one explicit empty range instead (start == end yields no rows)
