@@ -231,15 +231,18 @@ class WarcReader(DataSourceReader):
         )
         self._id_filters: list[str] = []
         self._uri_filters: list[str] = []
+        self._file_filters: list[str] = []
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        """Record record_id / target_uri equality+IN filters; ALL filters
-        are returned so Spark re-applies them — pruning is a strict
-        optimization (same contract as the shardpack reader's key
+        """Record record_id / target_uri / file equality+IN filters; ALL
+        filters are returned so Spark re-applies them — pruning is a
+        strict optimization (same contract as the shardpack reader's key
         pushdown).  With a .cdxj sidecar present, partitions() then opens
         only the members the looked-up records live in — point lookup by
         id/URI over a crawl directory reads O(matches) members, not the
-        corpus; indexed files with no match are skipped entirely."""
+        corpus; indexed files with no match are skipped entirely.  A
+        ``file`` filter prunes the LISTING (re-reading one archive out of
+        a ~90k-file dump plans one file, no index needed)."""
         for f in filters:
             if isinstance(f, EqualTo) and tuple(f.attribute) == ("record_id",):
                 self._id_filters.append(f.value)
@@ -249,10 +252,22 @@ class WarcReader(DataSourceReader):
                 self._uri_filters.append(f.value)
             elif isinstance(f, In) and tuple(f.attribute) == ("target_uri",):
                 self._uri_filters.extend(v for v in f.value if v is not None)
+            elif isinstance(f, EqualTo) and tuple(f.attribute) == ("file",):
+                self._file_filters.append(f.value)
+            elif isinstance(f, In) and tuple(f.attribute) == ("file",):
+                self._file_filters.extend(v for v in f.value if v is not None)
         return filters
 
     def partitions(self):
         files = _list_warc_files(self.path)
+        if self._file_filters:
+            keep = set(self._file_filters)
+            pruned = [p for p in files if p in keep]
+            # an unknown file name yields zero rows, not a scan: the
+            # filter is re-applied anyway, so an empty range is correct
+            files = pruned or [files[0]]
+            if not pruned:
+                return [WarcFilePartition(files[0], 0, 0)]
         if self._id_filters or self._uri_filters:
             return _lookup_partitions(files, self._id_filters, self._uri_filters)
         return _plan_file_partitions(

@@ -403,3 +403,46 @@ def test_streamed_build_multi_chunk(tmp_path, monkeypatch):
 
     head = _json.loads(open(p + WI.INDEX_SUFFIX).readline())
     assert head["records"] == -1 and head["archive_size"] == os.path.getsize(p)
+
+
+def test_file_filter_prunes_listing(spark, tmp_path):
+    """EqualTo/In on the `file` column prunes the LISTING — re-reading
+    one archive out of a directory plans only that file (no index
+    needed); an unknown name plans one empty range, not a scan.  Combines
+    with record_id pushdown (file pruned first, then member pruned)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from shardpack_spark.format.warc_source import WarcReader, read_warc
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    pa_ = _write(d, "a.warc.gz", n=4)
+    pb = _write(d, "b.warc.gz", n=6)
+
+    r = WarcReader({"path": str(d)})
+    r.pushFilters([EqualTo(("file",), pb)])
+    parts = r.partitions()
+    assert [pt.path for pt in parts] == [pb]
+
+    assert read_warc(spark, str(d)).filter(F.col("file") == pb).count() == 6
+    assert (
+        read_warc(spark, str(d)).filter(F.col("file") == str(d / "nope.warc.gz")).count()
+        == 0
+    )
+
+    # file + record_id compose: one file, one member
+    WI.build_warc_index(pa_)
+    r2 = WarcReader({"path": str(d)})
+    r2.pushFilters([
+        EqualTo(("file",), pa_),
+        EqualTo(("record_id",), "<urn:x:2>"),
+    ])
+    parts2 = r2.partitions()
+    assert len(parts2) == 1 and parts2[0].path == pa_ and parts2[0].end is not None
+    got = (
+        read_warc(spark, str(d))
+        .filter((F.col("file") == pa_) & (F.col("record_id") == "<urn:x:2>"))
+        .collect()
+    )
+    assert len(got) == 1 and got[0].payload.startswith(b"payload 2 ")
