@@ -446,3 +446,62 @@ def test_file_filter_prunes_listing(spark, tmp_path):
         .collect()
     )
     assert len(got) == 1 and got[0].payload.startswith(b"payload 2 ")
+
+
+# --- property fuzz -------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n=st.integers(min_value=1, max_value=12),
+    damage=st.one_of(st.none(), st.integers(min_value=0, max_value=11)),
+    data=st.data(),
+)
+def test_fuzz_stream_materialize_parity(tmp_path_factory, n, damage, data):
+    """For any archive (optionally with one corrupted member), the
+    STREAMED sidecar view equals the materialized one, split ranges cover
+    the file exactly, and every seek point re-parses."""
+    tmp_path = tmp_path_factory.mktemp("fz")
+    p = str(tmp_path / "a.warc.gz")
+    W.write_warc(p, _mk_records(n))
+    if damage is not None and damage < n:
+        raw = bytearray(open(p, "rb").read())
+        starts = []
+        i = -1
+        while True:
+            i = raw.find(b"\x1f\x8b\x08", i + 1)
+            if i < 0:
+                break
+            starts.append(i)
+        victim = data.draw(st.sampled_from(range(len(starts))), label="victim")
+        raw[starts[victim] + 20] ^= 0xFF
+        open(p, "wb").write(bytes(raw))
+    WI.build_warc_index(p)
+
+    streamed = list(WI.iter_index_rows(p))
+    idx = WI.read_warc_index(p)
+    assert idx is not None and streamed == idx.rows
+    assert [r.offset for r in streamed] == sorted(r.offset for r in streamed)
+
+    size = os.path.getsize(p)
+    target = data.draw(st.integers(min_value=1, max_value=size + 10), label="target")
+    ranges = WI.split_ranges_for(p, target)
+    if ranges is None:  # size <= target: whole-file fallback by contract
+        assert size <= target
+    else:
+        assert ranges[0][0] == 0 and ranges[-1][1] == size
+        assert all(e1 == s2 for (_, e1), (s2, _) in zip(ranges, ranges[1:]))
+        # union of range scans == sequential scan
+        seq = [(r.offset, r.record_id) for r in W.iter_warc_records(open(p, "rb"))]
+        par = []
+        for s_, e_ in ranges:
+            with open(p, "rb") as f:
+                par.extend(
+                    (r.offset, r.record_id)
+                    for r in W.iter_warc_records(f, start_offset=s_, end_offset=e_)
+                )
+        assert sorted(par) == sorted(seq)
