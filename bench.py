@@ -466,6 +466,24 @@ def main() -> None:
                 "value": total,
             }
         )
+    if len(line) > 1900:
+        # the per-query dict dominates line length, so dropping yardsticks
+        # alone stops working as queries are added — move the queries dict
+        # to stderr too and keep only totals/host/estimator on stdout
+        # (everything the gate parses).
+        print(json.dumps({"queries": queries, "detail_for": "bench.py"}),
+              file=sys.stderr)
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "unit": "sec",
+                "sf": sf,
+                "host": host_block,
+                "estimator": "median3",
+                "value_min": total_min,
+                "value": total,
+            }
+        )
     print(line)
 
 

@@ -114,9 +114,14 @@ def _archive_size(be, path: str) -> int:
 
 def _row_obj(r: WarcIndexRow) -> dict:
     o: dict = {"o": r.offset}
+    # identity fields are orthogonal to the error flag: a short-block /
+    # lying-Content-Length record keeps its parsed headers, and the Spark
+    # reader emits it WITH its id — so a pushdown lookup on that id must
+    # find the member.  Dropping t/id/u on error rows made indexed
+    # pruning return 0 rows where an unindexed scan returns 1, violating
+    # the 'pruning never changes results, only I/O' contract.
     if r.error is not None:
         o["e"] = r.error[:120]
-        return o
     if r.warc_type:
         o["t"] = r.warc_type
     if r.record_id:
@@ -292,8 +297,13 @@ def iter_index_rows(archive_path: str, be=None, validated: bool = False):
                         target_uri=d.get("u"),
                         error=d.get("e"),
                     )
-                except (ValueError, KeyError):
-                    return  # torn tail: stop at the damage, keep what parsed
+                except (ValueError, KeyError, TypeError):
+                    # torn tail: stop at the damage, keep what parsed.
+                    # TypeError covers a line that parses as a JSON
+                    # scalar (corrupt/foreign file passing header
+                    # validation) — d["o"] on a non-dict must stop the
+                    # stream, not escape out of planning/lookup.
+                    return
             if not chunk:
                 return
 

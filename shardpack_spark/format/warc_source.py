@@ -197,6 +197,13 @@ def _lookup_partitions(
 
 
 class WarcReader(DataSourceReader):
+    """Base reader WITHOUT pushFilters — Spark's planning worker raises
+    DATA_SOURCE_PUSHDOWN_DISABLED if a reader class even DEFINES
+    pushFilters while spark.sql.python.filterPushdown.enabled is false
+    (pyspark/sql/worker/plan_data_source_read.py), so the pruning
+    variant below is chosen only when the conf is on — same split as the
+    shardpack reader/ShardPackPruningReader pair."""
+
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
@@ -232,31 +239,6 @@ class WarcReader(DataSourceReader):
         self._id_filters: list[str] = []
         self._uri_filters: list[str] = []
         self._file_filters: list[str] = []
-
-    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        """Record record_id / target_uri / file equality+IN filters; ALL
-        filters are returned so Spark re-applies them — pruning is a
-        strict optimization (same contract as the shardpack reader's key
-        pushdown).  With a .cdxj sidecar present, partitions() then opens
-        only the members the looked-up records live in — point lookup by
-        id/URI over a crawl directory reads O(matches) members, not the
-        corpus; indexed files with no match are skipped entirely.  A
-        ``file`` filter prunes the LISTING (re-reading one archive out of
-        a ~90k-file dump plans one file, no index needed)."""
-        for f in filters:
-            if isinstance(f, EqualTo) and tuple(f.attribute) == ("record_id",):
-                self._id_filters.append(f.value)
-            elif isinstance(f, In) and tuple(f.attribute) == ("record_id",):
-                self._id_filters.extend(v for v in f.value if v is not None)
-            elif isinstance(f, EqualTo) and tuple(f.attribute) == ("target_uri",):
-                self._uri_filters.append(f.value)
-            elif isinstance(f, In) and tuple(f.attribute) == ("target_uri",):
-                self._uri_filters.extend(v for v in f.value if v is not None)
-            elif isinstance(f, EqualTo) and tuple(f.attribute) == ("file",):
-                self._file_filters.append(f.value)
-            elif isinstance(f, In) and tuple(f.attribute) == ("file",):
-                self._file_filters.extend(v for v in f.value if v is not None)
-        return filters
 
     def partitions(self):
         files = _list_warc_files(self.path)
@@ -361,6 +343,41 @@ class WarcReader(DataSourceReader):
             yield flush()
 
 
+class WarcPushdownReader(WarcReader):
+    """Pruning variant: carries ``pushFilters``, so it may only be
+    instantiated when ``spark.sql.python.filterPushdown.enabled`` is true
+    (the planning worker rejects the override otherwise — see the base
+    class docstring).  ``WarcDataSource.reader()`` selects it via the
+    explicit ``prune_by_key`` option, which :func:`read_warc` sets
+    driver-side iff the conf reads true — the planning worker has no
+    SparkSession to consult."""
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        """Record record_id / target_uri / file equality+IN filters; ALL
+        filters are returned so Spark re-applies them — pruning is a
+        strict optimization (same contract as the shardpack reader's key
+        pushdown).  With a .cdxj sidecar present, partitions() then opens
+        only the members the looked-up records live in — point lookup by
+        id/URI over a crawl directory reads O(matches) members, not the
+        corpus; indexed files with no match are skipped entirely.  A
+        ``file`` filter prunes the LISTING (re-reading one archive out of
+        a ~90k-file dump plans one file, no index needed)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and tuple(f.attribute) == ("record_id",):
+                self._id_filters.append(f.value)
+            elif isinstance(f, In) and tuple(f.attribute) == ("record_id",):
+                self._id_filters.extend(v for v in f.value if v is not None)
+            elif isinstance(f, EqualTo) and tuple(f.attribute) == ("target_uri",):
+                self._uri_filters.append(f.value)
+            elif isinstance(f, In) and tuple(f.attribute) == ("target_uri",):
+                self._uri_filters.extend(v for v in f.value if v is not None)
+            elif isinstance(f, EqualTo) and tuple(f.attribute) == ("file",):
+                self._file_filters.append(f.value)
+            elif isinstance(f, In) and tuple(f.attribute) == ("file",):
+                self._file_filters.extend(v for v in f.value if v is not None)
+        return filters
+
+
 class WarcStreamReader(DataSourceStreamReader):
     """Incremental crawl ingest: ``spark.readStream.format("warc")`` over
     a directory crawl files LAND in — each micro-batch admits the files
@@ -436,7 +453,13 @@ class WarcDataSource(DataSource):
         return WARC_SCHEMA
 
     def reader(self, schema: StructType) -> WarcReader:
-        return WarcReader(self.options)
+        # reader() runs in a planning worker with no SparkSession, so the
+        # pruning variant (which requires the filterPushdown conf) is
+        # selected via an explicit option; read_warc() sets it
+        # automatically driver-side (mirrors shardpack's prune_by_key).
+        prune = str(self.options.get("prune_by_key", "false")).lower() == "true"
+        cls = WarcPushdownReader if prune else WarcReader
+        return cls(self.options)
 
     def streamReader(self, schema: StructType) -> WarcStreamReader:  # noqa: N802
         return WarcStreamReader(self.options)
@@ -469,13 +492,29 @@ def register_warc(spark) -> None:
     if getattr(spark, "_shardpack_warc_registered", False):
         return
     _pickle_by_value()
+    # NOTE: a sibling spark.newSession() cannot register OR use a Python
+    # data source its parent registered (Spark checks name existence
+    # globally but resolves per-session) — run per-session conf
+    # experiments by toggling confs on the owning session instead.
     spark.dataSource.register(WarcDataSource)
     spark._shardpack_warc_registered = True
 
 
 def read_warc(spark, path: str, **options):
-    """Reader facade: ``read_warc(spark, dir, record_types='response')``."""
+    """Reader facade: ``read_warc(spark, dir, record_types='response')``.
+
+    Enables the filter-pushdown reader variant only when the session
+    actually permits it — a session with
+    ``spark.sql.python.filterPushdown.enabled`` unset/false (the Spark
+    default) gets the base reader and a plain full scan + Spark-side
+    filter (correct, just unpruned) instead of a planning-worker abort."""
     register_warc(spark)
+    if (
+        "prune_by_key" not in options
+        and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        == "true"
+    ):
+        options["prune_by_key"] = "true"
     r = spark.read.format("warc")
     for k, v in options.items():
         r = r.option(k, v)

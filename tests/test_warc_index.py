@@ -174,6 +174,73 @@ def test_index_records_parse_errors(tmp_path):
     assert all(json.loads(ln) for ln in lines[1:])
 
 
+def test_error_rows_keep_identity_for_lookup(spark, tmp_path):
+    """Error is orthogonal to identity: a short-block record (lying
+    Content-Length) keeps its parsed id/uri, the Spark reader EMITS it
+    with that id — so the sidecar must index the id too, or an indexed
+    pushdown lookup silently returns 0 rows where an unindexed scan
+    returns 1 (the 'pruning never changes results, only I/O' contract)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.format.warc_source import WarcPushdownReader, read_warc
+
+    p = _write(tmp_path, n=3)
+    rec = W.warc_record_bytes(
+        "response",
+        W.http_response_block(b"hello body"),
+        target_uri="http://ex.com/liar",
+        record_id="<urn:x:liar>",
+        content_type="application/http; msgtype=response",
+    )
+    head, _, rest = rec.partition(b"\r\n\r\n")
+    head = re.sub(
+        rb"Content-Length: (\d+)",
+        lambda m: b"Content-Length: %d" % (int(m.group(1)) + 50),
+        head,
+    )
+    with open(p, "ab") as f:
+        f.write(gzip.compress(head + b"\r\n\r\n" + rest))
+
+    WI.build_warc_index(p)
+    idx = WI.read_warc_index(p)
+    liar = [r for r in idx.rows if r.error]
+    assert len(liar) == 1
+    assert liar[0].record_id == "<urn:x:liar>"
+    assert liar[0].target_uri == "http://ex.com/liar"
+
+    # plan-level: the pushdown prunes TO the liar's member, not to nothing
+    r = WarcPushdownReader({"path": p})
+    from pyspark.sql.datasource import EqualTo
+
+    r.pushFilters([EqualTo(("record_id",), "<urn:x:liar>")])
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].end > parts[0].start
+
+    # engine-level: indexed lookup == unindexed scan (1 row, error set)
+    got = (
+        read_warc(spark, p)
+        .filter(F.col("record_id") == "<urn:x:liar>")
+        .collect()
+    )
+    assert len(got) == 1 and got[0].parse_error is not None
+
+
+def test_iter_index_rows_scalar_line_stops_clean(tmp_path):
+    """A sidecar row line that parses as a JSON SCALAR (corrupt/foreign
+    file passing header validation) ends the stream at the damage —
+    documented stop-at-damage, not a TypeError out of planning."""
+    p = _write(tmp_path, n=4)
+    WI.build_warc_index(p)
+    ip = p + WI.INDEX_SUFFIX
+    lines = open(ip).read().splitlines()
+    lines[3] = "42"  # valid JSON, not an object
+    open(ip, "w").write("\n".join(lines) + "\n")
+    rows = list(WI.iter_index_rows(p))
+    assert len(rows) == 2  # header + 2 good rows, then stop at damage
+
+
 # --- split ranges -------------------------------------------------------------
 
 
@@ -314,7 +381,7 @@ def test_filter_pushdown_point_lookup(spark, tmp_path):
     re-applied)."""
     from pyspark.sql import functions as F
 
-    from shardpack_spark.format.warc_source import WarcReader, read_warc
+    from shardpack_spark.format.warc_source import WarcPushdownReader, read_warc
 
     d = tmp_path / "arch"
     d.mkdir()
@@ -324,8 +391,11 @@ def test_filter_pushdown_point_lookup(spark, tmp_path):
     WI.build_warc_index(pb)
 
     # plan-level: one member-range partition for one id (both files
-    # indexed; the id exists in BOTH fixtures since ids repeat)
-    r = WarcReader({"path": str(d)})
+    # indexed; the id exists in BOTH fixtures since ids repeat).  The
+    # pushdown variant is explicit — the base WarcReader must NOT define
+    # pushFilters (sessions without the filterPushdown conf reject any
+    # reader class that does).
+    r = WarcPushdownReader({"path": str(d)})
     from pyspark.sql.datasource import EqualTo
 
     r.pushFilters([EqualTo(("record_id",), "<urn:x:7>")])
@@ -348,7 +418,7 @@ def test_filter_pushdown_point_lookup(spark, tmp_path):
 
     # no-match over indexed files -> one empty-range sentinel partition
     # (the engine calls read(None) on an empty partition list)
-    r2 = WarcReader({"path": str(d)})
+    r2 = WarcPushdownReader({"path": str(d)})
     r2.pushFilters([EqualTo(("record_id",), "<urn:absent>")])
     sent = r2.partitions()
     assert len(sent) == 1 and sent[0].start == sent[0].end == 0
@@ -413,14 +483,14 @@ def test_file_filter_prunes_listing(spark, tmp_path):
     from pyspark.sql import functions as F
     from pyspark.sql.datasource import EqualTo
 
-    from shardpack_spark.format.warc_source import WarcReader, read_warc
+    from shardpack_spark.format.warc_source import WarcPushdownReader, read_warc
 
     d = tmp_path / "arch"
     d.mkdir()
     pa_ = _write(d, "a.warc.gz", n=4)
     pb = _write(d, "b.warc.gz", n=6)
 
-    r = WarcReader({"path": str(d)})
+    r = WarcPushdownReader({"path": str(d)})
     r.pushFilters([EqualTo(("file",), pb)])
     parts = r.partitions()
     assert [pt.path for pt in parts] == [pb]
@@ -433,7 +503,7 @@ def test_file_filter_prunes_listing(spark, tmp_path):
 
     # file + record_id compose: one file, one member
     WI.build_warc_index(pa_)
-    r2 = WarcReader({"path": str(d)})
+    r2 = WarcPushdownReader({"path": str(d)})
     r2.pushFilters([
         EqualTo(("file",), pa_),
         EqualTo(("record_id",), "<urn:x:2>"),
