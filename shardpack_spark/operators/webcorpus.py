@@ -296,6 +296,117 @@ def documents_to_warc(
     return df.select(*cols).mapInPandas(write_part, "file string, n_records long")
 
 
+def wat_export(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    links_col: str = "links",
+    title_col: str | None = None,
+    write_index: bool = True,
+) -> DataFrame:
+    """Export a table as WAT metadata archives — the inverse of
+    :func:`wat_records`, producing the Common Crawl WAT layout: a
+    ``.warc.gz`` of ``metadata`` records whose payload is one JSON
+    "Envelope" per described record (WARC-Header-Metadata +
+    Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links).
+
+    ``links_col`` is an ``array<string>`` of outlink URLs; each becomes a
+    ``{path: "A@/href", url: ...}`` entry in the envelope's Links array —
+    exactly the shape :func:`wat_links` consumes.  Execution model is
+    identical to :func:`documents_to_warc`: executor-written, one gzip
+    member per record, streaming, ``.cdxj`` sidecar from the writer's own
+    member sizes.  Returns the ``(file, n_records)`` manifest DataFrame
+    (an action materializes the files; collect is bounded by the
+    partition count).
+
+    This is both the fixture path for WAT pipeline tests and the
+    interchange path for link-graph snapshots: a ``wat_links``-shaped
+    extraction round-trips through the public WAT container."""
+    import json as _json
+
+    from shardpack_spark.format import storage, warc, warc_index
+
+    _register_modules_for_pickle()
+    cols = [id_col, url_col, links_col] + ([title_col] if title_col else [])
+
+    def write_part(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        handle = None
+        target = f"{path.rstrip('/')}/part-{pid:05d}.warc.gz"
+        n = 0
+        offset = 0
+        idx_rows = []
+        try:
+            for pdf in batches:
+                if handle is None and len(pdf):
+                    be = storage.for_path(target)
+                    be.makedirs(path)
+                    handle = be.create(target)
+                for vals in pdf[cols].itertuples(index=False, name=None):
+                    row = dict(zip(cols, vals))
+                    rid = " ".join(str(row[id_col]).split())
+                    url = row[url_col]
+                    links = [
+                        {"path": "A@/href", "url": str(u)}
+                        for u in (row[links_col] if row[links_col] is not None else [])
+                        if u is not None
+                    ]
+                    html_meta: dict = {"Links": links}
+                    if title_col and row[title_col] is not None:
+                        html_meta["Head"] = {"Title": str(row[title_col])}
+                    envelope = {
+                        "Envelope": {
+                            "WARC-Header-Metadata": {
+                                "WARC-Target-URI": str(url) if url is not None else None,
+                                "WARC-Type": "response",
+                            },
+                            "Payload-Metadata": {
+                                "HTTP-Response-Metadata": {
+                                    "Response-Message": {"Status": "200"},
+                                    "HTML-Metadata": html_meta,
+                                }
+                            },
+                        }
+                    }
+                    rec = warc.warc_record_bytes(
+                        "metadata",
+                        _json.dumps(envelope, separators=(",", ":")).encode("utf-8"),
+                        target_uri=(str(url) if url is not None else f"urn:doc:{rid}"),
+                        record_id=f"<urn:wat:{rid}>",
+                        content_type="application/json",
+                    )
+                    sizes: list = []
+                    warc.write_warc(handle, [rec], sizes_out=sizes)
+                    if write_index:
+                        idx_rows.append(
+                            warc_index.WarcIndexRow(
+                                offset=offset,
+                                warc_type="metadata",
+                                record_id=f"<urn:wat:{rid}>",
+                                target_uri=(
+                                    str(url) if url is not None else f"urn:doc:{rid}"
+                                ),
+                            )
+                        )
+                    offset += sizes[0]
+                    n += 1
+            if handle is not None:
+                handle.close()
+                if write_index:
+                    warc_index.write_warc_index(target, idx_rows, offset)
+                yield pd.DataFrame({"file": [target], "n_records": [n]})
+        except BaseException:
+            if handle is not None:
+                handle.abort()
+            raise
+
+    return df.select(*cols).mapInPandas(write_part, "file string, n_records long")
+
+
 def index_warc_archives(spark, path: str, tasks: int = 512) -> DataFrame:
     """Build ``.cdxj`` sidecar indexes for every archive under ``path``
     as ONE distributed job — one headers-only parse task per archive

@@ -32,7 +32,13 @@ def _sweep_stale_workdirs(max_age_s: int = 3600) -> None:
     cutoff = time.time() - max_age_s
     for name in os.listdir(root):
         if name.startswith(
-            ("shardpack_rt_", "shardpack_mm_", "shardpack_lookup_", "shardpack_warc_")
+            (
+                "shardpack_rt_",
+                "shardpack_mm_",
+                "shardpack_lookup_",
+                "shardpack_warc_",
+                "shardpack_wat_",
+            )
         ):
             p = os.path.join(root, name)
             try:
@@ -198,6 +204,20 @@ def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     WHERE doc_id = (SELECT min(doc_id) FROM documents)
     GROUP BY lang
+    UNION ALL
+    -- 'wat': the WAT container round-trip recomputed relationally — the
+    -- Spark side exports synthetic outlinks (src host = doc_id % 11, dst
+    -- host = doc_id % 13, plus a relative link wat_links must drop) as
+    -- real WAT metadata archives, reads them back through format("warc")
+    -- + from_json, and host-collapses to distinct edges; this recomputes
+    -- the same edge set straight from documents
+    SELECT 'wat' AS variant, src AS lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(length(dst)) AS BIGINT) AS sum_len
+    FROM (
+      SELECT DISTINCT 'h' || CAST(doc_id % 11 AS VARCHAR) || '.example' AS src,
+                      'h' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS dst
+      FROM documents
+    ) WHERE src <> dst GROUP BY src
     """,
 )
 def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,13 +286,54 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # 'wat': synthetic outlinks (src host = doc_id % 11, dst host =
+    # doc_id % 13, plus a relative href wat_links must drop) exported as
+    # REAL WAT metadata archives (wat_export), read back through
+    # format("warc") + from_json envelope parsing, host-collapsed to
+    # distinct edges — certifying the whole WAT surface (export, metadata
+    # ingest, link extraction, host graph) against a relational oracle.
+    from shardpack_spark.operators.webcorpus import wat_export, wat_links
+
+    watout = tempfile.mkdtemp(prefix="shardpack_wat_")
+    docs = load_table(spark, sf_dir, "documents")
+    src_host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 11).cast("string"), F.lit(".example")
+    )
+    dst_host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 13).cast("string"), F.lit(".example")
+    )
+    wat_export(
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("http://"), src_host, F.lit("/p"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            F.array(
+                F.concat(F.lit("http://"), dst_host, F.lit("/x")),
+                F.lit("/relative-dropped"),
+            ).alias("links"),
+        ),
+        watout,
+    ).collect()  # bounded: one manifest row per partition
+    wt = (
+        wat_links(read_warc(spark, watout), host_level=True)
+        .groupBy(F.col("src").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.length("dst")).alias("sum_len"),
+        )
+    )
+
     def tag(variant: str, df: DataFrame) -> DataFrame:
         return df.select(
             F.lit(variant).alias("variant"), "lang", "cnt", "sum_len"
         )
 
-    return tag("shardpack", sp).unionAll(tag("warc", wc)).unionAll(
-        tag("warc_lookup", wl)
+    return (
+        tag("shardpack", sp)
+        .unionAll(tag("warc", wc))
+        .unionAll(tag("warc_lookup", wl))
+        .unionAll(tag("wat", wt))
     )
 
 

@@ -956,6 +956,43 @@ def test_wat_links_and_pagerank(spark, tmp_path):
     assert byv["a.example"] > byv["c.example"]  # two in-links beat one
 
 
+def test_wat_export_roundtrip(spark, tmp_path):
+    """wat_export -> format('warc') -> wat_records/wat_links inverts:
+    urls, titles, and link arrays survive the WAT container; relative
+    hrefs drop at extraction; the .cdxj sidecar publishes per part."""
+    import os
+
+    from shardpack_spark.format import warc_index as WI
+    from shardpack_spark.operators.webcorpus import wat_export, wat_links, wat_records
+
+    docs = spark.createDataFrame(
+        [
+            ("d0", "http://a.example/0", ["http://b.example/x", "/rel"], "T0"),
+            ("d1", "http://b.example/1", ["http://a.example/0"], None),
+            ("d2", None, None, "T2"),  # null url/links must not abort the export
+        ],
+        "doc_id string, url string, links array<string>, title string",
+    ).coalesce(1)
+    out = str(tmp_path / "wat")
+    manifest = wat_export(docs, out, title_col="title").collect()
+    assert len(manifest) == 1 and manifest[0].n_records == 3
+    assert os.path.exists(manifest[0].file + WI.INDEX_SUFFIX)
+
+    back = {r.doc_id: r for r in wat_records(read_warc(spark, out)).collect()}
+    assert set(back) == {"<urn:wat:d0>", "<urn:wat:d1>", "<urn:wat:d2>"}
+    d0 = back["<urn:wat:d0>"]
+    assert d0.url == "http://a.example/0" and d0.title == "T0"
+    assert [l.url for l in d0.links] == ["http://b.example/x", "/rel"]
+    assert back["<urn:wat:d1>"].title is None
+    assert back["<urn:wat:d2>"].links == []
+
+    edges = {(r.src, r.dst) for r in wat_links(read_warc(spark, out)).collect()}
+    assert edges == {
+        ("http://a.example/0", "http://b.example/x"),
+        ("http://b.example/1", "http://a.example/0"),
+    }
+
+
 def test_warc_stream_split_partitions(spark, tmp_path):
     """A huge indexed archive landing in a stream is scanned as N
     member-aligned range tasks within its micro-batch — same rows, no
