@@ -349,6 +349,61 @@ def split_ranges_for(
     return [r for r in ranges if r[1] > r[0]]
 
 
+def snap_bounds(
+    archive_path: str, start: int, end: int, be=None
+) -> tuple[int | None, int | None] | None:
+    """Task-side snap of a coarse planner byte range ``[start, end)`` to
+    member boundaries — the executor half of split planning.
+
+    At 100 TB the driver must NOT stream sidecars at plan time (a ~90k
+    archive dump × ~8 MB sidecars is a day of sequential driver I/O
+    before any task launches), so the planner cuts a fixed byte grid
+    from the sidecar HEADER alone (~100 B per archive; same pattern as
+    the shardpack EOF-index resolved task-side, reference
+    docs/draft.md:124-127) and each task snaps its own range here by
+    streaming a sidecar PREFIX — rows up to its own end offset.
+
+    Ownership rule: a task owns the members whose start offsets lie in
+    ``[start, end)`` — the same rule for every task, computed from the
+    same row stream, so the union over the grid is exactly one
+    sequential scan.  Returns:
+
+    - ``(seek, end)``: normal case — parse from ``seek`` (first distinct
+      member offset >= start; may be >= end, which parses nothing) with
+      ``end`` as the member-start stop bound.
+    - ``(seek, None)``: the row stream ended (file tail OR torn sidecar)
+      before any offset >= end — this task owns everything from ``seek``
+      to EOF.  At most one task per archive takes this branch (any later
+      range can find no offset >= its start), so a torn sidecar degrades
+      to one bigger tail task, never a dropped or duplicated member.
+    - ``(None, None)``: no member starts at/after ``start`` — nothing to
+      scan.  Exception: when the sidecar has ZERO usable rows, the
+      ``start == 0`` task gets ``(0, None)`` (whole-file scan) so a
+      torn-at-birth sidecar stays lossless.
+    - ``None``: sidecar absent/foreign/STALE at read time — the caller
+      falls back (every task of the archive sees the same header
+      verdict, so exactly one whole-file scan results).
+    """
+    be = be or storage.for_path(archive_path)
+    if index_header(archive_path, be=be) is None:
+        return None
+    seek: int | None = None
+    last: int | None = None
+    for row in iter_index_rows(archive_path, be=be, validated=True):
+        if row.offset == last:
+            continue  # multi-record member
+        last = row.offset
+        if seek is None and row.offset >= start:
+            seek = row.offset
+        if row.offset >= end:
+            return (seek, end)
+    if seek is not None:
+        return (seek, None)
+    if last is None and start == 0:
+        return (0, None)
+    return (None, None)
+
+
 def lookup_record(
     archive_path: str,
     record_id: str | None = None,

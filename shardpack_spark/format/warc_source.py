@@ -87,12 +87,16 @@ _BATCH_PAYLOAD_BYTES = 64 * 1024 * 1024
 
 @dataclass
 class WarcFilePartition(InputPartition):
-    """One scan task: a whole archive (start=0, end=None) or a
-    member-aligned byte range of one (sidecar-index splits)."""
+    """One scan task: a whole archive (start=0, end=None), a
+    member-aligned byte range (point-lookup pruning), or — with
+    ``snap=True`` — a COARSE byte range the owning executor snaps to
+    member boundaries itself via :func:`warc_index.snap_bounds` (split
+    planning never streams sidecars driver-side)."""
 
     path: str
     start: int = 0
     end: int | None = None
+    snap: bool = False
 
 
 # listing lives in the pyspark-free parser module so the CLI's
@@ -108,13 +112,21 @@ def _plan_file_partitions(
     target_split_bytes: int,
 ) -> list["WarcFilePartition"]:
     """Files -> scan partitions, splitting archives bigger than
-    ``target_split_bytes`` into member-aligned ranges when a ``.cdxj``
-    sidecar exists (``format/warc_index.py``).  Shared by the batch
-    reader and each streaming micro-batch, so a huge archive landing in
-    a stream doesn't become one giant task either.  Sidecar discovery is
-    ONE directory listing, not a HEAD per file (a crawl dump is ~90k
-    files).  The index is never auto-built here (that would be a hidden
-    full scan); build it at export time or via the warc-index CLI."""
+    ``target_split_bytes`` into COARSE byte-grid ranges when a ``.cdxj``
+    sidecar exists (``format/warc_index.py``); the owning executor snaps
+    each range to member boundaries task-side
+    (:func:`warc_index.snap_bounds`).  Shared by the batch reader and
+    each streaming micro-batch, so a huge archive landing in a stream
+    doesn't become one giant task either.
+
+    Driver I/O is O(archives) SMALL reads: ONE directory listing for
+    sidecar discovery (not a HEAD per file), then one ~100 B header read
+    per indexed archive (magic + staleness guard + archive_size — the
+    grid needs nothing else).  Sidecar ROWS are never streamed at plan
+    time: a ~90k-file crawl dump with ~8 MB sidecars would otherwise
+    read ~0.7 TB sequentially on the driver before any task launches.
+    The index is never auto-built here (that would be a hidden full
+    scan); build it at export time or via the warc-index CLI."""
     indexed: set[str] | None = None
     if split_archives and target_split_bytes > 0 and files:
         be = storage.for_path(base_path)
@@ -131,17 +143,22 @@ def _plan_file_partitions(
             indexed = {f for f in files if warc_index.index_path(f) in have}
     parts: list[WarcFilePartition] = []
     for p in files:
-        ranges = None
         if indexed is not None and p in indexed:
-            # streams the sidecar (O(distinct members) memory — a huge
-            # archive's sidecar is ~GB and never materializes); None for
-            # absent/stale sidecars or small archives — whole-file
+            # header-only: validates magic/version + staleness and yields
+            # the size the grid is cut from; stale/foreign -> whole-file
             # fallback, never a mis-seek
-            ranges = warc_index.split_ranges_for(p, target_split_bytes)
-        if ranges and len(ranges) > 1:
-            parts.extend(WarcFilePartition(p, s, e) for s, e in ranges)
-        else:
-            parts.append(WarcFilePartition(p))
+            head = warc_index.index_header(p)
+            if head is not None:
+                size = int(head["archive_size"])
+                if size > target_split_bytes:
+                    parts.extend(
+                        WarcFilePartition(
+                            p, s, min(s + target_split_bytes, size), snap=True
+                        )
+                        for s in range(0, size, target_split_bytes)
+                    )
+                    continue
+        parts.append(WarcFilePartition(p))
     return parts
 
 
@@ -263,6 +280,24 @@ class WarcReader(DataSourceReader):
         import pyarrow as pa
 
         be = storage.for_path(partition.path)
+        start, end = partition.start, partition.end
+        if partition.snap:
+            bounds = warc_index.snap_bounds(
+                partition.path, start, end if end is not None else 0, be=be
+            )
+            if bounds is None:
+                # sidecar vanished or went stale between planning and
+                # execution: every task of this archive reaches the same
+                # header verdict, so exactly the 0-task serializes a
+                # whole-file scan and the rest yield nothing — correct
+                # rows, degraded parallelism, never a mis-seek
+                if partition.start != 0:
+                    return
+                start, end = 0, None
+            else:
+                start, end = bounds
+                if start is None:
+                    return  # no member starts inside this coarse range
         cols: dict[str, list] = {f.name: [] for f in WARC_SCHEMA.fields}
         pending_payload_bytes = 0
 
@@ -295,8 +330,8 @@ class WarcReader(DataSourceReader):
                 parse_http=True,
                 max_payload_bytes=self.max_payload_bytes,
                 skip_payload=self.skip_payload,
-                start_offset=partition.start,
-                end_offset=partition.end,
+                start_offset=start,
+                end_offset=end,
             ):
                 if rec.parse_error and self.drop_errors:
                     continue

@@ -294,6 +294,173 @@ def test_range_scan_union_equals_sequential(tmp_path):
     assert sorted(par) == sorted(seq)
 
 
+def _grid_scan(p, target):
+    """Simulate the planner grid + per-task snap_bounds + range parse —
+    exactly what N independent executors do for one archive."""
+    size = os.path.getsize(p)
+    out = []
+    for s in range(0, size, target):
+        b = WI.snap_bounds(p, s, min(s + target, size))
+        assert b is not None
+        seek, stop = b
+        if seek is None:
+            continue
+        with open(p, "rb") as f:
+            out.extend(
+                (r.offset, r.record_id, r.parse_error is not None)
+                for r in W.iter_warc_records(f, start_offset=seek, end_offset=stop)
+            )
+    return out
+
+
+def test_snap_bounds_grid_union_equals_sequential(tmp_path):
+    """Coarse grid + task-side snap: union over the grid == one
+    sequential scan, for several grid sizes, including one corrupted
+    member."""
+    p = _write(tmp_path, n=12)
+    data = bytearray(open(p, "rb").read())
+    starts = []
+    i = -1
+    while True:
+        i = data.find(b"\x1f\x8b\x08", i + 1)
+        if i < 0:
+            break
+        starts.append(i)
+    data[starts[5] + 20] ^= 0xFF
+    open(p, "wb").write(bytes(data))
+    WI.build_warc_index(p)
+
+    seq = [
+        (r.offset, r.record_id, r.parse_error is not None)
+        for r in W.iter_warc_records(open(p, "rb"))
+    ]
+    for target in (1, 150, 400, 1000, os.path.getsize(p)):
+        assert sorted(_grid_scan(p, target)) == sorted(seq), target
+
+
+def test_snap_bounds_torn_sidecar_tail_takeover(tmp_path):
+    """Sidecar torn mid-file: exactly one task extends to EOF (stop=None),
+    later grid ranges yield nothing, and the union still equals a
+    sequential scan — a torn sidecar degrades parallelism, never rows."""
+    p = _write(tmp_path, n=10)
+    WI.build_warc_index(p)
+    ip = p + WI.INDEX_SUFFIX
+    lines = open(ip).read().splitlines()
+    # keep header + first 4 rows; tear the 5th row line in half
+    torn = lines[:5] + [lines[5][: len(lines[5]) // 2]]
+    open(ip, "w").write("\n".join(torn) + "\n")
+
+    seq = [
+        (r.offset, r.record_id, r.parse_error is not None)
+        for r in W.iter_warc_records(open(p, "rb"))
+    ]
+    target = 300
+    size = os.path.getsize(p)
+    assert sorted(_grid_scan(p, target)) == sorted(seq)
+    # structural: exactly one takeover task, ranges after it are empty
+    takeovers = 0
+    for s in range(0, size, target):
+        seek, stop = WI.snap_bounds(p, s, min(s + target, size))
+        if seek is not None and stop is None:
+            takeovers += 1
+    assert takeovers == 1
+
+
+def test_snap_bounds_empty_sidecar_zero_task_scans(tmp_path):
+    """Zero usable rows (torn right after the header): the start==0 task
+    gets a whole-file scan, every other range nothing — lossless."""
+    p = _write(tmp_path, n=5)
+    WI.build_warc_index(p)
+    ip = p + WI.INDEX_SUFFIX
+    head = open(ip).read().splitlines()[0]
+    open(ip, "w").write(head + "\n{torn")
+    assert WI.snap_bounds(p, 0, 200) == (0, None)
+    assert WI.snap_bounds(p, 200, 400) == (None, None)
+
+
+def test_snap_bounds_stale_sidecar_returns_none(tmp_path):
+    p = _write(tmp_path, n=3)
+    WI.build_warc_index(p)
+    W.write_warc(p, _mk_records(5))  # rewrite: size changes
+    assert WI.snap_bounds(p, 0, 100) is None
+
+
+def test_split_planning_reads_headers_not_sidecars(tmp_path, monkeypatch):
+    """Split PLANNING is O(archives) small reads: one listing + one ~4 KiB
+    header read per indexed archive — sidecar ROWS are only streamed
+    task-side (snap_bounds).  Guards the 100 TB shape: ~90k archives ×
+    ~8 MB sidecars must not stream through the driver at plan time."""
+    from shardpack_spark.format import storage
+    from shardpack_spark.format.warc_source import _plan_file_partitions
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    files = []
+    for i in range(3):
+        p = _write(d, f"crawl-{i:05d}.warc.gz", n=90)  # sidecar > 4 KiB
+        WI.build_warc_index(p)
+        files.append(p)
+    assert all(os.path.getsize(f + WI.INDEX_SUFFIX) > 4096 for f in files)
+
+    sidecar_bytes = {"n": 0}
+    real_for_path = storage.for_path
+
+    class CountingSidecarBackend:
+        def __init__(self, be):
+            self._be = be
+
+        def read_bytes(self, path, *a, **kw):
+            out = self._be.read_bytes(path, *a, **kw)
+            if path.endswith(WI.INDEX_SUFFIX):
+                sidecar_bytes["n"] += len(out)
+            return out
+
+        def open_read(self, path):
+            f = self._be.open_read(path)
+            if not path.endswith(WI.INDEX_SUFFIX):
+                return f
+            counter = sidecar_bytes
+
+            class Wrap:
+                def read(self, n=-1):
+                    b = f.read(n)
+                    counter["n"] += len(b)
+                    return b
+
+                def seek(self, *a):
+                    return f.seek(*a)
+
+                def tell(self):
+                    return f.tell()
+
+                def close(self):
+                    return f.close()
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    f.close()
+
+            return Wrap()
+
+        def __getattr__(self, name):
+            return getattr(self._be, name)
+
+    monkeypatch.setattr(
+        storage, "for_path", lambda p: CountingSidecarBackend(real_for_path(p))
+    )
+
+    parts = _plan_file_partitions(files, str(d), True, 400)
+    per_file = {}
+    for pt in parts:
+        per_file.setdefault(pt.path, []).append(pt)
+    assert all(len(v) > 2 for v in per_file.values())  # splits planned
+    assert all(pt.snap for v in per_file.values() for pt in v)
+    # planning read only the 4 KiB header probe per archive, never rows
+    assert sidecar_bytes["n"] <= 3 * 4096, sidecar_bytes["n"]
+
+
 # --- spark source integration ------------------------------------------------
 
 
@@ -575,3 +742,25 @@ def test_fuzz_stream_materialize_parity(tmp_path_factory, n, damage, data):
                     for r in W.iter_warc_records(f, start_offset=s_, end_offset=e_)
                 )
         assert sorted(par) == sorted(seq)
+
+    # coarse grid + task-side snap (the executor split path,
+    # _plan_file_partitions -> snap_bounds) also unions to the
+    # sequential scan, for the same fuzzed target — including a torn
+    # sidecar row set when the damaged member parses as an error row
+    seq_all = [
+        (r.offset, r.record_id, r.parse_error is not None)
+        for r in W.iter_warc_records(open(p, "rb"))
+    ]
+    par2 = []
+    for s_ in range(0, size, target):
+        b = WI.snap_bounds(p, s_, min(s_ + target, size))
+        assert b is not None
+        seek, stop = b
+        if seek is None:
+            continue
+        with open(p, "rb") as f:
+            par2.extend(
+                (r.offset, r.record_id, r.parse_error is not None)
+                for r in W.iter_warc_records(f, start_offset=seek, end_offset=stop)
+            )
+    assert sorted(par2) == sorted(seq_all)
