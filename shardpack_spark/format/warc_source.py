@@ -170,7 +170,13 @@ def _lookup_partitions(
     matching record (indexed files with zero matches contribute NO
     partitions); archives without a usable sidecar fall back to a
     whole-file scan — Spark re-applies the filters either way, so
-    pruning never changes results, only I/O."""
+    pruning never changes results, only I/O.
+
+    Per-archive sidecar scans run on a bounded thread pool (16-way, the
+    same shape as the shardpack manifest planner's): a lookup against a
+    many-archive dump overlaps its sidecar I/O instead of streaming the
+    files one after another driver-side.  Results keep file order
+    (ex.map), so the plan stays deterministic."""
     id_set, uri_set = set(ids), set(uris)
     have: set[str] | None = None
     if len(files) > 1:
@@ -180,32 +186,42 @@ def _lookup_partitions(
         be = storage.for_path(base)
         names = be.glob_names(base, "*" + warc_index.INDEX_SUFFIX)
         have = {f"{base}/{n}" for n in names}
-    parts: list[WarcFilePartition] = []
-    for p in files:
+
+    def one(p: str) -> list[WarcFilePartition]:
         head = (
             warc_index.index_header(p)
             if have is None or warc_index.index_path(p) in have
             else None
         )
         if head is None:
-            parts.append(WarcFilePartition(p))
-            continue
+            return [WarcFilePartition(p)]
         # single streamed pass, rows arrive in offset order: a hit marks
         # its member; the member's END is the next DISTINCT offset (or
         # archive size for the last) — never materializes the row set
+        sub: list[WarcFilePartition] = []
         archive_size = int(head["archive_size"])
         pending_hit: int | None = None
         prev_off: int | None = None
         for r in warc_index.iter_index_rows(p, validated=True):
             if prev_off is None or r.offset != prev_off:
                 if pending_hit is not None:
-                    parts.append(WarcFilePartition(p, pending_hit, r.offset))
+                    sub.append(WarcFilePartition(p, pending_hit, r.offset))
                     pending_hit = None
                 prev_off = r.offset
             if (r.record_id in id_set) or (r.target_uri in uri_set):
                 pending_hit = r.offset
         if pending_hit is not None:
-            parts.append(WarcFilePartition(p, pending_hit, archive_size))
+            sub.append(WarcFilePartition(p, pending_hit, archive_size))
+        return sub
+
+    if len(files) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            per_file = list(ex.map(one, files))
+    else:
+        per_file = [one(p) for p in files]
+    parts = [pt for sub in per_file for pt in sub]
     if not parts:
         # the engine calls read(None) when partitions() is empty — hand it
         # one explicit empty range instead (start == end yields no rows)

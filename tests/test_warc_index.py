@@ -685,6 +685,41 @@ def test_file_filter_prunes_listing(spark, tmp_path):
     assert len(got) == 1 and got[0].payload.startswith(b"payload 2 ")
 
 
+def test_lookup_planning_bounded_concurrency(tmp_path, monkeypatch):
+    """Point-lookup planning over a many-archive dump overlaps sidecar
+    scans on the bounded pool (>8 files engages it) and still prunes to
+    exactly the matching members, in deterministic file order."""
+    import threading
+
+    from shardpack_spark.format import warc_index as wi_mod
+    from shardpack_spark.format.warc_source import _lookup_partitions
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    files = []
+    for i in range(12):
+        p = _write(d, f"crawl-{i:05d}.warc.gz", n=5)
+        WI.build_warc_index(p)
+        files.append(p)
+
+    threads: set[int] = set()
+    real_header = wi_mod.index_header
+
+    def slow_header(p, be=None):
+        import time
+
+        threads.add(threading.get_ident())
+        time.sleep(0.02)  # force overlap so the pool is observable
+        return real_header(p, be=be)
+
+    monkeypatch.setattr(wi_mod, "index_header", slow_header)
+    parts = _lookup_partitions(files, ["<urn:x:3>"], [])
+    # every archive holds ids 0..4, so each contributes exactly one member
+    assert [pt.path for pt in parts] == files  # deterministic order
+    assert all(pt.end is not None and pt.end > pt.start for pt in parts)
+    assert len(threads) > 1  # pool engaged, not a sequential driver loop
+
+
 # --- property fuzz -------------------------------------------------------------
 
 from hypothesis import HealthCheck, given, settings
