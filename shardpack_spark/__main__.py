@@ -144,6 +144,10 @@ def main(argv: list[str] | None = None) -> int:
     wcat.add_argument("warc")
     wcat.add_argument("record_id")
     wcat.add_argument("--out", default=None, help="write the payload to this file")
+    wcat.add_argument("--dump-index", default=None,
+                      help="warc_dump_index dataset: resolve the record "
+                      "across a whole dump via the global locator (the "
+                      "positional <warc> is ignored for resolution)")
 
     wx = sub.add_parser("warc-index", help="build .cdxj sidecar record "
                         "indexes (Spark-free) — enables indexed warc-cat "
@@ -229,6 +233,18 @@ def main(argv: list[str] | None = None) -> int:
                 sys.stdout.buffer.write(payload)
             return 0
 
+        if args.dump_index:
+            # dump-wide locator: manifest min/max + bloom prune -> one
+            # shard -> (file, offset) -> ONE member; O(1) reads over a
+            # ~90k-archive dump (operators.webcorpus.warc_dump_index)
+            hits = warc_index.lookup_via_dump_index(
+                args.dump_index, args.record_id
+            )
+            if hits:
+                return _emit(hits[0])
+            print(json.dumps({"error": f"record {args.record_id!r} not in "
+                              f"dump index {args.dump_index!r}"}))
+            return 1
         # indexed fast path: .cdxj sidecar -> seek to ONE member; a
         # missing/stale sidecar falls through to the sequential scan
         hit = warc_index.lookup_record(args.warc, record_id=args.record_id)

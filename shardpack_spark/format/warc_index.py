@@ -404,6 +404,47 @@ def snap_bounds(
     return (None, None)
 
 
+def lookup_via_dump_index(
+    index_path: str,
+    value: str,
+    parse_http: bool = True,
+    max_payload_bytes: int | None = None,
+) -> list[WarcRecord]:
+    """Dump-wide point lookup served from a
+    :func:`operators.webcorpus.warc_dump_index` dataset: the shardpack
+    manifest path (min/max key ranges + per-shard Bloom filters) prunes
+    to the one shard naming the record, whose locator row hands back
+    ``(archive file, member offset)`` — then exactly ONE gzip member
+    decompresses.  O(1) reads over a ~90k-file dump, and Spark-free end
+    to end (reader facade), so the CLI and any plain python process can
+    random-access a crawl the way the per-archive ``.cdxj`` path
+    random-accesses one file.  Returns every match (duplicate ids /
+    re-crawled URIs are legal in the locator); missing keys return []."""
+    from shardpack_spark.format import reader as reader_mod
+
+    ds = reader_mod.open_dataset(index_path, verify_checksums=False)
+    out: list[WarcRecord] = []
+    for loc in ds.lookup(value):
+        f = loc.metadata.get("file")
+        off = int(loc.metadata.get("offset", "0"))
+        if not f:
+            continue
+        be = storage.for_path(f)
+        with be.open_read(f) as fh:
+            for rec in iter_warc_records(
+                fh,
+                parse_http=parse_http,
+                max_payload_bytes=max_payload_bytes,
+                start_offset=off,
+            ):
+                if rec.record_id == value or rec.target_uri == value:
+                    out.append(rec)
+                    break
+                if rec.offset > off:
+                    break  # left the located member: stale locator row
+    return out
+
+
 def lookup_record(
     archive_path: str,
     record_id: str | None = None,

@@ -441,6 +441,103 @@ def index_warc_archives(spark, path: str, tasks: int = 512) -> DataFrame:
     )
 
 
+def warc_dump_index(
+    spark,
+    path: str,
+    out: str,
+    key: str = "record_id",
+    tasks: int = 512,
+    target_shard_bytes: int | None = None,
+) -> str:
+    """Global record locator for a crawl dump: ONE key-sorted shardpack
+    dataset mapping record identity -> ``(archive file, member offset)``
+    — the dump-wide analog of the per-archive ``.cdxj`` sidecar, and the
+    public CDX-server convention applied to this engine's own format.
+
+    Per-archive sidecars answer "where in THIS file"; they cannot answer
+    "which of my ~90k files holds record X" without touching every
+    sidecar (even the bounded-pool lookup planner pays O(archives)
+    reads).  This builds the missing level: each record becomes a
+    zero-entry shardpack record ``key=<record_id|target_uri>``,
+    ``metadata={file, offset, uri, type}`` — so a dump-wide lookup rides
+    the EXISTING manifest machinery (min/max key ranges + per-shard
+    Bloom filters prune to one shard) and then decompresses exactly one
+    gzip member: O(1) reads regardless of dump size, Spark-free at query
+    time (:func:`format.warc_index.lookup_via_dump_index`, CLI
+    ``warc-cat --dump-index``).
+
+    Build shape (100 TB honest): one task per archive streams its
+    sidecar rows — headers-only archive parse when no sidecar exists —
+    then ONE range shuffle key-sorts the locator rows and executors
+    write the shards; the driver never sees a record.  ~60 B/record
+    means a 3B-record dump indexes into a ~200 GB dataset — big, but
+    distributed at build AND pruned at read, unlike a driver-side
+    anything.  Re-running overwrites atomically (shardpack overwrite
+    mode).  ``key='target_uri'`` builds the URL-keyed twin; duplicate
+    keys (re-crawls) are legal and all matches surface at lookup."""
+    from shardpack_spark.format import storage, warc, warc_index
+    from shardpack_spark.format.datasource import SCHEMA, register
+
+    if key not in ("record_id", "target_uri"):
+        raise ValueError(f"key must be record_id|target_uri, got {key!r}")
+    _register_modules_for_pickle()
+    register(spark)
+    files = warc.list_warc_files(path)
+
+    def scan(batches):
+        import pandas as pd
+
+        cols = ["key", "file", "offset", "uri", "wtype"]
+        for pdf in batches:
+            buf: list = []
+            for f in pdf["archive"]:
+                if warc_index.index_header(f) is not None:
+                    for r in warc_index.iter_index_rows(f, validated=True):
+                        k = r.record_id if key == "record_id" else r.target_uri
+                        if k:  # identity-less rows can't be looked up
+                            buf.append((k, f, r.offset, r.target_uri, r.warc_type))
+                else:
+                    be = storage.for_path(f)
+                    with be.open_read(f) as fh:
+                        for rec in warc.iter_warc_records(
+                            fh, parse_http=False, skip_payload=True
+                        ):
+                            k = (
+                                rec.record_id
+                                if key == "record_id"
+                                else rec.target_uri
+                            )
+                            if k:
+                                buf.append(
+                                    (k, f, rec.offset, rec.target_uri, rec.warc_type)
+                                )
+                if len(buf) >= 100_000:  # bounded batch memory per task
+                    yield pd.DataFrame(buf, columns=cols)
+                    buf = []
+            if buf:
+                yield pd.DataFrame(buf, columns=cols)
+
+    sdf = spark.createDataFrame([(f,) for f in files], "archive string")
+    raw = sdf.repartition(min(len(files), tasks)).mapInPandas(
+        scan, "key string, file string, offset long, uri string, wtype string"
+    )
+    rows = raw.select(
+        "key",
+        F.create_map(
+            F.lit("file"), F.col("file"),
+            F.lit("offset"), F.col("offset").cast("string"),
+            F.lit("uri"), F.coalesce(F.col("uri"), F.lit("")),
+            F.lit("type"), F.coalesce(F.col("wtype"), F.lit("")),
+        ).alias("metadata"),
+        F.array().cast(SCHEMA["entries"].dataType).alias("entries"),
+    )
+    w = rows.orderBy("key").write.format("shardpack").mode("overwrite")
+    if target_shard_bytes is not None:
+        w = w.option("target_shard_bytes", str(target_shard_bytes))
+    w.save(out)
+    return out
+
+
 # --- WAT (metadata archive) ingest -------------------------------------------
 #
 # Common Crawl ships three members per crawl segment: WARC (raw), WET

@@ -264,6 +264,10 @@ def test_pyspark_free_import():
         "from shardpack_spark.format.warc import list_warc_files\n"
         "from shardpack_spark.format import codec, storage\n"
         "from shardpack_spark.format.writer import open_writer\n"
+        # the dump-index lookup path (warc-cat --dump-index) rides the
+        # reader facade — also pyspark-free by contract
+        "from shardpack_spark.format import warc_index\n"
+        "from shardpack_spark.format.reader import open_dataset\n"
         "assert 'pyspark' not in sys.modules and 'py4j' not in sys.modules\n"
         "b = warc.warc_record_bytes('resource', b'x')\n"
         "assert list(warc.iter_warc_records(b))[0].block == b'x'\n"

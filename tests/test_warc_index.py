@@ -720,6 +720,117 @@ def test_lookup_planning_bounded_concurrency(tmp_path, monkeypatch):
     assert len(threads) > 1  # pool engaged, not a sequential driver loop
 
 
+def test_warc_dump_index_global_lookup(spark, tmp_path, monkeypatch):
+    """warc_dump_index builds the dump-wide locator (sidecar-fed AND
+    headers-only archives); lookup_via_dump_index resolves a record id
+    across the dump in O(1) reads: manifest-pruned shard + ONE member —
+    never a scan over every archive or sidecar."""
+    from shardpack_spark.format import storage
+    from shardpack_spark.operators.webcorpus import warc_dump_index
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    paths = []
+    for i in range(5):
+        p = _write(d, f"crawl-{i:05d}.warc.gz", n=4 + i)
+        if i % 2 == 0:
+            WI.build_warc_index(p)  # mixed: 3 indexed, 2 headers-only parsed
+        paths.append(p)
+
+    out = str(tmp_path / "locator")
+    warc_dump_index(spark, str(d), out, target_shard_bytes=8 * 1024)
+
+    hits = WI.lookup_via_dump_index(out, "<urn:x:3>")
+    assert len(hits) == 5  # ids repeat across all five archives
+    assert all(h.payload.startswith(b"payload 3 ") for h in hits)
+    assert {h.record_id for h in hits} == {"<urn:x:3>"}
+    # id present only in the larger archives
+    assert len(WI.lookup_via_dump_index(out, "<urn:x:7>")) == 1
+    assert WI.lookup_via_dump_index(out, "<urn:missing>") == []
+
+    # I/O bound: one lookup must not stream archives or sidecars — count
+    # bytes read from .warc.gz/.cdxj during a single-id lookup
+    counted = {"archive": 0}
+    real_for_path = storage.for_path
+
+    class CountingBackend:
+        def __init__(self, be):
+            self._be = be
+
+        def open_read(self, path):
+            f = self._be.open_read(path)
+            if not path.endswith(".warc.gz"):
+                return f
+            c = counted
+
+            class Wrap:
+                def read(self, n=-1):
+                    b = f.read(n)
+                    c["archive"] += len(b)
+                    return b
+
+                def seek(self, *a):
+                    return f.seek(*a)
+
+                def tell(self):
+                    return f.tell()
+
+                def close(self):
+                    return f.close()
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    f.close()
+
+            return Wrap()
+
+        def __getattr__(self, name):
+            return getattr(self._be, name)
+
+    monkeypatch.setattr(storage, "for_path", lambda p: CountingBackend(real_for_path(p)))
+    got = WI.lookup_via_dump_index(out, "<urn:x:7>")
+    assert len(got) == 1
+    total = sum(os.path.getsize(p) for p in paths)
+    assert counted["archive"] < total / 4, (counted["archive"], total)
+
+
+def test_warc_dump_index_uri_keyed(spark, tmp_path):
+    """key='target_uri' builds the URL-keyed twin; re-crawled URIs (the
+    same uri in several archives) all surface."""
+    from shardpack_spark.operators.webcorpus import warc_dump_index
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    for i in range(3):
+        p = _write(d, f"crawl-{i:05d}.warc.gz", n=4)
+        WI.build_warc_index(p)
+    out = str(tmp_path / "by_uri")
+    warc_dump_index(spark, str(d), out, key="target_uri")
+    hits = WI.lookup_via_dump_index(out, "http://ex.com/2")
+    assert len(hits) == 3 and all(h.target_uri == "http://ex.com/2" for h in hits)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="record_id|target_uri"):
+        warc_dump_index(spark, str(d), out, key="nope")
+
+
+def test_cli_warc_cat_dump_index(spark, tmp_path, capsys):
+    from shardpack_spark.__main__ import main
+    from shardpack_spark.operators.webcorpus import warc_dump_index
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    _write(d, "a.warc.gz", n=3)
+    out = str(tmp_path / "locator")
+    warc_dump_index(spark, str(d), out)
+    assert main(["warc-cat", "ignored.warc.gz", "<urn:x:1>", "--dump-index", out]) == 0
+    assert capsys.readouterr().out.startswith("payload 1 ")
+    assert main(["warc-cat", "x", "<urn:absent>", "--dump-index", out]) == 1
+
+
 # --- property fuzz -------------------------------------------------------------
 
 from hypothesis import HealthCheck, given, settings
