@@ -154,6 +154,19 @@ def main(argv: list[str] | None = None) -> int:
                         "point lookup and split-archive parallel scans")
     wx.add_argument("warc", help="a .warc[.gz] file or a directory of them")
 
+    wdx = sub.add_parser("warc-dump-index", help="dump-wide record "
+                         "locator as a shardpack dataset (Spark-free "
+                         "sequential twin of operators.webcorpus."
+                         "warc_dump_index; buffers+sorts locator rows in "
+                         "memory, so sized for small/medium dumps — use "
+                         "the Spark builder for crawl-scale)")
+    wdx.add_argument("warc", help="a .warc[.gz] file or a directory of them")
+    wdx.add_argument("dataset")
+    wdx.add_argument("--key", default="record_id",
+                     choices=("record_id", "target_uri"))
+    wdx.add_argument("--mode", default="overwrite",
+                     choices=("overwrite", "append"))
+
     wi = sub.add_parser("warc-import", help="WARC archive(s) -> shardpack "
                         "dataset (Spark-free; key=record id, headers as "
                         "record metadata)")
@@ -256,6 +269,45 @@ def main(argv: list[str] | None = None) -> int:
                     return _emit(r)
         print(json.dumps({"error": f"record {args.record_id!r} not found"}))
         return 1
+    if args.cmd == "warc-dump-index":
+        from shardpack_spark.format import codec as fc
+        from shardpack_spark.format import storage, warc, warc_index
+        from shardpack_spark.format.warc import list_warc_files
+        from shardpack_spark.format.writer import open_writer
+
+        rows = []
+        n_files = 0
+        for path in list_warc_files(args.warc):
+            n_files += 1
+            if warc_index.index_header(path) is not None:
+                for r in warc_index.iter_index_rows(path, validated=True):
+                    k = r.record_id if args.key == "record_id" else r.target_uri
+                    if k:
+                        rows.append((k, path, r.offset, r.target_uri, r.warc_type))
+            else:
+                with storage.for_path(path).open_read(path) as f:
+                    for rec in warc.iter_warc_records(
+                        f, parse_http=False, skip_payload=True
+                    ):
+                        k = (
+                            rec.record_id
+                            if args.key == "record_id"
+                            else rec.target_uri
+                        )
+                        if k:
+                            rows.append(
+                                (k, path, rec.offset, rec.target_uri, rec.warc_type)
+                            )
+        rows.sort(key=lambda t: t[0])  # key-sorted shards -> tight min/max
+        with open_writer(args.dataset, mode=args.mode) as w:
+            for k, path, off, uri, wtype in rows:
+                w.write(fc.Record(key=k, entries=[], metadata={
+                    "file": path, "offset": str(off),
+                    "uri": uri or "", "type": wtype or "",
+                }))
+        print(json.dumps({"dataset": args.dataset, "files": n_files,
+                          "records": len(rows), "key": args.key}))
+        return 0
     if args.cmd == "warc-index":
         from shardpack_spark.format.warc import list_warc_files
         from shardpack_spark.format.warc_index import build_warc_index

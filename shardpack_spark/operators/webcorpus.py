@@ -448,6 +448,8 @@ def warc_dump_index(
     key: str = "record_id",
     tasks: int = 512,
     target_shard_bytes: int | None = None,
+    mode: str = "overwrite",
+    files: "list[str] | None" = None,
 ) -> str:
     """Global record locator for a crawl dump: ONE key-sorted shardpack
     dataset mapping record identity -> ``(archive file, member offset)``
@@ -472,17 +474,52 @@ def warc_dump_index(
     write the shards; the driver never sees a record.  ~60 B/record
     means a 3B-record dump indexes into a ~200 GB dataset — big, but
     distributed at build AND pruned at read, unlike a driver-side
-    anything.  Re-running overwrites atomically (shardpack overwrite
-    mode).  ``key='target_uri'`` builds the URL-keyed twin; duplicate
-    keys (re-crawls) are legal and all matches surface at lookup."""
+    anything.  ``key='target_uri'`` builds the URL-keyed twin; duplicate
+    keys (re-crawls) are legal and all matches surface at lookup.
+
+    Incrementality — a growing dump (daily crawl drops) must not
+    rebuild its locator:
+
+    - ``mode='overwrite'`` (default): full rebuild, atomic replace.
+    - ``mode='append'``: index only ``files`` (or the whole listing)
+      and APPEND the locator rows as new shards — the caller names the
+      arrivals.  Appended shards keep per-shard min/max + Bloom stats,
+      so lookups stay pruned (at worst one shard probed per append
+      generation).
+    - ``mode='sync'``: diff the live listing against the archives the
+      locator already names (one metadata-only distinct scan of the
+      locator — collect bounded by the ARCHIVE count, not records) and
+      append just the new ones; a no-op when nothing landed.  A
+      missing/empty locator falls back to a full append-build."""
     from shardpack_spark.format import storage, warc, warc_index
-    from shardpack_spark.format.datasource import SCHEMA, register
+    from shardpack_spark.format.datasource import SCHEMA, read_shardpack, register
 
     if key not in ("record_id", "target_uri"):
         raise ValueError(f"key must be record_id|target_uri, got {key!r}")
+    if mode not in ("overwrite", "append", "sync"):
+        raise ValueError(f"mode must be overwrite|append|sync, got {mode!r}")
     _register_modules_for_pickle()
     register(spark)
-    files = warc.list_warc_files(path)
+    files = list(files) if files is not None else warc.list_warc_files(path)
+    if mode == "sync":
+        try:
+            # distinct archive names already in the locator: metadata-only
+            # read (the records are zero-entry anyway); collect is bounded
+            # by the archive count — the same driver memory the listing
+            # itself costs
+            have = {
+                r.f
+                for r in read_shardpack(spark, out, columns=["metadata"])
+                .select(F.element_at("metadata", "file").alias("f"))
+                .distinct()
+                .collect()
+            }
+        except Exception:
+            have = set()  # no locator yet: full build via append
+        files = [f for f in files if f not in have]
+        if not files:
+            return out  # nothing landed since the last sync
+        mode = "append"
 
     def scan(batches):
         import pandas as pd
@@ -531,7 +568,9 @@ def warc_dump_index(
         ).alias("metadata"),
         F.array().cast(SCHEMA["entries"].dataType).alias("entries"),
     )
-    w = rows.orderBy("key").write.format("shardpack").mode("overwrite")
+    w = rows.orderBy("key").write.format("shardpack").mode(
+        "overwrite" if mode == "overwrite" else "append"
+    )
     if target_shard_bytes is not None:
         w = w.option("target_shard_bytes", str(target_shard_bytes))
     w.save(out)

@@ -817,6 +817,45 @@ def test_warc_dump_index_uri_keyed(spark, tmp_path):
         warc_dump_index(spark, str(d), out, key="nope")
 
 
+def test_warc_dump_index_append_and_sync(spark, tmp_path):
+    """A growing dump never rebuilds its locator: append indexes only the
+    named arrivals; sync diffs the listing against the locator's own
+    archive set and is a no-op when nothing landed."""
+    from shardpack_spark.format.datasource import read_shardpack
+    from shardpack_spark.operators.webcorpus import warc_dump_index
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    for i in range(2):
+        WI.build_warc_index(_write(d, f"crawl-{i:05d}.warc.gz", n=3))
+    out = str(tmp_path / "locator")
+    warc_dump_index(spark, str(d), out)
+    assert len(WI.lookup_via_dump_index(out, "<urn:x:1>")) == 2
+
+    # a new archive lands; caller-named append indexes ONLY it
+    p2 = _write(d, "crawl-00002.warc.gz", n=3)
+    WI.build_warc_index(p2)
+    warc_dump_index(spark, str(d), out, mode="append", files=[p2])
+    assert len(WI.lookup_via_dump_index(out, "<urn:x:1>")) == 3
+
+    # sync: two more land (one without a sidecar), only they are added
+    _write(d, "crawl-00003.warc.gz", n=4)
+    WI.build_warc_index(_write(d, "crawl-00004.warc.gz", n=4))
+    warc_dump_index(spark, str(d), out, mode="sync")
+    assert len(WI.lookup_via_dump_index(out, "<urn:x:1>")) == 5
+    assert len(WI.lookup_via_dump_index(out, "<urn:x:3>")) == 2  # only n=4 archives
+
+    # idempotent: a second sync adds nothing (locator row count stable)
+    n_before = read_shardpack(spark, out, columns=["key"]).count()
+    warc_dump_index(spark, str(d), out, mode="sync")
+    assert read_shardpack(spark, out, columns=["key"]).count() == n_before
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overwrite|append|sync"):
+        warc_dump_index(spark, str(d), out, mode="replace")
+
+
 def test_cli_warc_cat_dump_index(spark, tmp_path, capsys):
     from shardpack_spark.__main__ import main
     from shardpack_spark.operators.webcorpus import warc_dump_index
@@ -829,6 +868,29 @@ def test_cli_warc_cat_dump_index(spark, tmp_path, capsys):
     assert main(["warc-cat", "ignored.warc.gz", "<urn:x:1>", "--dump-index", out]) == 0
     assert capsys.readouterr().out.startswith("payload 1 ")
     assert main(["warc-cat", "x", "<urn:absent>", "--dump-index", out]) == 1
+
+
+def test_cli_warc_dump_index_sequential_twin(tmp_path, capsys):
+    """The Spark-free CLI builder produces a locator the same lookup
+    path serves — whole loop without pyspark (mixed sidecar/headers-only
+    archives, uri-keyed variant too)."""
+    from shardpack_spark.__main__ import main
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    WI.build_warc_index(_write(d, "a.warc.gz", n=3))
+    _write(d, "b.warc.gz", n=4)  # no sidecar: headers-only parse path
+    out = str(tmp_path / "locator")
+    assert main(["warc-dump-index", str(d), out]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["files"] == 2 and rep["records"] == 7  # 3 + 4 responses
+    hits = WI.lookup_via_dump_index(out, "<urn:x:2>")
+    assert len(hits) == 2 and all(h.payload.startswith(b"payload 2 ") for h in hits)
+
+    out2 = str(tmp_path / "by_uri")
+    assert main(["warc-dump-index", str(d), out2, "--key", "target_uri"]) == 0
+    capsys.readouterr()
+    assert len(WI.lookup_via_dump_index(out2, "http://ex.com/3")) == 1
 
 
 # --- property fuzz -------------------------------------------------------------
@@ -910,3 +972,33 @@ def test_fuzz_stream_materialize_parity(tmp_path_factory, n, damage, data):
                 for r in W.iter_warc_records(f, start_offset=seek, end_offset=stop)
             )
     assert sorted(par2) == sorted(seq_all)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=6), min_size=1, max_size=4),
+    data=st.data(),
+)
+def test_fuzz_dump_locator_lookup_parity(tmp_path_factory, sizes, data):
+    """For any dump shape (archive count/sizes, random sidecar presence),
+    the Spark-free locator build + lookup_via_dump_index returns exactly
+    the records a sequential scan of every archive would — per id, the
+    match count equals the number of archives containing it."""
+    from shardpack_spark.__main__ import main
+
+    tmp_path = tmp_path_factory.mktemp("dl")
+    d = tmp_path / "dump"
+    d.mkdir()
+    for i, n in enumerate(sizes):
+        p = _write(d, f"crawl-{i:05d}.warc.gz", n=n)
+        if data.draw(st.booleans(), label=f"sidecar-{i}"):
+            WI.build_warc_index(p)
+    out = str(tmp_path / "locator")
+    assert main(["warc-dump-index", str(d), out]) == 0
+
+    for j in range(max(sizes)):
+        hits = WI.lookup_via_dump_index(out, f"<urn:x:{j}>")
+        assert len(hits) == sum(1 for n in sizes if n > j), (j, sizes)
+        assert all(h.payload.startswith(f"payload {j} ".encode()) for h in hits)
+    assert WI.lookup_via_dump_index(out, "<urn:x:absent>") == []
