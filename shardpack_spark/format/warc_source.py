@@ -141,8 +141,7 @@ def _plan_file_partitions(
             names = be.glob_names(base, "*" + warc_index.INDEX_SUFFIX)
             have = {f"{base}/{n}" for n in names}
             indexed = {f for f in files if warc_index.index_path(f) in have}
-    parts: list[WarcFilePartition] = []
-    for p in files:
+    def one(p: str) -> list[WarcFilePartition]:
         if indexed is not None and p in indexed:
             # header-only: validates magic/version + staleness and yields
             # the size the grid is cut from; stale/foreign -> whole-file
@@ -151,15 +150,25 @@ def _plan_file_partitions(
             if head is not None:
                 size = int(head["archive_size"])
                 if size > target_split_bytes:
-                    parts.extend(
+                    return [
                         WarcFilePartition(
                             p, s, min(s + target_split_bytes, size), snap=True
                         )
                         for s in range(0, size, target_split_bytes)
-                    )
-                    continue
-        parts.append(WarcFilePartition(p))
-    return parts
+                    ]
+        return [WarcFilePartition(p)]
+
+    if indexed and len(files) > 8:
+        # overlap the per-archive header reads (same bounded pool as the
+        # lookup planner and the shardpack manifest planner); ex.map
+        # keeps file order so plans stay deterministic
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            per_file = list(ex.map(one, files))
+    else:
+        per_file = [one(p) for p in files]
+    return [pt for sub in per_file for pt in sub]
 
 
 def _lookup_partitions(
