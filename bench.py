@@ -417,6 +417,50 @@ def main() -> None:
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
+    # WARC family: export the sf documents as crawl archives once (with
+    # .cdxj sidecars), then time (a) a full split scan through the
+    # executor-snapped range partitions and (b) a dump-locator point
+    # lookup — the two access paths a crawl-scale user lives on
+    wdir = tempfile.mkdtemp(prefix="bench_warc_")
+    try:
+        from shardpack_spark.format.warc_index import lookup_via_dump_index
+        from shardpack_spark.format.warc_source import read_warc
+        from shardpack_spark.operators.webcorpus import (
+            documents_to_warc,
+            warc_dump_index,
+        )
+
+        arch = os.path.join(wdir, "arch")
+        documents_to_warc(
+            load_table(spark, sf_dir, "documents").coalesce(4), arch
+        ).collect()
+
+        # seconds, not MB/s: the sf0.1 fixture is small enough that the
+        # scan is task-overhead-bound (true throughput is the README's
+        # 990 MB probe); this tracks the split/snap machinery's fixed
+        # cost round over round
+        def warc_scan():
+            read_warc(spark, arch, target_split_bytes="262144").count()
+
+        warc_scan()
+        yard["warc_split_scan_s"] = round(
+            min(time_query(warc_scan) for _ in range(2)), 3
+        )
+
+        loc = os.path.join(wdir, "loc")
+        warc_dump_index(spark, arch, loc)
+        some_id = "<urn:doc:7>"  # documents_to_warc writes <urn:doc:{doc_id}>
+
+        def locator_probe():
+            assert lookup_via_dump_index(loc, some_id)  # a hit, not a miss
+
+        locator_probe()
+        yard["warc_locator_lookup_s"] = round(
+            min(time_query(locator_probe) for _ in range(2)), 3
+        )
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
+
     total = round(sum(queries.values()), 3)
     total_min = round(sum(s["min"] for s in spread.values()), 3)
     # The driver records only the LAST 2,000 chars of stdout, so the ONE
