@@ -349,6 +349,50 @@ def split_ranges_for(
     return [r for r in ranges if r[1] > r[0]]
 
 
+_BISECT_WINDOW = 1 << 20  # stop bisecting, stream linearly, below this
+_PROBE_BYTES = 64 * 1024  # initial ranged read per probe (doubled as needed)
+
+
+def _row_offset_at(be, ip: str, pos: int, size: int) -> tuple[int, int] | None:
+    """First parseable row line starting at/after byte ``pos`` of the
+    sidecar: ``(archive_offset, line_start_byte)``, or None when no
+    parseable row exists in ``[pos, size)``.  ``pos == 0`` skips the
+    header line; ``pos > 0`` drops the (possibly partial) line in
+    progress.  Damaged lines are skipped forward — the probe never
+    *misreads*, it only walks further."""
+    read_at = pos
+    buf = b""
+    dropped = False
+    want = _PROBE_BYTES
+    while True:
+        if not buf.count(b"\n"):
+            chunk = be.read_bytes(ip, read_at, want)
+            if not chunk:
+                return None
+            buf += chunk
+            read_at += len(chunk)
+            want = min(want * 2, 8 << 20)
+            continue
+        lines = buf.split(b"\n")
+        tail = lines.pop()  # incomplete (or empty) remainder
+        base = pos
+        for raw in lines:
+            line_start = base
+            base += len(raw) + 1
+            if not dropped:
+                dropped = True  # header at pos 0, partial line otherwise
+                continue
+            if not raw.strip():
+                continue
+            try:
+                d = json.loads(raw.decode("utf-8"))
+                return (int(d["o"]), line_start)
+            except (ValueError, KeyError, TypeError):
+                continue  # damaged line: walk forward
+        pos = base
+        buf = tail
+
+
 def snap_bounds(
     archive_path: str, start: int, end: int, be=None
 ) -> tuple[int | None, int | None] | None:
@@ -360,47 +404,91 @@ def snap_bounds(
     before any task launches), so the planner cuts a fixed byte grid
     from the sidecar HEADER alone (~100 B per archive; same pattern as
     the shardpack EOF-index resolved task-side, reference
-    docs/draft.md:124-127) and each task snaps its own range here by
-    streaming a sidecar PREFIX — rows up to its own end offset.
+    docs/draft.md:124-127) and each task snaps its own range here.
 
-    Ownership rule: a task owns the members whose start offsets lie in
-    ``[start, end)`` — the same rule for every task, computed from the
-    same row stream, so the union over the grid is exactly one
-    sequential scan.  Returns:
+    Each task BISECTS the sidecar by byte position (rows are line-JSON
+    in offset order) to land just below its ``start``, then streams only
+    its own slice — O(log(sidecar) probes + the task's share of rows),
+    not a prefix scan: an 800-split scan of a 100 GiB archive reads each
+    sidecar byte ~once across all tasks instead of ~400x.
 
-    - ``(seek, end)``: normal case — parse from ``seek`` (first distinct
-      member offset >= start; may be >= end, which parses nothing) with
-      ``end`` as the member-start stop bound.
-    - ``(seek, None)``: the row stream ended (file tail OR torn sidecar)
-      before any offset >= end — this task owns everything from ``seek``
-      to EOF.  At most one task per archive takes this branch (any later
-      range can find no offset >= its start), so a torn sidecar degrades
-      to one bigger tail task, never a dropped or duplicated member.
-    - ``(None, None)``: no member starts at/after ``start`` — nothing to
-      scan.  Exception: when the sidecar has ZERO usable rows, the
-      ``start == 0`` task gets ``(0, None)`` (whole-file scan) so a
-      torn-at-birth sidecar stays lossless.
+    Ownership is by VISIBLE (parseable) row boundaries, identical for
+    every task: ``seek`` = first visible member offset >= start,
+    ``stop`` = first visible member offset >= end.  Adjacent tasks
+    compute the same boundary from the same rows, so the union over the
+    grid covers ``[0, archive_size)`` exactly — members whose index row
+    is damaged are parsed by whichever task owns the preceding visible
+    boundary (the WARC parser walks real bytes; the sidecar only picks
+    seek/stop points).  Returns:
+
+    - ``(seek, stop)``: parse members in ``[seek, stop)``; equal values
+      mean nothing to scan here.
+    - ``(seek, None)``: no visible offset >= end — this task owns
+      everything from ``seek`` to EOF (file tail, or a sidecar torn at
+      the tail).  At most one task per archive takes this branch.
+    - ``(None, None)``: no visible offset at/after ``start`` — nothing
+      to scan.  Exception: the ``start == 0`` task always parses from
+      byte 0 (``seek`` forced to 0), so archives whose early rows are
+      damaged — or sidecars with zero usable rows — stay lossless.
     - ``None``: sidecar absent/foreign/STALE at read time — the caller
-      falls back (every task of the archive sees the same header
-      verdict, so exactly one whole-file scan results).
+      falls back (every task sees the same header verdict, so exactly
+      one whole-file scan results).
     """
     be = be or storage.for_path(archive_path)
     if index_header(archive_path, be=be) is None:
         return None
-    seek: int | None = None
-    last: int | None = None
-    for row in iter_index_rows(archive_path, be=be, validated=True):
-        if row.offset == last:
-            continue  # multi-record member
-        last = row.offset
-        if seek is None and row.offset >= start:
-            seek = row.offset
-        if row.offset >= end:
-            return (seek, end)
+    ip = index_path(archive_path)
+    try:
+        size = be.getsize(ip)
+    except Exception:
+        size = _archive_size(be, ip)
+    # bisect byte positions: find a line start whose row offset < start
+    # (scan begins there); 0 when none is known
+    lo, lo_line_start = 0, False
+    hi = size
+    if start > 0:
+        while hi - lo > _BISECT_WINDOW:
+            mid = (lo + hi) // 2
+            probe = _row_offset_at(be, ip, mid, size)
+            if probe is None or probe[0] >= start:
+                hi = mid
+            else:
+                # probe[1] is a LINE START > mid (partial line at mid is
+                # dropped), so lo strictly advances — guaranteed to halve
+                lo, lo_line_start = probe[1], True
+    # stream rows from lo, skipping damaged lines
+    seek: int | None = 0 if start == 0 else None
+    buf = b""
+    dropped = lo_line_start  # a known line start needs no partial-drop
+    read_at = lo
+    while True:
+        chunk = be.read_bytes(ip, read_at, 1 << 20)
+        if chunk:
+            read_at += len(chunk)
+            buf += chunk
+            lines = buf.split(b"\n")
+            buf = lines.pop()
+        else:
+            lines = [buf] if buf else []
+            buf = b""
+        for raw in lines:
+            if not dropped:
+                dropped = True  # header (pos 0) or partial line
+                continue
+            if not raw.strip():
+                continue
+            try:
+                off = int(json.loads(raw.decode("utf-8"))["o"])
+            except (ValueError, KeyError, TypeError):
+                continue  # damaged line: boundaries come from visible rows
+            if seek is None and off >= start:
+                seek = off
+            if off >= end:
+                return (seek if seek is not None else off, off)
+        if not chunk:
+            break
     if seek is not None:
         return (seek, None)
-    if last is None and start == 0:
-        return (0, None)
     return (None, None)
 
 

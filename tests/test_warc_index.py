@@ -378,6 +378,80 @@ def test_snap_bounds_empty_sidecar_zero_task_scans(tmp_path):
     assert WI.snap_bounds(p, 200, 400) == (None, None)
 
 
+def test_snap_bounds_bisect_path_parity_and_io(tmp_path, monkeypatch):
+    """With the bisect window shrunk, snap_bounds takes the byte-bisect
+    path: grid union still equals a sequential scan, and a LATE task
+    reads only O(log + slice) sidecar bytes — not the prefix (the
+    100 GiB-archive property: each sidecar byte is read ~once across all
+    tasks, not ~tasks/2 times)."""
+    from shardpack_spark.format import storage
+
+    p = _write(tmp_path, n=40)
+    WI.build_warc_index(p)
+    monkeypatch.setattr(WI, "_BISECT_WINDOW", 256)
+    monkeypatch.setattr(WI, "_PROBE_BYTES", 128)
+
+    seq = [
+        (r.offset, r.record_id, r.parse_error is not None)
+        for r in W.iter_warc_records(open(p, "rb"))
+    ]
+    for target in (200, 700, 2000):
+        assert sorted(_grid_scan(p, target)) == sorted(seq), target
+
+    # I/O: the LAST grid cell's snap must read far less than the sidecar
+    sidecar = os.path.getsize(p + WI.INDEX_SUFFIX)
+    size = os.path.getsize(p)
+    target = 700
+    last_start = (size // target) * target
+    if last_start == size:
+        last_start -= target
+    counted = {"n": 0}
+    real_for_path = storage.for_path
+
+    class CountingBE:
+        def __init__(self, be):
+            self._be = be
+
+        def read_bytes(self, path, *a, **kw):
+            out = self._be.read_bytes(path, *a, **kw)
+            if path.endswith(WI.INDEX_SUFFIX):
+                counted["n"] += len(out)
+            return out
+
+        def __getattr__(self, name):
+            return getattr(self._be, name)
+
+    b = WI.snap_bounds(p, last_start, size, be=CountingBE(real_for_path(p)))
+    assert b is not None
+    # probes are 128 B (doubling) + one <=1 MiB stream capped by EOF; the
+    # real bound asserted: we did NOT stream the whole sidecar prefix
+    # repeatedly — allow the final linear window but not 2x the sidecar
+    assert counted["n"] < sidecar + 4096, (counted["n"], sidecar)
+
+
+def test_snap_bounds_interior_sidecar_damage_lossless(tmp_path):
+    """A damaged row line in the MIDDLE of the sidecar (valid lines after
+    it): boundaries come from visible rows on both sides, so the grid
+    union still equals a sequential scan with no duplicates — the member
+    whose row was damaged is parsed by the task owning the preceding
+    visible boundary."""
+    p = _write(tmp_path, n=12)
+    WI.build_warc_index(p)
+    ip = p + WI.INDEX_SUFFIX
+    lines = open(ip).read().splitlines()
+    lines[6] = '{"o": not-json'  # interior damage; later lines intact
+    open(ip, "w").write("\n".join(lines) + "\n")
+
+    seq = [
+        (r.offset, r.record_id, r.parse_error is not None)
+        for r in W.iter_warc_records(open(p, "rb"))
+    ]
+    for target in (150, 400, 900):
+        got = _grid_scan(p, target)
+        assert sorted(got) == sorted(seq), target
+        assert len(got) == len(seq)  # no duplicates either
+
+
 def test_snap_bounds_stale_sidecar_returns_none(tmp_path):
     p = _write(tmp_path, n=3)
     WI.build_warc_index(p)
