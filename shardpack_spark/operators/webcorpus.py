@@ -568,8 +568,31 @@ def warc_dump_index(
         ).alias("metadata"),
         F.array().cast(SCHEMA["entries"].dataType).alias("entries"),
     )
-    w = rows.orderBy("key").write.format("shardpack").mode(
-        "overwrite" if mode == "overwrite" else "append"
+    # coverage record: the locator names the archives it indexed in the
+    # dataset's user_metadata, so format("warc") pushdown can trust a
+    # MISS for covered files (prune to zero) while uncovered files fall
+    # back to whole-file scans — 'pruning never changes results' holds
+    # without scanning the locator to learn its coverage.  Append merges
+    # the prior set (dataset_metadata keys replace on merge).
+    import json as _json
+
+    covered = set(files)
+    if mode != "overwrite":
+        try:
+            from shardpack_spark.format import manifest as _manifest
+
+            man = _manifest._load_manifest(out) or {}
+            covered |= set(
+                _json.loads((man.get("user_metadata") or {}).get("warc_covered", "[]"))
+            )
+        except Exception:
+            pass  # no locator yet: coverage starts at this build's files
+    meta = {"warc_covered": _json.dumps(sorted(covered)), "warc_key": key}
+    w = (
+        rows.orderBy("key")
+        .write.format("shardpack")
+        .mode("overwrite" if mode == "overwrite" else "append")
+        .option("dataset_metadata", _json.dumps(meta))
     )
     if target_shard_bytes is not None:
         w = w.option("target_shard_bytes", str(target_shard_bytes))

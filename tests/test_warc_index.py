@@ -930,6 +930,78 @@ def test_warc_dump_index_append_and_sync(spark, tmp_path):
         warc_dump_index(spark, str(d), out, mode="replace")
 
 
+def test_dump_index_serves_warc_pushdown(spark, tmp_path):
+    """format('warc') with dump_index= plans record_id pushdown from the
+    locator: one (offset, offset+1) member partition per hit — O(values)
+    planning reads instead of O(archives) sidecar scans; files outside
+    the locator's coverage fall back to whole-file scans so arrivals are
+    never lost; filters the locator is not keyed for fall back to
+    sidecar planning."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from shardpack_spark.format.warc_source import WarcPushdownReader, read_warc
+    from shardpack_spark.operators.webcorpus import warc_dump_index
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    for i in range(3):
+        WI.build_warc_index(_write(d, f"crawl-{i:05d}.warc.gz", n=4))
+    loc = str(tmp_path / "locator")
+    warc_dump_index(spark, str(d), loc)
+
+    # plan-level: one single-member partition per hit, nothing else
+    r = WarcPushdownReader({"path": str(d), "dump_index": loc})
+    r.pushFilters([EqualTo(("record_id",), "<urn:x:2>")])
+    parts = r.partitions()
+    assert len(parts) == 3  # the id exists once per archive
+    assert all(pt.end == pt.start + 1 for pt in parts)
+
+    # engine-level: values correct through the session
+    got = (
+        read_warc(spark, str(d), dump_index=loc)
+        .filter(F.col("record_id") == "<urn:x:2>")
+        .collect()
+    )
+    assert len(got) == 3 and all(x.payload.startswith(b"payload 2 ") for x in got)
+
+    # a covered MISS prunes to zero (empty-range sentinel partition)
+    r2 = WarcPushdownReader({"path": str(d), "dump_index": loc})
+    r2.pushFilters([EqualTo(("record_id",), "<urn:absent>")])
+    sent = r2.partitions()
+    assert len(sent) == 1 and sent[0].start == sent[0].end == 0
+
+    # an archive lands AFTER the locator build: uncovered -> whole-file
+    # fallback, its record still surfaces
+    _write(d, "crawl-00003.warc.gz", n=4)
+    r3 = WarcPushdownReader({"path": str(d), "dump_index": loc})
+    r3.pushFilters([EqualTo(("record_id",), "<urn:x:2>")])
+    parts3 = r3.partitions()
+    whole = [pt for pt in parts3 if pt.end is None]
+    assert len(whole) == 1 and whole[0].path.endswith("crawl-00003.warc.gz")
+    assert (
+        read_warc(spark, str(d), dump_index=loc)
+        .filter(F.col("record_id") == "<urn:x:2>")
+        .count()
+        == 4
+    )
+
+    # sync folds the arrival into coverage: the whole-file part vanishes
+    warc_dump_index(spark, str(d), loc, mode="sync")
+    r4 = WarcPushdownReader({"path": str(d), "dump_index": loc})
+    r4.pushFilters([EqualTo(("record_id",), "<urn:x:2>")])
+    assert all(pt.end == pt.start + 1 for pt in r4.partitions())
+
+    # a target_uri filter on a record_id-keyed locator: sidecar planning
+    # decides (correct rows, not half-pruned)
+    got_uri = (
+        read_warc(spark, str(d), dump_index=loc)
+        .filter(F.col("target_uri") == "http://ex.com/1")
+        .count()
+    )
+    assert got_uri == 4
+
+
 def test_cli_warc_cat_dump_index(spark, tmp_path, capsys):
     from shardpack_spark.__main__ import main
     from shardpack_spark.operators.webcorpus import warc_dump_index
