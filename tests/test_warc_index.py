@@ -1002,6 +1002,42 @@ def test_dump_index_serves_warc_pushdown(spark, tmp_path):
     assert got_uri == 4
 
 
+def test_dump_index_unusable_locator_degrades_to_sidecar(spark, tmp_path):
+    """A missing or foreign dump_index never breaks a read: planning
+    falls back to per-archive sidecar pruning with identical results."""
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.format.warc_source import read_warc
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    for i in range(2):
+        WI.build_warc_index(_write(d, f"crawl-{i:05d}.warc.gz", n=3))
+
+    # nonexistent locator path
+    got = (
+        read_warc(spark, str(d), dump_index=str(tmp_path / "nope"))
+        .filter(F.col("record_id") == "<urn:x:1>")
+        .collect()
+    )
+    assert len(got) == 2
+
+    # foreign dataset (a real shardpack dataset without locator metadata)
+    other = str(tmp_path / "foreign")
+    spark.createDataFrame(
+        [("k", {}, [])],
+        "key string, metadata map<string,string>, "
+        "entries array<struct<file_name:string,content_type:string,"
+        "encoding:string,size:bigint,data:binary>>",
+    ).write.format("shardpack").mode("append").save(other)
+    got2 = (
+        read_warc(spark, str(d), dump_index=other)
+        .filter(F.col("record_id") == "<urn:x:1>")
+        .collect()
+    )
+    assert len(got2) == 2
+
+
 def test_cli_warc_cat_dump_index(spark, tmp_path, capsys):
     from shardpack_spark.__main__ import main
     from shardpack_spark.operators.webcorpus import warc_dump_index
