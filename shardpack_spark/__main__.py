@@ -271,41 +271,43 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     if args.cmd == "warc-dump-index":
         from shardpack_spark.format import codec as fc
-        from shardpack_spark.format import storage, warc, warc_index
+        from shardpack_spark.format import warc_index
         from shardpack_spark.format.warc import list_warc_files
         from shardpack_spark.format.writer import open_writer
 
+        files = list_warc_files(args.warc)
         rows = []
-        n_files = 0
-        for path in list_warc_files(args.warc):
-            n_files += 1
-            if warc_index.index_header(path) is not None:
-                for r in warc_index.iter_index_rows(path, validated=True):
-                    k = r.record_id if args.key == "record_id" else r.target_uri
-                    if k:
-                        rows.append((k, path, r.offset, r.target_uri, r.warc_type))
-            else:
-                with storage.for_path(path).open_read(path) as f:
-                    for rec in warc.iter_warc_records(
-                        f, parse_http=False, skip_payload=True
-                    ):
-                        k = (
-                            rec.record_id
-                            if args.key == "record_id"
-                            else rec.target_uri
-                        )
-                        if k:
-                            rows.append(
-                                (k, path, rec.offset, rec.target_uri, rec.warc_type)
-                            )
+        for path in files:
+            # torn-safe per-archive enumeration (sidecar when complete,
+            # headers-only parse otherwise) — same unit the Spark builder
+            # uses, so both produce equivalently honest coverage
+            rows.extend(warc_index.locator_rows_for_archive(path, key=args.key))
         rows.sort(key=lambda t: t[0])  # key-sorted shards -> tight min/max
-        with open_writer(args.dataset, mode=args.mode) as w:
+        # same coverage + key metadata as the Spark builder: without it a
+        # CLI-built locator cannot serve format('warc') dump_index
+        # pushdown (_locator_partitions bails on a missing warc_key)
+        covered = set(files)
+        if args.mode == "append":
+            from shardpack_spark.format import manifest as mf
+
+            man = mf._load_manifest(args.dataset) or {}
+            covered |= (
+                warc_index.read_warc_coverage(args.dataset, man.get("user_metadata"))
+                or set()
+            )
+        meta = {
+            "warc_key": args.key,
+            **warc_index.write_warc_coverage(args.dataset, covered),
+        }
+        with open_writer(
+            args.dataset, mode=args.mode, dataset_metadata=meta
+        ) as w:
             for k, path, off, uri, wtype in rows:
                 w.write(fc.Record(key=k, entries=[], metadata={
                     "file": path, "offset": str(off),
                     "uri": uri or "", "type": wtype or "",
                 }))
-        print(json.dumps({"dataset": args.dataset, "files": n_files,
+        print(json.dumps({"dataset": args.dataset, "files": len(files),
                           "records": len(rows), "key": args.key}))
         return 0
     if args.cmd == "warc-index":

@@ -2280,7 +2280,12 @@ def read_shardpack(
         options["entry_names"] = json.dumps(sorted(set(entry_names)))
     if (
         "prune_by_key" not in options
-        and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false") == "true"
+        # case-insensitive like the JVM's toBoolean: conf.set(..., True)
+        # stores 'True' and Spark honors it — so must this gate
+        and str(
+            spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        ).lower()
+        == "true"
     ):
         options["prune_by_key"] = "true"
     if (

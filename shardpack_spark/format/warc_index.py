@@ -36,6 +36,8 @@ through ``format.storage`` (local, sim://, memory://, s3://).
 
 from __future__ import annotations
 
+import gzip
+import hashlib
 import json
 from dataclasses import dataclass
 
@@ -255,7 +257,9 @@ def index_header(archive_path: str, be=None) -> dict | None:
     return head
 
 
-def iter_index_rows(archive_path: str, be=None, validated: bool = False):
+def iter_index_rows(
+    archive_path: str, be=None, validated: bool = False, status: dict | None = None
+):
     """STREAM sidecar rows without materializing them — the planning and
     lookup primitive for huge archives (a 100 GiB archive's sidecar is
     ~800 MB; loading it per planning call is exactly the allocation this
@@ -263,10 +267,26 @@ def iter_index_rows(archive_path: str, be=None, validated: bool = False):
     offset order; yields nothing for an unusable sidecar unless the
     caller already ran :func:`index_header` (``validated=True``).
     Torn row lines end the stream at the damage point (offsets already
-    yielded remain valid seek points)."""
+    yielded remain valid seek points).
+
+    ``status``: optional dict filled when the generator finishes —
+    ``status['complete']`` is True iff the stream reached a clean end:
+    no torn/damaged line stopped it early, no dangling partial final
+    line, and the header's ``records`` count (when recorded; streamed
+    builds write -1 = unknown) matched the rows seen.  Consumers that
+    DERIVE indexes from the sidecar (dump locator, lookup planning) must
+    check it: a torn sidecar silently misses every record after the
+    tear, and treating the archive as fully enumerated would let a
+    pruned MISS drop rows a full scan returns.  ``complete`` stays False
+    if the caller abandons the generator early."""
+    if status is not None:
+        status["complete"] = False
+        status["rows"] = 0
     be = be or storage.for_path(archive_path)
     if not validated and index_header(archive_path, be=be) is None:
         return
+    expected = -1
+    n = 0
     with be.open_read(index_path(archive_path)) as f:
         # explicit buffered line split: storage handles expose read(),
         # not necessarily line iteration (pyarrow NativeFile isn't
@@ -285,12 +305,18 @@ def iter_index_rows(archive_path: str, be=None, validated: bool = False):
             for raw in lines:
                 if first:
                     first = False  # header line
+                    try:
+                        expected = int(
+                            json.loads(raw.decode("utf-8")).get("records", -1)
+                        )
+                    except (ValueError, TypeError, AttributeError):
+                        expected = -1  # header damage: count unknowable
                     continue
                 if not raw.strip():
                     continue
                 try:
                     d = json.loads(raw.decode("utf-8"))
-                    yield WarcIndexRow(
+                    row = WarcIndexRow(
                         offset=int(d["o"]),
                         warc_type=d.get("t"),
                         record_id=d.get("id"),
@@ -304,7 +330,12 @@ def iter_index_rows(archive_path: str, be=None, validated: bool = False):
                     # validation) — d["o"] on a non-dict must stop the
                     # stream, not escape out of planning/lookup.
                     return
+                n += 1
+                yield row
             if not chunk:
+                if status is not None:
+                    status["rows"] = n
+                    status["complete"] = expected < 0 or n == expected
                 return
 
 
@@ -356,17 +387,21 @@ _PROBE_BYTES = 64 * 1024  # initial ranged read per probe (doubled as needed)
 def _row_offset_at(be, ip: str, pos: int, size: int) -> tuple[int, int] | None:
     """First parseable row line starting at/after byte ``pos`` of the
     sidecar: ``(archive_offset, line_start_byte)``, or None when no
-    parseable row exists in ``[pos, size)``.  ``pos == 0`` skips the
-    header line; ``pos > 0`` drops the (possibly partial) line in
-    progress.  Damaged lines are skipped forward — the probe never
-    *misreads*, it only walks further."""
+    parseable row COMPLETES in ``[pos, size)`` — reads never touch bytes
+    at or past ``size``, so a concurrent append past the probed snapshot
+    size cannot leak into the bisect.  ``pos == 0`` skips the header
+    line; ``pos > 0`` drops the (possibly partial) line in progress.
+    Damaged lines are skipped forward — the probe never *misreads*, it
+    only walks further."""
     read_at = pos
     buf = b""
     dropped = False
     want = _PROBE_BYTES
     while True:
         if not buf.count(b"\n"):
-            chunk = be.read_bytes(ip, read_at, want)
+            if read_at >= size:
+                return None  # no complete line left inside the bound
+            chunk = be.read_bytes(ip, read_at, min(want, size - read_at))
             if not chunk:
                 return None
             buf += chunk
@@ -490,6 +525,103 @@ def snap_bounds(
     if seek is not None:
         return (seek, None)
     return (None, None)
+
+
+COVERAGE_DIR = "_warc_coverage"
+
+
+def write_warc_coverage(dataset_path: str, covered: set[str], be=None) -> dict:
+    """Persist a dump locator's archive-coverage set as its own tiny
+    side object and return the user_metadata fields that reference it.
+
+    The coverage set is O(archives) — ~7-9 MB of JSON at a ~90k-archive
+    crawl — and it used to live INLINE in the manifest's user_metadata,
+    which every manifest version copies and every planning call parses.
+    Storing it as one content-addressed gzip under
+    ``<dataset>/_warc_coverage/`` keeps the manifest fixed-size (a ~40 B
+    ref + a count) while time travel stays consistent: appends write a
+    NEW superset object under a new hash name, and each manifest version
+    keeps referencing the object that was current when it committed.
+    Identical coverage re-published (idempotent sync) dedupes to the
+    same name.  Returns ``{'warc_covered_ref', 'warc_covered_count'}``."""
+    payload = gzip.compress(
+        json.dumps(sorted(covered)).encode(), mtime=0  # content-addressable
+    )
+    name = f"cov-{hashlib.sha256(payload).hexdigest()[:16]}.json.gz"
+    rel = f"{COVERAGE_DIR}/{name}"
+    be = be or storage.for_path(dataset_path)
+    full = dataset_path.rstrip("/") + "/" + rel
+    if not be.exists(full):
+        be.makedirs(dataset_path.rstrip("/") + "/" + COVERAGE_DIR)
+        be.write_atomic(full, payload)
+    return {"warc_covered_ref": rel, "warc_covered_count": str(len(covered))}
+
+
+def read_warc_coverage(
+    dataset_path: str, user_metadata: dict | None, be=None
+) -> set[str] | None:
+    """Coverage set recorded by :func:`write_warc_coverage` — or the
+    legacy inline ``warc_covered`` JSON array older locators carry.
+    ``None`` means coverage is UNKNOWN (missing/unreadable ref): callers
+    must then treat no archive as covered, so a locator MISS can never
+    prune a file whose enumeration cannot be proven."""
+    um = user_metadata or {}
+    be = be or storage.for_path(dataset_path)
+    ref = um.get("warc_covered_ref")
+    if ref:
+        if "/../" in f"/{ref}/" or ref.startswith("/"):
+            return None  # a ref may only point inside the dataset
+        try:
+            data = be.read_bytes(dataset_path.rstrip("/") + "/" + ref, 0, None)
+            names = json.loads(gzip.decompress(data).decode("utf-8"))
+            return {n for n in names if isinstance(n, str)}
+        except Exception:
+            return None
+    legacy = um.get("warc_covered")
+    if legacy is not None:
+        try:
+            names = json.loads(legacy)
+            return {n for n in names if isinstance(n, str)}
+        except Exception:
+            return None
+    return None
+
+
+def locator_rows_for_archive(
+    archive_path: str, key: str = "record_id", be=None
+) -> list[tuple]:
+    """COMPLETE locator rows ``(key, file, offset, uri, type)`` for one
+    archive — the per-archive unit of a dump-locator build (Spark task
+    or CLI loop both call this).
+
+    Rows come from the ``.cdxj`` sidecar when it is fresh AND its row
+    stream finished cleanly; a TORN sidecar (damaged line / count
+    mismatch) is discarded whole and the archive gets one headers-only
+    parse instead.  The completeness gate is what keeps dump-locator
+    coverage honest: the locator declares every archive it indexed as
+    covered (a MISS on a covered file prunes to zero), so an archive may
+    only be indexed from a source that enumerated ALL of its records —
+    a sidecar torn at byte N silently misses everything after N, and
+    snap_bounds-style lossless degradation does not exist for a derived
+    index.  Identity-less rows (no id/uri for the chosen key) are
+    skipped — they cannot be looked up."""
+    be = be or storage.for_path(archive_path)
+    rows: list[tuple] = []
+    if index_header(archive_path, be=be) is not None:
+        st: dict = {}
+        for r in iter_index_rows(archive_path, be=be, validated=True, status=st):
+            k = r.record_id if key == "record_id" else r.target_uri
+            if k:
+                rows.append((k, archive_path, r.offset, r.target_uri, r.warc_type))
+        if st.get("complete"):
+            return rows
+        rows = []  # torn sidecar: rows after the tear are invisible
+    with be.open_read(archive_path) as fh:
+        for rec in iter_warc_records(fh, parse_http=False, skip_payload=True):
+            k = rec.record_id if key == "record_id" else rec.target_uri
+            if k:
+                rows.append((k, archive_path, rec.offset, rec.target_uri, rec.warc_type))
+    return rows
 
 
 def lookup_via_dump_index(

@@ -211,7 +211,8 @@ def _lookup_partitions(
         archive_size = int(head["archive_size"])
         pending_hit: int | None = None
         prev_off: int | None = None
-        for r in warc_index.iter_index_rows(p, validated=True):
+        st: dict = {}
+        for r in warc_index.iter_index_rows(p, validated=True, status=st):
             if prev_off is None or r.offset != prev_off:
                 if pending_hit is not None:
                     sub.append(WarcFilePartition(p, pending_hit, r.offset))
@@ -219,6 +220,14 @@ def _lookup_partitions(
                 prev_off = r.offset
             if (r.record_id in id_set) or (r.target_uri in uri_set):
                 pending_hit = r.offset
+        if not st.get("complete"):
+            # TORN sidecar: records after the tear are invisible to this
+            # pass, and a zero-match verdict for them would DROP rows a
+            # full scan returns.  Emitted hit ranges can't be kept
+            # alongside a tail scan either (an overlapping range would
+            # duplicate rows) — one whole-file scan is the lossless
+            # degradation, mirroring locator_rows_for_archive's rule.
+            return [WarcFilePartition(p)]
         if pending_hit is not None:
             sub.append(WarcFilePartition(p, pending_hit, archive_size))
         return sub
@@ -258,9 +267,9 @@ def _locator_partitions(
         man = manifest._load_manifest(index_path) or {}
         um = man.get("user_metadata") or {}
         key_kind = um.get("warc_key")
-        import json as _json
-
-        covered = set(_json.loads(um.get("warc_covered", "[]")))
+        # side-object coverage set (legacy inline warc_covered honored);
+        # None = coverage unprovable -> nothing may be pruned to zero
+        covered = warc_index.read_warc_coverage(index_path, um) or set()
     except Exception:
         return None
     if key_kind == "record_id":
@@ -644,7 +653,12 @@ def read_warc(spark, path: str, **options):
     register_warc(spark)
     if (
         "prune_by_key" not in options
-        and spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        # case-insensitive like the JVM's toBoolean: a session configured
+        # with a Python bool stores 'True', which Spark honors — the
+        # pruning path must engage for it too
+        and str(
+            spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        ).lower()
         == "true"
     ):
         options["prune_by_key"] = "true"

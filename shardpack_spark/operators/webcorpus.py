@@ -491,7 +491,7 @@ def warc_dump_index(
       locator — collect bounded by the ARCHIVE count, not records) and
       append just the new ones; a no-op when nothing landed.  A
       missing/empty locator falls back to a full append-build."""
-    from shardpack_spark.format import storage, warc, warc_index
+    from shardpack_spark.format import warc, warc_index
     from shardpack_spark.format.datasource import SCHEMA, read_shardpack, register
 
     if key not in ("record_id", "target_uri"):
@@ -528,26 +528,13 @@ def warc_dump_index(
         for pdf in batches:
             buf: list = []
             for f in pdf["archive"]:
-                if warc_index.index_header(f) is not None:
-                    for r in warc_index.iter_index_rows(f, validated=True):
-                        k = r.record_id if key == "record_id" else r.target_uri
-                        if k:  # identity-less rows can't be looked up
-                            buf.append((k, f, r.offset, r.target_uri, r.warc_type))
-                else:
-                    be = storage.for_path(f)
-                    with be.open_read(f) as fh:
-                        for rec in warc.iter_warc_records(
-                            fh, parse_http=False, skip_payload=True
-                        ):
-                            k = (
-                                rec.record_id
-                                if key == "record_id"
-                                else rec.target_uri
-                            )
-                            if k:
-                                buf.append(
-                                    (k, f, rec.offset, rec.target_uri, rec.warc_type)
-                                )
+                # torn-safe enumeration: a sidecar whose row stream does
+                # not COMPLETE (damaged line / count mismatch) is
+                # discarded whole and the archive re-parsed headers-only
+                # — every archive this build names as covered really has
+                # ALL its records in the locator, so a covered MISS may
+                # prune to zero (warc_index.locator_rows_for_archive)
+                buf.extend(warc_index.locator_rows_for_archive(f, key=key))
                 if len(buf) >= 100_000:  # bounded batch memory per task
                     yield pd.DataFrame(buf, columns=cols)
                     buf = []
@@ -568,12 +555,18 @@ def warc_dump_index(
         ).alias("metadata"),
         F.array().cast(SCHEMA["entries"].dataType).alias("entries"),
     )
-    # coverage record: the locator names the archives it indexed in the
-    # dataset's user_metadata, so format("warc") pushdown can trust a
-    # MISS for covered files (prune to zero) while uncovered files fall
-    # back to whole-file scans — 'pruning never changes results' holds
-    # without scanning the locator to learn its coverage.  Append merges
-    # the prior set (dataset_metadata keys replace on merge).
+    # coverage record: the locator names the archives it indexed, so
+    # format("warc") pushdown can trust a MISS for covered files (prune
+    # to zero) while uncovered files fall back to whole-file scans —
+    # 'pruning never changes results' holds without scanning the locator
+    # to learn its coverage.  The set itself is O(archives) (~8 MB at a
+    # ~90k-file crawl), so it lives as a content-addressed side object
+    # under <out>/_warc_coverage/ and the manifest's user_metadata keeps
+    # only a fixed-size ref + count (write_warc_coverage) — a manifest
+    # that embedded the list inline would re-copy and re-parse it on
+    # every append and every planning call.  Append merges the prior set
+    # (dataset_metadata keys replace on merge, so the new ref wins while
+    # old manifest versions keep referencing their own objects).
     import json as _json
 
     covered = set(files)
@@ -582,12 +575,12 @@ def warc_dump_index(
             from shardpack_spark.format import manifest as _manifest
 
             man = _manifest._load_manifest(out) or {}
-            covered |= set(
-                _json.loads((man.get("user_metadata") or {}).get("warc_covered", "[]"))
+            covered |= (
+                warc_index.read_warc_coverage(out, man.get("user_metadata")) or set()
             )
         except Exception:
             pass  # no locator yet: coverage starts at this build's files
-    meta = {"warc_covered": _json.dumps(sorted(covered)), "warc_key": key}
+    meta = {"warc_key": key, **warc_index.write_warc_coverage(out, covered)}
     w = (
         rows.orderBy("key")
         .write.format("shardpack")

@@ -1075,6 +1075,249 @@ def test_cli_warc_dump_index_sequential_twin(tmp_path, capsys):
     assert len(WI.lookup_via_dump_index(out2, "http://ex.com/3")) == 1
 
 
+# --- torn-sidecar honesty + bounded coverage (round 9) -----------------------
+
+
+def test_iter_index_rows_status(tmp_path):
+    """status['complete'] is True only for a cleanly finished stream:
+    torn tails and header-count mismatches both report incomplete."""
+    p = _write(tmp_path, "a.warc.gz", n=4)
+    WI.build_warc_index(p)
+    st: dict = {}
+    rows = list(WI.iter_index_rows(p, status=st))
+    assert len(rows) == 4 and st["complete"] and st["rows"] == 4
+
+    # torn mid-row: stream stops at the damage, complete goes False
+    ip = p + WI.INDEX_SUFFIX
+    data = open(ip, "rb").read()
+    open(ip, "wb").write(data[:-10])
+    st2: dict = {}
+    rows2 = list(WI.iter_index_rows(p, status=st2))
+    assert len(rows2) < 4 and not st2["complete"]
+
+    # count mismatch with CLEAN lines: a full row dropped from a sidecar
+    # whose header recorded the true count (write_warc_index path)
+    p2 = _write(tmp_path, "b.warc.gz", n=4)
+    WI.build_warc_index(p2)
+    idx = WI.read_warc_index(p2)
+    WI.write_warc_index(p2, idx.rows, idx.archive_size)  # header records=4
+    ip2 = p2 + WI.INDEX_SUFFIX
+    lines = open(ip2, "rb").read().splitlines(keepends=True)
+    open(ip2, "wb").write(b"".join(lines[:-1]))
+    st3: dict = {}
+    rows3 = list(WI.iter_index_rows(p2, status=st3))
+    assert len(rows3) == 3 and not st3["complete"]
+
+    # abandoning the generator early never reports complete
+    st4: dict = {}
+    next(WI.iter_index_rows(p2, status=st4))
+    assert not st4["complete"]
+
+
+def test_row_offset_at_respects_size_bound(tmp_path):
+    """The probe's size parameter is a hard read bound: no row completing
+    inside [pos, size) means None, and bytes past size are never read."""
+    from shardpack_spark.format import storage
+
+    p = _write(tmp_path, "a.warc.gz", n=4)
+    WI.build_warc_index(p)
+    ip = p + WI.INDEX_SUFFIX
+    be = storage.for_path(ip)
+    full = os.path.getsize(ip)
+    assert WI._row_offset_at(be, ip, 0, 10) is None  # bound inside the header
+    assert WI._row_offset_at(be, ip, full, full) is None  # pos at the bound
+    off, line_start = WI._row_offset_at(be, ip, 0, full)
+    assert off == 0 and line_start > 0  # first row, after the header line
+
+
+def test_locator_rows_for_archive_torn_sidecar(tmp_path):
+    """A torn sidecar is discarded whole and the archive re-parsed
+    headers-only — the per-archive locator unit is always complete."""
+    p = _write(tmp_path, "a.warc.gz", n=5)
+    WI.build_warc_index(p)
+    rows = WI.locator_rows_for_archive(p)
+    assert [r[0] for r in rows] == [f"<urn:x:{i}>" for i in range(5)]
+
+    ip = p + WI.INDEX_SUFFIX
+    data = open(ip, "rb").read()
+    open(ip, "wb").write(data[:-15])
+    rows2 = WI.locator_rows_for_archive(p)
+    assert [r[0] for r in rows2] == [r[0] for r in rows]
+
+    # uri-keyed twin takes the same fallback
+    rows3 = WI.locator_rows_for_archive(p, key="target_uri")
+    assert [r[0] for r in rows3] == [f"http://ex.com/{i}" for i in range(5)]
+
+
+def test_dump_index_torn_sidecar_stays_honest(spark, tmp_path):
+    """ADVICE r8 (medium): an archive whose sidecar is torn must not be
+    declared covered off the partial row stream — records after the tear
+    would MISS in the locator and covered-MISS pruning would drop rows a
+    full scan returns.  The build's full-parse fallback keeps coverage
+    honest, so the late record resolves through the locator AND through
+    coverage-trusting pushdown."""
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.format.warc_source import read_warc
+    from shardpack_spark.operators.webcorpus import warc_dump_index
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    WI.build_warc_index(_write(d, "crawl-00000.warc.gz", n=3))
+    p1 = _write(d, "crawl-00001.warc.gz", n=6)
+    WI.build_warc_index(p1)
+    ip = p1 + WI.INDEX_SUFFIX
+    data = open(ip, "rb").read()
+    open(ip, "wb").write(data[: len(data) // 2])
+    st: dict = {}
+    seen = list(WI.iter_index_rows(p1, status=st))
+    assert 0 < len(seen) < 6 and not st.get("complete")  # the tear hides the tail
+
+    loc = str(tmp_path / "locator")
+    warc_dump_index(spark, str(d), loc)
+    assert len(WI.lookup_via_dump_index(loc, "<urn:x:5>")) == 1
+    got = (
+        read_warc(spark, str(d), dump_index=loc)
+        .filter(F.col("record_id") == "<urn:x:5>")
+        .collect()
+    )
+    assert len(got) == 1 and got[0].payload.startswith(b"payload 5 ")
+
+
+def test_lookup_partitions_torn_sidecar_whole_file(spark, tmp_path):
+    """_lookup_partitions' analog of the same hazard: a torn sidecar
+    falls back to ONE whole-file scan (never pruned ranges that would
+    miss post-tear records, never overlapping ranges that would
+    duplicate rows)."""
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.format.warc_source import _lookup_partitions, read_warc
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    p = _write(d, "a.warc.gz", n=6)
+    WI.build_warc_index(p)
+    ip = p + WI.INDEX_SUFFIX
+    data = open(ip, "rb").read()
+    open(ip, "wb").write(data[: len(data) // 2])
+
+    parts = _lookup_partitions([p], ["<urn:x:5>"], [])
+    assert len(parts) == 1 and parts[0].start == 0 and parts[0].end is None
+
+    # engine-level: a visible-row hit plus a post-tear hit — each exactly once
+    got = (
+        read_warc(spark, str(d))
+        .filter(F.col("record_id").isin(["<urn:x:0>", "<urn:x:5>"]))
+        .collect()
+    )
+    assert sorted(r.record_id for r in got) == ["<urn:x:0>", "<urn:x:5>"]
+
+
+def test_coverage_side_object_bounded(tmp_path):
+    """VERDICT r8 #3: 10k covered archives round-trip through a
+    content-addressed side object while the user_metadata fields stay
+    fixed-size; legacy inline coverage still reads; unreadable refs mean
+    coverage-unknown (None), never a guess."""
+    ds = str(tmp_path / "loc")
+    os.makedirs(ds)
+    names = {f"s3://crawl/segments/{i:06d}.warc.gz" for i in range(10_000)}
+    meta = WI.write_warc_coverage(ds, names)
+    assert len(json.dumps(meta)) < 200
+    assert WI.read_warc_coverage(ds, meta) == names
+    assert WI.write_warc_coverage(ds, names) == meta  # content-addressed dedupe
+    assert len(os.listdir(os.path.join(ds, WI.COVERAGE_DIR))) == 1
+
+    # an append writes a NEW object; the old ref still resolves (each
+    # manifest version keeps referencing the object it committed with)
+    meta2 = WI.write_warc_coverage(ds, names | {"x.warc.gz"})
+    assert meta2["warc_covered_ref"] != meta["warc_covered_ref"]
+    assert WI.read_warc_coverage(ds, meta) == names
+    assert len(WI.read_warc_coverage(ds, meta2)) == 10_001
+
+    assert WI.read_warc_coverage(ds, {"warc_covered": json.dumps(["a", "b"])}) == {"a", "b"}
+    assert WI.read_warc_coverage(ds, {"warc_covered_ref": f"{WI.COVERAGE_DIR}/nope.json.gz"}) is None
+    assert WI.read_warc_coverage(ds, {"warc_covered_ref": "/etc/hostname"}) is None
+    assert WI.read_warc_coverage(ds, {"warc_covered_ref": "../../escape.json.gz"}) is None
+    assert WI.read_warc_coverage(ds, {}) is None
+
+
+def test_locator_manifest_metadata_bounded(spark, tmp_path):
+    """End-to-end: locator builds record a fixed-size coverage ref in the
+    manifest (never the O(archives) inline list), appends keep it
+    bounded, and coverage decisions are unchanged."""
+    from shardpack_spark.format import manifest as MF
+    from shardpack_spark.operators.webcorpus import warc_dump_index
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    for i in range(3):
+        WI.build_warc_index(_write(d, f"crawl-{i:05d}.warc.gz", n=3))
+    loc = str(tmp_path / "locator")
+    warc_dump_index(spark, str(d), loc)
+    um = (MF._load_manifest(loc) or {}).get("user_metadata") or {}
+    assert "warc_covered" not in um and um.get("warc_key") == "record_id"
+    assert int(um["warc_covered_count"]) == 3 and len(json.dumps(um)) < 300
+    assert WI.read_warc_coverage(loc, um) == {
+        str(d / f"crawl-{i:05d}.warc.gz") for i in range(3)
+    }
+
+    p3 = _write(d, "crawl-00003.warc.gz", n=3)
+    WI.build_warc_index(p3)
+    warc_dump_index(spark, str(d), loc, mode="append", files=[p3])
+    um2 = (MF._load_manifest(loc) or {}).get("user_metadata") or {}
+    assert int(um2["warc_covered_count"]) == 4 and len(json.dumps(um2)) < 300
+    assert str(p3) in WI.read_warc_coverage(loc, um2)
+
+
+def test_cli_dump_index_serves_pushdown(spark, tmp_path, capsys):
+    """ADVICE r8: the CLI sequential twin records warc_key + coverage, so
+    a CLI-built locator serves format('warc') dump_index pushdown exactly
+    like the Spark builder's — including covered-MISS prune-to-zero and
+    append-mode coverage merge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from shardpack_spark.__main__ import main
+    from shardpack_spark.format.warc_source import WarcPushdownReader, read_warc
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    for i in range(2):
+        WI.build_warc_index(_write(d, f"crawl-{i:05d}.warc.gz", n=3))
+    loc = str(tmp_path / "locator")
+    assert main(["warc-dump-index", str(d), loc]) == 0
+    capsys.readouterr()
+
+    r = WarcPushdownReader({"path": str(d), "dump_index": loc})
+    r.pushFilters([EqualTo(("record_id",), "<urn:x:1>")])
+    parts = r.partitions()
+    assert len(parts) == 2 and all(pt.end == pt.start + 1 for pt in parts)
+
+    r2 = WarcPushdownReader({"path": str(d), "dump_index": loc})
+    r2.pushFilters([EqualTo(("record_id",), "<urn:absent>")])
+    sent = r2.partitions()
+    assert len(sent) == 1 and sent[0].start == sent[0].end == 0
+
+    got = (
+        read_warc(spark, str(d), dump_index=loc)
+        .filter(F.col("record_id") == "<urn:x:1>")
+        .collect()
+    )
+    assert len(got) == 2
+
+    # CLI append merges coverage like the Spark builder
+    p2 = _write(d, "crawl-00002.warc.gz", n=3)
+    assert main(["warc-dump-index", str(d), loc, "--mode", "append"]) == 0
+    capsys.readouterr()
+    from shardpack_spark.format import manifest as MF
+
+    um = (MF._load_manifest(loc) or {}).get("user_metadata") or {}
+    assert int(um["warc_covered_count"]) == 3
+    r3 = WarcPushdownReader({"path": str(d), "dump_index": loc})
+    r3.pushFilters([EqualTo(("record_id",), "<urn:x:1>")])
+    assert all(pt.end == pt.start + 1 for pt in r3.partitions())
+
+
 # --- property fuzz -------------------------------------------------------------
 
 from hypothesis import HealthCheck, given, settings
