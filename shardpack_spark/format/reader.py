@@ -528,6 +528,63 @@ class Dataset:
                     out.append(rec)
         return out
 
+    def lookup_many(self, keys) -> "dict[str, list[codec.Record]]":
+        """Batched point lookup: ONE pass per surviving shard however
+        many keys name it.  A 10k-value IN-filter planning call
+        (``warc_source._locator_partitions``) would otherwise pay 10k
+        serial ``lookup`` calls — each Bloom-pruned to ~one shard, but a
+        shard naming many of the values is re-read once per value.  Here
+        every key is pruned against each shard's [min,max] range + Bloom
+        first, then each shard with ≥1 candidate is scanned once for ALL
+        its candidates.  Returns ``{key: [records]}`` (missing keys map
+        to []), identical to ``{k: self.lookup(k) for k in keys}``
+        including patch-overlay semantics."""
+        out: dict[str, list[codec.Record]] = {k: [] for k in keys}
+        overlay = self._load_overlay()
+        rest: set[str] = set()
+        for k in out:
+            if overlay and k in overlay:
+                rec = overlay[k]
+                if rec is not _TOMBSTONE:
+                    out[k].append(_select_entries(rec, self.entry_names))
+            else:
+                rest.add(k)
+        if not rest:
+            return out
+        hashes = {k: manifest._bloom_key_hashes(k) for k in rest}
+        for name in self._names:
+            s = self._stats.get(name, {})
+            kmin, kmax = s.get("min_key"), s.get("max_key")
+            bloom = s.get("bloom")
+            bits = b""
+            if bloom:
+                try:
+                    bits = base64.b64decode(bloom.get("bits", ""))
+                except Exception:
+                    bits = b""
+            cand = {
+                k
+                for k in rest
+                if not (
+                    kmin is not None and kmax is not None and not (kmin <= k <= kmax)
+                )
+                and not (
+                    bloom
+                    and not manifest._bloom_maybe_contains(bloom, bits, k, hashes[k])
+                )
+            }
+            if not cand:
+                continue
+            sp = os.path.join(self.path, name)
+            for rec in codec.iter_records(
+                sp,
+                verify_checksums=self.verify_checksums,
+                entry_names=self.entry_names,
+            ):
+                if rec.key in cand:
+                    out[rec.key].append(rec)
+        return out
+
     def metadata(self, key: str) -> dict | None:
         """Record metadata without decoding payloads (R4, the
         index-serves-metadata path) — first match wins; None if absent."""

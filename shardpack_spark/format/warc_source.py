@@ -289,8 +289,11 @@ def _locator_partitions(
     try:
         ds = reader.open_dataset(index_path, verify_checksums=False)
         hits: set[tuple[str, int]] = set()
-        for v in values:
-            for loc in ds.lookup(v):
+        # batched: each manifest-surviving shard is read once for ALL
+        # values naming it — a 10k-id IN filter plans in O(shards
+        # touched) reads, not O(values) serial pruned lookups
+        for locs in ds.lookup_many(values).values():
+            for loc in locs:
                 f = loc.metadata.get("file")
                 off = int(loc.metadata.get("offset", "0"))
                 if f and f in file_set and f in covered:

@@ -222,6 +222,51 @@ def test_lookup_prunes_with_blooms(spark, tmp_path, monkeypatch):
     assert len(opened) <= 2, "absent key should be vetoed by every bloom"
 
 
+def test_lookup_many_parity_and_single_pass(spark, tmp_path, monkeypatch):
+    """lookup_many == {k: lookup(k)} for present/absent/tombstoned keys,
+    and a shard naming several of the values is scanned ONCE — the
+    batched IN-filter planning path (a 10k-value filter must not pay 10k
+    serial pruned reads)."""
+    from shardpack_spark.format.patches import tombstones, write_patch
+
+    base = str(tmp_path / "many")
+    _records(spark, range(200)).write.format("shardpack").option(
+        "target_shard_bytes", 512
+    ).mode("overwrite").save(base)
+    write_patch(tombstones(spark, ["k/0007"]), base)
+
+    keys = [f"k/{i:04d}" for i in (3, 7, 11, 123, 124, 125)] + ["k/nope"]
+    ds = open_dataset(base)
+    got = ds.lookup_many(keys)
+    for k in keys:
+        single = ds.lookup(k)
+        assert [r.key for r in got[k]] == [r.key for r in single]
+        assert [r.entries[0].data if r.entries else None for r in got[k]] == [
+            r.entries[0].data if r.entries else None for r in single
+        ]
+    assert got["k/0007"] == [] and got["k/nope"] == []
+    assert got["k/0123"][0].entries[0].data == b"v1123"
+
+    # single pass: adjacent keys share a shard — the batch must not
+    # reopen it per key (strictly fewer opens than sum of singles)
+    opened: list[str] = []
+    real = codec.iter_records
+
+    def counting(path, *a, **kw):
+        opened.append(path)
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(codec, "iter_records", counting)
+    ds2 = open_dataset(base)
+    ds2.lookup_many(keys)
+    batched = len(opened)
+    opened.clear()
+    ds3 = open_dataset(base)
+    for k in keys:
+        ds3.lookup(k)
+    assert batched < len(opened), (batched, len(opened))
+
+
 def test_adhoc_directory_without_commit_log(tmp_path):
     """Codec-written directories (no manifest) read through the facade
     via the listing fallback — same visibility as the Spark reader."""
