@@ -177,6 +177,83 @@ def decode_payload_text(
     return dec(F.col(payload_col), F.col(content_type_col))
 
 
+def _export_warc_partitions(
+    df: DataFrame, cols: list, path: str, make, write_index: bool
+) -> DataFrame:
+    """Shared executor-write loop of every WARC-family exporter
+    (:func:`documents_to_warc` / :func:`wat_export` / :func:`wet_export`):
+    each input partition streams its rows into ONE gzip-member-per-record
+    archive through the storage layer — no driver collect, no
+    whole-partition buffering — and publishes a ``.cdxj`` sidecar from
+    the writer's own member sizes (zero extra read passes).
+
+    ``make(row_dict)`` builds one record: returns ``(record_bytes,
+    warc_type, record_id, target_uri, file_suffix)`` — the suffix picks
+    the container convention (``.warc.gz`` for WARC/WAT, ``.warc.wet.gz``
+    for WET conversion archives).  Returns the (partition-count-sized)
+    manifest DataFrame ``(file, n_records)``; an ACTION materializes the
+    files."""
+    from shardpack_spark.format import storage, warc, warc_index
+
+    _register_modules_for_pickle()
+
+    def write_part(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        handle = None
+        target = None
+        n = 0
+        offset = 0
+        idx_rows = []
+        try:
+            for pdf in batches:
+                for vals in pdf[cols].itertuples(index=False, name=None):
+                    rec, wtype, rid, uri, suffix = make(dict(zip(cols, vals)))
+                    if handle is None:
+                        target = f"{path.rstrip('/')}/part-{pid:05d}{suffix}"
+                        be = storage.for_path(target)
+                        be.makedirs(path)
+                        handle = be.create(target)
+                    # WriteHandle exposes .write — exactly the file-like
+                    # surface write_warc streams members onto
+                    sizes: list = []
+                    warc.write_warc(handle, [rec], sizes_out=sizes)
+                    if write_index:
+                        # the writer KNOWS each member's offset — index
+                        # rows cost zero additional I/O
+                        idx_rows.append(
+                            warc_index.WarcIndexRow(
+                                offset=offset,
+                                warc_type=wtype,
+                                record_id=rid,
+                                target_uri=uri,
+                            )
+                        )
+                    offset += sizes[0]
+                    n += 1
+            if handle is not None:
+                handle.close()
+                if write_index:
+                    warc_index.write_warc_index(target, idx_rows, offset)
+                yield pd.DataFrame({"file": [target], "n_records": [n]})
+        except BaseException:
+            if handle is not None:
+                handle.abort()
+            raise
+
+    return df.select(*cols).mapInPandas(write_part, "file string, n_records long")
+
+
+def _hval(v) -> str:
+    """Column value -> safe header value: CR/LF would be header injection
+    (warc_record_bytes rejects them, and one hostile row must not abort
+    the export job), so fold them to spaces; None stays absent, not
+    'None' (callers check)."""
+    return " ".join(str(v).split())
+
+
 def documents_to_warc(
     df: DataFrame,
     path: str,
@@ -206,94 +283,41 @@ def documents_to_warc(
     Returns the (partition-count-sized) manifest DataFrame
     ``(file, n_records)`` — an ACTION is required to materialize the
     files (``.collect()`` on it is bounded by the partition count)."""
-    from shardpack_spark.format import storage, warc, warc_index
+    from shardpack_spark.format import warc
 
-    _register_modules_for_pickle()
     cols = [id_col, text_col] + ([url_col] if url_col else []) + list(header_cols)
 
-    def write_part(batches):
-        import pandas as pd
-        from pyspark import TaskContext
+    # positional row access upstream (itertuples name=None): pandas
+    # renames non-identifier/duplicate column names ('lang-id', 'class')
+    # to _N in namedtuples, which would AttributeError
+    def make(row: dict):
+        rid = _hval(row[id_col])
+        text = row[text_col] or ""
+        extra = {
+            f"WARC-X-{c.replace('_', '-').title()}": _hval(row[c])
+            for c in header_cols
+            if row[c] is not None
+        }
+        uri = (
+            _hval(row[url_col])
+            if url_col and row[url_col] is not None
+            else f"urn:doc:{rid}"
+        )
+        blk = warc.http_response_block(
+            str(text).encode("utf-8"),
+            content_type="text/plain; charset=utf-8",
+        )
+        rec = warc.warc_record_bytes(
+            "response",
+            blk,
+            target_uri=uri,
+            record_id=f"<urn:doc:{rid}>",
+            content_type="application/http; msgtype=response",
+            headers=extra,
+        )
+        return rec, "response", f"<urn:doc:{rid}>", uri, ".warc.gz"
 
-        pid = TaskContext.get().partitionId()
-        handle = None
-        target = f"{path.rstrip('/')}/part-{pid:05d}.warc.gz"
-        n = 0
-        offset = 0
-        idx_rows = []
-        try:
-            for pdf in batches:
-                if handle is None and len(pdf):
-                    be = storage.for_path(target)
-                    be.makedirs(path)
-                    handle = be.create(target)
-                def hval(v) -> str:
-                    """Column value -> safe header value: CR/LF would be
-                    header injection (warc_record_bytes rejects them, and
-                    one hostile row must not abort the export job), so
-                    fold them to spaces; None stays absent, not 'None'."""
-                    return " ".join(str(v).split())
-
-                # positional row access, not itertuples+getattr: pandas
-                # renames non-identifier/duplicate column names ('lang-id',
-                # 'class') to _N in namedtuples, which would AttributeError
-                for vals in pdf[cols].itertuples(index=False, name=None):
-                    row = dict(zip(cols, vals))
-                    rid = hval(row[id_col])
-                    text = row[text_col] or ""
-                    extra = {
-                        f"WARC-X-{c.replace('_', '-').title()}": hval(row[c])
-                        for c in header_cols
-                        if row[c] is not None
-                    }
-                    blk = warc.http_response_block(
-                        str(text).encode("utf-8"),
-                        content_type="text/plain; charset=utf-8",
-                    )
-                    rec = warc.warc_record_bytes(
-                        "response",
-                        blk,
-                        target_uri=(
-                            hval(row[url_col])
-                            if url_col and row[url_col] is not None
-                            else f"urn:doc:{rid}"
-                        ),
-                        record_id=f"<urn:doc:{rid}>",
-                        content_type="application/http; msgtype=response",
-                        headers=extra,
-                    )
-                    # WriteHandle exposes .write — exactly the file-like
-                    # surface write_warc streams members onto
-                    sizes: list = []
-                    warc.write_warc(handle, [rec], sizes_out=sizes)
-                    if write_index:
-                        # the writer KNOWS each member's offset — index
-                        # rows cost zero additional I/O
-                        idx_rows.append(
-                            warc_index.WarcIndexRow(
-                                offset=offset,
-                                warc_type="response",
-                                record_id=f"<urn:doc:{rid}>",
-                                target_uri=(
-                                    hval(row[url_col])
-                                    if url_col and row[url_col] is not None
-                                    else f"urn:doc:{rid}"
-                                ),
-                            )
-                        )
-                    offset += sizes[0]
-                    n += 1
-            if handle is not None:
-                handle.close()
-                if write_index:
-                    warc_index.write_warc_index(target, idx_rows, offset)
-                yield pd.DataFrame({"file": [target], "n_records": [n]})
-        except BaseException:
-            if handle is not None:
-                handle.abort()
-            raise
-
-    return df.select(*cols).mapInPandas(write_part, "file string, n_records long")
+    return _export_warc_partitions(df, cols, path, make, write_index)
 
 
 def wat_export(
@@ -325,86 +349,111 @@ def wat_export(
     extraction round-trips through the public WAT container."""
     import json as _json
 
-    from shardpack_spark.format import storage, warc, warc_index
+    from shardpack_spark.format import warc
 
-    _register_modules_for_pickle()
     cols = [id_col, url_col, links_col] + ([title_col] if title_col else [])
 
-    def write_part(batches):
-        import pandas as pd
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        handle = None
-        target = f"{path.rstrip('/')}/part-{pid:05d}.warc.gz"
-        n = 0
-        offset = 0
-        idx_rows = []
-        try:
-            for pdf in batches:
-                if handle is None and len(pdf):
-                    be = storage.for_path(target)
-                    be.makedirs(path)
-                    handle = be.create(target)
-                for vals in pdf[cols].itertuples(index=False, name=None):
-                    row = dict(zip(cols, vals))
-                    rid = " ".join(str(row[id_col]).split())
-                    url = row[url_col]
-                    links = [
-                        {"path": "A@/href", "url": str(u)}
-                        for u in (row[links_col] if row[links_col] is not None else [])
-                        if u is not None
-                    ]
-                    html_meta: dict = {"Links": links}
-                    if title_col and row[title_col] is not None:
-                        html_meta["Head"] = {"Title": str(row[title_col])}
-                    envelope = {
-                        "Envelope": {
-                            "WARC-Header-Metadata": {
-                                "WARC-Target-URI": str(url) if url is not None else None,
-                                "WARC-Type": "response",
-                            },
-                            "Payload-Metadata": {
-                                "HTTP-Response-Metadata": {
-                                    "Response-Message": {"Status": "200"},
-                                    "HTML-Metadata": html_meta,
-                                }
-                            },
-                        }
+    def make(row: dict):
+        rid = _hval(row[id_col])
+        url = row[url_col]
+        uri = str(url) if url is not None else f"urn:doc:{rid}"
+        links = [
+            {"path": "A@/href", "url": str(u)}
+            for u in (row[links_col] if row[links_col] is not None else [])
+            if u is not None
+        ]
+        html_meta: dict = {"Links": links}
+        if title_col and row[title_col] is not None:
+            html_meta["Head"] = {"Title": str(row[title_col])}
+        envelope = {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Target-URI": str(url) if url is not None else None,
+                    "WARC-Type": "response",
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "Response-Message": {"Status": "200"},
+                        "HTML-Metadata": html_meta,
                     }
-                    rec = warc.warc_record_bytes(
-                        "metadata",
-                        _json.dumps(envelope, separators=(",", ":")).encode("utf-8"),
-                        target_uri=(str(url) if url is not None else f"urn:doc:{rid}"),
-                        record_id=f"<urn:wat:{rid}>",
-                        content_type="application/json",
-                    )
-                    sizes: list = []
-                    warc.write_warc(handle, [rec], sizes_out=sizes)
-                    if write_index:
-                        idx_rows.append(
-                            warc_index.WarcIndexRow(
-                                offset=offset,
-                                warc_type="metadata",
-                                record_id=f"<urn:wat:{rid}>",
-                                target_uri=(
-                                    str(url) if url is not None else f"urn:doc:{rid}"
-                                ),
-                            )
-                        )
-                    offset += sizes[0]
-                    n += 1
-            if handle is not None:
-                handle.close()
-                if write_index:
-                    warc_index.write_warc_index(target, idx_rows, offset)
-                yield pd.DataFrame({"file": [target], "n_records": [n]})
-        except BaseException:
-            if handle is not None:
-                handle.abort()
-            raise
+                },
+            }
+        }
+        rec = warc.warc_record_bytes(
+            "metadata",
+            _json.dumps(envelope, separators=(",", ":")).encode("utf-8"),
+            target_uri=uri,
+            record_id=f"<urn:wat:{rid}>",
+            content_type="application/json",
+        )
+        return rec, "metadata", f"<urn:wat:{rid}>", uri, ".warc.gz"
 
-    return df.select(*cols).mapInPandas(write_part, "file string, n_records long")
+    return _export_warc_partitions(df, cols, path, make, write_index)
+
+
+def wet_export(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = None,
+    date_col: str | None = None,
+    refers_to_col: str | None = None,
+    write_index: bool = True,
+) -> DataFrame:
+    """Export extracted text as WET conversion archives
+    (``part-*.warc.wet.gz``) — the third leg of the public crawl triple
+    (WARC raw / WAT metadata / WET text) and the interchange format
+    CC-tooling consumers expect for extracted text.
+
+    Each row becomes one ``conversion`` record: WARC Content-Type
+    ``text/plain``, payload = the UTF-8 text with NO HTTP envelope
+    (exactly the layout the WET leg of :func:`warc_to_documents` reads
+    back — the two functions are inverses).  ``refers_to_col`` names the
+    source response record id and rides as ``WARC-Refers-To``, the
+    header WET uses to link a conversion to its crawl record;
+    ``date_col`` carries the original fetch time as ``WARC-Date``
+    (export time is meaningless provenance for derived text).
+
+    Execution model is :func:`documents_to_warc`'s: executor-written,
+    one gzip member per record, streaming, ``.cdxj`` sidecar from the
+    writer's own member sizes.  Returns the ``(file, n_records)``
+    manifest DataFrame (an action materializes the files)."""
+    from shardpack_spark.format import warc
+
+    cols = (
+        [id_col, text_col]
+        + ([url_col] if url_col else [])
+        + ([date_col] if date_col else [])
+        + ([refers_to_col] if refers_to_col else [])
+    )
+
+    def make(row: dict):
+        rid = _hval(row[id_col])
+        uri = (
+            _hval(row[url_col])
+            if url_col and row[url_col] is not None
+            else f"urn:doc:{rid}"
+        )
+        extra = {}
+        if refers_to_col and row[refers_to_col] is not None:
+            extra["WARC-Refers-To"] = _hval(row[refers_to_col])
+        rec = warc.warc_record_bytes(
+            "conversion",
+            str(row[text_col] or "").encode("utf-8"),
+            target_uri=uri,
+            record_id=f"<urn:wet:{rid}>",
+            content_type="text/plain",
+            date=(
+                _hval(row[date_col])
+                if date_col and row[date_col] is not None
+                else None
+            ),
+            headers=extra,
+        )
+        return rec, "conversion", f"<urn:wet:{rid}>", uri, ".warc.wet.gz"
+
+    return _export_warc_partitions(df, cols, path, make, write_index)
 
 
 def index_warc_archives(spark, path: str, tasks: int = 512) -> DataFrame:

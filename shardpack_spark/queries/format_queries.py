@@ -38,6 +38,8 @@ def _sweep_stale_workdirs(max_age_s: int = 3600) -> None:
                 "shardpack_lookup_",
                 "shardpack_warc_",
                 "shardpack_wat_",
+                "shardpack_wet_",
+                "shardpack_loc_",
             )
         ):
             p = os.path.join(root, name)
@@ -205,6 +207,24 @@ def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE doc_id = (SELECT min(doc_id) FROM documents)
     GROUP BY lang
     UNION ALL
+    -- 'warc_locator': the same single record, fetched through the
+    -- dump-wide locator dataset (warc_dump_index) instead of the
+    -- per-archive sidecar — identical rows, different random-access path
+    SELECT 'warc_locator' AS variant, lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(length(trim(coalesce(text, '')))) AS BIGINT) AS sum_len
+    FROM documents
+    WHERE doc_id = (SELECT min(doc_id) FROM documents)
+    GROUP BY lang
+    UNION ALL
+    -- 'wet': the WET conversion-record round-trip — wet_export emits
+    -- real .warc.wet.gz archives, warc_to_documents' WET leg reads the
+    -- text back, and a doc_id-derived group key certifies identity +
+    -- text fidelity relationally
+    SELECT 'wet' AS variant, 'w' || CAST(doc_id % 7 AS VARCHAR) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(length(trim(coalesce(text, '')))) AS BIGINT) AS sum_len
+    FROM documents GROUP BY doc_id % 7
+    UNION ALL
     -- 'wat': the WAT container round-trip recomputed relationally — the
     -- Spark side exports synthetic outlinks (src host = doc_id % 11, dst
     -- host = doc_id % 13, plus a relative link wat_links must drop) as
@@ -231,6 +251,14 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       WARC extension-header map — write+read fidelity of the web-corpus
       ingest head, value-checked against the parquet source.  (trim on
       both sides: the plain-text response path canonicalizes edges.)
+    - 'warc_lookup' / 'warc_locator': one record through the two
+      random-access paths (per-archive ``.cdxj`` pushdown; dump-wide
+      ``warc_dump_index`` locator pushdown), eagerly materialized inside
+      a filterPushdown-enabled conf window so the driver's default-conf
+      session still certifies the PRUNED paths.
+    - 'wet' / 'wat': the other two legs of the public crawl triple —
+      ``wet_export``/``warc_to_documents`` and ``wat_export``/
+      ``wat_links`` round trips through real containers.
     """
     _ensure_registered(spark)
     _sweep_stale_workdirs()
@@ -266,25 +294,53 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # 'warc_lookup': ONE record fetched back through the .cdxj filter
-    # pushdown (EqualTo on record_id -> partitions() prunes to the single
-    # member the sidecar names) — the driver oracle value-checks the
-    # random-access path, not just the scan paths.  The min doc_id is a
+    # 'warc_lookup' / 'warc_locator': ONE record fetched back through the
+    # two random-access paths — the per-archive .cdxj filter pushdown
+    # (EqualTo on record_id -> partitions() prunes to the single member
+    # the sidecar names) and the dump-wide locator dataset
+    # (warc_dump_index -> _locator_partitions: manifest min/max + Bloom
+    # prune to one shard -> one member) — so the driver oracle
+    # value-checks both, not just the scan paths.  The min doc_id is a
     # 1-row driver scalar (bounded collect).
+    #
+    # Pushdown needs spark.sql.python.filterPushdown.enabled at PLANNING
+    # time, and the driver's session runs the Spark default (false) —
+    # read_warc would degrade both legs to correct-but-unpruned full
+    # scans, certifying nothing about the index paths.  So the legs run
+    # inside a conf-on window and are materialized EAGERLY
+    # (localCheckpoint) while it holds: the returned plan is the
+    # checkpointed (≤ #langs rows) result, no python-source re-planning
+    # at the driver's collect, and the session conf is restored either
+    # way (tests/test_conf_off.py owns the conf-off behavior).
     min_id = (
         load_table(spark, sf_dir, "documents").agg(F.min("doc_id")).collect()[0][0]
     )
-    wl = (
-        read_warc(spark, wout)
-        .filter(F.col("record_id") == f"<urn:doc:{min_id}>")
-        .groupBy(F.element_at("warc_headers", "warc-x-lang").alias("lang"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(
-                F.length(F.trim(F.col("payload").cast("string")))
-            ).alias("sum_len"),
+
+    def one_record_agg(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("record_id") == f"<urn:doc:{min_id}>")
+            .groupBy(F.element_at("warc_headers", "warc-x-lang").alias("lang"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(
+                    F.length(F.trim(F.col("payload").cast("string")))
+                ).alias("sum_len"),
+            )
         )
-    )
+
+    from shardpack_spark.operators.webcorpus import warc_dump_index
+
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
+    try:
+        wl = one_record_agg(read_warc(spark, wout)).localCheckpoint(eager=True)
+        loc = warc_dump_index(spark, wout, tempfile.mkdtemp(prefix="shardpack_loc_"))
+        wlo = one_record_agg(
+            read_warc(spark, wout, dump_index=loc)
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, prev)
 
     # 'wat': synthetic outlinks (src host = doc_id % 11, dst host =
     # doc_id % 13, plus a relative href wat_links must drop) exported as
@@ -324,6 +380,34 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # 'wet': text round-trip through real .warc.wet.gz conversion
+    # archives — wet_export then the WET leg of warc_to_documents (its
+    # declared inverse); the group key is re-derived from the record
+    # identity the container carried (<urn:wet:{doc_id}>), so identity
+    # AND extracted-text fidelity both value-hash against the oracle.
+    from shardpack_spark.operators.webcorpus import warc_to_documents, wet_export
+
+    wetout = tempfile.mkdtemp(prefix="shardpack_wet_")
+    wet_export(docs.select("doc_id", "text"), wetout).collect()  # bounded
+    we = (
+        warc_to_documents(read_warc(spark, wetout))
+        .select(
+            F.regexp_extract("doc_id", r"<urn:wet:(\d+)>", 1)
+            .cast("long")
+            .alias("did"),
+            "text",
+        )
+        .groupBy(
+            F.concat(F.lit("w"), (F.col("did") % 7).cast("string")).alias("lang")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.length(F.trim(F.coalesce(F.col("text"), F.lit(""))))
+            ).alias("sum_len"),
+        )
+    )
+
     def tag(variant: str, df: DataFrame) -> DataFrame:
         return df.select(
             F.lit(variant).alias("variant"), "lang", "cnt", "sum_len"
@@ -333,6 +417,8 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag("shardpack", sp)
         .unionAll(tag("warc", wc))
         .unionAll(tag("warc_lookup", wl))
+        .unionAll(tag("warc_locator", wlo))
+        .unionAll(tag("wet", we))
         .unionAll(tag("wat", wt))
     )
 

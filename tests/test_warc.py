@@ -997,6 +997,55 @@ def test_wat_export_roundtrip(spark, tmp_path):
     }
 
 
+def test_wet_export_roundtrip(spark, tmp_path):
+    """wet_export -> format('warc') -> warc_to_documents inverts: the
+    third leg of the crawl triple (WARC/WAT/WET) emits real
+    .warc.wet.gz conversion records that the WET ingest path reads back
+    — text, url, refers-to, and original fetch date all survive; the
+    .cdxj sidecar publishes per part."""
+    import os
+
+    from shardpack_spark.format import warc_index as WI
+    from shardpack_spark.operators.webcorpus import warc_to_documents, wet_export
+
+    docs = spark.createDataFrame(
+        [
+            ("d0", "hello  world", "http://a.example/0", "2024-01-02T03:04:05Z", "<urn:doc:d0>"),
+            ("d1", "héllo wörld", None, None, None),  # nulls must not abort
+            ("d2", None, "http://c.example/2", "2024-02-02T00:00:00Z", "<urn:doc:d2>"),
+        ],
+        "doc_id string, text string, url string, fetched string, src string",
+    ).coalesce(1)
+    out = str(tmp_path / "wet")
+    man = wet_export(
+        docs, out, url_col="url", date_col="fetched", refers_to_col="src"
+    ).collect()
+    assert len(man) == 1 and man[0].n_records == 3
+    assert man[0].file.endswith(".warc.wet.gz")
+    assert os.path.exists(man[0].file + WI.INDEX_SUFFIX)
+
+    raw = read_warc(spark, out)
+    rows = {r.record_id: r for r in raw.collect()}
+    assert set(rows) == {"<urn:wet:d0>", "<urn:wet:d1>", "<urn:wet:d2>"}
+    assert all(r.warc_type == "conversion" for r in rows.values())
+    d0 = rows["<urn:wet:d0>"]
+    assert d0.payload == b"hello  world" and d0.target_uri == "http://a.example/0"
+    assert d0.warc_date == "2024-01-02T03:04:05Z"
+    assert d0.warc_headers["warc-refers-to"] == "<urn:doc:d0>"
+    assert rows["<urn:wet:d1>"].payload.decode() == "héllo wörld"
+
+    # the WET ingest leg of warc_to_documents is this function's inverse
+    back = {r.doc_id: r for r in warc_to_documents(raw).collect()}
+    assert back["<urn:wet:d0>"].text == "hello  world"
+    assert back["<urn:wet:d0>"].url == "http://a.example/0"
+    assert back["<urn:wet:d0>"].fetched_at == "2024-01-02T03:04:05Z"
+    assert back["<urn:wet:d2>"].text == ""
+
+    # indexed point lookup works on the export (sidecar path)
+    rec = WI.lookup_record(man[0].file, record_id="<urn:wet:d1>", parse_http=False)
+    assert rec is not None and rec.block.decode() == "héllo wörld"
+
+
 def test_warc_stream_split_partitions(spark, tmp_path):
     """A huge indexed archive landing in a stream is scanned as N
     member-aligned range tasks within its micro-batch — same rows, no
