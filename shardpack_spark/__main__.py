@@ -167,6 +167,22 @@ def main(argv: list[str] | None = None) -> int:
     wdx.add_argument("--mode", default="overwrite",
                      choices=("overwrite", "append"))
 
+    wpc = sub.add_parser("warc-cdx", help="emit the PUBLIC Common Crawl "
+                         "index layout (cdx-00000.gz blocks + cluster.idx) "
+                         "for a dump (Spark-free sequential twin of "
+                         "operators.webcorpus.export_public_cdx; in-memory "
+                         "global sort, sized for small/medium dumps)")
+    wpc.add_argument("warc", help="a .warc[.gz] file or a directory of them")
+    wpc.add_argument("out", help="index output directory")
+    wpc.add_argument("--block-lines", type=int, default=3000)
+
+    cl = sub.add_parser("cdx-lookup", help="point lookup against a public "
+                        "CDX index (cluster.idx bisect -> one gzip block; "
+                        "Spark-free)")
+    cl.add_argument("index", help="index dir (cdx-*.gz [+ cluster.idx]) or "
+                    "one cdx file")
+    cl.add_argument("url")
+
     wi = sub.add_parser("warc-import", help="WARC archive(s) -> shardpack "
                         "dataset (Spark-free; key=record id, headers as "
                         "record metadata)")
@@ -310,6 +326,18 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"dataset": args.dataset, "files": len(files),
                           "records": len(rows), "key": args.key}))
         return 0
+    if args.cmd == "warc-cdx":
+        from shardpack_spark.format.cdx_public import build_public_cdx
+
+        print(json.dumps(build_public_cdx(args.warc, args.out,
+                                          block_lines=args.block_lines)))
+        return 0
+    if args.cmd == "cdx-lookup":
+        from shardpack_spark.format.cdx_public import lookup_public_cdx
+
+        hits = lookup_public_cdx(args.index, url=args.url)
+        print(json.dumps({"url": args.url, "hits": hits}))
+        return 0 if hits else 1
     if args.cmd == "warc-index":
         from shardpack_spark.format.warc import list_warc_files
         from shardpack_spark.format.warc_index import build_warc_index

@@ -134,20 +134,33 @@ def _row_obj(r: WarcIndexRow) -> dict:
 
 
 def write_warc_index(
-    archive_path: str, rows: list[WarcIndexRow], archive_size: int, be=None
+    archive_path: str,
+    rows: list[WarcIndexRow],
+    archive_size: int,
+    be=None,
+    kinds: "list[str] | None" = None,
 ) -> None:
     """Serialize + atomically publish the sidecar.  Exporters that know
     offsets from writing (``write_warc(sizes_out=...)`` cumulative sums)
-    call this directly — no second read pass over the archive."""
+    call this directly — no second read pass over the archive.
+
+    ``kinds``: record the WARC-Type values this sidecar enumerates when
+    it is PARTIAL — a sidecar converted from a public Common Crawl CDX
+    (``cdx_to_sidecars``) names only ``response`` records, so readers
+    that surface other types must not trust a row MISS.  Absent = the
+    sidecar enumerates every record (house builds).  Split planning is
+    unaffected either way: offsets are cut points, and a byte-range
+    union is lossless regardless of which members contributed them."""
     be = be or storage.for_path(archive_path)
-    head = json.dumps(
-        {
-            "magic": _MAGIC,
-            "version": _VERSION,
-            "records": len(rows),
-            "archive_size": archive_size,
-        }
-    )
+    head_obj = {
+        "magic": _MAGIC,
+        "version": _VERSION,
+        "records": len(rows),
+        "archive_size": archive_size,
+    }
+    if kinds is not None:
+        head_obj["kinds"] = sorted(set(kinds))
+    head = json.dumps(head_obj)
     lines = [head]
     lines.extend(
         json.dumps(_row_obj(r), separators=(",", ":"), ensure_ascii=False)
@@ -607,7 +620,12 @@ def locator_rows_for_archive(
     skipped — they cannot be looked up."""
     be = be or storage.for_path(archive_path)
     rows: list[tuple] = []
-    if index_header(archive_path, be=be) is not None:
+    head = index_header(archive_path, be=be)
+    if head is not None and head.get("kinds") is not None:
+        head = None  # PARTIAL sidecar (public-CDX conversion): it only
+        # names some record types, and a locator built from it would
+        # claim complete coverage it does not have — full parse instead
+    if head is not None:
         st: dict = {}
         for r in iter_index_rows(archive_path, be=be, validated=True, status=st):
             k = r.record_id if key == "record_id" else r.target_uri

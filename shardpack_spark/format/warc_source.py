@@ -54,7 +54,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from shardpack_spark.format import manifest, reader, storage, warc, warc_index
+from shardpack_spark.format import (
+    cdx_public,
+    manifest,
+    reader,
+    storage,
+    warc,
+    warc_index,
+)
 from shardpack_spark.format.codec import ShardPackIOError
 # module-level, not inside __init__: the streaming runner worker unpickles
 # this module BY VALUE and cannot import shardpack_spark by name at runtime
@@ -172,7 +179,10 @@ def _plan_file_partitions(
 
 
 def _lookup_partitions(
-    files: list[str], ids: list[str], uris: list[str]
+    files: list[str],
+    ids: list[str],
+    uris: list[str],
+    record_types: "frozenset[str] | None" = None,
 ) -> list["WarcFilePartition"]:
     """Point-lookup partition pruning: for each archive WITH a fresh
     sidecar, emit one member-range partition per member that holds a
@@ -203,6 +213,16 @@ def _lookup_partitions(
             else None
         )
         if head is None:
+            return [WarcFilePartition(p)]
+        kinds = head.get("kinds")
+        if kinds is not None and (
+            record_types is None or not record_types <= set(kinds)
+        ):
+            # PARTIAL sidecar (public-CDX conversion: responses only).  A
+            # row MISS says nothing about record types it never
+            # enumerated, so pruning is sound only when the reader
+            # surfaces a subset of the enumerated kinds — otherwise a
+            # whole-file scan keeps e.g. request/metadata rows visible.
             return [WarcFilePartition(p)]
         # single streamed pass, rows arrive in offset order: a hit marks
         # its member; the member's END is the next DISTINCT offset (or
@@ -308,6 +328,57 @@ def _locator_partitions(
     return parts
 
 
+_PUBLIC_CDX_KINDS = frozenset({"response", "revisit"})
+
+
+def _public_cdx_partitions(
+    cdx_index: str,
+    files: list[str],
+    uris: list[str],
+    record_types: "frozenset[str] | None",
+) -> "list[WarcFilePartition] | None":
+    """Point-lookup planning served by a PUBLIC Common Crawl CDX index
+    (``format/cdx_public.py``): ``surt(uri)`` -> cluster.idx bisect ->
+    one gzip block -> ``(filename, offset, length)`` -> one member-range
+    partition per hit.  O(values) ranged reads against the index the
+    crawl already ships — no house sidecar or locator build needed.
+
+    Soundness: the public index enumerates response/revisit records
+    ONLY, so it may prune iff the read surfaces a subset of those types
+    (``record_types`` option) — passing ``cdx_index`` asserts the index
+    belongs to this dump (it carries no coverage manifest of its own);
+    files the index's hits never name are pruned to zero under that
+    assertion, and Spark re-applies the filters on whatever is read.
+    Returns None — caller falls back to sidecar planning — when the
+    assertion can't hold (unrestricted record types, record_id filters
+    mixed in, locator-less index rows, unreadable index)."""
+    if record_types is None or not record_types <= _PUBLIC_CDX_KINDS:
+        return None
+    if not uris:
+        return None
+    by_base: dict[str, list[str]] = {}
+    for f in files:
+        by_base.setdefault(f.rsplit("/", 1)[-1], []).append(f)
+    hits: set[tuple[str, int, int]] = set()
+    try:
+        for u in uris:
+            for row in cdx_public.lookup_public_cdx(cdx_index, url=u):
+                fn, off = row.get("filename"), row.get("offset")
+                if fn is None or off is None:
+                    return None  # rows without locators cannot prune
+                end = off + row["length"] if row.get("length") else off + 1
+                for f in by_base.get(fn.rsplit("/", 1)[-1], []):
+                    # filename fields are dump-relative; match by tail
+                    if f == fn or f.endswith("/" + fn) or fn.rsplit("/", 1)[-1] == f.rsplit("/", 1)[-1]:
+                        hits.add((f, off, end))
+    except Exception:
+        return None  # unreadable/foreign index: sidecar planning decides
+    parts = [WarcFilePartition(f, o, e) for f, o, e in sorted(hits)]
+    if not parts:
+        parts.append(WarcFilePartition(files[0], 0, 0))
+    return parts
+
+
 class WarcReader(DataSourceReader):
     """Base reader WITHOUT pushFilters — Spark's planning worker raises
     DATA_SOURCE_PUSHDOWN_DISABLED if a reader class even DEFINES
@@ -353,6 +424,11 @@ class WarcReader(DataSourceReader):
         # O(archives) sidecar scans; coverage-checked, see
         # _locator_partitions
         self.dump_index = options.get("dump_index") or None
+        # public Common Crawl CDX index (cdx-*.gz [+ cluster.idx], or one
+        # cdx file): serves target_uri pushdown straight from the index
+        # the crawl ships — see _public_cdx_partitions for the soundness
+        # contract (record_types must stay within response/revisit)
+        self.cdx_index = options.get("cdx_index") or None
         self._id_filters: list[str] = []
         self._uri_filters: list[str] = []
         self._file_filters: list[str] = []
@@ -374,7 +450,15 @@ class WarcReader(DataSourceReader):
                 )
                 if parts is not None:
                     return parts
-            return _lookup_partitions(files, self._id_filters, self._uri_filters)
+            if self.cdx_index and not self._id_filters:
+                parts = _public_cdx_partitions(
+                    self.cdx_index, files, self._uri_filters, self.record_types
+                )
+                if parts is not None:
+                    return parts
+            return _lookup_partitions(
+                files, self._id_filters, self._uri_filters, self.record_types
+            )
         return _plan_file_partitions(
             files,
             self.path,
@@ -614,6 +698,7 @@ def _pickle_by_value() -> None:
 
     import sys
 
+    from shardpack_spark.format import cdx_public as cdx_mod
     from shardpack_spark.format import codec as codec_mod
     from shardpack_spark.format import manifest as manifest_mod
     from shardpack_spark.format import reader as reader_mod
@@ -624,8 +709,9 @@ def _pickle_by_value() -> None:
     from shardpack_spark.format import zstd_entropy as zstd_mod
 
     # manifest + reader: the planning worker resolves dump_index locator
-    # lookups (_locator_partitions) — both are pyspark-free
-    for mod in (storage_mod, zstd_mod, codec_mod, manifest_mod, reader_mod, warc_mod, warc_index_mod, offsets_mod, sys.modules[__name__]):
+    # lookups (_locator_partitions); cdx_public: public-CDX pushdown
+    # (_public_cdx_partitions) — all pyspark-free
+    for mod in (storage_mod, zstd_mod, codec_mod, manifest_mod, reader_mod, warc_mod, warc_index_mod, cdx_mod, offsets_mod, sys.modules[__name__]):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:

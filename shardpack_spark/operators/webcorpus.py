@@ -642,6 +642,178 @@ def warc_dump_index(
     return out
 
 
+def cdx_to_sidecars(
+    spark, cdx_path: str, warc_dir: str, tasks: int = 512
+) -> DataFrame:
+    """Convert a PUBLIC Common Crawl CDX index (``format/cdx_public.py``)
+    into house ``.cdxj`` sidecars as ONE distributed job — the adoption
+    path for a real crawl dump, whose index already exists on disk: the
+    engine gets member-aligned split scans (``snap_bounds`` grid) and
+    uri point lookups WITHOUT the full-dump re-scan a from-scratch
+    ``index_warc_archives`` build would cost (~75 TB read for a full
+    crawl).
+
+    Phase 1: one task per cdx shard streams its lines into locator rows
+    ``(filename, offset, url)``.  Phase 2: rows group by archive
+    (``applyInPandas`` — a ~1 GiB archive carries ~100k rows, one
+    comfortable group) and each group writes its sidecar, stamped with
+    the live archive size (the staleness guard) and header
+    ``kinds=['response','revisit']``: the public format enumerates ONLY
+    those record types, and the PARTIAL mark keeps lookup pruning honest
+    (``_lookup_partitions`` falls back to a whole-file scan when other
+    types are surfaced; ``locator_rows_for_archive`` re-parses instead
+    of trusting it) while SPLIT planning — byte cut points, lossless by
+    construction — engages for every converted archive.
+
+    Returns the per-archive report ``(archive, rows, archive_size)``;
+    an action materializes the sidecars (collect bounded by the archive
+    count).  Archives the index names but the dump lacks are reported
+    with ``archive_size=-1`` and skipped — a foreign index never
+    produces a sidecar that could mis-seek (and the staleness guard
+    would reject a size-mismatched one anyway)."""
+    from shardpack_spark.format import cdx_public, storage, warc_index
+
+    _register_modules_for_pickle()
+    shards = cdx_public._list_cdx_shards(cdx_path, storage.for_path(cdx_path))
+    root = warc_dir.rstrip("/")
+
+    def scan(batches):
+        import pandas as pd
+
+        cols = ["filename", "offset", "url", "wtype"]
+        for pdf in batches:
+            buf: list = []
+            for s in pdf["shard"]:
+                for rec in cdx_public.iter_cdx_records(s):
+                    if rec.get("filename") is None or rec.get("offset") is None:
+                        continue  # locator-less rows can't seed a sidecar
+                    wtype = (
+                        "revisit" if rec.get("mime") == "warc/revisit" else "response"
+                    )
+                    buf.append((rec["filename"], rec["offset"], rec.get("url"), wtype))
+                    if len(buf) >= 100_000:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+            if buf:
+                yield pd.DataFrame(buf, columns=cols)
+
+    sdf = spark.createDataFrame([(s,) for s in shards], "shard string")
+    rows = sdf.repartition(min(max(len(shards), 1), tasks)).mapInPandas(
+        scan, "filename string, offset long, url string, wtype string"
+    )
+
+    def write_group(pdf):
+        import pandas as pd
+
+        fn = str(pdf["filename"].iloc[0])
+        cand = f"{root}/{fn}"
+        be = storage.for_path(cand)
+        if not be.exists(cand):
+            cand = f"{root}/{fn.rsplit('/', 1)[-1]}"  # flat-dir dumps
+            if not be.exists(cand):
+                return pd.DataFrame(
+                    {"archive": [fn], "rows": [0], "archive_size": [-1]}
+                )
+        with be.open_read(cand) as f:
+            f.seek(0, 2)
+            size = f.tell()
+        idx_rows = [
+            warc_index.WarcIndexRow(
+                offset=int(o), warc_type=w or None, target_uri=u or None
+            )
+            for o, u, w in zip(pdf["offset"], pdf["url"], pdf["wtype"])
+        ]
+        warc_index.write_warc_index(
+            cand, idx_rows, size, kinds=["response", "revisit"]
+        )
+        return pd.DataFrame(
+            {"archive": [cand], "rows": [len(idx_rows)], "archive_size": [size]}
+        )
+
+    return rows.groupBy("filename").applyInPandas(
+        write_group, "archive string, rows long, archive_size long"
+    )
+
+
+def export_public_cdx(spark, path: str, out_dir: str, block_lines: int = 3000):
+    """Distributed twin of ``cdx_public.build_public_cdx``: one task per
+    archive emits its CDXJ lines (``cdx_lines_for_archive``), ONE range
+    shuffle key-sorts them globally, and the driver assembles the zipnum
+    pair (block-gzip ``cdx-00000.gz`` + ``cluster.idx``) from the sorted
+    stream.  The final write is driver-side but BLOCK-bounded memory
+    (one ~3000-line block at a time via toLocalIterator) — the cluster
+    does the expensive part (the full-dump parse + sort).  Sized for the
+    single-shard layout; a multi-shard writer is one partitioned
+    mapInPandas away if an index outgrows one file.  Returns the
+    :func:`cdx_public.build_public_cdx`-shaped report."""
+    import gzip as _gzip
+
+    from shardpack_spark.format import cdx_public, storage, warc
+
+    _register_modules_for_pickle()
+    files = warc.list_warc_files(path)
+    base = path.rstrip("/")
+
+    def emit(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: list = []
+            for f in pdf["archive"]:
+                rel = f[len(base) + 1 :] if f.startswith(base + "/") else f.rsplit("/", 1)[-1]
+                out.extend(cdx_public.cdx_lines_for_archive(f, rel))
+            if out:
+                yield pd.DataFrame({"line": out})
+
+    sdf = spark.createDataFrame([(f,) for f in files], "archive string")
+    lines_df = (
+        sdf.repartition(min(max(len(files), 1), 512))
+        .mapInPandas(emit, "line string")
+        .orderBy("line")
+    )
+    obe = storage.for_path(out_dir)
+    obe.makedirs(out_dir)
+    shard_name = "cdx-00000.gz"
+    cluster_lines: list[str] = []
+    handle = obe.create(f"{out_dir.rstrip('/')}/{shard_name}")  # streamed,
+    # publish-on-close: the shard never buffers whole driver-side
+    pos = n = 0
+    block: list[str] = []
+
+    def flush_block():
+        nonlocal pos
+        member = _gzip.compress(("\n".join(block) + "\n").encode(), mtime=0)
+        cluster_lines.append(
+            f"{block[0].split(' {', 1)[0]}\t{shard_name}\t{pos}\t{len(member)}\t{n - len(block)}"
+        )
+        handle.write(member)
+        pos += len(member)
+
+    try:
+        for row in lines_df.toLocalIterator():  # block-bounded driver memory
+            block.append(row.line)
+            n += 1
+            if len(block) >= block_lines:
+                flush_block()
+                block = []
+        if block:
+            flush_block()
+        handle.close()
+    except BaseException:
+        handle.abort()
+        raise
+    obe.write_atomic(
+        f"{out_dir.rstrip('/')}/{cdx_public.CLUSTER_IDX}",
+        ("\n".join(cluster_lines) + "\n").encode() if cluster_lines else b"",
+    )
+    return {
+        "out": out_dir,
+        "files": len(files),
+        "records": n,
+        "blocks": len(cluster_lines),
+    }
+
+
 # --- WAT (metadata archive) ingest -------------------------------------------
 #
 # Common Crawl ships three members per crawl segment: WARC (raw), WET
