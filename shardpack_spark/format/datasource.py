@@ -1970,11 +1970,18 @@ def vacuum(
         # (committed micro-batches not yet folded into the manifest log).
         referenced_shards = {s["path"] for s in manifest.get("shards", [])}
         referenced_parts = {os.path.basename(p) for p in manifest.get("parts", [])}
+
+        def _cov_ref(m) -> str | None:
+            ref = ((m or {}).get("user_metadata") or {}).get("warc_covered_ref")
+            return os.path.basename(ref) if ref else None
+
+        referenced_coverage = {_cov_ref(manifest)} - {None}
         for rf in retained_roots:
             referenced_parts.add(rf)
             snap = _load_manifest(path, int(rf[5:13]))
             referenced_shards.update(s["path"] for s in snap.get("shards", []))
             referenced_parts.update(os.path.basename(p) for p in snap.get("parts", []))
+            referenced_coverage |= {_cov_ref(snap)} - {None}
         referenced_shards.update(_marker_shards(path))
 
         # 1) expired snapshot roots — commit-atomic, no age gate needed
@@ -1997,6 +2004,15 @@ def vacuum(
         for pat in ("*.trash-*", "*.inprogress", "_commit.lock.*", "*.tmp-*", "*.pia-*"):
             for f in be.glob_names(path, pat):
                 _rm(os.path.join(path, f), "deleted_debris")
+        # 4b) coverage side objects (warc dump locators): content-addressed
+        #     files under _warc_coverage/ that no retained snapshot's
+        #     user_metadata references — each overwrite/append points at a
+        #     new superset object, so expired versions strand their old one
+        covdir = os.path.join(path, "_warc_coverage")
+        if be.isdir(covdir):
+            for f in be.listdir(covdir):
+                if f not in referenced_coverage:
+                    _rm(os.path.join(covdir, f), "deleted_debris")
         staging = os.path.join(path, STAGING_DIR)
         if be.isdir(staging):
             # task staging DIRECTORIES (stream writes land in

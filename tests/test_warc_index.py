@@ -1318,6 +1318,35 @@ def test_cli_dump_index_serves_pushdown(spark, tmp_path, capsys):
     assert all(pt.end == pt.start + 1 for pt in r3.partitions())
 
 
+def test_vacuum_reclaims_stranded_coverage_objects(spark, tmp_path):
+    """Each locator rebuild points at a new content-addressed coverage
+    object; vacuum reclaims the ones no retained snapshot references and
+    keeps the live one readable."""
+    from shardpack_spark.format import manifest as MF
+    from shardpack_spark.format.datasource import vacuum
+    from shardpack_spark.operators.webcorpus import warc_dump_index
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    p0 = _write(d, "crawl-00000.warc.gz", n=3)
+    WI.build_warc_index(p0)
+    loc = str(tmp_path / "locator")
+    warc_dump_index(spark, str(d), loc)
+    p1 = _write(d, "crawl-00001.warc.gz", n=3)
+    WI.build_warc_index(p1)
+    warc_dump_index(spark, str(d), loc)  # overwrite: new coverage object
+    covdir = os.path.join(loc, WI.COVERAGE_DIR)
+    assert len(os.listdir(covdir)) == 2
+
+    rep = vacuum(loc, keep_versions=1, grace_seconds=0)
+    assert any("_warc_coverage" in f for f in rep["deleted_debris"])
+    assert len(os.listdir(covdir)) == 1
+    um = (MF._load_manifest(loc) or {}).get("user_metadata") or {}
+    cov = WI.read_warc_coverage(loc, um)
+    assert cov == {p0, p1}
+    assert len(WI.lookup_via_dump_index(loc, "<urn:x:1>")) == 2
+
+
 # --- property fuzz -------------------------------------------------------------
 
 from hypothesis import HealthCheck, given, settings
