@@ -458,6 +458,29 @@ def main() -> None:
         yard["warc_locator_lookup_s"] = round(
             min(time_query(locator_probe) for _ in range(2)), 3
         )
+
+        # public-CDX interop (round 9): emit the zipnum pair (block-gzip
+        # cdx shard + cluster.idx) for the same archives, then time a
+        # URL point lookup through it — the index a real crawl already
+        # ships, served Spark-free
+        from shardpack_spark.format.cdx_public import (
+            build_public_cdx,
+            lookup_public_cdx,
+        )
+
+        pidx = os.path.join(wdir, "cdx")
+        t0 = time.perf_counter()
+        build_public_cdx(arch, pidx)
+        yard["cdx_emit_s"] = round(time.perf_counter() - t0, 3)
+
+        def cdx_probe():
+            # documents_to_warc's default target_uri is urn:doc:{id}
+            assert lookup_public_cdx(pidx, url="urn:doc:7")
+
+        cdx_probe()
+        yard["cdx_public_lookup_s"] = round(
+            min(time_query(cdx_probe) for _ in range(2)), 3
+        )
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 
