@@ -314,6 +314,104 @@ def test_export_public_cdx_spark_parity(spark, tmp_path):
         assert a == b and len(a) == 1
 
 
+# --- property fuzz -------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_url_strategy = st.builds(
+    lambda scheme, www, host, port, path, q: (
+        f"{scheme}://{'www.' if www else ''}{host}"
+        + (f":{port}" if port else "")
+        + path
+        + (("?" + "&".join(q)) if q else "")
+    ),
+    st.sampled_from(["http", "https", "HTTP"]),
+    st.booleans(),
+    st.from_regex(r"[a-z0-9]{1,8}(\.[a-z0-9]{1,6}){1,3}", fullmatch=True),
+    st.one_of(st.none(), st.sampled_from([80, 443, 8080])),
+    st.from_regex(r"(/[A-Za-z0-9._~-]{0,10}){0,4}", fullmatch=True),
+    st.lists(st.from_regex(r"[a-z]{1,3}=[A-Za-z0-9]{0,4}", fullmatch=True), max_size=3),
+)
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_url_strategy)
+def test_surt_fuzz_stable_and_case_insensitive(url):
+    """surt() is deterministic, case-stable, scheme-stable, and never
+    raises on URL-shaped input — the emit/lookup symmetry contract."""
+    k = CP.surt(url)
+    assert k == CP.surt(url)  # deterministic
+    assert CP.surt(url.lower()) == k  # case-stable (surt lowercases all)
+    assert CP.surt(url.upper()) == k
+    assert ")" in k and k == k.lower()
+
+
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.text(max_size=120))
+def test_parse_cdx_line_never_raises(line):
+    """Foreign index bytes degrade to skips, never exceptions."""
+    rec = CP.parse_cdx_line(line)
+    assert rec is None or rec["key"]
+
+
+@settings(
+    max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture]
+)
+@given(
+    keys=st.lists(
+        st.from_regex(r"[a-z]{1,2},[a-z]{1,4}\)/[a-z0-9]{0,6}", fullmatch=True),
+        min_size=1,
+        max_size=40,
+    ),
+    block_lines=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+def test_cluster_lookup_fuzz_parity(tmp_path_factory, keys, block_lines, data):
+    """Bisected two-level lookup == brute-force shard scan for ANY sorted
+    key universe, block size, and probe (hits, misses, extremes) — the
+    invariant the cluster.idx path must never break."""
+    import gzip as _gz
+
+    tmp = tmp_path_factory.mktemp("fuzz")
+    keys = sorted(keys)
+    lines = [
+        f'{k} 2024010100000{i % 10} {{"url": "u", "offset": "{i}", "length": "1", "filename": "f.warc.gz"}}'
+        for i, k in enumerate(keys)
+    ]
+    out = str(tmp / "idx")
+    os.makedirs(out)
+    shard = "cdx-00000.gz"
+    cluster = []
+    blob = b""
+    for i in range(0, len(lines), block_lines):
+        member = _gz.compress(("\n".join(lines[i : i + block_lines]) + "\n").encode(), mtime=0)
+        cluster.append(f"{lines[i].split(' {', 1)[0]}\t{shard}\t{len(blob)}\t{len(member)}\t{i}")
+        blob += member
+    with open(os.path.join(out, shard), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(out, CP.CLUSTER_IDX), "w") as f:
+        f.write("\n".join(cluster) + "\n")
+
+    probe = data.draw(
+        st.one_of(
+            st.sampled_from(keys),
+            st.from_regex(r"[a-z]{1,2},[a-z]{1,4}\)/[a-z0-9]{0,6}", fullmatch=True),
+            st.just("a,a)/"),
+            st.just("zz,zzzz)/zzzzzz"),
+        )
+    )
+    brute = [r for r in CP.iter_cdx_records(os.path.join(out, shard)) if r["key"] == probe]
+    assert CP.lookup_public_cdx(out, key=probe) == brute
+    # and through the forced-bisect path
+    import unittest.mock as mock
+
+    with mock.patch.object(CP, "_CLUSTER_LINEAR_MAX", 0), mock.patch.object(
+        CP, "_BISECT_WINDOW", 32
+    ):
+        assert CP.lookup_public_cdx(out, key=probe) == brute
+
+
 def test_cli_warc_cdx_and_lookup(tmp_path, capsys):
     """CLI twins: warc-cdx emits the public pair, cdx-lookup resolves a
     URL (exit 0) and signals a miss (exit 1) — whole loop pyspark-free."""
