@@ -43,15 +43,25 @@ lookup.
 
 from __future__ import annotations
 
+import base64
 import gzip
+import hashlib
 import io
 import json
 import re
+import zlib
 from urllib.parse import urlsplit
 
 from shardpack_spark.format import storage
 
 CLUSTER_IDX = "cluster.idx"
+# emit marker written next to cluster.idx by this engine's emitters; its
+# presence proves the index keys came from THIS surt() — the condition
+# under which a lookup MISS is a true absence (foreign indexes may
+# canonicalize differently, so their misses must not prune; see
+# warc_source._public_cdx_partitions)
+CDX_META = "_cdx_meta.json"
+SURT_VERSION = "shardpack-surt-1"
 _CDX_SHARD_GLOB = "cdx-*.gz"
 # cluster.idx at/below this size is read whole; above it, byte-bisected
 # (full Common Crawl cluster.idx is ~200 MB — never stream it per lookup)
@@ -328,8 +338,13 @@ def lookup_public_cdx(
             blob = be.read_bytes(f"{shard_dir}/{cdx_file}", off, length)
             try:
                 text = gzip.decompress(blob).decode("utf-8", errors="replace")
-            except OSError:
-                continue  # damaged block: degrade to a miss, never crash
+            except (OSError, EOFError, zlib.error):
+                # damaged block: degrade to a miss, never crash.  gzip
+                # raises BadGzipFile (OSError) on a foreign magic, but
+                # EOFError on truncation and zlib.error on corrupt
+                # deflate bytes — a stale cluster.idx whose offset+length
+                # overruns the shard hits the EOFError path
+                continue
             for line in text.split("\n"):
                 rec = parse_cdx_line(line)
                 if rec is not None and rec["key"] == key:
@@ -340,6 +355,36 @@ def lookup_public_cdx(
             if rec["key"] == key:
                 out.append(rec)
     return out
+
+
+def write_cdx_meta(out_dir: str, be=None) -> None:
+    """Stamp an emitted index with this engine's SURT version — the
+    marker :func:`house_emitted` checks.  Ignored by pywb-family tooling
+    (a loose JSON file outside the ``cdx-*``/``cluster.idx`` names)."""
+    be = be or storage.for_path(out_dir)
+    be.write_atomic(
+        f"{out_dir.rstrip('/')}/{CDX_META}",
+        json.dumps({"emitter": "shardpack-warc-cdxj", "surt": SURT_VERSION}).encode(),
+    )
+
+
+def house_emitted(index_path: str, be=None) -> bool:
+    """True iff the index carries this engine's emit marker with a
+    matching SURT version — keys then provably come from :func:`surt`,
+    so a lookup MISS is a true absence.  Foreign/unmarked indexes (the
+    real-crawl case) return False: their canonicalization may diverge,
+    and callers must not treat a miss as proof of absence."""
+    if index_path.endswith((".gz", ".cdx", ".cdxj")):
+        return False  # bare shard file: no marker convention
+    be = be or storage.for_path(index_path)
+    p = f"{index_path.rstrip('/')}/{CDX_META}"
+    try:
+        if not be.exists(p):
+            return False
+        meta = json.loads(be.read_bytes(p, 0, None).decode("utf-8"))
+        return meta.get("surt") == SURT_VERSION
+    except Exception:
+        return False
 
 
 # --- emit --------------------------------------------------------------------
@@ -359,10 +404,13 @@ def cdx_lines_for_archive(
     """Public CDXJ lines for ONE archive's response records — the
     per-archive unit of :func:`build_public_cdx` and the Spark exporter.
 
-    One sequential parse; member ``length`` is the gap to the next
-    member's offset (archive size for the last), exactly how the public
-    indexes record it for one-record-per-member archives.  Lines are
-    returned UNSORTED (archive order); the caller owns the global
+    One sequential parse; member ``length`` is the gap from a record's
+    offset to the next member boundary of ANY record — request/metadata
+    members interleaved after a response close its length, so a consumer
+    ranged-reading exactly ``[offset, offset+length)`` (the pywb-family
+    contract) gets that record's member and nothing else.  ``digest`` is
+    the payload's SHA-1 in base32 — the public index convention.  Lines
+    are returned UNSORTED (archive order); the caller owns the global
     key-sort the format requires."""
     from shardpack_spark.format.warc import iter_warc_records
 
@@ -371,23 +419,31 @@ def cdx_lines_for_archive(
         f.seek(0, 2)
         size = f.tell()
     rows: list[tuple[int, dict, str]] = []  # (offset, json, ts)
+    all_offs: set[int] = set()  # EVERY member boundary bounds a length
     with be.open_read(archive_path) as f:
         for rec in iter_warc_records(f, parse_http=True, skip_payload=False):
+            all_offs.add(rec.offset)
             if rec.parse_error or rec.warc_type not in ("response", "revisit"):
                 continue
             if not rec.target_uri:
                 continue
+            body = rec.payload if rec.payload is not None else rec.block
             d = {
                 "url": rec.target_uri,
                 "mime": (rec.http_headers.get("content-type") or "").split(";")[0]
                 or None,
                 "status": str(rec.http_status) if rec.http_status is not None else None,
+                "digest": (
+                    base64.b32encode(hashlib.sha1(body).digest()).decode("ascii")
+                    if body
+                    else None
+                ),
                 "offset": str(rec.offset),
                 "filename": filename,
             }
             rows.append((rec.offset, {k: v for k, v in d.items() if v}, _warc_ts(rec.date)))
     lines: list[str] = []
-    offs = sorted({o for o, _, _ in rows})
+    offs = sorted(all_offs)
     nxt = {o: (offs[i + 1] if i + 1 < len(offs) else size) for i, o in enumerate(offs)}
     for off, d, ts in rows:
         d["length"] = str(nxt[off] - off)
@@ -441,6 +497,7 @@ def build_public_cdx(
         f"{out_dir.rstrip('/')}/{CLUSTER_IDX}",
         ("\n".join(cluster_lines) + "\n").encode() if cluster_lines else b"",
     )
+    write_cdx_meta(out_dir, be=obe)
     return {
         "out": out_dir,
         "files": len(files),

@@ -498,35 +498,13 @@ class Dataset:
         [min,max] key range excludes the key are skipped, surviving
         shards are vetoed by their Bloom filter, and only then are
         shard bytes touched.  Returns every matching record (the format
-        permits duplicate keys), overlaid by patches."""
-        overlay = self._load_overlay()
-        if overlay and key in overlay:
-            rec = overlay[key]
-            return [] if rec is _TOMBSTONE else [_select_entries(rec, self.entry_names)]
-        hashes = manifest._bloom_key_hashes(key)
-        out: list[codec.Record] = []
-        for name in self._names:
-            s = self._stats.get(name, {})
-            kmin, kmax = s.get("min_key"), s.get("max_key")
-            if kmin is not None and kmax is not None and not (kmin <= key <= kmax):
-                continue
-            bloom = s.get("bloom")
-            if bloom:
-                try:
-                    bits = base64.b64decode(bloom.get("bits", ""))
-                except Exception:
-                    bits = b""
-                if not manifest._bloom_maybe_contains(bloom, bits, key, hashes):
-                    continue
-            sp = os.path.join(self.path, name)
-            for rec in codec.iter_records(
-                sp,
-                verify_checksums=self.verify_checksums,
-                entry_names=self.entry_names,
-            ):
-                if rec.key == key:
-                    out.append(rec)
-        return out
+        permits duplicate keys), overlaid by patches.
+
+        Delegates to :meth:`lookup_many` — ONE pruning pipeline, so the
+        single- and batched-lookup paths cannot drift apart (the
+        batched planner in ``warc_source._locator_partitions`` relies on
+        their equivalence)."""
+        return self.lookup_many([key])[key]
 
     def lookup_many(self, keys) -> "dict[str, list[codec.Record]]":
         """Batched point lookup: ONE pass per surviving shard however

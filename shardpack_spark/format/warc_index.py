@@ -21,6 +21,8 @@ offset order — ``{"o": member_offset, "t": warc_type, "id": record_id,
 carrying ``{"o": ..., "e": "<reason>"}``.  Offset order means the offsets
 column is already sorted for range splitting, and grep/jq work on the
 sidecar directly (the reason CDXJ in the wild is line-JSON too).
+Streamed builds (header ``records: -1``) append a ``{"end": N}`` trailer
+so completeness stays checkable — see :func:`iter_index_rows`.
 
 Staleness guard: ``archive_size`` is recorded at build time and checked
 against the live archive on every read — an index whose archive was
@@ -139,6 +141,7 @@ def write_warc_index(
     archive_size: int,
     be=None,
     kinds: "list[str] | None" = None,
+    fields: "list[str] | None" = None,
 ) -> None:
     """Serialize + atomically publish the sidecar.  Exporters that know
     offsets from writing (``write_warc(sizes_out=...)`` cumulative sums)
@@ -150,7 +153,15 @@ def write_warc_index(
     that surface other types must not trust a row MISS.  Absent = the
     sidecar enumerates every record (house builds).  Split planning is
     unaffected either way: offsets are cut points, and a byte-range
-    union is lossless regardless of which members contributed them."""
+    union is lossless regardless of which members contributed them.
+
+    ``fields``: the identity row keys (``'id'``/``'u'``/``'t'``) this
+    sidecar's SOURCE carried — the public CDX records target URIs but no
+    WARC record ids, so a converted sidecar's rows all have ``id``
+    absent, and a lookup pruner filtering on record_id must not read a
+    row MISS as proof of absence (``_lookup_partitions`` whole-file
+    falls back when the filtered field isn't enumerated).  Absent = all
+    identity fields were available to the builder (house builds)."""
     be = be or storage.for_path(archive_path)
     head_obj = {
         "magic": _MAGIC,
@@ -160,6 +171,8 @@ def write_warc_index(
     }
     if kinds is not None:
         head_obj["kinds"] = sorted(set(kinds))
+    if fields is not None:
+        head_obj["fields"] = sorted(set(fields))
     head = json.dumps(head_obj)
     lines = [head]
     lines.extend(
@@ -182,7 +195,14 @@ def build_warc_index(archive_path: str, be=None) -> dict:
     ``records`` field is written as -1 (unknown) on this path; readers
     never rely on it (``len(rows)`` on read, ``archive_size`` is the
     staleness guard).  ``write_warc_index`` — the exporters' list-based
-    path — still records the real count."""
+    path — still records the real count.
+
+    The stream ends with a TRAILER line ``{"end": N}`` carrying the true
+    row count: without it, a ``records=-1`` sidecar truncated exactly at
+    a newline boundary parses cleanly to the cut and would read as
+    complete — the silent-coverage hole the ``iter_index_rows`` status
+    gate exists to close.  A count-bearing header needs no trailer (a
+    clean-cut tear already shows as a count mismatch)."""
     be = be or storage.for_path(archive_path)
     size = _archive_size(be, archive_path)
     n = members = errors = 0
@@ -236,6 +256,7 @@ def build_warc_index(archive_path: str, be=None) -> dict:
                     errors += 1
         if buf:
             handle.write(b"".join(buf))
+        handle.write((json.dumps({"end": n}) + "\n").encode())
         handle.close()
     except BaseException:
         handle.abort()
@@ -285,8 +306,11 @@ def iter_index_rows(
     ``status``: optional dict filled when the generator finishes —
     ``status['complete']`` is True iff the stream reached a clean end:
     no torn/damaged line stopped it early, no dangling partial final
-    line, and the header's ``records`` count (when recorded; streamed
-    builds write -1 = unknown) matched the rows seen.  Consumers that
+    line, and the recorded row count matched the rows seen — from the
+    header's ``records`` field when it was known at write time, else
+    from the streamed build's ``{"end": N}`` trailer (a ``records=-1``
+    sidecar WITHOUT a trailer is incomplete by definition: a tear at a
+    newline boundary is otherwise invisible).  Consumers that
     DERIVE indexes from the sidecar (dump locator, lookup planning) must
     check it: a torn sidecar silently misses every record after the
     tear, and treating the archive as fully enumerated would let a
@@ -299,6 +323,7 @@ def iter_index_rows(
     if not validated and index_header(archive_path, be=be) is None:
         return
     expected = -1
+    trailer: int | None = None
     n = 0
     with be.open_read(index_path(archive_path)) as f:
         # explicit buffered line split: storage handles expose read(),
@@ -329,6 +354,11 @@ def iter_index_rows(
                     continue
                 try:
                     d = json.loads(raw.decode("utf-8"))
+                    if isinstance(d, dict) and "o" not in d and "end" in d:
+                        # streamed-build trailer: the count the header
+                        # couldn't record (not a row — never yielded)
+                        trailer = int(d["end"])
+                        continue
                     row = WarcIndexRow(
                         offset=int(d["o"]),
                         warc_type=d.get("t"),
@@ -348,7 +378,9 @@ def iter_index_rows(
             if not chunk:
                 if status is not None:
                     status["rows"] = n
-                    status["complete"] = expected < 0 or n == expected
+                    status["complete"] = (
+                        n == expected if expected >= 0 else trailer == n
+                    )
                 return
 
 
@@ -625,6 +657,10 @@ def locator_rows_for_archive(
         head = None  # PARTIAL sidecar (public-CDX conversion): it only
         # names some record types, and a locator built from it would
         # claim complete coverage it does not have — full parse instead
+    if head is not None and head.get("fields") is not None:
+        need = "id" if key == "record_id" else "u"
+        if need not in head["fields"]:
+            head = None  # rows never carried the locator's key field
     if head is not None:
         st: dict = {}
         for r in iter_index_rows(archive_path, be=be, validated=True, status=st):

@@ -224,6 +224,15 @@ def _lookup_partitions(
             # surfaces a subset of the enumerated kinds — otherwise a
             # whole-file scan keeps e.g. request/metadata rows visible.
             return [WarcFilePartition(p)]
+        flds = head.get("fields")
+        if flds is not None and (
+            (id_set and "id" not in flds) or (uri_set and "u" not in flds)
+        ):
+            # the sidecar's source never carried the filtered identity
+            # field (public CDX has no record ids): every row MISSES
+            # vacuously, and pruning on that would drop rows a full scan
+            # returns — whole-file scan instead
+            return [WarcFilePartition(p)]
         # single streamed pass, rows arrive in offset order: a hit marks
         # its member; the member's END is the next DISTINCT offset (or
         # archive size for the last) — never materializes the row set
@@ -336,6 +345,7 @@ def _public_cdx_partitions(
     files: list[str],
     uris: list[str],
     record_types: "frozenset[str] | None",
+    trust_misses: bool = False,
 ) -> "list[WarcFilePartition] | None":
     """Point-lookup planning served by a PUBLIC Common Crawl CDX index
     (``format/cdx_public.py``): ``surt(uri)`` -> cluster.idx bisect ->
@@ -349,28 +359,53 @@ def _public_cdx_partitions(
     belongs to this dump (it carries no coverage manifest of its own);
     files the index's hits never name are pruned to zero under that
     assertion, and Spark re-applies the filters on whatever is read.
-    Returns None — caller falls back to sidecar planning — when the
-    assertion can't hold (unrestricted record types, record_id filters
-    mixed in, locator-less index rows, unreadable index)."""
+
+    Key parity: a FOREIGN index was keyed by the full public ``surt``
+    library, whose canonicalization may diverge from the house
+    :func:`cdx_public.surt` on edge cases (session-id stripping, percent
+    escapes) — a diverged key looks like a MISS, and trusting it would
+    prune rows a full scan returns.  So a miss (or a block hit whose
+    rows' ``url`` never string-equals the filter value — verified hits
+    prove key parity for that value) only prunes when the index carries
+    this engine's emit marker (:func:`cdx_public.house_emitted`) or the
+    user asserts parity via the ``cdx_trust_misses`` option; otherwise
+    the planner returns None and sidecar planning decides.  Also None
+    when the contract can't hold at all: unrestricted record types,
+    record_id filters mixed in, locator-less index rows, unreadable
+    index."""
     if record_types is None or not record_types <= _PUBLIC_CDX_KINDS:
         return None
     if not uris:
         return None
+    trust = trust_misses or cdx_public.house_emitted(cdx_index)
     by_base: dict[str, list[str]] = {}
     for f in files:
         by_base.setdefault(f.rsplit("/", 1)[-1], []).append(f)
     hits: set[tuple[str, int, int]] = set()
     try:
         for u in uris:
+            verified = False
             for row in cdx_public.lookup_public_cdx(cdx_index, url=u):
                 fn, off = row.get("filename"), row.get("offset")
                 if fn is None or off is None:
                     return None  # rows without locators cannot prune
+                if row.get("url") == u:
+                    verified = True
                 end = off + row["length"] if row.get("length") else off + 1
-                for f in by_base.get(fn.rsplit("/", 1)[-1], []):
-                    # filename fields are dump-relative; match by tail
-                    if f == fn or f.endswith("/" + fn) or fn.rsplit("/", 1)[-1] == f.rsplit("/", 1)[-1]:
-                        hits.add((f, off, end))
+                # filename fields are dump-relative: prefer an exact or
+                # path-suffix match; only when the recorded path shape
+                # doesn't line up with the listing (rehomed dumps) fall
+                # back to the basename bucket — a basename shared across
+                # segments must not attach foreign byte ranges when the
+                # true path is resolvable
+                bucket = by_base.get(fn.rsplit("/", 1)[-1], [])
+                exact = [f for f in bucket if f == fn or f.endswith("/" + fn)]
+                for f in exact or bucket:
+                    hits.add((f, off, end))
+            if not verified and not trust:
+                # miss, or hits that never echo the filter value: key
+                # parity with the foreign indexer is unproven for u
+                return None
     except Exception:
         return None  # unreadable/foreign index: sidecar planning decides
     parts = [WarcFilePartition(f, o, e) for f, o, e in sorted(hits)]
@@ -429,6 +464,13 @@ class WarcReader(DataSourceReader):
         # the crawl ships — see _public_cdx_partitions for the soundness
         # contract (record_types must stay within response/revisit)
         self.cdx_index = options.get("cdx_index") or None
+        # user assertion that the public index's keys match the house
+        # surt() (e.g. a marker-less copy of an index this engine
+        # emitted) — lets a lookup MISS prune even without the emit
+        # marker; see _public_cdx_partitions' key-parity contract
+        self.cdx_trust_misses = (
+            str(options.get("cdx_trust_misses", "false")).lower() == "true"
+        )
         self._id_filters: list[str] = []
         self._uri_filters: list[str] = []
         self._file_filters: list[str] = []
@@ -452,7 +494,11 @@ class WarcReader(DataSourceReader):
                     return parts
             if self.cdx_index and not self._id_filters:
                 parts = _public_cdx_partitions(
-                    self.cdx_index, files, self._uri_filters, self.record_types
+                    self.cdx_index,
+                    files,
+                    self._uri_filters,
+                    self.record_types,
+                    trust_misses=self.cdx_trust_misses,
                 )
                 if parts is not None:
                     return parts

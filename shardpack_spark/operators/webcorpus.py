@@ -724,7 +724,13 @@ def cdx_to_sidecars(
             for o, u, w in zip(pdf["offset"], pdf["url"], pdf["wtype"])
         ]
         warc_index.write_warc_index(
-            cand, idx_rows, size, kinds=["response", "revisit"]
+            cand,
+            idx_rows,
+            size,
+            kinds=["response", "revisit"],
+            # public CDX rows carry uri+type but NO record ids: a
+            # record_id lookup must not trust a row MISS here
+            fields=["t", "u"],
         )
         return pd.DataFrame(
             {"archive": [cand], "rows": [len(idx_rows)], "archive_size": [size]}
@@ -806,6 +812,7 @@ def export_public_cdx(spark, path: str, out_dir: str, block_lines: int = 3000):
         f"{out_dir.rstrip('/')}/{cdx_public.CLUSTER_IDX}",
         ("\n".join(cluster_lines) + "\n").encode() if cluster_lines else b"",
     )
+    cdx_public.write_cdx_meta(out_dir, be=obe)
     return {
         "out": out_dir,
         "files": len(files),

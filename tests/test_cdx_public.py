@@ -446,3 +446,143 @@ def test_cli_warc_cdx_and_lookup(tmp_path, capsys):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out2.returncode == 0 and "OK" in out2.stdout, out2.stderr
+
+
+# --- review-pass regressions (round 9) ----------------------------------------
+
+
+def test_cdx_member_lengths_and_digest(tmp_path):
+    """Each emitted response length is exactly its own member's size —
+    interleaved request/metadata members close it, never fold into it —
+    so a pywb-style ranged read of [offset, offset+length) decompresses
+    that record and NOTHING else.  digest is the payload's SHA-1/b32."""
+    import base64 as _b64
+    import hashlib as _hl
+
+    d, paths = _write_dump(tmp_path, n_files=1, n=3, with_nonresponse=True)
+    out = str(tmp_path / "idx")
+    CP.build_public_cdx(d, out, block_lines=100)
+    for rec in CP.iter_cdx_records(os.path.join(out, "cdx-00000.gz")):
+        with open(paths[0], "rb") as f:
+            members = list(
+                W.iter_warc_records(
+                    f,
+                    parse_http=True,
+                    start_offset=rec["offset"],
+                    end_offset=rec["offset"] + rec["length"],
+                )
+            )
+        # exactly the located record: the range holds no trailing
+        # request member (the pre-fix failure mode)
+        assert len(members) == 1 and members[0].warc_type == "response"
+        assert members[0].target_uri == rec["url"]
+        body = members[0].payload
+        assert rec["digest"] == _b64.b32encode(_hl.sha1(body).digest()).decode()
+        # the very next byte after the range starts the next member (or
+        # EOF): ranges tile the response+request stream exactly
+        with open(paths[0], "rb") as f:
+            nxt = list(
+                W.iter_warc_records(f, start_offset=rec["offset"] + rec["length"])
+            )
+        assert nxt == [] or nxt[0].offset == rec["offset"] + rec["length"]
+
+
+def test_partial_sidecar_record_id_honesty(spark, tmp_path):
+    """A cdx-converted sidecar carries uri+type but NO record ids
+    (header fields=['t','u']): a record_id lookup must whole-file scan,
+    never read the vacuous row MISS as absence — the pre-fix path pruned
+    covered archives to zero and dropped rows a full scan returns."""
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.format.warc_source import _lookup_partitions, read_warc
+    from shardpack_spark.operators.webcorpus import cdx_to_sidecars
+
+    d, paths = _write_dump(tmp_path, n_files=1, n=4)
+    idx = str(tmp_path / "idx")
+    CP.build_public_cdx(d, idx)
+    cdx_to_sidecars(spark, idx, d).collect()
+    p = paths[0]
+    head = WI.index_header(p)
+    assert head is not None and head["fields"] == ["t", "u"]
+
+    # plan-level: record_id filter -> whole-file fallback, not zero
+    parts = _lookup_partitions([p], ["<urn:x:2>"], [], frozenset({"response"}))
+    assert len(parts) == 1 and parts[0].start == 0 and parts[0].end is None
+
+    # uri filters still prune (the sidecar DOES enumerate uris)
+    parts2 = _lookup_partitions(
+        [p], [], ["http://h0.ex.com/page/2"], frozenset({"response"})
+    )
+    assert len(parts2) == 1 and parts2[0].end is not None
+
+    # engine-level: the record resolves end to end
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            read_warc(spark, d, record_types="response")
+            .filter(F.col("record_id") == "<urn:x:2>")
+            .collect()
+        )
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+    assert len(got) == 1 and got[0].target_uri == "http://h0.ex.com/page/2"
+
+
+def test_foreign_cdx_miss_never_prunes(tmp_path):
+    """Key-parity honesty: a MISS against an index WITHOUT this engine's
+    emit marker (a real crawl's index — its surt() may canonicalize
+    differently) must fall back to sidecar planning, not prune to zero;
+    verified hits still prune, and cdx_trust_misses restores the
+    prune-on-miss behavior as an explicit user assertion."""
+    from pyspark.sql.datasource import EqualTo
+
+    from shardpack_spark.format.warc_source import WarcPushdownReader
+
+    d, paths = _write_dump(tmp_path, n_files=1, n=3)
+    idx = str(tmp_path / "idx")
+    CP.build_public_cdx(d, idx, block_lines=3)
+    assert CP.house_emitted(idx)
+    os.remove(os.path.join(idx, CP.CDX_META))  # now it's "foreign"
+    assert not CP.house_emitted(idx)
+
+    def plan(uri, **opts):
+        r = WarcPushdownReader(
+            {"path": d, "cdx_index": idx, "record_types": "response", **opts}
+        )
+        r.pushFilters([EqualTo(("target_uri",), uri)])
+        return r.partitions()
+
+    # verified hit: still a single member-range partition
+    hit = plan("http://h0.ex.com/page/1")
+    assert len(hit) == 1 and hit[0].end is not None and hit[0].end > hit[0].start
+
+    # miss on a foreign index: whole-file fallback (no house sidecars)
+    miss = plan("http://h0.ex.com/nope")
+    assert len(miss) == 1 and miss[0].start == 0 and miss[0].end is None
+
+    # explicit user assertion restores prune-to-zero
+    trusted = plan("http://h0.ex.com/nope", cdx_trust_misses="true")
+    assert len(trusted) == 1 and trusted[0].start == trusted[0].end == 0
+
+    # a diverged-key index: block found, but rows never echo the filter
+    # value -> hits unproven -> fallback, never a wrong-member prune
+    shard = os.path.join(idx, "cdx-00000.gz")
+    lines = [
+        ln
+        for ln in gzip.decompress(open(shard, "rb").read())
+        .decode()
+        .splitlines()
+        if ln
+    ]
+    forged = []
+    for ln in lines:
+        key, rest = ln.split(" ", 1)
+        ts, blob = rest.split(" ", 1)
+        obj = json.loads(blob)
+        obj["url"] = obj["url"] + "?session=zz"  # foreign canonicalization
+        forged.append(f"{key} {ts} " + json.dumps(obj, separators=(",", ":")))
+    with open(shard, "wb") as f:
+        f.write(gzip.compress(("\n".join(forged) + "\n").encode(), mtime=0))
+    os.remove(os.path.join(idx, CP.CLUSTER_IDX))  # single-shard linear path
+    diverged = plan("http://h0.ex.com/page/1")
+    assert len(diverged) == 1 and diverged[0].end is None

@@ -1090,10 +1090,25 @@ def test_iter_index_rows_status(tmp_path):
     # torn mid-row: stream stops at the damage, complete goes False
     ip = p + WI.INDEX_SUFFIX
     data = open(ip, "rb").read()
-    open(ip, "wb").write(data[:-10])
+    lines_s = data.splitlines(keepends=True)
+    open(ip, "wb").write(b"".join(lines_s[:-2]) + lines_s[-2][:-10])
     st2: dict = {}
     rows2 = list(WI.iter_index_rows(p, status=st2))
     assert len(rows2) < 4 and not st2["complete"]
+
+    # torn exactly at a NEWLINE boundary (whole trailer line dropped):
+    # every remaining line parses cleanly, so only the {"end": N}
+    # trailer can reveal the cut — the records=-1 header knows no count
+    open(ip, "wb").write(b"".join(lines_s[:-1]))
+    st2b: dict = {}
+    rows2b = list(WI.iter_index_rows(p, status=st2b))
+    assert len(rows2b) == 4 and not st2b["complete"]
+    # ...and dropping a full ROW plus the trailer is equally invisible
+    # line-wise, equally caught
+    open(ip, "wb").write(b"".join(lines_s[:-2]))
+    st2c: dict = {}
+    assert len(list(WI.iter_index_rows(p, status=st2c))) == 3
+    assert not st2c["complete"]
 
     # count mismatch with CLEAN lines: a full row dropped from a sidecar
     # whose header recorded the true count (write_warc_index path)
