@@ -428,16 +428,26 @@ def cdx_lines_for_archive(
             if not rec.target_uri:
                 continue
             body = rec.payload if rec.payload is not None else rec.block
+            if body:
+                digest = base64.b32encode(hashlib.sha1(body).digest()).decode("ascii")
+            else:
+                # revisit records carry no payload of their own; the
+                # public convention echoes the ORIGINAL capture's digest
+                # from the WARC-Payload-Digest header (sha1:B32 form)
+                h = rec.headers.get("warc-payload-digest") or ""
+                digest = h.split(":", 1)[1] if h.lower().startswith("sha1:") else None
             d = {
                 "url": rec.target_uri,
-                "mime": (rec.http_headers.get("content-type") or "").split(";")[0]
-                or None,
-                "status": str(rec.http_status) if rec.http_status is not None else None,
-                "digest": (
-                    base64.b32encode(hashlib.sha1(body).digest()).decode("ascii")
-                    if body
-                    else None
+                # revisit records have no HTTP block; the public format
+                # marks them "warc/revisit" (cdx_to_sidecars keys on it)
+                "mime": (
+                    "warc/revisit"
+                    if rec.warc_type == "revisit"
+                    else (rec.http_headers.get("content-type") or "").split(";")[0]
+                    or None
                 ),
+                "status": str(rec.http_status) if rec.http_status is not None else None,
+                "digest": digest,
                 "offset": str(rec.offset),
                 "filename": filename,
             }

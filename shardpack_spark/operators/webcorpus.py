@@ -35,6 +35,78 @@ def warc_responses(df: DataFrame, min_status: int = 200, max_status: int = 299) 
     )
 
 
+def resolve_revisits(df: DataFrame) -> DataFrame:
+    """Re-attach original payloads to WARC ``revisit`` records.
+
+    Real crawls deduplicate aggressively: a re-crawl whose payload is
+    byte-identical to an earlier capture is written as a ``revisit``
+    record (identical-payload-digest profile) carrying NO payload — just
+    ``WARC-Refers-To`` (the original's record id) and/or
+    ``WARC-Payload-Digest``.  The majority of captures in a mature
+    Common Crawl snapshot are revisits, so a consumer that reads
+    responses only silently loses most page observations.  This resolves
+    them corpus-wide, Spark-first: two plain equi-joins, no UDFs.
+
+    Originals are the ``response`` rows, keyed once by ``record_id`` and
+    once by their ``warc-payload-digest`` header; revisit rows left-join
+    by ``WARC-Refers-To`` first (exact provenance), digest as the
+    fallback (cross-archive revisits whose original id is unknown to the
+    writer).  Both joins shuffle on their keys at crawl scale — never a
+    broadcast of the payload-bearing side.  Returns the input rows with
+    ``payload`` filled for resolved revisits plus ``resolved_by``
+    (``'refers_to'`` | ``'digest'`` | null); responses and every other
+    record type pass through untouched.  Duplicate originals (re-used
+    ids, equal digests) are first-match — byte-identical by the revisit
+    profile's definition, so any representative is THE payload."""
+    resp = df.filter(F.col("warc_type") == "response")
+    by_id = (
+        resp.select(
+            F.col("record_id").alias("_orig_id"),
+            F.col("payload").alias("_orig_payload_id"),
+        )
+        .where(F.col("_orig_id").isNotNull())
+        .dropDuplicates(["_orig_id"])
+    )
+    by_digest = (
+        resp.select(
+            F.element_at("warc_headers", F.lit("warc-payload-digest")).alias(
+                "_orig_digest"
+            ),
+            F.col("payload").alias("_orig_payload_dig"),
+        )
+        .where(F.col("_orig_digest").isNotNull())
+        .dropDuplicates(["_orig_digest"])
+    )
+    rv = (
+        df.filter(F.col("warc_type") == "revisit")
+        .withColumn(
+            "_ref", F.element_at("warc_headers", F.lit("warc-refers-to"))
+        )
+        .withColumn(
+            "_dig", F.element_at("warc_headers", F.lit("warc-payload-digest"))
+        )
+    )
+    resolved = (
+        rv.join(by_id, rv["_ref"] == by_id["_orig_id"], "left")
+        .join(by_digest, rv["_dig"] == by_digest["_orig_digest"], "left")
+        .withColumn(
+            "resolved_by",
+            F.when(F.col("_orig_payload_id").isNotNull(), F.lit("refers_to")).when(
+                F.col("_orig_payload_dig").isNotNull(), F.lit("digest")
+            ),
+        )
+        .withColumn(
+            "payload",
+            F.coalesce("_orig_payload_id", "_orig_payload_dig", "payload"),
+        )
+        .drop("_ref", "_dig", "_orig_id", "_orig_payload_id", "_orig_digest", "_orig_payload_dig")
+    )
+    passthrough = df.filter(
+        F.col("warc_type").isNull() | (F.col("warc_type") != "revisit")
+    ).withColumn("resolved_by", F.lit(None).cast("string"))
+    return passthrough.unionByName(resolved)
+
+
 def warc_to_documents(
     df: DataFrame,
     min_status: int = 200,

@@ -586,3 +586,44 @@ def test_foreign_cdx_miss_never_prunes(tmp_path):
     os.remove(os.path.join(idx, CP.CLUSTER_IDX))  # single-shard linear path
     diverged = plan("http://h0.ex.com/page/1")
     assert len(diverged) == 1 and diverged[0].end is None
+
+
+def test_cdx_emit_revisit_records(tmp_path):
+    """Revisit records emit the public conventions: mime 'warc/revisit'
+    (the key cdx_to_sidecars types on) and the ORIGINAL capture's digest
+    echoed from WARC-Payload-Digest — so a consumer can join revisits to
+    originals straight from the index."""
+    import base64 as _b64
+    import hashlib as _hl
+
+    body = b"page body " * 25
+    b32 = _b64.b32encode(_hl.sha1(body).digest()).decode()
+    recs = [
+        W.warc_record_bytes(
+            "response",
+            W.http_response_block(body, content_type="text/html"),
+            target_uri="http://ex.com/a",
+            record_id="<urn:o:1>",
+            content_type="application/http; msgtype=response",
+        ),
+        W.warc_record_bytes(
+            "revisit",
+            b"",
+            target_uri="http://ex.com/a",
+            record_id="<urn:r:1>",
+            headers={"WARC-Payload-Digest": "sha1:" + b32},
+        ),
+    ]
+    d = tmp_path / "dump"
+    d.mkdir()
+    W.write_warc(str(d / "a.warc.gz"), recs)
+    out = str(tmp_path / "idx")
+    rep = CP.build_public_cdx(str(d), out)
+    assert rep["records"] == 2
+    recs_out = list(CP.iter_cdx_records(os.path.join(out, "cdx-00000.gz")))
+    by_off = sorted(recs_out, key=lambda r: r["offset"])
+    assert by_off[0]["mime"] == "text/html" and by_off[0]["digest"] == b32
+    assert by_off[1]["mime"] == "warc/revisit" and by_off[1]["digest"] == b32
+    # conversion types the revisit row correctly off that mime
+    hits = CP.lookup_public_cdx(out, url="http://ex.com/a")
+    assert sorted(h["mime"] for h in hits) == ["text/html", "warc/revisit"]

@@ -1087,3 +1087,83 @@ def test_warc_stream_split_partitions(spark, tmp_path):
     assert q.awaitTermination(120)
     got = sorted(r.record_id for r in spark.read.parquet(sink).collect())
     assert len(got) == 9 and len(set(got)) == 9
+
+
+def test_resolve_revisits(spark, tmp_path):
+    """Crawl-dedup revisit records get their original payloads back:
+    WARC-Refers-To resolves by record id, WARC-Payload-Digest is the
+    cross-archive fallback, unresolvable revisits pass through with
+    resolved_by null — and the joins never multiply rows."""
+    import base64 as _b64
+    import hashlib as _hl
+
+    from shardpack_spark.format import warc as W
+    from shardpack_spark.format.warc_source import read_warc
+    from shardpack_spark.operators.webcorpus import resolve_revisits
+
+    def dig(b):
+        return "sha1:" + _b64.b32encode(_hl.sha1(b).digest()).decode()
+
+    body0 = b"original page zero " * 20
+    body1 = b"original page one " * 20
+    mk = W.warc_record_bytes
+    recs = [
+        mk(
+            "response",
+            W.http_response_block(body0, content_type="text/html"),
+            target_uri="http://ex.com/0",
+            record_id="<urn:orig:0>",
+            content_type="application/http; msgtype=response",
+            headers={"WARC-Payload-Digest": dig(body0)},
+        ),
+        mk(
+            "response",
+            W.http_response_block(body1, content_type="text/html"),
+            target_uri="http://ex.com/1",
+            record_id="<urn:orig:1>",
+            content_type="application/http; msgtype=response",
+            headers={"WARC-Payload-Digest": dig(body1)},
+        ),
+        # provenance-exact revisit
+        mk(
+            "revisit",
+            b"",
+            target_uri="http://ex.com/0",
+            record_id="<urn:rv:0>",
+            headers={
+                "WARC-Refers-To": "<urn:orig:0>",
+                "WARC-Profile": "identical-payload-digest",
+            },
+        ),
+        # digest-only revisit (original id unknown to the writer)
+        mk(
+            "revisit",
+            b"",
+            target_uri="http://ex.com/1",
+            record_id="<urn:rv:1>",
+            headers={"WARC-Payload-Digest": dig(body1)},
+        ),
+        # unresolvable (original never captured here)
+        mk(
+            "revisit",
+            b"",
+            target_uri="http://ex.com/2",
+            record_id="<urn:rv:2>",
+            headers={"WARC-Refers-To": "<urn:gone:9>"},
+        ),
+    ]
+    d = tmp_path / "dump"
+    d.mkdir()
+    W.write_warc(str(d / "a.warc.gz"), recs)
+
+    out = resolve_revisits(read_warc(spark, str(d)))
+    rows = {r.record_id: r for r in out.collect()}
+    assert len(rows) == 5  # no join multiplication
+    assert rows["<urn:orig:0>"].resolved_by is None
+    assert bytes(rows["<urn:orig:0>"].payload) == body0  # untouched
+    assert rows["<urn:rv:0>"].resolved_by == "refers_to"
+    assert bytes(rows["<urn:rv:0>"].payload) == body0
+    assert rows["<urn:rv:1>"].resolved_by == "digest"
+    assert bytes(rows["<urn:rv:1>"].payload) == body1
+    assert rows["<urn:rv:2>"].resolved_by is None
+    assert bytes(rows["<urn:rv:2>"].payload or b"") == b""
