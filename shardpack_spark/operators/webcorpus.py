@@ -334,10 +334,21 @@ def documents_to_warc(
     url_col: str | None = None,
     header_cols: tuple[str, ...] = (),
     write_index: bool = True,
+    revisit_of_col: str | None = None,
 ) -> DataFrame:
     """Export a documents-shaped table as ``.warc.gz`` — the inverse of
     :func:`warc_to_documents`, and the interchange path to every tool
     that speaks the crawl format.
+
+    ``revisit_of_col``: rows with a non-null value there are written as
+    ``revisit`` records instead of responses — the crawl format's
+    deduplication convention (identical-payload-digest profile): an
+    EMPTY block, ``WARC-Refers-To: <urn:doc:{value}>`` naming the
+    original capture, and ``WARC-Payload-Digest`` of the row's text when
+    known.  The inverse of :func:`resolve_revisits`, and what a
+    dedup-aware crawl EMITTER needs: re-observations cost ~200 bytes
+    instead of a copied payload.  Null values in the column still write
+    plain responses, so one mixed table exports in one pass.
 
     Executor-written like every sink in this package: each input
     partition streams its rows into ONE ``part-{pid}.warc.gz`` (one gzip
@@ -355,9 +366,17 @@ def documents_to_warc(
     Returns the (partition-count-sized) manifest DataFrame
     ``(file, n_records)`` — an ACTION is required to materialize the
     files (``.collect()`` on it is bounded by the partition count)."""
+    import base64 as _b64
+    import hashlib as _hl
+
     from shardpack_spark.format import warc
 
-    cols = [id_col, text_col] + ([url_col] if url_col else []) + list(header_cols)
+    cols = (
+        [id_col, text_col]
+        + ([url_col] if url_col else [])
+        + list(header_cols)
+        + ([revisit_of_col] if revisit_of_col else [])
+    )
 
     # positional row access upstream (itertuples name=None): pandas
     # renames non-identifier/duplicate column names ('lang-id', 'class')
@@ -375,6 +394,21 @@ def documents_to_warc(
             if url_col and row[url_col] is not None
             else f"urn:doc:{rid}"
         )
+        ref = row.get(revisit_of_col) if revisit_of_col else None
+        if ref is not None:
+            extra["WARC-Refers-To"] = f"<urn:doc:{_hval(ref)}>"
+            if text:
+                extra["WARC-Payload-Digest"] = "sha1:" + _b64.b32encode(
+                    _hl.sha1(str(text).encode("utf-8")).digest()
+                ).decode("ascii")
+            rec = warc.warc_record_bytes(
+                "revisit",
+                b"",
+                target_uri=uri,
+                record_id=f"<urn:doc:{rid}>",
+                headers=extra,
+            )
+            return rec, "revisit", f"<urn:doc:{rid}>", uri, ".warc.gz"
         blk = warc.http_response_block(
             str(text).encode("utf-8"),
             content_type="text/plain; charset=utf-8",

@@ -225,6 +225,15 @@ def q02_shardpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(length(trim(coalesce(text, '')))) AS BIGINT) AS sum_len
     FROM documents GROUP BY doc_id % 7
     UNION ALL
+    -- 'revisit': crawl-dedup round trip — a 10% sample re-exported as
+    -- payload-less revisit records (WARC-Refers-To the originals),
+    -- resolved back against the response archives; each resolved
+    -- revisit recovers exactly its original's text, recomputed here
+    -- straight from documents
+    SELECT 'revisit' AS variant, lang, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(length(trim(coalesce(text, '')))) AS BIGINT) AS sum_len
+    FROM documents WHERE doc_id % 10 = 0 GROUP BY lang
+    UNION ALL
     -- 'wat': the WAT container round-trip recomputed relationally — the
     -- Spark side exports synthetic outlinks (src host = doc_id % 11, dst
     -- host = doc_id % 13, plus a relative link wat_links must drop) as
@@ -256,6 +265,10 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``warc_dump_index`` locator pushdown), eagerly materialized inside
       a filterPushdown-enabled conf window so the driver's default-conf
       session still certifies the PRUNED paths.
+    - 'revisit': the crawl-dedup loop — a 10% sample exported as
+      payload-less ``revisit`` records and resolved back against the
+      response archives (``documents_to_warc(revisit_of_col=...)`` +
+      ``resolve_revisits``).
     - 'wet' / 'wat': the other two legs of the public crawl triple —
       ``wet_export``/``warc_to_documents`` and ``wat_export``/
       ``wat_links`` round trips through real containers.
@@ -342,6 +355,42 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(conf_key, prev)
 
+    # 'revisit': the crawl-dedup loop — a 10% sample exported as
+    # payload-less revisit records (documents_to_warc revisit_of_col:
+    # WARC-Refers-To names the original in wout, ~200 B per
+    # re-observation), then resolve_revisits joins them back to the
+    # response archives and every resolved row must carry EXACTLY its
+    # original's text — emit, ingest, and the resolution joins all
+    # value-hash against the relational oracle.
+    from shardpack_spark.operators.webcorpus import resolve_revisits
+
+    docs = load_table(spark, sf_dir, "documents")
+    rvout = tempfile.mkdtemp(prefix="shardpack_rv_")
+    documents_to_warc(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            F.concat(F.lit("rv:"), F.col("doc_id").cast("string")).alias("doc_id"),
+            "text",
+            "lang",
+            F.col("doc_id").cast("string").alias("orig_ref"),
+        ),
+        rvout,
+        header_cols=("lang",),
+        revisit_of_col="orig_ref",
+    ).collect()  # bounded: one manifest row per partition
+    rv = (
+        resolve_revisits(
+            read_warc(spark, wout).unionByName(read_warc(spark, rvout))
+        )
+        .filter(F.col("warc_type") == "revisit")
+        .groupBy(F.element_at("warc_headers", "warc-x-lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.length(F.trim(F.col("payload").cast("string")))
+            ).alias("sum_len"),
+        )
+    )
+
     # 'wat': synthetic outlinks (src host = doc_id % 11, dst host =
     # doc_id % 13, plus a relative href wat_links must drop) exported as
     # REAL WAT metadata archives (wat_export), read back through
@@ -418,6 +467,7 @@ def q40_multimodal_text_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tag("warc", wc))
         .unionAll(tag("warc_lookup", wl))
         .unionAll(tag("warc_locator", wlo))
+        .unionAll(tag("revisit", rv))
         .unionAll(tag("wet", we))
         .unionAll(tag("wat", wt))
     )

@@ -1167,3 +1167,47 @@ def test_resolve_revisits(spark, tmp_path):
     assert bytes(rows["<urn:rv:1>"].payload) == body1
     assert rows["<urn:rv:2>"].resolved_by is None
     assert bytes(rows["<urn:rv:2>"].payload or b"") == b""
+
+
+def test_documents_to_warc_revisit_emission(spark, tmp_path):
+    """A mixed table (originals + revisit_of rows) exports in ONE pass:
+    revisit rows write ~empty members with WARC-Refers-To/-Payload-Digest
+    and resolve back to their originals' payloads end to end."""
+    from pyspark.sql import functions as F
+
+    from shardpack_spark.format.warc_source import read_warc
+    from shardpack_spark.operators.webcorpus import (
+        documents_to_warc,
+        resolve_revisits,
+        warc_to_documents,
+    )
+
+    rows = [(i, f"text body {i} " * 10, None) for i in range(4)] + [
+        (100 + i, f"text body {i} " * 10, str(i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, orig string")
+    out = str(tmp_path / "dump")
+    rep = documents_to_warc(df, out, revisit_of_col="orig").collect()
+    assert sum(r.n_records for r in rep) == 8
+
+    back = read_warc(spark, out)
+    types = dict(
+        back.groupBy("warc_type").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert types == {"response": 4, "revisit": 4}
+    # revisit members are payload-less on the wire
+    rv_sizes = back.filter(F.col("warc_type") == "revisit").select(
+        F.length("payload").alias("n")
+    ).collect()
+    assert all(r.n in (0, None) for r in rv_sizes)
+
+    res = resolve_revisits(back)
+    got = {
+        r.record_id: bytes(r.payload or b"").decode()
+        for r in res.filter(F.col("warc_type") == "revisit").collect()
+    }
+    for i in range(4):
+        assert got[f"<urn:doc:{100 + i}>"] == f"text body {i} " * 10
+    # and the documents pipeline keeps flowing: originals survive
+    docs = warc_to_documents(back)
+    assert docs.count() == 4
