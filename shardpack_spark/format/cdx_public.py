@@ -428,14 +428,21 @@ def cdx_lines_for_archive(
             if not rec.target_uri:
                 continue
             body = rec.payload if rec.payload is not None else rec.block
-            if body:
+            # the public convention for REVISIT lines echoes the ORIGINAL
+            # capture's digest from the WARC-Payload-Digest header
+            # (sha1:B32) — never a hash of the revisit's own block, which
+            # real writers (Heritrix convention) fill with the re-sent
+            # HTTP headers, not page content
+            h = rec.headers.get("warc-payload-digest") or ""
+            hdr_digest = (
+                h.split(":", 1)[1].strip() if h.lower().startswith("sha1:") else None
+            )
+            if rec.warc_type == "revisit":
+                digest = hdr_digest
+            elif body:
                 digest = base64.b32encode(hashlib.sha1(body).digest()).decode("ascii")
             else:
-                # revisit records carry no payload of their own; the
-                # public convention echoes the ORIGINAL capture's digest
-                # from the WARC-Payload-Digest header (sha1:B32 form)
-                h = rec.headers.get("warc-payload-digest") or ""
-                digest = h.split(":", 1)[1] if h.lower().startswith("sha1:") else None
+                digest = hdr_digest
             d = {
                 "url": rec.target_uri,
                 # revisit records have no HTTP block; the public format

@@ -57,7 +57,16 @@ def resolve_revisits(df: DataFrame) -> DataFrame:
     (``'refers_to'`` | ``'digest'`` | null); responses and every other
     record type pass through untouched.  Duplicate originals (re-used
     ids, equal digests) are first-match — byte-identical by the revisit
-    profile's definition, so any representative is THE payload."""
+    profile's definition, so any representative is THE payload.
+
+    Cost shape: the physical plan scans the source FOUR times per action
+    (passthrough, revisit, and the two originals projections) — Spark
+    cannot merge differently-projected Python-source scans.  Over raw
+    ``.warc.gz`` that means ~4 parses of the dump: for a one-shot
+    resolve that is the honest price, but for repeated downstream use
+    land the read in a materialized form first (shardpack/parquet via
+    ``warc_to_documents`` or a plain write) and resolve there, where the
+    re-scans are columnar and pruned instead of gzip parses."""
     resp = df.filter(F.col("warc_type") == "response")
     by_id = (
         resp.select(
@@ -67,11 +76,26 @@ def resolve_revisits(df: DataFrame) -> DataFrame:
         .where(F.col("_orig_id").isNotNull())
         .dropDuplicates(["_orig_id"])
     )
+    def norm_digest(c):
+        # digests join across WRITERS: 'SHA1:b32' vs 'sha-1:B32 ' must
+        # still match, so lowercase + de-hyphenate the algorithm label
+        # and uppercase the base32 part (its canonical case) on BOTH
+        # sides; NULL stays NULL throughout
+        t = F.trim(c)
+        return F.when(
+            t.contains(":"),
+            F.concat(
+                F.regexp_replace(F.lower(F.substring_index(t, ":", 1)), "-", ""),
+                F.lit(":"),
+                F.upper(F.substring_index(t, ":", -1)),
+            ),
+        ).otherwise(F.upper(t))
+
     by_digest = (
         resp.select(
-            F.element_at("warc_headers", F.lit("warc-payload-digest")).alias(
-                "_orig_digest"
-            ),
+            norm_digest(
+                F.element_at("warc_headers", F.lit("warc-payload-digest"))
+            ).alias("_orig_digest"),
             F.col("payload").alias("_orig_payload_dig"),
         )
         .where(F.col("_orig_digest").isNotNull())
@@ -83,7 +107,10 @@ def resolve_revisits(df: DataFrame) -> DataFrame:
             "_ref", F.element_at("warc_headers", F.lit("warc-refers-to"))
         )
         .withColumn(
-            "_dig", F.element_at("warc_headers", F.lit("warc-payload-digest"))
+            "_dig",
+            norm_digest(
+                F.element_at("warc_headers", F.lit("warc-payload-digest"))
+            ),
         )
     )
     resolved = (
@@ -395,7 +422,13 @@ def documents_to_warc(
             else f"urn:doc:{rid}"
         )
         ref = row.get(revisit_of_col) if revisit_of_col else None
-        if ref is not None:
+        # Arrow->pandas turns a nullable int64 column into float64 with
+        # NaN nulls: NaN must read as "no revisit" (ref != ref catches
+        # it without importing math), and an integral float must not
+        # leak a '.0' into the referenced record id
+        if ref is not None and ref == ref:
+            if isinstance(ref, float) and ref.is_integer():
+                ref = int(ref)
             extra["WARC-Refers-To"] = f"<urn:doc:{_hval(ref)}>"
             if text:
                 extra["WARC-Payload-Digest"] = "sha1:" + _b64.b32encode(

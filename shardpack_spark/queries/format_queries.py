@@ -40,6 +40,7 @@ def _sweep_stale_workdirs(max_age_s: int = 3600) -> None:
                 "shardpack_wat_",
                 "shardpack_wet_",
                 "shardpack_loc_",
+                "shardpack_rv_",
             )
         ):
             p = os.path.join(root, name)

@@ -613,17 +613,33 @@ def test_cdx_emit_revisit_records(tmp_path):
             record_id="<urn:r:1>",
             headers={"WARC-Payload-Digest": "sha1:" + b32},
         ),
+        # Heritrix convention: the revisit block carries the RE-SENT HTTP
+        # headers — the digest must still echo the header field, never
+        # hash those block bytes
+        W.warc_record_bytes(
+            "revisit",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+            target_uri="http://ex.com/a",
+            record_id="<urn:r:2>",
+            content_type="application/http; msgtype=response",
+            headers={"WARC-Payload-Digest": "sha1:" + b32},
+        ),
     ]
     d = tmp_path / "dump"
     d.mkdir()
     W.write_warc(str(d / "a.warc.gz"), recs)
     out = str(tmp_path / "idx")
     rep = CP.build_public_cdx(str(d), out)
-    assert rep["records"] == 2
+    assert rep["records"] == 3
     recs_out = list(CP.iter_cdx_records(os.path.join(out, "cdx-00000.gz")))
     by_off = sorted(recs_out, key=lambda r: r["offset"])
     assert by_off[0]["mime"] == "text/html" and by_off[0]["digest"] == b32
     assert by_off[1]["mime"] == "warc/revisit" and by_off[1]["digest"] == b32
-    # conversion types the revisit row correctly off that mime
+    assert by_off[2]["mime"] == "warc/revisit" and by_off[2]["digest"] == b32
+    # conversion types the revisit rows correctly off that mime
     hits = CP.lookup_public_cdx(out, url="http://ex.com/a")
-    assert sorted(h["mime"] for h in hits) == ["text/html", "warc/revisit"]
+    assert sorted(h["mime"] for h in hits) == [
+        "text/html",
+        "warc/revisit",
+        "warc/revisit",
+    ]

@@ -1135,13 +1135,17 @@ def test_resolve_revisits(spark, tmp_path):
                 "WARC-Profile": "identical-payload-digest",
             },
         ),
-        # digest-only revisit (original id unknown to the writer)
+        # digest-only revisit (original id unknown to the writer) — in a
+        # FOREIGN writer's casing with stray whitespace: the join
+        # normalizes both sides, so this must still resolve
         mk(
             "revisit",
             b"",
             target_uri="http://ex.com/1",
             record_id="<urn:rv:1>",
-            headers={"WARC-Payload-Digest": dig(body1)},
+            headers={
+                "WARC-Payload-Digest": " SHA-1:" + dig(body1).split(":", 1)[1]
+            },
         ),
         # unresolvable (original never captured here)
         mk(
@@ -1182,10 +1186,13 @@ def test_documents_to_warc_revisit_emission(spark, tmp_path):
         warc_to_documents,
     )
 
+    # orig is a NULLABLE LONG (the natural type when referencing another
+    # row's doc_id): Arrow->pandas floats it with NaN nulls — null rows
+    # must still export as responses and int refs must not leak '.0'
     rows = [(i, f"text body {i} " * 10, None) for i in range(4)] + [
-        (100 + i, f"text body {i} " * 10, str(i)) for i in range(4)
+        (100 + i, f"text body {i} " * 10, i) for i in range(4)
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string, orig string")
+    df = spark.createDataFrame(rows, "doc_id long, text string, orig long")
     out = str(tmp_path / "dump")
     rep = documents_to_warc(df, out, revisit_of_col="orig").collect()
     assert sum(r.n_records for r in rep) == 8
