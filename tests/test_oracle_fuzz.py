@@ -17,6 +17,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy family: deselect with -m 'not slow'
+
 from shardpack_spark.oracle import run_declared_query
 
 QUERIES = [

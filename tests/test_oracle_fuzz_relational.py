@@ -18,6 +18,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy family: deselect with -m 'not slow'
+
 from shardpack_spark.oracle import run_declared_query
 
 QUERIES = [

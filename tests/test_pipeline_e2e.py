@@ -23,6 +23,10 @@ from shardpack_spark.operators import selection
 from shardpack_spark.operators.text import gopher_quality_filter
 from shardpack_spark.tables import load_table
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy family: deselect with -m 'not slow'
+
 
 def _curate(spark, sf_dir, repartition: int | None = None):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy family: deselect with -m 'not slow'
+
 from shardpack_spark.queries import load_all
 
 REG = load_all()

@@ -13,6 +13,10 @@ from shardpack_spark.format.datasource import register
 from shardpack_spark.streaming.stateful import running_user_totals
 from tests.test_streaming import EVENT_SCHEMA, _ev, _write_batch
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy family: deselect with -m 'not slow'
+
 
 def test_apply_in_pandas_with_state(spark, tmp_path):
     """State carries across micro-batches: totals accumulate per user."""

@@ -11,6 +11,8 @@ import os
 import time
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy family: deselect with -m 'not slow'
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,

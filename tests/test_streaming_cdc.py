@@ -16,11 +16,16 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy family: deselect with -m 'not slow'
+
 from pyspark.sql import functions as F
 
 from shardpack_spark.format import codec
 from shardpack_spark.format.datasource import register
 from shardpack_spark.format.patches import (
+
     TOMBSTONE_KEY,
     list_patches,
     read_with_patches,

@@ -5,6 +5,10 @@ wiring over a micro-batched file source."""
 from __future__ import annotations
 
 import json
+
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy family: deselect with -m 'not slow'
 import os
 import time
 
@@ -12,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from shardpack_spark.streaming.dedup_stream import (
+
     near_dup_ingest_batch,
     start_near_dup_ingest,
 )

@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy family: deselect with -m 'not slow'
 from pyspark.sql import functions as F
 
 from shardpack_spark.format.patches import list_patches

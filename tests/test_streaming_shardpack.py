@@ -8,6 +8,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy family: deselect with -m 'not slow'
+
 from pyspark.sql import functions as F
 
 from shardpack_spark.format import codec
