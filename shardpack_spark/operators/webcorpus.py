@@ -72,6 +72,8 @@ def resolve_revisits(df: DataFrame) -> DataFrame:
         resp.select(
             F.col("record_id").alias("_orig_id"),
             F.col("payload").alias("_orig_payload_id"),
+            F.col("http_status").alias("_orig_status_id"),
+            F.col("http_content_type").alias("_orig_ctype_id"),
         )
         .where(F.col("_orig_id").isNotNull())
         .dropDuplicates(["_orig_id"])
@@ -97,6 +99,8 @@ def resolve_revisits(df: DataFrame) -> DataFrame:
                 F.element_at("warc_headers", F.lit("warc-payload-digest"))
             ).alias("_orig_digest"),
             F.col("payload").alias("_orig_payload_dig"),
+            F.col("http_status").alias("_orig_status_dig"),
+            F.col("http_content_type").alias("_orig_ctype_dig"),
         )
         .where(F.col("_orig_digest").isNotNull())
         .dropDuplicates(["_orig_digest"])
@@ -126,7 +130,31 @@ def resolve_revisits(df: DataFrame) -> DataFrame:
             "payload",
             F.coalesce("_orig_payload_id", "_orig_payload_dig", "payload"),
         )
-        .drop("_ref", "_dig", "_orig_id", "_orig_payload_id", "_orig_digest", "_orig_payload_dig")
+        # the HTTP envelope travels with the payload: a resolved revisit
+        # is a full re-observation, self-describing to downstream
+        # consumers (warc_to_documents admits it like a response)
+        .withColumn(
+            "http_status",
+            F.coalesce("_orig_status_id", "_orig_status_dig", "http_status"),
+        )
+        .withColumn(
+            "http_content_type",
+            F.coalesce(
+                "_orig_ctype_id", "_orig_ctype_dig", "http_content_type"
+            ),
+        )
+        .drop(
+            "_ref",
+            "_dig",
+            "_orig_id",
+            "_orig_payload_id",
+            "_orig_status_id",
+            "_orig_ctype_id",
+            "_orig_digest",
+            "_orig_payload_dig",
+            "_orig_status_dig",
+            "_orig_ctype_dig",
+        )
     )
     passthrough = df.filter(
         F.col("warc_type").isNull() | (F.col("warc_type") != "revisit")
@@ -152,8 +180,24 @@ def warc_to_documents(
     - ``doc_id`` is the WARC record id (globally unique per the spec),
       so downstream dedup/lineage keys on it exactly like ``documents.
       doc_id``.
+    - input that went through :func:`resolve_revisits` (detected by its
+      ``resolved_by`` column) also admits RESOLVED revisit records under
+      the same status/content-type gates — each re-observation carries
+      its original's payload and HTTP envelope, and flows as its own
+      document (own record id, own URI, own fetch date).  Unresolved
+      revisits and un-resolved input drop them as before.
     """
     resp = warc_responses(df, min_status=min_status)
+    if "resolved_by" in df.columns:
+        resp = resp.unionByName(
+            df.filter(
+                (F.col("warc_type") == "revisit")
+                & F.col("resolved_by").isNotNull()
+                & F.col("parse_error").isNull()
+                & ~F.col("truncated")
+                & F.col("http_status").between(min_status, 299)
+            )
+        )
     ctype = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
     is_html = ctype.startswith("text/html")
     is_text = ctype.startswith("text/plain")

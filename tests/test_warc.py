@@ -1215,6 +1215,18 @@ def test_documents_to_warc_revisit_emission(spark, tmp_path):
     }
     for i in range(4):
         assert got[f"<urn:doc:{100 + i}>"] == f"text body {i} " * 10
-    # and the documents pipeline keeps flowing: originals survive
+    # and the documents pipeline keeps flowing: raw input surfaces the
+    # originals only, RESOLVED input admits each re-observation as its
+    # own document (original payload + HTTP envelope restored)
     docs = warc_to_documents(back)
     assert docs.count() == 4
+    docs_resolved = warc_to_documents(res)
+    assert docs_resolved.count() == 8
+    rv_docs = {
+        r.doc_id: r.text
+        for r in docs_resolved.collect()
+        if r.doc_id.startswith("<urn:doc:10")
+    }
+    assert len(rv_docs) == 4
+    for i in range(4):
+        assert rv_docs[f"<urn:doc:{100 + i}>"].strip() == (f"text body {i} " * 10).strip()
