@@ -924,17 +924,30 @@ def cdx_to_sidecars(
     )
 
 
-def export_public_cdx(spark, path: str, out_dir: str, block_lines: int = 3000):
+def export_public_cdx(
+    spark, path: str, out_dir: str, block_lines: int = 3000, shards: int = 1
+):
     """Distributed twin of ``cdx_public.build_public_cdx``: one task per
     archive emits its CDXJ lines (``cdx_lines_for_archive``), ONE range
-    shuffle key-sorts them globally, and the driver assembles the zipnum
-    pair (block-gzip ``cdx-00000.gz`` + ``cluster.idx``) from the sorted
-    stream.  The final write is driver-side but BLOCK-bounded memory
-    (one ~3000-line block at a time via toLocalIterator) — the cluster
-    does the expensive part (the full-dump parse + sort).  Sized for the
-    single-shard layout; a multi-shard writer is one partitioned
-    mapInPandas away if an index outgrows one file.  Returns the
-    :func:`cdx_public.build_public_cdx`-shaped report."""
+    shuffle key-sorts them globally, and the zipnum pair (block-gzip
+    ``cdx-*.gz`` + ``cluster.idx``) is assembled.
+
+    ``shards=1`` (default): the driver assembles one ``cdx-00000.gz``
+    BLOCK-bounded (one ~3000-line block at a time via toLocalIterator) —
+    right for small/medium dumps where one index file is the convenient
+    artifact.
+
+    ``shards=N``: the crawl-scale path — a real dump's index is ~100s of
+    GB and must never flow through one driver.  The key-sorted lines
+    range-partition into N EXECUTOR-WRITTEN ``cdx-{part:05d}.gz`` shards
+    (each task gzips its own blocks straight to storage), and the driver
+    assembles only ``cluster.idx`` from the per-block fragment rows —
+    O(total_lines / block_lines) driver work and memory, independent of
+    index bytes.  Range partition ids rise with the key order, so shard
+    names sort in key order and the two-level lookup bisects the
+    cluster exactly as in the single-shard layout.
+
+    Returns the :func:`cdx_public.build_public_cdx`-shaped report."""
     import gzip as _gzip
 
     from shardpack_spark.format import cdx_public, storage, warc
@@ -955,11 +968,14 @@ def export_public_cdx(spark, path: str, out_dir: str, block_lines: int = 3000):
                 yield pd.DataFrame({"line": out})
 
     sdf = spark.createDataFrame([(f,) for f in files], "archive string")
-    lines_df = (
-        sdf.repartition(min(max(len(files), 1), 512))
-        .mapInPandas(emit, "line string")
-        .orderBy("line")
+    lines_raw = sdf.repartition(min(max(len(files), 1), 512)).mapInPandas(
+        emit, "line string"
     )
+    if shards > 1:
+        return _export_public_cdx_sharded(
+            lines_raw, out_dir, block_lines, shards, len(files)
+        )
+    lines_df = lines_raw.orderBy("line")
     obe = storage.for_path(out_dir)
     obe.makedirs(out_dir)
     shard_name = "cdx-00000.gz"
@@ -1000,6 +1016,114 @@ def export_public_cdx(spark, path: str, out_dir: str, block_lines: int = 3000):
         "out": out_dir,
         "files": len(files),
         "records": n,
+        "blocks": len(cluster_lines),
+    }
+
+
+def _export_public_cdx_sharded(
+    lines_raw: DataFrame, out_dir: str, block_lines: int, shards: int, n_files: int
+) -> dict:
+    """Crawl-scale half of :func:`export_public_cdx` (``shards>1``): the
+    key-sorted lines land as N executor-written ``cdx-{part:05d}.gz``
+    shard files; the driver sees only one fragment row per gzip BLOCK
+    (first key, byte offset/length, local line number, shard line count)
+    and assembles ``cluster.idx`` from them — O(blocks) work however big
+    the index bytes are.  ``repartitionByRange`` assigns ascending key
+    ranges to ascending partition ids, so shard names sort in key order
+    and cluster lines concatenate globally sorted; empty range
+    partitions write nothing (shard numbering may skip — the cluster
+    names every block's shard explicitly, so lookups don't care)."""
+    import gzip as _gzip
+
+    from shardpack_spark.format import cdx_public, storage
+
+    out_base = out_dir.rstrip("/")
+
+    def write_shard(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        name = f"cdx-{pid:05d}.gz"
+        be = storage.for_path(out_base)
+        handle = None
+        frags: list[tuple] = []  # (first_col, offset, length, local_line)
+        pos = n = 0
+        block: list[str] = []
+
+        def flush():
+            nonlocal pos
+            member = _gzip.compress(("\n".join(block) + "\n").encode(), mtime=0)
+            frags.append(
+                (block[0].split(" {", 1)[0], pos, len(member), n - len(block))
+            )
+            handle.write(member)
+            pos += len(member)
+
+        try:
+            for pdf in batches:
+                for ln in pdf["line"]:
+                    if handle is None:
+                        be.makedirs(out_base)
+                        handle = be.create(f"{out_base}/{name}")
+                    block.append(ln)
+                    n += 1
+                    if len(block) >= block_lines:
+                        flush()
+                        block = []
+            if handle is not None:
+                if block:
+                    flush()
+                handle.close()
+                yield pd.DataFrame(
+                    {
+                        "shard": [name] * len(frags),
+                        "first_key": [f[0] for f in frags],
+                        "offset": [f[1] for f in frags],
+                        "length": [f[2] for f in frags],
+                        "local_line": [f[3] for f in frags],
+                        "shard_lines": [n] * len(frags),
+                    }
+                )
+        except BaseException:
+            if handle is not None:
+                handle.abort()
+            raise
+
+    frag_rows = (
+        lines_raw.repartitionByRange(shards, "line")
+        .sortWithinPartitions("line")
+        .mapInPandas(
+            write_shard,
+            "shard string, first_key string, offset long, length long, "
+            "local_line long, shard_lines long",
+        )
+        .collect()  # bounded: ONE row per ~block_lines index lines
+    )
+    by_shard: dict[str, list] = {}
+    for r in frag_rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    cluster_lines: list[str] = []
+    base_line = 0
+    for nm in sorted(by_shard):
+        frs = sorted(by_shard[nm], key=lambda r: r["offset"])
+        for fr in frs:
+            cluster_lines.append(
+                f"{fr['first_key']}\t{nm}\t{fr['offset']}\t{fr['length']}\t"
+                f"{base_line + fr['local_line']}"
+            )
+        base_line += frs[0]["shard_lines"]
+    obe = storage.for_path(out_dir)
+    obe.makedirs(out_base)
+    obe.write_atomic(
+        f"{out_base}/{cdx_public.CLUSTER_IDX}",
+        ("\n".join(cluster_lines) + "\n").encode() if cluster_lines else b"",
+    )
+    cdx_public.write_cdx_meta(out_dir, be=obe)
+    return {
+        "out": out_dir,
+        "files": n_files,
+        "records": base_line,
         "blocks": len(cluster_lines),
     }
 

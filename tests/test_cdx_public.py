@@ -643,3 +643,44 @@ def test_cdx_emit_revisit_records(tmp_path):
         "warc/revisit",
         "warc/revisit",
     ]
+
+
+def test_export_public_cdx_sharded_parity(spark, tmp_path):
+    """The crawl-scale sharded emit (executor-written cdx-*.gz, driver
+    assembles only cluster.idx) serves identical lookups to the
+    single-shard layout, bisected path included, with globally-ordered
+    cluster line numbers across shards."""
+    from shardpack_spark.operators.webcorpus import export_public_cdx
+
+    d, _ = _write_dump(tmp_path, n_files=3, n=6)
+    out1 = str(tmp_path / "idx1")
+    outn = str(tmp_path / "idxn")
+    rep1 = export_public_cdx(spark, d, out1, block_lines=4)
+    repn = export_public_cdx(spark, d, outn, block_lines=4, shards=3)
+    assert repn["records"] == rep1["records"] == 18
+    shard_files = [f for f in os.listdir(outn) if f.startswith("cdx-")]
+    assert len(shard_files) > 1  # really multi-shard
+    assert CP.house_emitted(outn)
+
+    # cluster line numbers are GLOBAL and strictly increasing
+    nums = [
+        int(ln.rsplit("\t", 1)[1])
+        for ln in open(os.path.join(outn, CP.CLUSTER_IDX)).read().splitlines()
+        if ln
+    ]
+    assert nums == sorted(nums) and len(set(nums)) == len(nums)
+    assert repn["blocks"] == len(nums)
+
+    urls = [f"http://h{j}.ex.com/page/{i}" for j in range(3) for i in range(6)]
+    for u in urls + ["http://h0.ex.com/nope"]:
+        assert CP.lookup_public_cdx(outn, url=u) == CP.lookup_public_cdx(out1, url=u)
+    # forced-bisect path over the sharded cluster too
+    import unittest.mock as mock
+
+    with mock.patch.object(CP, "_CLUSTER_LINEAR_MAX", 0), mock.patch.object(
+        CP, "_BISECT_WINDOW", 64
+    ):
+        for u in urls[::5]:
+            assert CP.lookup_public_cdx(outn, url=u) == CP.lookup_public_cdx(
+                out1, url=u
+            )
