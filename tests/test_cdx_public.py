@@ -515,8 +515,13 @@ def test_partial_sidecar_record_id_honesty(spark, tmp_path):
     )
     assert len(parts2) == 1 and parts2[0].end is not None
 
-    # engine-level: the record resolves end to end
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # engine-level: the record resolves end to end.  RESTORE the conf to
+    # its prior value, never unset — the shared session enables pushdown
+    # globally (get_spark), and unsetting here reverted it to the Spark
+    # default for every later test (broke test_datasource's pruning pins)
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
     try:
         got = (
             read_warc(spark, d, record_types="response")
@@ -524,7 +529,7 @@ def test_partial_sidecar_record_id_honesty(spark, tmp_path):
             .collect()
         )
     finally:
-        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        spark.conf.set(conf_key, prev)
     assert len(got) == 1 and got[0].target_uri == "http://h0.ex.com/page/2"
 
 
