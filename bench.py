@@ -481,6 +481,43 @@ def main() -> None:
         yard["cdx_public_lookup_s"] = round(
             min(time_query(cdx_probe) for _ in range(2)), 3
         )
+
+        # revisit resolution (late round 9): 10% of the docs re-exported
+        # as payload-less revisit records, resolved back against the
+        # response archives — times the two resolution joins over the
+        # python-source scans, the dedup-aware crawl consumer's hot path
+        from shardpack_spark.operators.webcorpus import resolve_revisits
+
+        rvdir = os.path.join(wdir, "rv")
+        documents_to_warc(
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select(
+                F.concat(F.lit("rv:"), F.col("doc_id").cast("string")).alias(
+                    "doc_id"
+                ),
+                "text",
+                F.col("doc_id").cast("string").alias("orig"),
+            )
+            .coalesce(2),
+            rvdir,
+            revisit_of_col="orig",
+        ).collect()
+
+        def rv_resolve():
+            n = (
+                resolve_revisits(
+                    read_warc(spark, arch).unionByName(read_warc(spark, rvdir))
+                )
+                .filter(F.col("resolved_by").isNotNull())
+                .count()
+            )
+            assert n > 0  # resolution actually happened, not a 0-row plan
+
+        rv_resolve()
+        yard["warc_revisit_resolve_s"] = round(
+            min(time_query(rv_resolve) for _ in range(2)), 3
+        )
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 
