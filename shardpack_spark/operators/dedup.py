@@ -152,20 +152,26 @@ def minhash_signatures_oph(
         F.sequence(F.lit(0), F.lit(n_bins - 1)),
         lambda j: F.element_at(F.col("m"), j.cast("int")),
     )
-    # rotation densification over the doubled array: after one full
-    # cycle every slot has seen a non-empty bin (a doc always has >= 1),
-    # so the second half is fully dense.  A filled slot's value is
-    # xxhash64(borrowed value, borrow distance): two docs agree on a
-    # filled slot exactly when they borrowed EQUAL values at EQUAL
-    # distance (the rotation-densification agreement rule), and hashing
-    # avoids the long-overflow a wraparound add would hit under ANSI.
+    return agged.select("sid", _oph_densify(sparse, n_bins).alias("sig"))
+
+
+def _oph_densify(sparse, n_bins: int):
+    """Rotation densification of a sparse (NULL-holed) per-bin min array.
+
+    Runs over the doubled array: after one full cycle every slot has seen
+    a non-empty bin (a doc always has >= 1), so the second half is fully
+    dense.  A filled slot's value is xxhash64(borrowed value, borrow
+    distance): two docs agree on a filled slot exactly when they borrowed
+    EQUAL values at EQUAL distance (the rotation-densification agreement
+    rule), and hashing avoids the long-overflow a wraparound add would
+    hit under ANSI."""
     doubled = F.concat(sparse, sparse)
     acc0 = F.struct(
         F.array().cast("array<bigint>").alias("out"),
         F.lit(None).cast("bigint").alias("last"),
         F.lit(0).alias("dist"),
     )
-    filled = F.aggregate(
+    return F.aggregate(
         doubled,
         acc0,
         lambda acc, x: F.struct(
@@ -178,7 +184,61 @@ def minhash_signatures_oph(
         ),
         lambda acc: F.slice(acc["out"], n_bins + 1, n_bins),
     )
-    return agged.select("sid", filled.alias("sig"))
+
+
+def minhash_oph_profiles(
+    shingled: DataFrame, n_bins: int = 64, seed: int = 42
+) -> DataFrame:
+    """One-corpus-pass per-doc dedup profile: (sid, sig, shset, n).
+
+    Fuses the two corpus aggregations the LSH pipeline otherwise runs
+    separately — ``minhash_signatures_oph`` (banding/prefilter input) and
+    the per-doc shingle-set fold inside ``jaccard_pairs_exact``'s
+    candidate verify — so the shingle stream is scanned, exploded and
+    hashed ONCE instead of three times (the old plan additionally
+    recomputed the set aggregation for BOTH join sides of the verify).
+
+    The fusion keeps ``minhash_signatures_oph``'s two-level shape — a
+    per-(sid, bin) aggregate, then a per-sid pivot — and simply rides the
+    per-bin shingle sets and row counts through the same two exchanges:
+    level 1 adds ``collect_set(shingle)``/``count(*)`` next to the bin
+    min, level 2 flattens the bin sets (equal shingle values share a bin,
+    so cross-bin duplicates are impossible and the flattened array IS the
+    per-doc set) and sums the counts.  Do NOT "simplify" this into one
+    groupBy(sid) with n_bins conditional ``min(CASE WHEN ...)`` columns:
+    any object aggregate (collect_set) forces the whole aggregate into
+    interpreted ObjectHashAggregate, and 64 interpreted CASE+xxhash64
+    evaluations per shingle row measured ~6x SLOWER than this shape.
+
+    ``sig`` is value-identical to ``minhash_signatures_oph`` (same
+    per-bin min of the same hash, same rotation densification); ``n``
+    counts shingle rows, not set size, preserving the historical
+    collision semantics of the verify aggregation.
+
+    Feed ``select("sid", "sig")`` to banding/prefilter and pass
+    ``select("sid", "shset", "n")`` as ``jaccard_pairs_exact(sets=...)``;
+    persist the profile when both consumers run in one job."""
+    h = F.xxhash64("shingle", F.lit(seed * _SEED_MIX))
+    per_bin = (
+        shingled.groupBy("sid", F.pmod(h, F.lit(n_bins)).alias("bin"))
+        .agg(
+            F.min(h).alias("mh"),
+            F.collect_set("shingle").alias("bs"),
+            F.count(F.lit(1)).alias("bn"),
+        )
+    )
+    agged = per_bin.groupBy("sid").agg(
+        F.map_from_entries(F.collect_list(F.struct("bin", "mh"))).alias("m"),
+        F.flatten(F.collect_list("bs")).alias("shset"),
+        F.sum("bn").alias("n"),
+    )
+    sparse = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda j: F.element_at(F.col("m"), j.cast("int")),
+    )
+    return agged.select(
+        "sid", _oph_densify(sparse, n_bins).alias("sig"), "shset", "n"
+    )
 
 
 def _lsh_banded_rows(
@@ -429,6 +489,7 @@ def jaccard_pairs_exact(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     broadcast_candidates: bool = True,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (or candidate-restricted pairs) with Jaccard >= threshold.
 
@@ -464,11 +525,16 @@ def jaccard_pairs_exact(
         # Candidate-scoped intersections: per-doc shingle sets built in
         # one pass, intersected per candidate pair.  The full shingle
         # self-join (which blows up on frequent shingles) is never built.
+        # ``sets`` lets the caller hand in a precomputed (sid, shset, n)
+        # table (e.g. the fused minhash_oph_profiles aggregate, usually
+        # persisted) so the corpus is not re-aggregated here — once per
+        # join side — on top of the signature pass.
         hint = F.broadcast if broadcast_candidates else (lambda d: d)
-        sets = shingled.groupBy("sid").agg(
-            F.collect_set("shingle").alias("shset"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        if sets is None:
+            sets = shingled.groupBy("sid").agg(
+                F.collect_set("shingle").alias("shset"),
+                F.count(F.lit(1)).alias("n"),
+            )
         a = sets.select(
             F.col("sid").alias("sid_a"), F.col("shset").alias("sa"), F.col("n").alias("na")
         )

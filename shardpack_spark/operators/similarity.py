@@ -34,15 +34,35 @@ def _norm(a) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _query_lit(query_vec) -> Column:
+    """A pre-collected query vector as a literal array<double> column.
+
+    Element-wise identical to broadcasting the source row: the collected
+    values are float32 widened exactly to Python floats, and ``_dot`` /
+    ``_norm`` cast every element to double on both paths anyway — so a
+    literal-vs-broadcast query cannot change a single bit of the scores,
+    while removing the broadcast-build job (and, for sketched queries,
+    its Python-worker round trip) from every probe."""
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
 def cosine_scores(
     df: DataFrame,
-    query: DataFrame,
+    query: DataFrame | None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    query_vec=None,
 ) -> DataFrame:
-    """(id, cosine) of every row in df against the single-row query df."""
-    q = F.broadcast(query.select(F.col(vec_col).alias("__q")))
-    joined = df.crossJoin(q)
+    """(id, cosine) of every row in df against the single-row query df.
+
+    ``query_vec`` (a pre-collected number sequence) replaces the
+    broadcast crossJoin with a literal vector — one job fewer per probe;
+    see :func:`_query_lit` for the value-identity argument."""
+    if query_vec is not None:
+        joined = df.withColumn("__q", _query_lit(query_vec))
+    else:
+        q = F.broadcast(query.select(F.col(vec_col).alias("__q")))
+        joined = df.crossJoin(q)
     return joined.select(
         F.col(id_col),
         (_dot(F.col(vec_col), F.col("__q")) / (_norm(F.col(vec_col)) * _norm(F.col("__q")))).alias(
@@ -53,30 +73,38 @@ def cosine_scores(
 
 def cosine_topk(
     df: DataFrame,
-    query: DataFrame,
+    query: DataFrame | None,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_ids: list[int] | None = None,
+    query_vec=None,
 ) -> DataFrame:
     """Brute-force exact top-k by cosine (TakeOrderedAndProject)."""
-    scored = cosine_scores(df, query, vec_col, id_col)
+    scored = cosine_scores(df, query, vec_col, id_col, query_vec=query_vec)
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(exclude_ids))
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def centroid_state(rows):
+    """(ids sorted ascending, row-normalized matrix) from (id, vec) rows —
+    the one piece of driver-side state an IVF index keeps.  Accepts any
+    iterable of 2-sequences (Rows, tuples); build it ONCE per query from
+    a single collect and hand it to :func:`assign_to_centroids` /
+    :func:`ivf_topk` so each consumer does not re-run the collect job."""
+    import numpy as np
+
+    rows = sorted(((r[0], list(r[1])) for r in rows), key=lambda r: r[0])
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    cmat = np.array([r[1] for r in rows], dtype=np.float64)
+    return cids, cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+
 def _collect_centroids(centroids: DataFrame, centroid_id: str, centroid_vec: str):
     """Collect the (tiny, O(k*d) by contract) centroid table once:
     (ids sorted ascending, row-normalized matrix)."""
-    import numpy as np
-
-    rows = sorted(
-        centroids.select(centroid_id, centroid_vec).collect(), key=lambda r: r[0]
-    )
-    cids = np.array([r[0] for r in rows], dtype=np.int64)
-    cmat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    return cids, cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    return centroid_state(centroids.select(centroid_id, centroid_vec).collect())
 
 
 def assign_to_centroids(
@@ -86,6 +114,7 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     centroid_id: str = "cid",
     centroid_vec: str = "cvec",
+    state=None,
 ) -> DataFrame:
     """Tag each vector with its highest-cosine centroid (ties -> smallest
     centroid id).
@@ -97,13 +126,19 @@ def assign_to_centroids(
     previous shape — crossJoin(centroids) + row_number window — shuffled
     |data| * k joined rows just to argmax over k, which is exactly the
     plan you can't afford at 100 TB.)
+
+    ``state``: a pre-built :func:`centroid_state` tuple — callers that
+    already collected the centroids (ivf_topk does, for probe ranking)
+    pass it through so assignment adds no second collect job.
     """
     import pandas as pd  # noqa: F401
     from pyspark.sql.pandas.functions import pandas_udf
 
     globals().setdefault("pd", pd)
 
-    cids, cn = _collect_centroids(centroids, centroid_id, centroid_vec)
+    cids, cn = state if state is not None else _collect_centroids(
+        centroids, centroid_id, centroid_vec
+    )
 
     @pandas_udf("long")
     def nearest(vecs: pd.Series) -> pd.Series:
@@ -159,6 +194,8 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    state=None,
+    query_vec=None,
 ) -> DataFrame:
     """IVF-style ANN: probe the nprobe centroids nearest the query, then
     exact top-k within those buckets only.
@@ -173,23 +210,33 @@ def ivf_topk(
     broadcast crossJoin + sort job to rank centroids and a broadcast
     semi-join to apply them — two extra exchanges for a list the driver
     already had in memory.)
+
+    ``state`` / ``query_vec``: pre-collected :func:`centroid_state` and
+    query vector.  Without them this function runs THREE driver jobs
+    before the probe (assignment's centroid collect, its own, the query
+    collect); a caller that gathers centroids+query in one collect cuts
+    that to zero extra jobs.  The centroid state is also passed through
+    to assignment, so it is never collected twice.
     """
     import numpy as np
 
-    assigned = assign_to_centroids(df, centroids, vec_col, id_col)
-    cids, cn = _collect_centroids(centroids, "cid", "cvec")
-    qvec = np.array(
-        [list(r[0]) for r in query.select(vec_col).collect()], dtype=np.float64
+    cids, cn = state if state is not None else _collect_centroids(
+        centroids, "cid", "cvec"
     )
-    if qvec.shape[0] != 1:
-        raise ValueError(f"ivf_topk expects a single-row query, got {qvec.shape[0]}")
-    q = qvec[0] / (np.linalg.norm(qvec[0]) or 1.0)
+    assigned = assign_to_centroids(df, centroids, vec_col, id_col, state=(cids, cn))
+    if query_vec is None:
+        qrows = [list(r[0]) for r in query.select(vec_col).collect()]
+        if len(qrows) != 1:
+            raise ValueError(f"ivf_topk expects a single-row query, got {len(qrows)}")
+        query_vec = qrows[0]
+    qarr = np.array(list(query_vec), dtype=np.float64)
+    q = qarr / (np.linalg.norm(qarr) or 1.0)
     sims = cn @ q
     # same ordering contract as before: cosine desc, centroid id asc
     order = sorted(range(len(cids)), key=lambda i: (-sims[i], cids[i]))
     probe = [int(cids[i]) for i in order[:nprobe]]
     bucketed = assigned.filter(F.col("cid").isin(probe))
-    return cosine_topk(bucketed, query, k, vec_col, id_col)
+    return cosine_topk(bucketed, query, k, vec_col, id_col, query_vec=query_vec)
 
 
 def _sketch_udf(n_planes: int, seed: int):
@@ -236,6 +283,7 @@ def rp_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    query_vec=None,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: bucket vectors by the sign pattern of
     n_planes fixed pseudo-random projections, scan only buckets within
@@ -246,6 +294,13 @@ def rp_lsh_topk(
     shipping a matrix; the sketch is one matmul per batch.  Candidate
     fraction ~ sum_{i<=h} C(n,i)/2^n.
 
+    ``query_vec`` (pre-collected): the query's sketch is then computed
+    DRIVER-SIDE with the identical seeded planes and applied as a
+    literal, removing the broadcast-build job and its dedicated
+    Python-worker round trip (the corpus-side sketch keeps its one
+    ArrowEvalPython pass).  Bit-identical by construction: same RNG,
+    same matmul-sign-pack, and the exact cosine verify is unchanged.
+
     Parameter note: hyperplane LSH recall depends on the cosine gap —
     for near-orthogonal data (this repo's synthetic embeddings peak at
     ~0.47) use few planes and a generous Hamming radius; for clustered
@@ -253,10 +308,24 @@ def rp_lsh_topk(
     """
     sketch = _sketch_udf(n_planes, seed)
     data = df.withColumn("__sk", sketch(F.col(vec_col)))
-    q = F.broadcast(query.select(F.col(vec_col).alias("__qv")).withColumn("__qsk", sketch(F.col("__qv"))))
-    cand = data.crossJoin(q).filter(
-        F.bit_count(F.col("__sk").bitwiseXOR(F.col("__qsk"))) <= max_hamming
-    )
+    if query_vec is not None:
+        import numpy as np
+
+        qarr = np.array(list(query_vec), dtype=np.float64)
+        planes = np.random.RandomState(seed).uniform(
+            -1.0, 1.0, size=(n_planes, qarr.shape[0])
+        )
+        bits = (qarr @ planes.T) > 0
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        qsk = int((bits * weights).sum())
+        cand = data.withColumn("__qv", _query_lit(query_vec)).filter(
+            F.bit_count(F.col("__sk").bitwiseXOR(F.lit(qsk))) <= max_hamming
+        )
+    else:
+        q = F.broadcast(query.select(F.col(vec_col).alias("__qv")).withColumn("__qsk", sketch(F.col("__qv"))))
+        cand = data.crossJoin(q).filter(
+            F.bit_count(F.col("__sk").bitwiseXOR(F.col("__qsk"))) <= max_hamming
+        )
     scored = cand.select(
         F.col(id_col),
         (_dot(F.col(vec_col), F.col("__qv")) / (_norm(F.col(vec_col)) * _norm(F.col("__qv")))).alias("cosine"),

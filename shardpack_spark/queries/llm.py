@@ -177,17 +177,38 @@ def _shingles(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFr
 
 
 def _lsh_pairs(sh: DataFrame, oph: bool = False) -> DataFrame:
+    # One fused groupBy(sid) computes the signature AND the exact shingle
+    # set + row count the verify step needs (guide §2.4: operations keyed
+    # the same way share one exchange).  The old shape aggregated the
+    # corpus three times — signature pass plus a recomputed collect_set
+    # for EACH join side of the candidate verify; the profile is built
+    # once, persisted, and every consumer reads the cache.
     if oph:
         # one-permutation hashing: 1 hash per shingle into 64 bins —
-        # the scale path (verified pair-identical to classic on all SFs)
-        sigs = dedup.minhash_signatures_oph(sh, n_bins=64, seed=42).persist()
+        # the scale path (verified pair-identical to classic on all SFs).
+        # The fused profile carries the verify-side shingle sets through
+        # the same two exchanges as the signature, so the corpus is
+        # exploded+hashed once.
+        prof = dedup.minhash_oph_profiles(sh, n_bins=64, seed=42).persist()
+        sigs = prof.select("sid", "sig")
+        sets = prof.select("sid", "shset", "n")
     else:
+        # classic minhash's 64 codegen'd min() aggregates cannot host a
+        # collect_set without degrading the whole aggregate to interpreted
+        # ObjectHashAggregate (see minhash_oph_profiles docstring), so the
+        # set fold stays a separate pass — but built ONCE and persisted,
+        # where the old plan recomputed it for each verify join side.
         sigs = dedup.minhash_signatures(sh, n_hashes=64, seed=42).persist()
+        sets = (
+            sh.groupBy("sid")
+            .agg(F.collect_set("shingle").alias("shset"), F.count(F.lit(1)).alias("n"))
+            .persist()
+        )
     cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
     # signature prefilter kills the false-positive bulk from dense buckets
     # before the (comparatively expensive) exact shingle intersection
     cand = dedup.filter_candidates_by_signature(cand, sigs, min_estimate=0.6)
-    return dedup.jaccard_pairs_exact(sh, threshold=0.8, candidates=cand)
+    return dedup.jaccard_pairs_exact(sh, threshold=0.8, candidates=cand, sets=sets)
 
 
 def fuzzy_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,15 +335,29 @@ def q30b_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nprobe < n_centroids, radius < n_planes) are exercised for recall
     in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    query = emb.filter(F.col("vec_id") == 0)
-    exact = similarity.cosine_topk(emb, query, k=5, exclude_ids=[0])
-    base = emb.filter(F.col("vec_id") != 0)
-    centroids = (
-        emb.filter(F.col("vec_id") % 50 == 7)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    # ONE driver job gathers the query vector AND the IVF centroid set
+    # (both O(k*d) driver state by contract); the old shape ran four —
+    # assignment's centroid collect, ivf's own, the query collect, and a
+    # broadcast build with a dedicated Python sketch pass for the query.
+    # Scores are bit-identical: literal query vectors widen float32 ->
+    # double exactly like the broadcast path (similarity._query_lit).
+    pre = (
+        emb.filter((F.col("vec_id") == 0) | (F.col("vec_id") % 50 == 7))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    ivf = similarity.ivf_topk(base, query, centroids, k=5, nprobe=1_000_000)
-    lsh = similarity.rp_lsh_topk(base, query, k=5, n_planes=8, max_hamming=8)
+    qv = next(list(r["embedding"]) for r in pre if r["vec_id"] == 0)
+    cstate = similarity.centroid_state(
+        [(r["vec_id"], r["embedding"]) for r in pre if r["vec_id"] % 50 == 7]
+    )
+    exact = similarity.cosine_topk(emb, None, k=5, exclude_ids=[0], query_vec=qv)
+    base = emb.filter(F.col("vec_id") != 0)
+    ivf = similarity.ivf_topk(
+        base, None, None, k=5, nprobe=1_000_000, state=cstate, query_vec=qv
+    )
+    lsh = similarity.rp_lsh_topk(
+        base, None, k=5, n_planes=8, max_hamming=8, query_vec=qv
+    )
 
     def tag(variant: str, df: DataFrame) -> DataFrame:
         return df.select(

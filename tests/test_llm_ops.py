@@ -388,3 +388,64 @@ def test_embedding_near_dup_against_ingest(spark):
               for r in embedding_near_dup_pairs_against(
                   ndf, cdf, max_bucket_size=10, **kw).collect()}
     assert capped == {(101, 50)}, "mode matches capped away, genuine kept"
+
+
+# --- r9 optimization parity: pre-collected query/centroid state ------------
+
+def test_query_vec_literal_parity(spark, sf_dir):
+    """The r9 driver-state fast path (one collect feeding literal query
+    vectors + shared centroid state) must be ROW-IDENTICAL to the
+    DataFrame-query path it replaced in q30b: same ids, same cosines to
+    the last bit (float32 -> double widening is exact on both paths)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    base = emb.filter(F.col("vec_id") != 0)
+    centroids = emb.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    qv = list(query.select("embedding").head()[0])
+    cstate = similarity.centroid_state(
+        [(r[0], r[1]) for r in centroids.collect()]
+    )
+
+    def rows(df):
+        return sorted((r[0], r[1]) for r in df.collect())
+
+    assert rows(similarity.cosine_topk(emb, None, k=5, exclude_ids=[0], query_vec=qv)) == rows(
+        similarity.cosine_topk(emb, query, k=5, exclude_ids=[0])
+    )
+    assert rows(
+        similarity.ivf_topk(base, None, None, k=5, nprobe=3, state=cstate, query_vec=qv)
+    ) == rows(similarity.ivf_topk(base, query, centroids, k=5, nprobe=3))
+    # driver-side numpy sketch must equal the executor UDF's sketch:
+    # identical candidate set, identical scores
+    assert rows(
+        similarity.rp_lsh_topk(base, None, k=5, n_planes=8, max_hamming=3, query_vec=qv)
+    ) == rows(similarity.rp_lsh_topk(base, query, k=5, n_planes=8, max_hamming=3))
+
+
+def test_minhash_oph_profile_parity(spark, sf_dir):
+    """The r9 fused one-pass profile must reproduce minhash_signatures_oph
+    signatures exactly AND the verify-side (shset, n) aggregation up to
+    set order — the equivalences the fused q29 LSH plan rests on."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sh = dedup.char_shingles(docs, k=5, hashed=True).persist()
+    prof = {
+        r["sid"]: (list(r["sig"]), sorted(r["shset"]), r["n"])
+        for r in dedup.minhash_oph_profiles(sh, n_bins=64, seed=42).collect()
+    }
+    sigs = {
+        r["sid"]: list(r["sig"])
+        for r in dedup.minhash_signatures_oph(sh, n_bins=64, seed=42).collect()
+    }
+    sets = {
+        r["sid"]: (sorted(r["shset"]), r["n"])
+        for r in sh.groupBy("sid")
+        .agg(F.collect_set("shingle").alias("shset"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sh.unpersist()
+    assert set(prof) == set(sigs) == set(sets)
+    for sid, (sig, shset, n) in prof.items():
+        assert sig == sigs[sid], f"sig mismatch for {sid}"
+        assert (shset, n) == sets[sid], f"set/count mismatch for {sid}"

@@ -77,7 +77,11 @@ def test_no_row_at_a_time_python(spark, sf_dir, name):
 # side); the UDFs are now nondeterministic-marked, and this pin fails if
 # any refactor reintroduces the duplication (q30b was 10 nodes before).
 ARROW_EVAL_BUDGET = {
-    "q30b_ann_suite": 3,  # rp-sketch data side + query side, IVF assign
+    # r9: the query-side rp-sketch moved driver-side (the single-row
+    # query vector is collected once and sketched with the same seeded
+    # planes in numpy — similarity.rp_lsh_topk(query_vec=...)), so only
+    # the corpus-side sketch and the IVF assignment cross into Python.
+    "q30b_ann_suite": 2,
     "q38_embedding_near_dup": 2,  # banded sketch: corpus side + probe side
 }
 
