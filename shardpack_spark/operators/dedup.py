@@ -484,6 +484,60 @@ def filter_candidates_by_signature(
     )
 
 
+def verify_candidates_with_profiles(
+    candidates: DataFrame,
+    profiles: DataFrame,
+    threshold: float = 0.8,
+    min_estimate: float = 0.6,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Fused signature prefilter + exact-Jaccard verify against a
+    one-pass profile table ``(sid, sig, shset, n)``.
+
+    Semantically identical to ``filter_candidates_by_signature`` followed
+    by ``jaccard_pairs_exact(candidates=..., sets=...)`` — the estimate
+    filter still runs BEFORE the (comparatively expensive)
+    ``array_intersect``, so dense-bucket false positives never pay for a
+    set intersection — but both decisions ride ONE candidate->profile
+    join pair instead of two (the old chain attached signatures, filtered,
+    then re-attached the sets with two more joins).  The profile side is
+    streamed (candidates broadcast), so the heavier shset column costs no
+    extra shuffle.  Returns (sid_a, sid_b, jac)."""
+    hint = F.broadcast if broadcast_candidates else (lambda d: d)
+    a = profiles.select(
+        F.col("sid").alias("sid_a"),
+        F.col("sig").alias("__sa"),
+        F.col("shset").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = profiles.select(
+        F.col("sid").alias("sid_b"),
+        F.col("sig").alias("__sb"),
+        F.col("shset").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    agree = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        hint(candidates)
+        .join(a, "sid_a")
+        .join(b, "sid_b")
+        .withColumn("__est", agree / F.size("__sa"))
+        .filter(F.col("__est") >= min_estimate)
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("sid_a", "sid_b", "jac")
+    )
+
+
 def jaccard_pairs_exact(
     shingled: DataFrame,
     threshold: float = 0.8,

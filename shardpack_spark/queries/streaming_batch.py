@@ -38,17 +38,29 @@ _SUM_VALUE = "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum
 def q25_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling window + 1-hour/30-min sliding window aggregates,
     tagged and unioned (Q25 + Q26).  The sliding oracle enumerates the
-    exactly-two windows each event lands in."""
+    exactly-two windows each event lands in.
+
+    One aggregation serves BOTH legs (r9): with epoch-aligned windows,
+    the 1-hour tumbling bucket starting at h is exactly the 1h/30min
+    sliding window starting at h — every event's hour-floor is one of
+    its two slide starts — so the tumble rows are the slide rows whose
+    bucket is on the hour, with identical cnt and (order-insensitive
+    exact decimal) sum.  The old union ran a second full scan + shuffle
+    of events to recompute that subset."""
     from pyspark.sql import functions as F
 
-    e = load_table(spark, sf_dir, "events")
-    tumble = ops.tumbling_hour_agg(e).select(
-        F.lit("tumble").alias("variant"), "bucket_s", "cnt", "sum_value"
+    slide = ops.sliding_hour_agg(load_table(spark, sf_dir, "events"))
+    return slide.select(
+        F.explode(
+            F.when(
+                F.col("bucket_s") % 3600 == 0,
+                F.array(F.lit("tumble"), F.lit("slide")),
+            ).otherwise(F.array(F.lit("slide")))
+        ).alias("variant"),
+        "bucket_s",
+        "cnt",
+        "sum_value",
     )
-    slide = ops.sliding_hour_agg(e).select(
-        F.lit("slide").alias("variant"), "bucket_s", "cnt", "sum_value"
-    )
-    return tumble.unionAll(slide)
 
 
 @register(
