@@ -756,7 +756,10 @@ def q36_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     y=bucket size) — the report that names what the cap drops."""
     from shardpack_spark.operators.perceptual import hamming_bucket_skew_report
 
-    sim = dedup.simhash(load_table(spark, sf_dir, "documents"))
+    # four variants consume the same SimHash table; without the persist
+    # each union leg re-runs the sha256-per-token + 64-vote aggregation
+    # (the query's dominant cost) — cache it once per execution
+    sim = dedup.simhash(load_table(spark, sf_dir, "documents")).persist()
     pairs = dedup.simhash_near_pairs(sim, bands=4)
     hash_rows = sim.select(
         F.lit("hash").alias("variant"),
