@@ -84,26 +84,43 @@ def ngram_log_ratios(
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    raw_grams: DataFrame | None = None,
 ) -> DataFrame:
     """(ngram, logr): Laplace-smoothed log(p_target / p_raw) per n-gram.
 
     logr = ln( ((ct+1) / (Nt+V)) / ((cr+1) / (Nr+V)) ), with V the raw
     vocabulary size — n-grams unseen in the target get the smoothed
     floor instead of -inf.  Rounded to 4 decimals (determinism note in
-    the module docstring)."""
+    the module docstring).
+
+    ``raw_grams``: optional pre-tokenized (id, ngram, tf) table for the
+    raw corpus (``word_ngrams`` output, typically persisted by a caller
+    that also consumes it) — raw counts then aggregate ``sum(tf)``
+    instead of re-tokenizing, an exact integer identity.
+    """
     # corpus-level counts aggregate OCCURRENCE rows directly — the
     # per-doc (id, ngram) pre-aggregation would be a second shuffle
     # feeding an identical integer total (exact under any order)
-    raw_counts = (
-        _gram_rows(raw, n, text_col, id_col)
-        .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("cr"))
-    )
+    if raw_grams is not None:
+        raw_counts = raw_grams.groupBy("ngram").agg(F.sum("tf").alias("cr"))
+    else:
+        raw_counts = (
+            _gram_rows(raw, n, text_col, id_col)
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("cr"))
+        )
     tgt_counts = (
         _gram_rows(target, n, text_col, id_col)
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
+    # each counts table feeds BOTH the totals aggregate and the join
+    # below; Catalyst does not share the common subplan, so without a
+    # persist the corpus is tokenized and shuffled twice per side.  The
+    # tables are vocabulary-sized (<< corpus) — cache the counts, not
+    # the token stream (MEMORY_AND_DISK default spills at scale).
+    raw_counts = raw_counts.persist()
+    tgt_counts = tgt_counts.persist()
     # totals / vocab as 1-row DF -> crossJoin (never .collect(): the
     # totals job would otherwise run eagerly and twice)
     totals = raw_counts.agg(
@@ -164,8 +181,10 @@ def hashed_ngram_log_ratios(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    raw_b = b(raw).withColumnRenamed("c", "cr")
-    tgt_b = b(target).withColumnRenamed("c", "ct")
+    # same double-reference as ngram_log_ratios (totals + join): persist
+    # the bucket tables — O(n_buckets) rows, trivially cacheable
+    raw_b = b(raw).withColumnRenamed("c", "cr").persist()
+    tgt_b = b(target).withColumnRenamed("c", "ct").persist()
     totals = raw_b.agg(F.sum("cr").alias("nr")).crossJoin(
         tgt_b.agg(F.sum("ct").alias("nt"))
     )
@@ -264,7 +283,12 @@ def source_kl_divergence(
             ).alias("w"),
         )
     )
-    gw = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("cgw"))
+    # gw feeds cw, gtot AND the final join — four references Catalyst
+    # will not share, i.e. four full tokenize+shuffle passes over the
+    # corpus.  gw is (group x vocab)-sized (<< corpus): persist it so
+    # the corpus is scanned once and everything downstream re-reads the
+    # cached table.
+    gw = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("cgw")).persist()
     cw = gw.groupBy("w").agg(F.sum("cgw").alias("cw"))
     gtot = gw.groupBy("grp").agg(F.sum("cgw").alias("ng"))
     consts = cw.agg(

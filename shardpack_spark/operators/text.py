@@ -9,7 +9,7 @@ the operators oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/keyword language heuristic.
@@ -282,24 +282,29 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     """Per-(doc, term) TF-IDF: (doc_id, term, tf, df, tfidf).
 
     Tokenize once (lower + whitespace split), count term frequency with
-    one groupBy(doc, term) shuffle, derive document frequency from the
-    already-(doc, term)-distinct TF table with a second small shuffle,
-    and join DF back on the term.  idf uses the smoothed form
+    one groupBy(doc, term) shuffle, then derive document frequency as a
+    window count over ``term`` on that same TF table — the TF table is
+    already (doc, term)-distinct, so ``count(*) over (partition by
+    term)`` IS the document frequency, with no second tokenize pass and
+    no join back.  (The previous shape computed DF as a separate
+    groupBy(term) on a second reference to the TF lineage; Catalyst does
+    not share the common subplan, so the corpus was scanned, exploded
+    and aggregated twice.)  idf uses the smoothed form
     ln((N+1)/(df+1)) + 1 so unseen/ubiquitous terms stay finite.  The
     corpus size joins in as a broadcast 1-row aggregate — never a
-    driver-side collect.  At scale the DF table is vocabulary-sized
-    (<< corpus) and AQE turns the term join into a broadcast join.
+    driver-side collect.  At scale this shuffles the TF table (<< the
+    exploded token stream) on term once instead of re-tokenizing the
+    corpus.
     """
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
     ).filter(F.length("term") > 0)
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     idf = F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1).cast("double")) + 1.0
     return (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.col("tf").cast("double") * idf)
         .select(id_col, "term", "tf", "df", "tfidf")
@@ -849,13 +854,17 @@ def c4_document_filter(
     text_col: str = "clean_text",
     id_col: str = "id",
     bad_phrases: tuple = ("lorem ipsum",),
+    carry: tuple = (),
 ) -> DataFrame:
     """C4's DOCUMENT-level gates over the line-cleaned text: at least
     C4_MIN_SENTENCES sentences (terminal-punctuation count), no curly
     brace (code), none of ``bad_phrases`` (the paper also applies a
     blocklist; parameterized here).  Returns (id, n_sentences, keep,
     reasons) with deterministic comma-joined reasons, same contract as
-    gopher_quality_filter.
+    gopher_quality_filter.  ``carry`` names extra input columns to pass
+    through the projection — both passes are row-local, so a caller
+    needing line stats next to the verdict gets them from ONE scan
+    instead of joining this output back to its own input.
 
     Span-level dedup (the paper's three-sentence-window rule) is
     ``dedup.substring_dedup`` — run it after this gate.
@@ -875,6 +884,7 @@ def c4_document_filter(
     )
     return cleaned.select(
         id_col,
+        *carry,
         n_sent.alias("n_sentences"),
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),

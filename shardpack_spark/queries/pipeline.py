@@ -453,8 +453,13 @@ def q62_curation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
-    ratios = selection.ngram_log_ratios(docs, target, n=2)
-    grams = selection.word_ngrams(docs, n=2)
+    # grams serves BOTH the per-doc tf sums and (via raw_grams) the raw
+    # side of the ratio model: one tokenize pass + persist of the
+    # (id, ngram, tf) table instead of three independent corpus
+    # tokenizations (the ratio operator persists its own counts, so the
+    # whole DSIR leg scans the corpus once for raw + once for target)
+    grams = selection.word_ngrams(docs, n=2).persist()
+    ratios = selection.ngram_log_ratios(docs, target, n=2, raw_grams=grams)
     dsir = (
         grams.join(ratios, "ngram")
         .groupBy(F.col("id").alias("doc_id"))
@@ -467,9 +472,11 @@ def q62_curation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("boolean").alias("keep"),
         )
     )
+    # both C4 passes are row-local projections: carry the line stats
+    # through the document gate and skip the self-join (2 scans -> 1)
     cleaned = text.c4_clean_lines(docs)
-    gated = text.c4_document_filter(cleaned)
-    c4 = cleaned.join(gated, "id").select(
+    gated = text.c4_document_filter(cleaned, carry=("n_lines", "n_kept_lines"))
+    c4 = gated.select(
         F.col("id").alias("doc_id"),
         F.col("n_lines").cast("bigint").alias("i1"),
         F.col("n_kept_lines").cast("bigint").alias("i2"),
