@@ -447,6 +447,13 @@ def q19_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL / INTERSECT / EXCEPT / DISTINCT over the same two customer
     key sets, tagged and unioned into one result (Q19 + Q49)."""
     building, urgent = _setop_sides(spark, sf_dir)
+    # each side feeds FOUR set-op legs; Catalyst does not share the
+    # common subplan, so without a persist the urgent side's
+    # customer-orders semi-join runs four times (and building's filtered
+    # scan four times).  Both sides are keys-only (<< the base tables) —
+    # cache them and the join/scans run once.
+    building = building.persist()
+    urgent = urgent.persist()
 
     def tag(op: str, df: DataFrame) -> DataFrame:
         return df.select(F.lit(op).alias("op"), "c_custkey")
