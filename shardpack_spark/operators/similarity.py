@@ -483,17 +483,24 @@ def embedding_near_dup_pairs(
         # an Arrow-batched pandas_udf — a ~200-plane random projection as
         # codegen'd fold expressions compiles to megabytes of bytecode and
         # dominates wall-clock at small scale, while the matmul is O(free).
-        ab = _sketch_banded_rows(df, id_col, vec_col, "id_a", bands, rows_per_band, seed)
-        bb = _sketch_banded_rows(df, id_col, vec_col, "id_b", bands, rows_per_band, seed)
+        rows = _sketch_banded_rows(df, id_col, vec_col, "__sid", bands, rows_per_band, seed)
         if max_bucket_size is not None:
             # skew guard (opt-in): drop (band, key) buckets over the cap
             # before the self-join — a degenerate sketch cluster is m^2
             # candidate rows per band otherwise.  Measure the loss first
-            # with embedding_sketch_skew_report.
+            # with embedding_sketch_skew_report.  Applied once to the
+            # shared table = the identical guard on both join sides.
             from shardpack_spark.operators.skew import drop_hot_buckets
 
-            ab = drop_hot_buckets(ab, ["band", "key"], max_bucket_size)
-            bb = drop_hot_buckets(bb, ["band", "key"], max_bucket_size)
+            rows = drop_hot_buckets(rows, ["band", "key"], max_bucket_size)
+        # both self-join sides are the SAME banded-rows table; Catalyst
+        # does not share the common subplan, so without a persist the
+        # ArrowEvalPython sketch pass (the projection matmul) runs twice
+        # over the corpus.  The table is n x bands narrow int rows —
+        # persist it and sketch once.
+        rows = rows.persist()
+        ab = rows.withColumnRenamed("__sid", "id_a")
+        bb = rows.withColumnRenamed("__sid", "id_b")
         # dedupe candidates on ids BEFORE re-attaching vectors, so the
         # (up to `bands`-fold) redundant bucket co-occurrences never carry
         # vector payloads through the shuffle

@@ -346,16 +346,25 @@ def q15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
 
-    def agg(variant: str, grouped) -> DataFrame:
-        return grouped.agg(
-            F.count(F.lit(1)).alias("cnt"), F.grouping_id().cast("long").alias("gid")
-        ).select(
+    # ROLLUP(a, b) is CUBE(a, b) minus the b-only grouping set, and
+    # grouping_id is the same bitmask in both (bit set = column
+    # aggregated; (a,b)=0, (a)=1, (b)=2, ()=3).  So ONE cube
+    # aggregation — a single scan + Expand + shuffle — serves both
+    # variants: the rollup leg is cube.filter(gid != 2), with identical
+    # counts because both group the same underlying rows.  Persist the
+    # group-count table (tiny) so the two legs don't recompute it.
+    base = (
+        joined.cube("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().cast("long").alias("gid"))
+        .persist()
+    )
+
+    def tag(variant: str, df: DataFrame) -> DataFrame:
+        return df.select(
             F.lit(variant).alias("variant"), "n_name", "c_mktsegment", "cnt", "gid"
         )
 
-    return agg("rollup", joined.rollup("n_name", "c_mktsegment")).unionAll(
-        agg("cube", joined.cube("n_name", "c_mktsegment"))
-    )
+    return tag("rollup", base.filter(F.col("gid") != 2)).unionAll(tag("cube", base))
 
 
 # --- §2B.5 window functions -------------------------------------------------
