@@ -73,11 +73,19 @@ def asof_join(
     value_cols: list[str] | None = None,
     tiebreak: str | None = None,
     direction: str = "backward",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Left as-of join; see module docstring for direction semantics.
 
     ``value_cols``: right columns to carry over (default: all non-key).
     ``tiebreak``: right column breaking right_on ties (largest wins).
+    ``num_partitions``: pin the by-key exchange to this many partitions.
+    The carry window is CPU-heavy per row (sort + struct carry), and on a
+    small union AQE's size-based coalescing collapses the post-shuffle
+    stage to one task; pinning (e.g. to the session's default
+    parallelism) keeps it spread.  Still exactly ONE exchange — the
+    window's ClusteredDistribution(by-key) is satisfied by the pinned
+    hash partitioning.  Leave None at real scale to let AQE size it.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
@@ -125,6 +133,8 @@ def asof_join(
         r_struct.alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
+    if num_partitions is not None:
+        unioned = unioned.repartition(num_partitions, "__by")
 
     def pick(m: Column) -> list[Column]:
         # a null-ts PROBE row never matches (its window position is

@@ -148,11 +148,7 @@ def minhash_signatures_oph(
     agged = per_bin.groupBy("sid").agg(
         F.map_from_entries(F.collect_list(F.struct("bin", "mh"))).alias("m")
     )
-    sparse = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bins - 1)),
-        lambda j: F.element_at(F.col("m"), j.cast("int")),
-    )
-    return agged.select("sid", _oph_densify(sparse, n_bins).alias("sig"))
+    return agged.select("sid", F.expr(_oph_densify_sql("m", n_bins)).alias("sig"))
 
 
 def _oph_densify(sparse, n_bins: int):
@@ -183,6 +179,29 @@ def _oph_densify(sparse, n_bins: int):
             F.when(x.isNull(), acc["dist"] + 1).otherwise(F.lit(0)).alias("dist"),
         ),
         lambda acc: F.slice(acc["out"], n_bins + 1, n_bins),
+    )
+
+
+def _oph_densify_sql(map_col: str, n_bins: int) -> str:
+    """:func:`_oph_densify` (including the sparse per-bin expansion of the
+    ``(bin -> min)`` map column ``map_col``) as ONE SQL string — a single
+    py4j round trip instead of ~40 building the fold through the Column
+    API.  The parsed tree matches the Column version node for node: same
+    INT ``j`` index and ``dist`` counter, same BIGINT ``last``, same
+    ``xxhash64(last, dist)`` fill — so signatures are bit-identical."""
+    sparse = (
+        f"transform(sequence(0, {int(n_bins) - 1}), "
+        f"j -> element_at({map_col}, CAST(j AS INT)))"
+    )
+    return (
+        f"aggregate(concat({sparse}, {sparse}), "
+        f"struct(CAST(array() AS array<bigint>) AS out, "
+        f"CAST(NULL AS bigint) AS last, 0 AS dist), "
+        f"(acc, x) -> struct("
+        f"concat(acc.out, array(coalesce(x, xxhash64(acc.last, acc.dist)))) AS out, "
+        f"coalesce(x, acc.last) AS last, "
+        f"(CASE WHEN x IS NULL THEN acc.dist + 1 ELSE 0 END) AS dist), "
+        f"acc -> slice(acc.out, {int(n_bins) + 1}, {int(n_bins)}))"
     )
 
 
@@ -232,12 +251,8 @@ def minhash_oph_profiles(
         F.flatten(F.collect_list("bs")).alias("shset"),
         F.sum("bn").alias("n"),
     )
-    sparse = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bins - 1)),
-        lambda j: F.element_at(F.col("m"), j.cast("int")),
-    )
     return agged.select(
-        "sid", _oph_densify(sparse, n_bins).alias("sig"), "shset", "n"
+        "sid", F.expr(_oph_densify_sql("m", n_bins)).alias("sig"), "shset", "n"
     )
 
 
@@ -246,19 +261,21 @@ def _lsh_banded_rows(
 ) -> DataFrame:
     """(sid, band, bh) banded rows — the LSH shuffle key.  Shared by
     candidate generation and the skew report so both see the SAME
-    buckets."""
-    return signatures.select(
-        "sid",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bh"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("sid", "bb.band", "bb.bh")
+    buckets.
+
+    Built as ONE parsed SQL expression: the former per-band Column
+    listcomp cost ~70 py4j round trips (~0.3 s of driver latency on
+    every plan build).  Value-identical — ``b`` stays an INT (sequence
+    of int literals), the band hash is the same ``xxhash64`` over the
+    same ``slice`` of the signature."""
+    bb = (
+        f"explode(transform(sequence(0, {int(bands) - 1}), b -> struct("
+        f"b AS band, "
+        f"xxhash64(slice(sig, b * {int(rows_per_band)} + 1, {int(rows_per_band)})) AS bh)))"
+    )
+    return signatures.select("sid", F.expr(bb).alias("bb")).select(
+        "sid", "bb.band", "bb.bh"
+    )
 
 
 def lsh_bucket_skew_report(
@@ -454,6 +471,17 @@ def incremental_near_dup(
     )
 
 
+def _sig_estimate_sql(sa: str = "__sa", sb: str = "__sb") -> str:
+    """Fraction of agreeing signature components as one SQL string (the
+    unbiased Jaccard estimator).  Same tree as the former Column-lambda
+    build: INT 0/1 agreement, INT left-fold sum, INT/INT division
+    yielding DOUBLE."""
+    return (
+        f"(aggregate(zip_with({sa}, {sb}, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        f"0, (acc, x) -> acc + x) / size({sa}))"
+    )
+
+
 def filter_candidates_by_signature(
     candidates: DataFrame,
     signatures: DataFrame,
@@ -468,18 +496,12 @@ def filter_candidates_by_signature(
     O(|candidates| x n_hashes) in codegen with two broadcast joins —
     orders cheaper than shingle-set intersection.
     """
-    sa = signatures.select(F.col("sid").alias("sid_a"), F.col("sig").alias("__sa"))
-    sb = signatures.select(F.col("sid").alias("sid_b"), F.col("sig").alias("__sb"))
-    agree = F.aggregate(
-        F.zip_with("__sa", "__sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    sa = signatures.selectExpr("sid AS sid_a", "sig AS __sa")
+    sb = signatures.selectExpr("sid AS sid_b", "sig AS __sb")
     return (
         candidates.join(sa, "sid_a")
         .join(sb, "sid_b")
-        .withColumn("__est", agree / F.size("__sa"))
-        .filter(F.col("__est") >= min_estimate)
+        .filter(F.expr(_sig_estimate_sql() + f" >= {float(min_estimate)!r}D"))
         .select("sid_a", "sid_b")
     )
 
@@ -504,36 +526,30 @@ def verify_candidates_with_profiles(
     streamed (candidates broadcast), so the heavier shset column costs no
     extra shuffle.  Returns (sid_a, sid_b, jac)."""
     hint = F.broadcast if broadcast_candidates else (lambda d: d)
-    a = profiles.select(
-        F.col("sid").alias("sid_a"),
-        F.col("sig").alias("__sa"),
-        F.col("shset").alias("sa"),
-        F.col("n").alias("na"),
+    a = profiles.selectExpr(
+        "sid AS sid_a", "sig AS __sa", "shset AS sa", "n AS na"
     )
-    b = profiles.select(
-        F.col("sid").alias("sid_b"),
-        F.col("sig").alias("__sb"),
-        F.col("shset").alias("sb"),
-        F.col("n").alias("nb"),
+    b = profiles.selectExpr(
+        "sid AS sid_b", "sig AS __sb", "shset AS sb", "n AS nb"
     )
-    agree = F.aggregate(
-        F.zip_with("__sa", "__sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    # signature estimate + exact Jaccard as parsed exprs (one py4j round
+    # trip each vs ~40 through the Column lambda API); identical trees —
+    # INT agree counter, INT/INT division yielding DOUBLE, same
+    # double-cast Jaccard
     return (
         hint(candidates)
         .join(a, "sid_a")
         .join(b, "sid_b")
-        .withColumn("__est", agree / F.size("__sa"))
-        .filter(F.col("__est") >= min_estimate)
-        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
-        .withColumn(
-            "jac",
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        .filter(F.expr(_sig_estimate_sql() + f" >= {float(min_estimate)!r}D"))
+        .selectExpr(
+            "sid_a", "sid_b", "na", "nb",
+            "size(array_intersect(sa, sb)) AS inter",
         )
-        .filter(F.col("jac") >= threshold)
+        .selectExpr(
+            "sid_a", "sid_b",
+            "CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jac",
+        )
+        .filter(F.expr(f"jac >= {float(threshold)!r}D"))
         .select("sid_a", "sid_b", "jac")
     )
 

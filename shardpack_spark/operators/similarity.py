@@ -34,6 +34,31 @@ def _norm(a) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
 
+# SQL-string twins of _dot/_norm.  Building the higher-order fold
+# expressions through the Column API costs ~30 py4j round trips EACH
+# (lambda registration + nested calls); a query that scores three ways
+# spent ~0.5 s of driver latency just constructing cosines.  One parsed
+# expr string is a single round trip, and the parsed tree is the same
+# expression node for node (same casts, same 0.0D zero, same left fold),
+# so scores are bit-identical.
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def _cosine_sql(vec: str, q: str) -> str:
+    return f"({_dot_sql(vec, q)}) / (({_norm_sql(vec)}) * ({_norm_sql(q)}))"
+
+
 def _query_lit(query_vec) -> Column:
     """A pre-collected query vector as a literal array<double> column.
 
@@ -43,7 +68,16 @@ def _query_lit(query_vec) -> Column:
     literal-vs-broadcast query cannot change a single bit of the scores,
     while removing the broadcast-build job (and, for sketched queries,
     its Python-worker round trip) from every probe."""
-    return F.array(*[F.lit(float(x)) for x in query_vec])
+    return F.expr(_query_arr_sql(query_vec))
+
+
+def _query_arr_sql(query_vec) -> str:
+    """The same literal array<double> as ONE SQL string (one py4j round
+    trip instead of one per element).  ``repr`` of a Python float is the
+    shortest decimal that round-trips to the same IEEE double, and the
+    SQL double literal parse is correctly rounded, so every element is
+    bit-identical to ``F.lit(float(x))``."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in query_vec) + ")"
 
 
 def cosine_scores(
@@ -59,15 +93,19 @@ def cosine_scores(
     broadcast crossJoin with a literal vector — one job fewer per probe;
     see :func:`_query_lit` for the value-identity argument."""
     if query_vec is not None:
-        joined = df.withColumn("__q", _query_lit(query_vec))
-    else:
-        q = F.broadcast(query.select(F.col(vec_col).alias("__q")))
-        joined = df.crossJoin(q)
+        # literal query inlined into ONE parsed cosine expr — no
+        # intermediate __q projection, no per-element py4j chatter;
+        # the constant q-norm subtree is folded by Catalyst exactly as
+        # the literal-column shape was
+        return df.select(
+            F.col(id_col),
+            F.expr(_cosine_sql(vec_col, _query_arr_sql(query_vec))).alias("cosine"),
+        )
+    q = F.broadcast(query.select(F.col(vec_col).alias("__q")))
+    joined = df.crossJoin(q)
     return joined.select(
         F.col(id_col),
-        (_dot(F.col(vec_col), F.col("__q")) / (_norm(F.col(vec_col)) * _norm(F.col("__q")))).alias(
-            "cosine"
-        ),
+        F.expr(_cosine_sql(vec_col, "__q")).alias("cosine"),
     )
 
 
@@ -318,18 +356,24 @@ def rp_lsh_topk(
         bits = (qarr @ planes.T) > 0
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         qsk = int((bits * weights).sum())
-        cand = data.withColumn("__qv", _query_lit(query_vec)).filter(
+        cand = data.filter(
             F.bit_count(F.col("__sk").bitwiseXOR(F.lit(qsk))) <= max_hamming
+        )
+        # literal query inlined into one parsed cosine expr (see
+        # cosine_scores) — the __qv projection existed only to carry it
+        scored = cand.select(
+            F.col(id_col),
+            F.expr(_cosine_sql(vec_col, _query_arr_sql(query_vec))).alias("cosine"),
         )
     else:
         q = F.broadcast(query.select(F.col(vec_col).alias("__qv")).withColumn("__qsk", sketch(F.col("__qv"))))
         cand = data.crossJoin(q).filter(
             F.bit_count(F.col("__sk").bitwiseXOR(F.col("__qsk"))) <= max_hamming
         )
-    scored = cand.select(
-        F.col(id_col),
-        (_dot(F.col(vec_col), F.col("__qv")) / (_norm(F.col(vec_col)) * _norm(F.col("__qv")))).alias("cosine"),
-    )
+        scored = cand.select(
+            F.col(id_col),
+            F.expr(_cosine_sql(vec_col, "__qv")).alias("cosine"),
+        )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
@@ -512,7 +556,7 @@ def embedding_near_dup_pairs(
         )
         joined = cand.join(a, "id_a").join(b, "id_b")
     return (
-        joined.withColumn("cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        joined.withColumn("cosine", F.expr(_cosine_sql("va", "vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -565,10 +609,7 @@ def embedding_near_dup_pairs_against(
     return (
         cand.join(a, "id_new")
         .join(b, "id_corpus")
-        .withColumn(
-            "cosine",
-            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
-        )
+        .withColumn("cosine", F.expr(_cosine_sql("va", "vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_new", "id_corpus", "cosine")
     )

@@ -283,6 +283,11 @@ def q11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_by="o_custkey", right_by="user_id",
         value_cols=["event_id", "value"],
         tiebreak="event_id",
+        # spread the carry window: AQE coalesces the ~6 MB union shuffle
+        # to one task and serializes the sort+carry (measured 0.49 s of
+        # the plan); core-count pinning keeps it parallel at no extra
+        # exchange (scale-adaptive, not a local[32] constant)
+        num_partitions=spark.sparkContext.defaultParallelism,
     )
     return joined.select(
         "o_orderkey",

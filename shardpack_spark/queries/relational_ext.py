@@ -38,6 +38,15 @@ def q42_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAG + running ROWS-frame sum (Q17), LEAD/NTILE/PERCENT_RANK/CUME_DIST,
     and a RANGE frame keyed on epoch seconds (Q42)."""
     e = load_table(spark, sf_dir, "events")
+    # The analytic family is CPU-heavy per row (two sorts + seven window
+    # functions over every event); with a single-digit-MB shuffle AQE's
+    # size-based coalescing collapses the post-exchange stage to ONE task
+    # and serializes it (measured 0.82 s of a 1.1 s plan).  Pinning the
+    # key exchange to the session's core count keeps the stage parallel;
+    # scale-adaptive (defaultParallelism = total cores on a cluster), and
+    # the window's required ClusteredDistribution(user_id) is satisfied by
+    # this exchange, so the plan still has exactly one shuffle.
+    e = e.repartition(spark.sparkContext.defaultParallelism, "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wr = (
