@@ -28,14 +28,14 @@ Within a direction, ties on ``right_on`` are broken by the largest
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
-from pyspark.sql.window import Window
 
 
-def _as_number(col: Column, dtype) -> Column:
-    """Event-time column as a double for distance math / the match struct.
+def _as_number_sql(col_sql: str, dtype) -> str:
+    """Event-time expression as a double for distance math / the match
+    struct, as a SQL fragment.
 
     TIMESTAMP_NTZ and DATE have no direct cast to double; route them
     through TIMESTAMP -> unix_micros.  The session-timezone interpretation
@@ -43,23 +43,29 @@ def _as_number(col: Column, dtype) -> Column:
     are ever compared.
     """
     if isinstance(dtype, (TimestampType, TimestampNTZType, DateType)):
-        return F.unix_micros(col.cast("timestamp")).cast("double")
-    return col.cast("double")
+        return f"CAST(unix_micros(CAST({col_sql} AS TIMESTAMP)) AS DOUBLE)"
+    return f"CAST({col_sql} AS DOUBLE)"
 
 
-def _carry(direction_desc: bool) -> Window:
-    order = [
-        F.col("__ts").desc() if direction_desc else F.col("__ts").asc(),
-        # right rows sort BEFORE left rows at equal ts (side desc) so an
-        # exactly coincident right row is visible to the left row
-        F.col("__side").desc(),
-        # among right ties the winner is whichever sorts LAST (closest to
-        # the probe row in window order): tb ascending puts the largest
-        # tiebreak there in both directions
-        F.col("__tb").asc(),
-    ]
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for a generated SQL fragment."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _carry_sql(direction_desc: bool) -> str:
+    """The carry window spec as one SQL OVER clause.
+
+    Orderings match the former Window-builder exactly (Column.asc() =
+    ASC NULLS FIRST, Column.desc() = DESC NULLS LAST — the SQL defaults):
+    right rows sort BEFORE left rows at equal ts (side desc) so an
+    exactly coincident right row is visible to the left row; among right
+    ties the winner is whichever sorts LAST (closest to the probe row in
+    window order): tb ascending puts the largest tiebreak there in both
+    directions."""
+    ts_dir = "DESC" if direction_desc else "ASC"
     return (
-        Window.partitionBy("__by").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        f"OVER (PARTITION BY __by ORDER BY __ts {ts_dir}, __side DESC, __tb ASC "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
 
 
@@ -100,69 +106,86 @@ def asof_join(
     right = right.filter(F.col(right_on).isNotNull())
 
     lcols = left.columns
+    # Every projection below is built as ONE selectExpr of parsed SQL
+    # strings: the former per-Column construction (alias/cast/struct
+    # field chatter) cost ~100 py4j round trips per asof_join — ~0.2 s
+    # of driver latency on every plan build.  Each generated fragment is
+    # the same expression the Column API produced (identifiers
+    # backtick-quoted; SQL ASC/DESC null ordering = Column.asc()/.desc()
+    # defaults), so results are identical.
+    #
     # All right value columns travel as ONE struct (with the matched ts as
     # its first field) so a single last(ignorenulls=True) carries the whole
     # matched row: if the matched right row has NULL in some value column,
     # that NULL is preserved — per-column last() would leak an older row's
     # non-null value and stitch together columns from different right rows.
-    r_struct = F.struct(
-        _as_number(F.col(right_on), right.schema[right_on].dataType).alias("__mts"),
-        *[F.col(c).alias(c) for c in value_cols],
-    )
-    null_struct = F.lit(None).cast(
-        "struct<__mts:double,"
+    r_struct = "struct(" + ", ".join(
+        [_as_number_sql(_q(right_on), right.schema[right_on].dataType) + " AS __mts"]
+        + [f"{_q(c)} AS {_q(c)}" for c in value_cols]
+    ) + ")"
+    null_struct = (
+        "CAST(NULL AS struct<__mts:double,"
         + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
-        + ">"
+        + ">)"
     )
     # Common event-time / key names for the union.
-    l_tagged = left.select(
-        F.col(left_by).alias("__by"),
-        F.col(left_on).alias("__ts"),
-        F.lit(0).alias("__side"),
-        F.lit(None).cast("long").alias("__tb"),
-        *[F.col(c) for c in lcols],
-        null_struct.alias("__r"),
+    l_tagged = left.selectExpr(
+        f"{_q(left_by)} AS __by",
+        f"{_q(left_on)} AS __ts",
+        "0 AS __side",
+        "CAST(NULL AS BIGINT) AS __tb",
+        *[_q(c) for c in lcols],
+        f"{null_struct} AS __r",
     )
-    tb_col = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
-    r_tagged = right.select(
-        F.col(right_by).alias("__by"),
-        F.col(right_on).alias("__ts"),
-        F.lit(1).alias("__side"),
-        tb_col.alias("__tb"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        r_struct.alias("__r"),
+    tb_sql = f"CAST({_q(tiebreak)} AS BIGINT)" if tiebreak else "CAST(0 AS BIGINT)"
+    r_tagged = right.selectExpr(
+        f"{_q(right_by)} AS __by",
+        f"{_q(right_on)} AS __ts",
+        "1 AS __side",
+        f"{tb_sql} AS __tb",
+        *[
+            f"CAST(NULL AS {left.schema[c].dataType.simpleString()}) AS {_q(c)}"
+            for c in lcols
+        ],
+        f"{r_struct} AS __r",
     )
     unioned = l_tagged.unionByName(r_tagged)
     if num_partitions is not None:
         unioned = unioned.repartition(num_partitions, "__by")
 
-    def pick(m: Column) -> list[Column]:
+    def pick(m_sql: str) -> list[str]:
         # a null-ts PROBE row never matches (its window position is
-        # order-dependent, not semantic)
-        m = F.when(F.col("__ts").isNotNull(), m)
+        # order-dependent, not semantic); the struct-level NULL gate and
+        # per-field extraction commute (field-of-NULL-struct is NULL), so
+        # gating inside each field projection is value-identical
         return [
-            *[F.col(c) for c in lcols],
-            *[m[c].alias(c) for c in value_cols],
+            *[_q(c) for c in lcols],
+            *[
+                f"(CASE WHEN __ts IS NOT NULL THEN ({m_sql}).{_q(c)} END) AS {_q(c)}"
+                for c in value_cols
+            ],
         ]
 
+    last_b = f"last(__r, true) {_carry_sql(False)}"
+    last_f = f"last(__r, true) {_carry_sql(True)}"
     if direction == "backward":
-        carried = unioned.select("*", F.last("__r", ignorenulls=True).over(_carry(False)).alias("__m"))
-        return carried.filter(F.col("__side") == 0).select(*pick(F.col("__m")))
+        carried = unioned.selectExpr("*", f"{last_b} AS __m")
+        return carried.filter(F.col("__side") == 0).selectExpr(*pick("__m"))
     if direction == "forward":
-        carried = unioned.select("*", F.last("__r", ignorenulls=True).over(_carry(True)).alias("__m"))
-        return carried.filter(F.col("__side") == 0).select(*pick(F.col("__m")))
+        carried = unioned.selectExpr("*", f"{last_f} AS __m")
+        return carried.filter(F.col("__side") == 0).selectExpr(*pick("__m"))
 
     # nearest: both passes share the hash partitioning on __by — the second
     # window adds only a sort, never a second shuffle (plan-asserted).
-    both = unioned.select(
+    both = unioned.selectExpr(
         "*",
-        F.last("__r", ignorenulls=True).over(_carry(False)).alias("__mb"),
-        F.last("__r", ignorenulls=True).over(_carry(True)).alias("__mf"),
+        f"{last_b} AS __mb",
+        f"{last_f} AS __mf",
     ).filter(F.col("__side") == 0)
-    ts_d = _as_number(F.col("__ts"), left.schema[left_on].dataType)
-    back_wins = F.col("__mf").isNull() | (
-        F.col("__mb").isNotNull()
-        & ((ts_d - F.col("__mb")["__mts"]) <= (F.col("__mf")["__mts"] - ts_d))
+    ts_d = _as_number_sql("__ts", left.schema[left_on].dataType)
+    back_wins = (
+        f"(__mf IS NULL OR (__mb IS NOT NULL "
+        f"AND (({ts_d}) - __mb.__mts) <= (__mf.__mts - ({ts_d}))))"
     )
-    chosen = F.when(back_wins, F.col("__mb")).otherwise(F.col("__mf"))
-    return both.select(*pick(chosen))
+    chosen = f"(CASE WHEN {back_wins} THEN __mb ELSE __mf END)"
+    return both.selectExpr(*pick(chosen))

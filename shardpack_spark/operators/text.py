@@ -59,6 +59,15 @@ def _marker_count(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda x: F.array_contains(marker_arr, x)))
 
 
+def _marker_count_sql(tokens_sql: str, words: list[str]) -> str:
+    """:func:`_marker_count` as ONE SQL fragment — a single py4j round
+    trip instead of one per marker literal plus a lambda registration.
+    Same parsed tree: array of string literals, filter + array_contains,
+    size."""
+    arr = "array(" + ",".join("'" + w.replace("'", "''") + "'" for w in words) + ")"
+    return f"size(filter({tokens_sql}, x -> array_contains({arr}, x)))"
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens per document."""
     t = F.col(text_col)
@@ -117,24 +126,30 @@ def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     instead of a full regexp_extract_all scan per marker word — 25 string
     scans per row collapsed into one.
     """
+    # Built as parsed SQL fragments: the former per-language Column
+    # builds (5 marker arrays + 5 filter lambdas + a nested when-chain)
+    # cost ~100 py4j round trips ≈ 0.2 s of driver latency per plan
+    # build.  Trees are identical — same filter/array_contains/size per
+    # language, and the flat CASE checks languages in alphabetical order
+    # exactly like the reversed-fold when-chain (earliest lang wins ties).
+    langs = sorted(LANG_MARKERS)
     toks = _word_tokens(F.col(text_col))
-    scored = df.select(
-        F.col(id_col),
-        toks.alias("__toks"),
-    ).select(
-        F.col(id_col),
+    scored = df.select(F.col(id_col), toks.alias("__toks")).selectExpr(
+        f"`{id_col}`",
         *[
-            _marker_count(F.col("__toks"), LANG_MARKERS[lang]).alias(f"score_{lang}")
-            for lang in sorted(LANG_MARKERS)
+            f"{_marker_count_sql('__toks', LANG_MARKERS[lang])} AS score_{lang}"
+            for lang in langs
         ],
     )
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = None
-    for lang in reversed(langs):  # earlier langs win ties -> apply last
-        cond = F.when(F.col(f"score_{lang}") == best, F.lit(lang))
-        pred = cond.otherwise(pred) if pred is not None else cond
-    return scored.select(id_col, *[f"score_{lang}" for lang in langs], pred.alias("pred_lang"))
+    best = "greatest(" + ",".join(f"score_{lang}" for lang in langs) + ")"
+    pred = (
+        "CASE "
+        + " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return scored.selectExpr(
+        f"`{id_col}`", *[f"score_{lang}" for lang in langs], f"{pred} AS pred_lang"
+    )
 
 
 def doc_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
