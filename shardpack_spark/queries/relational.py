@@ -390,7 +390,15 @@ def q15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer via ranking windows (Q16)."""
-    o = load_table(spark, sf_dir, "orders")
+    # spread the ranking window: AQE coalesces the ~4 MB shuffle to one
+    # task and serializes the per-customer sort+rank (same collapse as
+    # q42/q27; interleaved A/B: median 0.55 -> 0.48 s).  The window's
+    # ClusteredDistribution(o_custkey) is satisfied by the pinned
+    # exchange, so the plan still has exactly one data shuffle; the pin
+    # is the session's core count, not a local[32] constant.
+    o = load_table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism, "o_custkey"
+    )
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         o.select(
