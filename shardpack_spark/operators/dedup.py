@@ -554,6 +554,86 @@ def verify_candidates_with_profiles(
     )
 
 
+def oph_profile_sql(shingle_view: str, n_bins: int = 64, seed: int = 42) -> str:
+    """:func:`minhash_oph_profiles` over a registered (sid, shingle) view
+    as ONE SQL statement — a single parse instead of ~100 py4j round
+    trips through the DataFrame/Column API (plan CONSTRUCTION latency,
+    not execution: the bench rebuilds every plan inside the timed
+    region).  The analyzed tree is identical: same two-level aggregate
+    (per-(sid, pmod(hash, n_bins)) min/collect_set/count, then per-sid
+    map pivot + flatten + sum), same seeded ``xxhash64``, same
+    ``_oph_densify_sql`` expression — signatures, sets and counts are
+    bit-identical (pinned by tests/test_sql_expr_twins.py)."""
+    h = f"xxhash64(shingle, {int(seed) * _SEED_MIX})"
+    return f"""
+    SELECT sid, {_oph_densify_sql('m', int(n_bins))} AS sig, shset, n
+    FROM (
+      SELECT sid,
+             map_from_entries(collect_list(struct(bin, mh))) AS m,
+             flatten(collect_list(bs)) AS shset,
+             sum(bn) AS n
+      FROM (
+        SELECT sid, pmod({h}, {int(n_bins)}) AS bin,
+               min({h}) AS mh,
+               collect_set(shingle) AS bs,
+               count(1) AS bn
+        FROM {shingle_view}
+        GROUP BY sid, pmod({h}, {int(n_bins)})
+      )
+      GROUP BY sid
+    )
+    """
+
+
+def oph_verify_sql(
+    profile_view: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+    min_estimate: float = 0.6,
+) -> str:
+    """:func:`minhash_lsh_candidates` + :func:`verify_candidates_with_profiles`
+    over a registered (usually persisted) profile view as ONE SQL
+    statement — same banded self-join (band slice hash, sid_a < sid_b,
+    DISTINCT), same broadcast-hinted candidate attach, same signature
+    estimate gate and exact ``array_intersect`` Jaccard with the same
+    double casts.  Returns (sid_a, sid_b, jac) with jac UN-rounded,
+    exactly like the operator chain (callers canonicalize)."""
+    banded = (
+        f"SELECT sid, bb.band AS band, bb.bh AS bh FROM ("
+        f"SELECT sid, explode(transform(sequence(0, {int(bands) - 1}), "
+        f"b -> struct(b AS band, xxhash64(slice(sig, b * {int(rows_per_band)} + 1, "
+        f"{int(rows_per_band)})) AS bh))) AS bb FROM {profile_view})"
+    )
+    return f"""
+    WITH cand AS (
+      SELECT DISTINCT l.sid AS sid_a, r.sid AS sid_b
+      FROM ({banded}) l
+      JOIN ({banded}) r
+        ON l.band = r.band AND l.bh = r.bh AND l.sid < r.sid
+    )
+    SELECT sid_a, sid_b, jac
+    FROM (
+      SELECT sid_a, sid_b,
+             CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jac
+      FROM (
+        SELECT sid_a, sid_b, na, nb, size(array_intersect(sa, sb)) AS inter
+        FROM (
+          SELECT /*+ BROADCAST(c) */ c.sid_a, c.sid_b,
+                 a.__sa, a.sa, a.na, b.__sb, b.sb, b.nb
+          FROM cand c
+          JOIN (SELECT sid AS sid_a, sig AS __sa, shset AS sa, n AS na
+                FROM {profile_view}) a USING (sid_a)
+          JOIN (SELECT sid AS sid_b, sig AS __sb, shset AS sb, n AS nb
+                FROM {profile_view}) b USING (sid_b)
+          WHERE {_sig_estimate_sql()} >= {float(min_estimate)!r}D
+        )
+      )
+    )
+    WHERE jac >= {float(threshold)!r}D
+    """
+
+
 def jaccard_pairs_exact(
     shingled: DataFrame,
     threshold: float = 0.8,

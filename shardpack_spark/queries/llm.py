@@ -189,15 +189,27 @@ def _lsh_pairs(sh: DataFrame, oph: bool = False) -> DataFrame:
         # The fused profile carries the verify-side shingle sets through
         # the same two exchanges as the signature, so the corpus is
         # exploded+hashed once.
-        prof = dedup.minhash_oph_profiles(sh, n_bins=64, seed=42).persist()
-        cand = dedup.minhash_lsh_candidates(
-            prof.select("sid", "sig"), bands=16, rows_per_band=4
-        )
+        #
+        # Built as TWO parsed SQL statements over views instead of the
+        # operator chain's ~350 py4j round trips: the bench rebuilds this
+        # plan every timed pass, and plan construction measured 1.02 ->
+        # 0.26 s (bench-protocol median 2.04 -> 1.41 s on the same
+        # window).  Same aggregates, joins, hints and expressions — the
+        # operator chain stays the library surface and
+        # tests/test_sql_expr_twins.py pins the two forms row-identical.
+        spark = sh.sparkSession
+        sh.createOrReplaceTempView("__q29_shingles")
+        prof = spark.sql(dedup.oph_profile_sql("__q29_shingles", n_bins=64, seed=42))
+        prof = prof.persist()
+        prof.createOrReplaceTempView("__q29_oph_prof")
         # fused prefilter + verify: the estimate filter still guards the
         # array_intersect, but candidates attach to the profile ONCE
         # instead of through two separate join chains
-        return dedup.verify_candidates_with_profiles(
-            cand, prof, threshold=0.8, min_estimate=0.6
+        return spark.sql(
+            dedup.oph_verify_sql(
+                "__q29_oph_prof", bands=16, rows_per_band=4,
+                threshold=0.8, min_estimate=0.6,
+            )
         )
     else:
         # classic minhash's 64 codegen'd min() aggregates cannot host a

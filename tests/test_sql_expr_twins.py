@@ -120,3 +120,44 @@ def test_marker_count_twin_bit_identical(spark):
         ).collect()
     }
     assert got_col == got_sql == {1: 3, 2: 1, 3: 0}
+
+
+def test_oph_pipeline_sql_twin_row_identical(spark, sf_dir):
+    """The two-statement SQL composition of the OPH pipeline (profile ->
+    banded candidates -> fused prefilter+verify) must reproduce the
+    operator chain row for row — it is what q29's oph variant and the
+    bench's LSH path now execute."""
+    from shardpack_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(docs, k=5, hashed=True)
+
+    # operator chain (library surface, unchanged)
+    prof_ops = dedup.minhash_oph_profiles(sh, n_bins=64, seed=42).persist()
+    cand = dedup.minhash_lsh_candidates(
+        prof_ops.select("sid", "sig"), bands=16, rows_per_band=4
+    )
+    ops_rows = sorted(
+        tuple(r)
+        for r in dedup.verify_candidates_with_profiles(
+            cand, prof_ops, threshold=0.8, min_estimate=0.6
+        ).collect()
+    )
+
+    # SQL composition
+    sh.createOrReplaceTempView("__twin_shingles")
+    prof_sql = spark.sql(dedup.oph_profile_sql("__twin_shingles", n_bins=64, seed=42))
+    prof_sql.createOrReplaceTempView("__twin_prof")
+    sql_rows = sorted(
+        tuple(r)
+        for r in spark.sql(
+            dedup.oph_verify_sql(
+                "__twin_prof", bands=16, rows_per_band=4,
+                threshold=0.8, min_estimate=0.6,
+            )
+        ).collect()
+    )
+
+    prof_ops.unpersist()
+    assert ops_rows == sql_rows
+    assert len(sql_rows) > 0  # non-vacuous at the oracle scale factors
