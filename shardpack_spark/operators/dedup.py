@@ -585,6 +585,60 @@ def oph_profile_sql(shingle_view: str, n_bins: int = 64, seed: int = 42) -> str:
     """
 
 
+def shingles_sql(
+    docs_view: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    repartition: int | None = None,
+) -> str:
+    """:func:`char_shingles(hashed=True)` over a registered documents view
+    as a SQL fragment — same row-local array_distinct + explode +
+    ``xxhash64``, optional round-robin ``REPARTITION(n)`` hint matching
+    ``df.repartition(n)`` (rows never leave their partition otherwise, so
+    partitioning cannot change results; pinned row-identical by
+    tests/test_sql_expr_twins.py)."""
+    # the hint goes on an inner projection so the round-robin exchange
+    # sits BELOW the explode, exactly like df.repartition(n) before
+    # char_shingles — the shingle work is what needs spreading, not the
+    # already-exploded rows
+    src = (
+        f"(SELECT /*+ REPARTITION({int(repartition)}) */ {id_col}, {text_col}"
+        f" FROM {docs_view})"
+        if repartition
+        else docs_view
+    )
+    return (
+        f"SELECT {id_col} AS sid, xxhash64(shingle) AS shingle FROM ("
+        f"SELECT {id_col}, explode(array_distinct(transform("
+        f"sequence(1, length({text_col}) - {int(k) - 1}),"
+        f" i -> substring({text_col}, i, {int(k)})))) AS shingle"
+        f" FROM {src} WHERE length({text_col}) >= {int(k)})"
+    )
+
+
+def oph_profile_from_docs_sql(
+    docs_view: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_bins: int = 64,
+    seed: int = 42,
+    repartition: int | None = None,
+) -> str:
+    """:func:`oph_profile_sql` with the shingle step folded in: the whole
+    docs -> shingles -> OPH profile pipeline as ONE parsed statement.
+    Used by plan-rebuilt-per-pass callers (bench) where even the shingle
+    chain's ~15 Column-API round trips are measurable driver latency;
+    library callers that share the shingle table across variants keep
+    the two-step form."""
+    return oph_profile_sql(
+        f"({shingles_sql(docs_view, text_col=text_col, id_col=id_col, k=k, repartition=repartition)})",
+        n_bins=n_bins,
+        seed=seed,
+    )
+
+
 def oph_verify_sql(
     profile_view: str,
     bands: int = 16,

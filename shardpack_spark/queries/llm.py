@@ -232,12 +232,34 @@ def _lsh_pairs(sh: DataFrame, oph: bool = False) -> DataFrame:
 
 def fuzzy_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-only fuzzy dedup — the scale path alone, used by bench.py.
-    Identical plan to q29_fuzzy_dedup's 'oph' variant (one-permutation
+    Same pipeline as q29_fuzzy_dedup's 'oph' variant (one-permutation
     hashing: 1 hash per shingle instead of 64 — the configuration a
     100 TB dedup run would use; its pair output is held equal to the
-    exact-Jaccard anchor by q29's oracle)."""
-    return _lsh_pairs(_shingles(spark, sf_dir), oph=True).select(
-        "sid_a", "sid_b", round4d(F.col("jac")).alias("jac")
+    exact-Jaccard anchor by q29's oracle), with the whole
+    docs -> shingles -> profile chain folded into the profile parse:
+    the bench rebuilds this plan every timed pass, and the shingle
+    Column chain + extra view were the last ~15 round trips of build
+    latency.  Row-identical to the operator-chain form by
+    tests/test_sql_expr_twins.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__q29_docs")
+    prof = spark.sql(
+        dedup.oph_profile_from_docs_sql(
+            "__q29_docs", k=5, n_bins=64, seed=42,
+            repartition=spark.sparkContext.defaultParallelism,
+        )
+    ).persist()
+    prof.createOrReplaceTempView("__q29_oph_prof")
+    return spark.sql(
+        dedup.oph_verify_sql(
+            "__q29_oph_prof", bands=16, rows_per_band=4,
+            threshold=0.8, min_estimate=0.6,
+        )
+        # round4d(jac) as one selectExpr: FLOOR(double)/double — the
+        # identical IEEE op sequence (D suffixes matter: un-suffixed
+        # 10000.0 would parse as DECIMAL and change the arithmetic)
+    ).selectExpr(
+        "sid_a", "sid_b", "FLOOR(jac * 10000.0D + 0.5D) / 10000.0D AS jac"
     )
 
 

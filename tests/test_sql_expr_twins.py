@@ -161,3 +161,79 @@ def test_oph_pipeline_sql_twin_row_identical(spark, sf_dir):
     prof_ops.unpersist()
     assert ops_rows == sql_rows
     assert len(sql_rows) > 0  # non-vacuous at the oracle scale factors
+
+
+def test_shingles_sql_twin_row_identical(spark, sf_dir):
+    """shingles_sql must reproduce char_shingles(hashed=True) row for row
+    (same row-local array_distinct + explode + xxhash64), with and
+    without the round-robin REPARTITION hint (partitioning cannot change
+    the multiset of rows)."""
+    from shardpack_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ops_rows = sorted(
+        tuple(r) for r in dedup.char_shingles(docs, k=5, hashed=True).collect()
+    )
+    docs.createOrReplaceTempView("__twin_docs")
+    plain = sorted(
+        tuple(r) for r in spark.sql(dedup.shingles_sql("__twin_docs", k=5)).collect()
+    )
+    spread = sorted(
+        tuple(r)
+        for r in spark.sql(
+            dedup.shingles_sql("__twin_docs", k=5, repartition=8)
+        ).collect()
+    )
+    assert ops_rows == plain == spread
+    assert len(plain) > 0
+
+
+def test_oph_profile_from_docs_sql_twin_row_identical(spark, sf_dir):
+    """The fully-folded docs -> shingles -> profile statement (what the
+    bench's LSH path now parses) must reproduce the two-step
+    shingle-view composition bit for bit: same signatures, same shingle
+    sets (order-canonicalized — collect_list order inside one row is not
+    a contract), same counts."""
+    from shardpack_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.char_shingles(docs, k=5, hashed=True)
+    sh.createOrReplaceTempView("__twin_shingles2")
+    two_step = {
+        r["sid"]: (tuple(r["sig"]), tuple(sorted(r["shset"])), r["n"])
+        for r in spark.sql(
+            dedup.oph_profile_sql("__twin_shingles2", n_bins=64, seed=42)
+        ).collect()
+    }
+    docs.createOrReplaceTempView("__twin_docs2")
+    folded = {
+        r["sid"]: (tuple(r["sig"]), tuple(sorted(r["shset"])), r["n"])
+        for r in spark.sql(
+            dedup.oph_profile_from_docs_sql(
+                "__twin_docs2", k=5, n_bins=64, seed=42, repartition=8
+            )
+        ).collect()
+    }
+    assert two_step == folded
+    assert len(folded) > 0
+
+
+def test_fuzzy_dedup_lsh_matches_operator_chain(spark, sf_dir):
+    """bench.py's q29 path (fully-folded SQL, round4d as selectExpr) must
+    reproduce the operator-chain oph pipeline + Column round4d row for
+    row — the certification that the bench times the same computation
+    q29's oracle certifies."""
+    from shardpack_spark.queries.canon import round4d
+    from shardpack_spark.queries.llm import _lsh_pairs, _shingles, fuzzy_dedup_lsh
+
+    chain = sorted(
+        tuple(r)
+        for r in _lsh_pairs(_shingles(spark, sf_dir), oph=True)
+        .select("sid_a", "sid_b", round4d(F.col("jac")).alias("jac"))
+        .collect()
+    )
+    spark.catalog.clearCache()
+    folded = sorted(tuple(r) for r in fuzzy_dedup_lsh(spark, sf_dir).collect())
+    spark.catalog.clearCache()
+    assert chain == folded
+    assert len(folded) > 0
