@@ -180,19 +180,23 @@ def main() -> None:
         registry[name].builder(spark, sf_dir).collect()
     for name in HEADLINE:
         q = registry[name]
-        ts = sorted(
-            time_query(lambda q=q: q.builder(spark, sf_dir).collect())
-            for _ in range(3)
-        )
+        ts = []
+        for _ in range(3):
+            # several builders persist() within-query intermediates (LSH
+            # profiles, TF tables...).  Clearing the cache BEFORE each
+            # timed pass (r10) makes every pass self-contained: the
+            # persisted stage is re-materialized INSIDE the timed region
+            # instead of Spark's CacheManager silently serving the
+            # warm-up pass's plan-identical cached blocks, so the number
+            # measures the whole query.  It also keeps abandoned copies
+            # from accumulating across 21x4 executions and squeezing the
+            # unified execution pool.
+            spark.catalog.clearCache()
+            ts.append(time_query(lambda q=q: q.builder(spark, sf_dir).collect()))
+        ts = sorted(ts)
         queries[name] = round(ts[1], 3)  # median of 3
         spread[name] = {"min": round(ts[0], 3), "max": round(ts[2], 3)}
-        # several builders persist() intermediates (LSH signatures, TF
-        # tables...) and each timed pass builds a FRESH DataFrame, so the
-        # abandoned copies accumulate in storage memory across 21x4
-        # executions and squeeze the unified execution pool; dropping
-        # them between queries keeps every query's memory conditions
-        # identical to running it alone
-        spark.catalog.clearCache()
+    spark.catalog.clearCache()
 
     # --- yardsticks ---------------------------------------------------------
     yard: dict[str, float] = {}

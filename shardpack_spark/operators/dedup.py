@@ -602,10 +602,12 @@ def shingles_sql(
     # sits BELOW the explode, exactly like df.repartition(n) before
     # char_shingles — the shingle work is what needs spreading, not the
     # already-exploded rows
+    if repartition is not None and int(repartition) < 1:
+        raise ValueError(f"repartition must be >= 1, got {repartition}")
     src = (
         f"(SELECT /*+ REPARTITION({int(repartition)}) */ {id_col}, {text_col}"
         f" FROM {docs_view})"
-        if repartition
+        if repartition is not None
         else docs_view
     )
     return (

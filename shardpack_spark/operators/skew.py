@@ -15,6 +15,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def spread_if_narrow(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition ``df`` to the session's core count ONLY when its plan
+    currently has fewer partitions (guide §2.5 input skew: a single-file
+    / single-row-group scan is one split, serializing every downstream
+    stage onto one core).
+
+    With key columns, the repartition doubles as the exchange a
+    downstream window/aggregate on those keys needs, so the plan still
+    has exactly one data shuffle; without columns it is a round-robin
+    spread of the rows.  On a many-split input (any real-scale table)
+    the condition is false and NO repartition is added — AQE sizes the
+    downstream exchanges by data volume instead of a cores-count pin
+    making partitions of arbitrary size (§5 spill risk).  The guard is
+    one plan->RDD conversion (~3 ms, no job).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *[F.col(c) for c in cols]) if cols else df.repartition(par)
+
+
 def salted_join(
     skewed: DataFrame,
     dim: DataFrame,

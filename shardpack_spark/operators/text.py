@@ -9,7 +9,7 @@ the operators oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/keyword language heuristic.
@@ -297,29 +297,34 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     """Per-(doc, term) TF-IDF: (doc_id, term, tf, df, tfidf).
 
     Tokenize once (lower + whitespace split), count term frequency with
-    one groupBy(doc, term) shuffle, then derive document frequency as a
-    window count over ``term`` on that same TF table — the TF table is
-    already (doc, term)-distinct, so ``count(*) over (partition by
-    term)`` IS the document frequency, with no second tokenize pass and
-    no join back.  (The previous shape computed DF as a separate
-    groupBy(term) on a second reference to the TF lineage; Catalyst does
-    not share the common subplan, so the corpus was scanned, exploded
-    and aggregated twice.)  idf uses the smoothed form
+    one groupBy(doc, term) shuffle, persist that TF table, then derive
+    document frequency as a partial-aggregated groupBy(term) count over
+    it — the TF table is already (doc, term)-distinct, so the count IS
+    the document frequency — and attach it back with an equi-join on
+    term.  (r9 computed df as ``count(*) over (partition by term)`` to
+    avoid the join; that window shuffles the whole TF table on term with
+    NO map-side partial aggregation and places every row of a hot term
+    on one task — a stopword's df at corpus scale is billions of rows on
+    one partition.  The groupBy ships one partial count per (term, map
+    partition), the vocabulary-sized df side broadcasts when small, and
+    the join — unlike a window — is AQE-skew-splittable.  The persist is
+    what keeps the single-tokenize win: Catalyst does not share the TF
+    subplan between its two consumers, so without it the corpus would be
+    scanned, exploded and aggregated twice.)  idf uses the smoothed form
     ln((N+1)/(df+1)) + 1 so unseen/ubiquitous terms stay finite.  The
     corpus size joins in as a broadcast 1-row aggregate — never a
-    driver-side collect.  At scale this shuffles the TF table (<< the
-    exploded token stream) on term once instead of re-tokenizing the
-    corpus.
+    driver-side collect.
     """
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
     ).filter(F.length("term") > 0)
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     idf = F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1).cast("double")) + 1.0
     return (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.col("tf").cast("double") * idf)
         .select(id_col, "term", "tf", "df", "tfidf")

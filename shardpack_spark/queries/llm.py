@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shardpack_spark.operators import dedup, sampling, similarity, text
+from shardpack_spark.operators.skew import spread_if_narrow
 from shardpack_spark.queries import register
 from shardpack_spark.queries.canon import round4d
 from shardpack_spark.tables import load_table
@@ -160,16 +161,15 @@ def _shingles(spark: SparkSession, sf_dir: str, persist: bool = False) -> DataFr
     explode-and-hash work (the pipeline's dominant cost) onto a single
     core.  Spreading the documents across the cluster first costs a tiny
     shuffle of the raw docs and buys full parallelism for everything
-    downstream — on a real 100 TB input with many splits it's a no-op
-    cost either way.
+    downstream — and on a real 100 TB input with many splits the guard
+    skips the repartition outright.
 
     ``persist`` is for plans with MANY shingle consumers (the exact
     variant's self-join side counts as two); the LSH-only path leaves it
     off — recomputing the pure-codegen explode twice is cheaper than
     writing a million cached rows (measured: caching costs ~0.4 s at
     sf0.1 and saves less)."""
-    docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread_if_narrow(load_table(spark, sf_dir, "documents"))
     # hashed shingles: longs through every downstream hash/join (see
     # char_shingles docstring) — same pairs, ~2x less hash+shuffle work
     sh = dedup.char_shingles(docs, k=5, hashed=True)
@@ -243,10 +243,15 @@ def fuzzy_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sql_expr_twins.py."""
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__q29_docs")
+    # spread the explode-and-hash work only when the scan is
+    # under-parallelized (single-split fixtures); a many-split real
+    # input skips the round-robin exchange entirely
+    par = spark.sparkContext.defaultParallelism
+    narrow = docs.rdd.getNumPartitions() < par
     prof = spark.sql(
         dedup.oph_profile_from_docs_sql(
             "__q29_docs", k=5, n_bins=64, seed=42,
-            repartition=spark.sparkContext.defaultParallelism,
+            repartition=par if narrow else None,
         )
     ).persist()
     prof.createOrReplaceTempView("__q29_oph_prof")
@@ -694,10 +699,7 @@ def q34_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     The same guard deliberately does NOT apply to cheap-per-row scans
     (q28/q31: repartition moved full text just to hash/count and measured
     2-3x SLOWER)."""
-    docs = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = spread_if_narrow(load_table(spark, sf_dir, "documents"))
     return text.lang_scores(docs)
 
 

@@ -277,17 +277,21 @@ def q11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    # Spread the carry window ONLY when the inputs are under-parallelized
+    # (single-split sf fixtures: AQE coalesces the ~6 MB union shuffle to
+    # one task and serializes the sort+carry — measured 0.49 s of the
+    # plan).  On a many-split real-scale input the pin is skipped so AQE
+    # sizes the by-key exchange by data volume (guide §2.2/§5) instead
+    # of a cores-count pin making partitions of arbitrary size.
+    par = spark.sparkContext.defaultParallelism
+    narrow = (o.rdd.getNumPartitions() + e.rdd.getNumPartitions()) < par
     joined = asof_join(
         o, e,
         left_on="o_orderdate", right_on="ts",
         left_by="o_custkey", right_by="user_id",
         value_cols=["event_id", "value"],
         tiebreak="event_id",
-        # spread the carry window: AQE coalesces the ~6 MB union shuffle
-        # to one task and serializes the sort+carry (measured 0.49 s of
-        # the plan); core-count pinning keeps it parallel at no extra
-        # exchange (scale-adaptive, not a local[32] constant)
-        num_partitions=spark.sparkContext.defaultParallelism,
+        num_partitions=par if narrow else None,
     )
     return joined.select(
         "o_orderkey",
@@ -390,15 +394,19 @@ def q15_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer via ranking windows (Q16)."""
-    # spread the ranking window: AQE coalesces the ~4 MB shuffle to one
-    # task and serializes the per-customer sort+rank (same collapse as
-    # q42/q27; interleaved A/B: median 0.55 -> 0.48 s).  The window's
-    # ClusteredDistribution(o_custkey) is satisfied by the pinned
-    # exchange, so the plan still has exactly one data shuffle; the pin
-    # is the session's core count, not a local[32] constant.
-    o = load_table(spark, sf_dir, "orders").repartition(
-        spark.sparkContext.defaultParallelism, "o_custkey"
-    )
+    # Planner shape, deliberately unpinned (r10, reverting r9's
+    # repartition(par, o_custkey)): with the pin below the window the
+    # optimizer can only place ONE WindowGroupLimit above the exchange,
+    # so EVERY orders row crosses the shuffle; the planner's own
+    # ENSURE_REQUIREMENTS exchange keeps the partial (map-side) top-3
+    # WindowGroupLimit BELOW it — at scale only <=3 rows per customer
+    # per map partition are shuffled, and AQE sizes the window stage.
+    # Interleaved A/B at sf0.1 (quiet host, 7 rounds): planner shape
+    # median 0.41 s vs pinned 0.33 s vs round-robin-spread-then-window
+    # 0.75 s — the pin's local win does not survive the bench protocol
+    # (r8 benched this exact shape at 0.498 s vs the r9 pin's 0.642 s
+    # on comparable quiet windows), and it costs the map-side limit.
+    o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         o.select(

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from shardpack_spark.operators.skew import spread_if_narrow
 from shardpack_spark.queries import register
 from shardpack_spark.queries.canon import dec, money2, round4d
 from shardpack_spark.tables import load_table
@@ -45,8 +46,10 @@ def q42_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key exchange to the session's core count keeps the stage parallel;
     # scale-adaptive (defaultParallelism = total cores on a cluster), and
     # the window's required ClusteredDistribution(user_id) is satisfied by
-    # this exchange, so the plan still has exactly one shuffle.
-    e = e.repartition(spark.sparkContext.defaultParallelism, "user_id")
+    # this exchange, so the plan still has exactly one shuffle.  r10: the
+    # pin fires only when the input is under-parallelized (single-split
+    # fixtures); a many-split real input leaves the exchange to AQE.
+    e = spread_if_narrow(e, "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wr = (

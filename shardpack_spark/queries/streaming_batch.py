@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from shardpack_spark.operators.skew import spread_if_narrow
 from shardpack_spark.queries import register
 from shardpack_spark.streaming import ops
 from shardpack_spark.tables import load_table
@@ -96,8 +97,8 @@ def q27_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinning the user_id exchange to the core count keeps it parallel —
     # the session-window agg's required clustering on user_id is
     # satisfied, so the plan still has one data shuffle.  Done here, not
-    # in ops.session_agg, which also serves streaming plans.
-    events = load_table(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism, "user_id"
-    )
+    # in ops.session_agg, which also serves streaming plans.  r10: the
+    # pin fires only when the input is under-parallelized (single-split
+    # fixtures); a many-split real input leaves the exchange to AQE.
+    events = spread_if_narrow(load_table(spark, sf_dir, "events"), "user_id")
     return ops.session_agg(events)

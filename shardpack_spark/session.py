@@ -81,7 +81,10 @@ def _patch_py4j_nodelay() -> None:
 
 
 def get_spark(app_name: str = "shardpack_spark", shuffle_partitions: int | None = None) -> SparkSession:
-    _patch_py4j_nodelay()
+    # The patch is process-wide (any other py4j gateway in this
+    # interpreter sees it too); embedders can opt out via the env.
+    if os.environ.get("SPARK_GRAFT_NODELAY", "true").lower() != "false":
+        _patch_py4j_nodelay()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))

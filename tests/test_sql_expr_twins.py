@@ -222,13 +222,25 @@ def test_fuzzy_dedup_lsh_matches_operator_chain(spark, sf_dir):
     """bench.py's q29 path (fully-folded SQL, round4d as selectExpr) must
     reproduce the operator-chain oph pipeline + Column round4d row for
     row — the certification that the bench times the same computation
-    q29's oracle certifies."""
+    q29's oracle certifies.  The comparand is built DIRECTLY from the
+    operator chain (minhash_oph_profiles -> minhash_lsh_candidates ->
+    verify_candidates_with_profiles), not from _lsh_pairs — which is
+    itself the two-statement SQL form since r9 — so this stays a true
+    end-to-end operator-chain anchor."""
     from shardpack_spark.queries.canon import round4d
-    from shardpack_spark.queries.llm import _lsh_pairs, _shingles, fuzzy_dedup_lsh
+    from shardpack_spark.queries.llm import _shingles, fuzzy_dedup_lsh
 
+    prof = dedup.minhash_oph_profiles(
+        _shingles(spark, sf_dir), n_bins=64, seed=42
+    ).persist()
+    cand = dedup.minhash_lsh_candidates(
+        prof.select("sid", "sig"), bands=16, rows_per_band=4
+    )
     chain = sorted(
         tuple(r)
-        for r in _lsh_pairs(_shingles(spark, sf_dir), oph=True)
+        for r in dedup.verify_candidates_with_profiles(
+            cand, prof, threshold=0.8, min_estimate=0.6
+        )
         .select("sid_a", "sid_b", round4d(F.col("jac")).alias("jac"))
         .collect()
     )
