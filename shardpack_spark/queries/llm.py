@@ -240,7 +240,13 @@ def fuzzy_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bench rebuilds this plan every timed pass, and the shingle
     Column chain + extra view were the last ~15 round trips of build
     latency.  Row-identical to the operator-chain form by
-    tests/test_sql_expr_twins.py."""
+    tests/test_sql_expr_twins.py.
+
+    The profile persist is NOT unpersisted here (the returned plan
+    references it); callers that rebuild this plan repeatedly must
+    clear it between runs — bench.py clearCache()s before every timed
+    pass (r10), which also re-materializes the profile inside the
+    timed region."""
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("__q29_docs")
     # spread the explode-and-hash work only when the scan is

@@ -82,6 +82,7 @@ def test_probe_reads_subset_of_shards(spark, built):
     assert probed.count() > 0
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_incremental_vector_append(spark, sf_dir, tmp_path):
     from shardpack_spark.operators.ann_index import (
         encode_with_model,

@@ -79,6 +79,7 @@ def test_empty_doc_scores_at_bias(spark):
     assert r["margin"] == -1.5
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_training_matches_numpy_gd_and_separates(spark, docs_df):
     lr, iters = 2.0, 40
     w, b = train_hashed_classifier(docs_df, dim=DIM, lr=lr, iters=iters)

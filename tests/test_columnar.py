@@ -1,6 +1,8 @@
 """Columnar multi-dataset layout (draft.md:201-211): split by entry
 column, align by key at read, prune at dataset granularity."""
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -46,6 +48,7 @@ def _two_column_records(spark, n=200):
     return base.select("key", "metadata", entries.alias("entries"))
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_columnar_round_trip_and_alignment(spark, tmp_path):
     out = str(tmp_path / "columnar")
     src = _two_column_records(spark, 200)
@@ -116,6 +119,7 @@ def test_columnar_missing_column_errors(spark, tmp_path):
         read_columnar(spark, out, columns=["nope.bin"])
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_zipped_read_matches_join_read(spark, tmp_path):
     """The zero-shuffle merge read returns exactly what the join-based
     read returns, for both alignment modes, and plans no exchange."""
@@ -149,6 +153,7 @@ def test_zipped_read_matches_join_read(spark, tmp_path):
     assert "Join" not in plan
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_zipped_read_single_column(spark, tmp_path):
     from shardpack_spark.format.columnar import read_columnar_zipped
 
@@ -157,6 +162,7 @@ def test_zipped_read_single_column(spark, tmp_path):
     assert read_columnar_zipped(spark, out, ["thumb.bin"]).count() == 40
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_zipped_read_empty_driving_column_full_mode(spark, tmp_path):
     """Driving column empty: full-mode zipped read still surfaces the
     other column's records (single unbounded range)."""
@@ -179,6 +185,7 @@ def test_zipped_read_empty_driving_column_full_mode(spark, tmp_path):
     assert inner.count() == 0
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_zipped_read_chunked_flush_same_result(spark, tmp_path):
     """A tiny chunk_bytes forces many intra-slice flushes of the merge
     buffer (the bounded-memory path a 256 MiB-shard dataset exercises);

@@ -23,6 +23,7 @@ from shardpack_spark.format.patches import (
 from tests.test_datasource import _docs_as_records
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_full_lifecycle(spark, sf_dir, tmp_path):
     register(spark)
     base = str(tmp_path / "lake")
@@ -80,6 +81,7 @@ def test_full_lifecycle(spark, sf_dir, tmp_path):
     assert len(vs) == 1 and vs[0]["total_records"] == 278
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_publish_checked_write_audit_publish(spark, tmp_path, sp_rows):
     """publish_checked: good batches land, bad batches vanish atomically
     (metadata-only rollback), on local AND object-store backends."""

@@ -328,6 +328,7 @@ def test_partitioned_over_object_store(spark_ds, sf_dir, tmp_path):
     assert got == 4
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_stream_sink_partitioned(spark_ds, sf_dir, tmp_path):
     """The streaming sink writes partition-pure shards: partition values
     ride in the batch markers (pruning reads them BEFORE any fold), and

@@ -1,6 +1,8 @@
 """Merge-on-read side-car patches (draft.md:209-211): upsert, tombstone,
 last-patch-wins, idempotent compaction."""
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -74,6 +76,7 @@ def test_upsert_tombstone_last_patch_wins(spark, tmp_path):
     assert _state(read_with_patches(spark, base)) == expected
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_patch_reapplication_is_idempotent(spark, tmp_path):
     """A crash between compaction commit and patch cleanup leaves patches
     behind; re-reading (and re-compacting) must not change the data."""
@@ -152,6 +155,7 @@ def test_read_with_patches_rejects_columns_projection(spark, tmp_path):
         read_with_patches(spark, base, columns=["key", "metadata"])
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_delete_where_predicate_tombstones(spark, tmp_path):
     """Predicate deletes judge rows in their patch-merged CURRENT state
     and compose with later compaction."""
@@ -177,6 +181,7 @@ def test_delete_where_predicate_tombstones(spark, tmp_path):
     assert _state(read_with_patches(spark, base)) == got
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_update_where_metadata_overlay(spark, tmp_path):
     """Predicate updates overlay metadata (right-wins), keep entries, and
     compose across chained updates."""
@@ -204,6 +209,7 @@ def test_update_where_metadata_overlay(spark, tmp_path):
     assert got2["k/0001"][0]["tier"] == "a"
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_update_where_overlay_matches_dict_model(spark, tmp_path):
     """Hypothesis: the metadata overlay must equal Python's
     {**old, **set_meta} for random metadata maps and overlay dicts."""

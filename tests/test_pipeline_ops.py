@@ -353,6 +353,7 @@ def test_split_sentences_matches_python(spark, sf_dir):
     assert len(got) > len(rows)  # multi-sentence docs actually split
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_line_dedup_property_fuzz(spark):
     """Hypothesis fuzz: line_dedup over arbitrary small corpora always
     matches the pure-Python reference (one Spark job over a batch of

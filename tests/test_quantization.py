@@ -3,6 +3,8 @@ distance (exact identity), compression audit, and sane recall."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -20,6 +22,7 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_pq_roundtrip_and_adc_identity(spark, sf_dir):
     df = _emb(spark, sf_dir)
     books = pq_train(df, m=8, k=16, n_iter=3)
@@ -71,6 +74,7 @@ def test_pq_distortion_shrinks_with_k(spark, sf_dir):
     assert d16 < d2 * 0.8
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_pq_recall_against_exact(spark):
     """PQ top-10 recalls the exact L2 top-10 on clustered data.
 
@@ -118,6 +122,7 @@ def test_pq_recall_against_exact(spark):
     assert sum(1 for v in got if v % 10 == 0) >= 9
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_ivfpq_identity_and_cluster_recall(spark):
     """IVF-PQ: ADC-over-residual == exact distance to (coarse + decoded
     residual); top-k over clustered data returns the query's cluster."""

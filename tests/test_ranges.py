@@ -46,6 +46,7 @@ IVS = [
 
 @pytest.mark.parametrize("bin_width", [0.7, 1.0, 5.0, 1000.0])
 @pytest.mark.parametrize("closed", ["left", "both"])
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_matches_brute_force_any_bin_width(spark, bin_width, closed):
     # correctness must be independent of bin_width (it only moves cost)
     assert _binned(spark, PTS, IVS, bin_width, closed) == _brute(spark, PTS, IVS, closed)

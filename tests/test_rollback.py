@@ -23,6 +23,7 @@ def _keys(spark, out):
     return sorted(r["key"] for r in spark.read.format("shardpack").load(out).collect())
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_rollback_restores_snapshot_and_chain_continues(spark, tmp_path):
     register(spark)
     out = str(tmp_path / "ds")

@@ -257,6 +257,7 @@ def test_bm25_topn_is_prefix_of_full(spark, con, index_path):
 # ------------------------------------------------------------- incremental
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_incremental_update_equals_full_rebuild(spark, sf_dir, tmp_path):
     from shardpack_spark.format.patches import compact_patches, list_patches
     from shardpack_spark.operators.search import (
@@ -318,6 +319,7 @@ def test_update_empty_batch_is_noop(spark, sf_dir, tmp_path):
     assert corpus_stats(spark, out) == before
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_update_replay_with_batch_id_is_noop(spark, sf_dir, tmp_path):
     from shardpack_spark.format.patches import list_patches
     from shardpack_spark.operators.search import corpus_stats, update_inverted_index

@@ -632,6 +632,7 @@ def test_planning_uses_manifest_sizes_no_stats(tmp_path, monkeypatch):
     assert calls == []
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_record_range_splits_read_correctly(spark, tmp_path, sp_rows):
     """Committed oversized shards split by manifest record counts; the
     executor-resolved spans must reproduce every record exactly once."""

@@ -61,6 +61,7 @@ def _age(path: str, seconds: float = 7200.0) -> None:
     os.utime(path, (t, t))
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_vacuum_expires_versions_keeps_all_data(spark, tmp_path):
     register(spark)
     out = str(tmp_path / "ds")

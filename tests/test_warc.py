@@ -935,6 +935,7 @@ def test_wat_records_fields(spark, tmp_path):
     assert bad.url == "http://broken.example/"  # header fallback
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_wat_links_and_pagerank(spark, tmp_path):
     from shardpack_spark.operators.graph import pagerank
     from shardpack_spark.operators.webcorpus import wat_links
@@ -1173,6 +1174,7 @@ def test_resolve_revisits(spark, tmp_path):
     assert bytes(rows["<urn:rv:2>"].payload or b"") == b""
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_documents_to_warc_revisit_emission(spark, tmp_path):
     """A mixed table (originals + revisit_of rows) exports in ONE pass:
     revisit rows write ~empty members with WARC-Refers-To/-Payload-Digest

@@ -703,6 +703,7 @@ def test_rollover_and_chunked_slice(tmp_path):
     raise AssertionError("r/3 not found in any shard index")
 
 
+@pytest.mark.slow  # heavy (>=12 s); conclusive lane only
 def test_manifest_checkpoint_depth_10k_bounds_part_reads():
     """Scale probe, sparse: a 10,000-commit append chain (one manifest
     entry per commit, no data files — flatten never opens shards) with
