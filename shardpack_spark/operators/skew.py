@@ -15,6 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def is_narrow(df: DataFrame) -> bool:
+    """True when ``df``'s current plan has fewer partitions than the
+    session's core count — the single predicate behind every
+    scale-adaptive spread (``spread_if_narrow`` and the SQL-hint call
+    sites), kept in one place so the heuristic cannot drift between
+    them.  Cost: one plan->RDD conversion (~3 ms, no job)."""
+    return df.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism
+
+
 def spread_if_narrow(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition ``df`` to the session's core count ONLY when its plan
     currently has fewer partitions (guide §2.5 input skew: a single-file
@@ -28,11 +37,11 @@ def spread_if_narrow(df: DataFrame, *cols: str) -> DataFrame:
     the condition is false and NO repartition is added — AQE sizes the
     downstream exchanges by data volume instead of a cores-count pin
     making partitions of arbitrary size (§5 spill risk).  The guard is
-    one plan->RDD conversion (~3 ms, no job).
+    :func:`is_narrow`.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    if not is_narrow(df):
         return df
+    par = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par, *[F.col(c) for c in cols]) if cols else df.repartition(par)
 
 

@@ -314,6 +314,11 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     ln((N+1)/(df+1)) + 1 so unseen/ubiquitous terms stay finite.  The
     corpus size joins in as a broadcast 1-row aggregate — never a
     driver-side collect.
+
+    The TF persist is NOT unpersisted here (the returned plan references
+    it); callers running many tf_idf jobs in one session must drop it
+    between runs (``spark.catalog.clearCache()`` or unpersist via the
+    catalog) — bench-style harnesses already clearCache per pass.
     """
     toks = df.select(
         F.col(id_col),

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shardpack_spark.operators import dedup, sampling, similarity, text
-from shardpack_spark.operators.skew import spread_if_narrow
+from shardpack_spark.operators.skew import is_narrow, spread_if_narrow
 from shardpack_spark.queries import register
 from shardpack_spark.queries.canon import round4d
 from shardpack_spark.tables import load_table
@@ -253,11 +253,10 @@ def fuzzy_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under-parallelized (single-split fixtures); a many-split real
     # input skips the round-robin exchange entirely
     par = spark.sparkContext.defaultParallelism
-    narrow = docs.rdd.getNumPartitions() < par
     prof = spark.sql(
         dedup.oph_profile_from_docs_sql(
             "__q29_docs", k=5, n_bins=64, seed=42,
-            repartition=par if narrow else None,
+            repartition=par if is_narrow(docs) else None,
         )
     ).persist()
     prof.createOrReplaceTempView("__q29_oph_prof")

@@ -83,7 +83,9 @@ def _patch_py4j_nodelay() -> None:
 def get_spark(app_name: str = "shardpack_spark", shuffle_partitions: int | None = None) -> SparkSession:
     # The patch is process-wide (any other py4j gateway in this
     # interpreter sees it too); embedders can opt out via the env.
-    if os.environ.get("SPARK_GRAFT_NODELAY", "true").lower() != "false":
+    if os.environ.get("SPARK_GRAFT_NODELAY", "true").strip().lower() not in (
+        "false", "0", "no", "off",
+    ):
         _patch_py4j_nodelay()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

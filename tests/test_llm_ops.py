@@ -449,3 +449,39 @@ def test_minhash_oph_profile_parity(spark, sf_dir):
     for sid, (sig, shset, n) in prof.items():
         assert sig == sigs[sid], f"sig mismatch for {sid}"
         assert (shset, n) == sets[sid], f"set/count mismatch for {sid}"
+
+
+def test_tf_idf_matches_python_reference(spark, sf_dir):
+    """Row-for-row check of text.tf_idf against a pure-Python
+    recomputation at sf0.001 — fast-lane coverage for the r10 df
+    rewrite (partial-aggregated groupBy + join replacing the unbounded
+    per-term window), independent of the slow-marked oracle sweeps."""
+    import math
+    from collections import Counter
+
+    from shardpack_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+        for r in text_ops.tf_idf(docs).collect()
+    }
+    spark.catalog.clearCache()  # tf_idf persists its TF table
+
+    raw = docs.select("doc_id", "text").collect()
+    n_docs = len(raw)
+    tf = {}
+    dfreq = Counter()
+    for r in raw:
+        terms = [t for t in r["text"].strip().lower().split() if t]
+        c = Counter(terms)
+        for term, n in c.items():
+            tf[(r["doc_id"], term)] = n
+        dfreq.update(c.keys())
+    assert set(got) == set(tf)
+    for (doc, term), n in tf.items():
+        df_ = dfreq[term]
+        idf = math.log((n_docs + 1) / (df_ + 1)) + 1.0
+        g_tf, g_df, g_tfidf = got[(doc, term)]
+        assert g_tf == n and g_df == df_
+        assert g_tfidf == float(n) * idf  # same IEEE op order, exact

@@ -36,6 +36,8 @@ DEFAULT = [
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        sys.exit(__doc__.strip())
     suffix = sys.argv[1]
     names = sys.argv[2:] or DEFAULT
     spark = get_spark("dump_r10_plans")
